@@ -1,13 +1,583 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every (query, oracleSql) pair so the driver's
+  * DuckDB hash-compare is deterministic:
+  *   - identical output column names on both sides;
+  *   - computed integers are BIGINT on both sides (DuckDB's default);
+  *   - double aggregates go through an exact DECIMAL sum, then cast to
+  *     DOUBLE — order-independent, engine-independent;
+  *   - every query ends in a total ORDER BY (ties broken to uniqueness).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact, order-independent sum of a double column: sum as decimal,
+    * surface as double. */
+  private def sumDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star-join revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region — dims broadcast, one shuffle for the final aggregate. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem"); val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer"); val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §2.10
+    * extensions). Each takes (session, sfDir). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1/2.3 scans, projection, rename (S1–S3, P1, P2) ----
+    "q_scan_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_extendedprice").as("price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P3/P11 conditional NULL-ification (year=0 → NULL analogue) ----
+    "q_nullif_cond" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          when(col("p_size") <= 10, lit(null)).otherwise(col("p_size"))
+            .as("size_n"))
+        .orderBy("p_partkey")),
+
+    // ---- P6 dropna ----
+    "q_dropna" -> ((s, d) =>
+      t(s, d, "customer")
+        .na.drop("any", Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    // ---- P7 OR-chain non-empty filter (preserved OR semantics) ----
+    "q_filter_or_nonempty" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_name") =!= "" || col("c_mktsegment") =!= "")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // ---- P8 equality filter (page = 'NextSong' analogue) ----
+    "q_filter_eq" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // ---- P10 casts (userId String→Long analogue) ----
+    "q_cast" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+                col("c_nationkey").cast("long").as("nation_l"),
+                col("c_custkey").cast("string").as("cust_s"))
+        .orderBy("c_custkey")),
+
+    // ---- W1/W2 window keep-first dedup ----
+    "q_dedup_first" -> ((s, d) =>
+      // tie-breakers to full uniqueness: (orderkey, linenumber) alone is
+      // not unique in the corpus, and row_number among true ties is
+      // engine-arbitrary (SURVEY.md §7.4.7)
+      Dedup.dedupKeepFirst(t(s, d, "lineitem"),
+          Seq(col("l_orderkey")),
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+              col("l_quantity"), col("l_extendedprice")))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")),
+
+    // ---- W3 window keep-latest dedup (users latest-by-ts analogue) ----
+    "q_dedup_latest" -> ((s, d) =>
+      Dedup.dedupKeepFirst(t(s, d, "orders"),
+          Seq(col("o_custkey")),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")),
+
+    // ---- A1 distinct ----
+    "q_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- J1 single-key dim join (broadcast) ----
+    "q_join_dim" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+              col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // ---- J2 multi-key equi-join with a Double key, bit-exact ----
+    "q_join_multikey" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val a = p.as("a"); val b = p.as("b")
+      a.join(b,
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") &&
+          col("a.p_retailprice") === col("b.p_retailprice") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("pk_a"), col("b.p_partkey").as("pk_b"),
+                col("a.p_retailprice").as("price"))
+        .orderBy("pk_a", "pk_b")
+    }),
+
+    // ---- J1+J2 star join + grouped agg (songplays-shaped) ----
+    "q_join_star" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+             sumDec(col("o_totalprice")).as("total"))
+        .orderBy("r_name", "n_name")),
+
+    // ---- D2–D7 calendar derivations ----
+    "q_time_derive" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          hour(col("o_orderdate")).cast("long").as("h"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          weekofyear(col("o_orderdate")).cast("long").as("wk"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          (weekday(col("o_orderdate")) + 1).cast("string").as("dow"))
+        .orderBy("o_orderkey")),
+
+    // ---- D1 epoch-millis ↔ timestamp round trip ----
+    "q_epoch_roundtrip" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          unix_millis(col("ts")).as("ms"),
+          timestamp_millis(unix_millis(col("ts"))).as("ts_ms"))
+        .orderBy("event_id")),
+
+    // ---- grouped aggregation (TPC-H Q1-shaped pricing summary) ----
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sumDec(col("l_quantity")).as("sum_qty"),
+             sumDec(col("l_extendedprice")).as("sum_base"),
+             sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+               .as("revenue"),
+             (sumDec(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- group + having ----
+    "q_group_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             sumDec(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 2)
+        .orderBy("o_custkey")),
+
+    // ---- sort + limit top-k ----
+    "q_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // ---- set op: union distinct ----
+    "q_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy("k")),
+
+    // ---- anti join (NOT EXISTS) ----
+    "q_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ---- semi join (EXISTS) ----
+    "q_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ---- E1 exact dedup ----
+    "q_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    // ---- E4 text stats ----
+    "q_text_stats" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_c"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+            .as("n_bpeish"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- E4 language-ID heuristic ----
+    "q_lang_id" -> ((s, d) => {
+      val scores = TextAnalysis.langIdScores(col("text"))
+      val cols = scores.map { case (l, c) => c.cast("long").as(s"${l}_hits") }
+      t(s, d, "documents")
+        .select(col("doc_id") +: cols :+
+          TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- E4 quality score ----
+    "q_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+                TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // ---- E4 rolling-hash fingerprint ----
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+                TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- E2 exact n-gram Jaccard (linear chained pairs) ----
+    "q_chained_jaccard" -> ((s, d) =>
+      Dedup.chainedJaccard(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_a")),
+
+    // ---- E3 brute-force cosine top-k ----
+    "q_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- E5 JSON props extraction ----
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // ---- E6 event-time tumbling window rollup ----
+    "q_event_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sumDec(col("value"), 6).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+                col("n_events"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
+    // ---- exact count-distinct companion to E7 ----
+    "q_count_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    // ---- multimodal metadata plumbing (binary column) ----
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.extractMeta(Multimodal.fromDocuments(t(s, d, "documents")))
+        .orderBy("media_id")),
+
+    // ---- no-oracle (rows-only) operator demos ----
+    // E2 MinHash-LSH near-dup: corpus + deterministically perturbed copies
+    "q_minhash_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      Dedup.minhashNearDups(withPerturbedCopies(docs), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // E2 SimHash near-dup
+    "q_simhash_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      Dedup.simhashNearDups(withPerturbedCopies(docs), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // E3 embedding-cosine near-dup via LSH buckets
+    "q_embed_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val copies = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDups(e.union(copies), threshold = 0.99)
+        .orderBy("vec_a", "vec_b")
+    }),
+    // E3 LSH-bucketed approximate top-k
+    "q_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    // E7 approximate distinct (HLL sketch — engine-specific values)
+    "q_approx_users" -> ((s, d) =>
+      EventOps.approxDistinctUsers(t(s, d, "events")).orderBy("event_type")),
+  )
+
+  /** Corpus + copies with the last two tokens dropped and shifted ids —
+    * deterministic near-duplicates for the rows-only dedup demos. */
+  private def withPerturbedCopies(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+        .as("text"))
+    docs.union(perturbed)
+  }
+
+  /** DuckDB-equivalent ANSI SQL per query (driver runs these on the same
+    * parquet tables). Omitted for the engine-specific ops above. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_nullif_cond" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size <= 10 THEN NULL ELSE p_size END AS size_n
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_dropna" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+        |  AND c_mktsegment IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_filter_or_nonempty" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_name <> '' OR c_mktsegment <> ''
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_filter_eq" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "q_cast" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation_l,
+        |  CAST(c_custkey AS VARCHAR) AS cust_s
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_first" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |             l_extendedprice) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q_dedup_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_dim" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_multikey" ->
+      """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |  a.p_retailprice AS price
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        | AND a.p_retailprice = b.p_retailprice
+        | AND a.p_partkey < b.p_partkey
+        |ORDER BY pk_a, pk_b""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_time_derive" ->
+      """SELECT o_orderkey, hour(o_orderdate) AS h,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(isodow(o_orderdate) AS VARCHAR) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_epoch_roundtrip" ->
+      """SELECT event_id, epoch_ms(ts) AS ms,
+        |  epoch_ms(epoch_ms(ts)) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_group_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_nationkey AS k FROM customer
+        |UNION SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, en_hits, de_hits, fr_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        |       WHEN fr_hits > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','and','of','a','is'))) AS en_hits,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('der','und','die','das','ist'))) AS de_hits,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('le','la','et','les','est'))) AS fr_hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  (LEAST(CAST(LENGTH(text) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |   + CASE WHEN LENGTH(text) > 0
+        |          THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |               / CAST(LENGTH(text) AS DOUBLE)
+        |          ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN len(string_split(text, ' ')) > 0
+        |               AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3
+        |               AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+        |  ) / CAST(3.0 AS DOUBLE) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chained_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_event_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image/stub' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substring(hex(encode(text)), 1, 16) AS header_hex
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * `dedupKeepFirst` is the reference's signature idiom (window row_number →
+  * filter rn=1 → drop rn; /root/reference/etl_pipeline.py:54–65, :88–99,
+  * :143–154 — see SURVEY.md §2.5). The rest generalize it for LLM-corpus
+  * pipelines: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale notes (100 TB): every operator here is a shuffle-by-key plan — no
+  * driver-side collection, no O(n²) cross joins. Near-dup candidate
+  * generation goes through LSH band buckets so the pair space is bounded by
+  * bucket sizes, not n².
+  */
+object Dedup {
+
+  /** Keep exactly one row per `partitionCols` group, the first under
+    * `orderCols`. Faithful to etl_pipeline.py:54–65: row_number over a
+    * window, filter rn=1, drop the helper column.
+    */
+  def dedupKeepFirst(df: DataFrame, partitionCols: Seq[Column],
+                     orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup on a key subset — generalization of the reference's
+    * dropDuplicates() (etl_pipeline.py:190). Spark plans this as a
+    * partial+final hash aggregate: map-side combine, single shuffle. */
+  def exactDedup(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) df.dropDuplicates() else df.dropDuplicates(keys)
+
+  /** Word n-gram shingles of a text column, as a distinct array. */
+  def shingleCol(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: k independent hash functions simulated as
+    * xxhash64(seed_i, shingle); signature[i] = min over shingles. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(seed, s))))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * tokenize → shingle → k-minhash → b bands of r rows → band-bucket join
+    * → exact Jaccard verify. Output: (doc_a, doc_b, jaccard) with
+    * doc_a < doc_b and jaccard >= threshold.
+    *
+    * The candidate join is an equi-join on (band_id, band_hash): shuffles
+    * by bucket, never materializes the n² pair space. At 100 TB the only
+    * hot spot is a degenerate bucket (e.g. the empty document) — callers
+    * should pre-filter trivial docs; we also cap per-bucket size defence
+    * via the jaccard verify running only on bucket-joined pairs.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("doc_id"),
+              shingleCol(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val banded = withSig.select(
+      col("doc_id"), col("shingles"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_id"),
+                    xxhash64(b, concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))
+                      .as("band_hash")))).as("band"))
+      .select(col("doc_id"), col("shingles"),
+              col("band.band_id"), col("band.band_hash"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of a token array: per bit, sum +1/-1 weighted by each
+    * token-hash's bit, then take the sign. Pure higher-order functions —
+    * stays inside codegen-friendly expression evaluation, no UDF. */
+  def simhash(tokens: Column): Column = {
+    val counts = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1)
+                          .otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash of each document via explode + grouped aggregation — the
+    * 100 TB-scale variant: per-token work stays in whole-stage codegen
+    * (64 conditional sums), one shuffle on doc_id with map-side partial
+    * aggregation. Output: (idCol, simhash: Long). */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val agged = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: bucket by 16-bit chunks (a doc pair with
+    * hamming distance <= 3 shares at least one of 4 chunks — pigeonhole),
+    * verify by popcount of XOR. Takes a (doc_id, simhash) table, e.g. from
+    * [[simhashDf]]. */
+  def simhashPairs(hashed0: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = hashed0.toDF("doc_id", "sh")
+    val chunked = hashed.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk_id"),
+          call_function("shiftrightunsigned", col("sh"), (c * 16).cast("int"))
+            .bitwiseAND(0xFFFFL).as("chunk_val")))).as("ch"))
+      .select(col("doc_id"), col("sh"), col("ch.chunk_id"), col("ch.chunk_val"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** End-to-end SimHash near-dup detection over a text column. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    simhashPairs(simhashDf(df, idCol, textCol), maxHamming)
+
+  /** Exact n-gram Jaccard similarity between chained doc pairs
+    * (doc_id, doc_id+1) — a linear-cost, fully deterministic probe of the
+    * Jaccard machinery (the LSH path uses the same expressions). */
+  def chainedJaccard(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+                       shingleCol(col(textCol), shingleN).as("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+  }
+}

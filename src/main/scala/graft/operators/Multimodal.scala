@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata. The Spark-side machinery (schema,
+  * partition-parallel decode via mapPartitions, feature/frames output
+  * shapes) is real and tested; the codec itself is a clearly-marked
+  * deterministic STUB — this container has no image/audio libraries, and a
+  * production build would swap `stubDecode` for a real decoder without
+  * touching the dataflow.
+  */
+object Multimodal {
+
+  /** A media record: opaque bytes + metadata. */
+  case class MediaRecord(media_id: Long, media_type: String,
+                         payload: Array[Byte])
+  /** Fixed-size feature vector extracted from a payload. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long,
+                           features: Array[Float])
+  /** Sampled "frames" (byte windows) of a payload. */
+  case class MediaFrames(media_id: Long, frame_idx: Int,
+                         frame: Array[Byte])
+
+  /** Manufacture a deterministic media table from the documents corpus:
+    * text bytes stand in for an encoded payload. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image/stub").as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** Payload metadata without decoding: byte length + header prefix —
+    * pure codegen'd expressions, scan-side prunable. */
+  def extractMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("media_type"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      substring(hex(col("payload")), 1, 16).as("header_hex"))
+
+  /** STUB decoder: deterministic fake "pixel decode" — byte histogram
+    * moments, NOT a real codec. Production: replace body with e.g.
+    * javax.imageio / ffmpeg bindings; signature and dataflow unchanged. */
+  private[operators] def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val feats = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      feats(b % dim) += 1.0f
+      i += 1
+    }
+    val n = math.max(payload.length, 1).toFloat
+    var j = 0
+    while (j < dim) { feats(j) /= n; j += 1 }
+    feats
+  }
+
+  /** Partition-parallel feature extraction. mapPartitions (not per-row map)
+    * so a real decoder could amortize codec init per partition — the same
+    * batching rationale as arrow-batched UDFs. No shuffle: runs where the
+    * payload bytes already live. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+                     dim: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init point for a real codec
+        it.map { case (id, bytes) =>
+          MediaFeatures(id, bytes.length.toLong, stubDecode(bytes, dim))
+        }
+      }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-width byte window — the video
+    * analogue. Output is one row per (media_id, frame_idx), ready for a
+    * downstream per-frame decode. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 32, stride: Int = 4): Dataset[MediaFrames] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = math.max((bytes.length + frameBytes - 1) / frameBytes, 1)
+        (0 until n by stride).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, bytes.length)
+          MediaFrames(id, f, java.util.Arrays.copyOfRange(bytes, from, math.max(until, from)))
+        }
+      }
+  }
+
+  /** Resize stub for image payloads: deterministic byte down-sampling to a
+    * target size (stand-in for bilinear resize; plumbing real). */
+  def resizePayload(media: DataFrame, targetBytes: Int): DataFrame = {
+    val stepped = media.withColumn("n", octet_length(col("payload")))
+      .withColumn("step", greatest((col("n") / targetBytes).cast("int"), lit(1)))
+    stepped.select(col("media_id"), col("media_type"),
+      expr(s"substring(payload, 1, $targetBytes)").as("payload"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage-compatible) — no UDFs, so plans stay in one codegen span per
+  * stage and scale linearly with input.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. Kept
+    * deliberately tiny and SQL-expressible so the DuckDB oracle can mirror
+    * the exact rule. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+
+  /** Language-ID heuristic: tokenize on spaces, count stopword hits per
+    * language profile, pick the argmax (ties broken by profile order;
+    * no hits at all → "und" = undetermined). */
+  def langIdScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    langProfiles.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langIdScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Whitespace token count. split(" ") keeps empty tokens (matching
+    * DuckDB string_split) — callers wanting word counts should trim. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: letter runs, single digits, or single
+    * non-alphanumeric marks — a common pre-tokenizer shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Quality score in [0,1]: composite of length, alpha ratio and mean
+    * token length — deterministic double arithmetic, oracle-replicable. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = split(text, " ")
+    val nToks = size(toks).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val lenScore = least(nChars / lit(200.0), lit(1.0))
+    val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val meanTok = when(nToks > 0, nChars / nToks).otherwise(lit(0.0))
+    val tokScore = when(meanTok >= 3 && meanTok <= 10, lit(1.0)).otherwise(lit(0.5))
+    (lenScore + alphaRatio + tokScore) / lit(3.0)
+  }
+
+  /** Polynomial rolling-hash fingerprint over the document's characters:
+    * h = fold(h * 31 + codepoint) mod 1e9+7. Sequential fold in expression
+    * space — same recurrence is expressible in DuckDB for the oracle. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  /** Full text-analysis projection over a documents table. */
+  def analyze(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpeish_tokens"),
+      langId(t).as("lang_pred"),
+      qualityScore(t).as("quality"),
+      fingerprint(t).as("fingerprint"))
+  }
+}
