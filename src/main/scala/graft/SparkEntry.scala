@@ -54,7 +54,7 @@ object SparkEntry {
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
                 col("l_extendedprice").as("price"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "price")),
 
     // ---- P3/P11 conditional NULL-ification (year=0 → NULL analogue) ----
     "q_nullif_cond" -> ((s, d) =>
@@ -364,7 +364,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, price""".stripMargin,
 
     "q_nullif_cond" ->
       """SELECT p_partkey,

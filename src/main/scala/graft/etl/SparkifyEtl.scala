@@ -33,13 +33,13 @@ object SparkifyEtl {
     * timestamp. */
   def cleanLogData(df: DataFrame): DataFrame = {
     val required = Seq("artist", "firstName", "gender", "lastName", "length",
-      "level", "location", "page", "sessionId", "song", "ts", "userId")
+      "level", "page", "sessionId", "song", "ts", "userAgent", "userId")
     df.na.drop("any", required)
       .filter(
         col("artist") =!= "" || col("firstName") =!= "" ||
         col("gender") =!= "" || col("lastName") =!= "" ||
-        col("level") =!= "" || col("location") =!= "" ||
-        col("song") =!= "" || col("userAgent") =!= "")
+        col("level") =!= "" || col("song") =!= "" ||
+        col("userAgent") =!= "" || col("userId") =!= "")
       .withColumn("userId", col("userId").cast(LongType))
       .filter(col("page") === "NextSong")
       .withColumn("timestamp", timestamp_millis(col("ts")))

@@ -90,12 +90,18 @@ object Multimodal {
       }
   }
 
-  /** Resize stub for image payloads: deterministic byte down-sampling to a
-    * target size (stand-in for bilinear resize; plumbing real). */
+  /** Resize stub for image payloads: deterministic strided byte
+    * down-sampling to ≤ targetBytes — picks every step-th byte with
+    * step = max(len / targetBytes, 1), the 1-D analogue of nearest-
+    * neighbor image resize. Pure expression space, no UDF. */
   def resizePayload(media: DataFrame, targetBytes: Int): DataFrame = {
-    val stepped = media.withColumn("n", octet_length(col("payload")))
-      .withColumn("step", greatest((col("n") / targetBytes).cast("int"), lit(1)))
-    stepped.select(col("media_id"), col("media_type"),
-      expr(s"substring(payload, 1, $targetBytes)").as("payload"))
+    val n = octet_length(col("payload"))
+    val step = greatest((n / lit(targetBytes)).cast("int"), lit(1))
+    val positions = filter(
+      transform(sequence(lit(0), lit(targetBytes - 1)), i => i * step + 1),
+      p => p <= n)
+    val sampled = aggregate(positions, lit(Array.emptyByteArray),
+      (acc, p) => concat(acc, substring(col("payload"), p, lit(1))))
+    media.select(col("media_id"), col("media_type"), sampled.as("payload"))
   }
 }
