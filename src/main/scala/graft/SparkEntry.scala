@@ -22,6 +22,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** documents, spread to cluster parallelism: the corpus parquet is a
+    * single row-group, and the per-row text expressions are the cost — one
+    * input split would serialize them on one core (Ops.spread is a no-op
+    * for well-partitioned sources). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    operators.Ops.spread(t(s, dir, "documents"), col("doc_id"))
+
   /** Exact, order-independent sum of a double column: sum as decimal,
     * surface as double. */
   private def sumDec(c: Column, scale: Int = 2): Column =
@@ -237,7 +244,7 @@ object SparkEntry {
     // ---- E4 text stats ----
     "q_text_stats" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      t(s, d, "documents")
+      docsSpread(s, d)
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars_c"),
           size(toks).cast("long").as("n_tokens"),
@@ -251,7 +258,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => {
       val scores = TextAnalysis.langIdScores(col("text"))
       val cols = scores.map { case (l, c) => c.cast("long").as(s"${l}_hits") }
-      t(s, d, "documents")
+      docsSpread(s, d)
         .select(col("doc_id") +: cols :+
           TextAnalysis.langId(col("text")).as("lang_pred"): _*)
         .orderBy("doc_id")
@@ -259,14 +266,14 @@ object SparkEntry {
 
     // ---- E4 quality score ----
     "q_quality" -> ((s, d) =>
-      t(s, d, "documents")
+      docsSpread(s, d)
         .select(col("doc_id"),
                 TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
     // ---- E4 rolling-hash fingerprint ----
     "q_fingerprint" -> ((s, d) =>
-      t(s, d, "documents")
+      docsSpread(s, d)
         .select(col("doc_id"),
                 TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExprs
 
 /** Deduplication operators.
   *
@@ -45,9 +46,19 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: k independent hash functions simulated as
-    * xxhash64(seed_i, shingle); signature[i] = min over shingles. */
+  /** MinHash signature: k independent hash functions; signature[i] = min
+    * over shingles of hash_i(shingle). Native codegen'd expression — one
+    * base XXH64 per shingle plus k cheap long re-hashes, single tight loop
+    * (VectorExprs.MinHashSig). */
   def minhashSignature(shingles: Column, k: Int): Column =
+    VectorExprs.minhashSig(shingles, k)
+
+  /** Portable higher-order-function formulation of [[minhashSignature]]
+    * (k independent hashes as xxhash64(seed_i, shingle)). Kept as the
+    * no-custom-expression fallback and for plan-shape comparison in specs;
+    * hash values differ from the native path (different seed derivation)
+    * but the MinHash estimator properties are identical. */
+  def minhashSignatureHof(shingles: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingles, s => xxhash64(seed, s))))
@@ -69,29 +80,46 @@ object Dedup {
                       bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("doc_id"),
-              shingleCol(col(textCol), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    // Shingle + signature table. Two deliberate non-choices:
+    //   - NOT persisted: recomputing the pipeline at full parallelism
+    //     beats columnar-caching array<string> columns (measured), and the
+    //     downstream verify join only re-derives it for candidate rows.
+    //   - the empty-document guard is `length(text) > 0` — CHEAP, so its
+    //     pushdown into the scan stage is free. A guard phrased over the
+    //     shingle array (e.g. size(shingles) > 0) gets pushed into the
+    //     scan as an interpreted higher-order-function DataFilter and
+    //     serializes the whole corpus scan onto the source's (few) input
+    //     splits — measured 10s/recompute at sf0.1 vs ~0 for this form.
+    //     Empty docs would otherwise all share the [""] shingle set and
+    //     form the worst-case degenerate LSH bucket.
+    val sigs = Ops.spread(
+        df.select(col(idCol).as("doc_id"), col(textCol))
+          .filter(length(col(textCol)) > 0),
+        col("doc_id"))
+      .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    val banded = withSig.select(
-      col("doc_id"), col("shingles"),
+    // Band table carries IDS ONLY — candidate generation must not shuffle
+    // shingle arrays (at scale they dwarf the ids by orders of magnitude).
+    val banded = sigs.select(
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_id"),
                     xxhash64(b, concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))
                       .as("band_hash")))).as("band"))
-      .select(col("doc_id"), col("shingles"),
-              col("band.band_id"), col("band.band_hash"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    // Verify join pulls each side's shingles back by id — arrays move
+    // through exactly one shuffle each, only for surviving candidates.
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -100,9 +128,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash of a token array: per bit, sum +1/-1 weighted by each
-    * token-hash's bit, then take the sign. Pure higher-order functions —
-    * stays inside codegen-friendly expression evaluation, no UDF. */
-  def simhash(tokens: Column): Column = {
+    * token-hash's bit, then take the sign. Native codegen'd single-pass
+    * expression (VectorExprs.SimHash64) — same XXH64(seed=42) token hash
+    * as the built-in `xxhash64`, so values match [[simhashHof]] exactly. */
+  def simhash(tokens: Column): Column = VectorExprs.simhash64(tokens)
+
+  /** Portable higher-order-function formulation of [[simhash]] — bit-
+    * identical output (both hash tokens with XXH64 seed 42); kept as the
+    * no-custom-expression fallback and as the spec cross-check. */
+  def simhashHof(tokens: Column): Column = {
     val counts = aggregate(
       tokens,
       array_repeat(lit(0), 64),
@@ -118,24 +152,15 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** SimHash of each document via explode + grouped aggregation — the
-    * 100 TB-scale variant: per-token work stays in whole-stage codegen
-    * (64 conditional sums), one shuffle on doc_id with map-side partial
-    * aggregation. Output: (idCol, simhash: Long). */
-  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-        explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val agged = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agged.select(col(idCol), hash.as("simhash"))
-  }
+  /** SimHash of each document — per-row native expression over the
+    * distinct token array: zero shuffle (the old explode + 64-column
+    * grouped-aggregation formulation shuffled every token; this computes
+    * the signature where the row already lives, which is the 100 TB-scale
+    * plan). Output: (idCol, simhash: Long). */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Ops.spread(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        simhash(array_distinct(split(col(textCol), " "))).as("simhash"))
 
   /** SimHash near-dup candidates: bucket by 16-bit chunks (a doc pair with
     * hamming distance <= 3 shares at least one of 4 chunks — pigeonhole),
@@ -172,8 +197,9 @@ object Dedup {
     * Jaccard machinery (the LSH path uses the same expressions). */
   def chainedJaccard(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-                       shingleCol(col(textCol), shingleN).as("sh"))
+    val sh = Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
+                        col("doc_id"))
+      .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExprs
 
 /** Vector similarity search over an `ArrayType(FloatType)` embedding column.
   *
@@ -18,9 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, computed in Double via a
-    * sequential fold (index order) — no UDF, stays in expression eval. */
-  def dotD(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns, accumulated in Double in
+    * index order — native codegen'd expression (VectorExprs.FloatDot).
+    * Bit-identical to the sequential higher-order-function fold below and
+    * to DuckDB's list_dot_product, so oracle hashes are unaffected. */
+  def dotD(a: Column, b: Column): Column = VectorExprs.floatDot(a, b)
+
+  /** Portable higher-order-function formulation of [[dotD]] — identical
+    * values (same index-order Double accumulation); kept as the
+    * no-custom-expression fallback and as the spec cross-check. */
+  def dotDHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, v) => acc + v)
 
@@ -36,7 +44,9 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = Ops.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      col("neighbor_id"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
@@ -47,22 +57,12 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 → uniform in [-1, 1). No RNG — reproducible across runs. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** Random-hyperplane signature: bit i = sign of <v, plane_i>. */
+  /** Random-hyperplane signature: bit i = sign of <v, plane_i>, plane
+    * components derived deterministically from XXH64 — native codegen'd
+    * single-pass expression (VectorExprs.LshSign64), no RNG state, so
+    * signatures are reproducible across runs and engines. */
   def lshSignature(vec: Column, numPlanes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(numPlanes - 1)), p =>
-        when(
-          aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1),
-              (x, i) => x.cast("double") * planeComponent(p, i)),
-            lit(0.0), (acc, v) => acc + v) > 0,
-          call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    VectorExprs.lshSign64(vec, numPlanes)
 
   /** LSH-bucketed approximate top-k: candidates limited to vectors sharing
     * the query's hyperplane signature on at least one band, then exact
@@ -86,7 +86,7 @@ object Similarity {
                 .bitwiseAND(mask).as("band_val")))).as("bv"))
         .select(col(id), col(v), col("bv.band_id"), col("bv.band_val"))
     val q = banded(queries, "query_id", "qv")
-    val c = banded(corpus, "neighbor_id", "cv")
+    val c = banded(Ops.spread(corpus, col(idCol)), "neighbor_id", "cv")
     val cand = c.join(q, Seq("band_id", "band_val"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
@@ -109,23 +109,32 @@ object Similarity {
     require(numPlanes % bands == 0)
     val r = numPlanes / bands
     val mask = (1L << r) - 1
-    val banded = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-              lshSignature(col(vecCol), numPlanes).as("sig"))
-      .select(col("id"), col("v"), explode(
+    // Signature table — feeds both sides of the band self-join (ids only)
+    // and both sides of the verify join. Not persisted: recompute at full
+    // parallelism beats columnar-caching array columns (see
+    // Dedup.minhashNearDups), and the self-join sides share one shuffle
+    // via ReusedExchange.
+    val sigs = Ops.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+                          col("id"))
+      .withColumn("sig", lshSignature(col("v"), numPlanes))
+    // Candidate generation shuffles ids only, never the vectors.
+    val banded = sigs.select(col("id"), explode(
         transform(sequence(lit(0), lit(bands - 1)), bd =>
           struct(bd.as("band_id"),
             call_function("shiftrightunsigned", col("sig"), (bd * r).cast("int"))
               .bitwiseAND(mask).as("band_val")))).as("bv"))
-      .select(col("id"), col("v"), col("bv.band_id"), col("bv.band_val"))
+      .select(col("id"), col("bv.band_id"), col("bv.band_val"))
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
+    val cand = a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-              col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    // Vectors move through exactly one shuffle each, candidates only.
+    val vA = sigs.select(col("id").as("vec_a"), col("v").as("va"))
+    val vB = sigs.select(col("id").as("vec_b"), col("v").as("vb"))
+    cand.join(vA, "vec_a").join(vB, "vec_b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
