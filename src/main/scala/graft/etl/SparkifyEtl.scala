@@ -2,7 +2,6 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.operators.Dedup.dedupKeepFirst
 
@@ -40,7 +39,11 @@ object SparkifyEtl {
         col("gender") =!= "" || col("lastName") =!= "" ||
         col("level") =!= "" || col("song") =!= "" ||
         col("userAgent") =!= "" || col("userId") =!= "")
-      .withColumn("userId", col("userId").cast(LongType))
+      // try_cast, not cast: the reference ran Spark 2.4 (non-ANSI) where a
+      // non-numeric userId casts to NULL; Spark 4's default ANSI cast would
+      // throw instead. try_cast reproduces the reference's null-on-bad-input
+      // semantics without disabling ANSI session-wide.
+      .withColumn("userId", expr("try_cast(userId AS BIGINT)"))
       .filter(col("page") === "NextSong")
       .withColumn("timestamp", timestamp_millis(col("ts")))
   }

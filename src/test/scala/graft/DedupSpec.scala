@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // near-dup of 1
+    (3L, "completely different text about spark partitions and shuffle exchanges here"),
+    (4L, "another unrelated document mentioning windows aggregates and joins only"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("dedupKeepFirst keeps exactly one row per key, first by order") {
+    val df = Seq((1, "b", 10), (1, "a", 20), (2, "c", 30)).toDF("k", "v", "x")
+    val out = Dedup.dedupKeepFirst(df, Seq(col("k")), Seq(col("v")))
+    assert(out.count() === 2)
+    assert(out.filter(col("k") === 1).select("v").as[String].collect()(0) === "a")
+    assert(!out.columns.contains("__rn"))
+  }
+
+  test("exactDedup collapses duplicates on the key subset") {
+    assert(Dedup.exactDedup(docs, Seq("text")).count() === 4)
+    assert(Dedup.exactDedup(docs, Seq.empty).count() === 5)
+  }
+
+  test("shingleCol produces n-gram shingles, distinct") {
+    val sh = docs.filter(col("doc_id") === 3)
+      .select(Dedup.shingleCol(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()(0)
+    assert(sh.contains("completely different text"))
+    assert(sh.contains("spark partitions and"))
+    assert(sh.distinct.length === sh.length)
+  }
+
+  test("minhashNearDups finds the exact and near duplicates, not the rest") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)), "exact dup must be found (jaccard 1.0)")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 5L)),
+      "near dup (one trailing word removed) must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashNearDups jaccard is exact (verify step), 1.0 for exact dups") {
+    val j = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .filter(col("doc_a") === 1 && col("doc_b") === 5)
+      .select("jaccard").as[Double].collect()(0)
+    assert(j === 1.0)
+  }
+
+  test("simhash native expression matches the HOF formulation bit-for-bit") {
+    val both = docs.select(
+      Dedup.simhash(split(col("text"), " ")).as("native"),
+      Dedup.simhashHof(split(col("text"), " ")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("simhashNearDups: exact dup at hamming 0; unrelated docs not paired") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap.get((1L, 5L)).contains(0), "exact dup → identical simhash")
+    assert(!asMap.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("chainedJaccard computes exact jaccard for (id, id+1) pairs") {
+    val out = Dedup.chainedJaccard(docs, "doc_id", "text", shingleN = 3)
+    assert(out.count() === 4)
+    val j12 = out.filter(col("doc_a") === 1).select("jaccard").as[Double].collect()(0)
+    assert(j12 > 0.7 && j12 < 1.0, s"near-dup pair expected high jaccard, got $j12")
+    val j34 = out.filter(col("doc_a") === 3).select("jaccard").as[Double].collect()(0)
+    assert(j34 === 0.0)
+  }
+}

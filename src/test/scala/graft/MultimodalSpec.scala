@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // doc 2 payload: 42 bytes, every position distinct enough to pin windows
+  private lazy val docs = Seq(
+    (1L, "abcd"), (2L, "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcdef"), (3L, "x")
+  ).toDF("doc_id", "text")
+  private lazy val media = Multimodal.fromDocuments(docs)
+
+  test("fromDocuments: binary payload with typed metadata") {
+    val r = media.schema
+    assert(r("payload").dataType.typeName === "binary")
+    assert(media.count() === 3)
+  }
+
+  test("extractMeta: byte length + header hex without decoding") {
+    val m = Multimodal.extractMeta(media)
+      .filter(col("media_id") === 1).collect()(0)
+    assert(m.getAs[Long]("n_bytes") === 4L)
+    assert(m.getAs[String]("header_hex") === "61626364") // 'abcd' in hex
+  }
+
+  test("decodeFeatures: stub histogram is normalized and deterministic") {
+    val f = Multimodal.decodeFeatures(spark, media, dim = 8)
+      .filter(col("media_id") === 1).collect()(0)
+    assert(f.features.length === 8)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-5, "histogram sums to 1")
+    val f2 = Multimodal.decodeFeatures(spark, media, dim = 8)
+      .filter(col("media_id") === 1).collect()(0)
+    assert(f.features.toSeq === f2.features.toSeq)
+  }
+
+  test("sampleFrames: strided fixed-width byte windows") {
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 8, stride = 2)
+      .filter(col("media_id") === 2).collect().sortBy(_.frame_idx)
+    // 42 bytes → 6 windows of 8; stride 2 → indices 0, 2, 4
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(new String(frames(0).frame) === "ABCDEFGH")
+    assert(new String(frames(1).frame) === "QRSTUVWX")
+    assert(new String(frames(2).frame) === "6789abcd")
+  }
+
+  test("resizePayload: strided down-sampling to at most targetBytes") {
+    val out = Multimodal.resizePayload(media, targetBytes = 4)
+      .filter(col("media_id") === 2)
+      .select(col("payload")).as[Array[Byte]].collect()(0)
+    assert(out.length <= 4)
+    // 42 bytes, step = max(42/4,1) = 10 → positions 1, 11, 21, 31 (1-based)
+    assert(new String(out) === "AKU4")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // unit-ish vectors with known geometry: v1 ≈ v2 (same direction),
+  // v3 orthogonal to v1, v4 = -v1
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (5L, Array(0.7f, 0.7f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dotD native matches HOF fold bit-for-bit") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(Similarity.dotD(col("a.embedding"), col("b.embedding")).as("n"),
+              Similarity.dotDHof(col("a.embedding"), col("b.embedding")).as("h"))
+    assert(pairs.filter(col("n") =!= col("h")).count() === 0)
+  }
+
+  test("cosine has the expected geometry") {
+    val c = vecs.filter(col("vec_id") === 1).as("a")
+      .crossJoin(vecs.as("b"))
+      .select(col("b.vec_id"),
+              Similarity.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(c(3L)) < 1e-9, "orthogonal → 0")
+    assert(math.abs(c(4L) + 1.0) < 1e-9, "opposite → -1")
+    assert(c(2L) > 0.999, "near-parallel → ~1")
+  }
+
+  test("bruteForceTopK ranks by cosine desc with deterministic tie-break") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq === Seq(2L, 5L, 3L),
+      "for query v1: v2 (~1.0) > v5 (~0.707) > v3 (0.0)")
+  }
+
+  test("cosineNearDups finds the near-parallel pair only") {
+    val pairs = Similarity.cosineNearDups(vecs, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("lshTopK returns ranked candidates from shared buckets") {
+    val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1), 2)
+      .select("neighbor_id", "rank", "sim").as[(Long, Int, Double)].collect()
+    assert(out.nonEmpty, "v2 shares all bands with v1 (same direction)")
+    assert(out.head._1 === 2L, "v2 must rank first")
+    assert(out.head._3 > 0.999)
+  }
+}

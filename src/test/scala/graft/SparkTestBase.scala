@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites — one JVM-wide session (getOrCreate)
+  * so suites don't pay repeated startup, pinned UTC like the harness. */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.session
+  import org.apache.spark.sql.DataFrame
+
+  /** Rows of a DataFrame as a sorted Seq of string-rendered tuples — a
+    * deterministic, order-insensitive comparison form. */
+  def rendered(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+      .sortBy(_.mkString(""))
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat and the dog is a pet of a man"),
+    (2L, "der Hund und die Katze das ist gut"),
+    (3L, "le chat et la mer les oiseaux est beau"),
+    (4L, "xyzzy plugh qwerty"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("langId picks the profile with most stopword hits; und when none") {
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "fr")
+    assert(out(4L) === "und")
+    assert(out(5L) === "und")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val r = docs.filter(col("doc_id") === 1).select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("b"))
+      .as[(Int, Int)].collect()(0)
+    assert(r._1 === 11)
+    assert(r._2 === 11, "all-letter words → one BPE-ish token each")
+    val punct = Seq((1L, "a1b, c!")).toDF("id", "text")
+      .select(TextAnalysis.bpeishTokenCount(col("text")))
+      .as[Int].collect()(0)
+    // a | 1 | b | , | c | !  — letter runs, single digits, single marks
+    assert(punct === 6)
+  }
+
+  test("qualityScore is in [0,1] and penalizes degenerate text") {
+    val q = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(5L), "real text must outscore empty text")
+  }
+
+  test("fingerprint matches the documented rolling-hash recurrence") {
+    val text = "abc"
+    val expected = text.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val got = Seq((1L, text)).toDF("id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()(0)
+    assert(got === expected)
+  }
+
+  test("analyze emits the full projection") {
+    val out = TextAnalysis.analyze(docs)
+    assert(out.columns.toSeq === Seq("doc_id", "n_chars", "n_tokens",
+      "n_bpeish_tokens", "lang_pred", "quality", "fingerprint"))
+    assert(out.count() === 5)
+  }
+}
