@@ -320,6 +320,221 @@ object SparkEntry {
       Multimodal.extractMeta(Multimodal.fromDocuments(t(s, d, "documents")))
         .orderBy("media_id")),
 
+    // ---- window analytics: lag / lead ----
+    "q_window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- window analytics: rank / dense_rank ----
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // ---- window analytics: running sum with an explicit row frame ----
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- rollup (hierarchical subtotals) ----
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        // rollup by Column, not by name: the by-name overload trips Spark
+        // 4.1's ambiguous-self-join detection when the child is a join
+        // (the grouping attrs surface both in the Expand and the child)
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .toDF("r_name", "n_name", "n_cust")
+        .sort(asc_nulls_first("r_name"), asc_nulls_first("n_name"))),
+
+    // ---- cube (all grouping combinations) ----
+    "q_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    // ---- pivot (status counts per nation) ----
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("c_nationkey"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("c_nationkey")),
+
+    // ---- SQL surface: GROUPING SETS via spark.sql over temp views ----
+    "q_sql_groupingsets" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("gs_nation")
+      t(s, d, "region").createOrReplaceTempView("gs_region")
+      s.sql("""
+        SELECT r_name, n_name, COUNT(*) AS n
+        FROM gs_nation JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+    }),
+
+    // ---- generator: posexplode of a token array ----
+    "q_explode_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+                col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
+
+    // ---- array functions: sort, distinct-size, join, contains ----
+    "q_array_funcs" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          array_join(sort_array(array_distinct(toks)), ",").as("sorted_uniq"),
+          array_contains(toks, "data").as("has_data"),
+          element_at(toks, 1).as("first_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- set op: intersect ----
+    "q_intersect" -> ((s, d) =>
+      t(s, d, "part").select(col("p_size").as("k"))
+        .intersect(t(s, d, "lineitem").select(col("l_linenumber").as("k")))
+        .orderBy("k")),
+
+    // ---- set op: except ----
+    "q_except" -> ((s, d) =>
+      t(s, d, "part").select(col("p_size").as("k"))
+        .except(t(s, d, "lineitem").select(col("l_linenumber").as("k")))
+        .orderBy("k")),
+
+    // ---- string functions ----
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("u"),
+          lower(col("c_mktsegment")).as("l"),
+          substring(col("c_name"), 1, 5).as("pre"),
+          lpad(col("c_mktsegment"), 12, "*").as("pad"),
+          concat(col("c_name"), lit("_"), col("c_mktsegment")).as("cat"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          instr(col("c_name"), "1").cast("long").as("pos1"),
+          length(trim(col("c_name"))).cast("long").as("len_trim"))
+        .orderBy("c_custkey")),
+
+    // ---- math functions (engine-exact subset) ----
+    "q_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(-col("l_extendedprice")).as("abs_p"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          sqrt(col("l_quantity")).as("sq"),
+          (col("l_extendedprice") * col("l_extendedprice")).as("p2"),
+          pmod(col("l_partkey"), lit(7L)).as("m7"),
+          signum(col("l_discount") - 0.05).as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber", "abs_p")),
+
+    // ---- date arithmetic ----
+    "q_date_arith" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"),
+          date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+          add_months(to_date(col("o_orderdate")), 2).as("plus2mo"),
+          last_day(to_date(col("o_orderdate"))).as("eom"),
+          trunc(to_date(col("o_orderdate")), "month").as("som"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")),
+
+    // ---- exact percentiles (interpolated median) ----
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+             expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+             min(col("l_quantity")).as("min_qty"),
+             max(col("l_quantity")).as("max_qty"))
+        .orderBy("l_returnflag")),
+
+    // ---- conditional aggregation ----
+    "q_cond_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sumDec(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(lit(0.0))).as("total_f"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // ---- full outer join with coalesced key ----
+    "q_full_outer" -> ((s, d) => {
+      val c = t(s, d, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, d, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    }),
+
+    // ---- cross join (cartesian, small dims) ----
+    "q_cross_join" -> ((s, d) =>
+      t(s, d, "region").select(col("r_name"))
+        .crossJoin(t(s, d, "nation").select(col("n_name")))
+        .orderBy("r_name", "n_name")),
+
+    // ---- scalar-subquery analogue: filter vs a global exact aggregate ----
+    "q_scalar_subquery" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val agg = cust.agg(
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).as("total"),
+        count(lit(1)).as("n"))
+      cust.crossJoin(broadcast(agg))
+        .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("n") > col("total"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- null handling: coalesce / nullif / nvl2-style ----
+    "q_coalesce_null" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          coalesce(nullif(col("p_brand"), lit("Brand#11")), lit("OTHER")).as("brand_o"),
+          when(nullif(col("p_size"), lit(1)).isNull, lit("unit"))
+            .otherwise(lit("multi")).as("size_class"))
+        .orderBy("p_partkey")),
+
     // ---- no-oracle (rows-only) operator demos ----
     // E2 MinHash-LSH near-dup: corpus + deterministically perturbed copies
     "q_minhash_neardup" -> ((s, d) => {
@@ -586,5 +801,160 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substring(hex(encode(text)), 1, 16) AS header_hex
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_nationkey, c_custkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  row_number() OVER w AS rn
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT c_nationkey,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_sql_groupingsets" ->
+      """SELECT r_name, n_name, COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 20),
+        |     unnest(range(1, len(toks) + 1)) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+        |    AS sorted_uniq,
+        |  list_contains(string_split(text, ' '), 'data') AS has_data,
+        |  string_split(text, ' ')[1] AS first_tok
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT p_size AS k FROM part
+        |INTERSECT SELECT l_linenumber AS k FROM lineitem
+        |ORDER BY k""".stripMargin,
+
+    "q_except" ->
+      """SELECT p_size AS k FROM part
+        |EXCEPT SELECT l_linenumber AS k FROM lineitem
+        |ORDER BY k""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS u, lower(c_mktsegment) AS l,
+        |  substring(c_name, 1, 5) AS pre,
+        |  lpad(c_mktsegment, 12, '*') AS pad,
+        |  c_name || '_' || c_mktsegment AS cat,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+        |  CAST(length(trim(c_name)) AS BIGINT) AS len_trim
+        |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(-l_extendedprice) AS abs_p,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  sqrt(l_quantity) AS sq,
+        |  l_extendedprice * l_extendedprice AS p2,
+        |  CAST(l_partkey % 7 AS BIGINT) AS m7,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber, abs_p""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS som,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_cond_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+        |                     ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_f,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nk,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |      GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+        |      GROUP BY s_nationkey) s
+        |  ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nk""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |        * (SELECT COUNT(*) FROM customer)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_coalesce_null" ->
+      """SELECT p_partkey,
+        |  COALESCE(NULLIF(p_brand, 'Brand#11'), 'OTHER') AS brand_o,
+        |  CASE WHEN NULLIF(p_size, 1) IS NULL THEN 'unit'
+        |       ELSE 'multi' END AS size_class
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }
