@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Joins, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -535,6 +535,30 @@ object SparkEntry {
             .otherwise(lit("multi")).as("size_class"))
         .orderBy("p_partkey")),
 
+    // ---- as-of join: latest purchase at-or-before each click ----
+    "q_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      Joins.asofJoin(clicks, purchases, "user_id", "ts", "pts",
+          Seq("pts", "value"), rightPrefix = "last_")
+        .select("event_id", "user_id", "last_pts", "last_value")
+        .orderBy("event_id")
+    }),
+
+    // ---- range join: events bucketed into value bands ----
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq((0.0, 50.0, "low"), (50.0, 200.0, "mid"),
+                      (200.0, 500.0, "high")).toDF("lo", "hi", "band")
+      Joins.rangeJoin(t(s, d, "events").select("event_id", "value"), "value",
+          bands, "lo", "hi", bucketWidth = 25.0)
+        .select("event_id", "value", "band")
+        .orderBy("event_id")
+    }),
+
     // ---- no-oracle (rows-only) operator demos ----
     // E2 MinHash-LSH near-dup: corpus + deterministically perturbed copies
     "q_minhash_neardup" -> ((s, d) => {
@@ -949,6 +973,22 @@ object SparkEntry {
         |        * (SELECT COUNT(*) FROM customer)
         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.ts AS last_pts, p.value AS last_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands(lo, hi, band) AS (VALUES
+        |  (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 500.0, 'high'))
+        |SELECT e.event_id, e.value, b.band
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_coalesce_null" ->
       """SELECT p_partkey,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Join operators Spark lacks natively: as-of (time-travel) join and
+  * range (point-in-interval) join.
+  *
+  * Both are phrased as compositions of shuffle-by-key primitives — no
+  * cross joins, no broadcast-nested-loop fallbacks — so the plans scale
+  * the same way ordinary equi-joins do.
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, attach `rightVals` from the
+    * right row with the greatest `rightTs` <= the left row's `leftTs`
+    * within the same `key` group (pandas merge_asof / DuckDB ASOF JOIN
+    * semantics, inclusive on equal timestamps). Left rows with no earlier
+    * right row keep NULLs (left-outer flavor).
+    *
+    * Plan: union both sides tagged with a side marker, one window pass per
+    * value column (`last(..., ignoreNulls)` over rows up to the current
+    * one, right rows sorting before left rows on timestamp ties), keep the
+    * left rows. ONE shuffle on `key` — the classic sort-merge formulation;
+    * a range-condition join would be a broadcast-nested-loop in Spark.
+    *
+    * Determinism: if the right side can hold several rows with the same
+    * (key, ts), pre-deduplicate it (e.g. Dedup.dedupKeepFirst) — which of
+    * the tied rows wins is otherwise plan-dependent.
+    *
+    * Column names in `left` and `right` may overlap freely — the left row
+    * rides through the union packed in a struct; right values surface
+    * under `rightPrefix`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightVals: Seq[String],
+               rightPrefix: String = "asof_"): DataFrame = {
+    val leftType = StructType(left.schema.fields)
+    val l = left.select(
+      Seq(col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+          struct(left.columns.map(col).toIndexedSeq: _*).as("__l")) ++
+        rightVals.map(v =>
+          lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
+    val r = right.select(
+      Seq(col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+          lit(null).cast(leftType).as("__l")) ++
+        rightVals.map(v => col(v).as(s"__r_$v")): _*)
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
+      df.withColumn(s"__f_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(c => col("__l").getField(c).as(c)).toIndexedSeq ++
+        rightVals.map(v => col(s"__f_$v").as(rightPrefix + v)): _*)
+  }
+
+  /** Range join: pair every point row with every interval row whose
+    * [lo, hi) contains the point, within an equi-bucketized plan.
+    *
+    * Each interval is exploded to the fixed-width buckets it covers and
+    * each point hashes to its single bucket, so the join is a plain
+    * equi-join on bucket id followed by the exact containment filter — no
+    * n×m nested loop. Pick `bucketWidth` near the median interval length:
+    * wider buckets replicate points' candidate sets, narrower buckets
+    * replicate intervals. Skew appears only if one interval spans
+    * thousands of buckets (then raise the width).
+    *
+    * `points` and `intervals` column names must be disjoint.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / w).cast("long"),
+                       floor(col(hiCol) / w).cast("long"))))
+    val pb = points.withColumn("__bucket",
+      floor(col(pointCol) / w).cast("long"))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

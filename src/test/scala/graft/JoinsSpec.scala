@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: backward match, inclusive on equal ts, null when none") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")), // before any quote → null
+      (2L, "A", ts("2024-01-01 10:05:00")), // exactly at quote q1 → q1
+      (3L, "A", ts("2024-01-01 10:20:00")), // between q1 and q2 → q1
+      (4L, "A", ts("2024-01-01 11:00:00")), // after q2 → q2
+      (5L, "B", ts("2024-01-01 10:30:00"))  // key B → its own quote
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:05:00"), 100.0),
+      ("A", ts("2024-01-01 10:30:00"), 105.0),
+      ("B", ts("2024-01-01 10:00:00"), 7.0)
+    ).toDF("sym", "q_ts", "px")
+
+    val out = Joins.asofJoin(trades, quotes, "sym", "t_ts", "q_ts",
+        Seq("q_ts", "px"), rightPrefix = "q_")
+      .select("trade_id", "q_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L) === None)
+    assert(out(2L) === Some(100.0), "equal timestamps match (inclusive)")
+    assert(out(3L) === Some(100.0))
+    assert(out(4L) === Some(105.0))
+    assert(out(5L) === Some(7.0))
+  }
+
+  test("asofJoin: preserves every left row and all left columns") {
+    val left = Seq((1L, "A", ts("2024-01-01 00:00:00"), "payload"))
+      .toDF("id", "k", "ts", "extra")
+    val right = Seq(("A", ts("2023-12-31 00:00:00"), 42.0)).toDF("k", "ts2", "v")
+    val out = Joins.asofJoin(left, right, "k", "ts", "ts2", Seq("v"))
+    assert(out.columns.toSeq === Seq("id", "k", "ts", "extra", "asof_v"))
+    assert(out.count() === 1)
+    assert(out.select("extra").as[String].collect()(0) === "payload")
+  }
+
+  test("rangeJoin: [lo, hi) containment incl. intervals spanning buckets") {
+    val points = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 55.5), (5L, 100.0))
+      .toDF("pid", "x")
+    val ivals = Seq(("small", 0.0, 10.0), ("wide", 5.0, 100.0))
+      .toDF("name", "lo", "hi")
+    val out = Joins.rangeJoin(points, "x", ivals, "lo", "hi", bucketWidth = 10.0)
+      .select("pid", "name").as[(Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, "small"), (2L, "small"),           // [0,10) holds 0.0 and 9.99
+      (2L, "wide"), (3L, "wide"), (4L, "wide") // [5,100) holds 9.99, 10, 55.5
+    ), s"got $out")
+    // boundary: x=10.0 excluded from [0,10), x=100.0 excluded from [5,100)
+  }
+
+  test("rangeJoin: no duplicate pairs when an interval covers many buckets") {
+    val points = Seq((1L, 50.0)).toDF("pid", "x")
+    val ivals = Seq(("wide", 0.0, 1000.0)).toDF("name", "lo", "hi")
+    val out = Joins.rangeJoin(points, "x", ivals, "lo", "hi", bucketWidth = 1.0)
+    assert(out.count() === 1, "point joins through its single bucket only")
+  }
+}
