@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SessionEvent
+
+class StreamOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private var sinkId = 0
+  private def nextSink(): String = { sinkId += 1; s"stream_sink_$sinkId" }
+
+  case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  test("windowedCounts aggregates per event-time window under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = StreamOps.windowedCounts(in.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2, ts("2024-01-01 10:55:00"), "click", 2.0),
+        Ev(3, ts("2024-01-01 11:05:00"), "click", 4.0),
+        Ev(4, ts("2024-01-01 10:30:00"), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("w_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows === Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "click", 1L, 4.0),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = StreamOps.dedupStream(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:01"), "click", 1.0), // dup id
+        Ev(2, ts("2024-01-01 10:00:02"), "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts("2024-01-01 10:10:00"), "click", 9.0)) // still dup
+      q.processAllAvailable()
+      assert(spark.table(sink).select("event_id").as[Long].collect().sorted
+        === Array(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the event-time gap and emits once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val sink = nextSink()
+    val q = StreamOps.sessionize(in.toDS(), gapMs = 5 * 60 * 1000L,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7: two events 2 min apart → one session [10:00, 10:02]
+      in.addData(
+        SessionEvent(7L, ts("2024-01-01 10:00:00"), 1.5),
+        SessionEvent(7L, ts("2024-01-01 10:02:00"), 2.5))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 0, "session still open")
+      // a far-future event advances the watermark beyond end+gap → timeout
+      in.addData(SessionEvent(99L, ts("2024-01-01 11:00:00"), 0.0))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after the watermark update
+      in.addData(SessionEvent(99L, ts("2024-01-01 11:00:01"), 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table(sink)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+      assert(sessions.length === 1)
+      assert(sessions(0) === ((7L, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:02:00"), 2L, 4.0)))
+    } finally q.stop()
+  }
+}
