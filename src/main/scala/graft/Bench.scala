@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: scheduler, shuffle machinery, parquet reader and
+    // codegen infra all pay one-time JVM costs that would otherwise be
+    // billed to whichever query happens to run first
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -80,48 +80,46 @@ object Dedup {
                       bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Shingle + signature table. Two deliberate non-choices:
-    //   - NOT persisted: recomputing the pipeline at full parallelism
-    //     beats columnar-caching array<string> columns (measured), and the
-    //     downstream verify join only re-derives it for candidate rows.
+    // Shingle-hash + signature + band pipeline — every per-row step is a
+    // native codegen'd expression (ShingleHash64 → MinHashFromHashes →
+    // BandHashes64): no interpreted higher-order functions anywhere on
+    // this path, which profiling showed dominating (nested transform/
+    // slice/concat_ws lambdas allocate per element and get re-inlined by
+    // project collapse). Design notes:
+    //   - `hsh` is the distinct 64-bit hash set of the shingles; the
+    //     verify step computes Jaccard on it (identical to string-set
+    //     Jaccard absent 64-bit collisions), so verification needs no
+    //     lookup back to string shingles — the compact long-array rides
+    //     the band join instead of two re-derivations + two by-id joins.
     //   - the empty-document guard is `length(text) > 0` — CHEAP, so its
-    //     pushdown into the scan stage is free. A guard phrased over the
-    //     shingle array (e.g. size(shingles) > 0) gets pushed into the
-    //     scan as an interpreted higher-order-function DataFilter and
-    //     serializes the whole corpus scan onto the source's (few) input
-    //     splits — measured 10s/recompute at sf0.1 vs ~0 for this form.
-    //     Empty docs would otherwise all share the [""] shingle set and
-    //     form the worst-case degenerate LSH bucket.
-    val sigs = Ops.spread(
+    //     pushdown into the scan stage is free (an expensive guard would
+    //     serialize the scan onto the source's input splits). Empty docs
+    //     would otherwise all share one degenerate LSH bucket.
+    val toks = split(col(textCol), " ")
+    val shHashes = VectorExprs.shingleHash64(toks, shingleN)
+    val banded = Ops.spread(
         df.select(col(idCol).as("doc_id"), col(textCol))
           .filter(length(col(textCol)) > 0),
         col("doc_id"))
-      .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    // Band table carries IDS ONLY — candidate generation must not shuffle
-    // shingle arrays (at scale they dwarf the ids by orders of magnitude).
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band_id"),
-                    xxhash64(b, concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))
-                      .as("band_hash")))).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      .select(col("doc_id"),
+              array_distinct(shHashes).as("hsh"),
+              VectorExprs.bandHashes64(
+                VectorExprs.minhashFromHashes(shHashes, numHashes),
+                bands, r).as("bh"))
+      .select(col("doc_id"), col("hsh"), posexplode(col("bh")))
+      .select(col("doc_id"), col("hsh"),
+              col("pos").as("band_id"), col("col").as("band_hash"))
     val a = banded.as("a")
     val b = banded.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.hsh").as("h_a"), col("b.hsh").as("h_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Verify join pulls each side's shingles back by id — arrays move
-    // through exactly one shuffle each, only for surviving candidates.
-    val shA = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val shB = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))))
+      .withColumn("uni", size(array_union(col("h_a"), col("h_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

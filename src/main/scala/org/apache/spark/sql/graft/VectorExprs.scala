@@ -231,6 +231,184 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Word n-gram shingle hashes of a token array: out[j] =
+    * XXH64(concat_ws(" ", tokens[j ..< min(j+n, len)]), seed=42) for
+    * j in 0 .. max(len - n, 0). Hash values equal
+    * `xxhash64(concat_ws(" ", slice(tokens, j+1, n)))` — the built-in
+    * formulation this replaces — but the whole loop lives in one
+    * codegen'd expression instead of nested interpreted higher-order
+    * functions (transform + slice + concat_ws per shingle). */
+  case class ShingleHash64(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n > 0)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hash"
+
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val cnt = math.max(m - n, 0) + 1
+      val out = new Array[Long](cnt)
+      var j = 0
+      while (j < cnt) {
+        val end = math.min(j + n, m)
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - j)
+        var i = j
+        while (i < end) {
+          parts(i - j) =
+            if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+            else arr.getUTF8String(i)
+          i += 1
+        }
+        out(j) = XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*), 42L)
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      val sepRef = ctx.addMutableState(u, "shingleSep",
+        v => s"""$v = $u.fromString(" ");""")
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.freshName("m"); val cnt = ctx.freshName("cnt")
+        val out = ctx.freshName("out"); val j = ctx.freshName("j")
+        val end = ctx.freshName("end"); val parts = ctx.freshName("parts")
+        val i = ctx.freshName("i")
+        s"""
+           |int $m = $a.numElements();
+           |int $cnt = java.lang.Math.max($m - $n, 0) + 1;
+           |long[] $out = new long[$cnt];
+           |for (int $j = 0; $j < $cnt; $j++) {
+           |  int $end = java.lang.Math.min($j + $n, $m);
+           |  $u[] $parts = new $u[$end - $j];
+           |  for (int $i = $j; $i < $end; $i++) {
+           |    $parts[$i - $j] = $a.isNullAt($i)
+           |      ? $u.EMPTY_UTF8 : $a.getUTF8String($i);
+           |  }
+           |  $out[$j] = $X.hashUTF8String($u.concatWs($sepRef, $parts), 42L);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature over pre-hashed shingles: signature[i] = min over
+    * elements h of XXH64(h, seed=i). Feeding it [[ShingleHash64]] output
+    * gives exactly the same signature as [[MinHashSig]] over the string
+    * shingles (same base hash), with the string work done once. */
+  case class MinHashFromHashes(child: Expression, numHashes: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(numHashes > 0)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_from_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < arr.numElements()) {
+        if (!arr.isNullAt(j)) {
+          val base = arr.getLong(j)
+          var i = 0
+          while (i < numHashes) {
+            val h = XXH64.hashLong(base, i.toLong)
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(mins)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mins = ctx.addMutableState("long[]", "minhashHMins",
+        v => s"$v = new long[$numHashes];")
+      nullSafeCodeGen(ctx, ev, a => {
+        val j = ctx.freshName("j"); val i = ctx.freshName("i")
+        val base = ctx.freshName("base"); val h = ctx.freshName("h")
+        s"""
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |for (int $j = 0; $j < $a.numElements(); $j++) {
+           |  if (!$a.isNullAt($j)) {
+           |    long $base = $a.getLong($j);
+           |    for (int $i = 0; $i < $numHashes; $i++) {
+           |      long $h = $X.hashLong($base, (long) $i);
+           |      if ($h < $mins[$i]) $mins[$i] = $h;
+           |    }
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($mins);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** LSH band hashes of a minhash signature: out[b] = fold of
+    * XXH64.hashLong over signature rows b*r ..< (b+1)*r starting at seed
+    * 42 — one long per band, ready for posexplode into (band_id,
+    * band_hash) pairs with no string building. */
+  case class BandHashes64(child: Expression, bands: Int, r: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(bands > 0 && r > 0)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_band_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 42L
+        var i = b * r
+        val end = math.min((b + 1) * r, arr.numElements())
+        while (i < end) { h = XXH64.hashLong(arr.getLong(i), h); i += 1 }
+        out(b) = h
+        b += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out"); val b = ctx.freshName("b")
+        val h = ctx.freshName("h"); val i = ctx.freshName("i")
+        val end = ctx.freshName("end")
+        s"""
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $h = 42L;
+           |  int $end = java.lang.Math.min(($b + 1) * $r, $a.numElements());
+           |  for (int $i = $b * $r; $i < $end; $i++) {
+           |    $h = $X.hashLong($a.getLong($i), $h);
+           |  }
+           |  $out[$b] = $h;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def floatDot(a: Column, b: Column): Column =
@@ -241,6 +419,15 @@ object VectorExprs {
 
   def minhashSig(shingles: Column, numHashes: Int): Column =
     ExprBridge.column(MinHashSig(ExprBridge.expression(shingles), numHashes))
+
+  def shingleHash64(tokens: Column, n: Int): Column =
+    ExprBridge.column(ShingleHash64(ExprBridge.expression(tokens), n))
+
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    ExprBridge.column(MinHashFromHashes(ExprBridge.expression(hashes), numHashes))
+
+  def bandHashes64(sig: Column, bands: Int, r: Int): Column =
+    ExprBridge.column(BandHashes64(ExprBridge.expression(sig), bands, r))
 
   def lshSign64(vec: Column, numPlanes: Int): Column =
     ExprBridge.column(LshSign64(ExprBridge.expression(vec), numPlanes))
