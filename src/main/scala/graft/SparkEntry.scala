@@ -589,6 +589,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // E3 IVF coarse-quantizer approximate top-k (the ANN scale path)
+    "q_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
+          nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // E7 approximate distinct (HLL sketch — engine-specific values)
     "q_approx_users" -> ((s, d) =>
       EventOps.approxDistinctUsers(t(s, d, "events")).orderBy("event_type")),

@@ -58,6 +58,27 @@ object Joins {
         rightVals.map(v => col(s"__f_$v").as(rightPrefix + v)): _*)
   }
 
+  /** Salted equi-join for skewed keys: a plain shuffle join sends every
+    * row of a hot key to one reducer; here the big side's rows are
+    * spread across `salts` sub-keys (deterministic hash of a per-row id)
+    * and the small side is replicated once per salt, so a hot key's work
+    * fans out over `salts` reducers. Output rows are identical to
+    * `big.join(small, key)` — salting only changes the shuffle layout.
+    *
+    * Use when the small side is too big to broadcast but the big side's
+    * key histogram is heavy-tailed (AQE's skew handling covers sort-merge
+    * joins; this is the explicit, always-on form). Replication cost is
+    * `salts ×` the small side — keep `salts` near the executor count. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Range join: pair every point row with every interval row whose
     * [lo, hi) contains the point, within an equi-bucketized plan.
     *

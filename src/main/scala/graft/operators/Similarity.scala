@@ -99,6 +99,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k: the scale path for ANN.
+    *
+    * A coarse quantizer — `nlist` centroids drawn deterministically from
+    * the corpus (smallest xxhash64(id), i.e. a seedless pseudo-random
+    * sample) — partitions vectors into cells; each query probes its
+    * `nprobe` nearest cells and ranks only those cells' vectors. With
+    * `nprobe = nlist` results equal [[bruteForceTopK]] exactly.
+    *
+    * Plan shape at 100 TB: centroids broadcast (nlist vectors); cell
+    * assignment is one broadcast-join pass over the corpus (no shuffle
+    * of vectors besides the per-cell window); the probe join shuffles by
+    * cell id, touching ~nprobe/nlist of the corpus per query batch. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0 && nprobe <= nlist)
+    val cents = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy("__h").limit(nlist)
+      .select(col(idCol).as("cent_src"), col(vecCol).as("cent_v"))
+      .withColumn("cell",
+        row_number().over(Window.orderBy("cent_src")).cast("long"))
+      .select("cell", "cent_v")
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__sim").desc, col("cell"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__sim", cosine(col(v), col("cent_v")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(id), col(v), col("cell"))
+    }
+    val corpusCells = assign(
+      Ops.spread(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), col("neighbor_id")),
+      "neighbor_id", "cv", 1)
+    val queryCells = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpusCells.join(queryCells, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Candidate
     * generation via LSH band buckets (same plan shape as minhashNearDups —
     * no n² cross join). */

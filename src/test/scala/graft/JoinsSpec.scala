@@ -61,6 +61,18 @@ class JoinsSpec extends SparkTestBase {
     // boundary: x=10.0 excluded from [0,10), x=100.0 excluded from [5,100)
   }
 
+  test("saltedJoin output equals the plain equi-join on skewed data") {
+    // heavy-tailed: key "hot" appears 500x, others once
+    val big = ((1 to 500).map(i => ("hot", i.toLong)) ++
+      Seq(("a", 1000L), ("b", 2000L))).toDF("k", "payload")
+    val small = Seq(("hot", "H"), ("a", "A"), ("c", "C")).toDF("k", "tag")
+    val salted = Joins.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "tag")
+    val plain = big.join(small, "k").select("k", "payload", "tag")
+    assert(salted.count() === plain.count())
+    assert(rendered(salted) === rendered(plain))
+  }
+
   test("rangeJoin: no duplicate pairs when an interval covers many buckets") {
     val points = Seq((1L, 50.0)).toDF("pid", "x")
     val ivals = Seq(("wide", 0.0, 1000.0)).toDF("name", "lo", "hi")

@@ -48,6 +48,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("ivfTopK with nprobe = nlist is exact (equals brute force)") {
+    val q = vecs.filter(col("vec_id") === 1)
+    val exact = Similarity.bruteForceTopK(vecs, q, 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    val ivf = Similarity.ivfTopK(vecs, q, 3, nlist = 2, nprobe = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(ivf.toSeq === exact.toSeq)
+  }
+
+  test("ivfTopK with nprobe < nlist: ranked, plausible results at corpus scale") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val out = Similarity.ivfTopK(e, q, 5, nlist = 8, nprobe = 4)
+      .select("query_id", "rank", "sim").as[(Long, Int, Double)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._3).sorted.reverse.toSeq === byRank.map(_._3).toSeq,
+        "ranks follow descending similarity within each query")
+    }
+  }
+
   test("lshTopK returns ranked candidates from shared buckets") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1), 2)
       .select("neighbor_id", "rank", "sim").as[(Long, Int, Double)].collect()
