@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source / sink surface (SURVEY.md §2.1–2.2 re-expressed for production).
+  *
+  * The reference scans JSON with schema inference (etl_pipeline.py:110,
+  * :238) — correct for exploration, wrong at 100 TB where the inference
+  * pass is a full extra read. The production readers here take an
+  * explicit `StructType`; the inferred variants exist for
+  * reference-faithful behavior.
+  */
+object Sources {
+
+  /** JSON-lines scan with an explicit schema — single pass, no inference
+    * job, malformed rows surface as nulls in a `_corrupt_record`-free
+    * PERMISSIVE parse (Spark default). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Schema-inferred JSON scan — the reference's S1/S2 behavior
+    * (etl_pipeline.py:110, :238): one inference pass, then the scan. */
+  def readJsonInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** CSV scan with explicit schema; `header=true` skips the first line
+    * (names come from the schema, not the file). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** Parquet scan; partition columns are recovered from the directory
+    * layout (S3's read-after-write pattern, etl_pipeline.py:250–257). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  private def writer(df: DataFrame, mode: SaveMode): DataFrameWriter[Row] =
+    df.write.mode(mode)
+
+  /** Parquet sink, optionally Hive-layout partitioned (K1–K3). Readers
+    * filtering on the partition columns get partition pruning for free. */
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = writer(df, mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** CSV sink with header. */
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    writer(df, mode).option("header", "true").csv(path)
+
+  /** JSON-lines sink. */
+  def writeJsonLines(df: DataFrame, path: String,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    writer(df, mode).json(path)
+
+  /** Bucketed + sorted managed table: rows are hash-clustered into
+    * `numBuckets` files per partition by `bucketCols` and sorted within
+    * each bucket. Two tables bucketed the same way join WITHOUT a
+    * shuffle (and without a sort, if sorted) — the pre-partitioning is
+    * the scale play for repeated big-big joins: pay the shuffle once at
+    * write time, never at read time. */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCols: Seq[String], numBuckets: Int,
+                    sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty)
+    val w = writer(df, mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+}

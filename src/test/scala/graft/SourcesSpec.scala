@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Sources
+
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val dir = Files.createTempDirectory("graft-sources").toString
+  private lazy val sample = Seq(
+    (1L, "alpha", 10.5, 2020), (2L, "beta", 20.25, 2020),
+    (3L, "gamma", 30.0, 2021), (4L, "delta", 40.75, 2021)
+  ).toDF("id", "name", "score", "yr")
+
+  test("JSON-lines round-trip with explicit schema (no inference pass)") {
+    Sources.writeJsonLines(sample, s"$dir/json")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("yr", IntegerType)))
+    val back = Sources.readJson(spark, s"$dir/json", schema)
+    assert(back.schema === schema)
+    assert(rendered(back.select("id", "name", "score", "yr"))
+      === rendered(sample))
+  }
+
+  test("CSV round-trip with header and explicit schema") {
+    Sources.writeCsv(sample, s"$dir/csv")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("yr", IntegerType)))
+    val back = Sources.readCsv(spark, s"$dir/csv", schema)
+    assert(rendered(back.select("id", "name", "score", "yr"))
+      === rendered(sample))
+  }
+
+  test("partitioned parquet: layout on disk + partition pruning at read") {
+    Sources.writeParquet(sample, s"$dir/part", partitionBy = Seq("yr"))
+    val dirs = new java.io.File(s"$dir/part").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("yr=2020", "yr=2021"))
+    val back = Sources.readParquet(spark, s"$dir/part")
+      .filter(col("yr") === 2021)
+    assert(back.count() === 2)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(yr"),
+      s"partition filter must reach the scan:\n$scan")
+  }
+
+  test("bucketed tables: equal bucketing joins with zero shuffle") {
+    Sources.writeBucketed(sample.select("id", "name"), "src_left",
+      bucketCols = Seq("id"), numBuckets = 4, sortCols = Seq("id"))
+    Sources.writeBucketed(sample.select("id", "score"), "src_right",
+      bucketCols = Seq("id"), numBuckets = 4, sortCols = Seq("id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path — at real scale neither side broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("src_left").join(spark.table("src_right"), "id")
+      assert(joined.count() === 4)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed-bucketed equi-join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS src_left")
+      spark.sql("DROP TABLE IF EXISTS src_right")
+    }
+  }
+}
