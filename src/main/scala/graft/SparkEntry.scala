@@ -535,6 +535,22 @@ object SparkEntry {
             .otherwise(lit("multi")).as("size_class"))
         .orderBy("p_partkey")),
 
+    // ---- typed Aggregator: heap-based top-k per group (map-side k rows,
+    //      not a full per-group sort — see functions.TopKAggregator) ----
+    "q_topk_group" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+                col("col._1").as("price"), col("col._2").as("o_orderkey"))
+        .orderBy("o_custkey", "rank")
+    }),
+
     // ---- as-of join: latest purchase at-or-before each click ----
     "q_asof_join" -> ((s, d) => {
       val e = t(s, d, "events")
@@ -981,6 +997,15 @@ object SparkEntry {
         |        * (SELECT COUNT(*) FROM customer)
         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_custkey, rank, price, o_orderkey FROM (
+        |  SELECT o_custkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+        |    o_totalprice AS price, o_orderkey
+        |  FROM orders) WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
 
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, p.ts AS last_pts, p.value AS last_value

@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan assertions for the scale-critical properties: filters
+  * reach the scan, projections prune the read schema, dims broadcast,
+  * aggregates combine map-side, and LSH candidate generation never
+  * degenerates to a nested-loop or cartesian plan. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"),
+      s"scan must read exactly the 3 projected columns:\n$p")
+  }
+
+  test("equality filter is pushed down to the parquet scan") {
+    val p = plan("q_filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter must reach PushedFilters:\n$p")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q_join_dim").contains("BroadcastHashJoin"))
+    val star = plan("q_join_star")
+    assert(star.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") === 3,
+      "all three dims broadcast in the star join")
+  }
+
+  test("grouped aggregation combines map-side (partial + final)") {
+    val p = plan("q1_agg")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"expect partial+final HashAggregate:\n$p")
+  }
+
+  test("LSH near-dup candidate generation is equi-join shaped, never nested-loop") {
+    for (q <- Seq("q_minhash_neardup", "q_simhash_neardup", "q_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+
+  test("flagship entry: dims broadcast, fact side streams") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipelines") {
+    // codegen spans only appear in the FINAL adaptive plan — execute first
+    val df = SparkEntry.queries("q_filter_eq")(spark, d)
+    df.collect() // count() would execute a different (pruned) plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"expected codegen spans in the final plan:\n$p")
+  }
+}
