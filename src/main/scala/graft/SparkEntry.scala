@@ -298,6 +298,19 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // ---- E5 JSON parse to typed struct AND to MapType ----
+    "q_json_parse" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k_struct"),
+          element_at(
+            from_json(col("props"), MapType(StringType, StringType)), "k")
+            .cast("long").as("k_map"))
+        .orderBy("event_id")
+    }),
+
     // ---- E6 event-time tumbling window rollup ----
     "q_event_hourly" -> ((s, d) =>
       t(s, d, "events")
@@ -832,6 +845,12 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_parse" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_event_hourly" ->
