@@ -321,6 +321,11 @@ object SparkEntry {
                 col("n_events"), col("sum_value"))
         .orderBy("w_start", "event_type")),
 
+    // ---- batch sessionization (gap-based, twin of StreamOps.sessionize) ----
+    "q_sessionize" -> ((s, d) =>
+      EventOps.sessionizeBatch(t(s, d, "events"), gapMs = 3600 * 1000L)
+        .orderBy("user_id", "session_start")),
+
     // ---- exact count-distinct companion to E7 ----
     "q_count_distinct" -> ((s, d) =>
       t(s, d, "events")
@@ -858,6 +863,23 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
