@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, EventOps, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Joins, Mixing, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -332,6 +332,20 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")),
+
+    // ---- corpus mixing: systematic per-source sampling ----
+    "q_sample_mix" -> ((s, d) =>
+      Mixing.systematicSampleByRates(t(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // ---- corpus packing: fixed-budget shard assignment per source ----
+    "q_pack_budget" -> ((s, d) =>
+      Mixing.packByBudget(t(s, d, "documents"), "source", "doc_id",
+          "n_chars", budget = 1000L)
+        .select("doc_id", "source", "n_chars", "shard")
+        .orderBy("doc_id")),
 
     // ---- multimodal metadata plumbing (binary column) ----
     "q_multimodal_meta" -> ((s, d) =>
@@ -884,6 +898,20 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sample_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id % 100 < CASE source
+        |  WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+        |  WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_budget" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+        |    AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image/stub' AS media_type,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mixing
+
+class MixingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 400L).map { i =>
+    (i, s"src${i % 4}", 100L + (i % 7) * 50L)
+  }.toDF("doc_id", "source", "n_chars")
+
+  test("systematicSampleByRates keeps exact per-stratum fractions") {
+    val out = Mixing.systematicSampleByRates(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("src0", 0L) === 100L, "rate 1.0 keeps all")
+    assert(counts.getOrElse("src2", 0L) === 0L, "rate 0 drops all")
+    assert(counts.getOrElse("src3", 0L) === 0L, "missing stratum drops all")
+    // src1 ids ≡ 1 mod 4; kept iff id%100 < 50: residues {1,5,...,49} are
+    // 13 of the 25 per 100-block → 52 of 100
+    assert(counts("src1") === 52L)
+    // determinism: same output on re-evaluation
+    assert(rendered(out) === rendered(Mixing.systematicSampleByRates(
+      docs, "source", "doc_id", Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))))
+  }
+
+  test("sampleByRates approximates requested rates for a fixed seed") {
+    val out = Mixing.sampleByRates(docs, "source",
+      Map("src0" -> 1.0, "src1" -> 0.5), seed = 7L)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("src0") === 100L)
+    assert(counts("src1") > 25L && counts("src1") < 75L)
+  }
+
+  test("packByBudget: greedy shards respect the running budget") {
+    val rows = Seq(
+      (1L, "s", 400L), (2L, "s", 400L), (3L, "s", 400L), // cum-before 0,400,800
+      (4L, "s", 2000L),                                  // cum-before 1200 → shard 1
+      (5L, "s", 100L)                                    // cum-before 3200 → shard 3
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Mixing.packByBudget(rows, "source", "doc_id", "n_chars", 1000L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 3L))
+  }
+
+  test("packByBudget: every shard except the last is filled past nothing-fits") {
+    val out = Mixing.packByBudget(docs, "source", "doc_id", "n_chars", 1000L)
+    // shards are contiguous, starting at 0, per source
+    val bySource = out.select("source", "shard").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq)
+    bySource.foreach { case (_, shards) =>
+      assert(shards === (0L until shards.length).toSeq)
+    }
+  }
+}
