@@ -182,6 +182,37 @@ object SparkEntry {
           timestamp_millis(unix_millis(col("ts"))).as("ts_ms"))
         .orderBy("event_id")),
 
+    // ---- TPC-H Q3-shaped: shipping-priority revenue ----
+    "q_tpch3" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"),
+              col("c_custkey") === col("o_custkey") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "lineitem"),
+              col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+               .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)),
+
+    // ---- TPC-H Q10-shaped: returned-item revenue per customer ----
+    "q_tpch10" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"),
+              col("o_orderkey") === col("l_orderkey") &&
+              col("l_returnflag") === "R")
+        .join(broadcast(t(s, d, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
     // ---- grouped aggregation (TPC-H Q1-shaped pricing summary) ----
     "q1_agg" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -748,6 +779,31 @@ object SparkEntry {
       """SELECT event_id, epoch_ms(ts) AS ms,
         |  epoch_ms(epoch_ms(ts)) AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_tpch3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q_tpch10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
