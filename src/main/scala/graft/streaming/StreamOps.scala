@@ -16,6 +16,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** File-source stream over an events directory: new parquet files are
+    * discovered per micro-batch. Schema must be explicit — streaming
+    * sources do not infer (and shouldn't: inference is a full read).
+    * Pair with `writeStream.trigger(AvailableNow)` for catch-up batch
+    * replays of a streaming pipeline. */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
   /** Event-time tumbling-window rollup (streaming twin of
     * EventOps.hourlyRollup). The watermark bounds window state: windows
     * older than max(event time) - delay are finalized and dropped, so

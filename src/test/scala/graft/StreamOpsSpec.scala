@@ -61,6 +61,34 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream: windowed counts over parquet files, AvailableNow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Seq(
+      (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+      (2L, ts("2024-01-01 10:55:00"), "click", 2.0),
+      (3L, ts("2024-01-01 11:05:00"), "view", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val in = StreamOps.readEventsStream(spark, s"$dir/in", schema)
+    assert(in.isStreaming)
+    val sink = nextSink()
+    val q = StreamOps.windowedCounts(in, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val rows = spark.table(sink)
+        .select("w_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows === Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the event-time gap and emits once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
