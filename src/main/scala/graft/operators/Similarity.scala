@@ -76,24 +76,35 @@ object Similarity {
     require(numPlanes % bands == 0)
     val r = numPlanes / bands
     val mask = (1L << r) - 1
-    def banded(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(v),
-          lshSignature(col(vecCol), numPlanes).as("sig"))
-        .select(col(id), col(v), explode(
+    // Band tables carry IDS ONLY — the candidate join and its dedup must
+    // not shuffle vectors (same discipline as cosineNearDups /
+    // minhashNearDups). Vectors re-attach afterwards: the query side
+    // broadcasts (queries are small by contract), the corpus side moves
+    // each candidate vector through exactly one shuffle.
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(id),
+          lshSignature(col("__v"), numPlanes).as("sig"))
+        .select(col(id), explode(
           transform(sequence(lit(0), lit(bands - 1)), bd =>
             struct(bd.as("band_id"),
               call_function("shiftrightunsigned", col("sig"), (bd * r).cast("int"))
                 .bitwiseAND(mask).as("band_val")))).as("bv"))
-        .select(col(id), col(v), col("bv.band_id"), col("bv.band_val"))
-    val q = banded(queries, "query_id", "qv")
-    val c = banded(Ops.spread(corpus, col(idCol)), "neighbor_id", "cv")
-    val cand = c.join(q, Seq("band_id", "band_val"))
+        .select(col(id), col("bv.band_id"), col("bv.band_val"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+    val cv = Ops.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      col("neighbor_id"))
+    val cand = banded(cv, "neighbor_id").join(banded(qv, "query_id"),
+        Seq("band_id", "band_val"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("sim", cosine(col("qv"), col("cv")))
+    cand
+      .join(cv.withColumnRenamed("__v", "cvec"), "neighbor_id")
+      .join(broadcast(qv.withColumnRenamed("__v", "qvec")), "query_id")
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
