@@ -302,6 +302,13 @@ object SparkEntry {
                 TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // ---- E4 PII-style redaction ----
+    "q_redact" -> ((s, d) =>
+      docsSpread(s, d)
+        .select(col("doc_id"),
+                TextAnalysis.redact(col("text")).as("clean"))
+        .orderBy("doc_id")),
+
     // ---- E4 rolling-hash fingerprint ----
     "q_fingerprint" -> ((s, d) =>
       docsSpread(s, d)
@@ -880,6 +887,16 @@ object SparkEntry {
         |               AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10
         |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
         |  ) / CAST(3.0 AS DOUBLE) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{8,}', '<NUM>', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->

@@ -70,6 +70,18 @@ object TextAnalysis {
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 
+  /** PII-style redaction: masks email addresses, URLs, and long digit
+    * runs (8+, catching phone/account numbers) with typed placeholders.
+    * Order matters — URLs before bare digit runs so query strings don't
+    * get double-masked. Pure regexp_replace chain: codegen'd, scan-side
+    * streamable, no UDF. */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^ ]+", "<URL>")
+    regexp_replace(url, "[0-9]{8,}", "<NUM>")
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {

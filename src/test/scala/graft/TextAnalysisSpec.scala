@@ -55,6 +55,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("redact masks emails, urls, and long digit runs") {
+    val cases = Seq(
+      (1L, "contact me at jo.doe+x@example.co.uk today"),
+      (2L, "see https://example.com/a?b=12345678 for details"),
+      (3L, "card 1234567890123456 short 1234567 ok"),
+      (4L, "clean text stays untouched"))
+      .toDF("id", "text")
+    val out = cases.select(col("id"), TextAnalysis.redact(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "contact me at <EMAIL> today")
+    assert(out(2L) === "see <URL> for details")
+    assert(out(3L) === "card <NUM> short 1234567 ok")
+    assert(out(4L) === "clean text stays untouched")
+  }
+
   test("analyze emits the full projection") {
     val out = TextAnalysis.analyze(docs)
     assert(out.columns.toSeq === Seq("doc_id", "n_chars", "n_tokens",
