@@ -645,6 +645,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- composed corpus-cleaning pipeline (rows-only: includes LSH) ----
+    "q_corpus_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      operators.CorpusPipeline.clean(withPerturbedCopies(docs),
+          jaccardThreshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- no-oracle (rows-only) operator demos ----
     // E2 MinHash-LSH near-dup: corpus + deterministically perturbed copies
     "q_minhash_neardup" -> ((s, d) => {

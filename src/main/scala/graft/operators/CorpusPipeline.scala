@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning: the individual operators
+  * composed the way a production pipeline runs them.
+  *
+  *   1. exact dedup (smallest id per identical text wins),
+  *   2. MinHash-LSH near-dup removal (for each surviving near-dup pair,
+  *      the larger id is dropped),
+  *   3. quality floor,
+  *   4. PII-style redaction.
+  *
+  * Every stage is a shuffle-by-key or per-row plan — the composition
+  * inherits the per-operator scale properties (no cross joins, native
+  * codegen signatures, candidate joins on ids only).
+  */
+object CorpusPipeline {
+
+  def clean(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text",
+            minQuality: Double = 0.3,
+            shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+            jaccardThreshold: Double = 0.8): DataFrame = {
+    val id = col(idCol); val text = col(textCol)
+
+    // 1. exact: keep the smallest id per identical text
+    val exact = Dedup.dedupKeepFirst(
+      docs.select(id, text), Seq(text), Seq(id))
+
+    // 2. near-dup: drop the larger id of each verified pair. A pair list
+    //    is not transitively closed — iterate if the corpus needs
+    //    fixpoint semantics; one pass is the standard production choice.
+    val dropIds = Dedup.minhashNearDups(exact, idCol, textCol,
+        shingleN, numHashes, bands, jaccardThreshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    val deduped = exact.join(dropIds, Seq(idCol), "left_anti")
+
+    // 3 + 4. quality floor, then redact
+    deduped
+      .filter(TextAnalysis.qualityScore(text) >= minQuality)
+      .withColumn(textCol, TextAnalysis.redact(text))
+  }
+}

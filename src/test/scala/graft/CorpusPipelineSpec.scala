@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("clean: exact dups collapse, near-dups drop larger id, PII masked") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank"),        // near dup of 1
+      (4L, "a completely different story about email john@example.com and shuffles here today"),
+      (5L, "12 34 !!") // no letters, tiny → quality ≈ 0.18, under the floor
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, minQuality = 0.3,
+        jaccardThreshold = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 4L),
+      "doc 2 exact-dup, doc 3 near-dup, doc 5 low-quality must all drop")
+    assert(out(4L).contains("<EMAIL>"), "redaction applies to survivors")
+    assert(!out(4L).contains("@"))
+  }
+
+  test("clean is idempotent on an already-clean corpus") {
+    val docs = Seq(
+      (1L, "totally unique first document about spark windows and joins"),
+      (2L, "another unrelated second document mentioning parquet and shuffles")
+    ).toDF("doc_id", "text")
+    val once = CorpusPipeline.clean(docs, jaccardThreshold = 0.5)
+    val twice = CorpusPipeline.clean(once, jaccardThreshold = 0.5)
+    assert(rendered(once) === rendered(twice))
+  }
+}
