@@ -422,6 +422,67 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- null-safe equality join (<=>) ----
+    "q_null_safe_join" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"),
+          when(col("p_size") <= 10, lit(null)).otherwise(col("p_size"))
+            .as("size_n"))
+      val a = p.as("a"); val b = p.as("b")
+      a.join(b, col("a.size_n") <=> col("b.size_n") &&
+                col("a.p_partkey") < col("b.p_partkey"))
+        .groupBy(col("a.size_n").as("size_n"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("size_n").asc_nulls_first)
+    }),
+
+    // ---- window analytics: RANGE frame (value-based) ----
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        .rangeBetween(-100, 0)
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          count(lit(1)).over(w).as("n_in_range"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // ---- window analytics: first_value / last_value over a full frame ----
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- array higher-order functions (transform / filter / aggregate) ----
+    "q_array_hof" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      docsSpread(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          array_join(transform(toks, t => upper(t)), ",").as("upper_toks"),
+          size(filter(toks, t => length(t) > 5)).cast("long").as("n_long"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- map functions over parsed JSON ----
+    "q_map_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val m = from_json(col("props"), MapType(StringType, StringType))
+      t(s, d, "events")
+        .filter(col("event_id") < 3000)
+        .select(col("event_id"),
+          array_join(map_keys(m), ",").as("keys"),
+          array_join(map_values(m), ",").as("vals"),
+          size(map_keys(m)).cast("long").as("n_keys"))
+        .orderBy("event_id")
+    }),
+
     // ---- rollup (hierarchical subtotals) ----
     "q_rollup" -> ((s, d) =>
       t(s, d, "customer")
@@ -1023,6 +1084,48 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_null_safe_join" ->
+      """WITH p AS (SELECT p_partkey,
+        |  CASE WHEN p_size <= 10 THEN NULL ELSE p_size END AS size_n FROM part)
+        |SELECT a.size_n, COUNT(*) AS n_pairs
+        |FROM p a JOIN p b ON a.size_n IS NOT DISTINCT FROM b.size_n
+        |  AND a.p_partkey < b.p_partkey
+        |GROUP BY a.size_n ORDER BY a.size_n NULLS FIRST""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT c_nationkey, c_custkey,
+        |  COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_in_range
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_array_hof" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text, ' '),
+        |    t -> upper(t)), ',') AS upper_toks,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 5)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> length(t))) AS BIGINT) AS total_len
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  array_to_string(list_transform(json_keys(props),
+        |    k -> json_extract_string(props, '$.' || k)), ',') AS vals,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust

@@ -34,6 +34,10 @@ object GraftFunctions {
       need(2, "graft_float_dot")(args)
       VectorExprs.FloatDot(args(0), args(1))
     },
+    "graft_cosine" -> { args =>
+      need(2, "graft_cosine")(args)
+      VectorExprs.CosineSim(args(0), args(1))
+    },
     "graft_simhash64" -> { args =>
       need(1, "graft_simhash64")(args)
       VectorExprs.SimHash64(args(0))

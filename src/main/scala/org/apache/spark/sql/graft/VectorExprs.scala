@@ -231,6 +231,52 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Cosine similarity of two float-array columns in ONE pass: dot,
+    * |a|², |b|² accumulate together (each in Double, index order — the
+    * same values as composing three [[FloatDot]] calls, so results are
+    * bit-identical to dot/(sqrt·sqrt) and to the DuckDB oracle), then
+    * dot / (sqrt(na)·sqrt(nb)). One array traversal instead of three. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.getFloat($i);
+           |  double $yv = (double) $b.getFloat($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Word n-gram shingle hashes of a token array: out[j] =
     * XXH64(concat_ws(" ", tokens[j ..< min(j+n, len)]), seed=42) for
     * j in 0 .. max(len - n, 0). Hash values equal
@@ -419,6 +465,9 @@ object VectorExprs {
 
   def minhashSig(shingles: Column, numHashes: Int): Column =
     ExprBridge.column(MinHashSig(ExprBridge.expression(shingles), numHashes))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ExprBridge.column(CosineSim(ExprBridge.expression(a), ExprBridge.expression(b)))
 
   def shingleHash64(tokens: Column, n: Int): Column =
     ExprBridge.column(ShingleHash64(ExprBridge.expression(tokens), n))

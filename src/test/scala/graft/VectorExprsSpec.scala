@@ -30,6 +30,19 @@ class VectorExprsSpec extends SparkTestBase {
     assert(out === 30.0)
   }
 
+  test("cosineSim: single-pass result bit-equals the composed dot/norm form") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(-4.0f, 5.5f, 0.25f)),
+      (Array(0.001f, 9999.0f), Array(123.456f, -0.789f))
+    ).toDF("a", "b")
+    val both = df.select(
+      VectorExprs.cosineSim(col("a"), col("b")).as("one"),
+      (VectorExprs.floatDot(col("a"), col("b")) /
+        (sqrt(VectorExprs.floatDot(col("a"), col("a"))) *
+         sqrt(VectorExprs.floatDot(col("b"), col("b"))))).as("three"))
+    assert(both.filter(col("one") =!= col("three")).count() === 0)
+  }
+
   test("simhash64: empty array → 0, deterministic, single-token sensitivity") {
     val df = Seq(
       Seq.empty[String], Seq("hello"), Seq("hello"), Seq("world")
