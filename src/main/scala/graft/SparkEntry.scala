@@ -309,6 +309,16 @@ object SparkEntry {
                 TextAnalysis.redact(col("text")).as("clean"))
         .orderBy("doc_id")),
 
+    // ---- E4 sliding-window chunking (overlapping token windows) ----
+    "q_chunk" -> ((s, d) =>
+      docsSpread(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkTokens(col("text"), 16, 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+                col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // ---- E4 rolling-hash fingerprint ----
     "q_fingerprint" -> ((s, d) =>
       docsSpread(s, d)
@@ -389,6 +399,17 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.fromDocuments(t(s, d, "documents")))
         .orderBy("media_id")),
+
+    // ---- multimodal decode paths (stub codec, real dataflow; rows-only) ----
+    "q_media_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(s,
+          Multimodal.fromDocuments(docsSpread(s, d)), dim = 16)
+        .toDF().orderBy("media_id")),
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.fromDocuments(docsSpread(s, d)),
+          frameBytes = 32, stride = 2)
+        .toDF().orderBy("media_id", "frame_idx")),
 
     // ---- window analytics: lag / lead ----
     "q_window_lag_lead" -> ((s, d) => {
@@ -957,6 +978,15 @@ object SparkEntry {
         |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
         |  ) / CAST(3.0 AS DOUBLE) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[(i*8+1):(i*8+16)], ' ') AS chunk
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 50),
+        |  unnest(range(0, greatest(
+        |    CAST(ceil((len(toks) - 16) / 8.0) AS INT) + 1, 1))) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_redact" ->
       """SELECT doc_id,

@@ -70,6 +70,21 @@ object TextAnalysis {
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 
+  /** Sliding-window chunking: token windows of `chunk` tokens advancing
+    * by `stride` (overlapping when stride < chunk) — the segmentation
+    * step before tokenization in a training-data pipeline. Documents
+    * shorter than one chunk yield themselves. Pair with `posexplode` for
+    * one row per (doc, chunk_idx). */
+  def chunkTokens(text: Column, chunk: Int, stride: Int): Column = {
+    require(chunk > 0 && stride > 0)
+    val toks = split(text, " ")
+    val nChunks = greatest(
+      (ceil((size(toks) - chunk).cast("double") / stride) + 1).cast("int"),
+      lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunk))))
+  }
+
   /** PII-style redaction: masks email addresses, URLs, and long digit
     * runs (8+, catching phone/account numbers) with typed placeholders.
     * Order matters — URLs before bare digit runs so query strings don't
