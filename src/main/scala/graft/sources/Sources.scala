@@ -35,6 +35,16 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — the other columnar format with predicate pushdown and
+    * column pruning parity. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Whole-line text scan: one `value: string` row per line — the raw
+    * entry point for corpus ingestion before any parsing. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   private def writer(df: DataFrame, mode: SaveMode): DataFrameWriter[Row] =
     df.write.mode(mode)
 
@@ -57,6 +67,15 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String,
                      mode: SaveMode = SaveMode.Overwrite): Unit =
     writer(df, mode).json(path)
+
+  /** ORC sink, optionally partitioned. */
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = writer(df, mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
 
   /** Bucketed + sorted managed table: rows are hash-clustered into
     * `numBuckets` files per partition by `bucketCols` and sorted within

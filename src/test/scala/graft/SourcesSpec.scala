@@ -37,6 +37,21 @@ class SourcesSpec extends SparkTestBase {
       === rendered(sample))
   }
 
+  test("ORC round-trip preserves schema and rows") {
+    Sources.writeOrc(sample, s"$dir/orc")
+    val back = Sources.readOrc(spark, s"$dir/orc")
+    assert(back.schema.fieldNames.sorted.toSeq === Seq("id", "name", "score", "yr"))
+    assert(rendered(back.select("id", "name", "score", "yr")) === rendered(sample))
+  }
+
+  test("text source reads one row per line") {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/lines.txt"), "alpha\nbeta\ngamma")
+    val back = Sources.readText(spark, s"$dir/lines.txt")
+    assert(back.columns.toSeq === Seq("value"))
+    assert(back.count() === 3)
+  }
+
   test("partitioned parquet: layout on disk + partition pruning at read") {
     Sources.writeParquet(sample, s"$dir/part", partitionBy = Seq("yr"))
     val dirs = new java.io.File(s"$dir/part").listFiles()
