@@ -743,6 +743,14 @@ object SparkEntry {
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
+    // E2 transitive near-dup clustering (LSH pairs → connected components)
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      Dedup.dedupNearClusters(withPerturbedCopies(docs), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     // E2 SimHash near-dup
     "q_simhash_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")

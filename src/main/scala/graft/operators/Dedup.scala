@@ -190,6 +190,64 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame =
     simhashPairs(simhashDf(df, idCol, textCol), maxHamming)
 
+  /** Connected components over a near-duplicate pair list: labels every
+    * id with the minimum id reachable through pairs — the transitive
+    * closure the pairwise LSH output lacks (a≈b, b≈c ⇒ one cluster).
+    * Output: (id, comp) for every id appearing in `pairs`.
+    *
+    * Min-label propagation: each iteration joins labels across edges and
+    * keeps the elementwise minimum, until a fixpoint (≤ graph diameter
+    * iterations — near-dup clusters are shallow in practice; `maxIter`
+    * bounds pathological chains). Labels are referenced twice per
+    * iteration (propagation join + update join), so each generation is
+    * persisted and the previous one released — without it the plan would
+    * re-derive generation i-1 twice and blow up exponentially. The
+    * driver-side loop reads only a changed-count aggregate, never data. */
+  def connectedComponents(pairs: DataFrame, idA: String = "doc_a",
+                          idB: String = "doc_b",
+                          maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist(lvl)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp_new"))
+        .persist(lvl)
+      changed = updated.filter(col("comp_new") < col("comp")).count()
+      val prev = labels
+      labels = updated.select(col("id"), col("comp_new").as("comp"))
+      prev.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-level near-dup removal: keep one representative (the
+    * minimum id) per transitive near-dup cluster. Composes
+    * [[minhashNearDups]] with [[connectedComponents]]. */
+  def dedupNearClusters(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val comps = connectedComponents(pairs)
+    val drop = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity between chained doc pairs
     * (doc_id, doc_id+1) — a linear-cost, fully deterministic probe of the
     * Jaccard machinery (the LSH path uses the same expressions). */

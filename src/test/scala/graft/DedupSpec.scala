@@ -71,6 +71,27 @@ class DedupSpec extends SparkTestBase {
     assert(!asMap.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents: chains collapse transitively, groups stay apart") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain → all comp 1
+      (10L, 11L),                   // separate pair → comp 10
+      (20L, 21L), (21L, 20L)        // duplicate/reversed edges tolerated
+    ).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupNearClusters keeps one representative per transitive cluster") {
+    // docs 1, 2, 5 are near/exact dups of each other (transitively via 1);
+    // 3 and 4 are unrelated singletons
+    val out = Dedup.dedupNearClusters(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L, 4L))
+  }
+
   test("chainedJaccard computes exact jaccard for (id, id+1) pairs") {
     val out = Dedup.chainedJaccard(docs, "doc_id", "text", shingleN = 3)
     assert(out.count() === 4)
