@@ -22,20 +22,28 @@ object CorpusPipeline {
             textCol: String = "text",
             minQuality: Double = 0.3,
             shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-            jaccardThreshold: Double = 0.8): DataFrame = {
+            jaccardThreshold: Double = 0.8,
+            transitive: Boolean = false): DataFrame = {
     val id = col(idCol); val text = col(textCol)
 
     // 1. exact: keep the smallest id per identical text
     val exact = Dedup.dedupKeepFirst(
       docs.select(id, text), Seq(text), Seq(id))
 
-    // 2. near-dup: drop the larger id of each verified pair. A pair list
-    //    is not transitively closed — iterate if the corpus needs
-    //    fixpoint semantics; one pass is the standard production choice.
-    val dropIds = Dedup.minhashNearDups(exact, idCol, textCol,
-        shingleN, numHashes, bands, jaccardThreshold)
-      .select(col("doc_b").as(idCol)).distinct()
-    val deduped = exact.join(dropIds, Seq(idCol), "left_anti")
+    // 2. near-dup removal. Pairwise (default): drop the larger id of each
+    //    verified pair — the standard one-pass production choice.
+    //    Transitive: close the pair list into clusters first
+    //    (Dedup.connectedComponents) so a≈b≈c keeps exactly one doc.
+    val deduped =
+      if (transitive)
+        Dedup.dedupNearClusters(exact, idCol, textCol,
+          shingleN, numHashes, bands, jaccardThreshold)
+      else {
+        val dropIds = Dedup.minhashNearDups(exact, idCol, textCol,
+            shingleN, numHashes, bands, jaccardThreshold)
+          .select(col("doc_b").as(idCol)).distinct()
+        exact.join(dropIds, Seq(idCol), "left_anti")
+      }
 
     // 3 + 4. quality floor, then redact
     deduped

@@ -202,7 +202,11 @@ object Dedup {
     * iteration (propagation join + update join), so each generation is
     * persisted and the previous one released — without it the plan would
     * re-derive generation i-1 twice and blow up exponentially. The
-    * driver-side loop reads only a changed-count aggregate, never data. */
+    * driver-side loop reads only a changed-count aggregate, never data.
+    *
+    * The returned frame stays persisted (its lineage runs through the
+    * whole loop); callers holding it long-term may `unpersist()` after
+    * materializing downstream results. */
   def connectedComponents(pairs: DataFrame, idA: String = "doc_a",
                           idB: String = "doc_b",
                           maxIter: Int = 25): DataFrame = {

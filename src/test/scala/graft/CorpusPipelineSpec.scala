@@ -24,6 +24,21 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(!out(4L).contains("@"))
   }
 
+  test("clean with transitive=true collapses a near-dup chain to one doc") {
+    // 1 ≈ 2 ≈ 3 form a chain (1 vs 3 differ by two words — below the 0.5
+    // pairwise threshold via 2); transitive closure keeps only doc 1
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today now"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (4L, "a completely different unrelated document about spark internals")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, jaccardThreshold = 0.5,
+        transitive = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 4L))
+  }
+
   test("clean is idempotent on an already-clean corpus") {
     val docs = Seq(
       (1L, "totally unique first document about spark windows and joins"),
