@@ -14,10 +14,13 @@ import org.apache.spark.sql.types.StructType
 object Sources {
 
   /** JSON-lines scan with an explicit schema — single pass, no inference
-    * job, malformed rows surface as nulls in a `_corrupt_record`-free
-    * PERMISSIVE parse (Spark default). */
-  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    * job. `mode` picks the malformed-record policy:
+    * PERMISSIVE (default — bad rows become all-null), DROPMALFORMED
+    * (bad rows vanish; fine for lossy corpus ingestion), FAILFAST
+    * (throw — for feeds where corruption must stop the pipeline). */
+  def readJson(spark: SparkSession, path: String, schema: StructType,
+               mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.schema(schema).option("mode", mode).json(path)
 
   /** Schema-inferred JSON scan — the reference's S1/S2 behavior
     * (etl_pipeline.py:110, :238): one inference pass, then the scan. */
@@ -49,11 +52,14 @@ object Sources {
     df.write.mode(mode)
 
   /** Parquet sink, optionally Hive-layout partitioned (K1–K3). Readers
-    * filtering on the partition columns get partition pruning for free. */
+    * filtering on the partition columns get partition pruning for free.
+    * `compression`: snappy (default, fast) or zstd (smaller — the usual
+    * pick when storage dominates compute at 100 TB). */
   def writeParquet(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Nil,
-                   mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = writer(df, mode)
+                   mode: SaveMode = SaveMode.Overwrite,
+                   compression: String = "snappy"): Unit = {
+    val w = writer(df, mode).option("compression", compression)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }

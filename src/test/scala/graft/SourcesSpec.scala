@@ -37,6 +37,28 @@ class SourcesSpec extends SparkTestBase {
       === rendered(sample))
   }
 
+  test("malformed JSON: PERMISSIVE nulls, DROPMALFORMED drops, FAILFAST throws") {
+    val p = s"$dir/bad.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """{"id": 1, "name": "ok"}
+        |this is not json
+        |{"id": 3, "name": "also ok"}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    assert(Sources.readJson(spark, p, schema).count() === 3,
+      "PERMISSIVE keeps the bad row as nulls")
+    assert(Sources.readJson(spark, p, schema, "DROPMALFORMED").count() === 2)
+    intercept[Exception] {
+      Sources.readJson(spark, p, schema, "FAILFAST").collect()
+    }
+  }
+
+  test("parquet zstd compression round-trips") {
+    Sources.writeParquet(sample, s"$dir/zstd", compression = "zstd")
+    assert(rendered(Sources.readParquet(spark, s"$dir/zstd")
+      .select("id", "name", "score", "yr")) === rendered(sample))
+  }
+
   test("ORC round-trip preserves schema and rows") {
     Sources.writeOrc(sample, s"$dir/orc")
     val back = Sources.readOrc(spark, s"$dir/orc")
