@@ -63,6 +63,66 @@ class PropertySpec extends SparkTestBase {
     }, samples = 10)
   }
 
+  test("property: asofJoin matches a reference merge on random event sets") {
+    import java.sql.Timestamp
+    val gen = for {
+      left <- Gen.listOfN(25, for {
+        k <- Gen.choose(0, 3); t <- Gen.choose(0L, 1000L)
+      } yield (k, t))
+      right <- Gen.listOfN(15, for {
+        k <- Gen.choose(0, 3); t <- Gen.choose(0L, 1000L); v <- Gen.choose(0, 99)
+      } yield (k, t, v))
+    } yield (left, right)
+    check(Prop.forAll(gen) { case (left0, right0) =>
+      // unique (k, ts) on both sides keeps the expected value well-defined
+      val left = left0.distinctBy(e => (e._1, e._2)).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t)) }
+      val right = right0.distinctBy(e => (e._1, e._2))
+        .map { case (k, t, v) => (k, new Timestamp(t), v.toDouble) }
+      left.isEmpty || right.isEmpty || {
+        val l = left.toDF("id", "k", "ts")
+        val r = right.toDF("k", "rts", "v")
+        val got = graft.operators.Joins.asofJoin(l, r, "k", "ts", "rts",
+            Seq("v"))
+          .select("id", "asof_v").collect()
+          .map(x => x.getLong(0) ->
+            (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+        val expect = left.map { case (id, k, ts) =>
+          val c = right.filter(e => e._1 == k && !e._2.after(ts))
+          id -> (if (c.isEmpty) None
+                 else Some(c.maxBy(_._2.getTime)._3))
+        }.toMap
+        got == expect
+      }
+    }, samples = 10)
+  }
+
+  test("property: rangeJoin equals the brute-force inequality join") {
+    val gen = for {
+      pts <- Gen.listOfN(30, Gen.choose(-50.0, 150.0))
+      ivs <- Gen.listOfN(8, for {
+        lo <- Gen.choose(-40.0, 120.0); len <- Gen.choose(0.0, 60.0)
+      } yield (lo, lo + len))
+    } yield (pts, ivs)
+    check(Prop.forAll(gen) { case (pts, ivs) =>
+      pts.isEmpty || ivs.isEmpty || {
+        val p = pts.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          .toDF("pid", "x")
+        val iv = ivs.zipWithIndex.map { case ((lo, hi), i) =>
+          (i.toLong, lo, hi) }.toDF("iid", "lo", "hi")
+        val got = graft.operators.Joins.rangeJoin(p, "x", iv, "lo", "hi", 10.0)
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        val expect = (for {
+          (i, x) <- pts.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          (j, lo, hi) <- ivs.zipWithIndex.map { case ((lo, hi), i) =>
+            (i.toLong, lo, hi) }
+          if x >= lo && x < hi
+        } yield (i, j)).toSet
+        got == expect
+      }
+    }, samples = 10)
+  }
+
   test("property: chained jaccard is within [0,1]; identical docs give 1") {
     val docGen = Gen.listOfN(6, Gen.listOfN(10,
       Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamOps
@@ -86,6 +87,35 @@ class StreamOpsSpec extends SparkTestBase {
       assert(rows === Set(
         (ts("2024-01-01 10:00:00"), "click", 2L),
         (ts("2024-01-01 11:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("windowedCounts drops events older than the watermark (late data)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    // Append mode: a window only emits once finalized by the watermark,
+    // and late events behind the watermark are dropped.
+    val q = StreamOps.windowedCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window (wm = 14:00 - 0:30)
+      in.addData(Ev(2, ts("2024-01-01 14:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is 3h behind the watermark — must be ignored
+      in.addData(Ev(3, ts("2024-01-01 10:20:00"), "click", 7.0))
+      q.processAllAvailable()
+      // one more batch so finalized windows flush
+      in.addData(Ev(4, ts("2024-01-01 15:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val tenOClock = spark.table(sink)
+        .filter(col("w_start") === ts("2024-01-01 10:00:00"))
+        .select("n_events").as[Long].collect()
+      assert(tenOClock.toSeq === Seq(1L),
+        "the 10:00 window holds only the on-time event; the late one dropped")
     } finally q.stop()
   }
 
