@@ -525,6 +525,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
                  col("l_linestatus").asc_nulls_first)),
 
+    // ---- grouping() indicator columns over a cube ----
+    "q_grouping_id" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping("l_returnflag").cast("long").as("g_rf"),
+             grouping("l_linestatus").cast("long").as("g_ls"),
+             count(lit(1)).as("n"))
+        .sort(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // ---- pivot (status counts per nation) ----
     "q_pivot" -> ((s, d) =>
       t(s, d, "orders")
@@ -1183,6 +1192,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_pivot" ->

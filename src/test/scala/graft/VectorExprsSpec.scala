@@ -69,6 +69,38 @@ class VectorExprsSpec extends SparkTestBase {
     assert(again === sigs(1L))
   }
 
+  test("interpreted eval path agrees with codegen for every expression") {
+    // nullSafeEval and doGenCode are independent implementations; force
+    // the interpreted factory and compare against the (default) codegen
+    // results for the full expression set.
+    val toksDf = Seq(
+      (1L, "alpha beta gamma delta epsilon", Array(1.0f, -2.0f, 3.5f),
+        Array(0.5f, 0.25f, -1.0f))
+    ).toDF("id", "text", "va", "vb")
+    def results(): Seq[Seq[String]] = rendered(toksDf.select(
+      VectorExprs.floatDot(col("va"), col("vb")),
+      VectorExprs.cosineSim(col("va"), col("vb")),
+      VectorExprs.simhash64(split(col("text"), " ")),
+      VectorExprs.minhashSig(split(col("text"), " "), 8),
+      VectorExprs.shingleHash64(split(col("text"), " "), 3),
+      VectorExprs.minhashFromHashes(
+        VectorExprs.shingleHash64(split(col("text"), " "), 3), 8),
+      VectorExprs.bandHashes64(
+        VectorExprs.minhashSig(split(col("text"), " "), 8), 4, 2),
+      VectorExprs.lshSign64(col("va"), 16)))
+    val viaCodegen = results()
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaInterp = results()
+      assert(viaInterp === viaCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("lshSign64: deterministic, scale-invariant, sign-flipping") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, -0.5f, 3.0f)),
