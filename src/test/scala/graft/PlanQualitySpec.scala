@@ -51,6 +51,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("top-k fuses sort and limit (TakeOrderedAndProject, no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit-after-orderBy must fuse into a bounded selection:\n$p")
+  }
+
+  test("window keep-first dedup gets the group-limit pushdown") {
+    // Spark 3.5+ rewrites rank<=k filters into WindowGroupLimit: each
+    // map task forwards at most k rows per key to the window sort
+    val p = plan("q_dedup_first")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 filter must push a per-group limit below the window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
