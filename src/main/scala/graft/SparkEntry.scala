@@ -401,15 +401,25 @@ object SparkEntry {
         .orderBy("media_id")),
 
     // ---- multimodal decode paths (stub codec, real dataflow; rows-only) ----
+    // features is ArrayType(Float); the harness compares scalar columns,
+    // so project the vector to a deterministic hash (decode still runs).
     "q_media_features" -> ((s, d) =>
       Multimodal.decodeFeatures(s,
           Multimodal.fromDocuments(docsSpread(s, d)), dim = 16)
-        .toDF().orderBy("media_id")),
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+                hash(col("features")).as("features_hash"))
+        .orderBy("media_id")),
+    // frame is binary; same comparable-scalar projection as q_media_features.
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(s,
           Multimodal.fromDocuments(docsSpread(s, d)),
           frameBytes = 32, stride = 2)
-        .toDF().orderBy("media_id", "frame_idx")),
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+                octet_length(col("frame")).as("frame_bytes"),
+                xxhash64(col("frame")).as("frame_hash"))
+        .orderBy("media_id", "frame_idx")),
 
     // ---- window analytics: lag / lead ----
     "q_window_lag_lead" -> ((s, d) => {

@@ -91,21 +91,28 @@ object Dedup {
     //     Jaccard absent 64-bit collisions), so verification needs no
     //     lookup back to string shingles — the compact long-array rides
     //     the band join instead of two re-derivations + two by-id joins.
-    //   - the empty-document guard is `length(text) > 0` — CHEAP, so its
-    //     pushdown into the scan stage is free (an expensive guard would
-    //     serialize the scan onto the source's input splits). Empty docs
-    //     would otherwise all share one degenerate LSH bucket.
+    //   - the empty-document guard drops docs that are empty after
+    //     whitespace removal — one linear regex pass, CHEAP, so
+    //     its pushdown into the scan stage is free (an expensive guard
+    //     would serialize the scan onto the source's input splits). Empty
+    //     AND whitespace-only docs would otherwise all share one
+    //     degenerate LSH bucket (their only "shingle" being the hash of
+    //     the empty/blank string) and verify against each other at
+    //     jaccard 1.0 — an all-pairs blowup on junk docs. The
+    //     size(hsh) > 0 filter is the backstop for any other
+    //     zero-shingle row.
     val toks = split(col(textCol), " ")
     val shHashes = VectorExprs.shingleHash64(toks, shingleN)
     val banded = Ops.spread(
         df.select(col(idCol).as("doc_id"), col(textCol))
-          .filter(length(col(textCol)) > 0),
+          .filter(length(regexp_replace(col(textCol), "\\s", "")) > 0),
         col("doc_id"))
       .select(col("doc_id"),
               array_distinct(shHashes).as("hsh"),
               VectorExprs.bandHashes64(
                 VectorExprs.minhashFromHashes(shHashes, numHashes),
                 bands, r).as("bh"))
+      .filter(size(col("hsh")) > 0)
       .select(col("doc_id"), col("hsh"), posexplode(col("bh")))
       .select(col("doc_id"), col("hsh"),
               col("pos").as("band_id"), col("col").as("band_hash"))
@@ -215,8 +222,12 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `persisted` always holds the plan that was actually .persist()ed —
+    // Dataset.unpersist only uncaches sameResult plans, so unpersisting a
+    // Project over the cached plan would silently leak every generation.
+    var persisted = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist(lvl)
+    var labels = persisted
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -229,11 +240,16 @@ object Dedup {
             .as("comp_new"))
         .persist(lvl)
       changed = updated.filter(col("comp_new") < col("comp")).count()
-      val prev = labels
+      persisted.unpersist()
+      persisted = updated
       labels = updated.select(col("id"), col("comp_new").as("comp"))
-      prev.unpersist()
       i += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter with $changed " +
+          "labels still changing — returned labels are NOT converged; " +
+          "raise maxIter for graphs with longer chains")
     edges.unpersist()
     labels
   }

@@ -23,13 +23,14 @@ object Mixing {
     * `key mod 100 < rate*100`. Fully deterministic — independent of
     * partitioning, cluster layout, and engine — which makes sampled
     * corpora reproducible and auditable (the property that matters for
-    * data lineage at 100 TB). Rates are truncated to percent
-    * granularity. Strata missing from `rates` are dropped. */
+    * data lineage at 100 TB). Rates are rounded to percent granularity
+    * (0.29 → 29%, not a float-error 28%). Strata missing from `rates`
+    * are dropped. */
   def systematicSampleByRates(df: DataFrame, strataCol: String,
                               keyCol: String,
                               rates: Map[String, Double]): DataFrame = {
     val pct: Column = rates.foldLeft(lit(0L)) { case (acc, (k, r)) =>
-      when(col(strataCol) === k, lit((r * 100).toLong)).otherwise(acc)
+      when(col(strataCol) === k, lit(math.round(r * 100))).otherwise(acc)
     }
     df.filter(pmod(col(keyCol), lit(100L)) < pct)
   }

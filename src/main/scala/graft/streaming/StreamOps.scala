@@ -56,35 +56,54 @@ object StreamOps {
                      sum_value: Double)
 
   /** Gap-based sessionization: events for a user belong to one session
-    * until `gapMs` of event-time silence; the closed session is emitted
-    * when the watermark passes end + gap (event-time timeout). State per
-    * user is four scalars — constant, watermark-bounded.
+    * until `gapMs` of event-time silence. Sessions close on BOTH paths:
+    * (a) the data path — within a batch (or between an incoming batch and
+    * the open state) the sorted events are split wherever the gap exceeds
+    * `gapMs`, and every session but the last is emitted immediately (this
+    * is what makes an AvailableNow catch-up replay, where a user's whole
+    * history lands in one batch, produce the same sessions as the live
+    * stream — matching EventOps.sessionizeBatch); (b) the timeout path —
+    * the still-open last session is emitted when the watermark passes
+    * end + gap (event-time timeout). State per user is four scalars —
+    * constant, watermark-bounded.
     *
     * Scale: state store is hash-partitioned by user_id across executors;
     * each micro-batch shuffles only that batch's events. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
+    def toSession(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
+        s.n, s.sum)
     def update(userId: Long, rows: Iterator[SessionEvent],
                state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(Session(userId, new Timestamp(s.startMs),
-          new Timestamp(s.endMs), s.n, s.sum))
+        Iterator(toSession(userId, s))
       } else {
-        val batch = rows.toSeq
-        val lo = batch.map(_.ts.getTime).min
-        val hi = batch.map(_.ts.getTime).max
-        val add = batch.map(_.value).sum
-        val next = state.getOption match {
-          case Some(s) => SessionState(math.min(s.startMs, lo),
-            math.max(s.endMs, hi), s.n + batch.size, s.sum + add)
-          case None => SessionState(lo, hi, batch.size.toLong, add)
+        // Same split rule as EventOps.sessionizeBatch: a gap STRICTLY
+        // greater than gapMs starts a new session.
+        val batch = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionState]
+        var cur = state.getOption
+        for (e <- batch) {
+          val t = e.ts.getTime
+          cur = cur match {
+            case Some(s) if t - s.endMs > gapMs =>
+              closed ::= s
+              Some(SessionState(t, t, 1L, e.value))
+            case Some(s) =>
+              // In-order or late-but-within-gap event: extend the session.
+              Some(SessionState(math.min(s.startMs, t),
+                math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+            case None => Some(SessionState(t, t, 1L, e.value))
+          }
         }
-        state.update(next)
-        state.setTimeoutTimestamp(next.endMs + gapMs)
-        Iterator.empty
+        val open = cur.get
+        state.update(open)
+        state.setTimeoutTimestamp(open.endMs + gapMs)
+        closed.reverseIterator.map(toSession(userId, _))
       }
     }
     events

@@ -296,7 +296,9 @@ object VectorExprs {
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val m = arr.numElements()
-      val cnt = math.max(m - n, 0) + 1
+      // No tokens → no shingles. Without this, every empty input would
+      // share the hash of the empty string — a degenerate LSH bucket.
+      val cnt = if (m == 0) 0 else math.max(m - n, 0) + 1
       val out = new Array[Long](cnt)
       var j = 0
       while (j < cnt) {
@@ -327,7 +329,7 @@ object VectorExprs {
         val i = ctx.freshName("i")
         s"""
            |int $m = $a.numElements();
-           |int $cnt = java.lang.Math.max($m - $n, 0) + 1;
+           |int $cnt = ($m == 0) ? 0 : java.lang.Math.max($m - $n, 0) + 1;
            |long[] $out = new long[$cnt];
            |for (int $j = 0; $j < $cnt; $j++) {
            |  int $end = java.lang.Math.min($j + $n, $m);

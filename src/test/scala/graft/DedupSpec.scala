@@ -56,6 +56,19 @@ class DedupSpec extends SparkTestBase {
     assert(j === 1.0)
   }
 
+  test("minhashNearDups ignores empty and whitespace-only documents") {
+    val junk = Seq(
+      (1L, ""), (2L, "   "), (3L, " "), (4L, "\t"),
+      (5L, "real content that says something meaningful about spark plans"),
+      (6L, "real content that says something meaningful about spark plans")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(junk, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((5L, 6L)),
+      "blank docs must not pair with each other at jaccard 1.0")
+  }
+
   test("simhash native expression matches the HOF formulation bit-for-bit") {
     val both = docs.select(
       Dedup.simhash(split(col("text"), " ")).as("native"),

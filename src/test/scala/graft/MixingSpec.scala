@@ -27,6 +27,18 @@ class MixingSpec extends SparkTestBase {
       docs, "source", "doc_id", Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))))
   }
 
+  test("systematicSampleByRates rounds rates to percent (no float truncation)") {
+    // 0.29 * 100 == 28.999999999999996 — truncation would keep only 28
+    // of each 100 ids; rounding keeps exactly 29.
+    val ids = (0L until 100L).map(i => (i, "s")).toDF("doc_id", "source")
+    val kept = Mixing.systematicSampleByRates(ids, "source", "doc_id",
+      Map("s" -> 0.29)).count()
+    assert(kept === 29L)
+    val kept57 = Mixing.systematicSampleByRates(ids, "source", "doc_id",
+      Map("s" -> 0.57)).count()
+    assert(kept57 === 57L)
+  }
+
   test("sampleByRates approximates requested rates for a fixed seed") {
     val out = Mixing.sampleByRates(docs, "source",
       Map("src0" -> 1.0, "src1" -> 0.5), seed = 7L)

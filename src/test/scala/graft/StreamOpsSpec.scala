@@ -119,6 +119,42 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize splits same-batch events separated by more than the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val sink = nextSink()
+    val q = StreamOps.sessionize(in.toDS(), gapMs = 5 * 60 * 1000L,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7's whole history in ONE batch (AvailableNow-style replay):
+      // [10:00, 10:02] then 30 min of silence then [10:32, 10:33].
+      in.addData(
+        SessionEvent(7L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(7L, ts("2024-01-01 10:02:00"), 2.0),
+        SessionEvent(7L, ts("2024-01-01 10:32:00"), 4.0),
+        SessionEvent(7L, ts("2024-01-01 10:33:00"), 8.0))
+      q.processAllAvailable()
+      // The first session closes on the data path, before any timeout.
+      val early = spark.table(sink)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(early === Set(
+        (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:02:00"), 2L, 3.0)))
+      // Advance the watermark so the second session times out too.
+      in.addData(SessionEvent(99L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(99L, ts("2024-01-01 12:00:01"), 0.0))
+      q.processAllAvailable()
+      val all = spark.table(sink)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(all.contains(
+        (7L, ts("2024-01-01 10:32:00"), ts("2024-01-01 10:33:00"), 2L, 12.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the event-time gap and emits once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]

@@ -53,6 +53,27 @@ class VectorExprsSpec extends SparkTestBase {
     assert(out(1) !== out(3), "different tokens → different signature")
   }
 
+  test("shingleHash64: empty token array → empty shingle set (both paths)") {
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("only")),
+      (3L, Seq("a", "b"))
+    ).toDF("id", "toks")
+    def sizes(): Map[Long, Int] =
+      df.select(col("id"), size(VectorExprs.shingleHash64(col("toks"), 3)).as("n"))
+        .as[(Long, Int)].collect().toMap
+    val viaCodegen = sizes()
+    assert(viaCodegen === Map(1L -> 0, 2L -> 1, 3L -> 1),
+      "no tokens → no shingles; short arrays → one shingle")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(sizes() === viaCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("minhashSig: signature of a superset is elementwise <= subset's") {
     val df = Seq(
       (1L, Seq("a", "b", "c")),
