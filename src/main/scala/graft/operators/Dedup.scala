@@ -225,8 +225,14 @@ object Dedup {
     // `persisted` always holds the plan that was actually .persist()ed —
     // Dataset.unpersist only uncaches sameResult plans, so unpersisting a
     // Project over the cached plan would silently leak every generation.
-    var persisted = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist(lvl)
+    // Initial labels fold the first propagation round into one
+    // aggregation: comp = min(id, min direct neighbor). Near-dup clusters
+    // are mostly cliques/stars, so this alone converges most components
+    // and the loop typically exits after a single verification round.
+    var persisted = edges
+      .groupBy(col("src").as("id")).agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("comp"))
+      .persist(lvl)
     var labels = persisted
     var changed = 1L
     var i = 0

@@ -166,9 +166,18 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Candidate
     * generation via LSH band buckets (same plan shape as minhashNearDups —
-    * no n² cross join). */
+    * no n² cross join).
+    *
+    * Default 64 planes in 4 bands of 16 bits: a random pair collides on a
+    * band with p = 2^-16, so candidate volume stays ~n²/65536 per band —
+    * near-linear until corpora of tens of millions of vectors per
+    * partition-group. Recall for a true pair at cosine 0.99 is
+    * 1-(1-(1-θ/π)^16)^4 ≈ 0.93, and exact duplicates always collide on
+    * every band. The old 4-bit bands (16 buckets!) made candidate
+    * generation effectively all-pairs. More bands raise recall at
+    * candidate-volume cost; callers tune per threshold. */
   def cosineNearDups(df: DataFrame, threshold: Double,
-                     numPlanes: Int = 16, bands: Int = 4,
+                     numPlanes: Int = 64, bands: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     require(numPlanes % bands == 0)
