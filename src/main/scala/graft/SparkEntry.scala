@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, EventOps, Joins, Mixing, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Joins, Mixing, Multimodal, Ngrams, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -808,6 +808,37 @@ object SparkEntry {
     // E7 approximate distinct (HLL sketch — engine-specific values)
     "q_approx_users" -> ((s, d) =>
       EventOps.approxDistinctUsers(t(s, d, "events")).orderBy("event_type")),
+
+    // ---- E19 corpus statistics / decontamination (Ngrams) ----
+    "q_vocab" -> ((s, d) =>
+      Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
+    "q_tfidf" -> ((s, d) =>
+      Ngrams.tfidf(
+          t(s, d, "documents").filter(col("doc_id") < 100), minDf = 2)
+        .orderBy("doc_id", "tok")),
+    "q_ngram_counts" -> ((s, d) =>
+      Ngrams.ngramCounts(docsSpread(s, d), n = 3, minCount = 3)
+        .orderBy("ngram")),
+    "q_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      Ngrams.decontaminate(
+          docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100), n = 8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+    "q_rep_ratio" -> ((s, d) =>
+      Ngrams.repetitionRatio(docsSpread(s, d), n = 3).orderBy("doc_id")),
+
+    // ---- window analytics: quantile binning via ntile ----
+    "q_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
   )
 
   /** Corpus + copies with the last two tokens dropped and shifted ids —
@@ -1352,5 +1383,68 @@ object SparkEntry {
         |  CASE WHEN NULLIF(p_size, 1) IS NULL THEN 'unit'
         |       ELSE 'multi' END AS size_class
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5
+        |ORDER BY tok""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM d),
+        |per_doc AS (SELECT doc_id, tok, COUNT(*) AS tf
+        |            FROM tokens GROUP BY doc_id, tok),
+        |dfv AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokens
+        |        GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 2),
+        |n AS (SELECT COUNT(*) AS n_docs FROM d)
+        |SELECT per_doc.doc_id, per_doc.tok, per_doc.tf,
+        |  CAST(per_doc.tf AS DOUBLE) * n.n_docs / dfv.df AS score
+        |FROM per_doc JOIN dfv USING (tok) CROSS JOIN n
+        |ORDER BY doc_id, tok""".stripMargin,
+
+    "q_ngram_counts" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT array_to_string(w[i:i+2], ' ') AS ngram
+        |      FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+        |      WHERE len(w) >= 3)
+        |SELECT ngram, COUNT(*) AS cnt FROM g
+        |GROUP BY ngram HAVING COUNT(*) >= 3
+        |ORDER BY ngram""".stripMargin,
+
+    "q_decontam" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id >= 100),
+        |ev AS (SELECT string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id < 100),
+        |evg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        |        FROM ev, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |trg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+        |        FROM tr, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |bad AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (g))
+        |SELECT doc_id FROM tr
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_rep_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS ng
+        |      FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+        |      WHERE len(w) >= 3)
+        |SELECT doc_id, COUNT(*) AS n_total,
+        |  COUNT(DISTINCT ng) AS n_distinct,
+        |  1.0 - CAST(COUNT(DISTINCT ng) AS DOUBLE) / COUNT(*) AS rep_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExprs
+
+/** Corpus-statistics and decontamination operators: vocabulary / TF-IDF
+  * builds, n-gram frequency tables, benchmark decontamination (test-set
+  * n-gram overlap), and Gopher-style repetition filtering.
+  *
+  * Tokenization is `split(text, " ")` throughout — the same convention as
+  * TextAnalysis and the DuckDB oracles (`string_split(text, ' ')`).
+  *
+  * Scale notes: every operator is a shuffle-by-key aggregation or an
+  * ids-only semi/anti join. Decontamination and repetition run on hashed
+  * n-grams (native codegen'd ShingleHash64) so the shuffled keys are
+  * fixed-width longs, not strings; the frequency tables keep string
+  * n-grams because the token itself is the output.
+  */
+object Ngrams {
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Full word n-gram array (non-distinct, full windows only): docs
+    * shorter than `n` tokens yield an empty array. */
+  def ngramArray(textCol: Column, n: Int): Column = {
+    val t = toks(textCol)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Vocabulary with corpus statistics: one row per token with its total
+    * occurrence count (tf) and document frequency (df), floored at
+    * `minDf`. One explode + one hash aggregation — partial counts
+    * combine map-side; df uses count(distinct doc) which Spark plans as
+    * a two-level aggregate, still a single shuffle family on the token
+    * key. */
+  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", minDf: Long = 1L): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(toks(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc")).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** TF-IDF-style weights per (doc, token). The rarity factor is the
+    * rational N/df rather than ln(N/df): exact in Double, so scores are
+    * bit-reproducible across engines (the DuckDB oracle hash-compares
+    * them); swap in `log(...)` for a production ranking build. The df
+    * table aggregates over the FULL corpus, then broadcasts back onto
+    * the per-doc counts — document scoring never re-shuffles the corpus
+    * by doc. */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", minDf: Long = 1L): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
+    val perDoc = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = vocabulary(docs, idCol, textCol, minDf)
+      .select(col("tok"), col("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    perDoc.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("score"))
+  }
+
+  /** Word n-gram frequency table: (ngram, count), floored at `minCount`.
+    * The classic stopword-phrase / boilerplate-mining primitive. */
+  def ngramCounts(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                  textCol: String = "text", minCount: Long = 1L): DataFrame =
+    docs.select(explode(ngramArray(col(textCol), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Benchmark decontamination: remove from `train` every document that
+    * shares at least one word `n`-gram with `eval` — the standard guard
+    * against test-set leakage into training corpora.
+    *
+    * Both sides explode to (id, ngram-hash) with the native
+    * ShingleHash64 (distinct per doc), and contaminated ids come from
+    * one equi-join on the hash — fixed-width keys, ids only, no text
+    * moves through the shuffle. Hash collisions (2^-64) can only
+    * over-remove, never leak. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, out: String) =
+      df.filter(size(toks(col(textCol))) >= n) // no partial windows
+        .select(col(idCol).as(out),
+          explode(array_distinct(
+            VectorExprs.shingleHash64(toks(col(textCol)), n))).as("g"))
+    val contaminated = grams(train, "train_id")
+      .join(grams(eval, "eval_id").select("g").distinct(), "g")
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Gopher-style repetition statistics: per document, the number of
+    * full word n-gram windows, the number of distinct ones, and the
+    * duplicate fraction rep_ratio = 1 - distinct/total. Docs with fewer
+    * than `n` tokens are dropped (no windows). Entirely per-row native
+    * expressions — zero shuffle. */
+  def repetitionRatio(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    val hashes = VectorExprs.shingleHash64(t, n)
+    docs
+      .filter(size(t) >= n)
+      .select(col(idCol),
+        (size(t) - n + 1).cast("long").as("n_total"),
+        size(array_distinct(hashes)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
+  }
+}

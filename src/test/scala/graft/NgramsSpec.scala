@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ngrams
+
+class NgramsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the rug"),
+    (3L, "cats and dogs and cats and dogs"),
+    (4L, "solo")
+  ).toDF("doc_id", "text")
+
+  test("vocabulary counts tf and df with a min-df floor") {
+    val v = Ngrams.vocabulary(docs, minDf = 1)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, tf, df) => t -> ((tf, df)) }.toMap
+    assert(v("the") === ((4L, 2L)), "4 occurrences across 2 docs")
+    assert(v("sat") === ((2L, 2L)))
+    assert(v("cats") === ((2L, 1L)))
+    assert(v("solo") === ((1L, 1L)))
+    val floored = Ngrams.vocabulary(docs, minDf = 2)
+      .select("tok").as[String].collect().toSet
+    assert(floored === Set("the", "sat", "on"))
+  }
+
+  test("tfidf: rational N/df scoring, rarer tokens score higher per count") {
+    val out = Ngrams.tfidf(docs)
+      .as[(Long, String, Long, Double)].collect()
+      .map { case (doc, tok, tf, score) => (doc, tok) -> ((tf, score)) }.toMap
+    // "the" in doc 1: tf=2, df=2, N=4 → 2*4/2 = 4.0
+    assert(out((1L, "the")) === ((2L, 4.0)))
+    // "cat" in doc 1: tf=1, df=1 → 1*4/1 = 4.0
+    assert(out((1L, "cat")) === ((1L, 4.0)))
+    // "on" in doc 2: tf=1, df=2 → 2.0 — common token scores lower
+    assert(out((2L, "on")) === ((1L, 2.0)))
+  }
+
+  test("ngramCounts: shared trigram counted across docs, full windows only") {
+    val c = Ngrams.ngramCounts(docs, n = 3)
+      .as[(String, Long)].collect().toMap
+    assert(c("sat on the") === 2L, "appears in docs 1 and 2")
+    assert(c("cats and dogs") === 2L, "repeated within doc 3")
+    assert(!c.contains("solo"), "docs shorter than n yield no windows")
+    // floor keeps "sat on the" (cross-doc) and "cats and dogs" (in-doc)
+    assert(Ngrams.ngramCounts(docs, n = 3, minCount = 2).count() === 2L)
+  }
+
+  test("decontaminate drops train docs sharing an n-gram with eval") {
+    val train = docs
+    val eval = Seq((100L, "a cat sat on the mat yesterday")).toDF("doc_id", "text")
+    // shared 4-gram "sat on the mat" contaminates doc 1 only
+    val kept = Ngrams.decontaminate(train, eval, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 4L))
+    // n larger than any shared window → nothing dropped
+    assert(Ngrams.decontaminate(train, eval, n = 7).count() === 4L)
+  }
+
+  test("repetitionRatio flags the repetitive doc, drops short docs") {
+    val r = Ngrams.repetitionRatio(docs, n = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, tot, dist, ratio) => id -> ((tot, dist, ratio)) }.toMap
+    assert(!r.contains(4L), "single-token doc has no bigram windows")
+    assert(r(1L)._3 === 0.0, "no repeated bigram in doc 1")
+    // doc 3 bigrams: 6 windows, 4 distinct (cats-and, and-dogs, dogs-and,
+    // and-cats) → ratio 2/6
+    assert(r(3L)._1 === 6L && r(3L)._2 === 4L)
+    assert(math.abs(r(3L)._3 - 2.0 / 6.0) < 1e-15)
+  }
+}
