@@ -44,6 +44,27 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("decontamination joins on hashed n-grams, never nested-loop") {
+    val p = plan("q_decontam")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"hashed-shingle overlap must stay equi-join shaped:\n$p")
+  }
+
+  test("tfidf broadcasts the corpus-size scalar") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row n_docs side must broadcast, not shuffle:\n$p")
+  }
+
+  test("repetition ratio is per-row — only the output sort exchanges") {
+    val p = plan("q_rep_ratio")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      s"per-row n-gram stats must not aggregate or window:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"expected only the final sort's range exchange:\n$p")
+  }
+
   test("flagship entry: dims broadcast, fact side streams") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.sliding("BroadcastHashJoin".length)
