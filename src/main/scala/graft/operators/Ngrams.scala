@@ -22,14 +22,11 @@ object Ngrams {
   private def toks(textCol: Column): Column = split(textCol, " ")
 
   /** Full word n-gram array (non-distinct, full windows only): docs
-    * shorter than `n` tokens yield an empty array. */
-  def ngramArray(textCol: Column, n: Int): Column = {
-    val t = toks(textCol)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * shorter than `n` tokens yield an empty array. Native codegen'd
+    * expression — one tight loop per row instead of an interpreted
+    * transform + slice + concat_ws per window. */
+  def ngramArray(textCol: Column, n: Int): Column =
+    VectorExprs.shingleStrings(toks(textCol), n)
 
   /** Vocabulary with corpus statistics: one row per token with its total
     * occurrence count (tf) and document frequency (df), floored at

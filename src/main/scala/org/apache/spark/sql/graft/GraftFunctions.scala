@@ -67,6 +67,11 @@ object GraftFunctions {
       need(2, "graft_lsh_sign64")(args)
       VectorExprs.LshSign64(args(0),
         intLit(args(1), "graft_lsh_sign64", "numPlanes"))
+    },
+    "graft_shingle_strings" -> { args =>
+      need(2, "graft_shingle_strings")(args)
+      VectorExprs.ShingleStrings(args(0),
+        intLit(args(1), "graft_shingle_strings", "n"))
     })
 
   def expressionInfo(name: String): ExpressionInfo =

@@ -457,6 +457,72 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Word n-gram shingle STRINGS of a token array — full windows only:
+    * out[j] = concat_ws(" ", tokens[j ..< j+n]) for j in 0 .. len-n, and
+    * an empty array when len < n. The string twin of [[ShingleHash64]],
+    * for operators whose output IS the n-gram (frequency tables); one
+    * codegen'd loop instead of interpreted transform + slice + concat_ws
+    * per window. */
+  case class ShingleStrings(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n > 0)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_shingle_strings"
+
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val cnt = if (m < n) 0 else m - n + 1
+      val out = new Array[AnyRef](cnt)
+      var j = 0
+      while (j < cnt) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var i = 0
+        while (i < n) {
+          parts(i) =
+            if (arr.isNullAt(j + i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+            else arr.getUTF8String(j + i)
+          i += 1
+        }
+        out(j) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      val sepRef = ctx.addMutableState(u, "shingleStrSep",
+        v => s"""$v = $u.fromString(" ");""")
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.freshName("m"); val cnt = ctx.freshName("cnt")
+        val out = ctx.freshName("out"); val j = ctx.freshName("j")
+        val parts = ctx.freshName("parts"); val i = ctx.freshName("i")
+        s"""
+           |int $m = $a.numElements();
+           |int $cnt = ($m < $n) ? 0 : $m - $n + 1;
+           |Object[] $out = new Object[$cnt];
+           |for (int $j = 0; $j < $cnt; $j++) {
+           |  $u[] $parts = new $u[$n];
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $parts[$i] = $a.isNullAt($j + $i)
+           |      ? $u.EMPTY_UTF8 : $a.getUTF8String($j + $i);
+           |  }
+           |  $out[$j] = $u.concatWs($sepRef, $parts);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def floatDot(a: Column, b: Column): Column =
@@ -482,4 +548,7 @@ object VectorExprs {
 
   def lshSign64(vec: Column, numPlanes: Int): Column =
     ExprBridge.column(LshSign64(ExprBridge.expression(vec), numPlanes))
+
+  def shingleStrings(tokens: Column, n: Int): Column =
+    ExprBridge.column(ShingleStrings(ExprBridge.expression(tokens), n))
 }

@@ -74,6 +74,20 @@ class VectorExprsSpec extends SparkTestBase {
     }
   }
 
+  test("shingleStrings matches the HOF slice/concat formulation, full windows only") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b")),          // shorter than n → empty
+      (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val out = df.select(col("id"),
+        VectorExprs.shingleStrings(col("toks"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("a b c", "b c d"))
+    assert(out(2L) === Seq.empty)
+    assert(out(3L) === Seq.empty)
+  }
+
   test("minhashSig: signature of a superset is elementwise <= subset's") {
     val df = Seq(
       (1L, Seq("a", "b", "c")),
@@ -108,7 +122,8 @@ class VectorExprsSpec extends SparkTestBase {
         VectorExprs.shingleHash64(split(col("text"), " "), 3), 8),
       VectorExprs.bandHashes64(
         VectorExprs.minhashSig(split(col("text"), " "), 8), 4, 2),
-      VectorExprs.lshSign64(col("va"), 16)))
+      VectorExprs.lshSign64(col("va"), 16),
+      VectorExprs.shingleStrings(split(col("text"), " "), 3)))
     val viaCodegen = results()
     val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
