@@ -830,6 +830,16 @@ object SparkEntry {
     "q_rep_ratio" -> ((s, d) =>
       Ngrams.repetitionRatio(docsSpread(s, d), n = 3).orderBy("doc_id")),
 
+    // ---- window analytics: distribution functions ----
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
     // ---- window analytics: quantile binning via ntile ----
     "q_ntile" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -1446,5 +1456,12 @@ object SparkEntry {
         |  ntile(4) OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT c_nationkey, c_custkey,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
   )
 }

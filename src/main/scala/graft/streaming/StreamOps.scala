@@ -47,6 +47,15 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each micro-batch left-joins the
+    * (small, batch) dimension. The dimension broadcasts, so enrichment
+    * never shuffles the stream; Spark re-plans the static side per
+    * batch, picking up dimension updates between batches for file-backed
+    * dims. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // ---- sessionization via flatMapGroupsWithState ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -119,6 +119,27 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichStream: stream-static left join keeps unmatched events") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1.0), ("view", 0.1)).toDF("event_type", "weight")
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = StreamOps.enrichStream(in.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(2, ts("2024-01-01 10:00:01"), "install", 2.0)) // not in dim
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("event_id", "weight").as[(Long, Option[Double])]
+        .collect().toMap
+      assert(rows(1L).contains(1.0))
+      assert(rows(2L).isEmpty, "left join: unmatched event survives with null")
+    } finally q.stop()
+  }
+
   test("sessionize splits same-batch events separated by more than the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
