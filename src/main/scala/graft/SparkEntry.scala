@@ -735,6 +735,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- salted skew join: result must equal the plain join (oracle) ----
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey").as("pk"), col("l_quantity"))
+      val p = t(s, d, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      Joins.saltedJoin(li, p, "pk")
+        .select("l_orderkey", "l_linenumber", "pk", "l_quantity", "p_brand")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- range join: events bucketed into value bands ----
     "q_range_join" -> ((s, d) => {
       import s.implicits._
@@ -1463,5 +1475,11 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    // the salted formulation must be indistinguishable from the plain join
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey AS pk, l_quantity, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }
