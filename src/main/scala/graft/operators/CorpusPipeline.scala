@@ -26,9 +26,14 @@ object CorpusPipeline {
             transitive: Boolean = false): DataFrame = {
     val id = col(idCol); val text = col(textCol)
 
-    // 1. exact: keep the smallest id per identical text
-    val exact = Dedup.dedupKeepFirst(
-      docs.select(id, text), Seq(text), Seq(id))
+    // 1. exact: keep the smallest id per identical text. groupBy + min
+    //    rather than the window formulation: with only (id, text) in
+    //    flight they are equivalent, and the aggregate combines map-side
+    //    (duplicate texts collapse before the shuffle — the window form
+    //    ships every row and sorts per group).
+    val exact = docs.select(id, text)
+      .groupBy(text).agg(min(id).as(idCol))
+      .select(id, text)
 
     // 2. near-dup removal. Pairwise (default): drop the larger id of each
     //    verified pair — the standard one-pass production choice.
