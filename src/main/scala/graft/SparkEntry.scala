@@ -842,6 +842,14 @@ object SparkEntry {
     "q_rep_ratio" -> ((s, d) =>
       Ngrams.repetitionRatio(docsSpread(s, d), n = 3).orderBy("doc_id")),
 
+    // ---- E15 deterministic k-per-group sampling (bottom-k by hash) ----
+    "q_group_sample" -> ((s, d) =>
+      Mixing.deterministicGroupSample(
+          t(s, d, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderpriority", "o_orderkey", k = 5)
+        .orderBy("o_orderpriority", "o_orderkey")),
+
     // ---- window analytics: distribution functions ----
     "q_window_dist" -> ((s, d) => {
       val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
@@ -1475,6 +1483,15 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_group_sample" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey)
+        |      AS rk
+        |  FROM orders) WHERE rk <= 5
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     // the salted formulation must be indistinguishable from the plain join
     "q_salted_join" ->

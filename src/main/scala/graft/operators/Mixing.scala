@@ -35,6 +35,26 @@ object Mixing {
     df.filter(pmod(col(keyCol), lit(100L)) < pct)
   }
 
+  /** Deterministic k-per-group sample: keeps the k rows with the
+    * smallest Knuth multiplicative hash of `keyCol` within each group —
+    * a uniform-ish pseudo-random pick that is exactly reproducible
+    * across runs, partitionings, and engines (bottom-k-by-hash is the
+    * deterministic stand-in for reservoir sampling). One shuffle on the
+    * group key; the rank<=k filter gets the WindowGroupLimit pushdown,
+    * so map tasks forward at most k rows per group.
+    *
+    * `keyCol` must stay below ~3.4e9 so the multiply fits in a long
+    * (ANSI overflow would throw); hash wider keys down first. */
+  def deterministicGroupSample(df: DataFrame, groupCol: String,
+                               keyCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val h = pmod(col(keyCol) * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(groupCol).orderBy(h, col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Greedy fixed-budget shard assignment: within each `groupCol`
     * (ordered by `orderCol`), rows are packed into shards of at most
     * `budget` total `weightCol` (a row larger than the budget gets its

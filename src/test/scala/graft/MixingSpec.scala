@@ -47,6 +47,18 @@ class MixingSpec extends SparkTestBase {
     assert(counts("src1") > 25L && counts("src1") < 75L)
   }
 
+  test("deterministicGroupSample: k rows per group, reproducible, no helper col") {
+    val out = Mixing.deterministicGroupSample(docs, "source", "doc_id", 7)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet === Set(7L), "every stratum contributes exactly k")
+    assert(!out.columns.contains("__rk"))
+    assert(rendered(out) === rendered(
+      Mixing.deterministicGroupSample(docs, "source", "doc_id", 7)))
+    // k larger than the group → whole group kept
+    val all = Mixing.deterministicGroupSample(docs, "source", "doc_id", 1000)
+    assert(all.count() === docs.count())
+  }
+
   test("packByBudget: greedy shards respect the running budget") {
     val rows = Seq(
       (1L, "s", 400L), (2L, "s", 400L), (3L, "s", 400L), // cum-before 0,400,800
