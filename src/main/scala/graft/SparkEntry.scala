@@ -735,6 +735,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- forward as-of join: next purchase at-or-after each click ----
+    "q_asof_forward" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      Joins.asofJoinForward(clicks, purchases, "user_id", "ts", "pts",
+          Seq("pts", "value"), rightPrefix = "next_")
+        .select("event_id", "user_id", "next_pts", "next_value")
+        .orderBy("event_id")
+    }),
+
+    // ---- data-quality profiling: one-pass per-column statistics ----
+    "q_profile" -> ((s, d) =>
+      operators.Profiling.profile(t(s, d, "customer"),
+          Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("col_name")),
+
     // ---- salted skew join: result must equal the plain join (oracle) ----
     "q_salted_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -1399,6 +1418,43 @@ object SparkEntry {
         |      WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id, p.ts AS next_pts, p.value AS next_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_profile" ->
+      """SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |       n_distinct, min_s, max_s FROM (
+        |  SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    COUNT(DISTINCT c_custkey) AS n_distinct,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_s FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*),
+        |    SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT c_name),
+        |    CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_acctbal', COUNT(*),
+        |    SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT c_acctbal),
+        |    CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(*),
+        |    SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT c_mktsegment),
+        |    CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR)
+        |  FROM customer
+        |) ORDER BY col_name""".stripMargin,
 
     "q_range_join" ->
       """WITH bands(lo, hi, band) AS (VALUES

@@ -37,7 +37,25 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightVals: Seq[String],
-               rightPrefix: String = "asof_"): DataFrame = {
+               rightPrefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightVals, rightPrefix,
+      forward = false)
+
+  /** Forward as-of join: attaches the right row with the SMALLEST
+    * `rightTs` >= the left row's `leftTs` (inclusive) — the
+    * next-upcoming-event flavor. Same one-shuffle plan as [[asofJoin]],
+    * traversed in descending timestamp order. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String],
+                      rightPrefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightVals, rightPrefix,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightVals: Seq[String], rightPrefix: String,
+                       forward: Boolean): DataFrame = {
     val leftType = StructType(left.schema.fields)
     val l = left.select(
       Seq(col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
@@ -48,7 +66,12 @@ object Joins {
       Seq(col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
           lit(null).cast(leftType).as("__l")) ++
         rightVals.map(v => col(v).as(s"__r_$v")): _*)
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    // Backward scans timestamps ascending (running last = latest right
+    // <= left); forward scans descending (running last = earliest right
+    // >= left). Right rows sort before left on timestamp ties — the
+    // inclusive bound, in either direction.
+    val ord = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy("__k").orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
       df.withColumn(s"__f_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w))

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling: per-column statistics in ONE pass over the
+  * data — the pre-ingestion health check a corpus pipeline runs before
+  * committing a source.
+  */
+object Profiling {
+
+  /** Per-column profile of `cols`: row count, null count, distinct
+    * count, and min/max rendered as strings (one output row per column,
+    * heterogeneous types unified by the cast).
+    *
+    * All statistics compute in a single global aggregation — Spark
+    * plans the multi-column distinct counts with one Expand + aggregate
+    * family, so the input is scanned once regardless of how many
+    * columns are profiled. The per-column rows are then exploded from
+    * the single aggregate row: driver never touches data. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      col(s"__nulls_$c").as("n_nulls"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_s"),
+      col(s"__max_$c").as("max_s"))): _*)
+    one.select(explode(rows).as("p")).select("p.*")
+  }
+}

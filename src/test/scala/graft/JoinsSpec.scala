@@ -37,6 +37,32 @@ class JoinsSpec extends SparkTestBase {
     assert(out(5L) === Some(7.0))
   }
 
+  test("asofJoinForward: next match at-or-after, inclusive, null when none") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")), // before q1 → q1
+      (2L, "A", ts("2024-01-01 10:05:00")), // exactly at q1 → q1 (inclusive)
+      (3L, "A", ts("2024-01-01 10:20:00")), // between → q2
+      (4L, "A", ts("2024-01-01 11:00:00")), // after last quote → null
+      (5L, "B", ts("2024-01-01 09:30:00"))
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:05:00"), 100.0),
+      ("A", ts("2024-01-01 10:30:00"), 105.0),
+      ("B", ts("2024-01-01 10:00:00"), 7.0)
+    ).toDF("sym", "q_ts", "px")
+
+    val out = Joins.asofJoinForward(trades, quotes, "sym", "t_ts", "q_ts",
+        Seq("px"), rightPrefix = "q_")
+      .select("trade_id", "q_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L) === Some(100.0))
+    assert(out(2L) === Some(100.0), "equal timestamps match (inclusive)")
+    assert(out(3L) === Some(105.0))
+    assert(out(4L) === None, "no later quote")
+    assert(out(5L) === Some(7.0))
+  }
+
   test("asofJoin: preserves every left row and all left columns") {
     val left = Seq((1L, "A", ts("2024-01-01 00:00:00"), "payload"))
       .toDF("id", "k", "ts", "extra")

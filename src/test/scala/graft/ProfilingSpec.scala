@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile: one row per column with nulls, distincts, min/max strings") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(-1.0)),
+      (3L, Some("b"), None),
+      (4L, Some("a"), Some(2.5))
+    ).toDF("id", "s", "v")
+    val p = Profiling.profile(df, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") === (("id", 4L, 0L, 4L, "1", "4")))
+    assert(p("s") === (("s", 4L, 1L, 2L, "a", "b")))
+    assert(p("v") === (("v", 4L, 1L, 2L, "-1.0", "2.5")))
+  }
+
+  test("profile scans the input once (single aggregate family, no reread)") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val plan = Profiling.profile(df, Seq("id", "s"))
+      .queryExecution.executedPlan.toString
+    // multi-distinct goes through one Expand; there must be exactly one
+    // scan of the input in the plan
+    assert(plan.sliding("LocalTableScan".length)
+      .count(_ == "LocalTableScan") === 1, s"input must be scanned once:\n$plan")
+  }
+}
