@@ -56,6 +56,28 @@ object StreamOps {
                    key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream inner join: pairs left and right events on `key`
+    * whose event times lie within `within` of each other. Both sides
+    * carry watermarks and the join condition bounds the time skew, so
+    * each side buffers only `within + watermarkDelay` of state — the
+    * requirements Structured Streaming imposes for state cleanup in
+    * stream-stream joins.
+    *
+    * Column names must be disjoint apart from `key` (rename before
+    * joining); the output carries both sides' columns with one `key`. */
+  def joinStreamsWithin(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String,
+                        within: String = "1 hour",
+                        watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+      .drop(col(s"r.$key"))
+  }
+
   // ---- sessionization via flatMapGroupsWithState ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

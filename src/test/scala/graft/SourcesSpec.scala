@@ -87,6 +87,29 @@ class SourcesSpec extends SparkTestBase {
       s"partition filter must reach the scan:\n$scan")
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    // fact partitioned by yr; dim maps yr -> era, filtered to one era.
+    // DPP should inject a runtime subquery into the fact scan so only
+    // the matching yr partitions are read — the join-driven analogue of
+    // static partition pruning, and the mechanism that keeps star joins
+    // from scanning 100 TB of history for a one-month query.
+    val fact = (0 until 100).map(i => (i.toLong, 2018 + i % 4)).toDF("id", "yr")
+    Sources.writeParquet(fact, s"$dir/dpp_fact", partitionBy = Seq("yr"))
+    // the dim must be a real source (a local relation pre-filters at
+    // plan time, leaving no selective Filter for the DPP rule to use)
+    Sources.writeParquet(
+      Seq((2018, "old"), (2019, "old"), (2020, "new"), (2021, "new"))
+        .toDF("yr", "era"), s"$dir/dpp_dim")
+    val dim = Sources.readParquet(spark, s"$dir/dpp_dim")
+    val joined = Sources.readParquet(spark, s"$dir/dpp_fact")
+      .join(dim.filter(col("era") === "new"), "yr")
+    assert(joined.count() === 50)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a runtime pruning subquery:\n$plan")
+  }
+
   test("bucketed tables: equal bucketing joins with zero shuffle") {
     Sources.writeBucketed(sample.select("id", "name"), "src_left",
       bucketCols = Seq("id"), numBuckets = 4, sortCols = Seq("id"))

@@ -140,6 +140,32 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("joinStreamsWithin pairs events in the window, drops far-apart ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val sink = nextSink()
+    val q = StreamOps.joinStreamsWithin(
+        clicks.toDF().toDF("user_id", "cts", "click_id"),
+        purchases.toDF().toDF("user_id", "pts", "amount"),
+        "user_id", "cts", "pts", within = "1 hour")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1L),
+        (8L, ts("2024-01-01 10:00:00"), 2L))
+      purchases.addData(
+        (7L, ts("2024-01-01 10:30:00"), 9.99),   // within 1h of click 1
+        (8L, ts("2024-01-01 15:00:00"), 5.00))   // 5h later — outside
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("click_id", "amount").as[(Long, Double)].collect().toSet
+      assert(rows === Set((1L, 9.99)),
+        "only the within-window pair joins; no cross-user pairing")
+    } finally q.stop()
+  }
+
   test("sessionize splits same-batch events separated by more than the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
