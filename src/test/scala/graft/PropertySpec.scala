@@ -23,6 +23,50 @@ class PropertySpec extends SparkTestBase {
       k <- Gen.choose(0, 5); v <- Gen.choose(0, 9); x <- Gen.choose(0, 99)
     } yield (k, v, x))
 
+  test("property: sampling operators are layout-independent") {
+    // the reproducibility contract: repartitioning the input must not
+    // change which rows a deterministic sampler keeps
+    check(Prop.forAll(rowsGen, Gen.choose(1, 9)) { (rows, parts) =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v", "x")
+          .select(col("x").cast("long").as("key"),
+                  concat(lit("s"), col("k")).as("src"))
+          .dropDuplicates("key")
+        val rates = Map("s0" -> 0.5, "s1" -> 0.29, "s2" -> 1.0)
+        val a = operators.Mixing.systematicSampleByRates(df, "src", "key", rates)
+        val b = operators.Mixing.systematicSampleByRates(
+          df.repartition(parts), "src", "key", rates)
+        rendered(a.orderBy("key")) == rendered(b.orderBy("key")) && {
+          val ga = operators.Mixing.deterministicGroupSample(df, "src", "key", 3)
+          val gb = operators.Mixing.deterministicGroupSample(
+            df.repartition(parts), "src", "key", 3)
+          rendered(ga.orderBy("key")) == rendered(gb.orderBy("key"))
+        }
+      }
+    }, samples = 8)
+  }
+
+  test("property: decontaminate output never contains an eval n-gram") {
+    val docGen: Gen[List[(Long, String)]] = Gen.listOfN(12, for {
+      id <- Gen.choose(0L, 999L)
+      words <- Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d"))
+    } yield (id, words.mkString(" ")))
+    check(Prop.forAll(docGen, docGen) { (trainRows, evalRows) =>
+      trainRows.isEmpty || evalRows.isEmpty || {
+        val train = trainRows.toDF("doc_id", "text").dropDuplicates("doc_id")
+        val eval = evalRows.toDF("doc_id", "text")
+        val kept = operators.Ngrams.decontaminate(train, eval, n = 3)
+        val evalGrams = eval
+          .select(explode(operators.Ngrams.ngramArray(col("text"), 3)).as("g"))
+          .distinct()
+        val keptGrams = kept
+          .select(explode(operators.Ngrams.ngramArray(col("text"), 3)).as("g"))
+        // soundness: no kept doc shares a trigram with eval
+        keptGrams.join(evalGrams, "g").count() == 0L
+      }
+    }, samples = 8)
+  }
+
   test("property: dedupKeepFirst is idempotent and emits one row per key") {
     check(Prop.forAll(rowsGen) { rows =>
       rows.isEmpty || {
