@@ -211,9 +211,9 @@ object Dedup {
     * re-derive generation i-1 twice and blow up exponentially. The
     * driver-side loop reads only a changed-count aggregate, never data.
     *
-    * The returned frame stays persisted (its lineage runs through the
-    * whole loop); callers holding it long-term may `unpersist()` after
-    * materializing downstream results. */
+    * The returned frame is persisted and already materialized (its
+    * lineage runs through the whole loop); callers release it with
+    * `unpersist()` when done. */
   def connectedComponents(pairs: DataFrame, idA: String = "doc_a",
                           idB: String = "doc_b",
                           maxIter: Int = 25): DataFrame = {
@@ -257,7 +257,15 @@ object Dedup {
           "labels still changing — returned labels are NOT converged; " +
           "raise maxIter for graphs with longer chains")
     edges.unpersist()
-    labels
+    // Persist (and materialize) the result projection itself, then drop
+    // the final generation's cache: the returned handle is the cached
+    // plan, so a caller's unpersist() actually releases it — a Project
+    // over a cached plan would not (unpersist matches sameResult plans
+    // only).
+    val result = labels.persist(lvl)
+    result.count()
+    persisted.unpersist()
+    result
   }
 
   /** Cluster-level near-dup removal: keep one representative (the

@@ -69,8 +69,12 @@ object Joins {
     // Backward scans timestamps ascending (running last = latest right
     // <= left); forward scans descending (running last = earliest right
     // >= left). Right rows sort before left on timestamp ties — the
-    // inclusive bound, in either direction.
-    val ord = if (forward) col("__ts").desc else col("__ts").asc
+    // inclusive bound, in either direction. Null timestamps sort FIRST
+    // in both directions so a null-ts left row matches nothing (desc's
+    // default NULLS LAST would hand it the whole right side's last
+    // value).
+    val ord = if (forward) col("__ts").desc_nulls_first
+              else col("__ts").asc_nulls_first
     val w = Window.partitionBy("__k").orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>

@@ -48,8 +48,12 @@ object Mixing {
   def deterministicGroupSample(df: DataFrame, groupCol: String,
                                keyCol: String, k: Int): DataFrame = {
     require(k > 0)
+    // Null keys hash to null; push them LAST (Spark's ascending default
+    // is nulls first, which would hand the whole sample to junk rows)
+    // — also DuckDB's default, keeping the oracle formulation aligned.
     val h = pmod(col(keyCol) * lit(2654435761L), lit(4294967296L))
-    val w = Window.partitionBy(groupCol).orderBy(h, col(keyCol))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(h.asc_nulls_last, col(keyCol).asc_nulls_last)
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")

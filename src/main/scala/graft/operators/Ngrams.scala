@@ -53,10 +53,14 @@ object Ngrams {
     val tokens = docs
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
     val perDoc = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = vocabulary(docs, idCol, textCol, minDf)
-      .select(col("tok"), col("df"))
+    // df derives from perDoc (each (doc, tok) row = one containing doc)
+    // rather than a second tokenize-and-explode of the corpus — one
+    // explode pass total; only the count(*) for N re-touches docs, and
+    // that scan is column-pruned to nothing.
+    val dfTbl = perDoc.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
     val n = docs.select(count(lit(1)).as("n_docs"))
-    perDoc.join(df, "tok")
+    perDoc.join(dfTbl, "tok")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf"),
         (col("tf").cast("double") * col("n_docs") / col("df")).as("score"))

@@ -114,26 +114,28 @@ object StreamOps {
         Iterator(toSession(userId, s))
       } else {
         // Same split rule as EventOps.sessionizeBatch: a gap STRICTLY
-        // greater than gapMs starts a new session.
-        val batch = rows.toSeq.sortBy(_.ts.getTime)
+        // greater than gapMs starts a new session. The open state enters
+        // the timeline as an interval and everything merges in start
+        // order, so a late event more than gapMs BEFORE the open
+        // session's start becomes its own (immediately emitted) session
+        // instead of being absorbed — and late events within gap of each
+        // other coalesce before emission.
+        val segments = (state.getOption.toList ++
+            rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+          .sortBy(s => (s.startMs, s.endMs))
         var closed = List.empty[SessionState]
-        var cur = state.getOption
-        for (e <- batch) {
-          val t = e.ts.getTime
-          cur = cur match {
-            case Some(s) if t - s.endMs > gapMs =>
-              closed ::= s
-              Some(SessionState(t, t, 1L, e.value))
-            case Some(s) =>
-              // In-order or late-but-within-gap event: extend the session.
-              Some(SessionState(math.min(s.startMs, t),
-                math.max(s.endMs, t), s.n + 1, s.sum + e.value))
-            case None => Some(SessionState(t, t, 1L, e.value))
+        var cur = segments.head
+        for (s <- segments.tail) {
+          if (s.startMs - cur.endMs > gapMs) {
+            closed ::= cur
+            cur = s
+          } else {
+            cur = SessionState(cur.startMs, math.max(cur.endMs, s.endMs),
+              cur.n + s.n, cur.sum + s.sum)
           }
         }
-        val open = cur.get
-        state.update(open)
-        state.setTimeoutTimestamp(open.endMs + gapMs)
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.endMs + gapMs)
         closed.reverseIterator.map(toSession(userId, _))
       }
     }

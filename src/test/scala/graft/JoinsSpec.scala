@@ -63,6 +63,21 @@ class JoinsSpec extends SparkTestBase {
     assert(out(5L) === Some(7.0))
   }
 
+  test("asof joins: a null left timestamp matches nothing in either direction") {
+    val trades = Seq(
+      (1L, "A", Option(ts("2024-01-01 10:10:00"))),
+      (2L, "A", Option.empty[Timestamp])
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(("A", ts("2024-01-01 10:05:00"), 100.0))
+      .toDF("sym", "q_ts", "px")
+    for (j <- Seq(Joins.asofJoin _, Joins.asofJoinForward _)) {
+      val out = j(trades, quotes, "sym", "t_ts", "q_ts", Seq("px"), "q_")
+        .select("trade_id", "q_px").collect()
+        .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+      assert(out(2L), "null-ts row must stay unmatched")
+    }
+  }
+
   test("asofJoin: preserves every left row and all left columns") {
     val left = Seq((1L, "A", ts("2024-01-01 00:00:00"), "payload"))
       .toDF("id", "k", "ts", "extra")

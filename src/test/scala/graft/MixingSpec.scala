@@ -59,6 +59,17 @@ class MixingSpec extends SparkTestBase {
     assert(all.count() === docs.count())
   }
 
+  test("deterministicGroupSample: null keys never crowd out real rows") {
+    val withNulls = Seq(
+      (Some(1L), "s"), (Some(2L), "s"), (Some(3L), "s"),
+      (None: Option[Long], "s"), (None: Option[Long], "s")
+    ).toDF("doc_id", "source")
+    val kept = Mixing.deterministicGroupSample(withNulls, "source", "doc_id", 3)
+      .select("doc_id").as[Option[Long]].collect()
+    assert(kept.forall(_.isDefined), "nulls sort last, real keys win the sample")
+    assert(kept.length === 3)
+  }
+
   test("packByBudget: greedy shards respect the running budget") {
     val rows = Seq(
       (1L, "s", 400L), (2L, "s", 400L), (3L, "s", 400L), // cum-before 0,400,800

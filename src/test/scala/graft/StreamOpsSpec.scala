@@ -202,6 +202,31 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: late event far before the open session becomes its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val sink = nextSink()
+    // long watermark delay so the late event is still admitted
+    val q = StreamOps.sessionize(in.toDS(), gapMs = 5 * 60 * 1000L,
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(SessionEvent(7L, ts("2024-01-01 10:30:00"), 1.0))
+      q.processAllAvailable()
+      // 30 min late, far more than the 5-min gap before the open
+      // session's start — must NOT merge into [10:30, 10:30]
+      in.addData(SessionEvent(7L, ts("2024-01-01 10:00:00"), 2.0))
+      q.processAllAvailable()
+      val sessions = spark.table(sink)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(sessions === Set(
+        (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1L, 2.0)),
+        "the late predecessor closes on the data path; [10:30] stays open")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the event-time gap and emits once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
