@@ -264,11 +264,6 @@ object Dedup {
           "labels still changing — returned labels are NOT converged; " +
           "raise maxIter for graphs with longer chains")
     edges.unpersist()
-    // Persist (and materialize) the result projection itself, then drop
-    // the final generation's cache: the returned handle is the cached
-    // plan, so a caller's unpersist() actually releases it — a Project
-    // over a cached plan would not (unpersist matches sameResult plans
-    // only).
     labels
   }
 

@@ -62,7 +62,10 @@ object Joins {
           struct(left.columns.map(col).toIndexedSeq: _*).as("__l")) ++
         rightVals.map(v =>
           lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
-    val r = right.select(
+    // A right row with no timestamp can never legitimately match — and
+    // sorted nulls-first it would become a fallback value for every
+    // left row. Drop such rows up front.
+    val r = right.filter(col(rightTs).isNotNull).select(
       Seq(col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
           lit(null).cast(leftType).as("__l")) ++
         rightVals.map(v => col(v).as(s"__r_$v")): _*)
@@ -87,10 +90,17 @@ object Joins {
 
   /** Salted equi-join for skewed keys: a plain shuffle join sends every
     * row of a hot key to one reducer; here the big side's rows are
-    * spread across `salts` sub-keys (deterministic hash of a per-row id)
+    * spread across `salts` sub-keys (a hash of the whole row's content)
     * and the small side is replicated once per salt, so a hot key's work
     * fans out over `salts` reducers. Output rows are identical to
     * `big.join(small, key)` — salting only changes the shuffle layout.
+    *
+    * The salt hashes the row's columns, NOT monotonically_increasing_id
+    * or rand: those depend on partition layout and intra-partition
+    * order, so a stage retry could recompute a row with a different
+    * salt — a shuffle key — duplicating or dropping it. Content hashing
+    * is stable under retries; rows that are full duplicates share a
+    * salt, which only costs spreading for corpora of identical rows.
     *
     * Use when the small side is too big to broadcast but the big side's
     * key histogram is heavy-tailed (AQE's skew handling covers sort-merge
@@ -100,7 +110,7 @@ object Joins {
                  salts: Int = 16): DataFrame = {
     require(salts > 0)
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")

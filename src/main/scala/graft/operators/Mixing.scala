@@ -43,8 +43,10 @@ object Mixing {
     * group key; the rank<=k filter gets the WindowGroupLimit pushdown,
     * so map tasks forward at most k rows per group.
     *
-    * `keyCol` must stay below ~3.4e9 so the multiply fits in a long
-    * (ANSI overflow would throw); hash wider keys down first. */
+    * `keyCol` must be non-negative (Spark's pmod and SQL's sign-
+    * preserving % disagree on negatives, breaking the cross-engine
+    * claim) and below ~3.4e9 so the multiply fits in a long (ANSI
+    * overflow would throw); hash wider keys down first. */
   def deterministicGroupSample(df: DataFrame, groupCol: String,
                                keyCol: String, k: Int): DataFrame = {
     require(k > 0)

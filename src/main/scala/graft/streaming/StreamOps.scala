@@ -82,24 +82,30 @@ object StreamOps {
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
+  case class PendingSessions(xs: Seq[SessionState])
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long,
                      sum_value: Double)
 
   /** Gap-based sessionization: events for a user belong to one session
-    * until `gapMs` of event-time silence. Sessions close on BOTH paths:
-    * (a) the data path — within a batch (or between an incoming batch and
-    * the open state) the sorted events are split wherever the gap exceeds
-    * `gapMs`, and every session but the last is emitted immediately (this
-    * is what makes an AvailableNow catch-up replay, where a user's whole
-    * history lands in one batch, produce the same sessions as the live
-    * stream — matching EventOps.sessionizeBatch); (b) the timeout path —
-    * the still-open last session is emitted when the watermark passes
-    * end + gap (event-time timeout). State per user is four scalars —
-    * constant, watermark-bounded.
+    * until `gapMs` of event-time silence — the same split rule as
+    * EventOps.sessionizeBatch (a gap STRICTLY greater than gapMs starts
+    * a new session).
     *
-    * Scale: state store is hash-partitioned by user_id across executors;
-    * each micro-batch shuffles only that batch's events. */
+    * State per user is the list of pending sessions within the
+    * watermark horizon (usually one). Each invocation merges state and
+    * incoming events as intervals in start order — so late events land
+    * in, extend, or bridge earlier sessions exactly as a batch pass
+    * over the complete data would — and a session is emitted only once
+    * `end + gap` falls behind the watermark, when no admissible event
+    * can extend it anymore. Until then it stays in state, which is what
+    * makes an AvailableNow catch-up replay and the live stream produce
+    * identical sessions for data the watermark admitted.
+    *
+    * Scale: state store is hash-partitioned by user_id across
+    * executors; pending sessions per user are bounded by the watermark
+    * horizon / gap; each micro-batch shuffles only that batch's
+    * events. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -107,36 +113,33 @@ object StreamOps {
       Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs),
         s.n, s.sum)
     def update(userId: Long, rows: Iterator[SessionEvent],
-               state: GroupState[SessionState]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
+               state: GroupState[PendingSessions]): Iterator[Session] = {
+      val wm = state.getCurrentWatermarkMs()
+      val segments = (state.getOption.map(_.xs).getOrElse(Seq.empty) ++
+          rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+        .sortBy(s => (s.startMs, s.endMs))
+      if (segments.isEmpty) {
         state.remove()
-        Iterator(toSession(userId, s))
+        Iterator.empty
       } else {
-        // Same split rule as EventOps.sessionizeBatch: a gap STRICTLY
-        // greater than gapMs starts a new session. The open state enters
-        // the timeline as an interval and everything merges in start
-        // order, so a late event more than gapMs BEFORE the open
-        // session's start becomes its own (immediately emitted) session
-        // instead of being absorbed — and late events within gap of each
-        // other coalesce before emission.
-        val segments = (state.getOption.toList ++
-            rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
-          .sortBy(s => (s.startMs, s.endMs))
-        var closed = List.empty[SessionState]
+        val merged = scala.collection.mutable.ListBuffer.empty[SessionState]
         var cur = segments.head
         for (s <- segments.tail) {
-          if (s.startMs - cur.endMs > gapMs) {
-            closed ::= cur
-            cur = s
-          } else {
-            cur = SessionState(cur.startMs, math.max(cur.endMs, s.endMs),
-              cur.n + s.n, cur.sum + s.sum)
-          }
+          if (s.startMs - cur.endMs > gapMs) { merged += cur; cur = s }
+          else cur = SessionState(cur.startMs, math.max(cur.endMs, s.endMs),
+            cur.n + s.n, cur.sum + s.sum)
         }
-        state.update(cur)
-        state.setTimeoutTimestamp(cur.endMs + gapMs)
-        closed.reverseIterator.map(toSession(userId, _))
+        merged += cur
+        // final once end + gap < watermark: the operator filters events
+        // below the watermark, so nothing admissible can extend it
+        val (expired, pending) = merged.partition(_.endMs + gapMs < wm)
+        if (pending.isEmpty) state.remove()
+        else {
+          state.update(PendingSessions(pending.toSeq))
+          state.setTimeoutTimestamp(
+            math.max(pending.map(_.endMs + gapMs).min, wm + 1))
+        }
+        expired.iterator.map(toSession(userId, _))
       }
     }
     events

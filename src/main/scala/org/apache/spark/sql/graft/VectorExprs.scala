@@ -306,9 +306,9 @@ object VectorExprs {
         val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - j)
         var i = j
         while (i < end) {
-          parts(i - j) =
-            if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
-            else arr.getUTF8String(i)
+          // null stays null: UTF8String.concatWs skips null inputs, the
+          // same rule as the concat_ws formulation these hashes mirror
+          parts(i - j) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
           i += 1
         }
         out(j) = XXH64.hashUTF8String(
@@ -336,7 +336,7 @@ object VectorExprs {
            |  $u[] $parts = new $u[$end - $j];
            |  for (int $i = $j; $i < $end; $i++) {
            |    $parts[$i - $j] = $a.isNullAt($i)
-           |      ? $u.EMPTY_UTF8 : $a.getUTF8String($i);
+           |      ? null : $a.getUTF8String($i);
            |  }
            |  $out[$j] = $X.hashUTF8String($u.concatWs($sepRef, $parts), 42L);
            |}
@@ -482,9 +482,8 @@ object VectorExprs {
         val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
         var i = 0
         while (i < n) {
-          parts(i) =
-            if (arr.isNullAt(j + i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
-            else arr.getUTF8String(j + i)
+          // null stays null — concatWs skips it, matching concat_ws
+          parts(i) = if (arr.isNullAt(j + i)) null else arr.getUTF8String(j + i)
           i += 1
         }
         out(j) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
@@ -509,7 +508,7 @@ object VectorExprs {
            |  $u[] $parts = new $u[$n];
            |  for (int $i = 0; $i < $n; $i++) {
            |    $parts[$i] = $a.isNullAt($j + $i)
-           |      ? $u.EMPTY_UTF8 : $a.getUTF8String($j + $i);
+           |      ? null : $a.getUTF8String($j + $i);
            |  }
            |  $out[$j] = $u.concatWs($sepRef, $parts);
            |}

@@ -63,19 +63,28 @@ class JoinsSpec extends SparkTestBase {
     assert(out(5L) === Some(7.0))
   }
 
-  test("asof joins: a null left timestamp matches nothing in either direction") {
+  test("asof joins: null timestamps match nothing on either side, either direction") {
     val trades = Seq(
       (1L, "A", Option(ts("2024-01-01 10:10:00"))),
       (2L, "A", Option.empty[Timestamp])
     ).toDF("trade_id", "sym", "t_ts")
-    val quotes = Seq(("A", ts("2024-01-01 10:05:00"), 100.0))
-      .toDF("sym", "q_ts", "px")
-    for (j <- Seq(Joins.asofJoin _, Joins.asofJoinForward _)) {
-      val out = j(trades, quotes, "sym", "t_ts", "q_ts", Seq("px"), "q_")
+    val quotes = Seq(
+      ("A", Option(ts("2024-01-01 10:05:00")), 100.0),
+      ("A", Option.empty[Timestamp], 42.0) // must never be a fallback match
+    ).toDF("sym", "q_ts", "px")
+    def run(j: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                String, String, String, Seq[String], String) =>
+              org.apache.spark.sql.DataFrame) =
+      j(trades, quotes, "sym", "t_ts", "q_ts", Seq("px"), "q_")
         .select("trade_id", "q_px").collect()
-        .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
-      assert(out(2L), "null-ts row must stay unmatched")
-    }
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val backward = run(Joins.asofJoin)
+    assert(backward(1L) === Some(100.0))
+    assert(backward(2L) === None, "null-ts left row stays unmatched")
+    val forward = run(Joins.asofJoinForward)
+    assert(forward(1L) === None, "no later quote; null-ts quote is not a match")
+    assert(forward(2L) === None)
   }
 
   test("asofJoin: preserves every left row and all left columns") {

@@ -202,11 +202,11 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("sessionize: late event far before the open session becomes its own session") {
+  test("sessionize: late events split, extend, and coalesce like a batch pass") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
     val sink = nextSink()
-    // long watermark delay so the late event is still admitted
+    // long watermark delay so the late events are still admitted
     val q = StreamOps.sessionize(in.toDS(), gapMs = 5 * 60 * 1000L,
         watermarkDelay = "2 hours")
       .writeStream.format("memory").queryName(sink)
@@ -214,16 +214,29 @@ class StreamOpsSpec extends SparkTestBase {
     try {
       in.addData(SessionEvent(7L, ts("2024-01-01 10:30:00"), 1.0))
       q.processAllAvailable()
-      // 30 min late, far more than the 5-min gap before the open
-      // session's start — must NOT merge into [10:30, 10:30]
+      // 30 min late — far more than the 5-min gap before [10:30]'s
+      // start, so it must become a separate session, not merge
       in.addData(SessionEvent(7L, ts("2024-01-01 10:00:00"), 2.0))
       q.processAllAvailable()
+      // later late event within gap of 10:00: must coalesce with it
+      // (the session is still pending, not yet emitted)
+      in.addData(SessionEvent(7L, ts("2024-01-01 10:02:00"), 4.0))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 0,
+        "nothing final until the watermark passes end + gap")
+      // advance the watermark past 10:02 + gap but not past 10:30 + gap
+      in.addData(SessionEvent(99L, ts("2024-01-01 12:31:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(99L, ts("2024-01-01 12:31:01"), 0.0))
+      q.processAllAvailable()
       val sessions = spark.table(sink)
+        .filter(col("user_id") === 7L)
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
         .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
       assert(sessions === Set(
-        (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1L, 2.0)),
-        "the late predecessor closes on the data path; [10:30] stays open")
+        (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:02:00"), 2L, 6.0)),
+        "the two late events form ONE session, exactly as batch would; " +
+          "[10:30] may or may not have expired yet depending on wm")
     } finally q.stop()
   }
 
