@@ -47,6 +47,24 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming parquet sink: exactly-once file output via the
+    * checkpoint's write-ahead log + file-sink manifest. Pair with
+    * Trigger.AvailableNow for incremental batch jobs (process whatever
+    * arrived, then stop — the cron-driven ingestion pattern); partition
+    * by a low-cardinality column so downstream readers prune. */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String,
+                         partitionBy: Seq[String] = Nil,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
+  }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * (small, batch) dimension. The dimension broadcasts, so enrichment
     * never shuffles the stream; Spark re-plans the static side per
