@@ -83,6 +83,28 @@ object Sources {
       .orc(path)
   }
 
+  /** Compact a parquet directory's small files: rewrites the data as
+    * ceil(bytes / targetFileBytes) files into `destPath`. Streaming
+    * ingestion (one file per micro-batch per partition) and
+    * fine-grained partitioned writes both accumulate small files that
+    * tax the driver's file index and kill scan throughput at scale —
+    * periodic compaction is the standard remedy. Uses the on-disk byte
+    * size for the estimate; `coalesce` (not repartition) so the rewrite
+    * is shuffle-free. Writes to a NEW directory — swapping it in place
+    * of the source is the caller's (atomicity-owning) move. */
+  def compactParquet(spark: SparkSession, srcPath: String, destPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val nFiles = math.max((bytes + targetFileBytes - 1) / targetFileBytes, 1L)
+    spark.read.parquet(srcPath)
+      .coalesce(nFiles.toInt)
+      .write.mode(SaveMode.ErrorIfExists).parquet(destPath)
+  }
+
   /** Bucketed + sorted managed table: rows are hash-clustered into
     * `numBuckets` files per partition by `bucketCols` and sorted within
     * each bucket. Two tables bucketed the same way join WITHOUT a

@@ -87,6 +87,23 @@ class SourcesSpec extends SparkTestBase {
       s"partition filter must reach the scan:\n$scan")
   }
 
+  test("compactParquet merges small files, preserving rows") {
+    import spark.implicits._
+    // 40 single-row files
+    (0 until 40).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(40).write.parquet(s"$dir/frag")
+    val before = new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before > 1, "setup must produce multiple files (AQE may coalesce some)")
+    Sources.compactParquet(spark, s"$dir/frag", s"$dir/compact",
+      targetFileBytes = 10L * 1024 * 1024)
+    val after = new java.io.File(s"$dir/compact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 1, "tiny corpus compacts to a single file")
+    assert(rendered(Sources.readParquet(spark, s"$dir/compact").orderBy("id"))
+      === rendered(Sources.readParquet(spark, s"$dir/frag").orderBy("id")))
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     import spark.implicits._
     // fact partitioned by yr; dim maps yr -> era, filtered to one era.
