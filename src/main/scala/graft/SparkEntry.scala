@@ -861,6 +861,24 @@ object SparkEntry {
     "q_rep_ratio" -> ((s, d) =>
       Ngrams.repetitionRatio(docsSpread(s, d), n = 3).orderBy("doc_id")),
 
+    // ---- E21 dimensional modeling: SCD-1 upsert, SCD-2 history ----
+    "q_upsert" -> ((s, d) => {
+      val target = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = target.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+                (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      operators.Dimensional.upsert(target, updates, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    "q_scd2" -> ((s, d) =>
+      operators.Dimensional.scd2(
+          t(s, d, "events").select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", tieBreak = Seq("event_id"))
+        .select("user_id", "event_id", "value",
+                "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "valid_from", "event_id")),
+
     // ---- E15 deterministic k-per-group sampling (bottom-k by hash) ----
     "q_group_sample" -> ((s, d) =>
       Mixing.deterministicGroupSample(
@@ -1539,6 +1557,24 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |u AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |             o_totalprice + 1000.0 AS o_totalprice
+        |      FROM t WHERE o_orderkey % 97 = 0)
+        |SELECT * FROM u
+        |UNION ALL
+        |SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        |  lead(ts, 1) OVER w AS valid_to,
+        |  lead(ts, 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_group_sample" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
