@@ -14,16 +14,28 @@ object Dimensional {
   /** SCD-1 upsert (MERGE semantics without a table format): rows from
     * `updates` replace target rows with the same key; unmatched target
     * rows survive; brand-new keys append. One anti-join — the updates
-    * side is typically small and broadcasts; the target side streams
-    * through unshuffled. Rewriting only affected partitions is the
-    * caller's write-side concern (partition the sink by a key-derived
-    * column and use dynamic partition overwrite). */
-  def upsert(target: DataFrame, updates: DataFrame,
-             keys: Seq[String]): DataFrame = {
+    * side broadcasts when under the join threshold, so the target side
+    * streams through unshuffled. Rewriting only affected partitions is
+    * the caller's write-side concern (partition the sink by a
+    * key-derived column and use dynamic partition overwrite).
+    *
+    * `updates` must hold ONE row per key, like SQL MERGE's source (a
+    * duplicate would survive into the output and fan out downstream
+    * joins); replaying a change log? pass `versionCol` and the highest
+    * version per key wins (latest-wins pre-dedup, the reference's users
+    * table rule — etl_pipeline.py:143–154). */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             versionCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty)
-    updates.unionByName(
-      target.join(updates.select(keys.map(col): _*).distinct(),
-        keys, "left_anti"))
+    val ups = versionCol match {
+      case Some(v) =>
+        Dedup.dedupKeepFirst(updates, keys.map(col), Seq(col(v).desc))
+      case None => updates
+    }
+    // no distinct() on the build side: left_anti is unaffected by
+    // duplicate build rows, and the aggregate would cost an exchange
+    ups.unionByName(
+      target.join(ups.select(keys.map(col): _*), keys, "left_anti"))
   }
 
   /** SCD-2 effective-dated history from a change log: each (key-ordered)
@@ -34,6 +46,12 @@ object Dimensional {
     * shuffle on the key; the lead window reuses its partitioning. */
   def scd2(changes: DataFrame, key: String, tsCol: String,
            tieBreak: Seq[String] = Nil): DataFrame = {
+    val clobbered = Seq("valid_from", "valid_to", "is_current")
+      .filter(changes.columns.map(_.toLowerCase).contains)
+    require(clobbered.isEmpty,
+      s"input already has ${clobbered.mkString(", ")} — scd2 over an " +
+        "existing SCD-2 table would silently overwrite its history " +
+        "columns; drop or rename them first")
     val ord: Seq[Column] = col(tsCol) +: tieBreak.map(col)
     val w = Window.partitionBy(key).orderBy(ord: _*)
     changes

@@ -84,25 +84,39 @@ object Sources {
   }
 
   /** Compact a parquet directory's small files: rewrites the data as
-    * ceil(bytes / targetFileBytes) files into `destPath`. Streaming
-    * ingestion (one file per micro-batch per partition) and
-    * fine-grained partitioned writes both accumulate small files that
-    * tax the driver's file index and kill scan throughput at scale —
-    * periodic compaction is the standard remedy. Uses the on-disk byte
-    * size for the estimate; `coalesce` (not repartition) so the rewrite
-    * is shuffle-free. Writes to a NEW directory — swapping it in place
-    * of the source is the caller's (atomicity-owning) move. */
+    * ~ceil(bytes / targetFileBytes) files into `destPath`. Fine-grained
+    * writes accumulate small files that tax the driver's file index and
+    * kill scan throughput at scale — periodic compaction is the
+    * standard remedy. Uses the on-disk byte size for the estimate;
+    * `coalesce` (not repartition) so the rewrite is shuffle-free. Pass
+    * `partitionBy` to preserve a Hive-partitioned source's layout
+    * (otherwise partition columns would fold into the data files and
+    * readers would lose pruning). Writes to a NEW directory — swapping
+    * it in place of the source is the caller's (atomicity-owning) move.
+    *
+    * Refuses a streaming file-sink directory (`_spark_metadata`
+    * present): the sink's manifest lists exact files, so a swapped-in
+    * compacted directory would make manifest-trusting readers silently
+    * drop all historical rows. Compacting one of those means rewriting
+    * the manifest — a different (table-format-shaped) operation. */
   def compactParquet(spark: SparkSession, srcPath: String, destPath: String,
-                     targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     partitionBy: Seq[String] = Nil): Unit = {
     require(targetFileBytes > 0)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(srcPath)).getLength
-    val nFiles = math.max((bytes + targetFileBytes - 1) / targetFileBytes, 1L)
-    spark.read.parquet(srcPath)
-      .coalesce(nFiles.toInt)
-      .write.mode(SaveMode.ErrorIfExists).parquet(destPath)
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(src, "_spark_metadata")),
+      s"$srcPath is a streaming file-sink output (_spark_metadata found); " +
+        "compacting it would orphan the sink manifest — see scaladoc")
+    val bytes = fs.getContentSummary(src).getLength
+    val nFiles = math.min(
+      math.max((bytes + targetFileBytes - 1) / targetFileBytes, 1L),
+      Int.MaxValue.toLong).toInt
+    val w = spark.read.parquet(srcPath)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.ErrorIfExists)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(destPath)
   }
 
   /** Bucketed + sorted managed table: rows are hash-clustered into

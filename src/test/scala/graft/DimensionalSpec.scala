@@ -30,6 +30,24 @@ class DimensionalSpec extends SparkTestBase {
     assert(rendered(once.orderBy("id")) === rendered(twice.orderBy("id")))
   }
 
+  test("upsert with versionCol replays a change log latest-wins") {
+    val target = Seq((1L, "a", 0L)).toDF("id", "name", "ver")
+    val log = Seq((1L, "a1", 1L), (1L, "a2", 2L), (2L, "b1", 5L))
+      .toDF("id", "name", "ver")
+    val out = Dimensional.upsert(target, log, Seq("id"), versionCol = Some("ver"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((1L, "a2", 2L), (2L, "b1", 5L)),
+      "highest version per key wins; no duplicate keys in the output")
+  }
+
+  test("scd2 refuses input that already carries history columns") {
+    val bad = Seq((1L, ts("2024-01-01 00:00:00"), true))
+      .toDF("user_id", "ts", "is_current")
+    intercept[IllegalArgumentException] {
+      Dimensional.scd2(bad, "user_id", "ts")
+    }
+  }
+
   test("scd2: versions chain [from, to), last is open and current") {
     val changes = Seq(
       (7L, ts("2024-01-01 00:00:00"), "bronze"),

@@ -104,6 +104,28 @@ class SourcesSpec extends SparkTestBase {
       === rendered(Sources.readParquet(spark, s"$dir/frag").orderBy("id")))
   }
 
+  test("compactParquet preserves Hive partition layout when asked") {
+    import spark.implicits._
+    Seq((1L, "x", 2020), (2L, "y", 2021), (3L, "z", 2021))
+      .toDF("id", "s", "yr")
+      .repartition(3).write.partitionBy("yr").parquet(s"$dir/pfrag")
+    Sources.compactParquet(spark, s"$dir/pfrag", s"$dir/pcompact",
+      partitionBy = Seq("yr"))
+    val dirs = new java.io.File(s"$dir/pcompact").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("yr=2020", "yr=2021"))
+    assert(Sources.readParquet(spark, s"$dir/pcompact").count() === 3)
+  }
+
+  test("compactParquet refuses a streaming file-sink directory") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$dir/sinklike")
+    new java.io.File(s"$dir/sinklike/_spark_metadata").mkdir()
+    intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, s"$dir/sinklike", s"$dir/sinklike2")
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     import spark.implicits._
     // fact partitioned by yr; dim maps yr -> era, filtered to one era.

@@ -162,8 +162,10 @@ class StreamOpsSpec extends SparkTestBase {
     runOnce()
     val out = spark.read.parquet(s"$dir/out")
     assert(out.count() === 2, "no reprocessing, no loss across restarts")
-    assert(out.select("event_type").distinct().count() === 2,
-      "partitioned by event_type on disk")
+    val partDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_type="))
+    assert(partDirs.sorted.toSeq === Seq("event_type=click", "event_type=view"),
+      "Hive-layout partition directories on disk")
   }
 
   test("joinStreamsWithin pairs events in the window, drops far-apart ones") {
