@@ -31,6 +31,10 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
     assert(viaSql.getSeq[Long](2) === viaCol.getSeq[Long](2))
     assert(viaSql.getSeq[Long](3) === viaCol.getSeq[Long](3))
+    val grams = spark.sql(
+      "SELECT graft_shingle_strings(split(text, ' '), 3) FROM gf_docs")
+      .collect()(0).getSeq[String](0)
+    assert(grams.head === "the quick brown" && grams.length === 7)
   }
 
   test("graft_float_dot and graft_lsh_sign64 from SQL") {
