@@ -887,6 +887,14 @@ object SparkEntry {
           "o_orderpriority", "o_orderkey", k = 5)
         .orderBy("o_orderpriority", "o_orderkey")),
 
+    // ---- fixed-width histogram over a measure ----
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             sumDec(col("value"), 6).as("sum_value"))
+        .orderBy("bucket")),
+
     // ---- window analytics: distribution functions ----
     "q_window_dist" -> ((s, d) => {
       val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
@@ -1550,6 +1558,12 @@ object SparkEntry {
         |  ntile(4) OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_window_dist" ->
       """SELECT c_nationkey, c_custkey,
