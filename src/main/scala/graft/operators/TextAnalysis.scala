@@ -64,9 +64,16 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling-hash fingerprint over the document's characters:
-    * h = fold(h * 31 + codepoint) mod 1e9+7. Sequential fold in expression
-    * space — same recurrence is expressible in DuckDB for the oracle. */
+    * h = fold(h * 31 + char) mod 1e9+7. Native codegen'd single pass
+    * (VectorExprs.PolyHash) — the same recurrence is expressible in
+    * DuckDB for the oracle, and [[fingerprintHof]] is the bit-identical
+    * portable formulation kept as the spec cross-check. */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.VectorExprs.polyHash(text)
+
+  /** Higher-order-function formulation of [[fingerprint]] — one
+    * interpreted lambda per character; kept only as the cross-check. */
+  def fingerprintHof(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 

@@ -72,6 +72,10 @@ object GraftFunctions {
       need(2, "graft_shingle_strings")(args)
       VectorExprs.ShingleStrings(args(0),
         intLit(args(1), "graft_shingle_strings", "n"))
+    },
+    "graft_polyhash" -> { args =>
+      need(1, "graft_polyhash")(args)
+      VectorExprs.PolyHash(args(0))
     })
 
   def expressionInfo(name: String): ExpressionInfo =

@@ -522,6 +522,45 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Polynomial rolling hash over a string's UTF-16 characters:
+    * h = fold(h * 31 + char) mod 1e9+7 — bit-identical to the
+    * `aggregate(split(text, ""), ...)` HOF chain it replaces for BMP
+    * text; one codegen'd loop instead of a per-character interpreted
+    * fold. */
+  case class PolyHash(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_polyhash"
+
+    private val M = 1000000007L
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) { h = (h * 31 + s.charAt(i)) % M; i += 1 }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val s = ctx.freshName("s"); val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        s"""
+           |java.lang.String $s = $a.toString();
+           |long $h = 0L;
+           |for (int $i = 0; $i < $s.length(); $i++) {
+           |  $h = ($h * 31 + $s.charAt($i)) % ${M}L;
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def floatDot(a: Column, b: Column): Column =
@@ -550,4 +589,7 @@ object VectorExprs {
 
   def shingleStrings(tokens: Column, n: Int): Column =
     ExprBridge.column(ShingleStrings(ExprBridge.expression(tokens), n))
+
+  def polyHash(text: Column): Column =
+    ExprBridge.column(PolyHash(ExprBridge.expression(text)))
 }

@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkTestBase {
+
+  test("fingerprint native expression matches the HOF fold bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("", "a", "hello world", "The quick brown fox! 123",
+      "  double  spaces  ", "trailing space ").toDF("text")
+    val out = df.select(
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("native"),
+      graft.operators.TextAnalysis.fingerprintHof(col("text")).as("hof"))
+    assert(out.filter(col("native") =!= col("hof")).count() === 0)
+  }
   import spark.implicits._
 
   private lazy val docs = Seq(

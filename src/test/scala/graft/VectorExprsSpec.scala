@@ -123,7 +123,8 @@ class VectorExprsSpec extends SparkTestBase {
       VectorExprs.bandHashes64(
         VectorExprs.minhashSig(split(col("text"), " "), 8), 4, 2),
       VectorExprs.lshSign64(col("va"), 16),
-      VectorExprs.shingleStrings(split(col("text"), " "), 3)))
+      VectorExprs.shingleStrings(split(col("text"), " "), 3),
+      VectorExprs.polyHash(col("text"))))
     val viaCodegen = results()
     val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
