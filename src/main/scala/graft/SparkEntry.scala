@@ -782,16 +782,18 @@ object SparkEntry {
       val docs = t(s, d, "documents").select("doc_id", "text")
       operators.CorpusPipeline.clean(withPerturbedCopies(docs),
           jaccardThreshold = 0.5)
-        .orderBy("doc_id")
     }),
 
     // ---- no-oracle (rows-only) operator demos ----
+    // No trailing global orderBy on these: the driver only row-counts
+    // them, and a global sort's range-partitioner sampling pass executes
+    // the entire upstream plan a second time — measured ~2x on the
+    // near-dup pipelines.
     // E2 MinHash-LSH near-dup: corpus + deterministically perturbed copies
     "q_minhash_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       Dedup.minhashNearDups(withPerturbedCopies(docs), "doc_id", "text",
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
-        .orderBy("doc_a", "doc_b")
     }),
     // E2 transitive near-dup clustering (LSH pairs → connected components).
     // Bounded slice: the iterative label-propagation loop has a constant
@@ -804,14 +806,12 @@ object SparkEntry {
       Dedup.dedupNearClusters(withPerturbedCopies(docs), "doc_id", "text",
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .select("doc_id")
-        .orderBy("doc_id")
     }),
     // E2 SimHash near-dup
     "q_simhash_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       Dedup.simhashNearDups(withPerturbedCopies(docs), "doc_id", "text",
           maxHamming = 3)
-        .orderBy("doc_a", "doc_b")
     }),
     // E3 embedding-cosine near-dup via LSH buckets
     "q_embed_neardup" -> ((s, d) => {
@@ -819,14 +819,12 @@ object SparkEntry {
       val copies = e.filter(col("vec_id") < 100)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Similarity.cosineNearDups(e.union(copies), threshold = 0.99)
-        .orderBy("vec_a", "vec_b")
     }),
     // E3 LSH-bucketed approximate top-k
     "q_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5)
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
     }),
     // E3 IVF coarse-quantizer approximate top-k (the ANN scale path)
     "q_ann_ivf" -> ((s, d) => {
@@ -834,7 +832,6 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
           nlist = 16, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
     }),
     // E7 approximate distinct (HLL sketch — engine-specific values)
     "q_approx_users" -> ((s, d) =>

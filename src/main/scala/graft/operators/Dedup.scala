@@ -113,18 +113,26 @@ object Dedup {
                 VectorExprs.minhashFromHashes(shHashes, numHashes),
                 bands, r).as("bh"))
       .filter(size(col("hsh")) > 0)
-      .select(col("doc_id"), col("hsh"), posexplode(col("bh")))
-      .select(col("doc_id"), col("hsh"),
+      .select(col("doc_id"), col("hsh"), col("bh"), posexplode(col("bh")))
+      .select(col("doc_id"), col("hsh"), col("bh"),
               col("pos").as("band_id"), col("col").as("band_hash"))
     val a = banded.as("a")
     val b = banded.as("b")
+    // A pair colliding in k bands would surface k times; instead of a
+    // dropDuplicates shuffle over every candidate (with both shingle-hash
+    // arrays riding it), keep only the row whose band is the pair's FIRST
+    // matching band — each pair survives exactly once, straight out of
+    // the join, no extra exchange. array_position is 1-based;
+    // posexplode's band_id is 0-based.
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        array_position(
+          zip_with(col("a.bh"), col("b.bh"), (x, y) => x === y),
+          true) === col("a.band_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.hsh").as("h_a"), col("b.hsh").as("h_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))))
       .withColumn("uni", size(array_union(col("h_a"), col("h_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -173,23 +181,31 @@ object Dedup {
     * [[simhashDf]]. */
   def simhashPairs(hashed0: DataFrame, maxHamming: Int = 3): DataFrame = {
     val hashed = hashed0.toDF("doc_id", "sh")
+    def chunk(sh: Column, c: Column): Column =
+      call_function("shiftrightunsigned", sh, (c * 16).cast("int"))
+        .bitwiseAND(0xFFFFL)
     val chunked = hashed.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk_id"),
-          call_function("shiftrightunsigned", col("sh"), (c * 16).cast("int"))
-            .bitwiseAND(0xFFFFL).as("chunk_val")))).as("ch"))
+          chunk(col("sh"), c).as("chunk_val")))).as("ch"))
       .select(col("doc_id"), col("sh"), col("ch.chunk_id"), col("ch.chunk_val"))
     val a = chunked.as("a"); val b = chunked.as("b")
+    // Both the hamming verify (xor+popcount — nearly free) and the
+    // first-matching-chunk pick run INSIDE the join: a qualifying pair
+    // exits the join exactly once (from its first shared chunk), so no
+    // dropDuplicates re-shuffle of the candidate space is ever paid.
+    // array_position is 1-based; chunk_id is 0-based.
     a.join(b,
         col("a.chunk_id") === col("b.chunk_id") &&
         col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&
+        array_position(
+          transform(sequence(lit(0), lit(3)),
+            c => chunk(col("a.sh"), c) === chunk(col("b.sh"), c)),
+          true) === col("a.chunk_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
   }
 
   /** End-to-end SimHash near-dup detection over a text column. */
