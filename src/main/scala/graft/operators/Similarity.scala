@@ -192,19 +192,27 @@ object Similarity {
                           col("id"))
       .withColumn("sig", lshSignature(col("v"), numPlanes))
     // Candidate generation shuffles ids only, never the vectors.
-    val banded = sigs.select(col("id"), explode(
+    def bandOf(sig: Column, bd: Column): Column =
+      call_function("shiftrightunsigned", sig, (bd * r).cast("int"))
+        .bitwiseAND(mask)
+    val banded = sigs.select(col("id"), col("sig"), explode(
         transform(sequence(lit(0), lit(bands - 1)), bd =>
-          struct(bd.as("band_id"),
-            call_function("shiftrightunsigned", col("sig"), (bd * r).cast("int"))
-              .bitwiseAND(mask).as("band_val")))).as("bv"))
-      .select(col("id"), col("bv.band_id"), col("bv.band_val"))
+          struct(bd.as("band_id"), bandOf(col("sig"), bd).as("band_val"))))
+        .as("bv"))
+      .select(col("id"), col("sig"), col("bv.band_id"), col("bv.band_val"))
     val a = banded.as("a"); val b = banded.as("b")
+    // First-matching-band pick inside the join (cf. Dedup.minhashNearDups):
+    // each colliding pair exits exactly once, so no dropDuplicates
+    // re-shuffle of the candidate space. array_position is 1-based.
     val cand = a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_val") === col("b.band_val") &&
-        col("a.id") < col("b.id"))
+        col("a.id") < col("b.id") &&
+        array_position(
+          transform(sequence(lit(0), lit(bands - 1)),
+            bd => bandOf(col("a.sig"), bd) === bandOf(col("b.sig"), bd)),
+          true) === col("a.band_id") + 1)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
     // Vectors move through exactly one shuffle each, candidates only.
     val vA = sigs.select(col("id").as("vec_a"), col("v").as("va"))
     val vB = sigs.select(col("id").as("vec_b"), col("v").as("vb"))
