@@ -911,6 +911,70 @@ object SparkEntry {
           ntile(4).over(w).cast("long").as("quartile"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+
+    // ---- E2 corpus-level chunk dedup (line-dedup stage of web cleaning) ----
+    "q_para_dedup" -> ((s, d) =>
+      Dedup.dedupChunksGlobal(docsSpread(s, d).select("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 10)
+        .orderBy("doc_id")),
+
+    // ---- E15 deterministic train/val/test split ----
+    "q_split" -> ((s, d) =>
+      Mixing.deterministicSplit(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")),
+
+    // ---- E15 per-source cap (top-k docs per source, domain balancing) ----
+    "q_source_cap" -> ((s, d) =>
+      Mixing.capPerGroup(t(s, d, "documents"),
+          Seq(col("source")),
+          Seq(col("n_chars").desc, col("doc_id")), k = 3)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")),
+
+    // ---- unpivot / melt (wide → long reshape) ----
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // ---- statistical moments from exact decimal sums ----
+    // stddev/corr computed in DOUBLE from order-independent DECIMAL
+    // sums, the same final expression on both engines — bit-exact where
+    // built-in stddev/corr (running double accumulation) is not.
+    "q_stats_moments" -> ((s, d) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val agg = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(38, 4))).cast("double").as("sx"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+          sum(y.cast(DecimalType(38, 4))).cast("double").as("sy"),
+          sum((y * y).cast(DecimalType(38, 4))).cast("double").as("syy"),
+          sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"))
+      // round(…,10): the DECIMAL(38,4)→DOUBLE conversion rounds once in
+      // the JVM (BigDecimal) but twice in DuckDB (int128→double, then
+      // /10^scale) — a 1-ulp seed that survives into the derived stats.
+      val nD = col("n").cast("double")
+      agg.select(col("l_returnflag"), col("n"),
+          round(sqrt((nD * col("sxx") - col("sx") * col("sx")) /
+            (nD * (nD - 1))), 10).as("stddev_qty"),
+          round((nD * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+             sqrt(nD * col("syy") - col("sy") * col("sy"))), 10)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- E6 two-step conversion funnel over event times ----
+    "q_funnel" -> ((s, d) =>
+      EventOps.funnel(t(s, d, "events"), "click", "purchase",
+          withinUs = 3600L * 1000000L)
+        .orderBy("user_id")),
   )
 
   /** Corpus + copies with the last two tokens dropped and shifted ids —
@@ -1601,5 +1665,85 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey AS pk, l_quantity, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_para_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, g.i AS chunk_idx,
+        |    array_to_string(t[(g.i*10+1):(g.i*10+10)], ' ') AS chunk
+        |  FROM toks, unnest(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS g(i)),
+        |keep AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    row_number() OVER (PARTITION BY chunk
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+        |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_split" ->
+      """SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT CASE WHEN b < 90 THEN 'train'
+        |              WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        |         n_chars
+        |  FROM (SELECT ((doc_id * 2654435761) % 4294967296) % 100 AS b,
+        |               n_chars FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |       l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_stats_moments" ->
+      """SELECT l_returnflag, n,
+        |  round(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) /
+        |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 10)
+        |    AS stddev_qty,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 10) AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, min(ts) AS ta FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |b AS (
+        |  SELECT e.user_id,
+        |    min(epoch_us(e.ts) - epoch_us(a.ta)) AS delay_us
+        |  FROM events e JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= a.ta
+        |    AND epoch_us(e.ts) - epoch_us(a.ta) <= 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT a.user_id, epoch_us(a.ta) AS t_first_us, b.delay_us
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id
+        |ORDER BY a.user_id""".stripMargin,
   )
 }

@@ -37,6 +37,44 @@ object Dedup {
   def exactDedup(df: DataFrame, keys: Seq[String]): DataFrame =
     if (keys.isEmpty) df.dropDuplicates() else df.dropDuplicates(keys)
 
+  /** Corpus-level chunk deduplication (the line-dedup stage of C4/
+    * RefinedWeb-style cleaning, with fixed token windows standing in for
+    * lines): every document is cut into consecutive `chunkTokens`-token
+    * chunks; each distinct chunk string is kept only at its FIRST corpus
+    * occurrence (ordered by (id, position)) and removed everywhere else;
+    * surviving chunks are reassembled in original order. A document whose
+    * every chunk appeared earlier disappears entirely — exactly how
+    * boilerplate paragraphs die in web-corpus cleaning.
+    *
+    * Two shuffles, both linear in corpus size: one hash-partition by
+    * chunk string for the global keep-first window, one by id for
+    * reassembly. Nothing is quadratic and nothing collects — at 100 TB
+    * the chunk table is ~tokens/chunkTokens rows riding ordinary
+    * exchanges. Output: (idCol, textCol) with textCol rebuilt. */
+  def dedupChunksGlobal(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0)
+    val toks = split(col(textCol), " ")
+    val chunks = df.select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0),
+            ceil(size(toks).cast("double") / chunkTokens).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "__chunk_idx")
+      .withColumnRenamed("col", "__chunk")
+    val w = Window.partitionBy("__chunk")
+      .orderBy(col(idCol), col("__chunk_idx"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__chunk_idx"), col("__chunk")))),
+          x => x("__chunk")),
+        " ").as(textCol))
+  }
+
   /** Word n-gram shingles of a text column, as a distinct array. */
   def shingleCol(text: Column, n: Int): Column = {
     val toks = split(text, " ")

@@ -59,6 +59,33 @@ object EventOps {
       .select(col("w.start").as("w_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Two-step conversion funnel: for each user with at least one `stepA`
+    * event, the time of their first `stepA` and (when one exists) the
+    * minimum delay to a `stepB` event at-or-after it within `withinUs`
+    * microseconds. Times surface as epoch-microsecond BIGINTs, so the
+    * result compares exactly across engines.
+    *
+    * Plan shape: one grouped aggregate per step plus one join, all keyed
+    * on the user column — three exchanges over per-user rows (not raw
+    * events: step filters reduce first). The step-A table is one row per
+    * converting-eligible user and broadcast-joins under AQE at any
+    * realistic user cardinality. */
+  def funnel(events: DataFrame, stepA: String, stepB: String,
+             withinUs: Long, userCol: String = "user_id",
+             tsCol: String = "ts", typeCol: String = "event_type")
+      : DataFrame = {
+    val a = events.filter(col(typeCol) === stepA)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__ta"))
+    val delay = unix_micros(col(tsCol)) - unix_micros(col("__ta"))
+    val b = events.filter(col(typeCol) === stepB)
+      .join(a, userCol)
+      .filter(col(tsCol) >= col("__ta") && delay <= withinUs)
+      .groupBy(col(userCol))
+      .agg(min(delay).as("delay_us"))
+    a.select(col(userCol), unix_micros(col("__ta")).as("t_first_us"))
+      .join(b, Seq(userCol), "left")
+  }
+
   /** Approximate distinct users per event type (E7) — HLL sketch, constant
     * memory per group regardless of cardinality. */
   def approxDistinctUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =

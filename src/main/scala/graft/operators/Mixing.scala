@@ -61,6 +61,46 @@ object Mixing {
       .drop("__rk")
   }
 
+  /** Keep at most `k` rows per group, the first k under `orderCols` —
+    * the per-source/per-domain cap that stops any one source from
+    * dominating a mixed corpus. Generalizes the reference's keep-first
+    * window idiom (etl_pipeline.py:54–65, rn=1) to rn<=k; Spark's
+    * WindowGroupLimit pushdown forwards at most k rows per group from
+    * the map side, so the shuffle carries capped groups, not raw ones.
+    * `orderCols` should reach total order (tie-break on a unique id)
+    * for a deterministic cap. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[Column],
+                  orderCols: Seq[Column], k: Int): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Deterministic train/val/test assignment: `keyCol` is bucketed into
+    * 100 cells by the same layout-independent Knuth multiplicative hash
+    * as [[deterministicGroupSample]], and cells map to labels by
+    * cumulative percent weight (e.g. train 98 | val 1 | test 1). The
+    * same key lands in the same split on every run, partitioning, and
+    * engine — membership is auditable with one SQL expression, and no
+    * shuffle is introduced (a pure per-row projection). Same key-domain
+    * caveat as [[deterministicGroupSample]]: non-negative keys below
+    * ~3.4e9 (hash wider keys down first). */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+                         weights: Seq[(String, Int)],
+                         splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0) &&
+      weights.map(_._2).sum == 100, "percent weights must sum to 100")
+    val bucket = pmod(
+      pmod(col(keyCol) * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val withCum = weights.zip(weights.scanLeft(0)(_ + _._2).tail)
+    val label = withCum.init.foldRight(lit(withCum.last._1._1): Column) {
+      case (((name, _), cum), acc) => when(bucket < cum, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
   /** Greedy fixed-budget shard assignment: within each `groupCol`
     * (ordered by `orderCol`), rows are packed into shards of at most
     * `budget` total `weightCol` (a row larger than the budget gets its

@@ -105,6 +105,29 @@ class DedupSpec extends SparkTestBase {
     assert(out === Set(1L, 3L, 4L))
   }
 
+  test("dedupChunksGlobal removes repeated chunks, keeps first occurrence") {
+    // chunkTokens=2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
+    // → doc 2 keeps only "x y" (its "a b" appeared in doc 1), doc 3 dies
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunksGlobal(docs, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a b c d", 2L -> "x y"))
+  }
+
+  test("dedupChunksGlobal: no duplicate chunks → corpus unchanged") {
+    val docs = Seq(
+      (1L, "p q r s t u v"),   // 7 tokens → chunks [p..t][u v]
+      (2L, "w x y z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunksGlobal(docs, "doc_id", "text", chunkTokens = 5)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "p q r s t u v", 2L -> "w x y z"))
+  }
+
   test("chainedJaccard computes exact jaccard for (id, id+1) pairs") {
     val out = Dedup.chainedJaccard(docs, "doc_id", "text", shingleN = 3)
     assert(out.count() === 4)

@@ -11,6 +11,33 @@ class EventOpsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("funnel: first A, min delay to B within window; non-converters null") {
+    val events = Seq(
+      // user 1: click at 10:00, purchases at 10:30 (in) and 10:10 (in, min)
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:30:00"), "purchase"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: click, purchase 2h later → outside the 1h window
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 11:00:00"), "purchase"),
+      // user 3: purchase BEFORE the first click never counts
+      (3L, ts("2024-01-01 08:00:00"), "purchase"),
+      (3L, ts("2024-01-01 08:30:00"), "click"),
+      // user 4: purchase only, no click → not in the funnel at all
+      (4L, ts("2024-01-01 07:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.funnel(events, "click", "purchase",
+        withinUs = 3600L * 1000000L)
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    val base = ts("2024-01-01 10:00:00").getTime * 1000L
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    assert(out(0)._3 === Some(600L * 1000000L), "min delay, not first-seen")
+    assert(out(1)._3 === None, "outside window")
+    assert(out(2)._3 === None, "B before first A does not convert")
+    assert(out(0)._2 === base)
+  }
+
   test("sessionizeBatch splits on gaps > threshold, aggregates per session") {
     val events = Seq(
       // user 1: two sessions separated by a 2h gap

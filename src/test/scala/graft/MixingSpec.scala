@@ -81,6 +81,48 @@ class MixingSpec extends SparkTestBase {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 3L))
   }
 
+  test("capPerGroup keeps at most k rows per group, top under the order") {
+    val out = Mixing.capPerGroup(docs, Seq(col("source")),
+      Seq(col("n_chars").desc, col("doc_id")), 5)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet === Set(5L))
+    // the survivors are the largest docs (ties by doc_id): every kept row's
+    // n_chars is >= every dropped row's n_chars within its source
+    val kept = out.select("source", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val dropped = docs.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("source", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    dropped.foreach { case (src, mx) => assert(kept(src) >= mx) }
+    assert(!out.columns.contains("__rn"))
+    // k beyond group size keeps everything
+    assert(Mixing.capPerGroup(docs, Seq(col("source")),
+      Seq(col("doc_id")), 1000).count() === docs.count())
+  }
+
+  test("deterministicSplit: labels partition the corpus, reproducibly") {
+    val out = Mixing.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    assert(out.count() === docs.count(), "split adds a column, drops nothing")
+    val bySplit = out.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    // deterministic: identical assignment on re-evaluation
+    assert(rendered(out) === rendered(Mixing.deterministicSplit(docs,
+      "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))))
+    // the same key always gets the same label regardless of the rest of
+    // the corpus (membership is a pure function of the key)
+    val sub = Mixing.deterministicSplit(docs.filter(col("doc_id") < 50),
+      "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val full = out.filter(col("doc_id") < 50)
+    assert(rendered(sub) === rendered(full))
+    // weights must sum to 100
+    intercept[IllegalArgumentException] {
+      Mixing.deterministicSplit(docs, "doc_id", Seq("train" -> 50))
+    }
+  }
+
   test("packByBudget: every shard except the last is filled past nothing-fits") {
     val out = Mixing.packByBudget(docs, "source", "doc_id", "n_chars", 1000L)
     // shards are contiguous, starting at 0, per source
