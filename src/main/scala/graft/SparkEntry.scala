@@ -975,6 +975,11 @@ object SparkEntry {
       EventOps.funnel(t(s, d, "events"), "click", "purchase",
           withinUs = 3600L * 1000000L)
         .orderBy("user_id")),
+
+    // ---- E19 unigram LM quality score (perplexity-style signal) ----
+    "q_lm_score" -> ((s, d) =>
+      Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
+        .orderBy("doc_id")),
   )
 
   /** Corpus + copies with the last two tokens dropped and shifted ids —
@@ -1730,6 +1735,21 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |model AS (SELECT tok, COUNT(*) AS tf FROM tokens GROUP BY tok),
+        |total AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM model),
+        |logp AS (
+        |  SELECT tok, round(ln(tf / n_total), 9) AS logp
+        |  FROM model, total)
+        |SELECT t.doc_id, COUNT(*) AS n_toks,
+        |  CAST(SUM(CAST(l.logp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+        |    AS avg_logp
+        |FROM tokens t JOIN logp l USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q_funnel" ->
       """WITH a AS (

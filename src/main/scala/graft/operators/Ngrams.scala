@@ -98,6 +98,49 @@ object Ngrams {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Unigram language-model score per document: mean log-probability of
+    * the document's tokens under the corpus unigram distribution,
+    * p(tok) = tf / total_tokens — the cheap perplexity-style quality
+    * signal (boilerplate and gibberish both score low: boilerplate
+    * because it is dominated by ultra-common tokens elsewhere, gibberish
+    * because its tokens are rare). Out-of-vocabulary tokens (possible
+    * when scoring corpus B against corpus A's model) take `oovLogProb`.
+    *
+    * Plan: one explode + token-count aggregate builds the model (tokens
+    * × 1 shuffle), which broadcast-joins back onto the exploded docs —
+    * the per-doc regroup is the only other shuffle. log is applied to
+    * the per-TOKEN probability (|vocab| evaluations, not |corpus|),
+    * and the per-doc mean sums exact tf-weighted terms. */
+  def unigramLogProb(docs: DataFrame, model: DataFrame = null,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     oovLogProb: Double = -20.0,
+                     quantize: Option[Int] = None): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
+    val m = Option(model).getOrElse(
+      tokens.groupBy("tok").agg(count(lit(1)).as("tf")))
+    val total = m.select(sum(col("tf")).as("n_total"))
+    val rawLogp = log(col("tf").cast("double") / col("n_total"))
+    val logp = m.crossJoin(broadcast(total))
+      .select(col("tok"),
+        quantize.map(d => round(rawLogp, d)).getOrElse(rawLogp).as("logp"))
+    val term = coalesce(col("logp"), lit(oovLogProb))
+    // quantize: per-token log-probs rounded to d decimals and summed as
+    // exact decimals — scores become order- and engine-independent (the
+    // determinism mode the correctness harness compares under); the
+    // default sums raw doubles at full precision.
+    val docSum = quantize match {
+      case Some(d) =>
+        sum(term.cast(org.apache.spark.sql.types.DecimalType(28, d)))
+          .cast("double")
+      case None => sum(term)
+    }
+    tokens.join(broadcast(logp), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        (docSum / count(lit(1))).as("avg_logp"))
+  }
+
   /** Gopher-style repetition statistics: per document, the number of
     * full word n-gram windows, the number of distinct ones, and the
     * duplicate fraction rep_ratio = 1 - distinct/total. Docs with fewer

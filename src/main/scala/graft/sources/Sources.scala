@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Source / sink surface (SURVEY.md §2.1–2.2 re-expressed for production).
@@ -117,6 +118,31 @@ object Sources {
       .write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(destPath)
+  }
+
+  /** Z-ordered parquet layout: rows are range-partitioned and sorted by
+    * the Morton interleave of two integer columns, so consecutive rows —
+    * and therefore parquet row groups — cluster in BOTH dimensions at
+    * once. A scan filtered on EITHER column then prunes most row groups
+    * from min/max stats, where a plain sort clusters only its leading
+    * column. This is the linear-sort approximation of Delta/Iceberg
+    * OPTIMIZE ZORDER BY, expressed with nothing but repartitionByRange +
+    * sortWithinPartitions and a codegen'd interleave key.
+    *
+    * Columns must be non-negative and fit in 32 bits (wider domains:
+    * rank or bucket them down first — Z-order on raw skewed domains
+    * wastes curve resolution anyway). */
+  def writeZOrdered(df: DataFrame, path: String,
+                    colA: String, colB: String, numFiles: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numFiles > 0)
+    df.withColumn("__z",
+        org.apache.spark.sql.graft.VectorExprs.interleave64(
+          col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
   }
 
   /** Bucketed + sorted managed table: rows are hash-clustered into

@@ -76,6 +76,10 @@ object GraftFunctions {
     "graft_polyhash" -> { args =>
       need(1, "graft_polyhash")(args)
       VectorExprs.PolyHash(args(0))
+    },
+    "graft_interleave" -> { args =>
+      need(2, "graft_interleave")(args)
+      VectorExprs.Interleave64(args(0), args(1))
     })
 
   def expressionInfo(name: String): ExpressionInfo =

@@ -561,6 +561,59 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Morton (Z-order) interleave of the low 32 bits of two long columns:
+    * bit i of `left` lands at position 2i, bit i of `right` at 2i+1. The
+    * space-filling-curve sort key behind `Sources.writeZOrdered` — rows
+    * sorted by it cluster in BOTH dimensions, so min/max row-group stats
+    * prune scans filtered on either column. Branch-free mask-cascade
+    * spreading, inside whole-stage codegen. */
+  case class Interleave64(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_interleave"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Interleave64.morton(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+    private def spreadJava(in: String, v: String): String =
+      s"""
+         |long $v = $in & 0xFFFFFFFFL;
+         |$v = ($v | ($v << 16)) & 0x0000FFFF0000FFFFL;
+         |$v = ($v | ($v << 8))  & 0x00FF00FF00FF00FFL;
+         |$v = ($v | ($v << 4))  & 0x0F0F0F0F0F0F0F0FL;
+         |$v = ($v | ($v << 2))  & 0x3333333333333333L;
+         |$v = ($v | ($v << 1))  & 0x5555555555555555L;
+       """.stripMargin
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val va = ctx.freshName("za"); val vb = ctx.freshName("zb")
+        s"""
+           |${spreadJava(a, va)}
+           |${spreadJava(b, vb)}
+           |${ev.value} = $va | ($vb << 1);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object Interleave64 {
+    def spread(v0: Long): Long = {
+      var v = v0 & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+  }
+
   // ---- Column-level API ----
 
   def floatDot(a: Column, b: Column): Column =
@@ -592,4 +645,8 @@ object VectorExprs {
 
   def polyHash(text: Column): Column =
     ExprBridge.column(PolyHash(ExprBridge.expression(text)))
+
+  def interleave64(a: Column, b: Column): Column =
+    ExprBridge.column(
+      Interleave64(ExprBridge.expression(a), ExprBridge.expression(b)))
 }

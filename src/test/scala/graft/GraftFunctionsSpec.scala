@@ -50,6 +50,14 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r.getLong(1) === viaCol)
   }
 
+  test("graft_interleave from SQL matches the column API and Scala reference") {
+    assert(registered)
+    val r = spark.sql("SELECT graft_interleave(15L, 0L) AS z1, " +
+      "graft_interleave(3L, 5L) AS z2").collect()(0)
+    assert(r.getLong(0) === 0x55L)
+    assert(r.getLong(1) === VectorExprs.Interleave64.morton(3L, 5L))
+  }
+
   test("non-literal static parameter is rejected with a clear error") {
     assert(registered)
     val e = intercept[Exception] {

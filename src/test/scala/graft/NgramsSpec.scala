@@ -60,6 +60,33 @@ class NgramsSpec extends SparkTestBase {
     assert(Ngrams.decontaminate(train, eval, n = 7).count() === 4L)
   }
 
+  test("unigramLogProb: common-token docs outscore rare-token docs; OOV floor") {
+    val docs = Seq(
+      (1L, "a a a a"),   // 'a' has tf 9/12 — high probability tokens
+      (2L, "a a a b"),   // mostly common
+      (3L, "b c d a")    // spread over rare tokens
+    ).toDF("doc_id", "text")
+    val out = Ngrams.unigramLogProb(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) === Seq(4L, 4L, 4L))
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3,
+      "rarer tokens → lower mean log-prob")
+    // scoring new text against a frozen model: unseen tokens take the floor
+    val model = Seq(("a", 9L), ("b", 2L)).toDF("tok", "tf")
+    val scored = Ngrams.unigramLogProb(
+        Seq((9L, "zz zz")).toDF("doc_id", "text"), model = model,
+        oovLogProb = -20.0)
+      .as[(Long, Long, Double)].collect()(0)
+    assert(scored._3 === -20.0, "all-OOV doc sits exactly at the floor")
+    // quantized mode agrees with raw mode to the quantization step
+    val raw = Ngrams.unigramLogProb(docs).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().map(_._3)
+    val quant = Ngrams.unigramLogProb(docs, quantize = Some(9))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().map(_._3)
+    raw.zip(quant).foreach { case (r, q) => assert(math.abs(r - q) < 1e-8) }
+  }
+
   test("repetitionRatio flags the repetitive doc, drops short docs") {
     val r = Ngrams.repetitionRatio(docs, n = 2)
       .as[(Long, Long, Long, Double)].collect()

@@ -104,6 +104,31 @@ class SourcesSpec extends SparkTestBase {
       === rendered(Sources.readParquet(spark, s"$dir/frag").orderBy("id")))
   }
 
+  test("writeZOrdered clusters BOTH dimensions per file (a linear sort can't)") {
+    // 64×64 grid; 8 files. A z-ordered file covers a roughly square
+    // patch of the grid (both spans ≈ sqrt(4096/8) ≈ 23); a linear sort
+    // by x would leave y spanning the full 0..63 in every file.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    Sources.writeZOrdered(grid, s"$dir/zorder", "x", "y", numFiles = 8)
+    val files = new java.io.File(s"$dir/zorder").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size === 8)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max("x") - min("x"), max("y") - min("y"))
+        .as[(Long, Long)].collect()(0)
+      r
+    }
+    val avgX = spans.map(_._1).sum.toDouble / spans.size
+    val avgY = spans.map(_._2).sum.toDouble / spans.size
+    assert(avgX < 40 && avgY < 40,
+      s"both dims must cluster: avg x-span $avgX, avg y-span $avgY")
+    // nothing lost, nothing duplicated
+    assert(spark.read.parquet(s"$dir/zorder").count() === 4096)
+    assert(spark.read.parquet(s"$dir/zorder").distinct().count() === 4096)
+  }
+
   test("compactParquet preserves Hive partition layout when asked") {
     import spark.implicits._
     Seq((1L, "x", 2020), (2L, "y", 2021), (3L, "z", 2021))

@@ -124,7 +124,8 @@ class VectorExprsSpec extends SparkTestBase {
         VectorExprs.minhashSig(split(col("text"), " "), 8), 4, 2),
       VectorExprs.lshSign64(col("va"), 16),
       VectorExprs.shingleStrings(split(col("text"), " "), 3),
-      VectorExprs.polyHash(col("text"))))
+      VectorExprs.polyHash(col("text")),
+      VectorExprs.interleave64(col("id") * 12345L, col("id") * 67L)))
     val viaCodegen = results()
     val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
@@ -135,6 +136,32 @@ class VectorExprsSpec extends SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("interleave64 bit-interleaves: known values, invertible on randoms") {
+    // 0b1111 ⨯ 0b0000 → 0b01010101; 0b0000 ⨯ 0b1111 → 0b10101010
+    val out = Seq((15L, 0L), (0L, 15L), (3L, 5L))
+      .toDF("a", "b")
+      .select(VectorExprs.interleave64(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(out === Seq(0x55L, 0xAAL, 0x27L)) // 3=0b011,5=0b101 → 0b100111
+    // round-trip: de-interleaving the Scala reference recovers the inputs
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 100) {
+      val a = rnd.nextInt(Int.MaxValue).toLong
+      val b = rnd.nextInt(Int.MaxValue).toLong
+      val z = VectorExprs.Interleave64.morton(a, b)
+      def unspread(v0: Long): Long = {
+        var v = v0 & 0x5555555555555555L
+        v = (v | (v >> 1)) & 0x3333333333333333L
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+        v = (v | (v >> 16)) & 0x00000000FFFFFFFFL
+        v
+      }
+      assert(unspread(z) === a && unspread(z >> 1) === b)
     }
   }
 
