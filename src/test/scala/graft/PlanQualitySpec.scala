@@ -86,6 +86,28 @@ class PlanQualitySpec extends SparkTestBase {
       s"rn=1 filter must push a per-group limit below the window:\n$p")
   }
 
+  test("per-source cap gets the group-limit pushdown too (rn<=k form)") {
+    val p = plan("q_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=k filter must push a per-group limit below the window:\n$p")
+  }
+
+  test("LM scoring broadcasts the model, never reshuffles the corpus by token") {
+    val p = plan("q_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the unigram model join must broadcast:\n$p")
+  }
+
+  test("near-dup pair joins carry no post-join dedup exchange") {
+    // first-matching-band/chunk selection replaces dropDuplicates — the
+    // plan must not contain a hash aggregate keyed on (doc_a, doc_b)
+    for (q <- Seq("q_minhash_neardup", "q_simhash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("HashAggregate(keys=[doc_a"),
+        s"$q: candidate pairs must exit the join deduplicated:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
