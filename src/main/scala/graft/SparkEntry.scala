@@ -980,6 +980,30 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) =>
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
+
+    // ---- E6 built-in session windows (the Spark-native sessionization;
+    // boundary rule differs from EventOps.sessionizeBatch: a gap of
+    // exactly the duration STARTS a new session here) ----
+    "q_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+                 col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast(DecimalType(18, 6))).cast("double")
+               .as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+                col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
+    // ---- set ops: bag (ALL) variants ----
+    "q_intersect_all" -> ((s, d) =>
+      t(s, d, "part").select(col("p_size").as("k"))
+        .intersectAll(t(s, d, "lineitem").select(col("l_linenumber").as("k")))
+        .orderBy("k")),
+    "q_except_all" -> ((s, d) =>
+      t(s, d, "part").select(col("p_size").as("k"))
+        .exceptAll(t(s, d, "lineitem").select(col("l_linenumber").as("k")))
+        .orderBy("k")),
   )
 
   /** Corpus + copies with the last two tokens dropped and shifted ids —
@@ -1735,6 +1759,33 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT p_size AS k FROM part
+        |INTERSECT ALL SELECT l_linenumber AS k FROM lineitem
+        |ORDER BY k""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT p_size AS k FROM part
+        |EXCEPT ALL SELECT l_linenumber AS k FROM lineitem
+        |ORDER BY k""".stripMargin,
 
     "q_lm_score" ->
       """WITH tokens AS (
