@@ -995,6 +995,21 @@ object SparkEntry {
                 col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // ---- E2 connected components, oracle-checked on a deterministic
+    // graph: edges (i, i+1) except where (i+1) is a multiple of 7 →
+    // components are the [7k, 7k+6] ranges, so the expected label has
+    // the closed form id - id%7 (the LSH-fed path stays rows-only;
+    // this pins the operator itself against DuckDB) ----
+    "q_connected_components" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id")
+        .filter(col("doc_id") < 500)
+      val m = docs.agg(max(col("doc_id")).as("mx"))
+      val pairs = docs.crossJoin(broadcast(m))
+        .filter((col("doc_id") + 1) % 7 =!= 0 && col("doc_id") < col("mx"))
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
     // ---- set ops: bag (ALL) variants ----
     "q_intersect_all" -> ((s, d) =>
       t(s, d, "part").select(col("p_size").as("k"))
@@ -1776,6 +1791,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_connected_components" ->
+      """WITH nodes AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+        |m AS (SELECT MAX(doc_id) AS mx FROM nodes)
+        |SELECT doc_id AS id,
+        |       CAST(doc_id - (doc_id % 7) AS BIGINT) AS comp
+        |FROM nodes, m
+        |WHERE NOT (doc_id % 7 = 0 AND doc_id = mx)
+        |ORDER BY id""".stripMargin,
 
     "q_intersect_all" ->
       """SELECT p_size AS k FROM part
