@@ -833,6 +833,14 @@ object SparkEntry {
           nlist = 16, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // E3 IVF with Lloyd-refined (k-means) coarse quantizer
+    "q_ann_ivf_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, nlist = 16, iters = 2)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
+          nlist = 16, nprobe = 4, centroids = cents)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // E7 approximate distinct (HLL sketch — engine-specific values)
     "q_approx_users" -> ((s, d) =>
       EventOps.approxDistinctUsers(t(s, d, "events")).orderBy("event_type")),

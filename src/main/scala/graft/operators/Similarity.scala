@@ -125,12 +125,11 @@ object Similarity {
     * assignment is one broadcast-join pass over the corpus (no shuffle
     * of vectors besides the per-cell window); the probe join shuffles by
     * cell id, touching ~nprobe/nlist of the corpus per query batch. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    require(nprobe > 0 && nprobe <= nlist)
-    val cents = corpus
+  /** Deterministic hash-sampled centroid seed (smallest xxhash64(id) —
+    * a seedless pseudo-random draw): (cell, cent_v). */
+  private def seedCentroids(corpus: DataFrame, nlist: Int,
+                            idCol: String, vecCol: String): DataFrame =
+    corpus
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy("__h").limit(nlist)
@@ -138,6 +137,66 @@ object Similarity {
       .withColumn("cell",
         row_number().over(Window.orderBy("cent_src")).cast("long"))
       .select("cell", "cent_v")
+
+  /** Lloyd-refined IVF centroids: hash-sampled seeds, then `iters`
+    * k-means iterations (cosine assignment, elementwise-mean update) —
+    * the real coarse-quantizer training step, in plain DataFrame ops.
+    *
+    * Per iteration: one broadcast-join assignment pass over the corpus
+    * (no vector shuffle), then a posexplode + (cell, dim)-keyed average
+    * whose partial aggregation collapses each map task's contribution to
+    * nlist×dim cells before the exchange — the shuffle carries
+    * per-task partial sums, NOT corpus vectors. Centroids come back to
+    * the driver between iterations (nlist×dim floats — centroids are
+    * driver state in every k-means, incl. MLlib) so each iteration's
+    * plan starts from a literal, keeping lineage flat. A cell that
+    * captures no members keeps its previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] =
+      seedCentroids(corpus, nlist, idCol, vecCol)
+        .as[(Long, Seq[Float])].collect().toSeq
+    for (_ <- 1 to iters) {
+      val centsDf = cents.toDF("cell", "cent_v")
+        .select(col("cell"),
+          transform(col("cent_v"), x => x.cast("float")).as("cent_v"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__sim").desc, col("cell"))
+      val assigned = Ops.spread(corpus.select(col(idCol), col(vecCol)),
+          col(idCol))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("__sim", cosine(col(vecCol), col("cent_v")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("cell"), col(vecCol))
+      val updated = assigned
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m").cast("float")).as("cent_v"))
+        .as[(Long, Seq[Float])].collect().toMap
+      cents = cents.map { case (cell, v) =>
+        (cell, updated.getOrElse(cell, v))
+      }
+    }
+    cents.toDF("cell", "cent_v")
+      .select(col("cell"),
+        transform(col("cent_v"), x => x.cast("float")).as("cent_v"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding",
+              centroids: DataFrame = null): DataFrame = {
+    require(nprobe > 0 && nprobe <= nlist)
+    val cents = Option(centroids).getOrElse(
+      seedCentroids(corpus, nlist, idCol, vecCol))
     def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("__sim").desc, col("cell"))

@@ -70,6 +70,31 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("kmeansCentroids: two separated clusters get one centroid each") {
+    // two tight clusters around orthogonal directions
+    val pts = (0 until 20).map { i =>
+      val eps = (i % 5) * 0.01f
+      if (i < 10) (i.toLong, Array(1.0f, eps, 0.0f))
+      else (i.toLong, Array(eps, 1.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(pts, nlist = 2, iters = 3)
+      .as[(Long, Seq[Float])].collect()
+    assert(cents.length === 2)
+    // each centroid points dominantly along one cluster's axis, and the
+    // two centroids capture different clusters
+    val axes = cents.map { case (_, v) => v.indexOf(v.max) }.toSet
+    assert(axes === Set(0, 1),
+      s"centroids must split the clusters, got ${cents.toSeq}")
+    // refined centroids feed ivfTopK and keep it exact when probing all
+    val q = pts.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(pts, q, 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    val ivf = Similarity.ivfTopK(pts, q, 3, nlist = 2, nprobe = 2,
+        centroids = Similarity.kmeansCentroids(pts, nlist = 2, iters = 2))
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(ivf.toSeq === exact.toSeq)
+  }
+
   test("lshTopK returns ranked candidates from shared buckets") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1), 2)
       .select("neighbor_id", "rank", "sim").as[(Long, Int, Double)].collect()
