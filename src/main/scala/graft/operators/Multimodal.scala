@@ -73,6 +73,29 @@ object Multimodal {
       }
   }
 
+  /** Embedding with an explicit per-batch boundary: payloads are
+    * processed `batchSize` at a time within each partition — the batch
+    * shape a real vectorized encoder (ONNX session, GPU forward pass)
+    * consumes. The stub "model" is [[stubDecode]] applied batch-at-once;
+    * swapping in real inference changes only the body of the grouped
+    * lambda. Results are independent of batchSize and partitioning (and
+    * the spec pins that), so batch shape is purely an execution knob. */
+  def embedBatched(spark: SparkSession, media: DataFrame,
+                   dim: Int = 8, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    require(batchSize > 0)
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch init/inference point: a real build runs ONE
+          // forward pass over `batch` here
+          batch.map { case (id, bytes) =>
+            MediaFeatures(id, bytes.length.toLong, stubDecode(bytes, dim))
+          }
+        }
+      }
+  }
+
   /** Frame sampling: every `stride`-th fixed-width byte window — the video
     * analogue. Output is one row per (media_id, frame_idx), ready for a
     * downstream per-frame decode. */

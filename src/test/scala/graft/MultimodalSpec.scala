@@ -46,6 +46,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(frames(2).frame) === "6789abcd")
   }
 
+  test("embedBatched: batch size and partitioning do not change results") {
+    val base = Multimodal.embedBatched(spark, media, dim = 8, batchSize = 64)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val tiny = Multimodal.embedBatched(spark, media, dim = 8, batchSize = 1)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val repart = Multimodal.embedBatched(spark, media.repartition(7),
+        dim = 8, batchSize = 2)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(base === tiny && base === repart)
+    // batched embedding agrees with the per-row decode path (same stub model)
+    val perRow = Multimodal.decodeFeatures(spark, media, dim = 8)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(base === perRow)
+  }
+
   test("resizePayload: strided down-sampling to at most targetBytes") {
     val out = Multimodal.resizePayload(media, targetBytes = 4)
       .filter(col("media_id") === 2)
