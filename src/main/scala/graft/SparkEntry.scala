@@ -1004,17 +1004,21 @@ object SparkEntry {
         .orderBy("user_id", "session_start")),
 
     // ---- E2 connected components, oracle-checked on a deterministic
-    // graph: edges (i, i+1) except where (i+1) is a multiple of 7 →
-    // components are the [7k, 7k+6] ranges, so the expected label has
-    // the closed form id - id%7 (the LSH-fed path stays rows-only;
-    // this pins the operator itself against DuckDB) ----
+    // graph: star edges (hub = id - id%5, leaf = id) → components are
+    // the [5k, 5k+4] ranges, expected label id - id%5 in closed form.
+    // Stars are the shape near-dup clusters actually take (the
+    // operator's scaladoc contract) and converge in the initial
+    // min-neighbor fold — a long chain here would buy nothing but
+    // per-iteration driver overhead. Transitivity is still exercised:
+    // leaf—hub—leaf connects docs that share no direct edge. The
+    // LSH-fed path stays rows-only; this pins the operator itself. ----
     "q_connected_components" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id")
         .filter(col("doc_id") < 500)
-      val m = docs.agg(max(col("doc_id")).as("mx"))
-      val pairs = docs.crossJoin(broadcast(m))
-        .filter((col("doc_id") + 1) % 7 =!= 0 && col("doc_id") < col("mx"))
-        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      val pairs = docs
+        .filter(col("doc_id") % 5 =!= 0)
+        .select((col("doc_id") - col("doc_id") % 5).as("doc_a"),
+                col("doc_id").as("doc_b"))
       Dedup.connectedComponents(pairs).orderBy("id")
     }),
 
@@ -1801,12 +1805,9 @@ object SparkEntry {
         |ORDER BY user_id, session_start""".stripMargin,
 
     "q_connected_components" ->
-      """WITH nodes AS (SELECT doc_id FROM documents WHERE doc_id < 500),
-        |m AS (SELECT MAX(doc_id) AS mx FROM nodes)
-        |SELECT doc_id AS id,
-        |       CAST(doc_id - (doc_id % 7) AS BIGINT) AS comp
-        |FROM nodes, m
-        |WHERE NOT (doc_id % 7 = 0 AND doc_id = mx)
+      """SELECT doc_id AS id,
+        |       CAST(doc_id - (doc_id % 5) AS BIGINT) AS comp
+        |FROM documents WHERE doc_id < 500
         |ORDER BY id""".stripMargin,
 
     "q_intersect_all" ->
