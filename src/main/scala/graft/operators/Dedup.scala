@@ -256,14 +256,16 @@ object Dedup {
     * closure the pairwise LSH output lacks (a≈b, b≈c ⇒ one cluster).
     * Output: (id, comp) for every id appearing in `pairs`.
     *
-    * Min-label propagation: each iteration joins labels across edges and
-    * keeps the elementwise minimum, until a fixpoint (≤ graph diameter
-    * iterations — near-dup clusters are shallow in practice; `maxIter`
-    * bounds pathological chains). Labels are referenced twice per
-    * iteration (propagation join + update join), so each generation is
-    * persisted and the previous one released — without it the plan would
-    * re-derive generation i-1 twice and blow up exponentially. The
-    * driver-side loop reads only a changed-count aggregate, never data.
+    * Min-label propagation with path halving: each iteration (a) takes
+    * the min label across edges, then (b) pointer-jumps — every node
+    * also adopts its current label's OWN label. (a) alone needs
+    * O(diameter) rounds; (b) roughly doubles the shortcut distance per
+    * round, so even pathological chains converge in O(log diameter)
+    * iterations (near-dup clusters — stars/cliques — still exit after
+    * one verification round). Each generation is persisted and the
+    * previous released — without it the plan would re-derive generation
+    * i-1 twice per reference and blow up exponentially. The driver-side
+    * loop reads only a changed-count aggregate, never data.
     *
     * Cache lifecycle: the returned frame is a projection over the
     * loop's final persisted generation, which stays cached — and must:
@@ -301,13 +303,24 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      // (a) propagate: min of own label and neighbors' labels
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp1"))
+        .persist(lvl)
+      // (b) path-halve: adopt the propagated label's own propagated
+      // label (prop self-join keyed on comp1 — prop is persisted, so
+      // the second reference reads the cache, not the lineage)
+      val lookup = prop.select(col("id").as("__j"), col("comp1").as("__jc"))
+      val updated = prop.join(lookup, col("comp1") === col("__j"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp1"), coalesce(col("__jc"), col("comp1")))
             .as("comp_new"))
         .persist(lvl)
       changed = updated.filter(col("comp_new") < col("comp")).count()
       persisted.unpersist()
+      prop.unpersist() // updated is materialized by the count above
       persisted = updated
       labels = updated.select(col("id"), col("comp_new").as("comp"))
       i += 1

@@ -96,6 +96,16 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: path halving converges a 60-chain within 10 rounds") {
+    // plain min-label propagation needs ~diameter (59) iterations here;
+    // pointer jumping must land it inside maxIter = 10 (O(log d))
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size === 61)
+    assert(comps.values.toSet === Set(0L), "one component rooted at 0")
+  }
+
   test("dedupNearClusters keeps one representative per transitive cluster") {
     // docs 1, 2, 5 are near/exact dups of each other (transitively via 1);
     // 3 and 4 are unrelated singletons
