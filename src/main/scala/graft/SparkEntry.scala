@@ -989,6 +989,15 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- E4 canonical text normalization (pre-dedup cleanup pass) ----
+    "q_normalize" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          TextAnalysis.normalizeText(
+            concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")))
+            .as("norm"))
+        .orderBy("p_partkey")),
+
     // ---- E6 built-in session windows (the Spark-native sessionization;
     // boundary rule differs from EventOps.sessionizeBatch: a gap of
     // exactly the duration STARTS a new session here) ----
@@ -1786,6 +1795,13 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT p_partkey,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower(concat_ws(' ', p_name, p_brand, p_type)),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_session_window" ->
       """WITH flagged AS (

@@ -104,6 +104,15 @@ object TextAnalysis {
     regexp_replace(url, "[0-9]{8,}", "<NUM>")
   }
 
+  /** Canonical text normalization — the pre-dedup/pre-hash cleanup pass
+    * (hash-based dedup is only as good as its normalization): lowercase,
+    * strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
+    * Pure codegen'd expression chain, scan-side streamable. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
