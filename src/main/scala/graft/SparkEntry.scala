@@ -989,6 +989,19 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- E9 nearest as-of join: temporally closest purchase to each click ----
+    "q_asof_nearest" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      Joins.asofJoinNearest(clicks, purchases, "user_id", "ts", "pts",
+          Seq("pts", "value"), rightPrefix = "near_")
+        .select("event_id", "user_id", "near_pts", "near_value")
+        .orderBy("event_id")
+    }),
+
     // ---- E4 canonical text normalization (pre-dedup cleanup pass) ----
     "q_normalize" -> ((s, d) =>
       t(s, d, "part")
@@ -1795,6 +1808,30 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT c.event_id, c.user_id, c.ts,
+        |             p.ts AS bts, p.value AS bval
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.event_id, p.ts AS fts, p.value AS fval
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |       epoch_us(b.ts) - epoch_us(b.bts)
+        |         <= epoch_us(f.fts) - epoch_us(b.ts))
+        |       THEN b.bts ELSE f.fts END AS near_pts,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |       epoch_us(b.ts) - epoch_us(b.bts)
+        |         <= epoch_us(f.fts) - epoch_us(b.ts))
+        |       THEN b.bval ELSE f.fval END AS near_value
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q_normalize" ->
       """SELECT p_partkey,

@@ -52,6 +52,32 @@ object Joins {
     asofImpl(left, right, key, leftTs, rightTs, rightVals, rightPrefix,
       forward = true)
 
+  /** Nearest as-of join: attaches whichever right row is temporally
+    * closest to the left row's timestamp — backward match on ties.
+    * Composes the backward and forward passes (two one-shuffle window
+    * scans over the SAME key partitioning — the second reuses the
+    * exchange) and picks per row by absolute delta in microseconds.
+    * Rows with no match on either side get nulls. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String],
+                      rightPrefix: String = "asof_"): DataFrame = {
+    val vals = (rightVals :+ rightTs).distinct
+    val b = asofImpl(left, right, key, leftTs, rightTs, vals, "__b_",
+      forward = false)
+    val bf = asofImpl(b, right, key, leftTs, rightTs, vals, "__f_",
+      forward = true)
+    val bts = col(s"__b_$rightTs"); val fts = col(s"__f_$rightTs")
+    val lts = unix_micros(col(leftTs))
+    val chooseB = bts.isNotNull && (fts.isNull ||
+      lts - unix_micros(bts) <= unix_micros(fts) - lts)
+    val out = rightVals.foldLeft(bf) { (df, v) =>
+      df.withColumn(rightPrefix + v,
+        when(chooseB, col(s"__b_$v")).otherwise(col(s"__f_$v")))
+    }
+    out.drop(vals.flatMap(v => Seq(s"__b_$v", s"__f_$v")): _*)
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
                        rightVals: Seq[String], rightPrefix: String,

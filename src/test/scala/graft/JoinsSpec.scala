@@ -63,6 +63,28 @@ class JoinsSpec extends SparkTestBase {
     assert(out(5L) === Some(7.0))
   }
 
+  test("asofJoinNearest: closest side wins, backward on ties, null when no match") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:06:00")), // 1min to q1 back, 24min fwd → back
+      (2L, "A", ts("2024-01-01 10:25:00")), // 20min back, 5min fwd → forward
+      (3L, "A", ts("2024-01-01 10:17:30")), // 12.5min both ways → backward tie
+      (4L, "C", ts("2024-01-01 10:00:00"))  // no quotes for C → null
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:05:00"), 100.0),
+      ("A", ts("2024-01-01 10:30:00"), 105.0)
+    ).toDF("sym", "q_ts", "px")
+    val out = Joins.asofJoinNearest(trades, quotes, "sym", "t_ts", "q_ts",
+        Seq("px"), rightPrefix = "near_")
+      .select("trade_id", "near_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L) === Some(100.0))
+    assert(out(2L) === Some(105.0))
+    assert(out(3L) === Some(100.0), "equidistant → backward wins")
+    assert(out(4L) === None)
+  }
+
   test("asof joins: null timestamps match nothing on either side, either direction") {
     val trades = Seq(
       (1L, "A", Option(ts("2024-01-01 10:10:00"))),
