@@ -262,21 +262,22 @@ object Dedup {
     * O(diameter) rounds; (b) roughly doubles the shortcut distance per
     * round, so even pathological chains converge in O(log diameter)
     * iterations (near-dup clusters — stars/cliques — still exit after
-    * one verification round). Each generation is persisted and the
-    * previous released — without it the plan would re-derive generation
-    * i-1 twice per reference and blow up exponentially. The driver-side
-    * loop reads only a changed-count aggregate, never data.
+    * one verification round). The driver-side loop reads only a
+    * changed-count aggregate, never data.
     *
-    * Cache lifecycle: the returned frame is a projection over the
-    * loop's final persisted generation, which stays cached — and must:
-    * Spark's non-cascading unpersist discards dependents' materialized
-    * buffers and re-caches them lazily, so releasing the parent here
-    * would silently make every downstream read replay the whole
-    * iterative lineage (measured 2.5x on the cluster-dedup query).
-    * The entry is one (id, comp) pair per near-dup doc — small by
-    * construction. Callers needing strict cache hygiene should
-    * materialize the result (write, or localCheckpoint) and then clear
-    * the session cache. */
+    * Each generation is eagerly `localCheckpoint`ed, which BOTH caches
+    * the rows and truncates logical lineage. Truncation is load-bearing,
+    * not hygiene: the iteration body references its input twice
+    * (propagation + jump), so without it the logical plan doubles per
+    * round and plan-tree rendering alone OOMs the driver near ~8 rounds
+    * — persist() caches execution but not the plan. Local checkpoints
+    * are non-reliable (an executor loss forces recompute from the last
+    * surviving generation); a production run on flaky clusters should
+    * set a checkpoint dir and swap in reliable `checkpoint()` —
+    * same lineage-cut role. Superseded generations are released by
+    * Spark's ContextCleaner once the loop drops their references; the
+    * returned frame is backed by the final checkpoint (one (id, comp)
+    * row per near-dup doc — small by construction). */
   def connectedComponents(pairs: DataFrame, idA: String = "doc_a",
                           idB: String = "doc_b",
                           maxIter: Int = 25): DataFrame = {
@@ -285,43 +286,36 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(lvl)
-    // `persisted` always holds the plan that was actually .persist()ed —
-    // Dataset.unpersist only uncaches sameResult plans, so unpersisting a
-    // Project over the cached plan would silently leak every generation.
     // Initial labels fold the first propagation round into one
     // aggregation: comp = min(id, min direct neighbor). Near-dup clusters
     // are mostly cliques/stars, so this alone converges most components
     // and the loop typically exits after a single verification round.
-    var persisted = edges
+    var labels = edges
       .groupBy(col("src").as("id")).agg(min(col("dst")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("comp"))
-      .persist(lvl)
-    var labels = persisted
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      // (a) propagate: min of own label and neighbors' labels
+      // (a) propagate: min of own label and neighbors' labels.
+      // Checkpointed BEFORE the jump so the jump's two references read
+      // a flat LogicalRDD, not a growing tree (see scaladoc).
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp1"))
-        .persist(lvl)
-      // (b) path-halve: adopt the propagated label's own propagated
-      // label (prop self-join keyed on comp1 — prop is persisted, so
-      // the second reference reads the cache, not the lineage)
+        .localCheckpoint(true)
+      // (b) path-halve: adopt the propagated label's own propagated label
       val lookup = prop.select(col("id").as("__j"), col("comp1").as("__jc"))
       val updated = prop.join(lookup, col("comp1") === col("__j"), "left")
         .select(col("id"), col("comp"),
           least(col("comp1"), coalesce(col("__jc"), col("comp1")))
             .as("comp_new"))
-        .persist(lvl)
+        .localCheckpoint(true)
       changed = updated.filter(col("comp_new") < col("comp")).count()
-      persisted.unpersist()
-      prop.unpersist() // updated is materialized by the count above
-      persisted = updated
       labels = updated.select(col("id"), col("comp_new").as("comp"))
       i += 1
     }
