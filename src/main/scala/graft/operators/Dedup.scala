@@ -308,15 +308,21 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp1"))
         .localCheckpoint(true)
-      // (b) path-halve: adopt the propagated label's own propagated label
-      val lookup = prop.select(col("id").as("__j"), col("comp1").as("__jc"))
-      val updated = prop.join(lookup, col("comp1") === col("__j"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp1"), coalesce(col("__jc"), col("comp1")))
-            .as("comp_new"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("comp_new") < col("comp")).count()
-      labels = updated.select(col("id"), col("comp_new").as("comp"))
+      changed = prop.filter(col("comp1") < col("comp")).count()
+      if (changed > 0) {
+        // (b) path-halve: adopt the propagated label's own propagated
+        // label. Skipped when propagation found a fixpoint — the jump
+        // cannot change anything then, so converged graphs (stars,
+        // cliques — the near-dup shape) never pay this join at all.
+        val lookup = prop.select(col("id").as("__j"), col("comp1").as("__jc"))
+        labels = prop.join(lookup, col("comp1") === col("__j"), "left")
+          .select(col("id"),
+            least(col("comp1"), coalesce(col("__jc"), col("comp1")))
+              .as("comp"))
+          .localCheckpoint(true)
+      } else {
+        labels = prop.select(col("id"), col("comp1").as("comp"))
+      }
       i += 1
     }
     if (changed > 0)
