@@ -989,6 +989,14 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- E15 temperature-balanced mixing (tau=0.5: sqrt weighting) ----
+    "q_temp_mix" -> ((s, d) =>
+      Mixing.temperatureSample(t(s, d, "documents"), "lang", "doc_id",
+          tau = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")),
+
     // ---- E9 nearest as-of join: temporally closest purchase to each click ----
     "q_asof_nearest" -> ((s, d) => {
       val e = t(s, d, "events")
@@ -1808,6 +1816,18 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_temp_mix" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
+        |               GROUP BY lang),
+        |w AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS w FROM counts),
+        |mx AS (SELECT MAX(w) AS mx FROM w),
+        |rates AS (SELECT lang, round(w / mx * 100.0) AS pct FROM w, mx)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE d.doc_id % 100 < r.pct
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_asof_nearest" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events

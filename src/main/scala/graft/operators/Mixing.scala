@@ -78,6 +78,34 @@ object Mixing {
       .drop("__rn")
   }
 
+  /** Temperature-balanced corpus sampling (the multilingual-mixing rule:
+    * keep stratum i with rate ∝ count_i^tau / max_j count_j^tau, so
+    * tau<1 up-weights rare strata relative to their raw share and the
+    * largest stratum keeps `cap` of itself). Rates are derived IN the
+    * plan from a grouped count — no driver-side rate table — and applied
+    * with the same percent-granularity systematic rule as
+    * [[systematicSampleByRates]], so membership stays layout- and
+    * engine-independent. tau = 0.5 computes via sqrt, which IEEE
+    * requires correctly rounded — the cross-engine-exact setting; other
+    * tau go through pow, where libm implementations may differ by an
+    * ulp (membership then flips only if a rate lands within an ulp of a
+    * rounding boundary). */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        tau: Double = 0.5, cap: Double = 1.0): DataFrame = {
+    require(tau > 0 && cap > 0 && cap <= 1.0)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val w = if (tau == 0.5) sqrt(col("__n").cast("double"))
+            else pow(col("__n").cast("double"), lit(tau))
+    val weighted = counts.select(col(strataCol), w.as("__w"))
+    val mx = weighted.agg(max(col("__w")).as("__mx"))
+    val rates = weighted.crossJoin(broadcast(mx))
+      .select(col(strataCol),
+        round(col("__w") / col("__mx") * (100.0 * cap)).as("__pct"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(pmod(col(keyCol), lit(100L)) < col("__pct"))
+      .drop("__pct")
+  }
+
   /** Deterministic train/val/test assignment: `keyCol` is bucketed into
     * 100 cells by the same layout-independent Knuth multiplicative hash
     * as [[deterministicGroupSample]], and cells map to labels by

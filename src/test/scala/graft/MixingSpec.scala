@@ -81,6 +81,28 @@ class MixingSpec extends SparkTestBase {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 3L))
   }
 
+  test("temperatureSample up-weights rare strata, keeps the largest at cap") {
+    // 400 'big' docs vs 100 'rare': tau=0.5 → rates 100% and
+    // round(sqrt(100)/sqrt(400)*100) = 50%
+    val skewed = (0L until 500L).map { i =>
+      (i, if (i < 400) "big" else "rare")
+    }.toDF("doc_id", "source")
+    val out = Mixing.temperatureSample(skewed, "source", "doc_id", tau = 0.5)
+    val counts = out.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("big") === 400L, "largest stratum keeps cap = 100%")
+    // rare ids are 400..499; kept iff id%100 < 50 → exactly 50
+    assert(counts("rare") === 50L)
+    // deterministic on re-evaluation
+    assert(rendered(out) === rendered(
+      Mixing.temperatureSample(skewed, "source", "doc_id", tau = 0.5)))
+    // balanced strata are untouched at any tau
+    val balanced = (0L until 200L).map(i => (i, s"s${i % 2}"))
+      .toDF("doc_id", "source")
+    assert(Mixing.temperatureSample(balanced, "source", "doc_id").count()
+      === 200L)
+  }
+
   test("capPerGroup keeps at most k rows per group, top under the order") {
     val out = Mixing.capPerGroup(docs, Seq(col("source")),
       Seq(col("n_chars").desc, col("doc_id")), 5)
