@@ -15,8 +15,11 @@ import org.apache.spark.sql.graft.GraftFunctions
   * `org.apache.spark.sql.graft.GraftFunctions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.identifiers.foreach { case (id, info, builder) =>
       extensions.injectFunction((id, info, builder))
     }
+    // Portable HOF formulations silently upgrade to native expressions
+    extensions.injectOptimizerRule(_ => RewriteHofDot)
+  }
 }
