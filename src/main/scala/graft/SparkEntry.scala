@@ -989,6 +989,16 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- grouped collection: per-group sorted member list ----
+    "q_array_agg" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(
+               transform(array_sort(collect_list(col("c_custkey"))),
+                 x => x.cast("string")), ",").as("custs"),
+             count(lit(1)).as("n"))
+        .orderBy("c_nationkey")),
+
     // ---- E15 temperature-balanced mixing (tau=0.5: sqrt weighting) ----
     "q_temp_mix" -> ((s, d) =>
       Mixing.temperatureSample(t(s, d, "documents"), "lang", "doc_id",
@@ -1816,6 +1826,14 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ','
+        |             ORDER BY c_custkey) AS custs,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q_temp_mix" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
