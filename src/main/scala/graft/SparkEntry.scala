@@ -989,6 +989,10 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- E20 key-skew report (the pre-join salting diagnostic) ----
+    "q_key_skew" -> ((s, d) =>
+      operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 20)),
+
     // ---- grouped collection: per-group sorted member list ----
     "q_array_agg" -> ((s, d) =>
       t(s, d, "customer")
@@ -1826,6 +1830,13 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_key_skew" ->
+      """SELECT l_suppkey, COUNT(*) AS cnt,
+        |  COUNT(*) / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+        |    AS share
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
 
     "q_array_agg" ->
       """SELECT c_nationkey,

@@ -37,4 +37,22 @@ object Profiling {
       col(s"__max_$c").as("max_s"))): _*)
     one.select(explode(rows).as("p")).select("p.*")
   }
+
+  /** Key-skew report: the `k` heaviest values of `keyCol` with their row
+    * counts and corpus share — the diagnostic that decides whether a
+    * join on this key needs salting ([[Joins.saltedJoin]]) or AQE skew
+    * handling. One grouped count (map-side combined) + a
+    * TakeOrderedAndProject for the top-k: no global sort materializes.
+    * Share divides exact longs, so values are engine-exact. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0)
+    val total = df.select(count(lit(1)).as("__total"))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__total")).as("share"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
+  }
 }

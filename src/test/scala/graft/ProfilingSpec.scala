@@ -20,6 +20,19 @@ class ProfilingSpec extends SparkTestBase {
     assert(p("v") === (("v", 4L, 1L, 2L, "-1.0", "2.5")))
   }
 
+  test("keySkew: heaviest keys first with exact shares, bounded output") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val out = Profiling.keySkew(df, "k", k = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+    // top-k fuses into a bounded selection — no global sort materializes
+    val plan = Profiling.keySkew(df, "k", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must fuse sort+limit:\n$plan")
+  }
+
   test("profile scans the input once (single aggregate family, no reread)") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
     val plan = Profiling.profile(df, Seq("id", "s"))
