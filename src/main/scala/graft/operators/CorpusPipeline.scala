@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus cleaning: the individual operators
   * composed the way a production pipeline runs them.
   *
+  *   0. (optional) canonical normalization + corpus-level chunk dedup,
   *   1. exact dedup (smallest id per identical text wins),
   *   2. MinHash-LSH near-dup removal (for each surviving near-dup pair,
   *      the larger id is dropped),
@@ -23,15 +24,30 @@ object CorpusPipeline {
             minQuality: Double = 0.3,
             shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
             jaccardThreshold: Double = 0.8,
-            transitive: Boolean = false): DataFrame = {
+            transitive: Boolean = false,
+            normalize: Boolean = false,
+            chunkDedupTokens: Option[Int] = None): DataFrame = {
     val id = col(idCol); val text = col(textCol)
+
+    // 0 (optional). canonical normalization — dedup keys off exact text,
+    //    so cleaning BEFORE hashing is what makes near-identical docs
+    //    actually collide; then corpus-level chunk (line) dedup strips
+    //    cross-document boilerplate before whole-doc comparison.
+    val normalized =
+      if (normalize)
+        docs.select(id, TextAnalysis.normalizeText(text).as(textCol))
+      else docs.select(id, text)
+    val preDeduped = chunkDedupTokens match {
+      case Some(n) => Dedup.dedupChunksGlobal(normalized, idCol, textCol, n)
+      case None => normalized
+    }
 
     // 1. exact: keep the smallest id per identical text. groupBy + min
     //    rather than the window formulation: with only (id, text) in
     //    flight they are equivalent, and the aggregate combines map-side
     //    (duplicate texts collapse before the shuffle — the window form
     //    ships every row and sorts per group).
-    val exact = docs.select(id, text)
+    val exact = preDeduped
       .groupBy(text).agg(min(id).as(idCol))
       .select(id, text)
 

@@ -39,6 +39,25 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out === Set(1L, 4L))
   }
 
+  test("clean with normalize + chunk dedup: case noise collapses, boilerplate dies") {
+    val boiler = "subscribe to our newsletter for updates every single day ok"
+    val docs = Seq(
+      (1L, "The Quick Brown Fox jumps over the lazy dog near the river!!"),
+      (2L, "the quick brown fox Jumps over the Lazy Dog near the river"), // exact dup after normalize
+      (3L, s"$boiler unique content about mountain hiking trails and gear advice here"),
+      (4L, s"$boiler another unrelated essay on deep sea creatures and their habits")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, minQuality = 0.2,
+        jaccardThreshold = 0.5, normalize = true,
+        chunkDedupTokens = Some(10))
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 3L, 4L),
+      "doc 2 must collapse into doc 1 once case/punctuation normalize away")
+    assert(out(3L).startsWith(boiler), "first occurrence keeps the boilerplate")
+    assert(!out(4L).contains("subscribe"),
+      "doc 4's copy of the boilerplate chunk must be stripped")
+  }
+
   test("clean is idempotent on an already-clean corpus") {
     val docs = Seq(
       (1L, "totally unique first document about spark windows and joins"),
