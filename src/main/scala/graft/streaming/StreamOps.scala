@@ -86,13 +86,19 @@ object StreamOps {
   def joinStreamsWithin(left: DataFrame, right: DataFrame, key: String,
                         leftTs: String, rightTs: String,
                         within: String = "1 hour",
-                        watermarkDelay: String = "2 hours"): DataFrame = {
+                        watermarkDelay: String = "2 hours",
+                        joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    // Outer variants ("left_outer"/"right_outer"/"full_outer") emit the
+    // null-padded row only once the watermark proves no match can still
+    // arrive — exactly the state-cleanup bound the time-range condition
+    // provides, so the same conditions serve all join types.
     l.join(r,
         col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"),
+        joinType)
       .drop(col(s"r.$key"))
   }
 

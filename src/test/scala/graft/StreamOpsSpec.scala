@@ -194,6 +194,40 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("joinStreamsWithin left_outer: unmatched left emits null-padded after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val sink = nextSink()
+    val q = StreamOps.joinStreamsWithin(
+        clicks.toDF().toDF("user_id", "cts", "click_id"),
+        purchases.toDF().toDF("user_id", "pts", "amount"),
+        "user_id", "cts", "pts", within = "1 hour",
+        watermarkDelay = "1 minute", joinType = "left_outer")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1L),   // will match
+        (8L, ts("2024-01-01 10:00:00"), 2L))   // never matches
+      purchases.addData((7L, ts("2024-01-01 10:30:00"), 9.99))
+      q.processAllAvailable()
+      // advance both watermarks far past 10:00 + 1h + delay, twice so the
+      // state-store eviction that emits the null-padded row runs
+      for (_ <- 1 to 2) {
+        clicks.addData((99L, ts("2024-01-01 20:00:00"), 99L))
+        purchases.addData((98L, ts("2024-01-01 20:00:00"), 0.0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table(sink)
+        .filter(col("click_id").isin(1L, 2L))
+        .select("click_id", "amount")
+        .as[(Long, Option[Double])].collect().toSet
+      assert(rows === Set((1L, Some(9.99)), (2L, None)),
+        "matched row joins; unmatched left emits once with nulls")
+    } finally q.stop()
+  }
+
   test("sessionize splits same-batch events separated by more than the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
