@@ -989,6 +989,12 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- E15 sequence packing: shard assignment → ordered concat ----
+    "q_pack_seq" -> ((s, d) =>
+      Mixing.packSequences(t(s, d, "documents"), "source", "doc_id",
+          "n_chars", "text", budget = 1000L)
+        .orderBy("source", "shard")),
+
     // ---- E20 key-skew report (the pre-join salting diagnostic) ----
     "q_key_skew" -> ((s, d) =>
       operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 20)),
@@ -1830,6 +1836,21 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_pack_seq" ->
+      """WITH packed AS (
+        |  SELECT source, doc_id, text, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+        |      AS BIGINT) AS shard
+        |  FROM documents)
+        |SELECT source, shard,
+        |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS seq,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_weight,
+        |  COUNT(*) AS n_docs
+        |FROM packed GROUP BY source, shard
+        |ORDER BY source, shard""".stripMargin,
 
     "q_key_skew" ->
       """SELECT l_suppkey, COUNT(*) AS cnt,

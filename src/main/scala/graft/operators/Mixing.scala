@@ -129,6 +129,30 @@ object Mixing {
     df.withColumn(splitCol, label)
   }
 
+  /** Pack documents into training sequences: [[packByBudget]] assigns
+    * budget-bounded shards, then each (group, shard) concatenates its
+    * members' text in order with `sep` between them — the
+    * sequence-packing step that turns a curated corpus into
+    * fixed-budget training rows (sep stands in for the EOS/attention-
+    * reset boundary a tokenizer would insert). Output: (groupCol,
+    * shard, seq, total_weight, n_docs). Adds one regroup shuffle on top
+    * of packByBudget's window; the ordered concat is an array_sort over
+    * collected (order, text) structs — per-shard data, never the
+    * corpus. */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    weightCol: String, textCol: String, budget: Long,
+                    sep: String = " <eos> "): DataFrame =
+    packByBudget(df, groupCol, orderCol, weightCol, budget)
+      .groupBy(col(groupCol), col("shard"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            x => x(textCol)),
+          sep).as("seq"),
+        sum(col(weightCol)).as("total_weight"),
+        count(lit(1)).as("n_docs"))
+
   /** Greedy fixed-budget shard assignment: within each `groupCol`
     * (ordered by `orderCol`), rows are packed into shards of at most
     * `budget` total `weightCol` (a row larger than the budget gets its

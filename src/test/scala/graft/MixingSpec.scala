@@ -145,6 +145,21 @@ class MixingSpec extends SparkTestBase {
     }
   }
 
+  test("packSequences: ordered concat per shard, weights and counts add up") {
+    val rows = Seq(
+      (1L, "s", 400L, "one"), (2L, "s", 400L, "two"),
+      (3L, "s", 400L, "three"), (4L, "s", 100L, "four")
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val out = Mixing.packSequences(rows, "source", "doc_id", "n_chars",
+        "text", budget = 1000L, sep = " | ")
+      .orderBy("shard")
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    // cum-before 0,400,800,1200 → shards 0,0,0,1
+    assert(out === Seq(
+      ("s", 0L, "one | two | three", 1200L, 3L),
+      ("s", 1L, "four", 100L, 1L)))
+  }
+
   test("packByBudget: every shard except the last is filled past nothing-fits") {
     val out = Mixing.packByBudget(docs, "source", "doc_id", "n_chars", 1000L)
     // shards are contiguous, starting at 0, per source
