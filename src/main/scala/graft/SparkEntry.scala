@@ -989,6 +989,17 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- E4 Gopher-style rule filter statistics ----
+    "q_gopher" -> ((s, d) =>
+      docsSpread(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.gopherStats(col("text"), minWords = 20).as("g"))
+        .select(col("doc_id"), col("g.n_words"),
+          round(col("g.mean_word_len"), 10).as("mean_word_len"),
+          round(col("g.symbol_ratio"), 10).as("symbol_ratio"),
+          col("g.pass"))
+        .orderBy("doc_id")),
+
     // ---- E15 sequence packing: shard assignment → ordered concat ----
     "q_pack_seq" -> ((s, d) =>
       Mixing.packSequences(t(s, d, "documents"), "source", "doc_id",
@@ -1836,6 +1847,32 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |      AS DOUBLE) AS symbols,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS DOUBLE) AS numerals
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  round(CASE WHEN n_words > 0
+        |    THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END, 10)
+        |    AS mean_word_len,
+        |  round(CASE WHEN n_words > 0
+        |    THEN symbols / n_words ELSE 1.0 END, 10) AS symbol_ratio,
+        |  (n_words >= 20 AND n_words <= 100000
+        |   AND (CASE WHEN n_words > 0
+        |        THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END)
+        |       BETWEEN 3.0 AND 10.0
+        |   AND (CASE WHEN n_words > 0
+        |        THEN symbols / n_words ELSE 1.0 END) < 0.1
+        |   AND (CASE WHEN n_chars > 0
+        |        THEN numerals / n_chars ELSE 1.0 END) < 0.2) AS pass
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_pack_seq" ->
       """WITH packed AS (

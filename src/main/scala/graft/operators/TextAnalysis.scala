@@ -63,6 +63,39 @@ object TextAnalysis {
     (lenScore + alphaRatio + tokScore) / lit(3.0)
   }
 
+  /** Gopher-style rule statistics + verdict: the classic rule-based
+    * document filter (word-count bounds, mean word length bounds,
+    * symbol-to-word ratio, numeral ratio) as one per-row projection —
+    * pure deterministic double arithmetic, oracle-replicable, zero
+    * shuffle. Returns a struct; [[gopherPass]] is the composed boolean.
+    * Thresholds follow the published Gopher ranges (50–100k words, mean
+    * word length 3–10, symbol ratio < 0.1, numeral ratio < 0.2), with
+    * the word floor parameterized — the driver corpus is short-doc. */
+  def gopherStats(text: Column, minWords: Long = 50): Column = {
+    val words = split(text, " ")
+    val nWords = size(words).cast("double")
+    val nChars = length(text).cast("double")
+    val meanWordLen = when(nWords > 0,
+      (nChars - (nWords - 1)) / nWords).otherwise(lit(0.0))
+    val symbols = length(regexp_replace(text, "[A-Za-z0-9 ]", ""))
+      .cast("double")
+    val numerals = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val symbolRatio = when(nWords > 0, symbols / nWords).otherwise(lit(1.0))
+    val numeralRatio = when(nChars > 0, numerals / nChars).otherwise(lit(1.0))
+    struct(
+      size(words).cast("long").as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      numeralRatio.as("numeral_ratio"),
+      (size(words).cast("long") >= minWords && size(words) <= 100000 &&
+        meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+        symbolRatio < 0.1 && numeralRatio < 0.2).as("pass"))
+  }
+
+  /** The composed Gopher verdict alone. */
+  def gopherPass(text: Column, minWords: Long = 50): Column =
+    gopherStats(text, minWords)("pass")
+
   /** Polynomial rolling-hash fingerprint over the document's characters:
     * h = fold(h * 31 + char) mod 1e9+7. Native codegen'd single pass
     * (VectorExprs.PolyHash) — the same recurrence is expressible in

@@ -81,6 +81,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4L) === "clean text stays untouched")
   }
 
+  test("gopherStats: rule bounds catch short, symbol-heavy, numeral-heavy docs") {
+    import spark.implicits._
+    val good = (1 to 25).map(i => if (i % 2 == 0) "alpha" else "beta")
+      .mkString(" ")
+    val rows = Seq(
+      (1L, good),                                  // passes every rule
+      (2L, "too short to pass"),                   // word floor
+      (3L, good + " " + ("@#$% " * 5).trim),       // symbol ratio
+      (4L, (1 to 25).map(_ => "12345").mkString(" ")) // numerals + mean len
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.gopherStats(col("text"), minWords = 20).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+        col("g.pass"))
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._4 === true)
+    assert(out(2L)._4 === false)
+    assert(out(3L)._4 === false)
+    assert(out(4L)._4 === false)
+    assert(out(2L)._2 === 4L)
+    // mean word length excludes the separators
+    assert(math.abs(out(4L)._3 - 5.0) < 1e-12)
+  }
+
   test("analyze emits the full projection") {
     val out = TextAnalysis.analyze(docs)
     assert(out.columns.toSeq === Seq("doc_id", "n_chars", "n_tokens",
