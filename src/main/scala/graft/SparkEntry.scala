@@ -989,6 +989,17 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- window analytics: time-interval RANGE frame (trailing hour) ----
+    "q_window_trailing" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("ev_trail")
+      s.sql("""
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS n_1h
+        FROM ev_trail ORDER BY event_id""")
+    }),
+
     // ---- E4 Gopher-style rule filter statistics ----
     "q_gopher" -> ((s, d) =>
       docsSpread(s, d)
@@ -1847,6 +1858,13 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_trailing" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS n_1h
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_gopher" ->
       """WITH t AS (
