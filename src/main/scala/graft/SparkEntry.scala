@@ -410,6 +410,14 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"),
                 hash(col("features")).as("features_hash"))
         .orderBy("media_id")),
+    // batch-shaped embedding over the same stub model (rows-only)
+    "q_media_embed" -> ((s, d) =>
+      Multimodal.embedBatched(s,
+          Multimodal.fromDocuments(docsSpread(s, d)),
+          dim = 8, batchSize = 64)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+                hash(col("features")).as("features_hash"))),
     // frame is binary; same comparable-scalar projection as q_media_features.
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(s,
