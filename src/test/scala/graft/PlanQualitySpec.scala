@@ -108,6 +108,18 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("unpivot plans as a single Expand, not a self-union of scans") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), s"unpivot must use Expand:\n$p")
+    assert(!p.contains("Union"), s"no N-scan union rewrite:\n$p")
+  }
+
+  test("temperature mixing derives rates in-plan and broadcasts them") {
+    val p = plan("q_temp_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-stratum rate table must broadcast onto the corpus:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
