@@ -997,6 +997,20 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- recursive CTE (Spark 4 WITH RECURSIVE): spine + outer join ----
+    "q_recursive_cte" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_rc")
+      s.sql("""
+        WITH RECURSIVE sizes(n) AS (
+          SELECT 1 AS n
+          UNION ALL
+          SELECT n + 1 FROM sizes WHERE n < 50
+        )
+        SELECT n, COUNT(p_partkey) AS n_parts
+        FROM sizes LEFT JOIN part_rc ON p_size = n
+        GROUP BY n ORDER BY n""")
+    }),
+
     // ---- window analytics: time-interval RANGE frame (trailing hour) ----
     "q_window_trailing" -> ((s, d) => {
       t(s, d, "events").createOrReplaceTempView("ev_trail")
@@ -1866,6 +1880,16 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE sizes(n) AS (
+        |  SELECT 1 AS n
+        |  UNION ALL
+        |  SELECT n + 1 FROM sizes WHERE n < 50
+        |)
+        |SELECT n, COUNT(p_partkey) AS n_parts
+        |FROM sizes LEFT JOIN part ON p_size = n
+        |GROUP BY n ORDER BY n""".stripMargin,
 
     "q_window_trailing" ->
       """SELECT event_id, user_id,
