@@ -997,6 +997,17 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- VARIANT semi-structured path (Spark 4): parse once, typed gets.
+    // Output columns are plain long/double, so the engine-internal
+    // variant encoding stays oracle-comparable. ----
+    "q_variant" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          try_variant_get(parse_json(col("props")), "$.k", "long").as("k"),
+          (try_variant_get(parse_json(col("props")), "$.k", "double")
+            * col("value")).as("kv"))
+        .orderBy("event_id")),
+
     // ---- recursive CTE (Spark 4 WITH RECURSIVE): spine + outer join ----
     "q_recursive_cte" -> ((s, d) => {
       t(s, d, "part").createOrReplaceTempView("part_rc")
@@ -1880,6 +1891,12 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) * value AS kv
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_recursive_cte" ->
       """WITH RECURSIVE sizes(n) AS (
