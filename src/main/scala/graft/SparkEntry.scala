@@ -997,6 +997,21 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- LATERAL correlated subquery (per-row dependent top-1) ----
+    "q_lateral" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_lat")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_lat")
+      s.sql("""
+        SELECT o_orderkey, l.l_linenumber, l.l_quantity
+        FROM orders_lat,
+        LATERAL (
+          SELECT l_linenumber, l_quantity FROM lineitem_lat
+          WHERE l_orderkey = o_orderkey
+          ORDER BY l_quantity DESC, l_linenumber LIMIT 1) AS l
+        WHERE o_orderkey < 1000
+        ORDER BY o_orderkey""")
+    }),
+
     // ---- VARIANT semi-structured path (Spark 4): parse once, typed gets.
     // Output columns are plain long/double, so the engine-internal
     // variant encoding stays oracle-comparable. ----
@@ -1891,6 +1906,16 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT o_orderkey, l.l_linenumber, l.l_quantity
+        |FROM orders,
+        |LATERAL (
+        |  SELECT l_linenumber, l_quantity FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 1) AS l
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_variant" ->
       """SELECT event_id,
