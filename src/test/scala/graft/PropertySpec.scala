@@ -167,6 +167,54 @@ class PropertySpec extends SparkTestBase {
     }, samples = 10)
   }
 
+  test("property: dedupChunksGlobal is idempotent and conserves chunks") {
+    val docGen: Gen[List[(Long, String)]] = Gen.listOfN(10, for {
+      id <- Gen.choose(0L, 999L)
+      toks <- Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield (id, toks.mkString(" ")))
+    check(Prop.forAll(docGen) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        val once = Dedup.dedupChunksGlobal(df, "doc_id", "text", 3)
+        val twice = Dedup.dedupChunksGlobal(once, "doc_id", "text", 3)
+        // idempotent: a deduped corpus has no repeated chunks left
+        rendered(once) == rendered(twice) && {
+          // global conservation: every distinct chunk survives exactly once
+          def chunks(d: org.apache.spark.sql.DataFrame) = d
+            .select(explode(transform(
+              sequence(lit(0),
+                ceil(size(split(col("text"), " ")).cast("double") / 3)
+                  .cast("int") - 1),
+              i => concat_ws(" ",
+                slice(split(col("text"), " "), i * 3 + 1, lit(3))))))
+            .as[String].collect()
+          val inChunks = chunks(df).toSet
+          val outChunks = chunks(once)
+          outChunks.distinct.length == outChunks.length &&
+            outChunks.toSet.subsetOf(inChunks)
+        }
+      }
+    }, samples = 6)
+  }
+
+  test("property: deterministicSplit is a partition function of the key") {
+    val gen: Gen[List[Long]] = Gen.listOfN(30, Gen.choose(0L, 100000L))
+    check(Prop.forAll(gen, Gen.choose(1, 9)) { (keys, parts) =>
+      keys.isEmpty || {
+        val df = keys.distinct.toDF("doc_id")
+        val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+        val a = operators.Mixing.deterministicSplit(df, "doc_id", w)
+        val b = operators.Mixing.deterministicSplit(
+          df.repartition(parts), "doc_id", w)
+        // every row labeled with a declared label; layout-independent
+        rendered(a.orderBy("doc_id")) == rendered(b.orderBy("doc_id")) &&
+          a.select("split").as[String].collect()
+            .forall(Set("train", "val", "test"))
+      }
+    }, samples = 8)
+  }
+
   test("property: chained jaccard is within [0,1]; identical docs give 1") {
     val docGen = Gen.listOfN(6, Gen.listOfN(10,
       Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))
