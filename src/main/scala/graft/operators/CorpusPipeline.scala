@@ -26,7 +26,8 @@ object CorpusPipeline {
             jaccardThreshold: Double = 0.8,
             transitive: Boolean = false,
             normalize: Boolean = false,
-            chunkDedupTokens: Option[Int] = None): DataFrame = {
+            chunkDedupTokens: Option[Int] = None,
+            gopherMinWords: Option[Long] = None): DataFrame = {
     val id = col(idCol); val text = col(textCol)
 
     // 0 (optional). canonical normalization — dedup keys off exact text,
@@ -66,9 +67,14 @@ object CorpusPipeline {
         exact.join(dropIds, Seq(idCol), "left_anti")
       }
 
-    // 3 + 4. quality floor, then redact
-    deduped
+    // 3 + 4. quality floor (score floor, optionally the Gopher rule
+    // verdict on top), then redact
+    val floored = deduped
       .filter(TextAnalysis.qualityScore(text) >= minQuality)
-      .withColumn(textCol, TextAnalysis.redact(text))
+    val gated = gopherMinWords match {
+      case Some(mw) => floored.filter(TextAnalysis.gopherPass(text, mw))
+      case None => floored
+    }
+    gated.withColumn(textCol, TextAnalysis.redact(text))
   }
 }

@@ -58,6 +58,19 @@ class CorpusPipelineSpec extends SparkTestBase {
       "doc 4's copy of the boilerplate chunk must be stripped")
   }
 
+  test("clean with gopherMinWords gates on the rule verdict too") {
+    val good = (1 to 30).map(i => if (i % 3 == 0) "gamma" else "delta")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "short but high alpha ratio text here ok")  // passes score, fails word floor
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, minQuality = 0.2,
+        jaccardThreshold = 0.5, gopherMinWords = Some(20L))
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L), "doc 2 fails the Gopher word floor")
+  }
+
   test("clean is idempotent on an already-clean corpus") {
     val docs = Seq(
       (1L, "totally unique first document about spark windows and joins"),
