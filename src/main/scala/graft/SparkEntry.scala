@@ -997,6 +997,15 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- explode_outer: docs with no qualifying token keep a NULL row ----
+    "q_explode_outer" -> ((s, d) =>
+      docsSpread(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode_outer(filter(split(col("text"), " "),
+            t => length(t) > 8)).as("tok"))
+        .orderBy(col("doc_id"), col("tok").asc_nulls_first)),
+
     // ---- LATERAL correlated subquery (per-row dependent top-1) ----
     "q_lateral" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_lat")
@@ -1906,6 +1915,16 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_explode_outer" ->
+      """SELECT doc_id,
+        |  unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok
+        |FROM (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '),
+        |                x -> length(x) > 8) AS l
+        |  FROM documents WHERE doc_id < 200)
+        |ORDER BY doc_id, tok""".stripMargin,
 
     "q_lateral" ->
       """SELECT o_orderkey, l.l_linenumber, l.l_quantity
