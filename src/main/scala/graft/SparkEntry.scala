@@ -997,6 +997,18 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- edit distance between id-adjacent names (fuzzy-match primitive) ----
+    "q_edit_distance" -> ((s, d) => {
+      val w = Window.orderBy("p_partkey")
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"),
+          lead(col("p_name"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("nxt")).cast("long").as("dist"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- explode_outer: docs with no qualifying token keep a NULL row ----
     "q_explode_outer" -> ((s, d) =>
       docsSpread(s, d)
@@ -1915,6 +1927,16 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, nxt) AS BIGINT) AS dist
+        |FROM (
+        |  SELECT p_partkey, p_name,
+        |    lead(p_name, 1) OVER (ORDER BY p_partkey) AS nxt
+        |  FROM part)
+        |WHERE nxt IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_explode_outer" ->
       """SELECT doc_id,
