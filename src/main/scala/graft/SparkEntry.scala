@@ -997,15 +997,17 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
-    // ---- edit distance between id-adjacent names (fuzzy-match primitive) ----
+    // ---- edit distance between id-adjacent names (fuzzy-match primitive).
+    // Adjacency via a self-equi-join on key+1, NOT an unpartitioned
+    // lead() window — a global window is a single task at scale, the
+    // join shuffles by key and stays parallel (keys are dense here). ----
     "q_edit_distance" -> ((s, d) => {
-      val w = Window.orderBy("p_partkey")
-      t(s, d, "part")
-        .select(col("p_partkey"), col("p_name"),
-          lead(col("p_name"), 1).over(w).as("nxt"))
-        .filter(col("nxt").isNotNull)
-        .select(col("p_partkey"),
-          levenshtein(col("p_name"), col("nxt")).cast("long").as("dist"))
+      val p = t(s, d, "part").select("p_partkey", "p_name")
+      val a = p.as("a"); val b = p.as("b")
+      a.join(b, col("b.p_partkey") === col("a.p_partkey") + 1)
+        .select(col("a.p_partkey").as("p_partkey"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long")
+            .as("dist"))
         .orderBy("p_partkey")
     }),
 
@@ -1929,14 +1931,10 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
 
     "q_edit_distance" ->
-      """SELECT p_partkey,
-        |  CAST(levenshtein(p_name, nxt) AS BIGINT) AS dist
-        |FROM (
-        |  SELECT p_partkey, p_name,
-        |    lead(p_name, 1) OVER (ORDER BY p_partkey) AS nxt
-        |  FROM part)
-        |WHERE nxt IS NOT NULL
-        |ORDER BY p_partkey""".stripMargin,
+      """SELECT a.p_partkey,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY a.p_partkey""".stripMargin,
 
     "q_explode_outer" ->
       """SELECT doc_id,
