@@ -997,6 +997,17 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- GROUP BY ALL / ORDER BY ALL (modern SQL shorthand surface) ----
+    "q_group_by_all" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gba")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders_gba GROUP BY ALL ORDER BY ALL""")
+    }),
+
     // ---- edit distance between id-adjacent names (fuzzy-match primitive).
     // Adjacency via a self-equi-join on key+1, NOT an unpartitioned
     // lead() window — a global window is a single task at scale, the
@@ -1929,6 +1940,12 @@ object SparkEntry {
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     "q_edit_distance" ->
       """SELECT a.p_partkey,
