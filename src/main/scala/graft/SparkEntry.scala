@@ -34,11 +34,13 @@ object SparkEntry {
   private def sumDec(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Star-join revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
-    * region — dims broadcast, one shuffle for the final aggregate. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  /** Flagship query — star-join revenue rollup: lineitem ⋈ orders ⋈
+    * customer ⋈ nation ⋈ region, dims broadcast, one shuffle for the
+    * final aggregate. Takes `dir` like every other query and is
+    * registered in [[queries]]/[[oracleSql]] as "entry", so the
+    * flagship gets the same DuckDB hash-check as the rest of the
+    * surface; the driver's no-arg smoke contract is the overload below. */
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem"); val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer"); val n = t(spark, dir, "nation")
     val r = t(spark, dir, "region")
@@ -53,9 +55,16 @@ object SparkEntry {
       .orderBy("r_name", "n_name")
   }
 
+  /** Driver smoke contract: flagship on sf0.001 (rows > 0 checked). */
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2 (+ §2.10
     * extensions). Each takes (session, sfDir). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship (oracle-checked like every other query) ----
+    "entry" -> ((s, d) => entry(s, d)),
+
     // ---- §2.1/2.3 scans, projection, rename (S1–S3, P1, P2) ----
     "q_scan_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -1201,6 +1210,19 @@ object SparkEntry {
   /** DuckDB-equivalent ANSI SQL per query (driver runs these on the same
     * parquet tables). Omitted for the engine-specific ops above. */
   def oracleSql: Map[String, String] = Map(
+    "entry" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, price""".stripMargin,
@@ -2057,7 +2079,8 @@ object SparkEntry {
         |               GROUP BY lang),
         |w AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS w FROM counts),
         |mx AS (SELECT MAX(w) AS mx FROM w),
-        |rates AS (SELECT lang, round(w / mx * 100.0) AS pct FROM w, mx)
+        |rates AS (SELECT lang, greatest(1.0, round(w / mx * 100.0)) AS pct
+        |          FROM w, mx)
         |SELECT d.lang, COUNT(*) AS n_docs,
         |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
         |FROM documents d JOIN rates r ON d.lang = r.lang

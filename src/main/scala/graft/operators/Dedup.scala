@@ -50,12 +50,20 @@ object Dedup {
     * chunk string for the global keep-first window, one by id for
     * reassembly. Nothing is quadratic and nothing collects — at 100 TB
     * the chunk table is ~tokens/chunkTokens rows riding ordinary
-    * exchanges. Output: (idCol, textCol) with textCol rebuilt. */
+    * exchanges. Output: (idCol, textCol) with textCol rebuilt.
+    *
+    * NULL-text rows pass through unchanged (they hold no chunks to dedup
+    * and must not disappear from the corpus — explode of NULL produces
+    * no rows, which would silently drop them). They ride a separate
+    * union branch; both branches' scan filters push down. */
   def dedupChunksGlobal(df: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int = 10): DataFrame = {
     require(chunkTokens > 0)
+    val nullRows = df.filter(col(textCol).isNull)
+      .select(col(idCol), col(textCol))
     val toks = split(col(textCol), " ")
-    val chunks = df.select(col(idCol), posexplode(
+    val chunks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(
         transform(
           sequence(lit(0),
             ceil(size(toks).cast("double") / chunkTokens).cast("int") - 1),
@@ -73,6 +81,7 @@ object Dedup {
           array_sort(collect_list(struct(col("__chunk_idx"), col("__chunk")))),
           x => x("__chunk")),
         " ").as(textCol))
+      .unionByName(nullRows)
   }
 
   /** Word n-gram shingles of a text column, as a distinct array. */

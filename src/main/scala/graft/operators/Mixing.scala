@@ -89,7 +89,12 @@ object Mixing {
     * requires correctly rounded — the cross-engine-exact setting; other
     * tau go through pow, where libm implementations may differ by an
     * ulp (membership then flips only if a rate lands within an ulp of a
-    * rounding boundary). */
+    * rounding boundary).
+    *
+    * The rate is floored at one percent cell: a stratum whose weighted
+    * share rounds to 0% still keeps ~1% of itself. Without the floor the
+    * RAREST strata — the ones temperature mixing exists to up-weight —
+    * would be silently eliminated whenever count^tau / max < 0.5%. */
   def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
                         tau: Double = 0.5, cap: Double = 1.0): DataFrame = {
     require(tau > 0 && cap > 0 && cap <= 1.0)
@@ -100,7 +105,8 @@ object Mixing {
     val mx = weighted.agg(max(col("__w")).as("__mx"))
     val rates = weighted.crossJoin(broadcast(mx))
       .select(col(strataCol),
-        round(col("__w") / col("__mx") * (100.0 * cap)).as("__pct"))
+        greatest(lit(1.0),
+          round(col("__w") / col("__mx") * (100.0 * cap))).as("__pct"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(pmod(col(keyCol), lit(100L)) < col("__pct"))
       .drop("__pct")

@@ -12,9 +12,15 @@ object Ops {
     * the cluster has slots — at 100 TB a real source has thousands of
     * splits and this is a no-op, so the extra shuffle is only ever paid
     * on inputs small enough for it to be cheap.
+    *
+    * The partition count is read from the physical plan's output
+    * partitioning — NOT via `df.rdd`, which would force RDD conversion
+    * (and whole-stage codegen compilation) of every composed query at
+    * build time just to read one integer.
     */
   def spread(df: DataFrame, by: Column): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par, by) else df
+    val n = df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    if (n < par) df.repartition(par, by) else df
   }
 }

@@ -16,8 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * [[VectorExprs.FloatDot]]. Users (and SQL authors) can write the
   * engine-independent formulation and still execute the single tight
   * loop — measured ~17× faster than the interpreted lambda chain — with
-  * bit-identical results: FloatDot accumulates in Double in index
-  * order, exactly like the sequential fold it replaces.
+  * bit-identical results ON EVERY INPUT: FloatDot accumulates in Double
+  * in index order exactly like the sequential fold it replaces, and its
+  * degenerate-input semantics are aligned with the fold too (unequal
+  * lengths → NULL, a NULL element → NULL — zip_with's null-padding and
+  * null-product poisoning), so the rewrite is sound for ragged and
+  * null-holding arrays, not only well-formed embeddings.
   *
   * The match is deliberately exact (that one shape, Double accumulation
   * from zero 0.0, identity finish); anything else is left untouched, so

@@ -26,19 +26,35 @@ object VectorExprs {
   private val X = "org.apache.spark.sql.catalyst.expressions.XXH64"
 
   /** Dot product of two float-array columns, accumulated in Double in
-    * index order. */
+    * index order.
+    *
+    * Degenerate-input semantics MATCH the portable
+    * `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, _ + _)` fold on
+    * every input, not just well-formed ones: arrays of unequal length
+    * yield NULL (zip_with null-pads the shorter side, poisoning the sum)
+    * and a NULL element yields NULL (null product → null sum). This is
+    * what makes [[graft.plans.RewriteHofDot]] a sound rewrite on ALL
+    * user data — ragged or null-holding arrays return the same NULL the
+    * HOF formulation returns — with no interpreted guard expressions
+    * around the native loop. */
   case class FloatDot(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
+    // can return NULL even for non-null inputs (ragged / null element)
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_float_dot"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var s = 0.0; var i = 0
-      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+      }
       s
     }
 
@@ -47,12 +63,17 @@ object VectorExprs {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $s;
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
 

@@ -128,6 +128,17 @@ class DedupSpec extends SparkTestBase {
     assert(out === Map(1L -> "a b c d", 2L -> "x y"))
   }
 
+  test("dedupChunksGlobal: NULL-text rows pass through instead of vanishing") {
+    val docs = Seq(
+      (1L, Some("a b c d")),
+      (2L, None),              // no chunks — must still be in the output
+      (3L, Some("a b"))        // duplicate chunk of doc 1 → dies
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunksGlobal(docs, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("a b c d"), 2L -> None))
+  }
+
   test("dedupChunksGlobal: no duplicate chunks → corpus unchanged") {
     val docs = Seq(
       (1L, "p q r s t u v"),   // 7 tokens → chunks [p..t][u v]

@@ -103,6 +103,33 @@ class MixingSpec extends SparkTestBase {
       === 200L)
   }
 
+  test("temperatureSample floors vanishing strata at one percent cell") {
+    // 100k 'big' vs 3 'rare': sqrt(3)/sqrt(100000) ≈ 0.55% → rounds to 1%,
+    // but 1 'ultra' vs 100k: sqrt(1)/sqrt(100000) ≈ 0.32% → would round to
+    // 0% and silently ELIMINATE the stratum temperature mixing exists to
+    // up-weight. The floor keeps one percent cell, so ids with id%100 == 0
+    // survive.
+    val skewed = ((0L until 10000L).map(i => (i, "big")) ++
+      Seq((10000L, "ultra"), (10100L, "ultra"), (10250L, "ultra")))
+      .toDF("doc_id", "source")
+    val counts = Mixing.temperatureSample(skewed, "source", "doc_id",
+        tau = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // sqrt(3)/sqrt(10000) = 1.7% → 2%; ids 10000, 10100 (%100 = 0) kept,
+    // 10250 (%100 = 50) dropped — but never the whole stratum
+    assert(counts.contains("ultra"), "rare stratum must not vanish")
+    assert(counts("ultra") === 2L)
+    // truly sub-0.5% share: sqrt(1)/sqrt(50000) ≈ 0.45% rounds to 0% —
+    // only the floor keeps the stratum alive
+    val extreme = ((0L until 50000L).map(i => (i, "big")) ++
+      Seq((50000L, "solo"))).toDF("doc_id", "source")
+    val kept = Mixing.temperatureSample(extreme, "source", "doc_id",
+        tau = 0.5)
+      .filter(col("source") === "solo").count()
+    assert(kept === 1L, "a stratum whose rate rounds to 0% keeps its 1% " +
+      "cell (id 50000 % 100 = 0 is inside the floored cell)")
+  }
+
   test("capPerGroup keeps at most k rows per group, top under the order") {
     val out = Mixing.capPerGroup(docs, Seq(col("source")),
       Seq(col("n_chars").desc, col("doc_id")), 5)

@@ -53,6 +53,37 @@ class RewriteHofDotSpec extends SparkTestBase {
     assert(rewritten === native)
   }
 
+  test("rewrite is semantics-preserving on ragged and null-element arrays") {
+    // zip_with null-pads the shorter array and a null element poisons the
+    // product — the HOF fold returns NULL for both. The injected rule runs
+    // in EVERY session, so the rewritten plan must return NULL too.
+    val dir = java.nio.file.Files.createTempDirectory("graft-hofdot3").toString
+    Seq(
+      (1L, Some(Seq(Option(1.0f), Option(2.0f), Option(9.0f))),
+        Some(Seq(Option(10.0f), Option(10.0f)))),          // ragged
+      (2L, Some(Seq(Option(1.0f), None)),
+        Some(Seq(Option(2.0f), Option(3.0f)))),            // null element
+      (3L, None, Some(Seq(Option(1.0f)))),                 // null array
+      (4L, Some(Seq(Option(1.0f), Option(2.0f))),
+        Some(Seq(Option(3.0f), Option(4.0f))))             // well-formed
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val ragged = spark.read.parquet(dir)
+    val hofRaw = ragged.select(col("id"),
+        Similarity.dotDHof(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(hofRaw(1L).isEmpty && hofRaw(2L).isEmpty && hofRaw(3L).isEmpty,
+      "HOF fold: ragged/null inputs → NULL")
+    assert(hofRaw(4L).contains(11.0))
+    withRule {
+      val df = ragged.select(col("id"),
+        Similarity.dotDHof(col("a"), col("b")).as("d"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_float_dot"),
+        "nullable float arrays must still rewrite")
+      assert(df.as[(Long, Option[Double])].collect().toMap === hofRaw,
+        "rewritten results identical, including the NULLs")
+    }
+  }
+
   test("rule is a no-op on folds it cannot prove are dot products") {
     withRule {
       // different zero, different merge op, non-float arrays — untouched

@@ -23,11 +23,18 @@ class VectorExprsSpec extends SparkTestBase {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
-  test("floatDot handles length mismatch by truncating to the shorter") {
-    val out = Seq((Array(1.0f, 2.0f, 9.0f), Array(10.0f, 10.0f)))
+  test("floatDot: ragged lengths and null elements → NULL (HOF fold semantics)") {
+    // aggregate(zip_with(...)) null-pads the shorter array and poisons the
+    // sum with null products — FloatDot must agree so RewriteHofDot is a
+    // sound rewrite on every input
+    val ragged = Seq((Array(1.0f, 2.0f, 9.0f), Array(10.0f, 10.0f)))
       .toDF("a", "b")
-      .select(VectorExprs.floatDot(col("a"), col("b"))).as[Double].collect()(0)
-    assert(out === 30.0)
+      .select(VectorExprs.floatDot(col("a"), col("b")))
+    assert(ragged.collect()(0).isNullAt(0), "unequal lengths → NULL")
+    val withNullElem = Seq((Seq(Some(1.0f), None), Seq(Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+      .select(VectorExprs.floatDot(col("a"), col("b")))
+    assert(withNullElem.collect()(0).isNullAt(0), "null element → NULL")
   }
 
   test("cosineSim: single-pass result bit-equals the composed dot/norm form") {
