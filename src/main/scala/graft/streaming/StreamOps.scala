@@ -103,49 +103,39 @@ object StreamOps {
   }
 
   /** Streaming SCD-1 upsert sink via foreachBatch: every micro-batch
-    * MERGEs into a keyed parquet table (latest version per key wins,
-    * batch rows beating existing ones). foreachBatch is the standard
-    * bridge to sinks Structured Streaming has no native writer for —
-    * the batch is just a DataFrame, so the batch upsert operator is
+    * MERGEs into a keyed [[graft.sources.ManifestTable]] (latest version
+    * per key wins, batch rows beating existing ones). foreachBatch is
+    * the standard bridge to sinks Structured Streaming has no native
+    * writer for — the batch is just a DataFrame, so the batch upsert
+    * operator (Dimensional.upsert, inside ManifestTable.upsertBatch) is
     * reused verbatim and batch/stream semantics cannot drift.
     *
-    * The read-modify-write swaps a fresh directory into place per
-    * batch; on a real deployment the same foreachBatch body targets an
-    * ACID table format (Delta/Iceberg MERGE INTO) and this helper's
-    * value is the dedup-within-batch + merge discipline, not the swap.
-    * Restart safety comes from the checkpoint: a replayed batch re-MERGEs
-    * the same keys, which is idempotent. `versionCol` orders duplicate
-    * keys WITHIN a batch (highest wins), matching Dimensional.upsert. */
+    * Publish is ATOMIC and PARTITION-SCOPED: each batch rewrites only
+    * the hash-buckets its keys touch (files of untouched buckets carry
+    * into the new snapshot by reference — per-batch work is O(affected
+    * buckets), not O(table)), and the snapshot goes live via a
+    * one-manifest-file rename, so a concurrent reader sees the old or
+    * the new table, never a missing or torn one. A replayed batch
+    * (restart from checkpoint) is detected by its recorded batch id and
+    * skipped — the commit is idempotent. Read the result with
+    * `ManifestTable.read(spark, tablePath)`. `versionCol` orders
+    * duplicate keys WITHIN a batch (highest wins). */
   def upsertStream(df: DataFrame, tablePath: String, checkpoint: String,
                    keys: Seq[String], versionCol: Option[String] = None,
                    trigger: org.apache.spark.sql.streaming.Trigger =
-                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                   nBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keys.nonEmpty)
     df.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val fresh = versionCol match {
-          case Some(v) => graft.operators.Dedup.dedupKeepFirst(
-            batch.toDF(), keys.map(col), Seq(col(v).desc))
-          case None => batch.toDF()
-        }
-        val path = new org.apache.hadoop.fs.Path(tablePath)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(path))
-            graft.operators.Dimensional.upsert(
-              spark.read.parquet(tablePath), fresh, keys)
-          else fresh
-        val tmp = new org.apache.hadoop.fs.Path(
-          path.getParent, path.getName + "__tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(path, true)
-        fs.rename(tmp, path)
-        ()
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.sources.ManifestTable.upsertBatch(
+            batch.toDF(), tablePath, keys, versionCol, nBuckets, batchId)
+          ()
       }
       .start()
   }

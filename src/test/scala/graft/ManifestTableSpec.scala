@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.sources.ManifestTable
+
+/** The atomic-publish protocol behind StreamOps.upsertStream: snapshot
+  * isolation (old-or-new-never-nothing), replayed-batch idempotence, and
+  * partition-scoped rewrites (untouched buckets carried by reference). */
+class ManifestTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/t"
+
+  private def rows(xs: (Long, String, Long)*) = xs.toDF("k", "v", "ver")
+
+  private def state(table: String): Set[(Long, String, Long)] =
+    ManifestTable.read(spark, table)
+      .select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
+
+  test("reader sees old or new, never nothing: crash at any commit step") {
+    val table = tmpTable()
+    assert(ManifestTable.upsertBatch(rows((1L, "a", 1L), (2L, "b", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 0L))
+    val v1 = state(table)
+    assert(v1 === Set((1L, "a", 1L), (2L, "b", 1L)))
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a writer that died AFTER writing a full new commit's data
+    // files but BEFORE the manifest rename: unreferenced data + a dot-temp
+    // manifest must be invisible to readers
+    rows((9L, "junk", 9L))
+      .write.parquet(s"$table/data/c2/${ManifestTable.BucketCol}=0")
+    val tmp = fs.create(new Path(s"$table/_manifests/.tmp-v2"), true)
+    tmp.write("batchId=1\n0\tgarbage-path".getBytes("UTF-8")); tmp.close()
+    assert(state(table) === v1,
+      "half-committed attempt is invisible — reader still sees v1")
+    // the recovering writer retries the same version: the leftover data
+    // dir is cleared, the commit succeeds, readers move to v2 atomically
+    assert(ManifestTable.upsertBatch(rows((2L, "b2", 2L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 1L))
+    assert(state(table) === Set((1L, "a", 1L), (2L, "b2", 2L)))
+    // at every committed point the table read a complete snapshot; the
+    // old snapshot is still intact for in-flight readers of v1
+    val Some((v, _)) = ManifestTable.currentVersionAndBatch(spark, table)
+    assert(v === 2L)
+  }
+
+  test("replayed batch (same batchId) is a no-op — commit is idempotent") {
+    val table = tmpTable()
+    assert(ManifestTable.upsertBatch(rows((1L, "a", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 0L))
+    assert(ManifestTable.upsertBatch(rows((2L, "b", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 1L))
+    val before = state(table)
+    val beforeVersion = ManifestTable.currentVersionAndBatch(spark, table)
+    // a restart replays batch 1 — possibly with the same content; the
+    // recorded batchId makes the re-commit a no-op
+    assert(!ManifestTable.upsertBatch(rows((2L, "b", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 1L),
+      "replay must be skipped")
+    assert(state(table) === before)
+    assert(ManifestTable.currentVersionAndBatch(spark, table)
+      === beforeVersion, "no new version published for a replay")
+  }
+
+  test("upsert rewrites only affected buckets; others carry by reference") {
+    val table = tmpTable()
+    // many keys spread over 16 buckets
+    val base = (0L until 200L).map(k => (k, s"v$k", 1L))
+    assert(ManifestTable.upsertBatch(rows(base: _*),
+      table, Seq("k"), Some("ver"), nBuckets = 16, batchId = 0L))
+    val files1 = ManifestTable.currentFiles(spark, table).toMap
+    assert(files1.keySet.size > 4, "base load populates many buckets")
+    // single-key batch → exactly one affected bucket
+    assert(ManifestTable.upsertBatch(rows((7L, "updated", 2L)),
+      table, Seq("k"), Some("ver"), nBuckets = 16, batchId = 1L))
+    val files2 = ManifestTable.currentFiles(spark, table).toMap
+    val changed = files2.filter { case (b, p) => files1.get(b) != Some(p) }
+    assert(changed.size === 1,
+      s"exactly one bucket rewritten, got ${changed.keySet}")
+    val unchanged = files2.filter { case (b, p) => files1.get(b) == Some(p) }
+    assert(unchanged.size === files1.size - 1,
+      "every other bucket's file is the SAME path — carried by reference")
+    // and the merge itself is correct
+    val s = state(table)
+    assert(s.size === 200)
+    assert(s.contains((7L, "updated", 2L)))
+    assert(s.contains((8L, "v8", 1L)))
+  }
+
+  test("ad-hoc batch upserts (no batchId) always apply") {
+    val table = tmpTable()
+    assert(ManifestTable.upsertBatch(rows((1L, "a", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 4))
+    assert(ManifestTable.upsertBatch(rows((1L, "a2", 2L)),
+      table, Seq("k"), Some("ver"), nBuckets = 4),
+      "no replay protection without a stream batch id")
+    assert(state(table) === Set((1L, "a2", 2L)))
+  }
+
+  test("vacuum drops snapshots beyond the retention window") {
+    val table = tmpTable()
+    for (i <- 0 to 3)
+      ManifestTable.upsertBatch(rows((i.toLong, s"v$i", 1L)),
+        table, Seq("k"), Some("ver"), nBuckets = 4, batchId = i.toLong)
+    ManifestTable.vacuum(spark, table, keep = 2)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(new Path(s"$table/_manifests"))
+      .map(_.getPath.getName).filter(_.endsWith(".txt")).sorted
+    assert(manifests.toSeq === Seq("v3.txt", "v4.txt"))
+    // current snapshot still reads completely after the vacuum
+    assert(state(table).size === 4)
+  }
+}

@@ -302,30 +302,32 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("upsertStream: per-batch SCD-1 merge into a keyed parquet table") {
+  test("upsertStream: per-batch SCD-1 merge into a keyed manifest table") {
     implicit val sqlCtx = spark.sqlContext
-    case class Upd(k: Long, v: String, ver: Long)
     val in = MemoryStream[(Long, String, Long)]
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
     val table = s"$dir/table"; val ckpt = s"$dir/ckpt"
     def run(): Unit = {
       val q = StreamOps.upsertStream(
         in.toDF().toDF("k", "v", "ver"), table, ckpt,
-        keys = Seq("k"), versionCol = Some("ver"))
+        keys = Seq("k"), versionCol = Some("ver"), nBuckets = 8)
       try q.processAllAvailable() finally q.stop()
     }
+    def state(): Set[(Long, String, Long)] =
+      graft.sources.ManifestTable.read(spark, table)
+        .select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
     // batch 1: two keys, within-batch duplicate on k=1 (ver 2 wins)
     in.addData((1L, "a1", 1L), (1L, "a2", 2L), (2L, "b1", 1L))
     run()
-    val after1 = spark.read.parquet(table)
-      .as[(Long, String, Long)].collect().toSet
-    assert(after1 === Set((1L, "a2", 2L), (2L, "b1", 1L)))
+    assert(state() === Set((1L, "a2", 2L), (2L, "b1", 1L)))
     // batch 2: update k=2, insert k=3; k=1 untouched
     in.addData((2L, "b2", 5L), (3L, "c1", 1L))
     run()
-    val after2 = spark.read.parquet(table)
-      .as[(Long, String, Long)].collect().toSet
-    assert(after2 === Set((1L, "a2", 2L), (2L, "b2", 5L), (3L, "c1", 1L)))
+    assert(state() === Set((1L, "a2", 2L), (2L, "b2", 5L), (3L, "c1", 1L)))
+    // the streaming commits recorded their batch ids (replay protection)
+    val Some((version, batchId)) =
+      graft.sources.ManifestTable.currentVersionAndBatch(spark, table)
+    assert(version === 2L && batchId === 1L)
   }
 
   test("sessionize closes a session after the event-time gap and emits once") {
