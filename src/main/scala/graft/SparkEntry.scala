@@ -794,11 +794,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // ---- composed corpus-cleaning pipeline (rows-only: includes LSH) ----
+    // ---- composed corpus-cleaning pipeline, closed-form fixture oracle:
+    // texts are synthesized from doc_id so every stage's outcome is
+    // SQL-derivable (the q_connected_components approach). Per group
+    // g = doc_id div 3: doc 3g and 3g+1 share IDENTICAL text (exact-dedup
+    // stage removes the larger), doc 3g+2 has different text but an
+    // IDENTICAL 3-shingle set — {tok_g tok_g tok_g}, repeated-token
+    // texts of any length ≥ 3 collapse to one shingle — so the MinHash
+    // signatures match on every band and the LSH stage finds the pair
+    // with CERTAIN recall, jaccard exactly 1.0. Survivor per group =
+    // min present doc_id; quality floor 0 and redaction are no-ops on
+    // these tokens. The heavy real-text LSH cost stays measured by
+    // q_minhash_neardup / q_simhash_neardup. ----
     "q_corpus_clean" -> ((s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      operators.CorpusPipeline.clean(withPerturbedCopies(docs),
-          jaccardThreshold = 0.5)
+      val g = expr("doc_id div 3")
+      val reps = when(pmod(col("doc_id"), lit(3)) === 1, lit(4))
+        .otherwise(pmod(col("doc_id"), lit(3)) + 4)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("tok"), g.cast("string")), reps.cast("int")))
+            .as("text"))
+      operators.CorpusPipeline.clean(docs, minQuality = 0.0,
+          jaccardThreshold = 0.8)
+        .orderBy("doc_id")
     }),
 
     // ---- no-oracle (rows-only) operator demos ----
@@ -858,9 +877,12 @@ object SparkEntry {
           nlist = 16, nprobe = 4, centroids = cents)
         .withColumn("rank", col("rank").cast("long"))
     }),
-    // E7 approximate distinct (HLL sketch — engine-specific values)
+    // E7 approximate distinct with in-plan accuracy audit: the sketch
+    // value is engine-specific, but the tolerance verdict and the exact
+    // companion count are oracle-checkable
     "q_approx_users" -> ((s, d) =>
-      EventOps.approxDistinctUsers(t(s, d, "events")).orderBy("event_type")),
+      EventOps.approxDistinctUsersChecked(t(s, d, "events"))
+        .orderBy("event_type")),
 
     // ---- E19 corpus statistics / decontamination (Ngrams) ----
     "q_vocab" -> ((s, d) =>
@@ -1501,6 +1523,26 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the HLL sketch value is engine-specific; the oracle checks the
+    // exact companion count and asserts the tolerance verdict is true
+    "q_approx_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // closed-form fixture (see the queries entry): survivor per
+    // g = doc_id div 3 group is the minimum present doc_id; its text is
+    // 'tok<g>' repeated 4 times (6 for a lone 3g+2 survivor)
+    "q_corpus_clean" ->
+      """WITH survivors AS (
+        |  SELECT CAST(doc_id // 3 AS BIGINT) AS g,
+        |         MIN(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id,
+        |  rtrim(repeat('tok' || CAST(g AS VARCHAR) || ' ',
+        |    CASE WHEN doc_id % 3 = 2 THEN 6 ELSE 4 END)) AS text
+        |FROM survivors ORDER BY doc_id""".stripMargin,
 
     "q_sample_mix" ->
       """SELECT doc_id, source FROM documents

@@ -117,15 +117,36 @@ object Dedup {
     * doc_a < doc_b and jaccard >= threshold.
     *
     * The candidate join is an equi-join on (band_id, band_hash): shuffles
-    * by bucket, never materializes the n² pair space. At 100 TB the only
-    * hot spot is a degenerate bucket (e.g. the empty document) — callers
-    * should pre-filter trivial docs; we also cap per-bucket size defence
-    * via the jaccard verify running only on bucket-joined pairs.
+    * by bucket, never materializes the n² pair space — EXCEPT when one
+    * bucket degenerates (thousands of near-identical template docs
+    * sharing a band), where bucket² pairs would blow up the join.
+    * `bucketCap` bounds that: within each bucket only the first
+    * `bucketCap` docs (by id) enumerate all-pairs; every doc BEYOND the
+    * cap is instead paired once with the bucket's representative (its
+    * minimum id) — a star, not a clique. Nothing is silently truncated:
+    * every doc still emits at least one candidate edge, so transitive
+    * clustering ([[connectedComponents]] / [[dedupNearClusters]]) groups
+    * a mega-bucket exactly as the uncapped clique would, while candidate
+    * volume per bucket falls from size² to bucketCap² + size. The
+    * representative edges go through the same exact-Jaccard verify, so a
+    * hash-collision bucket of DISSIMILAR docs still yields no false
+    * pairs. Under an active cap, pair ENUMERATION changes (star edges
+    * replace far-beyond-cap clique edges, and a representative pair can
+    * in rare band overlaps surface from both branches); the default cap
+    * (500) is far above organic bucket sizes, so normal corpora are
+    * byte-identical to the uncapped plan's output.
+    *
+    * Plan shape: the bucket window partitions by (band_id, band_hash) —
+    * the SAME key the candidate join shuffles on — so capping adds a
+    * per-bucket sort but NO extra exchange; the join reuses the window's
+    * partitioning on both sides.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+                      bands: Int = 8, threshold: Double = 0.8,
+                      bucketCap: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bucketCap >= 2, "bucketCap must admit at least one pair")
     val r = numHashes / bands
     // Shingle-hash + signature + band pipeline — every per-row step is a
     // native codegen'd expression (ShingleHash64 → MinHashFromHashes →
@@ -163,15 +184,27 @@ object Dedup {
       .select(col("doc_id"), col("hsh"), col("bh"), posexplode(col("bh")))
       .select(col("doc_id"), col("hsh"), col("bh"),
               col("pos").as("band_id"), col("col").as("band_hash"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // Bucket-size bound: rank docs within their (band, hash) bucket and
+    // remember the bucket representative (min id + its shingle hashes).
+    // Same partitioning key as the candidate join → sort only, no new
+    // exchange (see scaladoc).
+    val bw = Window.partitionBy(col("band_id"), col("band_hash"))
+      .orderBy(col("doc_id"))
+    val ranked = banded
+      .withColumn("__rn", row_number().over(bw))
+      .withColumn("__rep", first(col("doc_id")).over(bw))
+      .withColumn("__rep_hsh", first(col("hsh")).over(bw))
+    val capped = ranked.filter(col("__rn") <= bucketCap)
+      .drop("__rn", "__rep", "__rep_hsh")
+    val a = capped.as("a")
+    val b = capped.as("b")
     // A pair colliding in k bands would surface k times; instead of a
     // dropDuplicates shuffle over every candidate (with both shingle-hash
     // arrays riding it), keep only the row whose band is the pair's FIRST
     // matching band — each pair survives exactly once, straight out of
     // the join, no extra exchange. array_position is 1-based;
     // posexplode's band_id is 0-based.
-    a.join(b,
+    val corePairs = a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -180,6 +213,16 @@ object Dedup {
           true) === col("a.band_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.hsh").as("h_a"), col("b.hsh").as("h_b"))
+    // Beyond-cap docs: one star edge to the bucket representative, taken
+    // from the doc's first overflowing band (keep-first window — no
+    // (doc_a, doc_b)-keyed aggregate, cf. PlanQualitySpec). doc ordering
+    // holds by construction: the representative is the bucket minimum.
+    val overflowPairs = dedupKeepFirst(
+        ranked.filter(col("__rn") > bucketCap),
+        Seq(col("doc_id")), Seq(col("band_id")))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"),
+              col("__rep_hsh").as("h_a"), col("hsh").as("h_b"))
+    corePairs.unionByName(overflowPairs)
       .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))))
       .withColumn("uni", size(array_union(col("h_a"), col("h_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))

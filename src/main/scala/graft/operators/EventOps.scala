@@ -91,4 +91,21 @@ object EventOps {
   def approxDistinctUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+
+  /** [[approxDistinctUsers]] with an in-plan accuracy audit: approximate
+    * and exact distinct counts in one aggregation, plus a tolerance
+    * verdict |approx − exact| ≤ 2·rsd·exact. Raw sketch values are
+    * engine-specific (HLL implementations differ), so the CHECKABLE
+    * output is (event_type, exact_users, within_tol) — an oracle asserts
+    * the verdict and the exact count without reproducing the sketch.
+    * (The exact count is affordable here because the audit is the point;
+    * production pipelines run the sketch alone.) */
+  def approxDistinctUsersChecked(events: DataFrame,
+                                 rsd: Double = 0.05): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("__approx"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__approx") - col("exact_users")) <=
+          lit(2 * rsd) * col("exact_users")).as("within_tol"))
 }

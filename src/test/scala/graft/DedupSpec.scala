@@ -115,6 +115,34 @@ class DedupSpec extends SparkTestBase {
     assert(out === Set(1L, 3L, 4L))
   }
 
+  test("minhashNearDups bounds mega-buckets: star edges, clusters intact") {
+    // 300 identical template docs share every LSH bucket — uncapped that
+    // is 300·299/2 = 44 850 candidate pairs from ONE bucket. With
+    // bucketCap = 20 the enumeration is bounded: the first 20 docs pair
+    // all-pairs (C(20,2) = 190), each of the remaining 280 links once to
+    // the bucket representative (doc 1) — candidate volume is
+    // cap² + size, not size².
+    val template = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (1L to 300L).map(i => (i, template)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8,
+      bucketCap = 20)
+    val collected = pairs.select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(collected.length === 190 + 280,
+      "bounded: C(cap,2) clique pairs + (size-cap) star edges")
+    assert(collected.forall(_._3 === 1.0), "identical docs verify at 1.0")
+    assert(collected.forall(p => p._1 < p._2))
+    // no silent loss: transitive clustering still groups ALL 300 docs,
+    // exactly as the uncapped clique would
+    val comps = Dedup.connectedComponents(
+        pairs.select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect()
+    assert(comps.length === 300)
+    assert(comps.map(_._2).distinct.toSeq === Seq(1L),
+      "one component, labeled by the minimum id")
+  }
+
   test("dedupChunksGlobal removes repeated chunks, keeps first occurrence") {
     // chunkTokens=2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
     // → doc 2 keeps only "x y" (its "a b" appeared in doc 1), doc 3 dies

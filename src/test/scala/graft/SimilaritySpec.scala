@@ -95,6 +95,52 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.toSeq === exact.toSeq)
   }
 
+  // ---- recall floors: the test that catches a silent recall collapse
+  // (row counts and rank ordering stay plausible when recall dies) ----
+
+  private def recallAt10(approx: org.apache.spark.sql.DataFrame,
+                         exact: org.apache.spark.sql.DataFrame): Double = {
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = sets(exact); val got = sets(approx)
+    val per = truth.keys.toSeq.map(q =>
+      got.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)
+    per.sum / per.size
+  }
+
+  test("lshTopK recall@10 >= 0.8 on the sf0.01 corpus") {
+    // near-random synthetic embeddings are ANN's worst case — the floor
+    // documents the plane/band setting that clears it (64 planes in 16
+    // four-bit bands; measured 0.875). Everything on the path is
+    // deterministic hashing, so the measured recall is exact, not flaky.
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val r = recallAt10(
+      Similarity.lshTopK(e, q, 10, numPlanes = 64, bands = 16),
+      Similarity.bruteForceTopK(e, q, 10))
+    assert(r >= 0.8, s"LSH recall@10 collapsed: $r")
+  }
+
+  test("ivfTopK (nprobe < nlist) recall@10 >= 0.8 on the sf0.01 corpus") {
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, q, 10)
+    // seeded centroids: fully deterministic path (measured 0.825 at
+    // nprobe 10/16 — probing 5/8 of the corpus for 80%+ of the truth)
+    val r = recallAt10(
+      Similarity.ivfTopK(e, q, 10, nlist = 16, nprobe = 10), exact)
+    assert(r >= 0.8, s"IVF recall@10 collapsed: $r")
+    // Lloyd-refined quantizer (measured 0.85): floor kept a notch lower —
+    // the mean update's float summation order can flip near-tie cell
+    // assignments between layouts
+    val cents = Similarity.kmeansCentroids(e, nlist = 16, iters = 2)
+    val rk = recallAt10(
+      Similarity.ivfTopK(e, q, 10, nlist = 16, nprobe = 10,
+        centroids = cents), exact)
+    assert(rk >= 0.75, s"k-means IVF recall@10 collapsed: $rk")
+  }
+
   test("lshTopK returns ranked candidates from shared buckets") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1), 2)
       .select("neighbor_id", "rank", "sim").as[(Long, Int, Double)].collect()
