@@ -120,26 +120,33 @@ object Dedup {
     * by bucket, never materializes the n² pair space — EXCEPT when one
     * bucket degenerates (thousands of near-identical template docs
     * sharing a band), where bucket² pairs would blow up the join.
-    * `bucketCap` bounds that: within each bucket only the first
-    * `bucketCap` docs (by id) enumerate all-pairs; every doc BEYOND the
-    * cap is instead paired once with the bucket's representative (its
-    * minimum id) — a star, not a clique. Nothing is silently truncated:
-    * every doc still emits at least one candidate edge, so transitive
-    * clustering ([[connectedComponents]] / [[dedupNearClusters]]) groups
-    * a mega-bucket exactly as the uncapped clique would, while candidate
-    * volume per bucket falls from size² to bucketCap² + size. The
-    * representative edges go through the same exact-Jaccard verify, so a
-    * hash-collision bucket of DISSIMILAR docs still yields no false
-    * pairs. Under an active cap, pair ENUMERATION changes (star edges
-    * replace far-beyond-cap clique edges, and a representative pair can
-    * in rare band overlaps surface from both branches); the default cap
-    * (500) is far above organic bucket sizes, so normal corpora are
-    * byte-identical to the uncapped plan's output.
+    * `bucketCap` bounds that: the join's LEFT side keeps only each
+    * bucket's first `bucketCap` docs (by id). Within a bucket ranks
+    * follow doc order and the join demands doc_a < doc_b, so this prunes
+    * exactly the clique interior beyond the cap: every beyond-cap doc
+    * still pairs with its bucket's first `bucketCap` docs (its
+    * representative cohort), bounding per-bucket work AND output at
+    * bucketCap × size instead of size² while keeping every doc connected
+    * — transitive clustering ([[connectedComponents]] /
+    * [[dedupNearClusters]]) groups a capped mega-bucket exactly as the
+    * full clique would. Nothing is silently truncated: cohort edges go
+    * through the same exact-Jaccard verify (a hash-collision bucket of
+    * DISSIMILAR docs still yields no false pairs), and on any bucket
+    * within the cap — all organic corpora; the default cap is far above
+    * organic bucket sizes — the output is byte-identical to the uncapped
+    * plan's.
     *
-    * Plan shape: the bucket window partitions by (band_id, band_hash) —
-    * the SAME key the candidate join shuffles on — so capping adds a
-    * per-bucket sort but NO extra exchange; the join reuses the window's
-    * partitioning on both sides.
+    * Plan shape: the rank window partitions by (band_id, band_hash) —
+    * the key the candidate join shuffles on — and the rn<=cap filter
+    * gets Spark's WindowGroupLimit pushdown, so map tasks forward at
+    * most `bucketCap` rows per bucket into the left exchange. The right
+    * side prunes the window away entirely (its rank column is unused)
+    * and stays the plain banded pipeline. Capping therefore costs one
+    * re-derivation of the banded signatures (the two join sides no
+    * longer share an exchange); at production scale the signature table
+    * is materialized once and reused across the whole dedup pipeline,
+    * which removes that cost — the bound on worst-case shuffle volume is
+    * what matters at 100 TB.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
@@ -184,27 +191,23 @@ object Dedup {
       .select(col("doc_id"), col("hsh"), col("bh"), posexplode(col("bh")))
       .select(col("doc_id"), col("hsh"), col("bh"),
               col("pos").as("band_id"), col("col").as("band_hash"))
-    // Bucket-size bound: rank docs within their (band, hash) bucket and
-    // remember the bucket representative (min id + its shingle hashes).
-    // Same partitioning key as the candidate join → sort only, no new
-    // exchange (see scaladoc).
+    // Bucket-size bound on the LEFT join side only (see scaladoc): rank
+    // within the (band, hash) bucket, keep the first bucketCap docs. The
+    // rn<=cap filter gets the WindowGroupLimit pushdown.
     val bw = Window.partitionBy(col("band_id"), col("band_hash"))
       .orderBy(col("doc_id"))
-    val ranked = banded
-      .withColumn("__rn", row_number().over(bw))
-      .withColumn("__rep", first(col("doc_id")).over(bw))
-      .withColumn("__rep_hsh", first(col("hsh")).over(bw))
-    val capped = ranked.filter(col("__rn") <= bucketCap)
-      .drop("__rn", "__rep", "__rep_hsh")
-    val a = capped.as("a")
-    val b = capped.as("b")
+    val a = banded.withColumn("__rn", row_number().over(bw))
+      .filter(col("__rn") <= bucketCap)
+      .drop("__rn")
+      .as("a")
+    val b = banded.as("b")
     // A pair colliding in k bands would surface k times; instead of a
     // dropDuplicates shuffle over every candidate (with both shingle-hash
     // arrays riding it), keep only the row whose band is the pair's FIRST
     // matching band — each pair survives exactly once, straight out of
     // the join, no extra exchange. array_position is 1-based;
     // posexplode's band_id is 0-based.
-    val corePairs = a.join(b,
+    a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -213,16 +216,6 @@ object Dedup {
           true) === col("a.band_id") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               col("a.hsh").as("h_a"), col("b.hsh").as("h_b"))
-    // Beyond-cap docs: one star edge to the bucket representative, taken
-    // from the doc's first overflowing band (keep-first window — no
-    // (doc_a, doc_b)-keyed aggregate, cf. PlanQualitySpec). doc ordering
-    // holds by construction: the representative is the bucket minimum.
-    val overflowPairs = dedupKeepFirst(
-        ranked.filter(col("__rn") > bucketCap),
-        Seq(col("doc_id")), Seq(col("band_id")))
-      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"),
-              col("__rep_hsh").as("h_a"), col("hsh").as("h_b"))
-    corePairs.unionByName(overflowPairs)
       .withColumn("inter", size(array_intersect(col("h_a"), col("h_b"))))
       .withColumn("uni", size(array_union(col("h_a"), col("h_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))

@@ -115,13 +115,13 @@ class DedupSpec extends SparkTestBase {
     assert(out === Set(1L, 3L, 4L))
   }
 
-  test("minhashNearDups bounds mega-buckets: star edges, clusters intact") {
+  test("minhashNearDups bounds mega-buckets: cohort edges, clusters intact") {
     // 300 identical template docs share every LSH bucket — uncapped that
     // is 300·299/2 = 44 850 candidate pairs from ONE bucket. With
-    // bucketCap = 20 the enumeration is bounded: the first 20 docs pair
-    // all-pairs (C(20,2) = 190), each of the remaining 280 links once to
-    // the bucket representative (doc 1) — candidate volume is
-    // cap² + size, not size².
+    // bucketCap = 20, only the bucket's first 20 docs may stand on the
+    // LEFT of a pair: volume is Σ_{a=1..20} (300−a) = 5 790 = cap·size
+    // shaped, not size², and per-bucket join WORK is bounded the same
+    // way (the left side is capped before the join).
     val template = "the quick brown fox jumps over the lazy dog again and again"
     val docs = (1L to 300L).map(i => (i, template)).toDF("doc_id", "text")
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
@@ -129,10 +129,12 @@ class DedupSpec extends SparkTestBase {
       bucketCap = 20)
     val collected = pairs.select("doc_a", "doc_b", "jaccard")
       .as[(Long, Long, Double)].collect()
-    assert(collected.length === 190 + 280,
-      "bounded: C(cap,2) clique pairs + (size-cap) star edges")
+    assert(collected.length === (1 to 20).map(a => 300 - a).sum,
+      "bounded: every doc pairs with the bucket's first-20 cohort only")
     assert(collected.forall(_._3 === 1.0), "identical docs verify at 1.0")
     assert(collected.forall(p => p._1 < p._2))
+    assert(collected.map(_._1).forall(_ <= 20),
+      "left side of every pair comes from the capped cohort")
     // no silent loss: transitive clustering still groups ALL 300 docs,
     // exactly as the uncapped clique would
     val comps = Dedup.connectedComponents(
