@@ -126,25 +126,30 @@ object SparkifyEtl {
 
   /** End-to-end run: JSON in → five parquet tables out, with the
     * reference's partitioning (songs by year/artist_id, time and songplays
-    * by year/month — etl_pipeline.py:113–115, :245–247, :287–289). */
+    * by year/month — etl_pipeline.py:113–115, :245–247, :287–289).
+    *
+    * `writeMode` defaults to `errorifexists` — the reference sets no
+    * `.mode(...)` anywhere (etl_pipeline.py:113–115), so a re-run over an
+    * existing output directory fails rather than clobbering it. Harness
+    * and idempotent-job callers pass `"overwrite"` explicitly. */
   def run(spark: SparkSession, songJsonPath: String, logJsonPath: String,
-          outDir: String): Unit = {
+          outDir: String, writeMode: String = "errorifexists"): Unit = {
     val songData = spark.read.json(songJsonPath).cache()
     val songs = songsTable(songData)
     val artists = artistsTable(songData)
-    songs.write.mode("overwrite")
+    songs.write.mode(writeMode)
       .partitionBy("year", "artist_id").parquet(s"$outDir/songs")
-    artists.write.mode("overwrite").parquet(s"$outDir/artists")
+    artists.write.mode(writeMode).parquet(s"$outDir/artists")
     songData.unpersist()
 
     val cleanLog = cleanLogData(spark.read.json(logJsonPath)).cache()
-    usersTable(cleanLog).write.mode("overwrite").parquet(s"$outDir/users")
-    timeTable(cleanLog).write.mode("overwrite")
+    usersTable(cleanLog).write.mode(writeMode).parquet(s"$outDir/users")
+    timeTable(cleanLog).write.mode(writeMode)
       .partitionBy("year", "month").parquet(s"$outDir/time")
     val songsBack = spark.read.parquet(s"$outDir/songs")
     val artistsBack = spark.read.parquet(s"$outDir/artists")
     songplaysTable(cleanLog, songsBack, artistsBack)
-      .write.mode("overwrite")
+      .write.mode(writeMode)
       .partitionBy("year", "month").parquet(s"$outDir/songplays")
     cleanLog.unpersist()
   }

@@ -58,6 +58,19 @@ class SparkifyEtlSpec extends SparkTestBase {
 
   private lazy val out = { SparkifyEtl.run(spark, songJson, logJson, s"$dir/out"); s"$dir/out" }
 
+  test("run refuses to clobber an existing output by default, like the reference") {
+    // the reference sets no .mode(...) → Spark's errorifexists default
+    // (etl_pipeline.py:113–115); overwrite is an explicit opt-in
+    val existing = out
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SparkifyEtl.run(spark, songJson, logJson, existing)
+    }
+    SparkifyEtl.run(spark, songJson, logJson, existing,
+      writeMode = "overwrite")
+    assert(spark.read.parquet(s"$existing/songs").count() === 4,
+      "explicit overwrite re-runs cleanly")
+  }
+
   test("songs: one row per song_id, year 0 becomes NULL") {
     val songs = spark.read.parquet(s"$out/songs")
     assert(songs.count() === 4)
