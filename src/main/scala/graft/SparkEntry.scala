@@ -831,17 +831,24 @@ object SparkEntry {
       Dedup.minhashNearDups(withPerturbedCopies(docs), "doc_id", "text",
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
     }),
-    // E2 transitive near-dup clustering (LSH pairs → connected components).
-    // Bounded slice: the iterative label-propagation loop has a constant
-    // per-round driver/codegen overhead that dwarfs data cost at demo
-    // scale; pair generation over the full corpus is already measured by
-    // q_minhash_neardup.
+    // E2 transitive near-dup clustering (LSH pairs → connected components),
+    // closed-form fixture oracle: per group g = doc_id div 4, texts are
+    // 't<g>' repeated 4 + doc_id%4 times — distinct strings, IDENTICAL
+    // 3-shingle sets, so every in-group pair is found with certain recall
+    // at jaccard 1.0 and clusters are exactly the groups; the survivor is
+    // the group minimum. Chain-shaped transitivity is separately pinned by
+    // q_connected_components; real-text LSH cost by q_minhash_neardup.
     "q_dedup_clusters" -> ((s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-        .filter(col("doc_id") < 1000)
-      Dedup.dedupNearClusters(withPerturbedCopies(docs), "doc_id", "text",
-          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      val g = expr("doc_id div 4")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("t"), g.cast("string")),
+            (pmod(col("doc_id"), lit(4)) + 4).cast("int"))).as("text"))
+      Dedup.dedupNearClusters(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id")
+        .orderBy("doc_id")
     }),
     // E2 SimHash near-dup
     "q_simhash_neardup" -> ((s, d) => {
@@ -849,12 +856,18 @@ object SparkEntry {
       Dedup.simhashNearDups(withPerturbedCopies(docs), "doc_id", "text",
           maxHamming = 3)
     }),
-    // E3 embedding-cosine near-dup via LSH buckets
+    // E3 embedding-cosine near-dup via LSH buckets, oracle-checked: the
+    // planted pairs are EXACT duplicates (identical hyperplane signatures
+    // → collide on every band, certain recall; cosine bit-identical
+    // across engines per the q_cosine_topk formulation), and the organic
+    // corpus maxes out near cosine 0.51 — far under the 0.99 threshold —
+    // so the DuckDB brute-force pair join reproduces the output exactly.
     "q_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
       val copies = e.filter(col("vec_id") < 100)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Similarity.cosineNearDups(e.union(copies), threshold = 0.99)
+        .orderBy("vec_a", "vec_b")
     }),
     // E3 LSH-bucketed approximate top-k
     "q_ann_lsh" -> ((s, d) => {
@@ -1530,6 +1543,30 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // closed-form fixture (see the queries entry): clusters are the
+    // div-4 groups; the survivor is each group's minimum doc_id
+    "q_dedup_clusters" ->
+      """SELECT MIN(doc_id) AS doc_id FROM documents
+        |GROUP BY doc_id // 4 ORDER BY doc_id""".stripMargin,
+
+    // planted exact-duplicate pairs only: brute-force cosine over the
+    // union corpus at threshold 0.99 (organic max ~0.51)
+    "q_embed_neardup" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     // closed-form fixture (see the queries entry): survivor per
     // g = doc_id div 3 group is the minimum present doc_id; its text is
