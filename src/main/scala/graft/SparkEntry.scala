@@ -869,26 +869,40 @@ object SparkEntry {
       Similarity.cosineNearDups(e.union(copies), threshold = 0.99)
         .orderBy("vec_a", "vec_b")
     }),
-    // E3 LSH-bucketed approximate top-k
+    // E3 approximate top-k, each published through the in-plan recall
+    // audit (Similarity.recallAudit): the hash-dependent neighbor sets
+    // are engine-specific, but (n_queries, truth, recall_ok) is
+    // oracle-checkable — and the verdict is the signal that matters for
+    // an ANN index (silent recall collapse). Settings are the measured
+    // >= floor configurations pinned in SimilaritySpec.
     "q_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5)
-        .withColumn("rank", col("rank").cast("long"))
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.recallAudit(e, q, 10,
+        Similarity.lshTopK(e, q, 10, numPlanes = 64, bands = 16),
+        floor = 0.8)
     }),
     // E3 IVF coarse-quantizer approximate top-k (the ANN scale path)
     "q_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
-          nlist = 16, nprobe = 4)
-        .withColumn("rank", col("rank").cast("long"))
+      val q = e.filter(col("vec_id") < 20)
+      // nprobe 12/16: >= 0.88 recall at BOTH sf0.001 and sf0.01 (nprobe
+      // 10 sits at 0.795 on the 50-vector sf0.001 corpus — sparse cells)
+      Similarity.recallAudit(e, q, 10,
+        Similarity.ivfTopK(e, q, 10, nlist = 16, nprobe = 12),
+        floor = 0.8)
     }),
-    // E3 IVF with Lloyd-refined (k-means) coarse quantizer
+    // E3 IVF with Lloyd-refined (k-means) coarse quantizer (floor a notch
+    // lower: the mean update's float summation order can flip near-tie
+    // cell assignments between layouts)
     "q_ann_ivf_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
       val cents = Similarity.kmeansCentroids(e, nlist = 16, iters = 2)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
-          nlist = 16, nprobe = 4, centroids = cents)
-        .withColumn("rank", col("rank").cast("long"))
+      Similarity.recallAudit(e, q, 10,
+        Similarity.ivfTopK(e, q, 10, nlist = 16, nprobe = 10,
+          centroids = cents),
+        floor = 0.75)
     }),
     // E7 approximate distinct with in-plan accuracy audit: the sketch
     // value is engine-specific, but the tolerance verdict and the exact
@@ -1549,6 +1563,30 @@ object SparkEntry {
     "q_dedup_clusters" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents
         |GROUP BY doc_id // 4 ORDER BY doc_id""".stripMargin,
+
+    // ANN recall audits: the oracle asserts the query count, the exact
+    // truth size (n_queries × k — every query has k true neighbors in
+    // this corpus) and that the recall verdict holds
+    "q_ann_lsh" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_ivf" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_ivf_kmeans" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
 
     // planted exact-duplicate pairs only: brute-force cosine over the
     // union corpus at threshold 0.99 (organic max ~0.51)

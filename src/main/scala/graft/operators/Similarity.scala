@@ -223,6 +223,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** In-plan recall audit for an ANN result: joins the approximate top-k
+    * against the exact [[bruteForceTopK]] truth and reduces to ONE row —
+    * (n_queries, hits, truth, recall_ok) with recall_ok = hits/truth >=
+    * `floor`. The audit is how a production pipeline monitors an ANN
+    * index for silent recall collapse (result shapes stay plausible when
+    * recall dies); as a query it makes the approximate operators
+    * oracle-checkable — an engine-independent oracle can assert the
+    * verdict, the query count, and the truth size without reproducing
+    * hash-dependent neighbor sets (the raw hit count stays out of the
+    * output for that reason). The brute-force side is the same
+    * broadcast-queries single-corpus-scan plan, so the audit costs one
+    * extra corpus pass over the (small) query set — affordable exactly
+    * because it runs on a sample of queries, the standard monitoring
+    * trade. */
+  def recallAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+                  approx: DataFrame, floor: Double,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+    hits.agg(count(lit(1)).as("__hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("truth"),
+        countDistinct(col("query_id")).as("n_queries")))
+      .select(col("n_queries"), col("truth"),
+        (col("__hits").cast("double") / col("truth") >= floor)
+          .as("recall_ok"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Candidate
     * generation via LSH band buckets (same plan shape as minhashNearDups —
     * no n² cross join).
