@@ -850,11 +850,27 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
-    // E2 SimHash near-dup
+    // E2 SimHash near-dup (real-text perf probe, rows-only)
     "q_simhash_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       Dedup.simhashNearDups(withPerturbedCopies(docs), "doc_id", "text",
           maxHamming = 3)
+    }),
+    // E2 SimHash fixture twin, oracle-checked: per div-4 id group, texts
+    // are distinct strings over ONE distinct token 't<g>' — a single
+    // token's SimHash is its 64-bit hash itself, so in-group pairs sit
+    // at hamming 0 (found with certainty) and cross-group pairs at the
+    // hamming of two independent XXH64 values (≥ 20 bits in practice;
+    // P(≤3) ≈ 2e-15 per pair), so the pair set is exactly the groups.
+    "q_simhash_fixture" -> ((s, d) => {
+      val g = expr("doc_id div 4")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("t"), g.cast("string")),
+            (pmod(col("doc_id"), lit(4)) + 4).cast("int"))).as("text"))
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
     }),
     // E3 embedding-cosine near-dup via LSH buckets, oracle-checked: the
     // planted pairs are EXACT duplicates (identical hyperplane signatures
@@ -1563,6 +1579,14 @@ object SparkEntry {
     "q_dedup_clusters" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents
         |GROUP BY doc_id // 4 ORDER BY doc_id""".stripMargin,
+
+    // simhash fixture: pair set = in-group pairs at hamming 0
+    "q_simhash_fixture" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // ANN recall audits: the oracle asserts the query count, the exact
     // truth size (n_queries × k — every query has k true neighbors in
