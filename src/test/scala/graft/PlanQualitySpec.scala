@@ -10,6 +10,25 @@ class PlanQualitySpec extends SparkTestBase {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
+  test("Ops.spread repartitions small inputs and leaves large ones alone") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread")
+      .toString + "/t"
+    spark.range(100).selectExpr("id AS doc_id").write.parquet(dir)
+    val small = operators.Ops.spread(spark.read.parquet(dir), col("doc_id"))
+    assert(small.queryExecution.optimizedPlan.toString
+      .contains("RepartitionByExpression"),
+      "a one-split source must spread to cluster parallelism")
+    // ~4 GB by metadata stats — bigger than cores × maxPartitionBytes,
+    // so spread must NOT inject a shuffle (the 100 TB behavior); the
+    // check costs only a stats lookup, nothing materializes
+    val big = operators.Ops.spread(
+      spark.range(500L * 1000 * 1000).toDF("doc_id"), col("doc_id"))
+    assert(!big.queryExecution.optimizedPlan.toString
+      .contains("RepartitionByExpression"),
+      "a large source must pass through without a shuffle")
+  }
+
   test("projection prunes the parquet read schema to selected columns") {
     val p = plan("q_scan_project")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"),
