@@ -143,10 +143,13 @@ object Similarity {
     * the real coarse-quantizer training step, in plain DataFrame ops.
     *
     * Per iteration: one broadcast-join assignment pass over the corpus
-    * (no vector shuffle), then a posexplode + (cell, dim)-keyed average
+    * (no vector shuffle), then a posexplode + (cell, dim)-keyed mean
     * whose partial aggregation collapses each map task's contribution to
     * nlist×dim cells before the exchange — the shuffle carries
-    * per-task partial sums, NOT corpus vectors. Centroids come back to
+    * per-task partial sums, NOT corpus vectors. The mean goes through an
+    * exact DECIMAL sum, so centroids are independent of partitioning and
+    * merge order — the whole IVF index is layout-reproducible, which a
+    * float/double running average would not be. Centroids come back to
     * the driver between iterations (nlist×dim floats — centroids are
     * driver state in every k-means, incl. MLlib) so each iteration's
     * plan starts from a literal, keeping lineage flat. A cell that
@@ -175,7 +178,13 @@ object Similarity {
       val updated = assigned
         .select(col("cell"), posexplode(col(vecCol)))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // exact decimal sum, then one division: the mean is independent
+        // of partitioning and merge order (a plain float/double avg is
+        // not), so refined centroids — and every IVF result downstream —
+        // are layout-reproducible
+        .agg((sum(col("col").cast(
+               org.apache.spark.sql.types.DecimalType(28, 10)))
+              / count(lit(1))).cast("double").as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x("m").cast("float")).as("cent_v"))

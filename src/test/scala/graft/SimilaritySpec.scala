@@ -131,14 +131,13 @@ class SimilaritySpec extends SparkTestBase {
     val r = recallAt10(
       Similarity.ivfTopK(e, q, 10, nlist = 16, nprobe = 10), exact)
     assert(r >= 0.8, s"IVF recall@10 collapsed: $r")
-    // Lloyd-refined quantizer (measured 0.85): floor kept a notch lower —
-    // the mean update's float summation order can flip near-tie cell
-    // assignments between layouts
+    // Lloyd-refined quantizer (measured 0.85): deterministic since the
+    // mean update sums in exact decimal, so the floor is not flaky
     val cents = Similarity.kmeansCentroids(e, nlist = 16, iters = 2)
     val rk = recallAt10(
       Similarity.ivfTopK(e, q, 10, nlist = 16, nprobe = 10,
         centroids = cents), exact)
-    assert(rk >= 0.75, s"k-means IVF recall@10 collapsed: $rk")
+    assert(rk >= 0.8, s"k-means IVF recall@10 collapsed: $rk")
   }
 
   test("lshTopK returns ranked candidates from shared buckets") {
