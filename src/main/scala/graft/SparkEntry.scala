@@ -1016,6 +1016,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("split")),
 
+    // ---- E15 leakage-safe split: near-dup clusters never straddle
+    // train/val/test. Closed-form fixture (identical-shingle div-4
+    // groups, as q_dedup_clusters): clusters = groups, so every doc's
+    // split equals the split of its group minimum — SQL-derivable with
+    // the same Knuth-hash bucket rule as q_split. ----
+    "q_split_leakage" -> ((s, d) => {
+      val g = expr("doc_id div 4")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("t"), g.cast("string")),
+            (pmod(col("doc_id"), lit(4)) + 4).cast("int"))).as("text"))
+      Mixing.leakageSafeSplit(docs, "doc_id", "text",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // ---- E15 per-source cap (top-k docs per source, domain balancing) ----
     "q_source_cap" -> ((s, d) =>
       Mixing.capPerGroup(t(s, d, "documents"),
@@ -2064,6 +2082,17 @@ object SparkEntry {
         |  FROM (SELECT ((doc_id * 2654435761) % 4294967296) % 100 AS b,
         |               n_chars FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_split_leakage" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train'
+        |       WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, ((rep * 2654435761) % 4294967296) % 100 AS b
+        |  FROM (SELECT doc_id,
+        |          MIN(doc_id) OVER (PARTITION BY doc_id // 4) AS rep
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_source_cap" ->
       """SELECT doc_id, source, n_chars FROM (

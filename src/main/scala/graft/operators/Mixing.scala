@@ -135,6 +135,33 @@ object Mixing {
     df.withColumn(splitCol, label)
   }
 
+  /** Near-dup-leakage-safe train/val/test assignment: documents in the
+    * same TRANSITIVE near-duplicate cluster always land in the same
+    * split. Splitting by raw document id leaks — a near-copy of a
+    * training document in the eval split inflates every metric; the
+    * standard fix is to split by cluster, not by document. Pipeline:
+    * MinHash-LSH pairs → connected components → each doc keyed by its
+    * cluster label (its own id when it has no near-dups) →
+    * [[deterministicSplit]] on that representative key. Adds the dedup
+    * pipeline's shuffles plus one label join; the split itself stays a
+    * per-row projection. Same key-domain caveat as
+    * [[deterministicSplit]] (non-negative ids below ~3.4e9). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       weights: Seq[(String, Int)],
+                       splitCol: String = "split",
+                       shingleN: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4,
+                       threshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.minhashNearDups(df, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val keyed = df.join(comps, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    deterministicSplit(keyed, "__rep", weights, splitCol).drop("__rep")
+  }
+
   /** Pack documents into training sequences: [[packByBudget]] assigns
     * budget-bounded shards, then each (group, shard) concatenates its
     * members' text in order with `sep` between them — the

@@ -100,6 +100,32 @@ class ManifestTableSpec extends SparkTestBase {
     assert(state(table) === Set((1L, "a2", 2L)))
   }
 
+  test("a batch sequence through the table equals the in-memory merge") {
+    // ground truth: fold the same batches through Dimensional.upsert on
+    // plain DataFrames; the manifest table must land on the same state
+    // regardless of how buckets carved up the writes
+    val table = tmpTable()
+    val batches = Seq(
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      Seq((2L, "b2", 2L), (4L, "d", 1L)),
+      Seq((1L, "a2", 5L), (1L, "a3", 4L), (5L, "e", 1L)), // in-batch dup
+      Seq((3L, "c2", 9L)))
+    var truth = spark.emptyDataFrame
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = rows(b: _*)
+      truth = if (i == 0) graft.operators.Dedup.dedupKeepFirst(
+          df, Seq(org.apache.spark.sql.functions.col("k")),
+          Seq(org.apache.spark.sql.functions.col("ver").desc))
+        else graft.operators.Dimensional.upsert(truth, df, Seq("k"),
+          versionCol = Some("ver"))
+      ManifestTable.upsertBatch(df, table, Seq("k"), Some("ver"),
+        nBuckets = 4, batchId = i.toLong)
+    }
+    val expect = truth.select("k", "v", "ver")
+      .as[(Long, String, Long)].collect().toSet
+    assert(state(table) === expect)
+  }
+
   test("vacuum drops snapshots beyond the retention window") {
     val table = tmpTable()
     for (i <- 0 to 3)

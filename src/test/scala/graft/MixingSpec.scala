@@ -130,6 +130,31 @@ class MixingSpec extends SparkTestBase {
       "cell (id 50000 % 100 = 0 is inside the floored cell)")
   }
 
+  test("leakageSafeSplit keeps near-dup clusters in one split") {
+    // docs 1 and 9001 are near-identical (identical 3-shingle sets —
+    // repeated single token), as are 2 and 9002; the rest are singletons.
+    // A raw-id split could separate the twins; the cluster-keyed split
+    // must not.
+    val docs = (
+      Seq((1L, "aa aa aa aa"), (9001L, "aa aa aa aa aa"),
+          (2L, "bb bb bb bb"), (9002L, "bb bb bb bb bb")) ++
+      (100L until 160L).map(i => (i, s"c$i d$i e$i f$i g$i"))
+    ).toDF("doc_id", "text")
+    val split = Mixing.leakageSafeSplit(docs, "doc_id", "text",
+        Seq("train" -> 50, "val" -> 25, "test" -> 25))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.size === 64, "every doc gets a split")
+    assert(split(1L) === split(9001L), "near-dup twins stay together")
+    assert(split(2L) === split(9002L))
+    // cluster key = the cluster's min id → the twins' split equals the
+    // ORIGINAL doc's raw-key split, so singleton assignment is unchanged
+    val raw = Mixing.deterministicSplit(
+        docs.filter(col("doc_id") < 9000), "doc_id",
+        Seq("train" -> 50, "val" -> 25, "test" -> 25))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split(1L) === raw(1L) && split(150L) === raw(150L))
+  }
+
   test("capPerGroup keeps at most k rows per group, top under the order") {
     val out = Mixing.capPerGroup(docs, Seq(col("source")),
       Seq(col("n_chars").desc, col("doc_id")), 5)
