@@ -340,6 +340,11 @@ object SparkEntry {
       Dedup.chainedJaccard(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_a")),
 
+    // ---- E2 EXACT all-pairs similarity join (prefix filtering) ----
+    "q_allpairs_jaccard" -> ((s, d) =>
+      Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", 0.6)
+        .orderBy("doc_a", "doc_b")),
+
     // ---- E3 brute-force cosine top-k ----
     "q_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1532,6 +1537,29 @@ object SparkEntry {
         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+
+    // brute-force twin of the prefix-filtered Spark plan: every pair
+    // sharing >= 1 shingle, exact Jaccard, threshold filter
+    "q_allpairs_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+        |            JOIN sh b ON b.doc_id = cand.doc_b)
+        |WHERE jaccard >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

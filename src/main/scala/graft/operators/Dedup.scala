@@ -407,4 +407,70 @@ object Dedup {
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
   }
+
+  /** EXACT all-pairs similarity self-join: every document pair with
+    * shingle-set Jaccard >= `threshold`, no probabilistic misses — the
+    * deterministic complement to [[minhashNearDups]] (whose LSH bands
+    * trade a small false-negative rate for speed). Output:
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * The n² pair space is avoided by PREFIX FILTERING (the AllPairs/
+    * PPJoin family — Bayardo et al., WWW'07; Xiao et al., WWW'08):
+    * J(A,B) >= t implies |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|), and if
+    * two sets each order their tokens by one global total order, sets
+    * with |A∩B| >= k MUST share a token among their first |X|−k+1 tokens.
+    * So each document exposes only its prefix — the |X|−ceil(t·|X|)+1
+    * rarest shingles under a global (document-frequency, shingle)
+    * ordering — to the candidate join; rare-first ordering makes prefix
+    * collisions scarce, so the candidate count tracks the true result
+    * size, not n². Candidates then go through the same exact
+    * array_intersect/array_union verify as [[chainedJaccard]], which is
+    * what makes the operator exact: the prefix theorem guarantees no
+    * qualifying pair is missed, and verification discards every
+    * non-qualifying candidate.
+    *
+    * Scale shape (100 TB): four linear shuffles — shingle explode →
+    * df-count aggregate (vocabulary-sized), shingle-keyed prefix
+    * self-join (ids-only rows), pair-distinct exchange (ids-only), and
+    * the verify join by id (arrays move once, to candidates only). No
+    * global sort and no rank table: the (df, shingle) pair itself is the
+    * global order, so ordering needs only the per-document window, never
+    * a single-partition global window. The ceil() bound is computed with
+    * a 1e-9 slack so binary rounding of t·|X| can only ENLARGE a prefix
+    * (more candidates, still exact), never shrink one (which could miss
+    * pairs).
+    */
+  def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val sh = Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
+                        col("doc_id"))
+      .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
+    val toks = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+                         explode(col("sh")).as("tok"))
+    val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val ordered = toks.join(dfCounts, "tok")
+    val pw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tok_df"), col("tok"))
+    val prefixLen = col("sz") -
+      ceil(col("sz") * threshold - lit(1e-9)).cast("int") + 1
+    val prefix = ordered
+      .withColumn("__pos", row_number().over(pw))
+      .filter(col("__pos") <= prefixLen)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.tok") === col("pb.tok") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+         size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -187,4 +187,36 @@ class DedupSpec extends SparkTestBase {
     val j34 = out.filter(col("doc_a") === 3).select("jaccard").as[Double].collect()(0)
     assert(j34 === 0.0)
   }
+
+  test("allPairsJaccard equals brute force at every threshold (exact, no misses)") {
+    val sh = docs.select(col("doc_id"), Dedup.shingleCol(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+    // 1.0 exercises the boundary prefix (k = |X|, prefix length 1);
+    // low thresholds exercise wide prefixes and candidate dedup
+    for (t <- Seq(0.2, 0.6, 0.9, 1.0)) {
+      val expected = brute.filter(col("jaccard") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.allPairsJaccard(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected, s"threshold $t")
+    }
+  }
+
+  test("allPairsJaccard finds pairs sharing NO frequent tokens (prefix completeness)") {
+    // two docs identical to each other but disjoint from the rest: their
+    // only shared shingles are globally rare, so they must surface via
+    // their own prefixes, not via common-token collisions
+    val aug = docs.union(Seq(
+      (10L, "zeta eta theta iota kappa lambda mu nu xi omicron"),
+      (11L, "zeta eta theta iota kappa lambda mu nu xi omicron")
+    ).toDF("doc_id", "text"))
+    val pairs = Dedup.allPairsJaccard(aug, "doc_id", "text", 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.size === 2)
+  }
 }
