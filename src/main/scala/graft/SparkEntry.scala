@@ -1273,6 +1273,20 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy("id")
     }),
 
+    // ---- E22 PageRank over the order→part purchase graph ----
+    // fixed-point arithmetic (Graphs.Scale units): the iterative rank is
+    // bit-reproducible across engines/layouts, so the oracle unrolls the
+    // same 3 integer-arithmetic iterations in SQL. Orders have out-edges,
+    // parts are all dangling — both mass paths exercised.
+    "q_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
     // ---- set ops: bag (ALL) variants ----
     "q_intersect_all" -> ((s, d) =>
       t(s, d, "part").select(col("p_size").as("k"))
@@ -2338,6 +2352,51 @@ object SparkEntry {
         |       CAST(doc_id - (doc_id % 5) AS BIGINT) AS comp
         |FROM documents WHERE doc_id < 500
         |ORDER BY id""".stripMargin,
+
+    // fixed-point PageRank: the same 3 integer-arithmetic iterations
+    // unrolled (// is integer division; SUM casts shed DuckDB's HUGEINT)
+    "q_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_orderkey*2 AS BIGINT) AS src,
+        |                           CAST(l_partkey*2+1 AS BIGINT) AS dst
+        |           FROM lineitem),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |m1 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r0
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS contrib
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * (COALESCE(c.contrib, 0) + m.mass // nn.n)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn CROSS JOIN m1 m
+        |       LEFT JOIN c1 c ON c.node = n2.node),
+        |m2 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r1
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS contrib
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * (COALESCE(c.contrib, 0) + m.mass // nn.n)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn CROSS JOIN m2 m
+        |       LEFT JOIN c2 c ON c.node = n2.node),
+        |m3 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r2
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS contrib
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * (COALESCE(c.contrib, 0) + m.mass // nn.n)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn CROSS JOIN m3 m
+        |       LEFT JOIN c3 c ON c.node = n2.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
+        |       CAST(rank AS DOUBLE) / 1000000000000 AS rank
+        |FROM r3 ORDER BY node""".stripMargin,
 
     "q_intersect_all" ->
       """SELECT p_size AS k FROM part

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+
+class GraphsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // star: 1 -> 2, 3 -> 2 (2 dangling), plus isolated-ish 4 -> 5
+  private lazy val star = Seq((1L, 2L), (3L, 2L), (4L, 5L))
+    .toDF("src", "dst")
+
+  test("pageRank: sink of a star out-ranks its sources; ranks stay positive") {
+    val r = Graphs.pageRank(star, "src", "dst", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(r(2L) > r(1L) && r(2L) > r(3L), "two-in-edge sink must dominate")
+    assert(r(2L) > r(5L), "two-in-edge sink beats one-in-edge sink")
+    assert(r.values.forall(_ > 0L))
+    assert(r(1L) === r(3L), "symmetric sources must tie exactly")
+  }
+
+  test("pageRank matches the hand-computed fixed-point recurrence on a 2-cycle") {
+    // 1 <-> 2: N=2, no dangling, deg=1 each. r0 = Scale/2 and the update
+    // maps each rank to 15*Scale/200 + 85*r/100 — a closed form we can
+    // fold by hand for 2 iterations.
+    val S = Graphs.Scale
+    def step(r: Long): Long = (15L * S) / (100L * 2L) + (85L * r) / 100L
+    val expected = step(step(S / 2))
+    val out = Graphs.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        "src", "dst", iterations = 2)
+      .select("rank_fp").as[Long].collect()
+    assert(out.toSet === Set(expected))
+  }
+
+  test("pageRank is layout-independent (repartition changes nothing)") {
+    val e = Seq((1L, 2L), (3L, 2L), (2L, 4L), (4L, 1L), (5L, 1L), (5L, 4L))
+      .toDF("src", "dst")
+    val a = Graphs.pageRank(e, "src", "dst", iterations = 3)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toSet
+    val b = Graphs.pageRank(e.repartition(7), "src", "dst", iterations = 3)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("pageRank conserves mass up to bounded truncation loss") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val total = Graphs.pageRank(e, "src", "dst", iterations = 4)
+      .agg(sum("rank_fp")).as[Long].collect()(0)
+    // each division truncates < 1 unit; a handful of nodes and iterations
+    // can lose only a few hundred units off Scale
+    assert(total <= Graphs.Scale)
+    assert(total > Graphs.Scale - 1000L)
+  }
+}
