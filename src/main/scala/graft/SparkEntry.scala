@@ -979,6 +979,13 @@ object SparkEntry {
           "o_orderpriority", "o_orderkey", k = 5)
         .orderBy("o_orderpriority", "o_orderkey")),
 
+    // ---- E15 weighted deterministic sample (importance sampling) ----
+    "q_weighted_sample" -> ((s, d) =>
+      Mixing.weightedGroupSample(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars", k = 5)
+        .orderBy("lang", "doc_id")),
+
     // ---- fixed-width histogram over a measure ----
     "q_histogram" -> ((s, d) =>
       t(s, d, "events")
@@ -2092,6 +2099,17 @@ object SparkEntry {
         |      AS rk
         |  FROM orders) WHERE rk <= 5
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CASE WHEN n_chars IS NOT NULL AND n_chars > 0 THEN
+        |        CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / n_chars
+        |      END ASC NULLS LAST,
+        |      doc_id ASC NULLS LAST) AS rk
+        |  FROM documents) WHERE rk <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // the salted formulation must be indistinguishable from the plain join
     "q_salted_join" ->

@@ -61,6 +61,41 @@ object Mixing {
       .drop("__rk")
   }
 
+  /** Deterministic WEIGHTED k-per-group sample: keeps the k rows with
+    * the smallest hash(key)/weight within each group, so selection
+    * odds rise with `weightCol` (importance sampling for corpus
+    * mixing — weight by quality score, length, or source priority)
+    * while staying exactly reproducible across runs, partitionings and
+    * engines, like [[deterministicGroupSample]].
+    *
+    * The priority is one IEEE division of the integer hash by the
+    * weight — deliberately NOT the textbook exponential-jitter
+    * u^(1/w) (Efraimidis–Spirakis A-ES): pow/ln are correctly-rounded
+    * nowhere and round differently across engines, which would break
+    * bit-reproducibility; division is correctly rounded everywhere.
+    * The bias this trades away is documented: a row with twice the
+    * weight gets twice-smaller priority, which is weight-proportional
+    * for the top pick but not the exact without-replacement k-sample
+    * distribution. Rows with NULL or non-positive weight sort last —
+    * they are chosen only when a group has fewer than k positively
+    * weighted rows. Same `keyCol` domain caveat as
+    * [[deterministicGroupSample]]; keys must be unique within a group
+    * or ties are layout-dependent. One shuffle; WindowGroupLimit
+    * pushdown bounds map output at k rows per group. */
+  def weightedGroupSample(df: DataFrame, groupCol: String, keyCol: String,
+                          weightCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val h = pmod(col(keyCol) * lit(2654435761L), lit(4294967296L))
+      .cast("double")
+    val pr = when(col(weightCol).isNotNull && col(weightCol) > 0,
+      h / col(weightCol).cast("double"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(pr.asc_nulls_last, col(keyCol).asc_nulls_last)
+    df.withColumn("__wrk", row_number().over(w))
+      .filter(col("__wrk") <= k)
+      .drop("__wrk")
+  }
+
   /** Keep at most `k` rows per group, the first k under `orderCols` —
     * the per-source/per-domain cap that stops any one source from
     * dominating a mixed corpus. Generalizes the reference's keep-first

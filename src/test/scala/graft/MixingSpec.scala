@@ -212,6 +212,33 @@ class MixingSpec extends SparkTestBase {
       ("s", 1L, "four", 100L, 1L)))
   }
 
+  test("weightedGroupSample: heavy rows win, null/zero weights go last, layout-free") {
+    import org.apache.spark.sql.functions.col
+    // group g1: one row carries 10^9 weight vs unit weights — its
+    // priority hash/1e9 <= 4.3 beats every unit row's hash (these keys'
+    // hashes are all > 5), so it MUST be the k=1 pick
+    val df = Seq(
+      ("g1", 1L, 1L), ("g1", 2L, 1L), ("g1", 3L, 1000000000L),
+      ("g1", 4L, 1L), ("g2", 10L, 0L), ("g2", 11L, 5L),
+      ("g2", 12L, -3L), ("g3", 20L, 7L)
+    ).toDF("g", "k", "w")
+    val top1 = Mixing.weightedGroupSample(df, "g", "k", "w", 1)
+      .select("g", "k").as[(String, Long)].collect().toMap
+    assert(top1("g1") === 3L, "the 10^9-weight row must out-rank unit rows")
+    assert(top1("g2") === 11L, "zero/negative weights must lose to a positive one")
+    assert(top1("g3") === 20L)
+    // zero/negative-weight rows still fill up k when positives run out
+    val k3 = Mixing.weightedGroupSample(df, "g", "k", "w", 3)
+      .filter(col("g") === "g2").count()
+    assert(k3 === 3L)
+    // layout independence
+    val a = Mixing.weightedGroupSample(df, "g", "k", "w", 2)
+      .select("g", "k").as[(String, Long)].collect().toSet
+    val b = Mixing.weightedGroupSample(df.repartition(13), "g", "k", "w", 2)
+      .select("g", "k").as[(String, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("packByBudget: every shard except the last is filled past nothing-fits") {
     val out = Mixing.packByBudget(docs, "source", "doc_id", "n_chars", 1000L)
     // shards are contiguous, starting at 0, per source
