@@ -57,41 +57,92 @@ object ManifestTable {
 
   private def manifestDir(table: String) = new Path(table, "_manifests")
 
-  private case class Manifest(version: Long, batchId: Long,
-                              files: Seq[(Long, String)])
+  /** One data file of a snapshot: its hash-bucket, its path, and an
+    * optional zone map — min/max of the table's stats column, enabling
+    * file skipping at read time ([[readPruned]]). */
+  case class FileEntry(bucket: Long, path: String,
+                       stats: Option[(Long, Long)])
 
-  /** Highest committed version, or None for a not-yet-created table. */
-  private def currentManifest(fs: FileSystem, table: String): Option[Manifest] = {
+  private case class Manifest(version: Long, batchId: Long,
+                              files: Seq[FileEntry])
+
+  /** Committed versions of a table, ascending (empty if none). */
+  def versions(spark: SparkSession, table: String): Seq[Long] =
+    listVersions(fsFor(spark, table), table)
+
+  private def listVersions(fs: FileSystem, table: String): Seq[Long] = {
     val dir = manifestDir(table)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".txt"))
       .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
-    if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      val in = fs.open(new Path(dir, s"v$v.txt"))
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      val batchId = lines.head.stripPrefix("batchId=").toLong
-      val files = lines.tail.map { l =>
-        val i = l.indexOf('\t')
-        (l.substring(0, i).toLong, l.substring(i + 1))
-      }
-      Some(Manifest(v, batchId, files))
-    }
+      .sorted.toSeq
   }
 
+  private def manifestAt(fs: FileSystem, table: String,
+                         version: Long): Option[Manifest] = {
+    val dir = manifestDir(table)
+    val p = new Path(dir, s"v$version.txt")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val batchId = lines.head.stripPrefix("batchId=").toLong
+    val files = lines.tail.map { l =>
+      l.split('\t') match {
+        case Array(b, path)         => FileEntry(b.toLong, path, None)
+        case Array(b, path, lo, hi) =>
+          FileEntry(b.toLong, path, Some((lo.toLong, hi.toLong)))
+        case _ => throw new java.io.IOException(s"bad manifest line: $l")
+      }
+    }
+    Some(Manifest(version, batchId, files))
+  }
+
+  /** Highest committed version, or None for a not-yet-created table. */
+  private def currentManifest(fs: FileSystem, table: String): Option[Manifest] =
+    listVersions(fs, table).lastOption
+      .flatMap(v => manifestAt(fs, table, v))
+
   /** Snapshot read: the files of the highest committed manifest. */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val m = currentManifest(fsFor(spark, table), table).getOrElse(
-      throw new java.io.FileNotFoundException(
-        s"no committed manifest under $table/_manifests"))
+  def read(spark: SparkSession, table: String): DataFrame =
+    readManifest(spark, table,
+      currentManifest(fsFor(spark, table), table).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no committed manifest under $table/_manifests")))
+
+  /** Time travel: snapshot read of a specific committed version. */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    readManifest(spark, table,
+      manifestAt(fsFor(spark, table), table, version).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no manifest v$version under $table/_manifests")))
+
+  private def readManifest(spark: SparkSession, table: String,
+                           m: Manifest): DataFrame =
     if (m.files.isEmpty) {
       // committed-empty snapshot: preserve "a reader always sees a table"
       spark.read.parquet(table + "/data/c" + m.version)
-    } else spark.read.parquet(m.files.map(_._2): _*)
+    } else spark.read.parquet(m.files.map(_.path): _*)
+
+  /** Zone-map read: the current snapshot restricted to files whose
+    * stats-column range intersects [lo, hi] — Delta/Iceberg-style data
+    * skipping from the manifest alone, no footer reads. Files committed
+    * without stats are always read (pruning must stay conservative).
+    * The caller still applies its own predicate: zone maps bound which
+    * FILES can hold matches, they don't filter rows. At 100 TB this is
+    * the difference between touching a few buckets and scanning the
+    * table for a narrow range predicate. */
+  def readPruned(spark: SparkSession, table: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val m = currentManifest(fsFor(spark, table), table).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no committed manifest under $table/_manifests"))
+    val keep = m.files.filter(f =>
+      f.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
+    if (keep.isEmpty) readManifest(spark, table, m).limit(0)
+    else spark.read.parquet(keep.map(_.path): _*)
   }
 
   /** Version + batchId of the current snapshot (test/ops introspection). */
@@ -100,7 +151,70 @@ object ManifestTable {
 
   /** File list of the current snapshot as (bucket, path) pairs. */
   def currentFiles(spark: SparkSession, table: String): Seq[(Long, String)] =
+    currentManifest(fsFor(spark, table), table)
+      .map(_.files.map(f => (f.bucket, f.path))).getOrElse(Nil)
+
+  /** File entries of the current snapshot, including zone-map stats. */
+  def currentFileEntries(spark: SparkSession, table: String): Seq[FileEntry] =
     currentManifest(fsFor(spark, table), table).map(_.files).getOrElse(Nil)
+
+  /** File entries of a specific committed snapshot. */
+  def fileEntriesAt(spark: SparkSession, table: String,
+                    version: Long): Seq[FileEntry] =
+    manifestAt(fsFor(spark, table), table, version).map(_.files)
+      .getOrElse(Nil)
+
+  /** Change-data-feed between two committed snapshots: every row
+    * inserted, deleted, or updated going `fromVersion` → `toVersion`,
+    * tagged in `_change_type` (insert / delete / update_preimage /
+    * update_postimage — the Delta CDF vocabulary).
+    *
+    * The manifest makes this O(changed data), not O(table): a data file
+    * listed by BOTH manifests is immutable and identical, and a key
+    * never changes bucket (the bucket hash is deterministic), so only
+    * files in the symmetric difference of the two file lists can hold a
+    * changed row. The diff reads just those, then resolves per-key
+    * outcomes with one full-outer join. Unchanged keys inside a
+    * rewritten bucket compare equal and emit nothing. */
+  def diff(spark: SparkSession, table: String, fromVersion: Long,
+           toVersion: Long, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    val fs = fsFor(spark, table)
+    def m(v: Long) = manifestAt(fs, table, v).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no manifest v$v under $table/_manifests"))
+    val mFrom = m(fromVersion); val mTo = m(toVersion)
+    val fromPaths = mFrom.files.map(_.path)
+    val toPaths = mTo.files.map(_.path)
+    val shared = fromPaths.toSet.intersect(toPaths.toSet)
+    def readSide(paths: Seq[String], fallback: Manifest): DataFrame =
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else readManifest(spark, table, fallback).limit(0)
+    val oldDf = readSide(fromPaths.filterNot(shared), mFrom)
+    val newDf = readSide(toPaths.filterNot(shared), mTo)
+    val dataCols = newDf.columns.toSeq
+    val nonKey = dataCols.filterNot(keys.contains)
+    val joined = newDf.withColumn("__n", lit(true)).as("n")
+      .join(oldDf.withColumn("__o", lit(true)).as("o"), keys, "full_outer")
+    def payload(side: String) =
+      keys.map(col) ++ nonKey.map(c => col(s"$side.$c").as(c))
+    val ins = joined.filter(col("__o").isNull)
+      .select(payload("n") :+ lit("insert").as("_change_type"): _*)
+    val del = joined.filter(col("__n").isNull)
+      .select(payload("o") :+ lit("delete").as("_change_type"): _*)
+    if (nonKey.isEmpty) ins.unionByName(del)
+    else {
+      val changed = joined.filter(col("__n").isNotNull &&
+        col("__o").isNotNull &&
+        !(struct(nonKey.map(c => col(s"n.$c")): _*) <=>
+          struct(nonKey.map(c => col(s"o.$c")): _*)))
+      ins.unionByName(del)
+        .unionByName(changed.select(
+          payload("o") :+ lit("update_preimage").as("_change_type"): _*))
+        .unionByName(changed.select(
+          payload("n") :+ lit("update_postimage").as("_change_type"): _*))
+    }
+  }
 
   /** MERGE one batch of updates into the table and commit atomically.
     *
@@ -112,7 +226,8 @@ object ManifestTable {
     * skipped replay (batchId ≤ the committed one) or an empty batch. */
   def upsertBatch(updates: DataFrame, table: String, keys: Seq[String],
                   versionCol: Option[String] = None,
-                  nBuckets: Int = 64, batchId: Long = -1L): Boolean = {
+                  nBuckets: Int = 64, batchId: Long = -1L,
+                  statsCol: Option[String] = None): Boolean = {
     require(keys.nonEmpty)
     val spark = updates.sparkSession
     val fs = fsFor(spark, table)
@@ -133,10 +248,10 @@ object ManifestTable {
     if (affected.isEmpty) return false                      // empty batch
     val (oldAffected, carried) = current match {
       case Some(m) =>
-        val (aff, keep) = m.files.partition(f => affected(f._1))
+        val (aff, keep) = m.files.partition(f => affected(f.bucket))
         val old =
           if (aff.isEmpty) None
-          else Some(spark.read.parquet(aff.map(_._2): _*)
+          else Some(spark.read.parquet(aff.map(_.path): _*)
             .withColumn(BucketCol, bucketExpr(keys, nBuckets)))
         (old, keep)
       case None => (None, Nil)
@@ -157,14 +272,33 @@ object ManifestTable {
     merged.repartition(col(BucketCol))
       .write.mode("errorifexists").partitionBy(BucketCol)
       .parquet(commitDir.toString)
-    val written: Seq[(Long, String)] =
+    // zone maps: min/max of statsCol per bucket, computed from the
+    // just-written (affected-buckets-only) data — one cheap scan of the
+    // new files; multiple files of one bucket share the bucket's range,
+    // a conservative superset that keeps pruning correct. Carried files
+    // keep the stats of the commit that wrote them.
+    val bucketStats: Map[Long, (Long, Long)] = statsCol match {
+      case Some(sc) =>
+        // partition-dir read-back infers the bucket col as int — cast
+        spark.read.parquet(commitDir.toString)
+          .groupBy(col(BucketCol).cast("long").as(BucketCol)).agg(
+            min(col(sc).cast("long")).as("mn"),
+            max(col(sc).cast("long")).as("mx"))
+          .collect()
+          .flatMap { r =>
+            if (r.isNullAt(1) || r.isNullAt(2)) None
+            else Some(r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          }.toMap
+      case None => Map.empty
+    }
+    val written: Seq[FileEntry] =
       fs.listStatus(commitDir).toSeq
         .filter(_.getPath.getName.startsWith(s"$BucketCol="))
         .flatMap { d =>
           val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toLong
           fs.listStatus(d.getPath)
             .filter(f => f.getPath.getName.startsWith("part-"))
-            .map(f => (b, f.getPath.toString))
+            .map(f => FileEntry(b, f.getPath.toString, bucketStats.get(b)))
         }
     publish(fs, table, Manifest(version, batchId, carried ++ written))
     true
@@ -180,7 +314,12 @@ object ManifestTable {
     val out = fs.create(tmp, true)
     try {
       val body = (s"batchId=${m.batchId}" +:
-        m.files.map { case (b, p) => s"$b\t$p" }).mkString("\n")
+        m.files.map { f =>
+          f.stats match {
+            case Some((lo, hi)) => s"${f.bucket}\t${f.path}\t$lo\t$hi"
+            case None           => s"${f.bucket}\t${f.path}"
+          }
+        }).mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     if (!fs.rename(tmp, new Path(dir, s"v${m.version}.txt")))
@@ -196,15 +335,11 @@ object ManifestTable {
     val fs = fsFor(spark, table)
     val dir = manifestDir(table)
     if (!fs.exists(dir)) return
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong).sorted
+    val versions = listVersions(fs, table)
     val live = versions.takeRight(keep).toSet
     val referenced: Set[String] = live.flatMap { v =>
-      val in = fs.open(new Path(dir, s"v$v.txt"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        .tail.map(l => l.substring(l.indexOf('\t') + 1)).toSet
-      finally in.close()
+      manifestAt(fs, table, v).map(_.files.map(_.path).toSet)
+        .getOrElse(Set.empty[String])
     }
     versions.filterNot(live).foreach { v =>
       fs.delete(new Path(dir, s"v$v.txt"), false)

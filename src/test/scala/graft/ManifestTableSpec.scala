@@ -140,4 +140,107 @@ class ManifestTableSpec extends SparkTestBase {
     // current snapshot still reads completely after the vacuum
     assert(state(table).size === 4)
   }
+
+  test("readVersion time-travels to any committed snapshot") {
+    val table = tmpTable()
+    ManifestTable.upsertBatch(rows((1L, "a", 1L)), table, Seq("k"),
+      Some("ver"), nBuckets = 4, batchId = 0L)
+    ManifestTable.upsertBatch(rows((1L, "a2", 2L), (2L, "b", 2L)),
+      table, Seq("k"), Some("ver"), nBuckets = 4, batchId = 1L)
+    assert(ManifestTable.versions(spark, table) === Seq(1L, 2L))
+    val v1 = ManifestTable.readVersion(spark, table, 1L)
+      .select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
+    assert(v1 === Set((1L, "a", 1L)))
+    assert(state(table) === Set((1L, "a2", 2L), (2L, "b", 2L)))
+  }
+
+  test("diff emits CDF rows and reads only non-shared files") {
+    val table = tmpTable()
+    // many buckets so the three keys land apart and most files carry over
+    val base = (1L to 30L).map(i => (i, s"v$i", 1L))
+    ManifestTable.upsertBatch(rows(base: _*), table, Seq("k"),
+      Some("ver"), nBuckets = 16, batchId = 0L)
+    // batch 2: update k=7, insert k=100; k=7's bucket rewrite also
+    // carries its unchanged bucket-mates, which must NOT appear in the diff
+    ManifestTable.upsertBatch(rows((7L, "updated", 2L), (100L, "new", 2L)),
+      table, Seq("k"), Some("ver"), nBuckets = 16, batchId = 1L)
+    val d = ManifestTable.diff(spark, table, 1L, 2L, Seq("k"))
+    val changes = d.select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(changes === Set(
+      (7L, "v7", "update_preimage"), (7L, "updated", "update_postimage"),
+      (100L, "new", "insert")))
+    // O(changed data): the diff plan must touch NO file listed by both
+    // manifests (carried-by-reference files cannot hold a change)
+    val v1Paths = ManifestTable.fileEntriesAt(spark, table, 1L)
+      .map(_.path).toSet
+    val v2Paths = ManifestTable.fileEntriesAt(spark, table, 2L)
+      .map(_.path).toSet
+    val shared = v1Paths.intersect(v2Paths)
+    assert(shared.nonEmpty, "fixture must carry files by reference")
+    val readByDiff = d.inputFiles.map(new Path(_).toUri.getPath).toSet
+    val sharedPaths = shared.map(p => new Path(p).toUri.getPath)
+    assert(readByDiff.intersect(sharedPaths).isEmpty,
+      "diff read a carried file — not O(changed data)")
+  }
+
+  test("diff of a rewrite with identical values emits nothing") {
+    val table = tmpTable()
+    ManifestTable.upsertBatch(rows((1L, "a", 1L), (2L, "b", 1L)),
+      table, Seq("k"), None, nBuckets = 1, batchId = 0L)
+    // same rows again: the bucket is rewritten (new files, new version)
+    // but no row changed — the CDF must be empty
+    ManifestTable.upsertBatch(rows((1L, "a", 1L), (2L, "b", 1L)),
+      table, Seq("k"), None, nBuckets = 1, batchId = 1L)
+    assert(ManifestTable.versions(spark, table) === Seq(1L, 2L))
+    assert(ManifestTable.diff(spark, table, 1L, 2L, Seq("k")).count() === 0L)
+  }
+
+  test("zone-map stats prune files by range, conservatively") {
+    import org.apache.spark.sql.functions.col
+    val table = tmpTable()
+    // batches must land in DISJOINT buckets, or the upsert merge mixes
+    // every ver-range into every rewritten file and nothing can prune —
+    // compute each key's bucket and pick three keys per three buckets
+    val byBucket = spark.range(1, 300)
+      .select(col("id"),
+        ManifestTable.bucketExpr(Seq("id"), 64).as("b"))
+      .as[(Long, Long)].collect().groupBy(_._2)
+    val Seq(g1, g2, g3) = byBucket.values.filter(_.length >= 3)
+      .toSeq.sortBy(_.head._2).take(3).map(_.map(_._1).take(3).toSeq)
+    def batch(keys: Seq[Long], lo: Long) =
+      rows(keys.zipWithIndex.map { case (k, i) =>
+        (k, s"v$k", lo + i) }: _*)
+    ManifestTable.upsertBatch(batch(g1, 0L), table, Seq("k"), None,
+      nBuckets = 64, batchId = 0L, statsCol = Some("ver"))
+    ManifestTable.upsertBatch(batch(g2, 100L), table, Seq("k"), None,
+      nBuckets = 64, batchId = 1L, statsCol = Some("ver"))
+    ManifestTable.upsertBatch(batch(g3, 200L), table, Seq("k"), None,
+      nBuckets = 64, batchId = 2L, statsCol = Some("ver"))
+    val entries = ManifestTable.currentFileEntries(spark, table)
+    assert(entries.forall(_.stats.isDefined), "every file carries stats")
+    val pruned = ManifestTable.readPruned(spark, table, 200L, 300L)
+    val full = ManifestTable.read(spark, table)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      "range read must touch fewer files than the table holds")
+    // pruning is only about files: same rows after the row-level filter
+    assert(pruned.filter(col("ver") >= 200L && col("ver") <= 300L)
+      .count() === full.filter(col("ver") >= 200L && col("ver") <= 300L)
+      .count())
+    assert(pruned.filter(col("ver") >= 200L).count() === 3L)
+  }
+
+  test("files without stats are always read (conservative pruning)") {
+    val table = tmpTable()
+    ManifestTable.upsertBatch(rows((1L, "a", 5L)), table, Seq("k"),
+      None, nBuckets = 2, batchId = 0L) // no statsCol
+    ManifestTable.upsertBatch(rows((2L, "b", 500L)), table, Seq("k"),
+      None, nBuckets = 2, batchId = 1L, statsCol = Some("ver"))
+    val pruned = ManifestTable.readPruned(spark, table, 1000L, 2000L)
+    // the stats-bearing file (ver=500) is pruned; the stats-less file
+    // must survive pruning even though its rows miss the range
+    val kept = pruned.select("k").as[Long].collect().toSet
+    assert(kept.contains(1L), "stats-less file must be read")
+    assert(!kept.contains(2L), "out-of-range stats file must be pruned")
+  }
 }
