@@ -788,6 +788,22 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- bloom semi-join reduction: fact rows probe a scalar-subquery
+    // bloom of the dim keys BEFORE the join's shuffle; no false
+    // negatives, so the result must equal the plain join (oracle) ----
+    "q_bloom_join" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+        .filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey"), col("s_name"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      Joins.bloomJoin(li, "l_suppkey", sup, "s_suppkey",
+          expectedItems = 4000L)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---- range join: events bucketed into value bands ----
     "q_range_join" -> ((s, d) => {
       import s.implicits._
@@ -1206,6 +1222,21 @@ object SparkEntry {
     // ---- E20 key-skew report (the pre-join salting diagnostic) ----
     "q_key_skew" -> ((s, d) =>
       operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 20)),
+
+    // ---- E20 incremental distinct: per-day HLL sketch slices, merged.
+    // The sketch binary is engine-specific; the oracle checks the exact
+    // companion count and asserts the merged estimate's tolerance
+    // verdict (±5% ≈ 3·rsd at lgK=12) ----
+    "q_sketch_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val est = operators.Profiling.hllMergedEstimate(
+        operators.Profiling.hllSlices(ev, to_date(col("ts")), "user_id"))
+      ev.agg(count_distinct(col("user_id")).as("exact_users"))
+        .crossJoin(est)
+        .select(col("exact_users"), col("n_rows"),
+          (abs(col("approx_distinct").cast("double") - col("exact_users"))
+            <= col("exact_users") * lit(0.05)).as("within_tol"))
+    }),
 
     // ---- grouped collection: per-group sorted member list ----
     "q_array_agg" -> ((s, d) =>
@@ -2117,6 +2148,15 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // the bloom pre-filter admits no false negatives and the join culls
+    // false positives, so the reduced plan equals the plain join
+    "q_bloom_join" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+
     "q_para_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2295,6 +2335,13 @@ object SparkEntry {
         |    AS share
         |FROM lineitem GROUP BY l_suppkey
         |ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    // merged-sketch estimate is engine-specific; the oracle pins the
+    // exact count, the sliced row total, and the tolerance verdict
+    "q_sketch_distinct" ->
+      """SELECT COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(*) AS n_rows, TRUE AS within_tol
+        |FROM events""".stripMargin,
 
     "q_array_agg" ->
       """SELECT c_nationkey,

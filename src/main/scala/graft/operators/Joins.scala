@@ -142,6 +142,58 @@ object Joins {
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-filter semi-join reduction: keep only the `fact` rows whose
+    * `factKey` MIGHT match a `dim.dimKey` — the explicit form of Spark's
+    * runtime row-level filtering (InjectRuntimeFilter), built from the
+    * same machinery: a `BloomFilterAggregate` over the dim keys delivered
+    * as a scalar subquery, probed per fact row by
+    * `BloomFilterMightContain` on the identical `xxhash64`.
+    *
+    * Why it matters at 100 TB: a selective dim filter (say 4% of
+    * suppliers) only shrinks the FACT side after the join's shuffle has
+    * already moved every fact row. The bloom probe runs at the fact scan,
+    * before the exchange, so shuffle volume drops to the match rate plus
+    * the false-positive rate — for the price of one broadcast-sized
+    * binary (numBits/8 bytes). No false negatives, so
+    * `bloomPreFilter(fact, …).join(dim, …)` ≡ `fact.join(dim, …)` exactly;
+    * false positives are culled by the join itself.
+    *
+    * `expectedItems`/`fpp` size the filter (`optimalNumOfBits`), capped at
+    * Spark's runtime-filter ceilings (4M items / 8 MiB) so the aggregate's
+    * own validation never rejects the plan. Oversubscribing the cap only
+    * degrades fpp — correctness is unaffected.
+    */
+  def bloomPreFilter(fact: DataFrame, factKey: String,
+                     dim: DataFrame, dimKey: String,
+                     expectedItems: Long = 1000000L,
+                     fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ExprBridge
+    import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    val items = math.min(expectedItems, 4000000L)
+    val numBits = math.min(SketchBloom.optimalNumOfBits(items, fpp), 67108864L)
+    val agg = new BloomFilterAggregate(
+      ExprBridge.expression(xxhash64(col(dimKey))),
+      CLit(items), CLit(numBits)).toAggregateExpression()
+    val bloom = dim.select(ExprBridge.column(agg).as("__bloom")).scalar()
+    fact.filter(ExprBridge.column(new BloomFilterMightContain(
+      ExprBridge.expression(bloom),
+      ExprBridge.expression(xxhash64(col(factKey))))))
+  }
+
+  /** [[bloomPreFilter]] composed with the join it accelerates: semantically
+    * identical to `fact.join(dim, fact(factKey) === dim(dimKey))`, with the
+    * fact side bloom-reduced before its shuffle. */
+  def bloomJoin(fact: DataFrame, factKey: String,
+                dim: DataFrame, dimKey: String,
+                expectedItems: Long = 1000000L,
+                fpp: Double = 0.03): DataFrame = {
+    val reduced = bloomPreFilter(fact, factKey, dim, dimKey, expectedItems, fpp)
+    reduced.join(dim, reduced(factKey) === dim(dimKey))
+  }
+
   /** Range join: pair every point row with every interval row whose
     * [lo, hi) contains the point, within an equi-bucketized plan.
     *

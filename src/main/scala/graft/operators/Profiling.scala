@@ -38,6 +38,33 @@ object Profiling {
     one.select(explode(rows).as("p")).select("p.*")
   }
 
+  /** Per-slice HyperLogLog sketch table: one row per `sliceExpr` value
+    * (day, source, shard …) carrying a mergeable Datasketches HLL binary
+    * for `keyCol` plus the slice's row count.
+    *
+    * This is the incremental-statistics pattern for 100 TB corpora: each
+    * ingestion batch sketches ONLY its own slice (one linear scan,
+    * map-side partial merge), the sketch table is persisted, and any
+    * later union of slices — global, rolling-window, per-source —
+    * answers distinct-count questions by merging kilobyte sketches via
+    * [[hllMergedEstimate]] instead of rescanning the corpus. Accuracy is
+    * ~1.04/sqrt(2^lgK) relative standard deviation (lgK=12 → ~1.6%). */
+  def hllSlices(df: DataFrame, sliceExpr: org.apache.spark.sql.Column,
+                keyCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(sliceExpr.as("slice"))
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("hll"),
+           count(lit(1)).as("n_rows"))
+
+  /** Merge a [[hllSlices]] table (or any subset of its rows) into one
+    * global distinct-count estimate. Sketch union is exact over the
+    * sketch state — merging per-day sketches equals sketching the whole
+    * corpus at once — so estimates stay consistent no matter how slices
+    * are grouped. */
+  def hllMergedEstimate(slices: DataFrame): DataFrame =
+    slices.agg(
+      hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_distinct"),
+      sum(col("n_rows")).as("n_rows"))
+
   /** Key-skew report: the `k` heaviest values of `keyCol` with their row
     * counts and corpus share — the diagnostic that decides whether a
     * join on this key needs salting ([[Joins.saltedJoin]]) or AQE skew

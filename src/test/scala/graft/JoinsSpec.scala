@@ -151,4 +151,37 @@ class JoinsSpec extends SparkTestBase {
     val out = Joins.rangeJoin(points, "x", ivals, "lo", "hi", bucketWidth = 1.0)
     assert(out.count() === 1, "point joins through its single bucket only")
   }
+
+  test("bloomPreFilter: no false negatives; bloomJoin equals the plain join") {
+    val fact = (1L to 2000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val dim = Seq((3L, "three"), (7L, "seven"), (999L, "absent"))
+      .toDF("dk", "tag")
+    val reduced = Joins.bloomPreFilter(fact, "k", dim, "dk",
+      expectedItems = 100L)
+    // every true match survives the pre-filter (bloom admits no false
+    // negatives) …
+    val trueMatches = fact.join(dim, col("k") === col("dk"))
+      .select("k", "payload").collect().toSet
+    val kept = reduced.join(dim, col("k") === col("dk"))
+      .select("k", "payload").collect().toSet
+    assert(kept === trueMatches)
+    // … and the composed join is indistinguishable from the plain join
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "payload", "tag")
+    val bloomed = Joins.bloomJoin(fact, "k", dim, "dk", expectedItems = 100L)
+      .select("k", "payload", "tag")
+    assert(rendered(bloomed) === rendered(plain))
+  }
+
+  test("bloomPreFilter actually reduces a selective probe before the join") {
+    // 100 distinct fact keys, dim holds 2 → the pre-filter should cut the
+    // fact side to ~2% (+fpp); assert an order-of-magnitude reduction so
+    // the test stays robust to bloom false positives
+    val fact = (1L to 5000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("dk", "tag")
+    val n = Joins.bloomPreFilter(fact, "k", dim, "dk",
+      expectedItems = 100L, fpp = 0.01).count()
+    assert(n >= 100, s"true matches must survive, got $n")
+    assert(n <= 500, s"pre-filter should cut ~98% of fact rows, kept $n")
+  }
 }

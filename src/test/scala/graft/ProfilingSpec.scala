@@ -33,6 +33,26 @@ class ProfilingSpec extends SparkTestBase {
       s"top-k must fuse sort+limit:\n$plan")
   }
 
+  test("hllSlices + hllMergedEstimate: slice-merge equals whole-corpus sketch") {
+    import org.apache.spark.sql.functions._
+    // 400 rows, 120 distinct keys spread over 4 slices with overlap
+    val df = (0 until 400).map(i => (i % 4, (i * 7 % 120).toLong))
+      .toDF("slice_in", "key")
+    val slices = Profiling.hllSlices(df, col("slice_in"), "key")
+    assert(slices.count() === 4)
+    val Array(est) = Profiling.hllMergedEstimate(slices).collect()
+    val approx = est.getLong(0)
+    assert(est.getLong(1) === 400L, "row totals carry through the merge")
+    // lgK=12 → rsd ~1.6%; 120 distincts should land within ±5%
+    assert(math.abs(approx - 120L) <= 6,
+      s"merged estimate $approx too far from exact 120")
+    // merging slice sketches must agree with sketching the corpus whole
+    val Array(whole) = Profiling.hllMergedEstimate(
+      Profiling.hllSlices(df, lit(0), "key")).collect()
+    assert(approx === whole.getLong(0),
+      "sketch union is exact over sketch state: slicing cannot change it")
+  }
+
   test("profile scans the input once (single aggregate family, no reread)") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
     val plan = Profiling.profile(df, Seq("id", "s"))
