@@ -948,6 +948,26 @@ object SparkEntry {
       EventOps.approxDistinctUsersChecked(t(s, d, "events"))
         .orderBy("event_type")),
 
+    // ---- E23 full-text retrieval: exact Okapi BM25 + hybrid RRF ----
+    "q_bm25" -> ((s, d) =>
+      operators.Search.bm25(t(s, d, "documents"),
+          Seq("spark", "join", "window"))
+        .orderBy("doc_id")),
+    // lexical BM25 rank fused with vector cosine rank (query = vec 0)
+    // by reciprocal-rank fusion — scores are exact rationals of the two
+    // integer ranks, so the fused list is engine-exact
+    "q_hybrid_rrf" -> ((s, d) => {
+      val lex = operators.Search.rankBy(
+        operators.Search.bm25(t(s, d, "documents"),
+          Seq("spark", "join", "window")), "doc_id", "score", topN = 100)
+      val emb = t(s, d, "embeddings")
+      val vec = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), 100)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      operators.Search.rrfFuse(Seq(lex, vec))
+        .orderBy(col("rrf").desc, col("id")).limit(50)
+    }),
+
     // ---- E19 corpus statistics / decontamination (Ngrams) ----
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
@@ -2034,6 +2054,95 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5
         |ORDER BY tok""".stripMargin,
+
+    // BM25: every constant enters as a cast literal so both engines do
+    // the identical runtime IEEE ops; idf and per-term weights rounded
+    // to 9 decimals, doc sum in DECIMAL(28,9) — engine-exact
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf
+        |  FROM toks GROUP BY doc_id, dl, tok),
+        |matched AS (
+        |  SELECT * FROM perdoc WHERE tok IN ('spark', 'join', 'window')),
+        |dftbl AS (SELECT tok, COUNT(*) AS df FROM matched GROUP BY tok),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |scored AS (
+        |  SELECT m.doc_id,
+        |    round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+        |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)
+        |         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |            * (1.0 - CAST(0.75 AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |                 / (CAST(sum_dl AS DOUBLE) / n_docs)))), 9) AS w
+        |  FROM matched m JOIN dftbl f ON m.tok = f.tok, stats)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // hybrid retrieval: BM25 rank + cosine rank fused by RRF — fused
+    // scores are exact rationals of integer ranks
+    "q_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf
+        |  FROM toks GROUP BY doc_id, dl, tok),
+        |matched AS (
+        |  SELECT * FROM perdoc WHERE tok IN ('spark', 'join', 'window')),
+        |dftbl AS (SELECT tok, COUNT(*) AS df FROM matched GROUP BY tok),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |scored AS (
+        |  SELECT m.doc_id,
+        |    round(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+        |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)
+        |         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |            * (1.0 - CAST(0.75 AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |                 / (CAST(sum_dl AS DOUBLE) / n_docs)))), 9) AS w
+        |  FROM matched m JOIN dftbl f ON m.tok = f.tok, stats),
+        |bm AS (
+        |  SELECT doc_id, CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS score
+        |  FROM scored GROUP BY doc_id),
+        |lexrank AS (
+        |  SELECT id, rank FROM (
+        |    SELECT doc_id AS id,
+        |      row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |    FROM bm) WHERE rank <= 100),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT c.vec_id AS id,
+        |    list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v))
+        |         * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |vecrank AS (
+        |  SELECT id, rank FROM (
+        |    SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+        |    FROM sims) WHERE rank <= 100),
+        |unioned AS (
+        |  SELECT id, round(1.0 / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)), 9)
+        |    AS contrib FROM lexrank
+        |  UNION ALL
+        |  SELECT id, round(1.0 / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)), 9)
+        |    AS contrib FROM vecrank)
+        |SELECT id, CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE) AS rrf,
+        |  COUNT(*) AS n_lists
+        |FROM unioned GROUP BY id ORDER BY rrf DESC, id LIMIT 50""".stripMargin,
 
     "q_tfidf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

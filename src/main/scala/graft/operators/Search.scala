@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Full-text retrieval over a document corpus: exact Okapi BM25 scoring
+  * and reciprocal-rank fusion for hybrid (lexical + vector) search.
+  *
+  * Tokenization is `split(text, " ")` — the corpus-wide convention shared
+  * with [[TextAnalysis]] / [[Ngrams]] and the DuckDB oracles.
+  *
+  * Engine-exactness: BM25 mixes `ln` and division chains whose results
+  * are correctly-rounded IEEE doubles in any engine — EXCEPT that two
+  * engines may fold constants differently. Every constant therefore
+  * enters as a parsed literal combined at runtime (`lit(k1) + lit(1.0)`,
+  * never Scala-side `k1 + 1.0`), per-term weights are rounded to 9
+  * decimals, and the per-doc sum runs in DECIMAL(28,9) — the same
+  * layout-independence treatment as `Ngrams.unigramLogProb`.
+  */
+object Search {
+
+  /** Okapi BM25 scores for `queryTerms` over the corpus: one row per
+    * document containing at least one query term — (doc_id, n_terms,
+    * score), higher is better.
+    *
+    * Plan shape at scale: one tokenize/explode pass builds per-doc term
+    * frequencies (map-side combined); document frequencies derive from
+    * that table, restricted to the (broadcast) query terms, so the only
+    * large shuffle is the tf aggregation — everything after operates on
+    * |matching docs| × |query terms| rows. Corpus stats (N, avg doc
+    * length) ride in as a broadcast single row. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.distinct.toDF("tok")
+    val toksOf = split(col(textCol), " ")
+    val tokens = docs.select(col(idCol).as("doc_id"), size(toksOf).as("dl"),
+      explode(toksOf).as("tok"))
+    val perDoc = tokens.groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val matched = perDoc.join(broadcast(qt), "tok")
+    val dfTbl = matched.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toksOf).cast("long")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = round(log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 9)
+    val tfNorm = col("tf").cast("double") * (lit(k1) + lit(1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    matched.join(broadcast(dfTbl), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("__w", round(idf * tfNorm, 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__w").cast(DecimalType(28, 9))).cast("double").as("score"))
+  }
+
+  /** Dense rank table for fusion: (id, rank) with rank 1 = best, ordered
+    * by `scoreCol` descending, ties broken by id — the deterministic
+    * total order every ranking must carry before fusing. Capped at
+    * `topN` so downstream fusion joins stay bounded. */
+  def rankBy(scored: DataFrame, idCol: String, scoreCol: String,
+             topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cut to topN first — orderBy+limit fuses to a distributed
+    // TakeOrderedAndProject, so the single-partition ranking window
+    // only ever sees topN rows, not the corpus
+    val cut = scored.select(col(idCol).as("id"), col(scoreCol))
+      .orderBy(col(scoreCol).desc, col(idCol)).limit(topN)
+    val w = Window.orderBy(col(scoreCol).desc, col("id"))
+    cut.withColumn("rank", row_number().over(w)).select("id", "rank")
+  }
+
+  /** Reciprocal-rank fusion: rrf(id) = Σ_lists 1/(c + rank_list(id)),
+    * the standard score-free way to combine heterogeneous rankings
+    * (lexical BM25 + vector cosine, multiple retrievers …). Input
+    * frames each carry (id, rank); ids absent from a list simply
+    * contribute nothing. Contributions are 9-decimal-rounded and summed
+    * in DECIMAL, so fused scores are exact rationals of integer ranks —
+    * engine- and layout-independent. */
+  def rrfFuse(rankings: Seq[DataFrame], c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty)
+    val contribs = rankings.map(_.select(col("id"),
+      round(lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")), 9)
+        .as("__contrib")))
+    contribs.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum(col("__contrib").cast(DecimalType(28, 9))).cast("double")
+             .as("rrf"),
+           count(lit(1)).as("n_lists"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Search
+
+class SearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "cat dog cat"),        // "cat" twice in a short doc
+    (2L, "cat bird bird bird"), // "cat" once, longer doc
+    (3L, "fish fish fish"),     // no query terms
+    (4L, "dog")                 // rare term only
+  ).toDF("doc_id", "text")
+
+  test("bm25: only matching docs score; tf raises, length normalizes") {
+    val out = Search.bm25(docs, Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 4L), "doc 3 matches no query term")
+    assert(out(1L)._1 === 2L, "doc 1 matches both terms")
+    // doc 1 has cat×2 in 3 tokens; doc 2 has cat×1 in 4 tokens — doc 1's
+    // cat contribution alone must beat doc 2's total
+    assert(out(1L)._2 > out(2L)._2)
+    // "dog" (df=2) idf beats nothing here, but scores must be positive
+    assert(out.values.forall(_._2 > 0))
+  }
+
+  test("bm25 is deterministic across partition layouts") {
+    val a = Search.bm25(docs, Seq("cat", "dog")).collect().toSet
+    val b = Search.bm25(docs.repartition(7), Seq("cat", "dog"))
+      .collect().toSet
+    assert(a === b)
+  }
+
+  test("rankBy: dense 1..topN ranks, score-desc, id tie-break") {
+    val scored = Seq((10L, 5.0), (11L, 7.0), (12L, 5.0), (13L, 1.0))
+      .toDF("doc_id", "s")
+    val out = Search.rankBy(scored, "doc_id", "s", topN = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(11L -> 1, 10L -> 2, 12L -> 3),
+      "ties broken by ascending id; doc 13 cut by topN")
+  }
+
+  test("rrfFuse: exact reciprocal-rank sums, single-list ids included") {
+    val l1 = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val l2 = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val out = Search.rrfFuse(Seq(l1, l2))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    def c(rank: Int) =
+      BigDecimal(1.0 / (60.0 + rank)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(2L)._2 === 2L)
+    assert(out(2L)._1 === (c(2) + c(1)).toDouble,
+      "id in both lists sums both contributions")
+    assert(out(1L) === ((c(1).toDouble, 1L)))
+    assert(out(3L) === ((c(2).toDouble, 1L)))
+  }
+}
