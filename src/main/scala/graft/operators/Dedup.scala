@@ -429,9 +429,31 @@ object Dedup {
     * qualifying pair is missed, and verification discards every
     * non-qualifying candidate.
     *
+    * Candidates are additionally cut by two PPJoin bounds evaluated
+    * INSIDE the prefix join — before the distinct exchange and the
+    * verify join ever see the pair:
+    *
+    *   - LENGTH filter: |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|),
+    *     so J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|). Kills
+    *     length-incompatible prefix collisions, the dominant waste under
+    *     skewed length distributions.
+    *   - POSITIONAL filter: J ≥ t also forces the overlap
+    *     O = |A∩B| ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉ (since J = O/(|A|+|B|−O)).
+    *     Shared tokens are consistently ordered by the global
+    *     (frequency, token) order, so a shared token at ordered
+    *     positions (i, j) bounds the remaining possible overlap by
+    *     min(|A|−i, |B|−j) + 1. Rows failing that bound are cut
+    *     per-row; completeness holds because a qualifying pair's FIRST
+    *     shared token always satisfies it (every other shared token
+    *     lies strictly after (i, j) in both documents).
+    *
+    * Both bounds carry the same widening 1e-9 slack as the prefix
+    * length: float rounding can only ADMIT extra candidates, never drop
+    * a qualifying pair.
+    *
     * Scale shape (100 TB): four linear shuffles — shingle explode →
     * df-count aggregate (vocabulary-sized), shingle-keyed prefix
-    * self-join (ids-only rows), pair-distinct exchange (ids-only), and
+    * self-join (id+size rows), pair-distinct exchange (ids-only), and
     * the verify join by id (arrays move once, to candidates only). No
     * global sort and no rank table: the (df, shingle) pair itself is the
     * global order, so ordering needs only the per-document window, never
@@ -439,6 +461,16 @@ object Dedup {
     * a 1e-9 slack so binary rounding of t·|X| can only ENLARGE a prefix
     * (more candidates, still exact), never shrink one (which could miss
     * pairs).
+    *
+    * The shingle table feeds three consumers (prefix generation and both
+    * sides of the verify join); it is persisted so tokenize+shingle —
+    * the dominant per-row cost — runs ONCE instead of three times. The
+    * prefix table likewise feeds both sides of the candidate self-join
+    * and is persisted rather than left to exchange reuse. Both caches
+    * are registered with Spark's CacheManager and released by the
+    * ContextCleaner when the returned plan is dropped; a production
+    * pipeline that runs several dedup passes over one corpus should
+    * materialize the shingle table itself and reuse it across operators.
     */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleN: Int = 3): DataFrame = {
@@ -447,6 +479,7 @@ object Dedup {
     val sh = Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
                         col("doc_id"))
       .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = sh.select(col("doc_id"), size(col("sh")).as("sz"),
                          explode(col("sh")).as("tok"))
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("tok_df"))
@@ -458,11 +491,19 @@ object Dedup {
     val prefix = ordered
       .withColumn("__pos", row_number().over(pw))
       .filter(col("__pos") <= prefixLen)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("sz"), col("__pos"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // α = ⌈t/(1+t)·(szA+szB)⌉: the minimum overlap J ≥ t requires.
+    val alpha = (col("pa.sz") + col("pb.sz")) * (threshold / (1.0 + threshold)) -
+      lit(1e-9)
     val cand = prefix.as("pa")
       .join(prefix.as("pb"),
         col("pa.tok") === col("pb.tok") &&
-          col("pa.doc_id") < col("pb.doc_id"))
+          col("pa.doc_id") < col("pb.doc_id") &&
+          least(col("pa.sz"), col("pb.sz")).cast("double") >=
+            greatest(col("pa.sz"), col("pb.sz")) * threshold - lit(1e-9) &&
+          (least(col("pa.sz") - col("pa.__pos"),
+                 col("pb.sz") - col("pb.__pos")) + 1).cast("double") >= alpha)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
     cand
