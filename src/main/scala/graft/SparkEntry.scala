@@ -414,33 +414,57 @@ object SparkEntry {
       Multimodal.extractMeta(Multimodal.fromDocuments(t(s, d, "documents")))
         .orderBy("media_id")),
 
-    // ---- multimodal decode paths (stub codec, real dataflow; rows-only) ----
-    // features is ArrayType(Float); the harness compares scalar columns,
-    // so project the vector to a deterministic hash (decode still runs).
+    // ---- multimodal decode paths (stub codec, real dataflow) ----
+    // The stub codec is CLOSED-FORM (normalized byte histogram mod dim),
+    // so the decode output is oracle-checkable: the projection recovers
+    // integer byte statistics from the float features (round() is exact —
+    // the only float rounding is one count/n division per bucket, error
+    // << 0.5 for any document length below ~10^6 bytes), and DuckDB
+    // recomputes the same integers straight from the text bytes (the
+    // corpus is ASCII, so DuckDB's per-character ord() IS the byte).
     "q_media_features" -> ((s, d) =>
       Multimodal.decodeFeatures(s,
           Multimodal.fromDocuments(docsSpread(s, d)), dim = 16)
         .toDF()
         .select(col("media_id"), col("n_bytes"),
-                hash(col("features")).as("features_hash"))
+          // sum_j j*f_j*n = sum over payload bytes of (byte mod 16)
+          round(aggregate(
+              zip_with(col("features"), sequence(lit(0), lit(15)),
+                (f, i) => f.cast("double") * i),
+              lit(0.0), (acc, x) => acc + x) * col("n_bytes"))
+            .cast("long").as("mod_checksum"),
+          // f_0*n = count of payload bytes with byte mod 16 = 0
+          round(element_at(col("features"), 1).cast("double") * col("n_bytes"))
+            .cast("long").as("f0_count"))
         .orderBy("media_id")),
-    // batch-shaped embedding over the same stub model (rows-only)
+    // batch-shaped embedding over the same stub model; results are
+    // batch-size-independent (spec-pinned) and oracle-checked the same
+    // way at dim=8
     "q_media_embed" -> ((s, d) =>
       Multimodal.embedBatched(s,
           Multimodal.fromDocuments(docsSpread(s, d)),
           dim = 8, batchSize = 64)
         .toDF()
         .select(col("media_id"), col("n_bytes"),
-                hash(col("features")).as("features_hash"))),
-    // frame is binary; same comparable-scalar projection as q_media_features.
+          round(aggregate(
+              zip_with(col("features"), sequence(lit(0), lit(7)),
+                (f, i) => f.cast("double") * i),
+              lit(0.0), (acc, x) => acc + x) * col("n_bytes"))
+            .cast("long").as("mod_checksum"),
+          round(element_at(col("features"), 1).cast("double") * col("n_bytes"))
+            .cast("long").as("f0_count"))
+        .orderBy("media_id")),
+    // each frame is a byte window of the payload = a substring of the
+    // ASCII text, so DuckDB reproduces the exact frame bytes with
+    // substr() and the md5 digests must match digit-for-digit
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(s,
           Multimodal.fromDocuments(docsSpread(s, d)),
           frameBytes = 32, stride = 2)
         .toDF()
-        .select(col("media_id"), col("frame_idx"),
-                octet_length(col("frame")).as("frame_bytes"),
-                xxhash64(col("frame")).as("frame_hash"))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+                octet_length(col("frame")).cast("long").as("frame_bytes"),
+                md5(col("frame")).as("frame_md5"))
         .orderBy("media_id", "frame_idx")),
 
     // ---- window analytics: lag / lead ----
@@ -1800,6 +1824,44 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substring(hex(encode(text)), 1, 16) AS header_hex
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // byte-statistics twins of the closed-form stub codec: the corpus is
+    // ASCII (asserted by the n_bytes check riding every row — strlen =
+    // octet_length only then), so ord(char) IS the payload byte
+    "q_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, strlen(text) AS n_bytes, ord(c) AS byte
+        |  FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
+        |        FROM documents))
+        |SELECT doc_id AS media_id, CAST(any_value(n_bytes) AS BIGINT) AS n_bytes,
+        |  CAST(sum(byte % 16) AS BIGINT) AS mod_checksum,
+        |  CAST(sum(CASE WHEN byte % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f0_count
+        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q_media_embed" ->
+      """WITH b AS (
+        |  SELECT doc_id, strlen(text) AS n_bytes, ord(c) AS byte
+        |  FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
+        |        FROM documents))
+        |SELECT doc_id AS media_id, CAST(any_value(n_bytes) AS BIGINT) AS n_bytes,
+        |  CAST(sum(byte % 8) AS BIGINT) AS mod_checksum,
+        |  CAST(sum(CASE WHEN byte % 8 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f0_count
+        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0,
+        |      greatest(CAST(ceil(strlen(text)/32.0) AS BIGINT), 1), 2))
+        |      AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  CAST(strlen(substr(text, CAST(frame_idx*32+1 AS INT), 32)) AS BIGINT)
+        |    AS frame_bytes,
+        |  md5(substr(text, CAST(frame_idx*32+1 AS INT), 32)) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_window_lag_lead" ->
       """SELECT o_custkey, o_orderkey,

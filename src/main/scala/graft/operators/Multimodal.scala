@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
   * shapes) is real and tested; the codec itself is a clearly-marked
   * deterministic STUB — this container has no image/audio libraries, and a
   * production build would swap `stubDecode` for a real decoder without
-  * touching the dataflow.
+  * touching the dataflow. The stub is CLOSED-FORM (normalized byte
+  * histogram mod dim; frames are byte windows), so the decode output is
+  * end-to-end oracle-checkable: the registered queries recover integer
+  * byte statistics / md5 digests from the decode results and DuckDB
+  * recomputes the same values independently from the payload bytes
+  * (SparkEntry `q_media_features` / `q_media_embed` / `q_media_frames`).
   */
 object Multimodal {
 
