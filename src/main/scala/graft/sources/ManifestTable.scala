@@ -42,10 +42,44 @@ import org.apache.spark.sql.functions._
   * atomic rename of ONE small manifest file, not of data directories —
   * the piece S3-style stores can provide via a conditional PUT; data
   * files themselves are never renamed or overwritten.
+  *
+  * DRIVER-MEMORY BOUNDS. Per-commit driver state is O(nBuckets), not
+  * O(table): the affected-bucket set and the per-bucket zone-map stats
+  * are both ≤ nBuckets entries. The one structure held whole on the
+  * driver is the manifest itself — the full (bucket, path, stats) file
+  * list is parsed on every read and rewritten on every commit, exactly
+  * like Delta's JSON log / Iceberg's manifest lists before manifest
+  * splitting. Because an upsert rewrites each affected bucket WHOLE,
+  * the steady state is ~1 file per bucket and the manifest is bounded
+  * by ~nBuckets entries (4096 buckets ≈ a few hundred KB) — it does not
+  * grow with commit count. It exceeds that only when a single commit
+  * splits a bucket into several files (`spark.sql.files.
+  * maxRecordsPerFile`) — [[compact]] folds such buckets back to one
+  * file — or when nBuckets itself is sized toward the ~1M-entry /
+  * ~100 MB-of-paths ceiling where a split-manifest design (bucket-range
+  * shards, constant driver memory per read) would be warranted;
+  * [[LargeManifestWarnFiles]] logs a warning well before that so
+  * operators compact or re-bucket first.
   */
 object ManifestTable {
 
   val BucketCol = "__bucket"
+
+  /** File-count threshold above which manifest operations log a scaling
+    * warning — see the driver-memory bounds note in the class doc. */
+  val LargeManifestWarnFiles = 200000
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def warnIfLarge(table: String, m: Manifest): Manifest = {
+    if (m.files.size > LargeManifestWarnFiles)
+      log.warn(
+        s"manifest v${m.version} of $table lists ${m.files.size} files; " +
+          "driver memory and commit latency grow with manifest size — " +
+          "compact() affected buckets or increase bucket capacity " +
+          "(fewer, larger files per bucket)")
+    m
+  }
 
   /** Deterministic bucket of a key tuple: stable across runs, layouts
     * and batches, so the same key always lands in the same bucket. */
@@ -97,7 +131,7 @@ object ManifestTable {
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
-    Some(Manifest(version, batchId, files))
+    Some(warnIfLarge(table, Manifest(version, batchId, files)))
   }
 
   /** Highest committed version, or None for a not-yet-created table. */
@@ -272,11 +306,20 @@ object ManifestTable {
     merged.repartition(col(BucketCol))
       .write.mode("errorifexists").partitionBy(BucketCol)
       .parquet(commitDir.toString)
-    // zone maps: min/max of statsCol per bucket, computed from the
-    // just-written (affected-buckets-only) data — one cheap scan of the
-    // new files; multiple files of one bucket share the bucket's range,
-    // a conservative superset that keeps pruning correct. Carried files
-    // keep the stats of the commit that wrote them.
+    val written = writtenEntries(spark, fs, commitDir, statsCol)
+    publish(fs, table, Manifest(version, batchId, carried ++ written))
+    true
+  }
+
+  /** Enumerate the files a commit just wrote under `commitDir` as
+    * manifest entries, with zone-map stats when `statsCol` is given.
+    * Stats are min/max of statsCol per BUCKET, computed with one cheap
+    * scan of the new files; multiple files of one bucket share the
+    * bucket's range — a conservative superset that keeps pruning
+    * correct. Both collects are ≤ nBuckets entries of driver state. */
+  private def writtenEntries(spark: SparkSession, fs: FileSystem,
+                             commitDir: Path,
+                             statsCol: Option[String]): Seq[FileEntry] = {
     val bucketStats: Map[Long, (Long, Long)] = statsCol match {
       case Some(sc) =>
         // partition-dir read-back infers the bucket col as int — cast
@@ -291,16 +334,70 @@ object ManifestTable {
           }.toMap
       case None => Map.empty
     }
-    val written: Seq[FileEntry] =
-      fs.listStatus(commitDir).toSeq
-        .filter(_.getPath.getName.startsWith(s"$BucketCol="))
-        .flatMap { d =>
-          val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toLong
-          fs.listStatus(d.getPath)
-            .filter(f => f.getPath.getName.startsWith("part-"))
-            .map(f => FileEntry(b, f.getPath.toString, bucketStats.get(b)))
-        }
-    publish(fs, table, Manifest(version, batchId, carried ++ written))
+    fs.listStatus(commitDir).toSeq
+      .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+      .flatMap { d =>
+        val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toLong
+        fs.listStatus(d.getPath)
+          .filter(f => f.getPath.getName.startsWith("part-"))
+          .map(f => FileEntry(b, f.getPath.toString, bucketStats.get(b)))
+      }
+  }
+
+  /** Fold every bucket whose current snapshot holds `minFilesPerBucket`
+    * or more files back to one file per bucket and commit the result as
+    * a new version — the remedy for buckets a commit split into several
+    * files (class doc: `maxRecordsPerFile`, or any future append-style
+    * writer), returning the manifest to ~nBuckets entries and scans to
+    * one open per bucket. The data is unchanged
+    * (same rows, same deterministic buckets; `batchId` carries forward,
+    * so streaming replay detection is unaffected) and the commit is the
+    * same atomic manifest rename as any other — readers see the old or
+    * the new layout, never a mix. Single-file buckets carry into the new
+    * manifest by reference; their bytes are not touched. Cost is
+    * O(multi-file-bucket data), not O(table).
+    *
+    * `keys`/`nBuckets` must match the values used by [[upsertBatch]]
+    * (the bucket column lives in directory names, not in the data files,
+    * so the rewrite recomputes it with the same deterministic hash).
+    * Zone-map stats: recomputed when `statsCol` is given; otherwise each
+    * folded bucket keeps the union of its old files' ranges when ALL of
+    * them carried stats (a conservative superset), and drops to
+    * always-read when any did not. Returns true if a compaction commit
+    * happened. */
+  def compact(spark: SparkSession, table: String, keys: Seq[String],
+              nBuckets: Int = 64, statsCol: Option[String] = None,
+              minFilesPerBucket: Int = 2): Boolean = {
+    require(keys.nonEmpty)
+    require(minFilesPerBucket >= 2, "folding below 2 files is a no-op")
+    val fs = fsFor(spark, table)
+    val current = currentManifest(fs, table) match {
+      case Some(m) => m
+      case None    => return false
+    }
+    val byBucket = current.files.groupBy(_.bucket)
+    val (multi, single) = byBucket.partition(_._2.size >= minFilesPerBucket)
+    if (multi.isEmpty) return false
+    val carried = single.values.flatten.toSeq
+    val mergedStats: Map[Long, (Long, Long)] =
+      if (statsCol.isDefined) Map.empty
+      else multi.flatMap { case (b, entries) =>
+        val ss = entries.map(_.stats)
+        if (ss.forall(_.isDefined))
+          Some(b -> (ss.map(_.get._1).min, ss.map(_.get._2).max))
+        else None
+      }.toMap
+    val version = current.version + 1
+    val commitDir = new Path(table, s"data/c$version")
+    if (fs.exists(commitDir)) fs.delete(commitDir, true)
+    spark.read.parquet(multi.values.flatten.map(_.path).toSeq: _*)
+      .withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      .repartition(col(BucketCol))
+      .write.mode("errorifexists").partitionBy(BucketCol)
+      .parquet(commitDir.toString)
+    val written = writtenEntries(spark, fs, commitDir, statsCol)
+      .map(f => f.copy(stats = f.stats.orElse(mergedStats.get(f.bucket))))
+    publish(fs, table, Manifest(version, current.batchId, carried ++ written))
     true
   }
 

@@ -243,4 +243,41 @@ class ManifestTableSpec extends SparkTestBase {
     assert(kept.contains(1L), "stats-less file must be read")
     assert(!kept.contains(2L), "out-of-range stats file must be pruned")
   }
+
+  test("compact folds multi-file buckets to one file, same data and stats") {
+    val table = tmpTable()
+    // force the writer to split buckets into many small files — the one
+    // way a commit produces >1 file per bucket (class doc)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try ManifestTable.upsertBatch(
+      rows((1L to 16L).map(k => (k, s"v$k", k * 10)): _*),
+      table, Seq("k"), None, nBuckets = 2, batchId = 0L,
+      statsCol = Some("ver"))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val before = ManifestTable.currentFileEntries(spark, table)
+    val beforeState = state(table)
+    assert(before.groupBy(_.bucket).exists(_._2.size > 1),
+      "precondition: at least one bucket holds several files")
+    assert(ManifestTable.compact(spark, table, Seq("k"), nBuckets = 2))
+    val after = ManifestTable.currentFileEntries(spark, table)
+    assert(after.groupBy(_.bucket).forall(_._2.size == 1),
+      "every bucket folded to one file")
+    assert(state(table) === beforeState, "compaction changes no row")
+    // no statsCol passed: folded buckets keep the UNION of their old
+    // files' ranges — pruning stays functional without a data scan
+    for ((b, fsq) <- before.groupBy(_.bucket)) {
+      val want = (fsq.map(_.stats.get._1).min, fsq.map(_.stats.get._2).max)
+      assert(after.find(_.bucket == b).get.stats === Some(want))
+    }
+    // version advanced, batchId carried → replay detection intact
+    val Some((v, b)) = ManifestTable.currentVersionAndBatch(spark, table)
+    assert(v === 2L && b === 0L)
+    assert(!ManifestTable.upsertBatch(rows((99L, "x", 1L)), table,
+      Seq("k"), None, nBuckets = 2, batchId = 0L),
+      "replayed batch 0 still skipped after compaction")
+    // already compacted → no-op, no new version
+    assert(!ManifestTable.compact(spark, table, Seq("k"), nBuckets = 2))
+    assert(ManifestTable.currentVersionAndBatch(spark, table)
+      .exists(_._1 === 2L))
+  }
 }
