@@ -121,10 +121,11 @@ object Similarity {
     * `nprobe` nearest cells and ranks only those cells' vectors. With
     * `nprobe = nlist` results equal [[bruteForceTopK]] exactly.
     *
-    * Plan shape at 100 TB: centroids broadcast (nlist vectors); cell
-    * assignment is one broadcast-join pass over the corpus (no shuffle
-    * of vectors besides the per-cell window); the probe join shuffles by
-    * cell id, touching ~nprobe/nlist of the corpus per query batch. */
+    * Plan shape at 100 TB: centroids are model state bound into the
+    * native assignment expression (TopCellsByCosine), so cell assignment
+    * is a pure per-row pass over the corpus scan — no join, no window,
+    * no shuffle; the probe join then shuffles by cell id, touching
+    * ~nprobe/nlist of the corpus per query batch. */
   /** Deterministic hash-sampled centroid seed (smallest xxhash64(id) —
     * a seedless pseudo-random draw): (cell, cent_v). */
   private def seedCentroids(corpus: DataFrame, nlist: Int,
@@ -163,18 +164,15 @@ object Similarity {
       seedCentroids(corpus, nlist, idCol, vecCol)
         .as[(Long, Seq[Float])].collect().toSeq
     for (_ <- 1 to iters) {
-      val centsDf = cents.toDF("cell", "cent_v")
-        .select(col("cell"),
-          transform(col("cent_v"), x => x.cast("float")).as("cent_v"))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__sim").desc, col("cell"))
+      // assignment via the native TopCellsByCosine expression (centroids
+      // bound in, one codegen'd loop per vector) — no broadcast join, no
+      // per-id window exchange; bit-identical to the (sim desc, cell)
+      // ordering it replaces, so the refined centroids are unchanged
       val assigned = Ops.spread(corpus.select(col(idCol), col(vecCol)),
           col(idCol))
-        .crossJoin(broadcast(centsDf))
-        .withColumn("__sim", cosine(col(vecCol), col("cent_v")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("cell"), col(vecCol))
+        .select(element_at(
+            VectorExprs.topCellsByCosine(col(vecCol), cents, 1), 1)
+          .as("cell"), col(vecCol))
       val updated = assigned
         .select(col("cell"), posexplode(col(vecCol)))
         .groupBy(col("cell"), col("pos"))
@@ -204,24 +202,27 @@ object Similarity {
               vecCol: String = "embedding",
               centroids: DataFrame = null): DataFrame = {
     require(nprobe > 0 && nprobe <= nlist)
-    val cents = Option(centroids).getOrElse(
-      seedCentroids(corpus, nlist, idCol, vecCol))
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__sim").desc, col("cell"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("__sim", cosine(col(v), col("cent_v")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(id), col(v), col("cell"))
-    }
-    val corpusCells = assign(
-      Ops.spread(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("cv")), col("neighbor_id")),
-      "neighbor_id", "cv", 1)
-    val queryCells = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv", nprobe)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // coarse quantizer = model state (nlist vectors): collect it and bind
+    // it into the native TopCellsByCosine assignment expression — cell
+    // assignment becomes a pure per-row projection over the corpus scan
+    // (no broadcast join, no per-id window exchange), bit-identical to
+    // the (sim desc, cell) window it replaces
+    val cellSeq: Seq[(Long, Seq[Float])] = Option(centroids).getOrElse(
+        seedCentroids(corpus, nlist, idCol, vecCol))
+      .select(col("cell"), col("cent_v"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val corpusCells = Ops.spread(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), col("neighbor_id"))
+      .select(col("neighbor_id"), col("cv"),
+        element_at(VectorExprs.topCellsByCosine(col("cv"), cellSeq, 1), 1)
+          .as("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(VectorExprs.topCellsByCosine(col("qv"), cellSeq, nprobe))
+          .as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     corpusCells.join(queryCells, "cell")
@@ -352,16 +353,23 @@ object Similarity {
     def cbDf(c: Seq[(Int, Int, Seq[Float])]) = c.toDF("j", "code", "cent")
       .select(col("j"), col("code"),
         transform(col("cent"), x => x.cast("float")).as("cent"))
+    val vecs = corpus.select(col(vecCol).as("v"))
     for (_ <- 1 to iters) {
-      val aw = Window.partitionBy(col("id"), col("j"))
-        .orderBy(col("__d2").asc, col("code"))
-      val assigned = subs.join(broadcast(cbDf(cb)), "j")
-        .withColumn("__d2",
-          dotD(col("sub"), col("sub")) - lit(2.0) * dotD(col("sub"), col("cent"))
-            + dotD(col("cent"), col("cent")))
-        .withColumn("__r", row_number().over(aw))
-        .filter(col("__r") === 1)
-        .select(col("j"), col("code"), col("sub"))
+      // assignment via the native PqEncode expression: the codebook is
+      // BOUND into the expression (it is model state, codebook-sized) and
+      // each vector picks its m argmin-L2 codes in one tight codegen'd
+      // loop — no broadcast join, no (id, j) window exchange (the former
+      // formulation shuffled n×m×ksub rows per iteration). PqEncode's
+      // numeric contract reproduces the (d2 asc, code) order bit-exactly,
+      // so assignments — and therefore the trained codebook — are
+      // unchanged. Only the mean update explodes (n×m rows, one linear
+      // aggregation).
+      val flat = cb.sortBy(t => (t._1, t._2)).map(_._3)
+      val assigned = vecs
+        .select(col("v"),
+          posexplode(VectorExprs.pqEncode(col("v"), m, ksub, flat)))
+        .select(col("pos").as("j"), col("col").as("code"),
+          slice(col("v"), col("pos") * subdim + 1, lit(subdim)).as("sub"))
       val updated = assigned
         .select(col("j"), col("code"), posexplode(col("sub")))
         .groupBy(col("j"), col("code"), col("pos"))
@@ -394,55 +402,53 @@ object Similarity {
     * exact vectors are touched only for the shortlist — an ids-only
     * shuffle of shortlist×queries rows. Assumes unit-norm vectors (ADC
     * scores are inner products ≈ cosine); re-ranking restores exact
-    * cosine order within the shortlist either way. */
+    * cosine order within the shortlist either way.
+    *
+    * The codebook is codebook-SIZED state (m×ksub×subdim floats), so it
+    * is BOUND into native expressions (VectorExprs.PqEncode /
+    * PqAdcTable / PqAdcScore — one tight codegen'd loop per row each,
+    * the way LSH planes ride LshSign64) and both the corpus encode and
+    * the per-query distance tables are pure per-row projections. No
+    * explode, no window, no shuffle anywhere in encoding — the corpus
+    * is mapped in place where its rows already live, which is the shape
+    * that matters when the corpus is 10^11 vectors (the former
+    * formulation inflated the scan n×m×ksub through a window exchange).
+    * PqEncode reproduces the (d2 asc, code) argmin order bit-exactly,
+    * so codes, shortlists and results are unchanged. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 16, shortlist: Int = 64,
              iters: Int = 1,
              idCol: String = "vec_id", vecCol: String = "embedding",
              codebooks: DataFrame = null): DataFrame = {
     require(k > 0 && shortlist >= k)
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cb = Option(codebooks).getOrElse(
       pqCodebooks(corpus, m, ksub, iters, idCol, vecCol))
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     val subdim = dim / m
-    def subsOf(df: DataFrame, id: String, v: String) =
-      df.select(col(id),
-          posexplode(array((0 until m).map(j =>
-            slice(col(v), j * subdim + 1, subdim)): _*)))
-        .select(col(id), col("pos").as("j"), col("col").as("sub"))
-    // encode: per (vector, subspace) the argmin-L2 code; codes packed
-    // into an m-int array ordered by subspace
-    val ew = Window.partitionBy(col("neighbor_id"), col("j"))
-      .orderBy(col("__d2").asc, col("code"))
-    val codes = subsOf(
-        Ops.spread(corpus.select(col(idCol).as("neighbor_id"),
-          col(vecCol).as("cv")), col("neighbor_id")),
-        "neighbor_id", "cv")
-      .join(broadcast(cb), "j")
-      .withColumn("__d2",
-        dotD(col("sub"), col("sub")) - lit(2.0) * dotD(col("sub"), col("cent"))
-          + dotD(col("cent"), col("cent")))
-      .withColumn("__r", row_number().over(ew))
-      .filter(col("__r") === 1)
-      .groupBy(col("neighbor_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
-        x => x("code")).as("codes"))
-    // per-query ADC table: inner product of each query subvector with
-    // each centroid, flattened to index j*ksub + code (1-based lookup)
+    val cents: Map[(Int, Int), Seq[Float]] = cb
+      .select(col("j").cast("int"), col("code").cast("int"), col("cent"))
+      .as[(Int, Int, Seq[Float])].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    require(cents.size == m * ksub,
+      s"codebook must hold m*ksub=${m * ksub} centroids, got ${cents.size}")
+    val flat: Seq[Seq[Float]] =
+      (0 until m).flatMap(j => (0 until ksub).map(c => cents((j, c))))
+    // encode + per-query ADC tables via the native PQ expressions: one
+    // codegen'd loop per row, the codebook bound into the expression —
+    // no explode, no window, no shuffle anywhere in encoding
+    val codes = Ops.spread(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), col("neighbor_id"))
+      .select(col("neighbor_id"),
+        VectorExprs.pqEncode(col("cv"), m, ksub, flat).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val dt = subsOf(q, "query_id", "qv")
-      .join(broadcast(cb), "j")
-      .withColumn("__ip", dotD(col("sub"), col("cent")))
-      .groupBy(col("query_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("j"), col("code"), col("__ip")))),
-        x => x("__ip")).as("dt"))
+    val dt = q.select(col("query_id"),
+      VectorExprs.pqAdcTable(col("qv"), m, ksub, flat).as("dt"))
     // score = sum of table lookups over the m codes — the corpus side of
-    // this join carries ONLY the m-int code arrays
-    val adcScore = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (c, j) => element_at(col("dt"), (j * ksub + c + 1).cast("int"))),
-      lit(0.0), (acc, x) => acc + x)
+    // this join carries ONLY the m-int code arrays; the lookup-sum is the
+    // native PqAdcScore loop (same left fold as the HOF it replaces)
+    val adcScore = VectorExprs.pqAdcScore(col("codes"), col("dt"), ksub)
     val sw = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id"))
     val short = codes.crossJoin(broadcast(dt))

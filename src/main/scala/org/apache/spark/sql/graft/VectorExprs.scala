@@ -635,6 +635,337 @@ object VectorExprs {
     def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
   }
 
+  /** Product-quantization encode: for each of `m` subspaces of a
+    * float-vector column, the argmin-squared-L2 code against a codebook
+    * BOUND INTO the expression (j-major, code-minor flat layout; the
+    * codebook is model state, codebook-sized, so it rides the expression
+    * like LSH planes ride [[LshSign64]]). One tight loop per row, no
+    * explode/join/window anywhere — the scan-shaped encode a 10^11-vector
+    * corpus needs.
+    *
+    * Numeric contract: d2 = dot(sub,sub) − 2·dot(sub,cent) + dot(cent,cent)
+    * with every dot accumulated in Double in index order ([[FloatDot]]'s
+    * contract) and the subtraction/addition in that association — bit-
+    * identical to the expression-tree formulation it replaces; ties keep
+    * the LOWEST code (first minimum), matching a (d2 asc, code) sort.
+    * A vector of the wrong length or holding a NULL element yields NULL. */
+  case class PqEncode(child: Expression, m: Int, ksub: Int,
+                      cents: Seq[Seq[Float]])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(m > 0 && ksub > 0 && cents.length == m * ksub,
+      s"codebook must hold m*ksub=${m * ksub} centroids")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_encode"
+
+    @transient private lazy val cArr: Array[Array[Float]] =
+      cents.map(_.toArray).toArray
+    @transient private lazy val subdim: Int = cArr(0).length
+    @transient private lazy val ccNorm: Array[Double] = cArr.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      s
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != m * subdim) return null
+      var i = 0
+      while (i < m * subdim) { if (v.isNullAt(i)) return null; i += 1 }
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val off = j * subdim
+        var ss = 0.0; i = 0
+        while (i < subdim) {
+          val x = v.getFloat(off + i).toDouble; ss += x * x; i += 1
+        }
+        var best = 0.0; var bestC = -1; var c = 0
+        while (c < ksub) {
+          val cent = cArr(j * ksub + c)
+          var ip = 0.0; i = 0
+          while (i < subdim) {
+            ip += v.getFloat(off + i).toDouble * cent(i).toDouble; i += 1
+          }
+          val d2 = ss - 2.0 * ip + ccNorm(j * ksub + c)
+          if (bestC < 0 || d2 < best) { best = d2; bestC = c }
+          c += 1
+        }
+        out(j) = bestC; j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCents", cArr, "float[][]")
+      val ccRef = ctx.addReferenceObj("pqCc", ccNorm, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out"); val j = ctx.freshName("j")
+        val i = ctx.freshName("i"); val c = ctx.freshName("c")
+        val off = ctx.freshName("off"); val ss = ctx.freshName("ss")
+        val ip = ctx.freshName("ip"); val d2 = ctx.freshName("d2")
+        val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+        val cent = ctx.freshName("cent")
+        s"""
+           |if ($a.numElements() != ${m * subdim}) { ${ev.isNull} = true; }
+           |for (int $i = 0; !${ev.isNull} && $i < ${m * subdim}; $i++) {
+           |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+           |}
+           |if (!${ev.isNull}) {
+           |  int[] $out = new int[$m];
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    int $off = $j * $subdim;
+           |    double $ss = 0.0;
+           |    for (int $i = 0; $i < $subdim; $i++) {
+           |      double x = (double) $a.getFloat($off + $i); $ss += x * x;
+           |    }
+           |    double $best = 0.0; int $bestC = -1;
+           |    for (int $c = 0; $c < $ksub; $c++) {
+           |      float[] $cent = $cRef[$j * $ksub + $c];
+           |      double $ip = 0.0;
+           |      for (int $i = 0; $i < $subdim; $i++) {
+           |        $ip += (double) $a.getFloat($off + $i) * (double) $cent[$i];
+           |      }
+           |      double $d2 = $ss - 2.0 * $ip + $ccRef[$j * $ksub + $c];
+           |      if ($bestC < 0 || $d2 < $best) { $best = $d2; $bestC = $c; }
+           |    }
+           |    $out[$j] = $bestC;
+           |  }
+           |  ${ev.value} =
+           |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Per-query ADC lookup table against the same bound codebook:
+    * table[j·ksub + c] = dot(subvector j, centroid (j,c)), Double-
+    * accumulated in index order — the asymmetric-distance state one query
+    * carries to every encoded corpus row. Same null/length semantics as
+    * [[PqEncode]]. */
+  case class PqAdcTable(child: Expression, m: Int, ksub: Int,
+                        cents: Seq[Seq[Float]])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(m > 0 && ksub > 0 && cents.length == m * ksub,
+      s"codebook must hold m*ksub=${m * ksub} centroids")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_adc_table"
+
+    @transient private lazy val cArr: Array[Array[Float]] =
+      cents.map(_.toArray).toArray
+    @transient private lazy val subdim: Int = cArr(0).length
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != m * subdim) return null
+      var i = 0
+      while (i < m * subdim) { if (v.isNullAt(i)) return null; i += 1 }
+      val out = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        val off = j * subdim
+        var c = 0
+        while (c < ksub) {
+          val cent = cArr(j * ksub + c)
+          var ip = 0.0; i = 0
+          while (i < subdim) {
+            ip += v.getFloat(off + i).toDouble * cent(i).toDouble; i += 1
+          }
+          out(j * ksub + c) = ip; c += 1
+        }
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCents", cArr, "float[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out"); val j = ctx.freshName("j")
+        val i = ctx.freshName("i"); val c = ctx.freshName("c")
+        val off = ctx.freshName("off"); val ip = ctx.freshName("ip")
+        val cent = ctx.freshName("cent")
+        s"""
+           |if ($a.numElements() != ${m * subdim}) { ${ev.isNull} = true; }
+           |for (int $i = 0; !${ev.isNull} && $i < ${m * subdim}; $i++) {
+           |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+           |}
+           |if (!${ev.isNull}) {
+           |  double[] $out = new double[${m * ksub}];
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    int $off = $j * $subdim;
+           |    for (int $c = 0; $c < $ksub; $c++) {
+           |      float[] $cent = $cRef[$j * $ksub + $c];
+           |      double $ip = 0.0;
+           |      for (int $i = 0; $i < $subdim; $i++) {
+           |        $ip += (double) $a.getFloat($off + $i) * (double) $cent[$i];
+           |      }
+           |      $out[$j * $ksub + $c] = $ip;
+           |    }
+           |  }
+           |  ${ev.value} =
+           |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Top-`keep` centroid cells of a float-vector column by cosine
+    * similarity, with the (cell id, centroid) table BOUND into the
+    * expression (coarse quantizers are model state, nlist-sized). Output
+    * is the cell ids ordered by (similarity desc, cell asc) — exactly the
+    * `row_number over (sim desc, cell)` contract of the broadcast-join +
+    * window formulation it replaces, with [[CosineSim]]'s accumulation
+    * (Double, index order, min-length loop, no per-element null checks)
+    * reproduced bit-for-bit so assignments are unchanged. One tight loop
+    * per row; no join, no window, no shuffle in the assignment pass. */
+  case class TopCellsByCosine(child: Expression,
+                              cells: Seq[(Long, Seq[Float])], keep: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(cells.nonEmpty && keep > 0)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_top_cells"
+
+    @transient private lazy val sortedCells = cells.sortBy(_._1)
+    @transient private lazy val ids: Array[Long] =
+      sortedCells.map(_._1).toArray
+    @transient private lazy val cArr: Array[Array[Float]] =
+      sortedCells.map(_._2.toArray).toArray
+    @transient private lazy val keepN = math.min(keep, cells.length)
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val nc = cArr.length
+      val sims = new Array[Double](nc)
+      var c = 0
+      while (c < nc) {
+        val cent = cArr(c)
+        val n = math.min(v.numElements(), cent.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val xv = v.getFloat(i).toDouble; val yv = cent(i).toDouble
+          dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+        }
+        sims(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+        c += 1
+      }
+      val out = new Array[Long](keepN)
+      val used = new Array[Boolean](nc)
+      var r = 0
+      while (r < keepN) {
+        var best = -1; c = 0
+        while (c < nc) {
+          if (!used(c) && (best < 0 || sims(c) > sims(best))) best = c
+          c += 1
+        }
+        used(best) = true; out(r) = ids(best); r += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("cellCents", cArr, "float[][]")
+      val idRef = ctx.addReferenceObj("cellIds", ids, "long[]")
+      val nc = cArr.length
+      nullSafeCodeGen(ctx, ev, a => {
+        val sims = ctx.freshName("sims"); val used = ctx.freshName("used")
+        val out = ctx.freshName("out"); val c = ctx.freshName("c")
+        val i = ctx.freshName("i"); val r = ctx.freshName("r")
+        val n = ctx.freshName("n"); val cent = ctx.freshName("cent")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val best = ctx.freshName("best")
+        s"""
+           |double[] $sims = new double[$nc];
+           |for (int $c = 0; $c < $nc; $c++) {
+           |  float[] $cent = $cRef[$c];
+           |  int $n = java.lang.Math.min($a.numElements(), $cent.length);
+           |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double xv = (double) $a.getFloat($i);
+           |    double yv = (double) $cent[$i];
+           |    $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+           |  }
+           |  $sims[$c] = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |}
+           |long[] $out = new long[$keepN];
+           |boolean[] $used = new boolean[$nc];
+           |for (int $r = 0; $r < $keepN; $r++) {
+           |  int $best = -1;
+           |  for (int $c = 0; $c < $nc; $c++) {
+           |    if (!$used[$c] && ($best < 0 || $sims[$c] > $sims[$best])) $best = $c;
+           |  }
+           |  $used[$best] = true; $out[$r] = $idRef[$best];
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** ADC score of one encoded corpus row against one query table:
+    * Σ_j table[j·ksub + codes[j]], summed j-ascending from 0.0 — the
+    * same left fold as the `aggregate(zip_with(...))` HOF it replaces. */
+  case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_adc_score"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val table = b.asInstanceOf[ArrayData]
+      var s = 0.0; var j = 0
+      while (j < codes.numElements()) {
+        if (codes.isNullAt(j)) return null
+        val idx = j * ksub + codes.getInt(j)
+        if (idx < 0 || idx >= table.numElements() || table.isNullAt(idx))
+          return null
+        s += table.getDouble(idx); j += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val s = ctx.freshName("s"); val j = ctx.freshName("j")
+        val idx = ctx.freshName("idx")
+        s"""
+           |double $s = 0.0;
+           |for (int $j = 0; !${ev.isNull} && $j < $a.numElements(); $j++) {
+           |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |  int $idx = $j * $ksub + $a.getInt($j);
+           |  if ($idx < 0 || $idx >= $b.numElements() || $b.isNullAt($idx)) {
+           |    ${ev.isNull} = true; break;
+           |  }
+           |  $s += $b.getDouble($idx);
+           |}
+           |if (!${ev.isNull}) ${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column-level API ----
 
   def floatDot(a: Column, b: Column): Column =
@@ -670,4 +1001,20 @@ object VectorExprs {
   def interleave64(a: Column, b: Column): Column =
     ExprBridge.column(
       Interleave64(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  def pqEncode(vec: Column, m: Int, ksub: Int,
+               cents: Seq[Seq[Float]]): Column =
+    ExprBridge.column(PqEncode(ExprBridge.expression(vec), m, ksub, cents))
+
+  def pqAdcTable(vec: Column, m: Int, ksub: Int,
+                 cents: Seq[Seq[Float]]): Column =
+    ExprBridge.column(PqAdcTable(ExprBridge.expression(vec), m, ksub, cents))
+
+  def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
+    ExprBridge.column(PqAdcScore(
+      ExprBridge.expression(codes), ExprBridge.expression(table), ksub))
+
+  def topCellsByCosine(vec: Column, cells: Seq[(Long, Seq[Float])],
+                       keep: Int): Column =
+    ExprBridge.column(TopCellsByCosine(ExprBridge.expression(vec), cells, keep))
 }
