@@ -141,12 +141,12 @@ object Dedup {
     * gets Spark's WindowGroupLimit pushdown, so map tasks forward at
     * most `bucketCap` rows per bucket into the left exchange. The right
     * side prunes the window away entirely (its rank column is unused)
-    * and stays the plain banded pipeline. Capping therefore costs one
-    * re-derivation of the banded signatures (the two join sides no
-    * longer share an exchange); at production scale the signature table
-    * is materialized once and reused across the whole dedup pipeline,
-    * which removes that cost — the bound on worst-case shuffle volume is
-    * what matters at 100 TB.
+    * and stays the plain banded pipeline. The capped left side's window
+    * breaks exchange reuse between the two join sides, so the banded
+    * signature table is PERSISTED and derived once — the
+    * materialize-the-signature-table-once pattern a production pipeline
+    * applies across its whole dedup run; the cap's bound on worst-case
+    * shuffle volume is what matters at 100 TB.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
@@ -178,6 +178,11 @@ object Dedup {
     //     zero-shingle row.
     val toks = split(col(textCol), " ")
     val shHashes = VectorExprs.shingleHash64(toks, shingleN)
+    // persisted: the banded signature table feeds BOTH sides of the
+    // candidate self-join, and the capped left side's window breaks
+    // exchange reuse (VERDICT r5) — caching makes the shingle/minhash
+    // derivation run once, the materialize-the-signature-table-once
+    // pattern a production pipeline uses across a whole dedup run
     val banded = Ops.spread(
         df.select(col(idCol).as("doc_id"), col(textCol))
           .filter(length(regexp_replace(col(textCol), "\\s", "")) > 0),
@@ -191,6 +196,7 @@ object Dedup {
       .select(col("doc_id"), col("hsh"), col("bh"), posexplode(col("bh")))
       .select(col("doc_id"), col("hsh"), col("bh"),
               col("pos").as("band_id"), col("col").as("band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket-size bound on the LEFT join side only (see scaladoc): rank
     // within the (band, hash) bucket, keep the first bucketCap docs. The
     // rn<=cap filter gets the WindowGroupLimit pushdown.

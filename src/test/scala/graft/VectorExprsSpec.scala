@@ -132,7 +132,16 @@ class VectorExprsSpec extends SparkTestBase {
       VectorExprs.lshSign64(col("va"), 16),
       VectorExprs.shingleStrings(split(col("text"), " "), 3),
       VectorExprs.polyHash(col("text")),
-      VectorExprs.interleave64(col("id") * 12345L, col("id") * 67L)))
+      VectorExprs.interleave64(col("id") * 12345L, col("id") * 67L), {
+        val cents = Seq(Seq(0.5f, 0.25f, -1.0f), Seq(1f, -2f, 3.5f),
+          Seq(0f, 0f, 1f), Seq(-1f, 1f, 0f))
+        VectorExprs.pqAdcScore(
+          VectorExprs.pqEncode(col("va"), 1, 4, cents),
+          VectorExprs.pqAdcTable(col("va"), 1, 4, cents), 4)
+      },
+      VectorExprs.topCellsByCosine(col("va"),
+        Seq((1L, Seq(0.5f, 0.25f, -1.0f)), (2L, Seq(1f, -2f, 3.5f)),
+          (3L, Seq(0.5f, 0.25f, -1.0f))), 3)))
     val viaCodegen = results()
     val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
@@ -183,5 +192,42 @@ class VectorExprsSpec extends SparkTestBase {
     assert(sigs(1L) === sigs(2L), "hyperplane sign is scale-invariant")
     assert((sigs(1L) ^ sigs(3L)) === (1L << 16) - 1,
       "opposite vector flips every plane bit")
+  }
+
+  test("pqEncode/pqAdcTable/pqAdcScore: argmin codes, lowest-code ties, lookup sum") {
+    // dim 4, m=2, subdim=2, ksub=2; j=1's centroids are identical → the
+    // tie must resolve to code 0 (the (d2 asc, code) order)
+    val cents = Seq(Seq(0f, 0f), Seq(1f, 1f), Seq(2f, 2f), Seq(2f, 2f))
+    val df = Seq((1L, Array(0.9f, 1.1f, 2f, 2f))).toDF("id", "v")
+    val row = df.select(
+      VectorExprs.pqEncode(col("v"), 2, 2, cents).as("codes"),
+      VectorExprs.pqAdcTable(col("v"), 2, 2, cents).as("dt"),
+      VectorExprs.pqAdcScore(
+        VectorExprs.pqEncode(col("v"), 2, 2, cents),
+        VectorExprs.pqAdcTable(col("v"), 2, 2, cents), 2).as("score"))
+      .as[(Seq[Int], Seq[Double], Double)].head()
+    assert(row._1 === Seq(1, 0), "argmin codes; equal centroids pick code 0")
+    // table layout is j-major: [sub0·c00, sub0·c01, sub1·c10, sub1·c11];
+    // expectations derive from float→double promotion like the expression
+    val s0 = 0.9f.toDouble * 1f.toDouble + 1.1f.toDouble * 1f.toDouble
+    assert(row._2 === Seq(0.0, s0, 8.0, 8.0))
+    assert(row._3 === s0 + 8.0, "score = Σ_j table[j*ksub+codes[j]]")
+    // wrong-length vector → NULL, not garbage codes
+    val bad = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v")
+      .select(VectorExprs.pqEncode(col("v"), 2, 2, cents).as("c"))
+      .filter(col("c").isNull).count()
+    assert(bad === 1L)
+  }
+
+  test("topCellsByCosine: (sim desc, cell asc) order, keep clamped to cells") {
+    // cells 1 and 3 share a centroid → tie resolves to the lower cell id
+    val cells = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0f)))
+    val df = Seq((1L, Array(1f, 0.1f))).toDF("id", "v")
+    def top(keep: Int): Seq[Long] = df
+      .select(VectorExprs.topCellsByCosine(col("v"), cells, keep).as("c"))
+      .as[Seq[Long]].head()
+    assert(top(3) === Seq(1L, 3L, 2L))
+    assert(top(2) === Seq(1L, 3L))
+    assert(top(10) === Seq(1L, 3L, 2L), "keep clamps to the cell count")
   }
 }
