@@ -385,6 +385,37 @@ object Dedup {
     labels
   }
 
+  /** In-plan recall audit of the banded MinHash pipeline against the
+    * EXACT all-pairs truth ([[allPairsJaccard]], the deterministic
+    * PPJoin complement): one row (truth, recall_ok) where truth is the
+    * number of pairs with string-shingle Jaccard ≥ threshold and
+    * recall_ok says the LSH pipeline surfaced at least `floor` of them.
+    * The counterpart of [[Similarity.recallAudit]] for near-dup LSH —
+    * the production monitor for silent recall collapse (banding
+    * parameters that quietly drop qualifying pairs keep producing
+    * plausible-looking output), and the bridge that makes the
+    * hash-dependent LSH pipeline oracle-checkable on REAL text: an
+    * engine-independent oracle recomputes truth by brute force and
+    * asserts the verdict, without reproducing MinHash internals. Hits
+    * are counted as |LSH ∩ exact| (a semi-join on the pair identity), so
+    * 64-bit shingle-hash collisions can never inflate recall. */
+  def minhashRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8, threshold: Double = 0.8,
+                         floor: Double = 0.9): DataFrame = {
+    val lsh = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
+        bands, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val exact = allPairsJaccard(df, idCol, textCol, threshold, shingleN)
+      .select(col("doc_a"), col("doc_b"))
+    val truth = exact.agg(count(lit(1)).as("truth"))
+    val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    truth.crossJoin(hits)
+      .select(col("truth"),
+        (col("__hits") >= col("truth") * floor).as("recall_ok"))
+  }
+
   /** Cluster-level near-dup removal: keep one representative (the
     * minimum id) per transitive near-dup cluster. Composes
     * [[minhashNearDups]] with [[connectedComponents]]. */

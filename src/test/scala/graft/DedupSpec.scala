@@ -219,4 +219,30 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 5L)))
     assert(pairs.size === 2)
   }
+
+  test("minhashRecallAudit: truth equals brute force, verdict reflects the floor") {
+    // identical-pair corpus: jaccard 1.0 pairs are found by EVERY band,
+    // so LSH recall is certain and the verdict must be TRUE at floor 1.0
+    val aug = docs.union(Seq(
+      (10L, "zeta eta theta iota kappa lambda mu nu xi omicron"),
+      (11L, "zeta eta theta iota kappa lambda mu nu xi omicron")
+    ).toDF("doc_id", "text"))
+    val sh = aug.select(col("doc_id"), Dedup.shingleCol(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))) >= 0.9)
+      .count()
+    val (truth, ok) = Dedup.minhashRecallAudit(aug, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.9,
+        floor = 1.0)
+      .as[(Long, Boolean)].collect()(0)
+    assert(truth === brute && truth >= 2L)
+    assert(ok, "certain-recall corpus must pass a 1.0 floor")
+    // an impossible floor (> 1) must flip the verdict, not error
+    val (_, notOk) = Dedup.minhashRecallAudit(aug, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.9,
+        floor = 1.5)
+      .as[(Long, Boolean)].collect()(0)
+    assert(!notOk)
+  }
 }
