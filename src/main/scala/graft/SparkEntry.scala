@@ -1197,6 +1197,18 @@ object SparkEntry {
         FROM orders_gba GROUP BY ALL ORDER BY ALL""")
     }),
 
+    // ---- ordered string aggregation (Spark 4 listagg WITHIN GROUP):
+    // deterministic because the in-group order is total ----
+    "q_listagg" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_la")
+      s.sql("""
+        SELECT c_nationkey,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+               listagg(DISTINCT c_mktsegment, '|')
+                 WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+        FROM customer_la GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }),
+
     // ---- edit distance between id-adjacent names (fuzzy-match primitive).
     // Adjacency via a self-equi-join on key+1, NOT an unpartitioned
     // lead() window — a global window is a single task at scale, the
@@ -2462,6 +2474,13 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+        |    AS segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_edit_distance" ->
       """SELECT a.p_partkey,
