@@ -24,12 +24,13 @@ object Search {
     * document containing at least one query term — (doc_id, n_terms,
     * score), higher is better.
     *
-    * Plan shape at scale: one tokenize/explode pass builds per-doc term
-    * frequencies (map-side combined); document frequencies derive from
-    * that table, restricted to the (broadcast) query terms, so the only
-    * large shuffle is the tf aggregation — everything after operates on
-    * |matching docs| × |query terms| rows. Corpus stats (N, avg doc
-    * length) ride in as a broadcast single row. */
+    * Plan shape at scale: the exploded token stream is restricted to the
+    * (broadcast) query terms BEFORE any exchange, so the tf aggregation —
+    * the only shuffle — carries |query-term hits| rows, not the corpus
+    * vocabulary; everything after operates on |matching docs| × |query
+    * terms| rows. Document frequencies derive from the same restricted
+    * table. Corpus stats (N, avg doc length) ride in as a broadcast
+    * single row. */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -40,9 +41,9 @@ object Search {
     val toksOf = split(col(textCol), " ")
     val tokens = docs.select(col(idCol).as("doc_id"), size(toksOf).as("dl"),
       explode(toksOf).as("tok"))
-    val perDoc = tokens.groupBy("doc_id", "dl", "tok")
+    val matched = tokens.join(broadcast(qt), "tok")
+      .groupBy("doc_id", "dl", "tok")
       .agg(count(lit(1)).as("tf"))
-    val matched = perDoc.join(broadcast(qt), "tok")
     val dfTbl = matched.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(toksOf).cast("long")).as("sum_dl"))
