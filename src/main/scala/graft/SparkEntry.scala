@@ -942,6 +942,20 @@ object SparkEntry {
       Similarity.cosineNearDups(e.union(copies), threshold = 0.99)
         .orderBy("vec_a", "vec_b")
     }),
+    // E3 semantic decontamination (embedding-space train-vs-eval
+    // anti-join): eval = exact copies of vec_id < 100 (re-keyed), so
+    // copies share every LSH band (certain recall) and at threshold
+    // 0.99 exactly the copied train rows are contaminated (organic max
+    // ~0.51) — the DuckDB brute-force NOT EXISTS reproduces the
+    // survivor set exactly
+    "q_semantic_decontam" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val ev = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.semanticDecontaminate(e, ev, threshold = 0.99)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
     // E3 approximate top-k, each published through the in-plan recall
     // audit (Similarity.recallAudit): the hash-dependent neighbor sets
     // are engine-specific, but (n_queries, truth, recall_ok) is
@@ -1818,6 +1832,20 @@ object SparkEntry {
         |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
         |  AS BIGINT) AS truth,
         |TRUE AS recall_ok""".stripMargin,
+
+    // brute-force NOT EXISTS twin of the LSH-banded semantic anti-join
+    "q_semantic_decontam" ->
+      """WITH tr AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 100)
+        |SELECT tr.vec_id FROM tr WHERE NOT EXISTS (
+        |  SELECT 1 FROM ev
+        |  WHERE list_dot_product(tr.v, ev.v)
+        |      / (sqrt(list_dot_product(tr.v, tr.v))
+        |         * sqrt(list_dot_product(ev.v, ev.v))) >= 0.99)
+        |ORDER BY tr.vec_id""".stripMargin,
 
     // planted exact-duplicate pairs only: brute-force cosine over the
     // union corpus at threshold 0.99 (organic max ~0.51)

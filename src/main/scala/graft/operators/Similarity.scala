@@ -321,6 +321,60 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** Semantic (embedding-space) decontamination: drop from `train` every
+    * row whose embedding has cosine ≥ `threshold` with ANY `evalSet`
+    * row — the embedding counterpart of `Ngrams.decontaminate`'s
+    * hashed-n-gram anti-join, catching paraphrased/near-verbatim eval
+    * material that lexical n-gram matching misses. Returns the
+    * surviving train rows (original schema).
+    *
+    * Plan shape at 100 TB: both sides carry the SAME hyperplane
+    * signatures; candidates come from the banded cross-table equi-join
+    * (ids + band keys only — vectors never ride the candidate shuffle),
+    * each (train, eval) pair exits at its first shared band (no
+    * dropDuplicates exchange), exact cosine verifies, and one left-anti
+    * join removes contaminated ids. The eval set is typically small but
+    * is NOT assumed broadcast-able — every stage is a shuffle-by-key
+    * plan. Exact and near-exact copies share every band (certain
+    * recall); recall at looser thresholds follows the banded-LSH curve
+    * of [[cosineNearDups]] — raise `bands` for higher recall. */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            threshold: Double = 0.95,
+                            numPlanes: Int = 64, bands: Int = 4,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes % bands == 0)
+    val r = numPlanes / bands
+    val mask = (1L << r) - 1
+    def bandOf(sig: Column, bd: Column): Column =
+      call_function("shiftrightunsigned", sig, (bd * r).cast("int"))
+        .bitwiseAND(mask)
+    def banded(df: DataFrame, outId: String) = Ops.spread(
+        df.select(col(idCol).as(outId), col(vecCol).as("v")), col(outId))
+      .withColumn("sig", lshSignature(col("v"), numPlanes))
+      .select(col(outId), col("sig"), explode(
+          transform(sequence(lit(0), lit(bands - 1)), bd =>
+            struct(bd.as("band_id"), bandOf(col("sig"), bd).as("band_val"))))
+          .as("bv"))
+      .select(col(outId), col("sig"), col("bv.band_id"), col("bv.band_val"))
+    val a = banded(train, "train_id").as("a")
+    val b = banded(evalSet, "eval_id").as("b")
+    val cand = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        array_position(
+          transform(sequence(lit(0), lit(bands - 1)),
+            bd => bandOf(col("a.sig"), bd) === bandOf(col("b.sig"), bd)),
+          true) === col("a.band_id") + 1)
+      .select(col("a.train_id"), col("b.eval_id"))
+    val tv = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"))
+    val ev = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("ev"))
+    val contaminated = cand.join(tv, "train_id").join(ev, "eval_id")
+      .filter(cosine(col("tv"), col("ev")) >= threshold)
+      .select(col("train_id").as(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Product-quantization codebooks: `m` subspaces × `ksub` centroids,
     * seeded by a deterministic hash-sample per subspace and refined with
     * `iters` Lloyd iterations (squared-L2 assignment, exact-DECIMAL mean

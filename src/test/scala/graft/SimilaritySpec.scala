@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("semanticDecontaminate drops near-eval rows, keeps the rest") {
+    // eval holds a copy of v1's direction: v1 AND v2 (cos ≈ 0.99995) are
+    // contaminated at 0.99; v3/v4/v5 survive untouched with full schema
+    val evalSet = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(vecs, evalSet,
+        threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L, 5L))
+    // threshold above every cross-pair similarity → nothing dropped
+    val keptAll = Similarity.semanticDecontaminate(vecs, evalSet,
+        threshold = 1.0000001)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptAll === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("ivfTopK with nprobe = nlist is exact (equals brute force)") {
     val q = vecs.filter(col("vec_id") === 1)
     val exact = Similarity.bruteForceTopK(vecs, q, 3)
