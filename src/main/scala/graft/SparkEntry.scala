@@ -345,6 +345,13 @@ object SparkEntry {
       Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", 0.6)
         .orderBy("doc_a", "doc_b")),
 
+    // ---- E2 EXACT directional containment join (subsumed-document /
+    // quote-containment primitive; prefix-filtered on the contained
+    // side only — see Dedup.containmentJoin) ----
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentJoin(t(s, d, "documents"), "doc_id", "text", 0.9)
+        .orderBy("doc_a", "doc_b")),
+
     // ---- E3 brute-force cosine top-k ----
     "q_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1051,6 +1058,18 @@ object SparkEntry {
     }),
     "q_rep_ratio" -> ((s, d) =>
       Ngrams.repetitionRatio(docsSpread(s, d), n = 3).orderBy("doc_id")),
+    // E19 corpus → token-id sequences against a ranked vocabulary (the
+    // step before packSequences turns ids into training rows). The
+    // vocab-ranking window runs over the post-minDf vocabulary — small
+    // by construction; id order (df desc, tok) is total on both sides.
+    "q_encode_tokens" -> ((s, d) => {
+      val docs = docsSpread(s, d).filter(col("doc_id") < 200)
+      val vw = Window.orderBy(col("df").desc, col("tok"))
+      val vocab = Ngrams.vocabulary(docs, minDf = 5)
+        .select(col("tok"), row_number().over(vw).cast("long").as("id"))
+      Ngrams.encodeTokens(docs, vocab, oovId = 0L)
+        .orderBy("doc_id")
+    }),
 
     // ---- E21 dimensional modeling: SCD-1 upsert, SCD-2 history ----
     "q_upsert" -> ((s, d) => {
@@ -1708,6 +1727,28 @@ object SparkEntry {
         |WHERE jaccard >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // brute-force twin of the asymmetric prefix-filtered containment join
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, containment FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |      AS containment
+        |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+        |            JOIN sh b ON b.doc_id = cand.doc_b)
+        |WHERE containment >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // brute-force truth count for the LSH recall audit: pairs with exact
     // 3-gram-shingle Jaccard >= 0.8; the verdict is asserted TRUE
     "q_minhash_audit" ->
@@ -2348,6 +2389,23 @@ object SparkEntry {
         |  COUNT(DISTINCT ng) AS n_distinct,
         |  1.0 - CAST(COUNT(DISTINCT ng) AS DOUBLE) / COUNT(*) AS rep_ratio
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_encode_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |               unnest(toks) AS tok FROM d),
+        |vocab AS (
+        |  SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS id
+        |  FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM tok
+        |        GROUP BY tok HAVING count(DISTINCT doc_id) >= 5)),
+        |enc AS (
+        |  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+        |  FROM tok t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, list(id ORDER BY pos) AS token_ids,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ntile" ->
       """SELECT o_custkey, o_orderkey,

@@ -551,4 +551,63 @@ object Dedup {
          size(array_union(col("sha"), col("shb")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT directional containment join: every ordered pair (doc_a,
+    * doc_b), doc_a ≠ doc_b, with
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ `threshold` — "a is
+    * (mostly) contained in b", the subsumed-document / quote-containment
+    * primitive symmetric Jaccard misses: a short document quoted whole
+    * inside a long one has low Jaccard but containment 1.0. Output:
+    * (doc_a, doc_b, containment).
+    *
+    * Prefix filtering adapts to the asymmetry: containment ≥ t forces
+    * overlap ≥ ⌈t·|A|⌉, so the CONTAINED side exposes its
+    * |A| − ⌈t·|A|⌉ + 1 rarest shingles (same global (df, shingle) order
+    * as [[allPairsJaccard]]) while the containing side must be probed on
+    * ALL its shingles — a containment match puts no upper bound on |B|,
+    * so B has no prefix to hide behind. The size bound |B| ≥ ⌈t·|A|⌉
+    * (overlap ≤ |B|) cuts in-join. Rare-first ordering keeps the
+    * candidate volume near the true result size: frequent shingles
+    * rarely survive into A-prefixes. Candidates are ids-only; the
+    * shingle arrays ride only the verify join. Exactness argument: if
+    * overlap ≥ k and no token of A's first |A|−k+1 ordered tokens were
+    * in B, the shared tokens would all sit in A's last k−1 positions —
+    * overlap ≤ k−1, contradiction. The 1e-9 slack again only widens. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val sh = Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
+                        col("doc_id"))
+      .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+                         explode(col("sh")).as("tok"))
+    val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val ordered = toks.join(dfCounts, "tok")
+    val pw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tok_df"), col("tok"))
+    val prefixLen = col("sz") -
+      ceil(col("sz") * threshold - lit(1e-9)).cast("int") + 1
+    val prefixA = ordered
+      .withColumn("__pos", row_number().over(pw))
+      .filter(col("__pos") <= prefixLen)
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("tok"))
+    val allB = toks
+      .select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("tok"))
+    val cand = prefixA.join(allB,
+        Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_b").cast("double") >=
+          ceil(col("sz_a") * threshold - lit(1e-9)))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+         size(col("sha"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

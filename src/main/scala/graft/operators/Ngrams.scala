@@ -66,6 +66,37 @@ object Ngrams {
         (col("tf").cast("double") * col("n_docs") / col("df")).as("score"))
   }
 
+  /** Encode documents as token-id sequences against a vocabulary table —
+    * the corpus → training-tensors bridge (the step before
+    * [[Mixing.packSequences]] turns id sequences into fixed-budget
+    * training rows). `vocab` carries (tok, id); tokens absent from it
+    * map to `oovId`. Output: (idCol, token_ids: array<bigint>,
+    * n_tokens, n_oov), ids in original token order.
+    *
+    * Plan shape at 100 TB: explode → broadcast-or-shuffle join against
+    * the vocab (Spark picks by vocab size; a post-minDf vocabulary is
+    * usually broadcast-sized) → one groupBy(doc) re-assembly shuffle.
+    * Order is restored by sorting on the exploded position INSIDE the
+    * grouped array (array_sort on (pos, id) structs) — no window, no
+    * global sort. */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame, oovId: Long = 0L,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val v = vocab.select(col("tok"), col("id").cast("long").as("__vid"))
+    docs.select(col(idCol), posexplode(toks(col(textCol))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "tok")
+      .join(v, Seq("tok"), "left")
+      .select(col(idCol), col("__pos"),
+        coalesce(col("__vid"), lit(oovId)).as("__id"))
+      .groupBy(col(idCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__id")))),
+          x => x("__id")).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__id") === oovId, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Word n-gram frequency table: (ngram, count), floored at `minCount`.
     * The classic stopword-phrase / boilerplate-mining primitive. */
   def ngramCounts(docs: DataFrame, n: Int, idCol: String = "doc_id",

@@ -220,6 +220,34 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.size === 2)
   }
 
+  test("containmentJoin equals brute force and catches subsumed docs Jaccard misses") {
+    // doc 20 is a verbatim excerpt of doc 21: containment(20→21) = 1.0
+    // while Jaccard is low — the case the symmetric join cannot express
+    val aug = docs.union(Seq(
+      (20L, "alpha beta gamma delta"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text"))
+    val sh = aug.select(col("doc_id"), Dedup.shingleCol(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(col("a.sh"))).as("containment"))
+    for (t <- Seq(0.5, 0.9, 1.0)) {
+      val expected = brute.filter(col("containment") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.containmentJoin(aug, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected, s"threshold $t")
+    }
+    val strict = Dedup.containmentJoin(aug, "doc_id", "text", 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(strict.exists(p => p._1 == 20L && p._2 == 21L && p._3 == 1.0),
+      "excerpt must be fully contained in its source")
+    assert(!strict.exists(p => p._1 == 21L && p._2 == 20L),
+      "containment is directional — the long doc is not inside the excerpt")
+  }
+
   test("minhashRecallAudit: truth equals brute force, verdict reflects the floor") {
     // identical-pair corpus: jaccard 1.0 pairs are found by EVERY band,
     // so LSH recall is certain and the verdict must be TRUE at floor 1.0
