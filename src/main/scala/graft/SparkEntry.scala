@@ -1337,6 +1337,16 @@ object SparkEntry {
     "q_key_skew" -> ((s, d) =>
       operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 20)),
 
+    // ---- E20 distribution drift between two corpus snapshots: per-key
+    // smoothed shares + KL contributions (the source-mix monitor) ----
+    "q_dist_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Profiling.distributionDrift(
+          docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "source")
+        .orderBy("source")
+    }),
+
     // ---- E20 incremental distinct: per-day HLL sketch slices, merged.
     // The sketch binary is engine-specific; the oracle checks the exact
     // companion count and asserts the merged estimate's tolerance
@@ -2664,6 +2674,25 @@ object SparkEntry {
         |    AS share
         |FROM lineitem GROUP BY l_suppkey
         |ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    "q_dist_drift" ->
+      """WITH ca AS (SELECT source, count(*) AS cnt_a FROM documents
+        |            WHERE doc_id < 250 GROUP BY source),
+        |cb AS (SELECT source, count(*) AS cnt_b FROM documents
+        |       WHERE doc_id >= 250 GROUP BY source),
+        |j AS (SELECT COALESCE(ca.source, cb.source) AS source,
+        |        COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.source = cb.source),
+        |t AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb, count(*) AS k
+        |      FROM j)
+        |SELECT source, CAST(cnt_a AS BIGINT) AS cnt_a,
+        |  CAST(cnt_b AS BIGINT) AS cnt_b,
+        |  CAST(cnt_a + 1 AS DOUBLE) / (ta + k) AS share_a,
+        |  CAST(cnt_b + 1 AS DOUBLE) / (tb + k) AS share_b,
+        |  round(CAST(cnt_a + 1 AS DOUBLE) / (ta + k)
+        |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
+        |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS kl_contrib
+        |FROM j, t ORDER BY source""".stripMargin,
 
     // merged-sketch estimate is engine-specific; the oracle pins the
     // exact count, the sliced row total, and the tolerance verdict

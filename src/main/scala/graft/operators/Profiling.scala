@@ -65,6 +65,44 @@ object Profiling {
       hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_distinct"),
       sum(col("n_rows")).as("n_rows"))
 
+  /** Distribution drift between two snapshots of a corpus: one row per
+    * `keyCol` value (source, language, domain, shard …) with each side's
+    * smoothed share and its KL-divergence contribution
+    * share_a·ln(share_a/share_b) — the monitoring primitive that
+    * catches a source silently vanishing or flooding between two
+    * pipeline runs (sum the contributions for total KL(a‖b); large
+    * positive contributions mark keys over-represented in `a`).
+    *
+    * Add-one smoothing over the union key set keeps every share
+    * positive, so keys present on one side only still produce a finite,
+    * comparison-ready row instead of a division by zero. Shares divide
+    * exact longs and the ln is rounded to 9 decimals (the repo's
+    * engine-exactness convention), so drift reports hash-compare across
+    * engines. Plan: one grouped count per side (map-side combined), a
+    * key-keyed full-outer join, broadcast totals — linear, no vectors of
+    * state anywhere. */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+                        keyCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as(out))
+    val joined = counts(a, "cnt_a").join(counts(b, "cnt_b"),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(
+      sum(col("cnt_a")).as("__ta"), sum(col("cnt_b")).as("__tb"),
+      count(lit(1)).as("__k"))
+    joined.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt_a"), col("cnt_b"),
+        ((col("cnt_a") + lit(1)).cast("double") /
+          (col("__ta") + col("__k")).cast("double")).as("share_a"),
+        ((col("cnt_b") + lit(1)).cast("double") /
+          (col("__tb") + col("__k")).cast("double")).as("share_b"))
+      .withColumn("kl_contrib",
+        round(col("share_a") * log(col("share_a") / col("share_b")), 9))
+  }
+
   /** Key-skew report: the `k` heaviest values of `keyCol` with their row
     * counts and corpus share — the diagnostic that decides whether a
     * join on this key needs salting ([[Joins.saltedJoin]]) or AQE skew

@@ -53,6 +53,27 @@ class ProfilingSpec extends SparkTestBase {
       "sketch union is exact over sketch state: slicing cannot change it")
   }
 
+  test("distributionDrift: smoothed shares over the union key set, KL signs") {
+    val a = Seq("x", "x", "x", "y").toDF("src")
+    val b = Seq("y", "y", "z", "z").toDF("src")
+    val rows = Profiling.distributionDrift(a, b, "src")
+      .orderBy("src")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    // union keys x,y,z (k=3), totals 4/4; add-one smoothing: x present
+    // only in a gets a finite positive contribution, z (only in b) a
+    // negative one — no division by zero anywhere
+    assert(rows.map(r => (r._1, r._2, r._3)) ===
+      Seq(("x", 3L, 0L), ("y", 1L, 2L), ("z", 0L, 2L)))
+    val byKey = rows.map(r => r._1 -> r).toMap
+    assert(byKey("x")._4 === 4.0 / 7 && byKey("x")._5 === 1.0 / 7)
+    assert(byKey("x")._6 === 0.792168206)
+    assert(byKey("y")._6 === -0.115847174)
+    assert(byKey("z")._6 === -0.156944613)
+    assert(math.abs(rows.map(_._6).sum -
+      rows.map(r => r._4 * math.log(r._4 / r._5)).sum) < 1e-8,
+      "summed contributions are total KL(a||b) up to the 9-dec rounding")
+  }
+
   test("profile scans the input once (single aggregate family, no reread)") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
     val plan = Profiling.profile(df, Seq("id", "s"))
