@@ -139,6 +139,38 @@ class PlanQualitySpec extends SparkTestBase {
       s"the per-stratum rate table must broadcast onto the corpus:\n$p")
   }
 
+  test("PQ/IVF encode and cell assignment are pure projections — no window, no join") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, d, "embeddings")
+    // assignment/encode subplans: scan → project with the bound-in
+    // native expression; a Window or Join node here would mean the
+    // n×m×ksub inflation came back
+    val cells = operators.Similarity
+      .ivfTopK(e, e.filter(col("vec_id") < 5), 3, nlist = 4, nprobe = 2)
+    val ivfPlan = cells.queryExecution.optimizedPlan.toString
+    assert(ivfPlan.contains("graft_top_cells"),
+      s"IVF must assign cells via the native expression:\n$ivfPlan")
+    assert(!ivfPlan.contains("cent_v"),
+      s"no centroid table may appear joined into the IVF plan:\n$ivfPlan")
+    val pq = operators.Similarity
+      .pqTopK(e, e.filter(col("vec_id") < 5), 3, m = 8, ksub = 4,
+        shortlist = 8)
+    val pqPlan = pq.queryExecution.optimizedPlan.toString
+    assert(pqPlan.contains("graft_pq_encode") &&
+      pqPlan.contains("graft_pq_adc_table") &&
+      pqPlan.contains("graft_pq_adc_score"),
+      s"PQ must encode/score via the native expressions:\n$pqPlan")
+  }
+
+  test("containment join prefixes only the contained side, ids-only candidates") {
+    val p = plan("q_containment")
+    // exactly ONE rank window (the A-side prefix); the containing side
+    // must be probed whole, and the verify join must not be nested-loop
+    assert("row_number".r.findAllIn(p).size >= 1 &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"containment candidates must come from an equi-join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
