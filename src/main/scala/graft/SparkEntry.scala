@@ -846,6 +846,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- interval-OVERLAP join: click windows × view windows per user
+    // (6h half-open intervals; each pair emitted from exactly one
+    // shared bucket — no dedup exchange) ----
+    "q_interval_join" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val wUs = 21600L * 1000000L
+      def side(tp: String, id: String) = t(s, d, "events")
+        .filter(col("event_type") === tp)
+        .select(col("user_id"), col("event_id").as(id),
+          us.as("start"), (us + wUs).as("end"))
+      Joins.intervalJoin(side("click", "click_id"), side("view", "view_id"),
+          Seq("user_id"), "click_id", "view_id",
+          bucketWidth = 86400L * 1000000L)
+        .orderBy("user_id", "click_id", "view_id")
+    }),
+
     // ---- composed corpus-cleaning pipeline, closed-form fixture oracle:
     // texts are synthesized from doc_id so every stage's outcome is
     // SQL-derivable (the q_connected_components approach). Per group
@@ -2246,6 +2262,19 @@ object SparkEntry {
         |SELECT e.event_id, e.value, b.band
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             epoch_us(ts) AS s, epoch_us(ts) + 21600000000 AS e
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id,
+        |        epoch_us(ts) AS s, epoch_us(ts) + 21600000000 AS e
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, click_id, view_id,
+        |  CAST(greatest(c.s, v.s) AS BIGINT) AS ov_start,
+        |  CAST(least(c.e, v.e) AS BIGINT) AS ov_end
+        |FROM c JOIN v ON c.user_id = v.user_id AND c.s < v.e AND v.s < c.e
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin,
 
     "q_coalesce_null" ->
       """SELECT p_partkey,

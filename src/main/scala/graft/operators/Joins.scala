@@ -221,4 +221,49 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: every (left, right) pair within the same
+    * `equiKeys` group whose half-open intervals [startCol, endCol)
+    * overlap — the temporal pairing primitive (concurrent sessions,
+    * co-active campaigns, conflicting bookings) that [[rangeJoin]]'s
+    * point-in-interval shape cannot express. Output: equiKeys, `idL`,
+    * `idR`, and the overlap window (ov_start, ov_end).
+    *
+    * Both sides carry LONG interval bounds in `startCol`/`endCol` (e.g.
+    * epoch micros) plus an id column; intervals must be non-empty
+    * (start < end) and non-negative.
+    *
+    * Plan shape: each interval explodes to its covered buckets of
+    * `bucketWidth` (size ≤ interval/width + 1 rows — pick the width near
+    * the typical interval length), the join is an EQUI-join on
+    * (equiKeys, bucket) with the exact overlap predicate evaluated
+    * in-join, and each qualifying pair is emitted from exactly ONE
+    * bucket — the bucket containing max(startL, startR), which every
+    * overlapping pair shares — so no dropDuplicates exchange ever runs
+    * (the same in-join dedup trick as the LSH band joins). No cross
+    * join, no broadcast-nested-loop: the plan scales like any equi-join
+    * on (key, bucket). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   equiKeys: Seq[String], idL: String, idR: String,
+                   startCol: String = "start", endCol: String = "end",
+                   bucketWidth: Long = 3600L * 1000000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    // exact long bucket: (x - pmod(x, w)) is divisible by w, so the
+    // double division is exact — no boundary rounding
+    def bkt(c: Column): Column = ((c - pmod(c, w)) / w).cast("long")
+    def exploded(df: DataFrame, id: String, s: String, e: String) =
+      df.select((equiKeys.map(col) :+ col(id) :+
+          col(startCol).as(s) :+ col(endCol).as(e)): _*)
+        .withColumn("__bkt",
+          explode(sequence(bkt(col(s)), bkt(col(e) - 1))))
+    val a = exploded(left, idL, "__ls", "__le")
+    val b = exploded(right, idR, "__rs", "__re")
+    a.join(b, equiKeys :+ "__bkt")
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le") &&
+        col("__bkt") === bkt(greatest(col("__ls"), col("__rs"))))
+      .select((equiKeys.map(col) :+ col(idL) :+ col(idR) :+
+        greatest(col("__ls"), col("__rs")).as("ov_start") :+
+        least(col("__le"), col("__re")).as("ov_end")): _*)
+  }
 }

@@ -184,4 +184,36 @@ class JoinsSpec extends SparkTestBase {
     assert(n >= 100, s"true matches must survive, got $n")
     assert(n <= 500, s"pre-filter should cut ~98% of fact rows, kept $n")
   }
+
+  test("intervalJoin equals brute force, exactly-once across buckets, half-open") {
+    // bucketWidth 10: intervals span 1-4 buckets; pair (1,2) shares
+    // several buckets and must still surface exactly once
+    val l = Seq(
+      (1L, "u", 0L, 35L),    // spans buckets 0..3
+      (2L, "u", 50L, 60L),   // touches r3 end-to-start: NO overlap
+      (3L, "u", 90L, 95L),
+      (4L, "w", 0L, 100L)    // other key group
+    ).toDF("lid", "k", "start", "end")
+    val r = Seq(
+      (10L, "u", 5L, 30L),   // overlaps l1 across buckets 0..2
+      (11L, "u", 40L, 50L),  // [40,50) vs l2 [50,60): half-open, no pair
+      (12L, "u", 94L, 99L),  // overlaps l3
+      (13L, "w", 99L, 101L)  // overlaps l4 in the w group only
+    ).toDF("rid", "k", "start", "end")
+    val got = Joins.intervalJoin(l, r, Seq("k"), "lid", "rid",
+        bucketWidth = 10L)
+      .select("k", "lid", "rid", "ov_start", "ov_end")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val brute = l.as("a").join(r.as("b"),
+        col("a.k") === col("b.k") &&
+        col("a.start") < col("b.end") && col("b.start") < col("a.end"))
+      .select(col("a.k"), col("lid"), col("rid"),
+        greatest(col("a.start"), col("b.start")).as("ov_start"),
+        least(col("a.end"), col("b.end")).as("ov_end"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.sorted === brute.sorted)
+    assert(got.size === got.distinct.size, "each pair exactly once")
+    assert(got.map(p => (p._2, p._3)).toSet ===
+      Set((1L, 10L), (3L, 12L), (4L, 13L)))
+  }
 }
