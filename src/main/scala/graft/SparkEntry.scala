@@ -888,6 +888,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- cleaning attrition report over the same closed-form fixture
+    // as q_corpus_clean: per div-3 group, doc 3g keeps, 3g+1 is its
+    // exact duplicate, 3g+2 shares the identical one-shingle set →
+    // near_dup with certain recall; outcomes are SQL-derivable from
+    // doc_id alone ----
+    "q_clean_report" -> ((s, d) => {
+      val g = expr("doc_id div 3")
+      val reps = when(pmod(col("doc_id"), lit(3)) === 1, lit(4))
+        .otherwise(pmod(col("doc_id"), lit(3)) + 4)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("tok"), g.cast("string")), reps.cast("int")))
+            .as("text"))
+      operators.CorpusPipeline.cleanReport(docs, minQuality = 0.0)
+        .orderBy("doc_id")
+    }),
+
     // ---- no-oracle (rows-only) operator demos ----
     // No trailing global orderBy on these: the driver only row-counts
     // them, and a global sort's range-partitioner sampling pass executes
@@ -1944,6 +1962,14 @@ object SparkEntry {
         |  rtrim(repeat('tok' || CAST(g AS VARCHAR) || ' ',
         |    CASE WHEN doc_id % 3 = 2 THEN 6 ELSE 4 END)) AS text
         |FROM survivors ORDER BY doc_id""".stripMargin,
+
+    // closed-form attrition outcomes of the q_corpus_clean fixture
+    "q_clean_report" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'exact_dup'
+        |       WHEN doc_id % 3 = 2 THEN 'near_dup'
+        |       ELSE 'kept' END AS outcome
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sample_mix" ->
       """SELECT doc_id, source FROM documents

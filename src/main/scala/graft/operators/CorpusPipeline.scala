@@ -77,4 +77,51 @@ object CorpusPipeline {
     }
     gated.withColumn(textCol, TextAnalysis.redact(text))
   }
+
+  /** Per-document outcome report of [[clean]] (pairwise mode): one row
+    * per input document with the stage that removed it — `exact_dup`
+    * (not the smallest id of its identical-text group), `near_dup`
+    * (dropped side of a verified MinHash pair), `low_quality`,
+    * `gopher_fail`, or `kept` — the attrition audit a production corpus
+    * pipeline publishes next to its output (what fraction died where,
+    * per source, per snapshot). Outcomes follow the pipeline's stage
+    * order, so a document failing several gates reports the FIRST one,
+    * exactly as [[clean]] would have removed it; the `kept` set equals
+    * `clean(...)`'s surviving ids by construction (spec-pinned).
+    *
+    * Same plan shapes as the pipeline itself — the two drop sets arrive
+    * as id-keyed left joins, the quality/Gopher gates are per-row
+    * expressions; nothing is counted driver-side. */
+  def cleanReport(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minQuality: Double = 0.3,
+                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                  jaccardThreshold: Double = 0.8,
+                  normalize: Boolean = false,
+                  gopherMinWords: Option[Long] = None): DataFrame = {
+    val id = col(idCol); val text = col(textCol)
+    val normalized =
+      if (normalize)
+        docs.select(id, TextAnalysis.normalizeText(text).as(textCol))
+      else docs.select(id, text)
+    val exactKeep = normalized
+      .groupBy(text).agg(min(id).as(idCol))
+      .select(id, text)
+    val nearDrop = Dedup.minhashNearDups(exactKeep, idCol, textCol,
+        shingleN, numHashes, bands, jaccardThreshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    val gopherOk: Column = gopherMinWords match {
+      case Some(mw) => TextAnalysis.gopherPass(text, mw)
+      case None => lit(true)
+    }
+    normalized
+      .join(exactKeep.select(id, lit(1).as("__keep")), Seq(idCol), "left")
+      .join(nearDrop.select(id, lit(1).as("__nd")), Seq(idCol), "left")
+      .select(id,
+        when(col("__keep").isNull, "exact_dup")
+          .when(col("__nd").isNotNull, "near_dup")
+          .when(TextAnalysis.qualityScore(text) < minQuality, "low_quality")
+          .when(!gopherOk, "gopher_fail")
+          .otherwise("kept").as("outcome"))
+  }
 }

@@ -71,6 +71,26 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.keySet === Set(1L), "doc 2 fails the Gopher word floor")
   }
 
+  test("cleanReport: first-gate outcome per doc, kept set equals clean's") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (4L, "a completely different story about email john@example.com and shuffles here today"),
+      (5L, "12 34 !!")
+    ).toDF("doc_id", "text")
+    val report = CorpusPipeline.cleanReport(docs, minQuality = 0.3,
+        jaccardThreshold = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(report === Map(1L -> "kept", 2L -> "exact_dup",
+      3L -> "near_dup", 4L -> "kept", 5L -> "low_quality"))
+    val keptIds = report.filter(_._2 == "kept").keySet
+    val cleanIds = CorpusPipeline.clean(docs, minQuality = 0.3,
+        jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds === cleanIds, "report's kept set must equal clean's output")
+  }
+
   test("clean is idempotent on an already-clean corpus") {
     val docs = Seq(
       (1L, "totally unique first document about spark windows and joins"),
