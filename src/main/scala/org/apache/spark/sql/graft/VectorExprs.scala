@@ -659,6 +659,11 @@ object VectorExprs {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_pq_encode"
 
+    // the bound codebook would otherwise dump m*ksub float arrays into
+    // every plan rendering
+    override def toString: String =
+      s"graft_pq_encode($child, m=$m, ksub=$ksub, codebook=[bound])"
+
     @transient private lazy val cArr: Array[Array[Float]] =
       cents.map(_.toArray).toArray
     @transient private lazy val subdim: Int = cArr(0).length
@@ -758,6 +763,9 @@ object VectorExprs {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_pq_adc_table"
 
+    override def toString: String =
+      s"graft_pq_adc_table($child, m=$m, ksub=$ksub, codebook=[bound])"
+
     @transient private lazy val cArr: Array[Array[Float]] =
       cents.map(_.toArray).toArray
     @transient private lazy val subdim: Int = cArr(0).length
@@ -837,6 +845,9 @@ object VectorExprs {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_top_cells"
+
+    override def toString: String =
+      s"graft_top_cells($child, ncells=${cells.length}, keep=$keep, centroids=[bound])"
 
     @transient private lazy val sortedCells = cells.sortBy(_._1)
     @transient private lazy val ids: Array[Long] =
