@@ -231,7 +231,8 @@ object Joins {
     *
     * Both sides carry LONG interval bounds in `startCol`/`endCol` (e.g.
     * epoch micros) plus an id column; intervals must be non-empty
-    * (start < end) and non-negative.
+    * (start < end) and non-negative, and `idL`/`idR` must be DISTINCT
+    * names (both appear in the output).
     *
     * Plan shape: each interval explodes to its covered buckets of
     * `bucketWidth` (size ≤ interval/width + 1 rows — pick the width near

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Degenerate-input behavior: empty corpora, empty sides of joins, and
+  * single-row inputs must produce empty/identity results — never throw —
+  * because at 100 TB a filter chain upstream of any operator can
+  * legitimately drain a partition-set to nothing. */
+class DegenerateInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val oneDoc =
+    Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+  private lazy val emptyVecs =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  private lazy val someVecs = Seq(
+    (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dedup family: empty and single-doc corpora") {
+    assert(Dedup.allPairsJaccard(emptyDocs, "doc_id", "text", 0.8).count() === 0)
+    assert(Dedup.allPairsJaccard(oneDoc, "doc_id", "text", 0.8).count() === 0)
+    assert(Dedup.containmentJoin(oneDoc, "doc_id", "text", 0.8).count() === 0)
+    assert(Dedup.minhashNearDups(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashNearDups(oneDoc, "doc_id", "text").count() === 0)
+    assert(Dedup.dedupChunksGlobal(emptyDocs, "doc_id", "text").count() === 0)
+    // audit on an empty corpus: zero truth, vacuously passing verdict
+    val (truth, ok) = Dedup.minhashRecallAudit(emptyDocs, "doc_id", "text")
+      .as[(Long, Boolean)].head()
+    assert(truth === 0L && ok)
+  }
+
+  test("pipeline and mixing: empty corpus flows through whole") {
+    assert(CorpusPipeline.clean(emptyDocs).count() === 0)
+    assert(CorpusPipeline.cleanReport(emptyDocs).count() === 0)
+    val withAux = emptyDocs
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    assert(Mixing.packByBudget(withAux, "source", "doc_id", "n_chars",
+      budget = 10L).count() === 0)
+    assert(Ngrams.encodeTokens(emptyDocs,
+      Seq(("a", 1L)).toDF("tok", "id")).count() === 0)
+  }
+
+  test("similarity: empty corpus / empty query sides") {
+    assert(Similarity.bruteForceTopK(someVecs, emptyVecs, 1).count() === 0)
+    assert(Similarity.cosineNearDups(emptyVecs, 0.9).count() === 0)
+    assert(Similarity.semanticDecontaminate(someVecs, emptyVecs).count() === 2,
+      "empty eval set decontaminates nothing")
+    assert(Similarity.semanticDecontaminate(emptyVecs, someVecs).count() === 0)
+  }
+
+  test("joins: empty sides yield empty results, not errors") {
+    val emptyIv = Seq.empty[(Long, String, Long, Long)]
+      .toDF("rid", "k", "start", "end")
+    val oneIv = Seq((1L, "u", 0L, 10L)).toDF("lid", "k", "start", "end")
+    assert(Joins.intervalJoin(oneIv, emptyIv, Seq("k"), "lid", "rid").count() === 0)
+    assert(Joins.intervalJoin(
+      emptyIv.withColumnRenamed("rid", "lid"), oneIv.withColumnRenamed("lid", "rid"),
+      Seq("k"), "lid", "rid").count() === 0)
+    val emptyEv = Seq.empty[(Long, Long)].toDF("k", "ts")
+    val dim = Seq((1L, 5L)).toDF("k", "ts")
+    assert(Joins.asofJoin(emptyEv, dim, "k", "ts", "ts", Seq("ts")).count() === 0)
+  }
+
+  test("profiling: drift between an empty and a non-empty snapshot") {
+    val a = Seq("x", "y").toDF("src")
+    val empty = Seq.empty[String].toDF("src")
+    val rows = Profiling.distributionDrift(a, empty, "src")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(rows.length === 2 && rows.forall(_._3 == 0L),
+      "every key finite via smoothing even with a zero-count side")
+  }
+}
