@@ -1198,6 +1198,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- E15 EXACT-proportion stratified split (per-source counts are
+    // exact to integer-boundary rounding, not hash-proportional) ----
+    "q_strat_split" -> ((s, d) =>
+      Mixing.stratifiedExactSplit(t(s, d, "documents"), "source", "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")),
+
     // ---- E15 per-source cap (top-k docs per source, domain balancing) ----
     "q_source_cap" -> ((s, d) =>
       Mixing.capPerGroup(t(s, d, "documents"),
@@ -2569,6 +2577,19 @@ object SparkEntry {
         |  FROM (SELECT ((doc_id * 2654435761) % 4294967296) % 100 AS b,
         |               n_chars FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_strat_split" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents
+        |           GROUP BY source),
+        |r AS (SELECT d.doc_id, d.source, n.n,
+        |        row_number() OVER (PARTITION BY d.source
+        |          ORDER BY d.doc_id) AS rn
+        |      FROM documents d JOIN n USING (source))
+        |SELECT doc_id, source,
+        |  CASE WHEN rn <= CAST(n * 90 // 100 AS BIGINT) THEN 'train'
+        |       WHEN rn <= CAST(n * 95 // 100 AS BIGINT) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_split_leakage" ->
       """SELECT doc_id,

@@ -170,6 +170,43 @@ object Mixing {
     df.withColumn(splitCol, label)
   }
 
+  /** EXACT-proportion stratified split: within every `strataCol` group,
+    * rows are ranked by `orderCol` (pass a hash expression column for a
+    * pseudo-random draw, or an id for an auditable one) and assigned so
+    * each split receives exactly its share of the stratum —
+    * ⌊n·cum_i/100⌋ − ⌊n·cum_{i−1}/100⌋ rows — off by at most the
+    * integer-boundary rounding, never by hash variance. This is the
+    * eval-set construction guarantee [[deterministicSplit]]'s
+    * hash-bucketing cannot give (hash splits are only proportional in
+    * expectation; a 5% eval slice of a 200-doc stratum can easily come
+    * out 3% or 8%). Cost: one rank window per stratum plus a broadcast
+    * of per-stratum counts — no global window, no driver state.
+    *
+    * Deterministic given (data, orderCol): ties in `orderCol` are broken
+    * by nothing here, so pass a total-order column (unique ids or a
+    * hash of them). */
+  def stratifiedExactSplit(df: DataFrame, strataCol: String,
+                           orderCol: String,
+                           weights: Seq[(String, Int)],
+                           splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0) &&
+      weights.map(_._2).sum == 100, "percent weights must sum to 100")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+    val rn = row_number().over(w)
+    // boundary_i = floor(n * cum_i / 100), exact in long arithmetic
+    val cums = weights.zip(weights.scanLeft(0)(_ + _._2).tail)
+    def boundary(cum: Int): Column = (col("__n") * cum).divide(lit(100))
+      .cast("long")
+    val label = cums.init.foldRight(lit(cums.last._1._1): Column) {
+      case (((name, _), cum), acc) =>
+        when(rn <= boundary(cum), lit(name)).otherwise(acc)
+    }
+    df.join(broadcast(counts), Seq(strataCol))
+      .withColumn(splitCol, label)
+      .drop("__n")
+  }
+
   /** Near-dup-leakage-safe train/val/test assignment: documents in the
     * same TRANSITIVE near-duplicate cluster always land in the same
     * split. Splitting by raw document id leaks — a near-copy of a

@@ -248,4 +248,32 @@ class MixingSpec extends SparkTestBase {
       assert(shards === (0L until shards.length).toSeq)
     }
   }
+
+  test("stratifiedExactSplit: per-stratum counts exact to boundary rounding") {
+    // strata of size 20, 7 and 1 — hash splits would wander; exact split
+    // must give floor-boundary counts per stratum
+    val docs = ((1L to 20L).map(i => (i, "big")) ++
+      (21L to 27L).map(i => (i, "mid")) ++ Seq((28L, "one")))
+      .toDF("doc_id", "src")
+    val out = Mixing.stratifiedExactSplit(docs, "src", "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("src", "split").as[(String, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // big (20): train floor(18.0)=18, val floor(19.0)-18=1, test 1
+    assert(out(("big", "train")) === 18 &&
+      out(("big", "val")) === 1 && out(("big", "test")) === 1)
+    // mid (7): train floor(6.3)=6, val floor(6.65)-6=0, test 1
+    assert(out(("mid", "train")) === 6 && out(("mid", "test")) === 1 &&
+      !out.contains(("mid", "val")))
+    // one (1): train floor(0.9)=0, val 0 → test
+    assert(out(("one", "test")) === 1)
+    // deterministic under re-evaluation and layout changes
+    val again = Mixing.stratifiedExactSplit(docs.repartition(7), "src",
+        "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = Mixing.stratifiedExactSplit(docs, "src", "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again === first)
+  }
 }
