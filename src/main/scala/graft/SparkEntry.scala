@@ -395,6 +395,12 @@ object SparkEntry {
       EventOps.sessionizeBatch(t(s, d, "events"), gapMs = 3600 * 1000L)
         .orderBy("user_id", "session_start")),
 
+    // ---- E6 cohort retention triangle (first-event week × offset —
+    // weekly because the corpus spans one month of events) ----
+    "q_cohort_retention" -> ((s, d) =>
+      EventOps.cohortRetention(t(s, d, "events"), granularity = "week")
+        .orderBy("cohort_start", "period_offset")),
+
     // ---- exact count-distinct companion to E7 ----
     "q_count_distinct" -> ((s, d) =>
       t(s, d, "events")
@@ -2296,6 +2302,19 @@ object SparkEntry {
         |SELECT e.event_id, e.value, b.band
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH c AS (SELECT user_id,
+        |             date_trunc('week', min(ts)) AS cohort_start
+        |           FROM events GROUP BY user_id),
+        |e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+        |      FROM events)
+        |SELECT cohort_start,
+        |  CAST(date_diff('day', cohort_start, p) // 7 AS BIGINT)
+        |    AS period_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_interval_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id,

@@ -108,4 +108,41 @@ object EventOps {
       .select(col("event_type"), col("exact_users"),
         (abs(col("__approx") - col("exact_users")) <=
           lit(2 * rsd) * col("exact_users")).as("within_tol"))
+
+  /** Cohort retention matrix: users grouped by the `granularity` period
+    * of their FIRST event (the cohort), counted distinct in every later
+    * period they remain active, keyed by the period offset from their
+    * cohort — (cohort_start, period_offset, n_users), the classic
+    * product-analytics retention triangle. Granularities: "day", "week"
+    * (ISO, Monday start), "month".
+    *
+    * Plan shape: one user-keyed aggregation for first-event periods, one
+    * user-keyed join back onto the distinct (user, active-period) pairs
+    * — both hash by the same key, so the join rides the aggregation's
+    * partitioning — then one (cohort, offset) count-distinct. All
+    * linear; periods are `date_trunc` values, so offsets are exact
+    * integers under the pinned UTC session timezone (month offsets via
+    * `months_between` on truncated months; day/week via day differences
+    * divisible by the period length). */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts",
+                      granularity: String = "month"): DataFrame = {
+    require(Seq("day", "week", "month").contains(granularity))
+    val cohorts = events.groupBy(col(userCol))
+      .agg(date_trunc(granularity, min(col(tsCol))).as("cohort_start"))
+    val offset = granularity match {
+      case "month" =>
+        months_between(col("__p"), col("cohort_start")).cast("long")
+      case "week" =>
+        (datediff(col("__p"), col("cohort_start")) / 7).cast("long")
+      case "day" =>
+        datediff(col("__p"), col("cohort_start")).cast("long")
+    }
+    events
+      .select(col(userCol), date_trunc(granularity, col(tsCol)).as("__p"))
+      .distinct()
+      .join(cohorts, userCol)
+      .groupBy(col("cohort_start"), offset.as("period_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

@@ -11,6 +11,36 @@ class EventOpsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("cohortRetention: first-event cohorts, distinct users per offset") {
+    // u1 first in Jan, active Jan+Feb+Apr (two Feb events count once);
+    // u2 first in Jan, active Jan only; u3 first in Feb, active Feb+Mar
+    val events = Seq(
+      (1L, ts("2024-01-05 00:00:00")), (1L, ts("2024-02-10 00:00:00")),
+      (1L, ts("2024-02-20 00:00:00")), (1L, ts("2024-04-01 00:00:00")),
+      (2L, ts("2024-01-15 00:00:00")),
+      (3L, ts("2024-02-01 00:00:00")), (3L, ts("2024-03-30 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(events)
+      .as[(Timestamp, Long, Long)].collect()
+      .map(r => (r._1.toString.take(7), r._2, r._3)).toSet
+    assert(out === Set(
+      ("2024-01", 0L, 2L),  // Jan cohort: u1+u2 active in month 0
+      ("2024-01", 1L, 1L),  // u1 in Feb
+      ("2024-01", 3L, 1L),  // u1 in Apr
+      ("2024-02", 0L, 1L),  // Feb cohort: u3
+      ("2024-02", 1L, 1L))) // u3 in Mar
+    // weekly granularity: 2024-01-05 is week of Jan 1 (Mon); Jan 15 is
+    // two weeks later — offsets count exact 7-day periods
+    val weekly = EventOps.cohortRetention(
+        events.filter(col("user_id") === 2L ||
+          (col("user_id") === 1L && month(col("ts")) === 1)),
+        granularity = "week")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(weekly.map(r => (r._1.toString.take(10), r._2, r._3)) === Set(
+      ("2024-01-01", 0L, 1L),   // u1 cohort week Jan 1, active that week
+      ("2024-01-15", 0L, 1L)))  // u2 cohort week Jan 15
+  }
+
   test("funnel: first A, min delay to B within window; non-converters null") {
     val events = Seq(
       // user 1: click at 10:00, purchases at 10:30 (in) and 10:10 (in, min)
