@@ -712,6 +712,7 @@ object VectorExprs {
         val ip = ctx.freshName("ip"); val d2 = ctx.freshName("d2")
         val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
         val cent = ctx.freshName("cent")
+        val x = ctx.freshName("x")
         s"""
            |if ($a.numElements() != ${m * subdim}) { ${ev.isNull} = true; }
            |for (int $i = 0; !${ev.isNull} && $i < ${m * subdim}; $i++) {
@@ -723,7 +724,7 @@ object VectorExprs {
            |    int $off = $j * $subdim;
            |    double $ss = 0.0;
            |    for (int $i = 0; $i < $subdim; $i++) {
-           |      double x = (double) $a.getFloat($off + $i); $ss += x * x;
+           |      double $x = (double) $a.getFloat($off + $i); $ss += $x * $x;
            |    }
            |    double $best = 0.0; int $bestC = -1;
            |    for (int $c = 0; $c < $ksub; $c++) {
@@ -897,6 +898,7 @@ object VectorExprs {
         val n = ctx.freshName("n"); val cent = ctx.freshName("cent")
         val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
         val nb = ctx.freshName("nb"); val best = ctx.freshName("best")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
         s"""
            |double[] $sims = new double[$nc];
            |for (int $c = 0; $c < $nc; $c++) {
@@ -904,9 +906,9 @@ object VectorExprs {
            |  int $n = java.lang.Math.min($a.numElements(), $cent.length);
            |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
-           |    double xv = (double) $a.getFloat($i);
-           |    double yv = (double) $cent[$i];
-           |    $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+           |    double $xv = (double) $a.getFloat($i);
+           |    double $yv = (double) $cent[$i];
+           |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |  }
            |  $sims[$c] = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
            |}
