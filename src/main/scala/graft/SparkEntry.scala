@@ -954,6 +954,33 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // E2 incremental near-dedup against a standing corpus (the ingest
+    // shape: probe the new batch against the index, never re-pair the
+    // corpus). Closed-form fixture: corpus = one doc per div-4 group
+    // (doc_id%4=0) with text 't<g>'×4; batch docs carry 't<g>' for EVEN
+    // groups (identical 3-shingle set as the group's corpus doc →
+    // certain LSH recall, jaccard 1.0 → dropped) and 'u<g>' for ODD
+    // groups (disjoint shingles → kept), so survivors = exactly the
+    // batch docs of odd groups.
+    "q_dedup_incremental" -> ((s, d) => {
+      val g = expr("doc_id div 4")
+      val base = t(s, d, "documents")
+      val corpus = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("t"), g.cast("string")), 4)).as("text"))
+      val tok = when(pmod(g, lit(2)) === 0,
+          concat(lit("t"), g.cast("string")))
+        .otherwise(concat(lit("u"), g.cast("string")))
+      val batch = base.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(tok,
+            (pmod(col("doc_id"), lit(4)) + 4).cast("int"))).as("text"))
+      Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     // E2 SimHash near-dup (real-text perf probe, rows-only)
     "q_simhash_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
@@ -1178,6 +1205,15 @@ object SparkEntry {
           "doc_id", "text", chunkTokens = 10)
         .orderBy("doc_id")),
 
+    // ---- E2 C4-style boilerplate removal: chunks occurring in >= 3
+    // distinct documents die EVERYWHERE (vs dedupChunksGlobal's
+    // keep-first); real-data oracle, DuckDB recomputes the chunk
+    // frequency table and anti-join exactly ----
+    "q_boilerplate" -> ((s, d) =>
+      Dedup.removeBoilerplate(docsSpread(s, d).select("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 10, minDocs = 3)
+        .orderBy("doc_id")),
+
     // ---- E15 deterministic train/val/test split ----
     "q_split" -> ((s, d) =>
       Mixing.deterministicSplit(t(s, d, "documents"), "doc_id",
@@ -1384,6 +1420,19 @@ object SparkEntry {
     // ---- E20 key-skew report (the pre-join salting diagnostic) ----
     "q_key_skew" -> ((s, d) =>
       operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 20)),
+
+    // ---- E20 exact heavy hitters with sketch-bounded shuffle: a
+    // Misra–Gries superset pass (≤ k entries per task cross the
+    // exchange, never the full key space) + a candidate-restricted
+    // exact count. The token table is near-uniform (31 distinct tokens
+    // vs k=30 slots) — the sketch's worst case — yet the output is the
+    // exact deterministic > n/(k+1) set, which DuckDB recomputes by
+    // full grouped count ----
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      operators.Profiling.heavyHitters(toks, "tok", k = 30)
+    }),
 
     // ---- E20 distribution drift between two corpus snapshots: per-key
     // smoothed shares + KL contributions (the source-mix monitor) ----
@@ -1892,6 +1941,13 @@ object SparkEntry {
     "q_dedup_clusters" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents
         |GROUP BY doc_id // 4 ORDER BY doc_id""".stripMargin,
+
+    // incremental-ingest fixture (see the queries entry): survivors =
+    // the batch docs (doc_id%4<>0) of odd div-4 groups
+    "q_dedup_incremental" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 4 <> 0 AND (doc_id // 4) % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // simhash fixture: pair set = in-group pairs at hamming 0
     "q_simhash_fixture" ->
@@ -2586,6 +2642,20 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
         |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, g.i AS chunk_idx,
+        |    array_to_string(t[(g.i*10+1):(g.i*10+10)], ' ') AS chunk
+        |  FROM toks, unnest(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS g(i)),
+        |boiler AS (
+        |  SELECT chunk FROM chunks GROUP BY chunk
+        |  HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+        |FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_split" ->
       """SELECT split, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -2769,6 +2839,19 @@ object SparkEntry {
         |    AS share
         |FROM lineitem GROUP BY l_suppkey
         |ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    // full grouped count twin of the sketch-bounded two-pass plan: the
+    // Misra–Gries superset guarantee + exact candidate filter make the
+    // Spark output identical to HAVING cnt*(k+1) > n
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |  WHERE text IS NOT NULL),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+        |SELECT tok, cnt,
+        |  cnt / CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) AS share
+        |FROM c WHERE cnt * 31 > (SELECT COUNT(*) FROM toks)
+        |ORDER BY cnt DESC, tok""".stripMargin,
 
     "q_dist_drift" ->
       """WITH ca AS (SELECT source, count(*) AS cnt_a FROM documents

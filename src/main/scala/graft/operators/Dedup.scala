@@ -84,6 +84,57 @@ object Dedup {
       .unionByName(nullRows)
   }
 
+  /** C4-style boilerplate removal: cut every document into consecutive
+    * `chunkTokens`-token chunks and remove EVERY occurrence of any chunk
+    * string that appears in at least `minDocs` DISTINCT documents;
+    * survivors are reassembled in original order. This is the
+    * frequency-based complement of [[dedupChunksGlobal]]'s keep-first:
+    * there the first copy of a repeated chunk survives, here boilerplate
+    * (navigation text, license banners, templated footers) dies
+    * everywhere INCLUDING its first occurrence, while a chunk repeated
+    * within one document only is kept — repetition inside a doc is
+    * content, repetition across docs is boilerplate.
+    *
+    * Plan: one chunk explode, a (chunk → distinct-doc count) aggregate
+    * kept only where count >= minDocs — the boilerplate list, tiny
+    * relative to the corpus because boilerplate is few DISTINCT strings
+    * however many occurrences — then a left-anti join of the chunk table
+    * against it (AQE broadcasts the small side), and the same by-id
+    * reassembly as [[dedupChunksGlobal]]. All shuffles linear; nothing
+    * driver-side. NULL-text rows pass through unchanged; a document
+    * whose every chunk was boilerplate disappears (as in
+    * [[dedupChunksGlobal]]). */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int = 10, minDocs: Int = 3): DataFrame = {
+    require(chunkTokens > 0)
+    require(minDocs >= 2, "minDocs < 2 would remove every chunk")
+    val nullRows = df.filter(col(textCol).isNull)
+      .select(col(idCol), col(textCol))
+    val toks = split(col(textCol), " ")
+    val chunks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0),
+            ceil(size(toks).cast("double") / chunkTokens).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "__chunk_idx")
+      .withColumnRenamed("col", "__chunk")
+    val boiler = chunks
+      .groupBy(col("__chunk"))
+      .agg(countDistinct(col(idCol)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select("__chunk")
+    chunks.join(boiler, Seq("__chunk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__chunk_idx"), col("__chunk")))),
+          x => x("__chunk")),
+        " ").as(textCol))
+      .unionByName(nullRows)
+  }
+
   /** Word n-gram shingles of a text column, as a distinct array. */
   def shingleCol(text: Column, n: Int): Column = {
     val toks = split(text, " ")
@@ -109,6 +160,41 @@ object Dedup {
     transform(
       sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingles, s => xxhash64(seed, s))))
+
+  /** Banded MinHash signature table — the shared front half of every LSH
+    * near-dup plan here ([[minhashNearDups]], [[dedupAgainstCorpus]]).
+    * One row per (document, band):
+    * `(doc_id, hsh: array<long>, bh: array<long>, band_id, band_hash)`,
+    * where `hsh` is the document's DISTINCT shingle-hash set (rides along
+    * so exact-Jaccard verification needs no join back to the text) and
+    * `bh` the full band-hash vector (for the first-shared-band pair
+    * dedup trick). Every per-row step is a native codegen'd expression
+    * (ShingleHash64 → MinHashFromHashes → BandHashes64). Empty and
+    * whitespace-only documents are dropped (they would all share one
+    * degenerate bucket — an all-pairs blowup on junk docs); the
+    * size(hsh) > 0 filter is the backstop for any other zero-shingle
+    * row. */
+  private[operators] def bandedSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val toks = split(col(textCol), " ")
+    val shHashes = VectorExprs.shingleHash64(toks, shingleN)
+    Ops.spread(
+        df.select(col(idCol).as("doc_id"), col(textCol))
+          .filter(length(regexp_replace(col(textCol), "\\s", "")) > 0),
+        col("doc_id"))
+      .select(col("doc_id"),
+              array_distinct(shHashes).as("hsh"),
+              VectorExprs.bandHashes64(
+                VectorExprs.minhashFromHashes(shHashes, numHashes),
+                bands, r).as("bh"))
+      .filter(size(col("hsh")) > 0)
+      .select(col("doc_id"), col("hsh"), col("bh"), posexplode(col("bh")))
+      .select(col("doc_id"), col("hsh"), col("bh"),
+              col("pos").as("band_id"), col("col").as("band_hash"))
+  }
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -152,50 +238,16 @@ object Dedup {
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.8,
                       bucketCap: Int = 500): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     require(bucketCap >= 2, "bucketCap must admit at least one pair")
-    val r = numHashes / bands
-    // Shingle-hash + signature + band pipeline — every per-row step is a
-    // native codegen'd expression (ShingleHash64 → MinHashFromHashes →
-    // BandHashes64): no interpreted higher-order functions anywhere on
-    // this path, which profiling showed dominating (nested transform/
-    // slice/concat_ws lambdas allocate per element and get re-inlined by
-    // project collapse). Design notes:
-    //   - `hsh` is the distinct 64-bit hash set of the shingles; the
-    //     verify step computes Jaccard on it (identical to string-set
-    //     Jaccard absent 64-bit collisions), so verification needs no
-    //     lookup back to string shingles — the compact long-array rides
-    //     the band join instead of two re-derivations + two by-id joins.
-    //   - the empty-document guard drops docs that are empty after
-    //     whitespace removal — one linear regex pass, CHEAP, so
-    //     its pushdown into the scan stage is free (an expensive guard
-    //     would serialize the scan onto the source's input splits). Empty
-    //     AND whitespace-only docs would otherwise all share one
-    //     degenerate LSH bucket (their only "shingle" being the hash of
-    //     the empty/blank string) and verify against each other at
-    //     jaccard 1.0 — an all-pairs blowup on junk docs. The
-    //     size(hsh) > 0 filter is the backstop for any other
-    //     zero-shingle row.
-    val toks = split(col(textCol), " ")
-    val shHashes = VectorExprs.shingleHash64(toks, shingleN)
-    // persisted: the banded signature table feeds BOTH sides of the
+    // Jaccard is verified on the 64-bit shingle-hash sets (identical to
+    // string-set Jaccard absent 64-bit collisions) — see
+    // [[bandedSignatures]] for the shared signature pipeline. persisted: the banded signature table feeds BOTH sides of the
     // candidate self-join, and the capped left side's window breaks
     // exchange reuse (VERDICT r5) — caching makes the shingle/minhash
     // derivation run once, the materialize-the-signature-table-once
     // pattern a production pipeline uses across a whole dedup run
-    val banded = Ops.spread(
-        df.select(col(idCol).as("doc_id"), col(textCol))
-          .filter(length(regexp_replace(col(textCol), "\\s", "")) > 0),
-        col("doc_id"))
-      .select(col("doc_id"),
-              array_distinct(shHashes).as("hsh"),
-              VectorExprs.bandHashes64(
-                VectorExprs.minhashFromHashes(shHashes, numHashes),
-                bands, r).as("bh"))
-      .filter(size(col("hsh")) > 0)
-      .select(col("doc_id"), col("hsh"), col("bh"), posexplode(col("bh")))
-      .select(col("doc_id"), col("hsh"), col("bh"),
-              col("pos").as("band_id"), col("col").as("band_hash"))
+    val banded = bandedSignatures(df, idCol, textCol, shingleN, numHashes,
+        bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket-size bound on the LEFT join side only (see scaladoc): rank
     // within the (band, hash) bucket, keep the first bucketCap docs. The
@@ -227,6 +279,71 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** INCREMENTAL near-dedup: drop every row of `batch` whose text is a
+    * near-duplicate (n-gram Jaccard >= `threshold`) of ANY document in
+    * `corpus`. The ingest-time shape of near-dedup: a production corpus
+    * grows in batches, and re-running all-pairs dedup over 100 TB per
+    * ingest is not a plan — instead the standing corpus acts as an index
+    * and only the (small) new batch is probed against it. The n-gram
+    * twin of [[Similarity.semanticDecontaminate]]'s embedding-space
+    * anti-join, with the same ids-only candidate shape.
+    *
+    * Plan: banded MinHash signatures on both sides ([[bandedSignatures]]),
+    * cross-table equi-join on (band_id, band_hash) — each colliding pair
+    * surfaces exactly once, at its first shared band, so no dedup
+    * exchange — exact Jaccard verify on the shingle-hash sets, then the
+    * verified batch ids anti-join back against `batch`. Cost is linear
+    * in batch+corpus signatures; the only join is bucket-keyed. Rows of
+    * `batch` that are empty or whitespace-only carry no signature and
+    * pass through unmatched (near-dup of nothing), as in
+    * [[minhashNearDups]].
+    *
+    * `bucketCap` bounds degenerate corpus-side buckets (thousands of
+    * near-identical template docs sharing a band) at the first
+    * `bucketCap` docs by id: a batch doc probing a capped template
+    * bucket still verifies against the retained cohort — for the
+    * organic mega-bucket cause (near-identical sets, in-bucket Jaccard
+    * ≈ 1) any cohort member verifies, so the drop decision is
+    * unchanged while join fan-out is bounded at bucketCap per band per
+    * probe. A pathological bucket whose only true match ranks beyond
+    * the cap in EVERY shared band could slip through; organic buckets
+    * sit far under the default cap. Within-batch duplicates are NOT
+    * removed here (the batch may legitimately deduplicate separately) —
+    * compose with [[dedupNearClusters]] on the survivors for that.
+    *
+    * Output: the surviving rows of `batch`, schema unchanged. */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8, threshold: Double = 0.8,
+                         bucketCap: Int = 500): DataFrame = {
+    require(bucketCap >= 1, "bucketCap must retain a cohort")
+    val nb = bandedSignatures(batch, idCol, textCol, shingleN, numHashes,
+      bands).as("n")
+    val bw = Window.partitionBy(col("band_id"), col("band_hash"))
+      .orderBy(col("doc_id"))
+    val cb = bandedSignatures(corpus, idCol, textCol, shingleN, numHashes,
+        bands)
+      .withColumn("__rn", row_number().over(bw))
+      .filter(col("__rn") <= bucketCap)
+      .drop("__rn")
+      .as("c")
+    val contaminated = nb.join(cb,
+        col("n.band_id") === col("c.band_id") &&
+        col("n.band_hash") === col("c.band_hash") &&
+        array_position(
+          zip_with(col("n.bh"), col("c.bh"), (x, y) => x === y),
+          true) === col("n.band_id") + 1)
+      .select(col("n.doc_id").as("__hit_id"),
+              col("n.hsh").as("h_n"), col("c.hsh").as("h_c"))
+      .filter(size(array_intersect(col("h_n"), col("h_c"))).cast("double") /
+              size(array_union(col("h_n"), col("h_c"))) >= threshold)
+      .select("__hit_id")
+      .distinct()
+    batch.join(contaminated, batch(idCol) === contaminated("__hit_id"),
+      "left_anti")
   }
 
   /** 64-bit SimHash of a token array: per bit, sum +1/-1 weighted by each

@@ -120,4 +120,48 @@ object Profiling {
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(k)
   }
+
+  /** EXACT heavy hitters with sketch-bounded shuffle: every value of
+    * `keyCol` whose count strictly exceeds n/(k+1) (n = non-null rows),
+    * with its exact count and corpus share.
+    *
+    * Two passes, neither shuffling the full key space — the point at
+    * 100 TB where `keyCol` is an n-gram or URL with billions of
+    * distincts and [[keySkew]]'s full `groupBy` shuffles every one of
+    * them:
+    *   1. a Misra–Gries summary
+    *      ([[graft.functions.MisraGriesAggregator]]) reduces each
+    *      partition to ≤ k entries before the exchange and is a
+    *      GUARANTEED superset of every key above the threshold; its ≤ k
+    *      candidate keys are collected (bounded model state, the
+    *      kmeans-centroid pattern, not a data collect);
+    *   2. an exact count restricted to those candidates — non-candidates
+    *      collapse into one NULL group, so the map-side combine emits at
+    *      most k+1 rows per task — then the threshold filter
+    *      `cnt·(k+1) > n` in exact integer arithmetic.
+    *
+    * The sketch's order-dependent weights never reach the output: the
+    * superset guarantee + exact filter make the result deterministic
+    * and engine-portable (same rows as a full grouped count with
+    * `HAVING cnt*(k+1) > n`). NULL keys are excluded. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__key"))
+    val summary = keys.as[String]
+      .select(new graft.functions.MisraGriesAggregator(k).toColumn)
+      .head()
+    val cand = summary.keys.toSeq.sorted
+    val grouped = keys
+      .groupBy(when(col("__key").isin(cand: _*), col("__key")).as(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+    val total = grouped.agg(sum(col("cnt")).as("__n"))
+    grouped.crossJoin(broadcast(total))
+      .filter(col(keyCol).isNotNull && col("cnt") * (k + 1) > col("__n"))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__n")).as("share"))
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
 }

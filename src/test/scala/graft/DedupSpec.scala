@@ -273,4 +273,68 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Boolean)].collect()(0)
     assert(!notOk)
   }
+
+  test("dedupAgainstCorpus drops batch near-dups of the corpus, keeps the rest") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // near-dup
+      (2L, "completely different text about spark partitions and shuffle exchanges here"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(2L))
+    assert(out.columns.toSeq === batch.columns.toSeq, "schema unchanged")
+  }
+
+  test("dedupAgainstCorpus leaves in-batch duplicates and signatureless docs alone") {
+    val corpus = Seq(
+      (100L, "totally unrelated corpus document about graphs and trees here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "   "),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    assert(out.count() === 4,
+      "within-batch dups are out of scope; empty docs match nothing and pass")
+  }
+
+  test("removeBoilerplate kills cross-doc frequent chunks everywhere, keeps in-doc repeats") {
+    val docs = Seq(
+      (1L, "FOOTER TEXT HERE alpha beta gamma"),
+      (2L, "FOOTER TEXT HERE delta epsilon zeta"),
+      (3L, "FOOTER TEXT HERE eta theta iota"),
+      (4L, "dup dup dup dup dup dup"),
+      (5L, "FOOTER TEXT HERE"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text",
+        chunkTokens = 3, minDocs = 3)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "alpha beta gamma",
+      "the shared chunk dies everywhere, including its first occurrence")
+    assert(m(2L) === "delta epsilon zeta")
+    assert(m(3L) === "eta theta iota")
+    assert(m(4L) === "dup dup dup dup dup dup",
+      "repetition inside one document is content, not boilerplate")
+    assert(!m.contains(5L), "an all-boilerplate document disappears")
+    assert(m.get(6L).contains(null), "NULL text passes through")
+    assert(m.size === 5)
+  }
+
+  test("removeBoilerplate below minDocs keeps everything intact") {
+    val docs = Seq(
+      (1L, "FOOTER TEXT HERE alpha beta gamma"),
+      (2L, "FOOTER TEXT HERE delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text",
+        chunkTokens = 3, minDocs = 3)
+    assert(rendered(out) === rendered(docs), "2 occurrences < minDocs=3")
+  }
 }

@@ -83,4 +83,55 @@ class ProfilingSpec extends SparkTestBase {
     assert(plan.sliding("LocalTableScan".length)
       .count(_ == "LocalTableScan") === 1, s"input must be scanned once:\n$plan")
   }
+
+  test("MisraGries summary is a superset of keys above n/(k+1), size <= k") {
+    val rows = Seq.fill(40)("x") ++ Seq.fill(30)("y") ++ (1 to 50).map(i => s"z$i")
+    val ds = rows.toDS().repartition(11) // force many partial merges
+    val m = ds.select(new graft.functions.MisraGriesAggregator(4).toColumn)
+      .head()
+    // n=120, n/(k+1)=24: x(40) and y(30) are guaranteed present
+    assert(m.contains("x") && m.contains("y"))
+    assert(m.size <= 4)
+    // weights underestimate true frequency by at most n/(k+1)
+    assert(m("x") <= 40L && m("x") >= 40L - 24L)
+    assert(m("y") <= 30L && m("y") >= 30L - 24L)
+  }
+
+  test("heavyHitters returns exactly the keys above n/(k+1), with exact counts") {
+    // n=210, k=3 → threshold 52.5: 'a'(100) qualifies, 'b'(50) does not
+    val rows = Seq.fill(100)("a") ++ Seq.fill(50)("b") ++
+      (1 to 60).map(i => s"f$i")
+    val df = rows.toDF("k").repartition(7)
+    val out = Profiling.heavyHitters(df, "k", k = 3).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a"))
+    assert(out(0).getLong(1) === 100L, "counts are exact, not sketch weights")
+    assert(out(0).getDouble(2) === 100.0 / 210)
+  }
+
+  test("heavyHitters matches the full grouped count on a near-uniform stress case") {
+    // 31 distinct keys vs k=30 slots — the sketch's worst case; output
+    // must still equal the exact HAVING cnt*(k+1) > n set
+    val rows = (0 until 2000).map(i => s"t${i % 31}")
+    val df = rows.toDF("k").repartition(13)
+    val k = 30
+    val out = Profiling.heavyHitters(df, "k", k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val n = rows.size
+    val expected = rows.groupBy(identity)
+      .map { case (key, v) => (key, v.size.toLong) }
+      .filter { case (_, c) => c * (k + 1) > n }
+      .toSeq.sortBy { case (key, c) => (-c, key) }
+    assert(out === expected)
+    assert(out.nonEmpty, "stress case must actually exercise the threshold")
+  }
+
+  test("heavyHitters excludes NULL keys and handles the empty frame") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), None).toDF("k")
+    val out = Profiling.heavyHitters(df, "k", k = 2).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a"))
+    assert(out(0).getLong(1) === 3L, "n counts non-null rows only")
+    val empty = Profiling.heavyHitters(
+      spark.emptyDataset[String].toDF("k"), "k", k = 2)
+    assert(empty.count() === 0L)
+  }
 }
