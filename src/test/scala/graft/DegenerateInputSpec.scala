@@ -32,6 +32,16 @@ class DegenerateInputSpec extends SparkTestBase {
     val (truth, ok) = Dedup.minhashRecallAudit(emptyDocs, "doc_id", "text")
       .as[(Long, Boolean)].head()
     assert(truth === 0L && ok)
+    // incremental ingest: empty batch stays empty; an empty corpus
+    // matches nothing, so the whole batch survives
+    assert(Dedup.dedupAgainstCorpus(emptyDocs, oneDoc, "doc_id", "text")
+      .count() === 0)
+    assert(Dedup.dedupAgainstCorpus(oneDoc, emptyDocs, "doc_id", "text")
+      .count() === 1)
+    // boilerplate removal: nothing repeats across an empty/1-doc corpus
+    assert(Dedup.removeBoilerplate(emptyDocs, "doc_id", "text").count() === 0)
+    assert(rendered(Dedup.removeBoilerplate(oneDoc, "doc_id", "text",
+      chunkTokens = 2)) === rendered(oneDoc))
   }
 
   test("pipeline and mixing: empty corpus flows through whole") {

@@ -171,6 +171,28 @@ class PlanQualitySpec extends SparkTestBase {
       s"containment candidates must come from an equi-join:\n$p")
   }
 
+  test("incremental dedup and boilerplate removal stay equi-join shaped") {
+    for (q <- Seq("q_dedup_incremental", "q_boilerplate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on derived keys (band buckets / chunk strings):\n$p")
+    }
+  }
+
+  test("heavyHitters exact pass combines map-side; candidates stay in-plan") {
+    val p = plan("q_heavy_hitters")
+    // the candidate-restricted count must be a partial+final aggregate
+    // (<= k+1 rows per task cross the exchange), and nothing joins —
+    // candidates are a broadcast-scalar-style literal set, the total a
+    // broadcast join of one row
+    assert(p.contains("partial_count"),
+      s"exact candidate count must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("SortMergeJoin"),
+      s"nothing in the heavy-hitter plan should shuffle-join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
