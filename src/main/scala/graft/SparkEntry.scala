@@ -1205,6 +1205,16 @@ object SparkEntry {
           "doc_id", "text", chunkTokens = 10)
         .orderBy("doc_id")),
 
+    // ---- E2 WITHIN-document repeated-chunk trim: zero-shuffle per-row
+    // keep-first over each doc's own chunks (the in-doc repetition
+    // stage; cross-doc repetition is q_para_dedup / q_boilerplate).
+    // chunkTokens=2 exercises ~250 real drops at sf0.001 ----
+    "q_intradoc_dedup" -> ((s, d) =>
+      Dedup.dedupChunksWithinDoc(t(s, d, "documents")
+          .select("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 2)
+        .orderBy("doc_id")),
+
     // ---- E2 C4-style boilerplate removal: chunks occurring in >= 3
     // distinct documents die EVERYWHERE (vs dedupChunksGlobal's
     // keep-first); real-data oracle, DuckDB recomputes the chunk
@@ -2638,6 +2648,23 @@ object SparkEntry {
         |  SELECT doc_id, chunk_idx, chunk,
         |    row_number() OVER (PARTITION BY chunk
         |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+        |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // window twin (partition by doc, chunk) of the zero-shuffle per-row
+    // keep-first scan
+    "q_intradoc_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, g.i AS chunk_idx,
+        |    array_to_string(t[(g.i*2+1):(g.i*2+2)], ' ') AS chunk
+        |  FROM toks, unnest(range(CAST(ceil(len(t)/2.0) AS BIGINT))) AS g(i)),
+        |keep AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    row_number() OVER (PARTITION BY doc_id, chunk
+        |      ORDER BY chunk_idx) AS rn
         |  FROM chunks)
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
         |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -84,6 +84,41 @@ object Dedup {
       .unionByName(nullRows)
   }
 
+  /** WITHIN-document repeated-chunk removal (the in-doc repetition trim
+    * of SlimPajama/Gopher-style cleaning): each document is cut into
+    * consecutive `chunkTokens`-token chunks and every chunk that already
+    * appeared EARLIER IN THE SAME DOCUMENT is dropped; first occurrences
+    * survive in order. Cross-document repetition is untouched — that is
+    * [[dedupChunksGlobal]] (keep-first) / [[removeBoilerplate]]
+    * (frequency kill); the three compose into the usual cleaning ladder.
+    *
+    * The scale point: in-doc dedup has NO cross-row dependency, so this
+    * is a pure per-row projection — zero shuffles, zero exchanges,
+    * perfectly partition-parallel at any corpus size (the window
+    * formulation — partition by (doc, chunk), rn=1 — would shuffle the
+    * whole chunk table for a per-document decision). The keep-first scan
+    * is an `aggregate` HOF appending unseen chunks in order;
+    * `array_contains` per step makes it O(chunks²) per document —
+    * fine at sane chunk counts (a 100k-token doc at the default chunk
+    * size is 10k chunks), and the quadratic term is per-document CPU,
+    * never data movement. NULL text passes through unchanged. */
+  def dedupChunksWithinDoc(df: DataFrame, idCol: String, textCol: String,
+                           chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0)
+    val toks = split(col(textCol), " ")
+    val chunks = transform(
+      sequence(lit(0),
+        ceil(size(toks).cast("double") / chunkTokens).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val kept = aggregate(chunks,
+      array().cast("array<string>"),
+      (acc, c) => when(array_contains(acc, c), acc)
+        .otherwise(array_append(acc, c)))
+    df.withColumn(textCol,
+      when(col(textCol).isNull, col(textCol))
+        .otherwise(array_join(kept, " ")))
+  }
+
   /** C4-style boilerplate removal: cut every document into consecutive
     * `chunkTokens`-token chunks and remove EVERY occurrence of any chunk
     * string that appears in at least `minDocs` DISTINCT documents;

@@ -328,6 +328,30 @@ class DedupSpec extends SparkTestBase {
     assert(m.size === 5)
   }
 
+  test("dedupChunksWithinDoc trims in-doc repeats, leaves cross-doc repeats alone") {
+    val docs2 = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunksWithinDoc(docs2, "doc_id", "text",
+        chunkTokens = 3)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "alpha beta gamma",
+      "a thrice-repeated chunk keeps only its first in-doc occurrence")
+    assert(m(2L) === "alpha beta gamma delta epsilon zeta",
+      "the same chunk in ANOTHER doc is untouched — in-doc scope only")
+    assert(m.get(3L).contains(null), "NULL text passes through")
+  }
+
+  test("dedupChunksWithinDoc is a pure projection — no exchange in the plan") {
+    val docs2 = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val p = Dedup.dedupChunksWithinDoc(docs2, "doc_id", "text", chunkTokens = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"in-doc dedup must not shuffle:\n$p")
+  }
+
   test("removeBoilerplate below minDocs keeps everything intact") {
     val docs = Seq(
       (1L, "FOOTER TEXT HERE alpha beta gamma"),
