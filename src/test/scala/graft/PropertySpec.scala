@@ -228,4 +228,30 @@ class PropertySpec extends SparkTestBase {
       }
     }, samples = 10)
   }
+
+  test("property: Misra-Gries superset + error bound under arbitrary merge trees") {
+    // pure-JVM: exercises reduce/merge directly with random partition
+    // layouts — the adversarial merge orders Spark's partial+final
+    // aggregation can produce
+    val streamGen: Gen[List[String]] = Gen.listOfN(120, Gen.frequency(
+      (5, Gen.const("hot")), (3, Gen.const("warm")),
+      (2, Gen.choose(0, 30).map(i => s"cold$i"))))
+    check(Prop.forAll(streamGen, Gen.choose(1, 8), Gen.choose(2, 6)) {
+      (stream, parts, k) =>
+        stream.isEmpty || {
+          val agg = new graft.functions.MisraGriesAggregator(k)
+          val partials = stream
+            .grouped(math.max(1, stream.size / parts)).toList
+            .map(p => p.foldLeft(agg.zero)(agg.reduce))
+          val out = agg.finish(partials.reduceLeft(agg.merge))
+          val exact = stream.groupBy(identity)
+            .map { case (key, v) => key -> v.size.toLong }
+          val thresh = stream.size.toDouble / (k + 1)
+          out.size <= k &&
+          exact.forall { case (key, c) => c <= thresh || out.contains(key) } &&
+          out.forall { case (key, w) =>
+            w <= exact(key) && w >= exact(key) - thresh }
+        }
+    }, samples = 60)
+  }
 }
