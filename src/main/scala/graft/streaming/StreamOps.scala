@@ -38,6 +38,35 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Streaming trending-keys monitor: a mergeable Misra–Gries summary
+    * ([[graft.functions.MisraGriesAggregator]]) of `keyCol` per
+    * event-time tumbling window. The sketch's mergeability is exactly
+    * what the state store needs: per-trigger partial summaries fold
+    * into the stored window summary, so state per window is ONE ≤
+    * k-entry sketch — never the window's distinct-key space, which for
+    * token/URL streams is what makes a top-keys monitor viable
+    * unbounded. The watermark finalizes and evicts old windows as in
+    * [[windowedCounts]].
+    *
+    * Output per window: the candidate (key, weight) pairs exploded.
+    * Weights are order-dependent UNDERestimates (monitor signal, not
+    * exact counts), but any key with in-window frequency >
+    * n_window/(k+1) is guaranteed present — the batch twin
+    * [[graft.operators.Profiling.heavyHitters]] adds the exact
+    * candidate-restricted pass where exactness matters. */
+  def frequentItemsStream(events: DataFrame, keyCol: String, k: Int,
+                          windowLength: String = "1 hour",
+                          watermarkDelay: String = "2 hours"): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"))
+      .agg(mg(col(keyCol).cast("string")).as("cand"))
+      .select(col("w.start").as("w_start"), explode(col("cand")))
+      .select(col("w_start"), col("key"), col("value").as("weight"))
+  }
+
   /** Streaming exact dedup by event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids
     * older than the horizon is evicted (streaming twin of E1). */

@@ -42,6 +42,42 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("frequentItemsStream: per-window MG candidates contain every heavy key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = StreamOps.frequentItemsStream(in.toDF(), "event_type", k = 2,
+        "1 hour", "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two triggers over one window force a state-store merge of the
+      // stored sketch with the second trigger's partial
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), "click", 1.0),
+        Ev(3, ts("2024-01-01 10:15:00"), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(4, ts("2024-01-01 10:20:00"), "click", 1.0),
+        Ev(5, ts("2024-01-01 10:25:00"), "click", 1.0),
+        Ev(6, ts("2024-01-01 10:30:00"), "scroll", 1.0),
+        Ev(7, ts("2024-01-01 11:05:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .as[(Timestamp, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      val w10 = rows(ts("2024-01-01 10:00:00"))
+      // window 10:00 holds n=6 (4 click, 1 view, 1 scroll), k=2 →
+      // threshold 6/3 = 2: click(4) is guaranteed present with weight
+      // in [4 - 2, 4]; the summary never exceeds k entries
+      assert(w10.contains("click"))
+      assert(w10("click") >= 2L && w10("click") <= 4L)
+      assert(w10.size <= 2)
+      assert(rows(ts("2024-01-01 11:00:00")) === Map("view" -> 1L))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
