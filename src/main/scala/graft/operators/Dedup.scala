@@ -353,14 +353,39 @@ object Dedup {
                          idCol: String, textCol: String,
                          shingleN: Int = 3, numHashes: Int = 32,
                          bands: Int = 8, threshold: Double = 0.8,
-                         bucketCap: Int = 500): DataFrame = {
+                         bucketCap: Int = 500): DataFrame =
+    dedupAgainstIndex(batch,
+      signatureIndex(corpus, idCol, textCol, shingleN, numHashes, bands),
+      idCol, textCol, shingleN, numHashes, bands, threshold, bucketCap)
+
+  /** The standing corpus's banded signature table as a STORABLE artifact
+    * — `(doc_id, hsh, bh, band_id, band_hash)`, the only corpus state
+    * [[dedupAgainstIndex]] probes. A production ingest pipeline builds
+    * this once, writes it out (parquet / [[graft.sources.ManifestTable]]
+    * — partition or bucket by `band_hash` so probe joins co-locate),
+    * probes each new batch against it, and extends it by UNIONING the
+    * surviving batch's own `signatureIndex` — the corpus text is never
+    * re-read, the classic amortized-index shape. Parameters must match
+    * between index build and probe (they define the hash family). */
+  def signatureIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 32,
+                     bands: Int = 8): DataFrame =
+    bandedSignatures(corpus, idCol, textCol, shingleN, numHashes, bands)
+
+  /** [[dedupAgainstCorpus]] against a pre-built (usually read-back)
+    * [[signatureIndex]] — the per-ingest probe that never touches the
+    * corpus text. */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8, threshold: Double = 0.8,
+                        bucketCap: Int = 500): DataFrame = {
     require(bucketCap >= 1, "bucketCap must retain a cohort")
     val nb = bandedSignatures(batch, idCol, textCol, shingleN, numHashes,
       bands).as("n")
     val bw = Window.partitionBy(col("band_id"), col("band_hash"))
       .orderBy(col("doc_id"))
-    val cb = bandedSignatures(corpus, idCol, textCol, shingleN, numHashes,
-        bands)
+    val cb = index
       .withColumn("__rn", row_number().over(bw))
       .filter(col("__rn") <= bucketCap)
       .drop("__rn")

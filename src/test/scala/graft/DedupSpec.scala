@@ -305,6 +305,28 @@ class DedupSpec extends SparkTestBase {
       "within-batch dups are out of scope; empty docs match nothing and pass")
   }
 
+  test("dedupAgainstIndex on a stored, read-back signature index matches the direct path") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "totally unrelated corpus document about graphs and trees here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different text about spark partitions and shuffle exchanges here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx")
+      .toString + "/idx"
+    Dedup.signatureIndex(corpus, "doc_id", "text", shingleN = 3,
+      numHashes = 16, bands = 8).write.parquet(dir)
+    val viaIndex = Dedup.dedupAgainstIndex(batch, spark.read.parquet(dir),
+      "doc_id", "text", shingleN = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    val direct = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    assert(rendered(viaIndex) === rendered(direct))
+    assert(viaIndex.select("doc_id").as[Long].collect().toSet === Set(2L))
+  }
+
   test("removeBoilerplate kills cross-doc frequent chunks everywhere, keeps in-doc repeats") {
     val docs = Seq(
       (1L, "FOOTER TEXT HERE alpha beta gamma"),
