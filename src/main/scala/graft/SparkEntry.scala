@@ -1444,6 +1444,14 @@ object SparkEntry {
       operators.Profiling.heavyHitters(toks, "tok", k = 30)
     }),
 
+    // ---- E20 per-group heavy hitters (trending tokens per source):
+    // grouped MG udaf candidates, semi-join, exact per-group count ----
+    "q_heavy_by_group" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      operators.Profiling.heavyHittersByGroup(toks, "source", "tok", k = 30)
+    }),
+
     // ---- E20 distribution drift between two corpus snapshots: per-key
     // smoothed shares + KL contributions (the source-mix monitor) ----
     "q_dist_drift" -> ((s, d) => {
@@ -2879,6 +2887,17 @@ object SparkEntry {
         |  cnt / CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) AS share
         |FROM c WHERE cnt * 31 > (SELECT COUNT(*) FROM toks)
         |ORDER BY cnt DESC, tok""".stripMargin,
+
+    "q_heavy_by_group" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |n AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY 1)
+        |SELECT c.source, c.tok, c.cnt,
+        |  c.cnt / CAST(n.n AS DOUBLE) AS share
+        |FROM c JOIN n USING (source) WHERE c.cnt * 31 > n.n
+        |ORDER BY c.source, c.cnt DESC, c.tok""".stripMargin,
 
     "q_dist_drift" ->
       """WITH ca AS (SELECT source, count(*) AS cnt_a FROM documents

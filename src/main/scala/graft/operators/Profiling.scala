@@ -164,4 +164,39 @@ object Profiling {
         (col("cnt").cast("double") / col("__n")).as("share"))
       .orderBy(col("cnt").desc, col(keyCol))
   }
+
+  /** Per-group EXACT heavy hitters — the values of `keyCol` whose count
+    * within their `groupCol` group strictly exceeds n_group/(k+1) — the
+    * trending-tokens-per-source / hot-URLs-per-domain shape.
+    *
+    * Same two-pass contract as [[heavyHitters]], grouped: pass 1 runs
+    * the Misra–Gries udaf per group (the map-side partial carries ≤ k
+    * entries per group per task — never the group's key space; the
+    * superset guarantee holds per group because each group's summary
+    * merges only its own partials), pass 2 semi-joins the input to the
+    * exploded candidate pairs — an equi-join on (group, key), linear —
+    * and exact-counts only those, with per-group totals (one small
+    * grouped count) joined for the threshold. Candidates here never
+    * touch the driver, unlike the global variant's bounded collect.
+    * NULL keys are excluded; NULL groups form their own group. */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                          k: Int = 20): DataFrame = {
+    require(k > 0)
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(keyCol).cast("string").as("__key"))
+    val cand = keyed.groupBy(col("__g"))
+      .agg(mg(col("__key")).as("__cand"))
+      .select(col("__g"), explode(map_keys(col("__cand"))).as("__key"))
+    val totals = keyed.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    keyed.join(cand, Seq("__g", "__key"), "left_semi")
+      .groupBy(col("__g"), col("__key"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(totals, Seq("__g"))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .select(col("__g").as(groupCol), col("__key").as(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__n")).as("share"))
+      .orderBy(col(groupCol), col("cnt").desc, col(keyCol))
+  }
 }

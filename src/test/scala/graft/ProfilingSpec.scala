@@ -125,6 +125,31 @@ class ProfilingSpec extends SparkTestBase {
     assert(out.nonEmpty, "stress case must actually exercise the threshold")
   }
 
+  test("heavyHittersByGroup applies the threshold per group, exactly") {
+    // g1: n=12 → thresh 4: a(8) in, b(4) out. g2: n=3 → thresh 1: c(2) in.
+    val rows = Seq.fill(8)(("g1", "a")) ++ Seq.fill(4)(("g1", "b")) ++
+      Seq.fill(2)(("g2", "c")) ++ Seq(("g2", "d"))
+    val df = rows.toDF("g", "k").repartition(5)
+    val out = Profiling.heavyHittersByGroup(df, "g", "k", k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq(("g1", "a", 8L), ("g2", "c", 2L)))
+  }
+
+  test("heavyHittersByGroup matches the grouped count on the near-uniform stress case") {
+    val rows = (0 until 3000).map(i => (s"g${i % 3}", s"t${i % 31}"))
+    val df = rows.toDF("g", "k").repartition(13)
+    val k = 30
+    val out = Profiling.heavyHittersByGroup(df, "g", "k", k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expected = rows.groupBy(identity)
+      .map { case ((g, key), v) => (g, key, v.size.toLong) }
+      .filter { case (g, _, c) =>
+        c * (k + 1) > rows.count(_._1 == g) }
+      .toSet
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
   test("heavyHitters excludes NULL keys and handles the empty frame") {
     val df = Seq(Some("a"), Some("a"), Some("a"), None).toDF("k")
     val out = Profiling.heavyHitters(df, "k", k = 2).collect()
