@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus cleaning: the individual operators
   * composed the way a production pipeline runs them.
   *
-  *   0. (optional) canonical normalization + corpus-level chunk dedup,
+  *   0. (optional) canonical normalization, within-document repetition
+  *      trim, cross-document boilerplate kill, corpus-level chunk dedup
+  *      — the C4/RefinedWeb text-surgery ladder, each stage off by
+  *      default,
   *   1. exact dedup (smallest id per identical text wins),
   *   2. MinHash-LSH near-dup removal (for each surviving near-dup pair,
   *      the larger id is dropped),
@@ -26,21 +29,35 @@ object CorpusPipeline {
             jaccardThreshold: Double = 0.8,
             transitive: Boolean = false,
             normalize: Boolean = false,
+            intraDocDedupTokens: Option[Int] = None,
+            boilerplateMinDocs: Option[Int] = None,
+            boilerplateChunkTokens: Int = 10,
             chunkDedupTokens: Option[Int] = None,
             gopherMinWords: Option[Long] = None): DataFrame = {
     val id = col(idCol); val text = col(textCol)
 
     // 0 (optional). canonical normalization — dedup keys off exact text,
     //    so cleaning BEFORE hashing is what makes near-identical docs
-    //    actually collide; then corpus-level chunk (line) dedup strips
-    //    cross-document boilerplate before whole-doc comparison.
+    //    actually collide; then the text surgery, narrowing scope:
+    //    within-doc repetition trim (zero-shuffle), cross-doc frequent-
+    //    chunk (boilerplate) kill, corpus-level chunk (line) keep-first
+    //    dedup — each strips noise before whole-doc comparison.
     val normalized =
       if (normalize)
         docs.select(id, TextAnalysis.normalizeText(text).as(textCol))
       else docs.select(id, text)
-    val preDeduped = chunkDedupTokens match {
-      case Some(n) => Dedup.dedupChunksGlobal(normalized, idCol, textCol, n)
+    val trimmed = intraDocDedupTokens match {
+      case Some(n) => Dedup.dedupChunksWithinDoc(normalized, idCol, textCol, n)
       case None => normalized
+    }
+    val deBoiled = boilerplateMinDocs match {
+      case Some(m) => Dedup.removeBoilerplate(trimmed, idCol, textCol,
+        boilerplateChunkTokens, m)
+      case None => trimmed
+    }
+    val preDeduped = chunkDedupTokens match {
+      case Some(n) => Dedup.dedupChunksGlobal(deBoiled, idCol, textCol, n)
+      case None => deBoiled
     }
 
     // 1. exact: keep the smallest id per identical text. groupBy + min

@@ -58,6 +58,29 @@ class CorpusPipelineSpec extends SparkTestBase {
       "doc 4's copy of the boilerplate chunk must be stripped")
   }
 
+  test("clean with intra-doc trim + boilerplate kill runs the full text-surgery ladder") {
+    val docs = Seq(
+      // in-doc triple repeat: trims to one chunk, then the doc survives
+      (1L, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+      // boilerplate prefix shared by 3 docs: dies everywhere
+      (2L, "COOKIE NOTICE BANNER interesting unique content about rivers flowing east"),
+      (3L, "COOKIE NOTICE BANNER another distinct article about mountain trails here"),
+      (4L, "COOKIE NOTICE BANNER a third piece describing desert winds and dunes")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, minQuality = 0.1,
+        jaccardThreshold = 0.9,
+        intraDocDedupTokens = Some(3),
+        boilerplateMinDocs = Some(3), boilerplateChunkTokens = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "alpha beta gamma",
+      "within-doc repetition trimmed before whole-doc dedup")
+    assert(Seq(2L, 3L, 4L).forall(i =>
+      out(i).startsWith("interesting") || out(i).startsWith("another") ||
+      out(i).startsWith("a third")),
+      s"the shared banner must die in every doc: $out")
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("clean with gopherMinWords gates on the rule verdict too") {
     val good = (1 to 30).map(i => if (i % 3 == 0) "gamma" else "delta")
       .mkString(" ")
