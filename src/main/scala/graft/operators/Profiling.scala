@@ -190,12 +190,18 @@ object Profiling {
       .agg(mg(col("__key")).as("__cand"))
       .select(col("__g"), explode(map_keys(col("__cand"))).as("__key"))
     val totals = keyed.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-    keyed.join(cand, Seq("__g", "__key"), "left_semi")
+    // joins on the group must be NULL-SAFE (<=>): a NULL group is a
+    // legitimate group here, and plain equality would silently drop its
+    // candidates at both the semi-join and the totals join
+    val counted = keyed.join(cand,
+        keyed("__g") <=> cand("__g") && keyed("__key") === cand("__key"),
+        "left_semi")
       .groupBy(col("__g"), col("__key"))
       .agg(count(lit(1)).as("cnt"))
-      .join(totals, Seq("__g"))
+    counted.join(totals, counted("__g") <=> totals("__g"))
       .filter(col("cnt") * (k + 1) > col("__n"))
-      .select(col("__g").as(groupCol), col("__key").as(keyCol), col("cnt"),
+      .select(counted("__g").as(groupCol), col("__key").as(keyCol),
+        col("cnt"),
         (col("cnt").cast("double") / col("__n")).as("share"))
       .orderBy(col(groupCol), col("cnt").desc, col(keyCol))
   }

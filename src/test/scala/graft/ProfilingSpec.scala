@@ -150,6 +150,17 @@ class ProfilingSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("heavyHittersByGroup treats a NULL group as its own group") {
+    val rows: Seq[(Option[String], String)] =
+      Seq.fill(5)((None, "x")) ++ Seq((None, "y")) ++
+      Seq.fill(3)((Some("g"), "z"))
+    val df = rows.toDF("g", "k")
+    val out = Profiling.heavyHittersByGroup(df, "g", "k", k = 2).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).toSet
+    // NULL group: n=6, thresh 2 → x(5) in, y(1) out; g: n=3 → z(3) in
+    assert(out === Set((None, "x", 5L), (Some("g"), "z", 3L)))
+  }
+
   test("heavyHitters excludes NULL keys and handles the empty frame") {
     val df = Seq(Some("a"), Some("a"), Some("a"), None).toDF("k")
     val out = Profiling.heavyHitters(df, "k", k = 2).collect()
