@@ -85,4 +85,13 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(rows.length === 2 && rows.forall(_._3 == 0L),
       "every key finite via smoothing even with a zero-count side")
   }
+
+  test("heavy hitters: empty frames and all-null keys yield empty, not errors") {
+    val empty = Seq.empty[(String, String)].toDF("g", "k")
+    assert(Profiling.heavyHitters(empty, "k", k = 3).count() === 0)
+    assert(Profiling.heavyHittersByGroup(empty, "g", "k", k = 3).count() === 0)
+    val allNull = Seq(("g", null.asInstanceOf[String])).toDF("g", "k")
+    assert(Profiling.heavyHitters(allNull, "k", k = 3).count() === 0)
+    assert(Profiling.heavyHittersByGroup(allNull, "g", "k", k = 3).count() === 0)
+  }
 }
