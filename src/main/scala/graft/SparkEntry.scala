@@ -1224,6 +1224,15 @@ object SparkEntry {
           "doc_id", "text", chunkTokens = 10, minDocs = 3)
         .orderBy("doc_id")),
 
+    // ---- E15 deterministic upsampling (source weighting with
+    // replication): rate 2.5 → 2 or 3 copies per row, Knuth-hash
+    // decided, layout- and engine-independent ----
+    "q_upsample" -> ((s, d) =>
+      Mixing.upsampleByRates(t(s, d, "documents").select("doc_id", "source"),
+          "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 1.3, "src2" -> 0.29))
+        .orderBy("doc_id", "copy_id")),
+
     // ---- E15 deterministic train/val/test split ----
     "q_split" -> ((s, d) =>
       Mixing.deterministicSplit(t(s, d, "documents"), "doc_id",
@@ -2690,6 +2699,22 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
         |FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same Knuth-hash bucket rule as q_split; range(copies) replicates
+    "q_upsample" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 130
+        |                WHEN 'src2' THEN 29 ELSE -1 END AS p,
+        |    ((doc_id * 2654435761) % 4294967296) % 100 AS b
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source,
+        |    p // 100 + CASE WHEN b < p % 100 THEN 1 ELSE 0 END AS copies
+        |  FROM base WHERE p >= 0)
+        |SELECT doc_id, source, CAST(g.i AS BIGINT) AS copy_id
+        |FROM e, unnest(range(copies)) AS g(i)
+        |ORDER BY doc_id, copy_id""".stripMargin,
 
     "q_split" ->
       """SELECT split, COUNT(*) AS n_docs,

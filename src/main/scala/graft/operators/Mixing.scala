@@ -35,6 +35,43 @@ object Mixing {
     df.filter(pmod(col(keyCol), lit(100L)) < pct)
   }
 
+  /** Deterministic per-stratum UPsampling: each row is emitted
+    * floor(rate) or ceil(rate) times so its stratum's expected
+    * multiplicity is exactly `rate` — the source-weighting / epoch-mixing
+    * primitive LLM training mixes need (rate 2.5 = "this source appears
+    * 2.5× per pass"); rates < 1 downsample through the same formula
+    * (most rows get 0 copies), so one operator covers the whole mixing
+    * table. Which rows receive the extra copy is decided by the same
+    * Knuth-hash percent bucket as [[deterministicSplit]] —
+    * key-determined, layout- and engine-independent, so the upsampled
+    * corpus is bit-reproducible and auditable. A 0-based `copy_id`
+    * column disambiguates replicas for downstream packing/shuffles
+    * (replicas are byte-identical otherwise; anything keyed downstream
+    * should key on (key, copy_id)).
+    *
+    * Plan: a pure per-row array explode — no shuffle, no driver state;
+    * output volume is Σ rate_s·|stratum_s|. Rates round to percent
+    * granularity; strata missing from `rates` are dropped (as in
+    * [[systematicSampleByRates]]). `keyCol` constraints as in
+    * [[deterministicGroupSample]]: non-negative, < ~3.4e9. */
+  def upsampleByRates(df: DataFrame, strataCol: String, keyCol: String,
+                      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(_ >= 0.0), "rates must be non-negative")
+    val pct: Column = rates.foldLeft(lit(-1L)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(math.round(r * 100))).otherwise(acc)
+    }
+    val bucket = pmod(
+      pmod(col(keyCol) * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val copies = floor(pct / lit(100)).cast("long") +
+      when(bucket < pct % 100, 1L).otherwise(0L)
+    // sequence(0, -1) would DESCEND, not empty — guard the 0-copy case
+    // with an empty array so explode drops the row
+    df.filter(pct >= 0)
+      .withColumn("copy_id",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<long>"))))
+  }
+
   /** Deterministic k-per-group sample: keeps the k rows with the
     * smallest Knuth multiplicative hash of `keyCol` within each group —
     * a uniform-ish pseudo-random pick that is exactly reproducible

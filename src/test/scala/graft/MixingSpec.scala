@@ -174,6 +174,29 @@ class MixingSpec extends SparkTestBase {
       Seq(col("doc_id")), 1000).count() === docs.count())
   }
 
+  test("upsampleByRates: expected multiplicities, determinism, 0-copy drop") {
+    val df = (0L until 200L).map(i => (i, if (i < 100) "a" else "b"))
+      .toDF("key", "src")
+    val rates = Map("a" -> 2.3, "b" -> 0.4)
+    val out = Mixing.upsampleByRates(df, "src", "key", rates)
+    val byKey = out.groupBy("key", "src").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every 'a' key appears 2 or 3 times, every surviving 'b' exactly once
+    assert(byKey.filter(_._2 == "a").forall(r => r._3 == 2L || r._3 == 3L))
+    assert(byKey.filter(_._2 == "b").forall(_._3 == 1L))
+    // copy_id is dense 0..copies-1 per key
+    val ids = out.filter(col("key") === byKey.filter(_._2 == "a").head._1)
+      .select("copy_id").as[Long].collect().sorted
+    assert(ids === (0L until ids.length).toArray)
+    // layout independence: repartitioned input yields the identical bag
+    val out2 = Mixing.upsampleByRates(df.repartition(7), "src", "key", rates)
+    assert(rendered(out.orderBy("key", "copy_id")) ===
+      rendered(out2.orderBy("key", "copy_id")))
+    // a stratum missing from rates is dropped; rate 0 emits nothing
+    assert(Mixing.upsampleByRates(df, "src", "key", Map("a" -> 0.0))
+      .count() === 0)
+  }
+
   test("deterministicSplit: labels partition the corpus, reproducibly") {
     val out = Mixing.deterministicSplit(docs, "doc_id",
       Seq("train" -> 90, "val" -> 5, "test" -> 5))
