@@ -1430,6 +1430,15 @@ object SparkEntry {
           col("g.pass"))
         .orderBy("doc_id")),
 
+    // Byte-entropy quality gate: native codegen'd ByteEntropy expression,
+    // engine-exact integer-nanonat arithmetic (see VectorExprs.ByteEntropy)
+    "q_entropy" -> ((s, d) =>
+      docsSpread(s, d)
+        .select(col("doc_id"),
+          round(TextAnalysis.byteEntropy(col("text")), 9).as("entropy"),
+          TextAnalysis.entropyPass(col("text")).as("pass"))
+        .orderBy("doc_id")),
+
     // ---- E15 sequence packing: shard assignment → ordered concat ----
     "q_pack_seq" -> ((s, d) =>
       Mixing.packSequences(t(s, d, "documents"), "source", "doc_id",
@@ -2877,6 +2886,31 @@ object SparkEntry {
         |   AND (CASE WHEN n_chars > 0
         |        THEN numerals / n_chars ELSE 1.0 END) < 0.2) AS pass
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // per-char counts → integer nanonat terms → one IEEE closing sequence:
+    // replays VectorExprs.ByteEntropy bit-for-bit (corpus is ASCII, so
+    // DuckDB characters = the expression's bytes)
+    "q_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM chars GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(cnt * CAST(round(ln(cnt) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS sum_nano,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM cc GROUP BY 1),
+        |e AS (
+        |  SELECT doc_id,
+        |    (CAST(round(ln(n) * 1e9) AS BIGINT) - sum_nano / CAST(n AS DOUBLE))
+        |      / 1e9 AS ent
+        |  FROM agg)
+        |SELECT doc_id, round(ent, 9) AS entropy,
+        |  ent BETWEEN 1.5 AND 5.0 AS pass
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q_pack_seq" ->
       """WITH packed AS (

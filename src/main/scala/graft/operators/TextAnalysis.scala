@@ -146,6 +146,21 @@ object TextAnalysis {
       regexp_replace(lower(text), "[^a-z0-9 ]", " "),
       " +", " "))
 
+  /** Shannon entropy (nats) of the text's byte distribution — the
+    * gibberish / filler / binary-spill quality signal (natural prose sits
+    * near ~2.5–3.2 nats; "aaaa…" filler near 0; encoded binary near ln 256).
+    * Native codegen'd expression (VectorExprs.ByteEntropy): one pass, zero
+    * shuffle, engine-exact integer-nanonat arithmetic so the DuckDB oracle
+    * reproduces it bit-for-bit. */
+  def byteEntropy(text: Column): Column =
+    org.apache.spark.sql.graft.VectorExprs.byteEntropy(text)
+
+  /** Entropy-window quality gate: keep documents whose byte entropy lies
+    * in [lo, hi] — drops low-entropy filler AND high-entropy binary spill
+    * in one scan-side predicate. */
+  def entropyPass(text: Column, lo: Double = 1.5, hi: Double = 5.0): Column =
+    byteEntropy(text).between(lo, hi)
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {

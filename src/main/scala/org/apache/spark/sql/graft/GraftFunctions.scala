@@ -77,6 +77,10 @@ object GraftFunctions {
       need(1, "graft_polyhash")(args)
       VectorExprs.PolyHash(args(0))
     },
+    "graft_byte_entropy" -> { args =>
+      need(1, "graft_byte_entropy")(args)
+      VectorExprs.ByteEntropy(args(0))
+    },
     "graft_interleave" -> { args =>
       need(2, "graft_interleave")(args)
       VectorExprs.Interleave64(args(0), args(1))

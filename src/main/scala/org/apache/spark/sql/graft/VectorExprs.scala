@@ -582,6 +582,81 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Shannon entropy (nats) of a string's BYTE distribution — the
+    * gibberish / binary-spill / repeated-filler quality gate (low entropy
+    * flags "aaaa…"-style filler and template spam; anomalously high flags
+    * encoded binary). One pass over the bytes plus a fixed 256-slot
+    * histogram, fully inside whole-stage codegen — zero shuffle, scan-side
+    * streamable at any corpus size.
+    *
+    * Engine-exact contract (the [[graft.operators.Profiling.distributionDrift]]
+    * nanonat trick): each byte value contributes the INTEGER term
+    * `cnt * round(ln(cnt)·1e9)`, summed as longs — order-independent, so
+    * partition layout and evaluation order can't perturb the result — and
+    * the closing `(round(ln(n)·1e9) − sumNano/n) / 1e9` is a fixed IEEE
+    * sequence DuckDB replays bit-for-bit from its own per-char counts
+    * (the driver corpus is ASCII, so bytes = characters there).
+    * Empty string → 0.0 by convention. */
+  case class ByteEntropy(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_byte_entropy"
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes =
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val n = bytes.length
+      if (n == 0) 0.0
+      else {
+        val counts = new Array[Long](256)
+        var i = 0
+        while (i < n) { counts(bytes(i) & 0xFF) += 1; i += 1 }
+        var sumNano = 0L
+        var b = 0
+        while (b < 256) {
+          val c = counts(b)
+          if (c > 0) sumNano += c * Math.round(Math.log(c.toDouble) * 1e9)
+          b += 1
+        }
+        (Math.round(Math.log(n.toDouble) * 1e9) - sumNano.toDouble / n) / 1e9
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val counts = ctx.addMutableState("long[]", "entropyCounts",
+        v => s"$v = new long[256];")
+      nullSafeCodeGen(ctx, ev, a => {
+        val bytes = ctx.freshName("bytes"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val b = ctx.freshName("b")
+        val c = ctx.freshName("c"); val sumNano = ctx.freshName("sumNano")
+        s"""
+           |byte[] $bytes = $a.getBytes();
+           |int $n = $bytes.length;
+           |if ($n == 0) {
+           |  ${ev.value} = 0.0;
+           |} else {
+           |  java.util.Arrays.fill($counts, 0L);
+           |  for (int $i = 0; $i < $n; $i++) { $counts[$bytes[$i] & 0xFF]++; }
+           |  long $sumNano = 0L;
+           |  for (int $b = 0; $b < 256; $b++) {
+           |    long $c = $counts[$b];
+           |    if ($c > 0) {
+           |      $sumNano += $c * Math.round(Math.log((double) $c) * 1e9);
+           |    }
+           |  }
+           |  ${ev.value} =
+           |    (Math.round(Math.log((double) $n) * 1e9) - $sumNano / (double) $n)
+           |      / 1e9;
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Morton (Z-order) interleave of the low 32 bits of two long columns:
     * bit i of `left` lands at position 2i, bit i of `right` at 2i+1. The
     * space-filling-curve sort key behind `Sources.writeZOrdered` — rows
@@ -1010,6 +1085,9 @@ object VectorExprs {
 
   def polyHash(text: Column): Column =
     ExprBridge.column(PolyHash(ExprBridge.expression(text)))
+
+  def byteEntropy(text: Column): Column =
+    ExprBridge.column(ByteEntropy(ExprBridge.expression(text)))
 
   def interleave64(a: Column, b: Column): Column =
     ExprBridge.column(

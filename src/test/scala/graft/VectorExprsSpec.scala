@@ -219,6 +219,33 @@ class VectorExprsSpec extends SparkTestBase {
     assert(bad === 1L)
   }
 
+  test("byteEntropy: closed-form values, empty → 0, codegen parity") {
+    val df = Seq(
+      (1L, "aaaa"),           // one symbol → H = 0
+      (2L, "ab"),             // two equiprobable → H = ln 2
+      (3L, "aabb"),           // still ln 2 (counts scale out)
+      (4L, ""),               // empty → 0.0 by convention
+      (5L, "abcd")            // four equiprobable → ln 4
+    ).toDF("id", "text")
+    def ents(): Map[Long, Double] =
+      df.select(col("id"), VectorExprs.byteEntropy(col("text")).as("h"))
+        .as[(Long, Double)].collect().toMap
+    val viaCodegen = ents()
+    assert(viaCodegen(1L) === 0.0)
+    assert(math.abs(viaCodegen(2L) - math.log(2)) < 1e-8)
+    assert(math.abs(viaCodegen(2L) - viaCodegen(3L)) <= 2e-9,
+      "entropy depends on proportions, not counts (up to nanonat rounding)")
+    assert(viaCodegen(4L) === 0.0)
+    assert(math.abs(viaCodegen(5L) - math.log(4)) < 1e-8)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(ents() === viaCodegen, "interpreted path bit-equals codegen")
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("topCellsByCosine: (sim desc, cell asc) order, keep clamped to cells") {
     // cells 1 and 3 share a centroid → tie resolves to the lower cell id
     val cells = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0f)))
