@@ -1085,6 +1085,14 @@ object SparkEntry {
       EventOps.approxDistinctUsersChecked(t(s, d, "events"))
         .orderBy("event_type")),
 
+    // mergeable quantile sketch + in-plan rank-guarantee audit: checkable
+    // output is (group, exact percentile, verdict) — the sketch value
+    // itself is engine-specific
+    "q_approx_percentile" -> ((s, d) =>
+      operators.Profiling.approxPercentilesChecked(
+        t(s, d, "events"), "event_type", "value")
+        .orderBy("event_type")),
+
     // ---- E23 full-text retrieval: exact Okapi BM25 + hybrid RRF ----
     "q_bm25" -> ((s, d) =>
       operators.Search.bm25(t(s, d, "documents"),
@@ -1969,6 +1977,14 @@ object SparkEntry {
     // exact companion count and asserts the tolerance verdict is true
     "q_approx_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the quantile-sketch value is engine-specific; the oracle reproduces
+    // the exact percentile and asserts the rank-guarantee verdict
+    "q_approx_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 9) AS p_value,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

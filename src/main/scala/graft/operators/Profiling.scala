@@ -109,6 +109,36 @@ object Profiling {
     * handling. One grouped count (map-side combined) + a
     * TakeOrderedAndProject for the top-k: no global sort materializes.
     * Share divides exact longs, so values are engine-exact. */
+  /** Approximate per-group percentile with an in-plan accuracy audit —
+    * the quantile counterpart of [[graft.operators.EventOps.approxDistinctUsersChecked]].
+    *
+    * `percentile_approx` is the 100 TB path: a mergeable bounded-memory
+    * rank sketch whose partials combine map-side, vs exact `percentile`'s
+    * collected value lists. Sketch VALUES are engine- and layout-specific,
+    * so the CHECKABLE output is (group, exact percentile, within_tol): the
+    * verdict asserts the sketch's rank guarantee — the approx value must
+    * lie between the exact percentiles at p ± 2/accuracy (twice the
+    * documented ≤ 1/accuracy rank error) — and an oracle reproduces the
+    * exact value and asserts the verdict without reproducing the sketch.
+    * (Exact percentiles are affordable here because the audit is the
+    * point; production pipelines run the sketch alone.) */
+  def approxPercentilesChecked(df: DataFrame, groupCol: String,
+                               valCol: String, p: Double = 0.5,
+                               accuracy: Int = 100): DataFrame = {
+    require(accuracy >= 10, "accuracy < 10 gives a vacuous audit window")
+    val eps = 2.0 / accuracy
+    val lo = math.max(0.0, p - eps); val hi = math.min(1.0, p + eps)
+    df.groupBy(col(groupCol))
+      .agg(
+        percentile_approx(col(valCol), lit(p), lit(accuracy)).as("__approx"),
+        expr(s"percentile($valCol, $p)").as("__exact"),
+        expr(s"percentile($valCol, $lo)").as("__lo"),
+        expr(s"percentile($valCol, $hi)").as("__hi"))
+      .select(col(groupCol),
+        round(col("__exact"), 9).as(s"p_$valCol"),
+        col("__approx").between(col("__lo"), col("__hi")).as("within_tol"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     require(k > 0)
     val total = df.select(count(lit(1)).as("__total"))

@@ -20,6 +20,19 @@ class ProfilingSpec extends SparkTestBase {
     assert(p("v") === (("v", 4L, 1L, 2L, "-1.0", "2.5")))
   }
 
+  test("approxPercentilesChecked: exact median, verdict honors the rank guarantee") {
+    val df = ((1 to 99).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("b", Some(1.0)), ("b", Some(2.0)), ("b", Some(100.0)),
+        ("b", Option.empty[Double])))
+      .toDF("g", "v")
+    val out = Profiling.approxPercentilesChecked(df, "g", "v")
+      .as[(String, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out("a")._2 === 50.0, "odd count → middle element exactly")
+    assert(out("a")._3 && out("b")._3,
+      "sketch rank guarantee holds on both groups")
+    assert(out("b")._2 === 2.0, "nulls ignored; median of {1,2,100} = 2")
+  }
+
   test("keySkew: heaviest keys first with exact shares, bounded output") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
       .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
