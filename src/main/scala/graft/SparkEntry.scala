@@ -1116,6 +1116,11 @@ object SparkEntry {
     // ---- E19 corpus statistics / decontamination (Ngrams) ----
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
+    // cross-source overlap matrix: exact pairwise shingle Jaccard +
+    // directional containments — the pre-mixing contamination report
+    "q_source_overlap" -> ((s, d) =>
+      Ngrams.sourceOverlap(t(s, d, "documents"))
+        .orderBy("src_a", "src_b")),
     "q_tfidf" -> ((s, d) =>
       Ngrams.tfidf(
           t(s, d, "documents").filter(col("doc_id") < 100), minDf = 2)
@@ -2450,6 +2455,27 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5
         |ORDER BY tok""".stripMargin,
+
+    // exact distinct-shingle sets per source; jaccard/containment are
+    // single IEEE divisions of exact integer counts — engine-identical
+    "q_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source AS g,
+        |    unnest(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT source, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.g AS src_a, b.g AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard,
+        |  CAST(n_common AS DOUBLE) / sa.sz AS containment_a,
+        |  CAST(n_common AS DOUBLE) / sb.sz AS containment_b
+        |FROM inter JOIN sz sa ON sa.g = src_a JOIN sz sb ON sb.g = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // BM25: every constant enters as a cast literal so both engines do
     // the identical runtime IEEE ops; idf and per-term weights rounded

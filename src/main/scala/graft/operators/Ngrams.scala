@@ -177,6 +177,48 @@ object Ngrams {
     * duplicate fraction rep_ratio = 1 - distinct/total. Docs with fewer
     * than `n` tokens are dropped (no windows). Entirely per-row native
     * expressions — zero shuffle. */
+  /** Cross-source shingle-overlap matrix — the dataset-overlap /
+    * contamination report published before mixing corpora: for every
+    * source pair, the EXACT Jaccard overlap of their distinct word
+    * n-gram sets, plus both directional containments (how much of the
+    * smaller source is subsumed — high containment with low Jaccard is
+    * the "one corpus swallowed another" signature symmetric overlap
+    * hides).
+    *
+    * Plan shape: one (source, shingle) distinct (linear shuffle on the
+    * shingle table, persisted — it feeds three consumers), per-source
+    * sizes (tiny, broadcast back), and a shingle-keyed self-join whose
+    * output is bounded by Σ_sh s_sh² ≤ G·|shingles| for G sources — the
+    * group count, not the corpus, bounds the quadratic term, so this
+    * scales to any corpus with a bounded source list. Jaccard and
+    * containment are single IEEE divisions of exact integer counts —
+    * engine-reproducible bit-for-bit. */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("__g"),
+        explode(ngramArray(col(textCol), n)).as("__sh"))
+      .distinct()
+      .persist()
+    val sz = sh.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("src_a"), col("b.__g").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.withColumnRenamed("__g", "src_a")
+              .withColumnRenamed("__sz", "sz_a"), "src_a")
+      .join(sz.withColumnRenamed("__g", "src_b")
+              .withColumnRenamed("__sz", "sz_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("sz_a"), col("sz_b"),
+        (col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"),
+        (col("n_common").cast("double") / col("sz_a")).as("containment_a"),
+        (col("n_common").cast("double") / col("sz_b")).as("containment_b"))
+  }
+
   def repetitionRatio(docs: DataFrame, n: Int, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val t = toks(col(textCol))

@@ -98,4 +98,21 @@ class NgramsSpec extends SparkTestBase {
     assert(r(3L)._1 === 6L && r(3L)._2 === 4L)
     assert(math.abs(r(3L)._3 - 2.0 / 6.0) < 1e-15)
   }
+
+  test("sourceOverlap: exact jaccard/containment; disjoint pairs absent") {
+    val df = Seq(
+      ("A", "a b c d"),        // shingles {a b c, b c d}
+      ("B", "a b c e"),        // shingles {a b c, b c e}
+      ("C", "x y z w")         // disjoint from both
+    ).toDF("source", "text")
+    val out = Ngrams.sourceOverlap(df)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(out.length === 1, "non-overlapping pairs are not emitted")
+    val (sa, sb, common, szA, szB, jac, ca, cb) = out.head
+    assert((sa, sb) === (("A", "B")))
+    assert((common, szA, szB) === ((1L, 2L, 2L)))
+    assert(jac === 1.0 / 3.0)
+    assert(ca === 0.5 && cb === 0.5)
+  }
 }
