@@ -1085,6 +1085,12 @@ object SparkEntry {
       EventOps.approxDistinctUsersChecked(t(s, d, "events"))
         .orderBy("event_type")),
 
+    // user-journey Markov transitions: exact pair counts + conditional
+    // probability, deterministic via the event_id order tie-break
+    "q_transition_matrix" -> ((s, d) =>
+      EventOps.transitionMatrix(t(s, d, "events"))
+        .orderBy("from_type", "to_type")),
+
     // mergeable quantile sketch + in-plan rank-guarantee audit: checkable
     // output is (group, exact percentile, verdict) — the sketch value
     // itself is engine-specific
@@ -1984,6 +1990,20 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
 
     // the quantile-sketch value is engine-specific; the oracle reproduces
     // the exact percentile and asserts the rank-guarantee verdict

@@ -109,6 +109,32 @@ object EventOps {
         (abs(col("__approx") - col("exact_users")) <=
           lit(2 * rsd) * col("exact_users")).as("within_tol"))
 
+  /** Event-type transition matrix — the user-journey Markov model: for
+    * every consecutive event pair within a user's time-ordered stream,
+    * the exact pair count and the conditional transition probability
+    * P(to | from). The product-analytics "what happens after X" view and
+    * the generative model behind journey simulation.
+    *
+    * Plan shape: one shuffle on the user key (the lead window), then one
+    * (from, to) aggregation whose output is |event types|² rows — tiny —
+    * so the closing probability window is free. Ordering ties broken by
+    * `idCol` for a deterministic, layout-independent matrix; the
+    * probability is a single IEEE division of exact integer counts. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(byUser).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    pairs.select(col("from_type"), col("to_type"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(byFrom)).as("prob"))
+  }
+
   /** Cohort retention matrix: users grouped by the `granularity` period
     * of their FIRST event (the cohort), counted distinct in every later
     * period they remain active, keyed by the period offset from their

@@ -41,6 +41,32 @@ class EventOpsSpec extends SparkTestBase {
       ("2024-01-15", 0L, 1L)))  // u2 cohort week Jan 15
   }
 
+  test("transitionMatrix: per-user consecutive pairs, P(to|from) sums to 1") {
+    // u1: A→B→A ; u2: A→B — transitions A→B ×2, B→A ×1; last events
+    // of each user emit nothing
+    val df = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 10L, "A"),
+      (2L, ts("2026-01-01 00:01:00"), 10L, "B"),
+      (3L, ts("2026-01-01 00:02:00"), 10L, "A"),
+      (4L, ts("2026-01-01 00:00:00"), 20L, "A"),
+      (5L, ts("2026-01-01 00:01:00"), 20L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.transitionMatrix(df)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((2L, 1.0)),
+      ("B", "A") -> ((1L, 1.0))))
+    // equal-timestamp tie broken by event_id: u3 sees X(id 6) then Y(id 7)
+    val tie = Seq(
+      (7L, ts("2026-01-01 00:00:00"), 30L, "Y"),
+      (6L, ts("2026-01-01 00:00:00"), 30L, "X")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val t2 = EventOps.transitionMatrix(tie)
+      .as[(String, String, Long, Double)].collect()
+    assert(t2.toSeq === Seq(("X", "Y", 1L, 1.0)))
+  }
+
   test("funnel: first A, min delay to B within window; non-converters null") {
     val events = Seq(
       // user 1: click at 10:00, purchases at 10:30 (in) and 10:10 (in, min)
