@@ -1449,6 +1449,13 @@ object SparkEntry {
           col("g.pass"))
         .orderBy("doc_id")),
 
+    // per-source top-30% quality cut; id tie-break makes the kept set
+    // deterministic
+    "q_quality_prune" -> ((s, d) =>
+      TextAnalysis.qualityPrune(t(s, d, "documents"), keepFrac = 0.3)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // Byte-entropy quality gate: native codegen'd ByteEntropy expression,
     // engine-exact integer-nanonat arithmetic (see VectorExprs.ByteEntropy)
     "q_entropy" -> ((s, d) =>
@@ -2948,6 +2955,28 @@ object SparkEntry {
         |   AND (CASE WHEN n_chars > 0
         |        THEN numerals / n_chars ELSE 1.0 END) < 0.2) AS pass
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_quality_prune" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    (LEAST(CAST(LENGTH(text) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |     + CASE WHEN LENGTH(text) > 0
+        |            THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |                 / CAST(LENGTH(text) AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END
+        |     + CASE WHEN len(string_split(text, ' ')) > 0
+        |                 AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3
+        |                 AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10
+        |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+        |    ) / CAST(3.0 AS DOUBLE) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    percent_rank() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS pr
+        |  FROM q)
+        |SELECT doc_id, source FROM r WHERE pr < 0.3
+        |ORDER BY doc_id""".stripMargin,
 
     // per-char counts → integer nanonat terms → one IEEE closing sequence:
     // replays VectorExprs.ByteEntropy bit-for-bit (corpus is ASCII, so

@@ -161,6 +161,28 @@ object TextAnalysis {
   def entropyPass(text: Column, lo: Double = 1.5, hi: Double = 5.0): Column =
     byteEntropy(text).between(lo, hi)
 
+  /** Per-group quality-percentile pruning — the "keep the top `keepFrac`
+    * of each source by model/heuristic score" selection stage (the
+    * DCLM/FineWeb-style quality cut, applied per source so one
+    * high-scoring source cannot crowd the others out of the mix).
+    *
+    * Keeps rows whose `percent_rank` under (score DESC, `idCol`) within
+    * `groupCol` is < `keepFrac`; the id tie-break makes the kept SET
+    * layout- and engine-deterministic even with duplicated scores. One
+    * shuffle on the group key; the rank window rides its partitioning. */
+  def qualityPrune(docs: DataFrame, keepFrac: Double,
+                   groupCol: String = "source", idCol: String = "doc_id",
+                   textCol: String = "text",
+                   score: Column => Column = qualityScore): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(score(col(textCol)).desc, col(idCol))
+    docs.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") < keepFrac)
+      .drop("__pr")
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {

@@ -112,4 +112,23 @@ class TextAnalysisSpec extends SparkTestBase {
       "n_bpeish_tokens", "lang_pred", "quality", "fingerprint"))
     assert(out.count() === 5)
   }
+
+  test("qualityPrune keeps the per-group top fraction, ids break ties") {
+    // score = text length; group A lengths 5,4,3,2,1 → keepFrac 0.5
+    // keeps percent_rank 0 and 0.25 (the two longest)
+    val df = Seq(
+      (1L, "A", "aaaaa"), (2L, "A", "aaaa"), (3L, "A", "aaa"),
+      (4L, "A", "aa"), (5L, "A", "a"),
+      // group B: all-equal scores → tie-break keeps the LOWEST id
+      (6L, "B", "xx"), (7L, "B", "yy"), (8L, "B", "zz")
+    ).toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.qualityPrune(df, keepFrac = 0.5,
+        score = t => org.apache.spark.sql.functions.length(t))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 6L),
+      "top half of A by length; B's tie resolved to the first id")
+    // full columns survive the prune
+    assert(TextAnalysis.qualityPrune(df, 0.5).columns.toSeq ===
+      Seq("doc_id", "source", "text"))
+  }
 }
