@@ -1122,6 +1122,18 @@ object SparkEntry {
     // ---- E19 corpus statistics / decontamination (Ngrams) ----
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
+
+    // waterfall token-budget allocation: budget = half the corpus, src0
+    // over-weighted 50:1 so it caps at one epoch and its surplus
+    // redistributes over the remaining sources (all-integer arithmetic)
+    "q_budget_alloc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val budget =
+        docs.agg(sum(col("n_chars")).cast("long")).head().getLong(0) / 2
+      val weights =
+        (("src0" -> 50L) +: (1 to 19).map(i => s"src$i" -> 1L)).toMap
+      Mixing.allocateBudget(docs, weights, budget).orderBy("source")
+    }),
     // cross-source overlap matrix: exact pairwise shingle Jaccard +
     // directional containments — the pre-mixing contamination report
     "q_source_overlap" -> ((s, d) =>
@@ -2482,6 +2494,51 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5
         |ORDER BY tok""".stripMargin,
+
+    // two-phase waterfall unrolled in SQL — valid because exactly one
+    // round caps on this corpus (src0 at 50:1 caps; the 19-way
+    // redistribution stays under every remaining cap); all arithmetic
+    // is BIGINT division, identical to the operator's integer waterfall
+    "q_budget_alloc" ->
+      """WITH avail AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |w(source, w) AS (VALUES
+        |  ('src0', 50), ('src1', 1), ('src2', 1), ('src3', 1), ('src4', 1),
+        |  ('src5', 1), ('src6', 1), ('src7', 1), ('src8', 1), ('src9', 1),
+        |  ('src10', 1), ('src11', 1), ('src12', 1), ('src13', 1),
+        |  ('src14', 1), ('src15', 1), ('src16', 1), ('src17', 1),
+        |  ('src18', 1), ('src19', 1)),
+        |b AS (SELECT CAST(CAST(sum(n_chars) AS BIGINT) // 2 AS BIGINT)
+        |        AS budget FROM documents),
+        |j AS (
+        |  SELECT a.source, a.avail, CAST(COALESCE(w.w, 0) AS BIGINT) AS w,
+        |    a.avail AS cap
+        |  FROM avail a LEFT JOIN w USING (source)),
+        |r1 AS (
+        |  SELECT j.*, b.budget,
+        |    CAST(b.budget * j.w //
+        |      (SELECT CAST(sum(w) AS BIGINT) FROM j WHERE w > 0) AS BIGINT)
+        |      >= j.cap AS capped
+        |  FROM j, b),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
+        |      AS taken,
+        |    CAST(sum(CASE WHEN NOT capped AND w > 0 THEN w ELSE 0 END)
+        |      AS BIGINT) AS sumw2
+        |  FROM r1),
+        |alloc AS (
+        |  SELECT r1.source, r1.avail, r1.cap, r1.capped AND r1.w > 0 AS capped,
+        |    CASE WHEN r1.capped THEN r1.cap
+        |         WHEN r1.w > 0 THEN
+        |           CAST((r1.budget - agg.taken) * r1.w // agg.sumw2 AS BIGINT)
+        |         ELSE 0 END AS alloc
+        |  FROM r1, agg)
+        |SELECT source, avail AS avail_tokens, cap AS cap_tokens,
+        |  alloc AS alloc_tokens, CAST(alloc AS DOUBLE) / avail AS epochs,
+        |  capped
+        |FROM alloc ORDER BY source""".stripMargin,
 
     // exact distinct-shingle sets per source; jaccard/containment are
     // single IEEE divisions of exact integer counts — engine-identical

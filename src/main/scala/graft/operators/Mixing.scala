@@ -11,6 +11,63 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** Token-budget mixing planner — waterfall allocation of a global
+    * training budget across sources: each source's ideal share is
+    * `budget · w_g / Σw` (integer weights, integer division — exactly
+    * reproducible in any engine), but no source may exceed
+    * `cap = ⌊avail · maxEpochs⌋`; capped sources take their cap and the
+    * freed budget redistributes over the remaining sources by the same
+    * rule, cascading until no source caps (≤ |sources| rounds). The
+    * "compute the achievable mixture" step that runs BEFORE
+    * [[sampleByRates]] / [[upsampleByRates]] execute it.
+    *
+    * The waterfall iterates on the driver over the collected per-source
+    * size aggregate — model-state-sized (one row per source), the same
+    * bound as the ANN codebooks, never row data. Output: one row per
+    * weighted-or-present source with its available/cap/allocated token
+    * counts, realized epochs (one IEEE division) and a capped flag.
+    * Unallocatable remainder tokens (integer-division dust or an
+    * everyone-capped budget surplus) stay unspent by design. */
+  def allocateBudget(corpus: DataFrame, weights: Map[String, Long],
+                     budget: Long, maxEpochs: Double = 1.0,
+                     groupCol: String = "source",
+                     sizeCol: String = "n_chars"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val maxW = (weights.values ++ Seq(1L)).max
+    require(maxW == 0 || budget <= Long.MaxValue / maxW,
+      "budget * max(weight) must fit in a Long — use smaller weight units")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val avail = corpus.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).cast("long").as("__avail"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val w = avail.map { case (g, _) => weights.getOrElse(g, 0L) }
+    val cap = avail.map { case (_, av) => math.floor(av * maxEpochs).toLong }
+    val alloc = Array.fill(avail.length)(0L)
+    var active = avail.indices.filter(i => w(i) > 0).toSet
+    var remaining = budget
+    var settled = false
+    while (!settled && active.nonEmpty) {
+      val sumW = active.iterator.map(w).sum
+      val capped = active.filter(i => remaining * w(i) / sumW >= cap(i))
+      if (capped.isEmpty) {
+        active.foreach(i => alloc(i) = remaining * w(i) / sumW)
+        settled = true
+      } else {
+        capped.foreach { i => alloc(i) = cap(i); remaining -= cap(i) }
+        active --= capped
+      }
+    }
+    avail.indices.map { i =>
+      val (g, av) = avail(i)
+      (g, av, cap(i), alloc(i), alloc(i).toDouble / av,
+        w(i) > 0 && alloc(i) == cap(i))
+    }.toDF(groupCol, "avail_tokens", "cap_tokens", "alloc_tokens",
+      "epochs", "capped")
+  }
+
   /** Per-stratum Bernoulli sampling via Spark's `sampleBy` — the
     * standard mixing primitive. Deterministic for a fixed seed AND fixed
     * partitioning (the RNG is per-partition); for layout-independent

@@ -299,4 +299,36 @@ class MixingSpec extends SparkTestBase {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(again === first)
   }
+
+  test("allocateBudget: waterfall cascades caps across rounds, integer-exact") {
+    val corpus = Seq(("A", 10L), ("B", 20L), ("C", 1000L), ("D", 7L))
+      .toDF("source", "n_chars")
+    // round 1: A's ideal 120·98/100 = 117 ≥ 10 → capped; round 2: B's
+    // ideal 110/2 = 55 ≥ 20 → capped; round 3: C takes the rest (90)
+    val out = Mixing.allocateBudget(corpus,
+        Map("A" -> 98L, "B" -> 1L, "C" -> 1L), budget = 120L)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 10L, 10L, 10L, 1.0, true)))
+    assert(out("B") === (("B", 20L, 20L, 20L, 1.0, true)))
+    assert(out("C") === (("C", 1000L, 1000L, 90L, 0.09, false)))
+    assert(out("D") === (("D", 7L, 7L, 0L, 0.0, false)),
+      "unweighted source is reported with zero allocation")
+  }
+
+  test("allocateBudget: maxEpochs scales caps; no-cap case is proportional") {
+    val corpus = Seq(("A", 10L), ("B", 30L)).toDF("source", "n_chars")
+    val up = Mixing.allocateBudget(corpus, Map("A" -> 1L), budget = 100L,
+        maxEpochs = 1.5)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(up("A")._3 === 15L && up("A")._4 === 15L && up("A")._6,
+      "cap = floor(avail · maxEpochs); epoch budget caps the allocation")
+    val prop = Mixing.allocateBudget(corpus,
+        Map("A" -> 1L, "B" -> 3L), budget = 20L)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(prop === Map("A" -> 5L, "B" -> 15L),
+      "uncapped budget splits by integer weight shares")
+  }
 }
