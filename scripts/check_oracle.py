@@ -12,6 +12,14 @@ import numpy as np
 
 def normalize(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # pandas can't sort/compare ndarray cells — render array columns to a
+    # canonical string (both sides arrive via duckdb, so rendering matches)
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (np.ndarray, list))).any():
+            df[c] = df[c].map(
+                lambda v: str(list(v)) if isinstance(v, (np.ndarray, list))
+                else str(v))
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df

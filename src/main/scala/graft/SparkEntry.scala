@@ -1483,6 +1483,13 @@ object SparkEntry {
           "n_chars", "text", budget = 1000L)
         .orderBy("source", "shard")),
 
+    // packed shards + trainer structure arrays (ids, lengths, exclusive
+    // cumulative start offsets) — still one group-key shuffle
+    "q_pack_boundaries" -> ((s, d) =>
+      Mixing.packWithBoundaries(t(s, d, "documents"), "source", "doc_id",
+          "n_chars", "text", budget = 1000L)
+        .orderBy("source", "shard")),
+
     // ---- E20 key-skew report (the pre-join salting diagnostic) ----
     "q_key_skew" -> ((s, d) =>
       operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 20)),
@@ -3074,6 +3081,28 @@ object SparkEntry {
         |  COUNT(*) AS n_docs
         |FROM packed GROUP BY source, shard
         |ORDER BY source, shard""".stripMargin,
+
+    // same packing CTE; boundary offsets via per-index prefix list_sum —
+    // the engine's in-array aggregate scan, replayed in SQL
+    "q_pack_boundaries" ->
+      """WITH packed AS (
+        |  SELECT source, doc_id, text, n_chars,
+        |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+        |      AS BIGINT) AS shard
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, shard,
+        |    string_agg(text, ' <eos> ' ORDER BY doc_id) AS seq,
+        |    list(doc_id ORDER BY doc_id) AS doc_ids,
+        |    list(n_chars ORDER BY doc_id) AS doc_lens
+        |  FROM packed GROUP BY source, shard)
+        |SELECT source, shard, seq, doc_ids, doc_lens,
+        |  list_transform(range(1, len(doc_lens) + 1),
+        |    i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT))
+        |    AS doc_starts
+        |FROM g ORDER BY source, shard""".stripMargin,
 
     "q_key_skew" ->
       """SELECT l_suppkey, COUNT(*) AS cnt,

@@ -352,6 +352,34 @@ object Mixing {
         sum(col(weightCol)).as("total_weight"),
         count(lit(1)).as("n_docs"))
 
+  /** [[packSequences]] plus the per-shard structure arrays a trainer
+    * consumes: the packed document ids in order, their weights
+    * (token-count stand-ins), and `doc_starts` — exclusive cumulative
+    * offsets of each document in the concatenated weight space (the
+    * attention-reset / position-id boundaries for packed-sequence
+    * training; separators are not counted). The offset scan is an
+    * in-array `aggregate` HOF over the shard's OWN length array, so the
+    * whole operator still costs exactly one group-key shuffle — the
+    * boundary arrays add zero exchanges. */
+  def packWithBoundaries(df: DataFrame, groupCol: String, orderCol: String,
+                         weightCol: String, textCol: String, budget: Long,
+                         sep: String = " <eos> "): DataFrame =
+    packByBudget(df, groupCol, orderCol, weightCol, budget)
+      .groupBy(col(groupCol), col("shard"))
+      .agg(array_sort(
+        collect_list(struct(col(orderCol), col(weightCol), col(textCol))))
+        .as("__docs"))
+      .select(col(groupCol), col("shard"),
+        array_join(transform(col("__docs"), x => x(textCol)), sep).as("seq"),
+        transform(col("__docs"), x => x(orderCol)).as("doc_ids"),
+        transform(col("__docs"), x => x(weightCol)).as("doc_lens"),
+        slice(
+          aggregate(
+            transform(col("__docs"), x => x(weightCol).cast("long")),
+            array(lit(0L)),
+            (acc, x) => concat(acc, array(element_at(acc, -1) + x))),
+          lit(1), size(col("__docs"))).as("doc_starts"))
+
   /** Greedy fixed-budget shard assignment: within each `groupCol`
     * (ordered by `orderCol`), rows are packed into shards of at most
     * `budget` total `weightCol` (a row larger than the budget gets its

@@ -300,6 +300,24 @@ class MixingSpec extends SparkTestBase {
     assert(again === first)
   }
 
+  test("packWithBoundaries: ids/lens in order, exclusive cumulative starts") {
+    val df = Seq(
+      (1L, "g", 5L, "aaaaa"), (2L, "g", 4L, "bbbb"), (3L, "g", 8L, "cccccccc")
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val out = Mixing.packWithBoundaries(df, "source", "doc_id", "n_chars",
+        "text", budget = 8L)
+      .orderBy("shard")
+      .as[(String, Long, String, Seq[Long], Seq[Long], Seq[Long])].collect()
+    // cum-before 0,5,9 div 8 → docs 1,2 in shard 0; doc 3 in shard 1
+    assert(out.length === 2)
+    val (_, s0, seq0, ids0, lens0, starts0) = out(0)
+    assert((s0, seq0) === ((0L, "aaaaa <eos> bbbb")))
+    assert(ids0 === Seq(1L, 2L) && lens0 === Seq(5L, 4L))
+    assert(starts0 === Seq(0L, 5L), "exclusive prefix sums of lens")
+    val (_, s1, _, ids1, _, starts1) = out(1)
+    assert((s1, ids1, starts1) === ((1L, Seq(3L), Seq(0L))))
+  }
+
   test("allocateBudget: waterfall cascades caps across rounds, integer-exact") {
     val corpus = Seq(("A", 10L), ("B", 20L), ("C", 1000L), ("D", 7L))
       .toDF("source", "n_chars")
