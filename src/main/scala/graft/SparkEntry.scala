@@ -1154,6 +1154,15 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // graded contamination: fraction of each train doc's 8-grams found
+    // in the eval set (doc_id < 100), not just a drop verdict
+    "q_contam_score" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      Ngrams.contaminationScore(
+          docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100), n = 8)
+        .orderBy("doc_id")
+    }),
     "q_rep_ratio" -> ((s, d) =>
       Ngrams.repetitionRatio(docsSpread(s, d), n = 3).orderBy("doc_id")),
     // E19 corpus → token-id sequences against a ranked vocabulary (the
@@ -2695,6 +2704,28 @@ object SparkEntry {
         |SELECT doc_id FROM tr
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+
+    // string 8-grams replay the hashed-shingle counts exactly (64-bit
+    // hashes: no collisions on this corpus, same as q_decontam)
+    "q_contam_score" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id >= 100),
+        |ev AS (SELECT string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id < 100),
+        |evg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        |        FROM ev, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |trg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+        |        FROM tr, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |cnt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN g IN (SELECT g FROM evg) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_matched
+        |  FROM trg GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_matched,
+        |  CAST(n_matched AS DOUBLE) / n_shingles AS contamination
+        |FROM cnt ORDER BY doc_id""".stripMargin,
 
     "q_rep_ratio" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

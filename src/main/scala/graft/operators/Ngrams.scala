@@ -129,6 +129,39 @@ object Ngrams {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Graded contamination report — the measuring twin of
+    * [[decontaminate]]: instead of dropping any train document sharing
+    * one n-gram with the eval set, score EVERY train document by the
+    * fraction of its distinct n-grams that appear anywhere in the eval
+    * set. The audit a benchmark-hygiene review wants ("how contaminated,
+    * not just whether"), and the knob for threshold-based policies
+    * between keep-all and drop-on-first-hit.
+    *
+    * Same machinery as decontaminate: hashed n-grams (fixed-width long
+    * keys, native ShingleHash64), eval's distinct-gram set broadcast by
+    * AQE onto a left join, one per-doc aggregate — all linear. Documents
+    * shorter than `n` tokens have no windows and are not scored. The
+    * score is one IEEE division of exact integer counts. */
+  def contaminationScore(train: DataFrame, eval: DataFrame, n: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) =
+      df.filter(size(toks(col(textCol))) >= n)
+        .select(col(idCol),
+          explode(array_distinct(
+            VectorExprs.shingleHash64(toks(col(textCol)), n))).as("g"))
+    val evalGrams = grams(eval).select("g").distinct()
+      .withColumn("__hit", lit(1L))
+    grams(train)
+      .join(evalGrams, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .select(col(idCol), col("n_shingles"), col("n_matched"),
+        (col("n_matched").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   /** Unigram language-model score per document: mean log-probability of
     * the document's tokens under the corpus unigram distribution,
     * p(tok) = tf / total_tokens — the cheap perplexity-style quality

@@ -99,6 +99,21 @@ class NgramsSpec extends SparkTestBase {
     assert(math.abs(r(3L)._3 - 2.0 / 6.0) < 1e-15)
   }
 
+  test("contaminationScore: per-doc matched fraction; short docs unscored") {
+    val eval = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val train = Seq(
+      // 9 tokens → two 8-gram windows, the first matches eval exactly
+      (1L, "a b c d e f g h x"),
+      (2L, "p q r s t u v w x"),   // two windows, no overlap
+      (3L, "too short")            // < 8 tokens → no windows, not scored
+    ).toDF("doc_id", "text")
+    val out = Ngrams.contaminationScore(train, eval, n = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 2L, 0L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
   test("sourceOverlap: exact jaccard/containment; disjoint pairs absent") {
     val df = Seq(
       ("A", "a b c d"),        // shingles {a b c, b c d}
