@@ -1139,6 +1139,12 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) =>
       Ngrams.sourceOverlap(t(s, d, "documents"))
         .orderBy("src_a", "src_b")),
+
+    // distributional twin: pairwise Jensen–Shannon divergence between
+    // source unigram distributions (integer-nanonat ln terms)
+    "q_source_jsd" -> ((s, d) =>
+      Ngrams.sourceDivergence(t(s, d, "documents"))
+        .orderBy("src_a", "src_b")),
     "q_tfidf" -> ((s, d) =>
       Ngrams.tfidf(
           t(s, d, "documents").filter(col("doc_id") < 100), minDf = 2)
@@ -2510,6 +2516,39 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5
         |ORDER BY tok""".stripMargin,
+
+    // intersection tokens carry integer nanonat terms; each side's
+    // private mass closes the telescope as (n − Σc_inter)·round(ln2·1e9)
+    "q_source_jsd" ->
+      """WITH cnt AS (
+        |  SELECT source AS g, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |sided AS (SELECT cnt.g, tok, c, n FROM cnt JOIN tot USING (g)),
+        |j AS (
+        |  SELECT a.g AS src_a, b.g AS src_b, a.n AS na, b.n AS nb,
+        |    a.c AS ca, b.c AS cb,
+        |    CAST(round(ln(2.0 * a.c * b.n /
+        |      (CAST(a.c AS DOUBLE) * b.n + CAST(b.c AS DOUBLE) * a.n)) * 1e9)
+        |      AS BIGINT) * a.c AS ta,
+        |    CAST(round(ln(2.0 * b.c * a.n /
+        |      (CAST(a.c AS DOUBLE) * b.n + CAST(b.c AS DOUBLE) * a.n)) * 1e9)
+        |      AS BIGINT) * b.c AS tb
+        |  FROM sided a JOIN sided b ON a.tok = b.tok AND a.g < b.g),
+        |gg AS (
+        |  SELECT src_a, src_b, na, nb,
+        |    CAST(sum(ta) AS BIGINT) AS sa_int, CAST(sum(tb) AS BIGINT) AS sb_int,
+        |    CAST(sum(ca) AS BIGINT) AS ia, CAST(sum(cb) AS BIGINT) AS ib,
+        |    CAST(count(*) AS BIGINT) AS n_common_tokens
+        |  FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, n_common_tokens,
+        |  round(0.5 * (
+        |    CAST(sa_int + (na - ia) * 693147181 AS DOUBLE) / na +
+        |    CAST(sb_int + (nb - ib) * 693147181 AS DOUBLE) / nb) / 1e9, 9)
+        |    AS jsd
+        |FROM gg ORDER BY src_a, src_b""".stripMargin,
 
     // two-phase waterfall unrolled in SQL — valid because exactly one
     // round caps on this corpus (src0 at 50:1 caps; the 19-way

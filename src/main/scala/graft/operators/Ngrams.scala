@@ -252,6 +252,63 @@ object Ngrams {
         (col("n_common").cast("double") / col("sz_b")).as("containment_b"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the DISTRIBUTIONAL twin of [[sourceOverlap]]: two
+    * sources can share almost no exact n-grams yet be linguistically
+    * near-identical (or vice versa); JSD over token frequencies is the
+    * "which corpora are the same kind of text" matrix that drives
+    * mixing and dedup-policy decisions. Symmetric, bounded by ln 2.
+    *
+    * Engine-exact contract: each intersection token contributes the
+    * INTEGER term `c · round(ln(P/M)·1e9)` (the [[graft.operators.Profiling.distributionDrift]]
+    * nanonat trick; the ratio `P/M = 2·c_a·n_b / (c_a·n_b + c_b·n_a)`
+    * is computed in a fixed IEEE sequence over exact integer inputs),
+    * summed as longs — order-independent — and tokens private to one
+    * side close the telescope as `(n − Σc_inter) · round(ln 2·1e9)`.
+    * The final combination is rounded to 9 decimals, absorbing any
+    * last-ulp libm disagreement inside the rounded ln terms.
+    *
+    * Plan shape: one (source, token) count aggregate (linear, persisted
+    * — both join sides and the totals read it), a broadcast totals
+    * attach, and a token-keyed self-join whose output is bounded by the
+    * SOURCE count × vocabulary, not the corpus. */
+  def sourceDivergence(docs: DataFrame, groupCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val L2 = lit(693147181L) // round(ln 2 · 1e9)
+    val cnt = docs
+      .select(col(groupCol).as("g"), explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist()
+    val tot = cnt.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val sided = cnt.join(tot, "g")
+    val a = sided.select(col("g").as("ga"), col("tok"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = sided.select(col("g").as("gb"), col("tok"),
+      col("c").as("cb"), col("n").as("nb"))
+    val denom = col("ca").cast("double") * col("nb") +
+      col("cb").cast("double") * col("na")
+    def nano(r: Column): Column = round(log(r) * lit(1e9), 0).cast("long")
+    val joined = a.join(b, Seq("tok"))
+      .filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("na"), col("nb"),
+        col("ca"), col("cb"),
+        (nano(lit(2.0) * col("ca") * col("nb") / denom) * col("ca"))
+          .as("ta"),
+        (nano(lit(2.0) * col("cb") * col("na") / denom) * col("cb"))
+          .as("tb"))
+      .groupBy(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("na"), col("nb"))
+      .agg(sum(col("ta")).as("sa_int"), sum(col("tb")).as("sb_int"),
+        sum(col("ca")).as("ia"), sum(col("cb")).as("ib"),
+        count(lit(1)).as("n_common_tokens"))
+    joined.select(col("src_a"), col("src_b"), col("n_common_tokens"),
+      round(lit(0.5) *
+        ((col("sa_int") + (col("na") - col("ia")) * L2).cast("double") /
+           col("na") +
+         (col("sb_int") + (col("nb") - col("ib")) * L2).cast("double") /
+           col("nb")) / lit(1e9), 9).as("jsd"))
+  }
+
   def repetitionRatio(docs: DataFrame, n: Int, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val t = toks(col(textCol))

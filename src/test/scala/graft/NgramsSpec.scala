@@ -114,6 +114,23 @@ class NgramsSpec extends SparkTestBase {
     assert(!out.contains(3L))
   }
 
+  test("sourceDivergence: identical sources → 0; bounded by ln 2") {
+    val df = Seq(
+      ("A", "x x y"), ("B", "x x y"),      // identical distribution
+      ("C", "x z z z z z z z z z"),        // shares x, mostly different
+      ("D", "p q r")                       // disjoint from all
+    ).toDF("source", "text")
+    val out = Ngrams.sourceDivergence(df)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out(("A", "B")) === 0.0,
+      "identical distributions → every nanonat term is ln 1 = 0")
+    assert(out(("A", "C")) > 0.0 && out(("A", "C")) < math.log(2.0))
+    assert(out(("A", "C")) === out(("B", "C")), "JSD is symmetric")
+    assert(!out.contains(("A", "D")),
+      "token-disjoint pairs are not emitted (their JSD is exactly ln 2)")
+  }
+
   test("sourceOverlap: exact jaccard/containment; disjoint pairs absent") {
     val df = Seq(
       ("A", "a b c d"),        // shingles {a b c, b c d}
