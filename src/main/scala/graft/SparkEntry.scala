@@ -1123,6 +1123,15 @@ object SparkEntry {
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
 
+    // k-fold CV labels: engine-independent Knuth-hash fold assignment,
+    // summarized per fold (counts + char mass)
+    "q_kfold" -> ((s, d) =>
+      Mixing.kFoldSplit(t(s, d, "documents"), "doc_id", k = 5)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("fold")),
+
     // waterfall token-budget allocation: budget = half the corpus, src0
     // over-weighted 50:1 so it caps at one epoch and its surplus
     // redistributes over the remaining sources (all-integer arithmetic)
@@ -2516,6 +2525,11 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5
         |ORDER BY tok""".stripMargin,
+
+    "q_kfold" ->
+      """SELECT ((doc_id * 2654435761) % 4294967296) % 5 AS fold,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY fold ORDER BY fold""".stripMargin,
 
     // intersection tokens carry integer nanonat terms; each side's
     // private mass closes the telescope as (n − Σc_inter)·round(ln2·1e9)

@@ -264,6 +264,19 @@ object Mixing {
     df.withColumn(splitCol, label)
   }
 
+  /** K-fold cross-validation labels: `fold = Knuth-hash(key) mod k`,
+    * layout- and engine-independent like [[deterministicSplit]] (same
+    * multiplicative hash), so every engine re-derives the identical
+    * partition of keys into k folds; pair with a filter on `fold` to
+    * materialize each train/validation rotation without ever storing k
+    * copies. Zero shuffle — a pure projection. */
+  def kFoldSplit(df: DataFrame, keyCol: String, k: Int,
+                 foldCol: String = "fold"): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    df.withColumn(foldCol, pmod(
+      pmod(col(keyCol) * lit(2654435761L), lit(4294967296L)), lit(k.toLong)))
+  }
+
   /** EXACT-proportion stratified split: within every `strataCol` group,
     * rows are ranked by `orderCol` (pass a hash expression column for a
     * pseudo-random draw, or an id for an auditable one) and assigned so

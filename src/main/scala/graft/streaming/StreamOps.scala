@@ -67,6 +67,28 @@ object StreamOps {
       .select(col("w_start"), col("key"), col("value").as("weight"))
   }
 
+  /** Streaming per-window quantile monitor — the latency/size-percentile
+    * dashboard feed: `percentile_approx`'s mergeable rank sketch as a
+    * windowed streaming aggregate, so state per (window, group) is ONE
+    * bounded digest (never the window's value list) and per-trigger
+    * partials fold into it across micro-batches — the same
+    * bounded-mergeable-state property that makes
+    * [[frequentItemsStream]] viable on unbounded streams, applied to
+    * quantiles. Emits one row per closed window and group with the
+    * approximate percentile (rank error ≤ 1/accuracy). */
+  def quantileStream(events: DataFrame, valCol: String,
+                     p: Double = 0.5, accuracy: Int = 100,
+                     groupCol: String = "event_type",
+                     windowLength: String = "1 hour",
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col(groupCol))
+      .agg(percentile_approx(col(valCol), lit(p), lit(accuracy))
+        .as(s"p_$valCol"))
+      .select(col("w.start").as("w_start"), col(groupCol),
+        col(s"p_$valCol"))
+
   /** Streaming exact dedup by event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids
     * older than the horizon is evicted (streaming twin of E1). */

@@ -300,6 +300,17 @@ class MixingSpec extends SparkTestBase {
     assert(again === first)
   }
 
+  test("kFoldSplit: folds partition the data, stable across layouts") {
+    val df = (1L to 200L).toDF("doc_id")
+    val folds = Mixing.kFoldSplit(df, "doc_id", k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(folds.size === 200, "every row gets exactly one fold")
+    assert(folds.values.toSet === Set(0L, 1L, 2L, 3L))
+    val again = Mixing.kFoldSplit(df.repartition(7), "doc_id", k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again === folds, "fold of a key is independent of layout")
+  }
+
   test("packWithBoundaries: ids/lens in order, exclusive cumulative starts") {
     val df = Seq(
       (1L, "g", 5L, "aaaaa"), (2L, "g", 4L, "bbbb"), (3L, "g", 8L, "cccccccc")

@@ -78,6 +78,38 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quantileStream: digest state merges across triggers; rank guarantee") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = StreamOps.quantileStream(in.toDF(), "value", p = 0.5,
+        accuracy = 100, groupCol = "event_type",
+        windowLength = "1 hour", watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two triggers over one window: the stored digest for (10:00,
+      // click) must merge with the second trigger's partial
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "click", 10.0),
+        Ev(2, ts("2024-01-01 10:10:00"), "click", 20.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(3, ts("2024-01-01 10:20:00"), "click", 30.0),
+        Ev(4, ts("2024-01-01 10:25:00"), "click", 40.0),
+        Ev(5, ts("2024-01-01 10:30:00"), "click", 50.0),
+        Ev(6, ts("2024-01-01 11:05:00"), "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .as[(Timestamp, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // {10,20,30,40,50}: with n=5 ≤ accuracy the sketch is exact → 30
+      assert(rows((ts("2024-01-01 10:00:00"), "click")) === 30.0,
+        "median over BOTH triggers — digest merged, not replaced")
+      assert(rows((ts("2024-01-01 11:00:00"), "view")) === 7.0)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
