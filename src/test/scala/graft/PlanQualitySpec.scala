@@ -193,6 +193,37 @@ class PlanQualitySpec extends SparkTestBase {
       s"nothing in the heavy-hitter plan should shuffle-join:\n$p")
   }
 
+  test("byte entropy and transition matrix stay equi/window shaped, no joins gone wrong") {
+    val ent = plan("q_entropy")
+    assert(!ent.contains("Exchange") || ent.sliding("Exchange".length)
+        .count(_ == "Exchange") <= 2,
+      s"entropy is per-row — only the closing sort may exchange:\n$ent")
+    val tm = plan("q_transition_matrix")
+    assert(!tm.contains("CartesianProduct") &&
+           !tm.contains("BroadcastNestedLoopJoin"),
+      s"transition matrix must not plan a cross join:\n$tm")
+  }
+
+  test("source matrices: token/shingle self-joins are equi-shaped; sizes broadcast") {
+    for (q <- Seq("q_source_overlap", "q_source_jsd")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on the token/shingle key, not cross:\n$p")
+    }
+    val p = plan("q_source_overlap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-source sizes are tiny and must broadcast:\n$p")
+  }
+
+  test("contamination score broadcasts the eval-gram set onto the left join") {
+    val p = plan("q_contam_score")
+    assert(!p.contains("CartesianProduct"),
+      s"contamination must join on the hashed gram key:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval gram set is small and must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
