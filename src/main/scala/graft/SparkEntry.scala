@@ -894,6 +894,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the WHOLE pipeline in one call over the same closed-form fixture:
+    // clean → source re-attach → (keep-all) quality cut → deterministic
+    // 50% mixing sample → 60-char sequence packing with boundaries
+    "q_prepare" -> ((s, d) => {
+      val g = expr("doc_id div 3")
+      val reps = when(pmod(col("doc_id"), lit(3)) === 1, lit(4))
+        .otherwise(pmod(col("doc_id"), lit(3)) + 4)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", array_repeat(
+            concat(lit("tok"), g.cast("string")), reps.cast("int")))
+            .as("text"))
+      val rates = (0 to 19).map(i => s"src$i" -> 0.5).toMap
+      operators.CorpusPipeline.prepare(docs, rates, packBudget = 60L,
+          minQuality = 0.0, jaccardThreshold = 0.8)
+        .orderBy("source", "shard")
+    }),
+
     // ---- cleaning attrition report over the same closed-form fixture
     // as q_corpus_clean: per div-3 group, doc 3g keeps, 3g+1 is its
     // exact duplicate, 3g+2 shares the identical one-shingle set →
@@ -2159,6 +2177,39 @@ object SparkEntry {
         |  rtrim(repeat('tok' || CAST(g AS VARCHAR) || ' ',
         |    CASE WHEN doc_id % 3 = 2 THEN 6 ELSE 4 END)) AS text
         |FROM survivors ORDER BY doc_id""".stripMargin,
+
+    // closed-form end-to-end: survivors (identical-shingle-set fixture,
+    // certain LSH recall) → 50%-bucket sample → cum-before div packing,
+    // boundary offsets via per-index prefix list_sum
+    "q_prepare" ->
+      """WITH survivors AS (
+        |  SELECT CAST(doc_id // 3 AS BIGINT) AS g, MIN(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1),
+        |surv AS (
+        |  SELECT s.doc_id,
+        |    rtrim(repeat('tok' || CAST(s.g AS VARCHAR) || ' ',
+        |      CASE WHEN s.doc_id % 3 = 2 THEN 6 ELSE 4 END)) AS text,
+        |    d.source
+        |  FROM survivors s JOIN documents d ON d.doc_id = s.doc_id),
+        |samp AS (SELECT * FROM surv WHERE doc_id % 100 < 50),
+        |packed AS (
+        |  SELECT source, doc_id, text, CAST(length(text) AS BIGINT) AS len,
+        |    CAST(COALESCE(SUM(length(text)) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 60 AS BIGINT) AS shard
+        |  FROM samp),
+        |g2 AS (
+        |  SELECT source, shard,
+        |    string_agg(text, ' <eos> ' ORDER BY doc_id) AS seq,
+        |    list(doc_id ORDER BY doc_id) AS doc_ids,
+        |    list(len ORDER BY doc_id) AS doc_lens
+        |  FROM packed GROUP BY source, shard)
+        |SELECT source, shard, seq, doc_ids, doc_lens,
+        |  list_transform(range(1, len(doc_lens) + 1),
+        |    i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT))
+        |    AS doc_starts
+        |FROM g2 ORDER BY source, shard""".stripMargin,
 
     // closed-form attrition outcomes of the q_corpus_clean fixture
     "q_clean_report" ->

@@ -95,6 +95,49 @@ object CorpusPipeline {
     gated.withColumn(textCol, TextAnalysis.redact(text))
   }
 
+  /** The whole train-set materialization in one call — [[clean]]'s
+    * hygiene ladder, then the selection/composition stages a pipeline
+    * runs on the survivors:
+    *
+    *   5. re-attach the grouping column (clean deliberately carries only
+    *      id+text; an id-keyed join restores `sourceCol`),
+    *   6. per-source quality-percentile cut ([[TextAnalysis.qualityPrune]];
+    *      `keepFrac = 1.0` keeps all),
+    *   7. deterministic per-source mixing sample
+    *      ([[Mixing.systematicSampleByRates]] — rates typically come out
+    *      of [[Mixing.allocateBudget]]),
+    *   8. fixed-budget sequence packing with trainer boundary arrays
+    *      ([[Mixing.packWithBoundaries]], weights = post-clean text
+    *      length).
+    *
+    * Output: packed training rows (source, shard, seq, doc_ids,
+    * doc_lens, doc_starts). Every stage is the already-audited operator
+    * — the composition adds one id-keyed join and inherits each stage's
+    * plan shape (no cross joins, candidates on ids, one group-key
+    * shuffle to pack). */
+  def prepare(docs: DataFrame, rates: Map[String, Double],
+              packBudget: Long,
+              idCol: String = "doc_id", textCol: String = "text",
+              sourceCol: String = "source",
+              keepFrac: Double = 1.0,
+              minQuality: Double = 0.3,
+              shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+              jaccardThreshold: Double = 0.8,
+              sep: String = " <eos> "): DataFrame = {
+    val cleaned = clean(docs, idCol, textCol, minQuality,
+      shingleN, numHashes, bands, jaccardThreshold)
+    val sourced = cleaned
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val pruned = TextAnalysis.qualityPrune(sourced, keepFrac,
+      sourceCol, idCol, textCol)
+    val sampled = Mixing.systematicSampleByRates(pruned, sourceCol,
+      idCol, rates)
+    val sized = sampled
+      .withColumn("__len", length(col(textCol)).cast("long"))
+    Mixing.packWithBoundaries(sized, sourceCol, idCol, "__len", textCol,
+      packBudget, sep)
+  }
+
   /** Per-document outcome report of [[clean]] (pairwise mode): one row
     * per input document with the stage that removed it — `exact_dup`
     * (not the smallest id of its identical-text group), `near_dup`

@@ -175,12 +175,15 @@ object TextAnalysis {
                    textCol: String = "text",
                    score: Column => Column = qualityScore): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(score(col(textCol)).desc, col(idCol))
-    docs.withColumn("__pr", percent_rank().over(w))
-      .filter(col("__pr") < keepFrac)
-      .drop("__pr")
+    if (keepFrac == 1.0) docs  // keep-all: percent_rank < 1 would drop the tail
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(score(col(textCol)).desc, col(idCol))
+      docs.withColumn("__pr", percent_rank().over(w))
+        .filter(col("__pr") < keepFrac)
+        .drop("__pr")
+    }
   }
 
   /** Full text-analysis projection over a documents table. */
