@@ -390,6 +390,23 @@ object SparkEntry {
                 col("n_events"), col("sum_value"))
         .orderBy("w_start", "event_type")),
 
+    // ---- Z-order layout: quantize (user_id, event_id) to 8 bits each,
+    // interleave to a Morton key, report per-z-run bounding rectangles —
+    // the tight per-bucket min/max on BOTH dims in the output IS the
+    // multi-column zone-map pruning evidence ----
+    "q_zorder" -> ((s, d) => {
+      val z = operators.Layout.zvalue(Seq(
+        operators.Layout.quantize(col("user_id"), 0L, 256L, 8),
+        operators.Layout.quantize(col("event_id"), 0L, 16384L, 8)), 8)
+      t(s, d, "events")
+        .withColumn("zv", z)
+        .groupBy(shiftright(col("zv"), 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("min_u"), max("user_id").as("max_u"),
+          min("event_id").as("min_e"), max("event_id").as("max_e"))
+        .orderBy("bucket")
+    }),
+
     // ---- batch sessionization (gap-based, twin of StreamOps.sessionize) ----
     "q_sessionize" -> ((s, d) =>
       EventOps.sessionizeBatch(t(s, d, "events"), gapMs = 3600 * 1000L)
@@ -2030,6 +2047,27 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same quantize + bit-interleave formula as Layout.zvalue, replayed
+    // in closed-form SQL (integer div + shift/and/or — engine-exact)
+    "q_zorder" ->
+      """WITH qd AS (SELECT user_id, event_id,
+        |  ((least(greatest(CAST(user_id AS BIGINT), 0), 256) - 0) * 255) // 256 AS u,
+        |  ((least(greatest(CAST(event_id AS BIGINT), 0), 16384) - 0) * 255) // 16384 AS e
+        |  FROM events),
+        |z AS (SELECT user_id, event_id,
+        |  (((u >> 0) & 1) << 0) | (((e >> 0) & 1) << 1) |
+        |  (((u >> 1) & 1) << 2) | (((e >> 1) & 1) << 3) |
+        |  (((u >> 2) & 1) << 4) | (((e >> 2) & 1) << 5) |
+        |  (((u >> 3) & 1) << 6) | (((e >> 3) & 1) << 7) |
+        |  (((u >> 4) & 1) << 8) | (((e >> 4) & 1) << 9) |
+        |  (((u >> 5) & 1) << 10) | (((e >> 5) & 1) << 11) |
+        |  (((u >> 6) & 1) << 12) | (((e >> 6) & 1) << 13) |
+        |  (((u >> 7) & 1) << 14) | (((e >> 7) & 1) << 15) AS zv FROM qd)
+        |SELECT zv >> 8 AS bucket, COUNT(*) AS n,
+        |  MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+        |  MIN(event_id) AS min_e, MAX(event_id) AS max_e
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (
