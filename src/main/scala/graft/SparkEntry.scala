@@ -926,6 +926,14 @@ object SparkEntry {
       val rates = (0 to 19).map(i => s"src$i" -> 0.5).toMap
       operators.CorpusPipeline.prepare(docs, rates, packBudget = 60L,
           minQuality = 0.0, jaccardThreshold = 0.8)
+        // scalar-only projection for the driver gate (arrays → canonical
+        // comma-joined strings); the operator itself keeps typed arrays
+        .withColumn("doc_ids",
+          array_join(col("doc_ids").cast("array<string>"), ","))
+        .withColumn("doc_lens",
+          array_join(col("doc_lens").cast("array<string>"), ","))
+        .withColumn("doc_starts",
+          array_join(col("doc_starts").cast("array<string>"), ","))
         .orderBy("source", "shard")
     }),
 
@@ -1225,6 +1233,11 @@ object SparkEntry {
       val vocab = Ngrams.vocabulary(docs, minDf = 5)
         .select(col("tok"), row_number().over(vw).cast("long").as("id"))
       Ngrams.encodeTokens(docs, vocab, oovId = 0L)
+        // driver-gate rule: oracle-checked outputs are scalar-only — the
+        // gate's row sort cannot hash array cells, so the id sequence
+        // crosses as its canonical comma-joined string
+        .withColumn("token_ids",
+          array_join(col("token_ids").cast("array<string>"), ","))
         .orderBy("doc_id")
     }),
 
@@ -1547,6 +1560,14 @@ object SparkEntry {
     "q_pack_boundaries" -> ((s, d) =>
       Mixing.packWithBoundaries(t(s, d, "documents"), "source", "doc_id",
           "n_chars", "text", budget = 1000L)
+        // scalar-only projection for the driver gate (arrays → canonical
+        // comma-joined strings); the operator itself keeps typed arrays
+        .withColumn("doc_ids",
+          array_join(col("doc_ids").cast("array<string>"), ","))
+        .withColumn("doc_lens",
+          array_join(col("doc_lens").cast("array<string>"), ","))
+        .withColumn("doc_starts",
+          array_join(col("doc_starts").cast("array<string>"), ","))
         .orderBy("source", "shard")),
 
     // ---- E20 key-skew report (the pre-join salting diagnostic) ----
@@ -2243,10 +2264,13 @@ object SparkEntry {
         |    list(doc_id ORDER BY doc_id) AS doc_ids,
         |    list(len ORDER BY doc_id) AS doc_lens
         |  FROM packed GROUP BY source, shard)
-        |SELECT source, shard, seq, doc_ids, doc_lens,
-        |  list_transform(range(1, len(doc_lens) + 1),
-        |    i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT))
-        |    AS doc_starts
+        |SELECT source, shard, seq,
+        |  COALESCE(array_to_string(doc_ids, ','), '') AS doc_ids,
+        |  COALESCE(array_to_string(doc_lens, ','), '') AS doc_lens,
+        |  COALESCE(array_to_string(
+        |    list_transform(range(1, len(doc_lens) + 1),
+        |      i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT)),
+        |    ','), '') AS doc_starts
         |FROM g2 ORDER BY source, shard""".stripMargin,
 
     // closed-form attrition outcomes of the q_corpus_clean fixture
@@ -2892,7 +2916,9 @@ object SparkEntry {
         |enc AS (
         |  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
         |  FROM tok t LEFT JOIN vocab v USING (tok))
-        |SELECT doc_id, list(id ORDER BY pos) AS token_ids,
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list(id ORDER BY pos), ','), '')
+        |    AS token_ids,
         |  CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -3271,10 +3297,13 @@ object SparkEntry {
         |    list(doc_id ORDER BY doc_id) AS doc_ids,
         |    list(n_chars ORDER BY doc_id) AS doc_lens
         |  FROM packed GROUP BY source, shard)
-        |SELECT source, shard, seq, doc_ids, doc_lens,
-        |  list_transform(range(1, len(doc_lens) + 1),
-        |    i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT))
-        |    AS doc_starts
+        |SELECT source, shard, seq,
+        |  COALESCE(array_to_string(doc_ids, ','), '') AS doc_ids,
+        |  COALESCE(array_to_string(doc_lens, ','), '') AS doc_lens,
+        |  COALESCE(array_to_string(
+        |    list_transform(range(1, len(doc_lens) + 1),
+        |      i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT)),
+        |    ','), '') AS doc_starts
         |FROM g ORDER BY source, shard""".stripMargin,
 
     "q_key_skew" ->

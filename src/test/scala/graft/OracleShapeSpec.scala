@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Driver-gate shape rule: every ORACLE-CHECKED query must produce
+  * scalar-only top-level columns. The gate materializes both sides into
+  * pandas and sorts rows before hashing; an array/map/struct cell makes
+  * that sort throw (`TypeError: unhashable type: numpy.ndarray`) and the
+  * query goes red regardless of semantics (round-6 verdict, items 1–2).
+  * Operators keep their typed array APIs — the registered query is where
+  * arrays are serialized to canonical strings (comma-joined / to_json).
+  *
+  * `.schema` only runs analysis, so this covers all ~160 queries cheaply;
+  * the few operators that train model state at plan-build time (k-means,
+  * PQ codebooks) do so on the sf0.001 tables. */
+class OracleShapeSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("oracle-checked query outputs contain no array/map/struct columns") {
+    val oracleChecked = SparkEntry.queries.keys.toSeq.sorted
+      .filter(SparkEntry.oracleSql.contains)
+    val offenders = oracleChecked.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, d).schema
+      val bad = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar columns in oracle-checked outputs (driver gate would " +
+      s"crash sorting these):\n  ${offenders.mkString("\n  ")}")
+  }
+}
