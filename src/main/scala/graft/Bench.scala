@@ -4,14 +4,20 @@ package graft
   * SPARK_GRAFT_SF_DIR and emits ONE JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Honesty rules (VERDICT r5 §4):
-  *   - a query that THROWS is reported as the string "failed" in
-  *     `queries` (never a fake fast timing), listed with its exception
-  *     in `failures`, and excluded from `value`;
+  * Honesty rules (VERDICT r5 §4, refined r6):
+  *   - a query is "failed" only when ALL N runs throw (last exception
+  *     reported, excluded from `value`); a query with ≥1 successful run
+  *     reports best-of-successful-runs and is counted in `n_flaky` /
+  *     per-query `flaky` in bench_detail.json, so transient noise is
+  *     distinguishable from a hard failure;
   *   - best-of-N (default 3) per query — the noise-robust minimum on a
-  *     shared VM — with the first (cold, codegen-inclusive) run recorded
-  *     separately in target/bench_detail.json so compile-heavy plans are
-  *     readable as fixed cost vs steady state.
+  *     shared VM — with the first (cold, codegen-inclusive) successful
+  *     run recorded separately in target/bench_detail.json so
+  *     compile-heavy plans are readable as fixed cost vs steady state;
+  *   - the full per-query line prints FIRST, then a compact totals-only
+  *     summary line LAST: round records keep only a bounded stdout tail,
+  *     which truncates the head of the big line — the compact line is
+  *     what survives for the structured record (VERDICT r6 residual 2).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,24 +35,33 @@ object Bench {
     catch { case _: Throwable => () }
 
     final case class R(name: String, best: Double, cold: Double,
-                       error: Option[String])
+                       error: Option[String], flaky: Int)
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        var error: Option[String] = None
-        val times = (1 to runs).map { _ =>
+        val attempts = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch {
-            case e: Throwable =>
-              error = Some(e.getClass.getName + ": " +
-                String.valueOf(e.getMessage).take(160))
-          }
-          (System.nanoTime() - t0) / 1e9
+          val err =
+            try { fn(spark, sfDir).count(); None }
+            catch {
+              case e: Throwable =>
+                Some(e.getClass.getName + ": " +
+                  String.valueOf(e.getMessage).take(160))
+            }
+          ((System.nanoTime() - t0) / 1e9, err)
         }
-        R(name, times.min, times.head, error)
+        val okTimes = attempts.collect { case (t, None) => t }
+        if (okTimes.isEmpty)
+          // all runs threw: hard failure; times are time-to-exception
+          R(name, attempts.map(_._1).min, attempts.head._1,
+            attempts.last._2, runs)
+        else
+          // ≥1 success: best/cold over SUCCESSFUL runs only (a failed
+          // run's time-to-exception is not a measurement)
+          R(name, okTimes.min, okTimes.head, None,
+            attempts.count(_._2.isDefined))
     }
     val ok = results.filter(_.error.isEmpty)
     val failed = results.filter(_.error.isDefined)
@@ -59,17 +74,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_.best).sum
     val coldTotal = ok.map(_.cold).sum
+    val nFlaky = results.count(r => r.error.isEmpty && r.flaky > 0)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","runs":$runs,"n_queries":${results.size},""" +
-        s""""n_failed":${failed.size},"failures":$failJson,""" +
-        s""""cold_total":$coldTotal}"""
+        s""""n_failed":${failed.size},"n_flaky":$nFlaky,""" +
+        s""""failures":$failJson,"cold_total":$coldTotal}"""
     println(line)
+    // the round record keeps only a bounded stdout TAIL, which beheads
+    // the big line above — repeat the totals compactly as the LAST line
+    // so the structured record always parses (VERDICT r6 residual 2)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""runs":$runs,"n_queries":${results.size},""" +
+        s""""n_failed":${failed.size},"n_flaky":$nFlaky,""" +
+        s""""cold_total":$coldTotal}""")
     // round artifacts keep only a 2000-char stdout tail — persist the full
     // per-query record (incl. cold/first-run splits) so bench history
     // stays auditable
     val detail = results.map { r =>
-      s"""\"${r.name}\":{"best":${r.best},"cold":${r.cold},"error":""" +
+      s"""\"${r.name}\":{"best":${r.best},"cold":${r.cold},"flaky":${r.flaky},"error":""" +
         r.error.map(e => s""""${esc(e)}"""").getOrElse("null") + "}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
