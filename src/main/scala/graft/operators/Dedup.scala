@@ -281,9 +281,9 @@ object Dedup {
     // exchange reuse (VERDICT r5) — caching makes the shingle/minhash
     // derivation run once, the materialize-the-signature-table-once
     // pattern a production pipeline uses across a whole dedup run
-    val banded = bandedSignatures(df, idCol, textCol, shingleN, numHashes,
-        bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = OpCaches.register(
+      bandedSignatures(df, idCol, textCol, shingleN, numHashes, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Bucket-size bound on the LEFT join side only (see scaladoc): rank
     // within the (band, hash) bucket, keep the first bucketCap docs. The
     // rn<=cap filter gets the WindowGroupLimit pushdown.
@@ -681,19 +681,22 @@ object Dedup {
     * the dominant per-row cost — runs ONCE instead of three times. The
     * prefix table likewise feeds both sides of the candidate self-join
     * and is persisted rather than left to exchange reuse. Both caches
-    * are registered with Spark's CacheManager and released by the
-    * ContextCleaner when the returned plan is dropped; a production
-    * pipeline that runs several dedup passes over one corpus should
-    * materialize the shingle table itself and reuse it across operators.
+    * stay in Spark's CacheManager until explicitly unpersisted (the
+    * ContextCleaner never evicts cached plans) — they are registered
+    * with [[OpCaches]]; call `OpCaches.release()` after the consuming
+    * action. A production pipeline that runs several dedup passes over
+    * one corpus should materialize the shingle table itself and reuse
+    * it across operators.
     */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    val sh = Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
-                        col("doc_id"))
-      .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = OpCaches.register(
+      Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
+                 col("doc_id"))
+        .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val toks = sh.select(col("doc_id"), size(col("sh")).as("sz"),
                          explode(col("sh")).as("tok"))
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("tok_df"))
@@ -702,11 +705,11 @@ object Dedup {
       .orderBy(col("tok_df"), col("tok"))
     val prefixLen = col("sz") -
       ceil(col("sz") * threshold - lit(1e-9)).cast("int") + 1
-    val prefix = ordered
+    val prefix = OpCaches.register(ordered
       .withColumn("__pos", row_number().over(pw))
       .filter(col("__pos") <= prefixLen)
       .select(col("doc_id"), col("sz"), col("__pos"), col("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // α = ⌈t/(1+t)·(szA+szB)⌉: the minimum overlap J ≥ t requires.
     val alpha = (col("pa.sz") + col("pb.sz")) * (threshold / (1.0 + threshold)) -
       lit(1e-9)
@@ -749,15 +752,31 @@ object Dedup {
     * shingle arrays ride only the verify join. Exactness argument: if
     * overlap ≥ k and no token of A's first |A|−k+1 ordered tokens were
     * in B, the shared tokens would all sit in A's last k−1 positions —
-    * overlap ≤ k−1, contradiction. The 1e-9 slack again only widens. */
+    * overlap ≤ k−1, contradiction. The 1e-9 slack again only widens.
+    *
+    * `probeDfCap` is the safety bound candidate volume needs at 100 TB
+    * (the [[minhashNearDups]] `bucketCap` analog): a stop shingle —
+    * boilerplate that appears in a large fraction of all documents —
+    * would fan every one of its occurrences into the candidate join, a
+    * df² term no prefix can cut because B probes all its shingles.
+    * Shingles with document frequency > `probeDfCap` are excluded from
+    * the PROBE (B) side only; A-prefixes keep them, so a qualifying
+    * pair is missed only if EVERY shared A-prefix shingle is a stop
+    * shingle — organic near-containments share rare shingles (that is
+    * the rare-first design), and the default cap sits far above organic
+    * dfs, where the output is identical to the uncapped plan's
+    * (spec-pinned on the fixture). Set `Int.MaxValue` to disable. */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, shingleN: Int = 3): DataFrame = {
+                      threshold: Double, shingleN: Int = 3,
+                      probeDfCap: Int = 100000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    val sh = Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
-                        col("doc_id"))
-      .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(probeDfCap >= 1, "probeDfCap must be positive")
+    val sh = OpCaches.register(
+      Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
+                 col("doc_id"))
+        .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val toks = sh.select(col("doc_id"), size(col("sh")).as("sz"),
                          explode(col("sh")).as("tok"))
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("tok_df"))
@@ -770,7 +789,10 @@ object Dedup {
       .withColumn("__pos", row_number().over(pw))
       .filter(col("__pos") <= prefixLen)
       .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("tok"))
-    val allB = toks
+    // B derives from the same df-joined table as A (one exchange, reused)
+    // so the stop-shingle cut is a per-row filter, not a new join.
+    val allB = ordered
+      .filter(col("tok_df") <= probeDfCap)
       .select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("tok"))
     val cand = prefixA.join(allB,
         Seq("tok"))

@@ -228,11 +228,11 @@ object Ngrams {
     * engine-reproducible bit-for-bit. */
   def sourceOverlap(docs: DataFrame, groupCol: String = "source",
                     textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = docs
+    val sh = OpCaches.register(docs
       .select(col(groupCol).as("__g"),
         explode(ngramArray(col(textCol), n)).as("__sh"))
       .distinct()
-      .persist()
+      .persist())
     val sz = sh.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -275,10 +275,10 @@ object Ngrams {
   def sourceDivergence(docs: DataFrame, groupCol: String = "source",
                        textCol: String = "text"): DataFrame = {
     val L2 = lit(693147181L) // round(ln 2 · 1e9)
-    val cnt = docs
+    val cnt = OpCaches.register(docs
       .select(col(groupCol).as("g"), explode(toks(col(textCol))).as("tok"))
       .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
-      .persist()
+      .persist())
     val tot = cnt.groupBy(col("g")).agg(sum(col("c")).as("n"))
     val sided = cnt.join(tot, "g")
     val a = sided.select(col("g").as("ga"), col("tok"),

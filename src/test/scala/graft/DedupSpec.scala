@@ -248,6 +248,39 @@ class DedupSpec extends SparkTestBase {
       "containment is directional — the long doc is not inside the excerpt")
   }
 
+  test("containmentJoin probeDfCap: default output identical to uncapped; plan carries the cut") {
+    val aug = docs.union(Seq(
+      (20L, "alpha beta gamma delta"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text"))
+    val capped = Dedup.containmentJoin(aug, "doc_id", "text", 0.5)
+    val uncapped = Dedup.containmentJoin(aug, "doc_id", "text", 0.5,
+      probeDfCap = Int.MaxValue)
+    assert(rendered(capped) === rendered(uncapped),
+      "default cap must not change organic-fixture output")
+    // the stop-shingle cut is a real filter in the optimized plan, on the
+    // probe side's document-frequency column
+    assert(capped.queryExecution.optimizedPlan.toString.contains("100000"),
+      "probe-side df cap must survive into the optimized plan")
+  }
+
+  test("OpCaches releases operator-internal persists; result still correct after") {
+    spark.catalog.clearCache() // suites before us leak entries by design
+    graft.operators.OpCaches.release(blocking = true)
+    val out = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.8)
+    val n = out.count()
+    assert(graft.operators.OpCaches.registered >= 2,
+      "shingle + prefix tables must be registered")
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the operator's persists must be live before release")
+    graft.operators.OpCaches.release(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release must drop every operator-registered cache entry")
+    assert(graft.operators.OpCaches.registered === 0)
+    assert(out.count() === n, "released plan must recompute identically")
+  }
+
   test("minhashRecallAudit: truth equals brute force, verdict reflects the floor") {
     // identical-pair corpus: jaccard 1.0 pairs are found by EVERY band,
     // so LSH recall is certain and the verdict must be TRUE at floor 1.0
