@@ -2724,14 +2724,18 @@ object SparkEntry {
 
     // exact distinct-shingle sets per source; jaccard/containment are
     // single IEEE divisions of exact integer counts — engine-identical
+    // full-window shingles only (WHERE len >= 3 guard): ngramArray emits
+    // NO shingle for a doc shorter than n tokens, so the oracle must not
+    // fabricate a partial window for such docs (ADVICE r6)
     "q_source_overlap" ->
       """WITH sh AS (
         |  SELECT DISTINCT source AS g,
         |    unnest(list_transform(
-        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      range(1, len(toks) - 2 + 1),
         |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
         |  FROM (SELECT source, string_split(text, ' ') AS toks
-        |        FROM documents)),
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
         |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.g AS src_a, b.g AS src_b, CAST(count(*) AS BIGINT) AS n_common

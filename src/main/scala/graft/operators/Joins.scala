@@ -250,9 +250,12 @@ object Joins {
                    bucketWidth: Long = 3600L * 1000000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = lit(bucketWidth)
-    // exact long bucket: (x - pmod(x, w)) is divisible by w, so the
-    // double division is exact — no boundary rounding
-    def bkt(c: Column): Column = ((c - pmod(c, w)) / w).cast("long")
+    // exact long bucket: (x - pmod(x, w)) is an exact multiple of w and
+    // `div` keeps the whole computation in longs (Divide on longs is a
+    // DOUBLE divide in Spark — rounds past 2^53, e.g. epoch-nanos
+    // timestamps); truncation on an exact multiple equals floor for
+    // any sign, preserving pmod's floor semantics
+    def bkt(c: Column): Column = call_function("div", c - pmod(c, w), w)
     def exploded(df: DataFrame, id: String, s: String, e: String) =
       df.select((equiKeys.map(col) :+ col(id) :+
           col(startCol).as(s) :+ col(endCol).as(e)): _*)

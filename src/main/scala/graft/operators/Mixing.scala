@@ -301,10 +301,13 @@ object Mixing {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
     val rn = row_number().over(w)
-    // boundary_i = floor(n * cum_i / 100), exact in long arithmetic
+    // boundary_i = floor(n * cum_i / 100). `div`, not Divide: Divide on
+    // longs is a DOUBLE divide in Spark, which rounds past 2^53 and can
+    // disagree with the oracle's integer `//` — div stays in longs
+    // (non-negative operands, so truncation IS floor).
     val cums = weights.zip(weights.scanLeft(0)(_ + _._2).tail)
-    def boundary(cum: Int): Column = (col("__n") * cum).divide(lit(100))
-      .cast("long")
+    def boundary(cum: Int): Column =
+      call_function("div", col("__n") * cum, lit(100L))
     val label = cums.init.foldRight(lit(cums.last._1._1): Column) {
       case (((name, _), cum), acc) =>
         when(rn <= boundary(cum), lit(name)).otherwise(acc)
