@@ -593,6 +593,44 @@ object Dedup {
         (col("__hits") >= col("truth") * floor).as("recall_ok"))
   }
 
+  /** In-plan recall audit of the SimHash chunk-bucket pipeline — the
+    * [[minhashRecallAudit]] counterpart that bridges the hash-dependent
+    * SimHash path to an engine-independent oracle on REAL text. Truth =
+    * document pairs with IDENTICAL distinct-token sets: such pairs have
+    * identical SimHash (the signature is a pure function of the token
+    * set), hence hamming 0 ≤ any `maxHamming`, and the 16-bit-chunk
+    * pigeonhole guarantees a shared bucket — so the pipeline MUST
+    * surface every truth pair and the floor is exactly 1.0, not
+    * probabilistic. An oracle recomputes truth by token-set equality
+    * (no SimHash internals) and asserts the verdict. Output one row:
+    * (truth, recall_ok).
+    *
+    * Scale shape: the token-set join keys on a 64-bit hash of the
+    * sorted distinct-token array (arrays never ride the shuffle as
+    * keys), equality verified in-join; output volume is Σ g² over
+    * duplicate-set groups — the near-dup cluster sizes, not the corpus.
+    * The semi-join against the pipeline's pairs is ids-only. */
+  def simhashRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    val found = simhashNearDups(df, idCol, textCol, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    val keyed = Ops.spread(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("id"),
+        sort_array(array_distinct(split(col(textCol), " "))).as("key"))
+    val a = keyed.select(col("id").as("doc_a"), col("key").as("ka"),
+      xxhash64(col("key")).as("kh"))
+    val b = keyed.select(col("id").as("doc_b"), col("key").as("kb"),
+      xxhash64(col("key")).as("kh"))
+    val truthPairs = a.join(b, Seq("kh"))
+      .filter(col("ka") === col("kb") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val truth = truthPairs.agg(count(lit(1)).as("truth"))
+    val hits = truthPairs.join(found, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    truth.crossJoin(hits)
+      .select(col("truth"), (col("__hits") === col("truth")).as("recall_ok"))
+  }
+
   /** Cluster-level near-dup removal: keep one representative (the
     * minimum id) per transitive near-dup cluster. Composes
     * [[minhashNearDups]] with [[connectedComponents]]. */

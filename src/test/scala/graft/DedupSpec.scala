@@ -281,6 +281,15 @@ class DedupSpec extends SparkTestBase {
     assert(out.count() === n, "released plan must recompute identically")
   }
 
+  test("simhashRecallAudit: token-set-dup truth, guaranteed recall verdict") {
+    // docs 1 and 5 share identical text (same token set); doc 2 drops
+    // one token ("today") so its distinct-token set differs — truth must
+    // be exactly the (1,5) pair and the pigeonhole guarantees it's found
+    val out = Dedup.simhashRecallAudit(docs, "doc_id", "text")
+      .as[(Long, Boolean)].collect()
+    assert(out.toSeq === Seq((1L, true)))
+  }
+
   test("minhashRecallAudit: truth equals brute force, verdict reflects the floor") {
     // identical-pair corpus: jaccard 1.0 pairs are found by EVERY band,
     // so LSH recall is certain and the verdict must be TRUE at floor 1.0
