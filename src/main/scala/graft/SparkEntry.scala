@@ -937,6 +937,38 @@ object SparkEntry {
         .orderBy("source", "shard")
     }),
 
+    // the same fixture pipeline with the mixing rates DERIVED from the
+    // waterfall planner instead of hardcoded (VERDICT r6 item 5): uniform
+    // weights, budget = half the post-clean chars → no source caps, each
+    // source samples at round(100·(budget div 20)/avail_src) percent —
+    // 46..53% at small SFs, so per-source rates genuinely vary
+    "q_prepare_budget" -> ((s, d) => {
+      val g = expr("doc_id div 3")
+      val reps = when(pmod(col("doc_id"), lit(3)) === 1, lit(4))
+        .otherwise(pmod(col("doc_id"), lit(3)) + 4)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", array_repeat(
+            concat(lit("tok"), g.cast("string")), reps.cast("int")))
+            .as("text"))
+      // absolute budget input: half the fixture's post-clean chars
+      // (survivor per div-3 group = min id, 4 reps) — scalar collect,
+      // the q_budget_alloc pattern
+      val avail = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .agg(sum(length(col("text"))).cast("long")).head().getLong(0)
+      val weights = (0 to 19).map(i => s"src$i" -> 1L).toMap
+      operators.CorpusPipeline.prepareWithBudget(docs, weights,
+          budget = avail / 2, packBudget = 60L,
+          minQuality = 0.0, jaccardThreshold = 0.8)
+        .withColumn("doc_ids",
+          array_join(col("doc_ids").cast("array<string>"), ","))
+        .withColumn("doc_lens",
+          array_join(col("doc_lens").cast("array<string>"), ","))
+        .withColumn("doc_starts",
+          array_join(col("doc_starts").cast("array<string>"), ","))
+        .orderBy("source", "shard")
+    }),
+
     // ---- cleaning attrition report over the same closed-form fixture
     // as q_corpus_clean: per div-3 group, doc 3g keeps, 3g+1 is its
     // exact duplicate, 3g+2 shares the identical one-shingle set →
@@ -2293,6 +2325,66 @@ object SparkEntry {
         |    d.source
         |  FROM survivors s JOIN documents d ON d.doc_id = s.doc_id),
         |samp AS (SELECT * FROM surv WHERE doc_id % 100 < 50),
+        |packed AS (
+        |  SELECT source, doc_id, text, CAST(length(text) AS BIGINT) AS len,
+        |    CAST(COALESCE(SUM(length(text)) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 60 AS BIGINT) AS shard
+        |  FROM samp),
+        |g2 AS (
+        |  SELECT source, shard,
+        |    string_agg(text, ' <eos> ' ORDER BY doc_id) AS seq,
+        |    list(doc_id ORDER BY doc_id) AS doc_ids,
+        |    list(len ORDER BY doc_id) AS doc_lens
+        |  FROM packed GROUP BY source, shard)
+        |SELECT source, shard, seq,
+        |  COALESCE(array_to_string(doc_ids, ','), '') AS doc_ids,
+        |  COALESCE(array_to_string(doc_lens, ','), '') AS doc_lens,
+        |  COALESCE(array_to_string(
+        |    list_transform(range(1, len(doc_lens) + 1),
+        |      i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT)),
+        |    ','), '') AS doc_starts
+        |FROM g2 ORDER BY source, shard""".stripMargin,
+
+    // q_prepare's pipeline with the sampling percent derived per source
+    // from the budget waterfall (one-cascade structure as q_budget_alloc;
+    // the fixture never caps, so r1 reduces to the uniform share)
+    "q_prepare_budget" ->
+      """WITH survivors AS (
+        |  SELECT CAST(doc_id // 3 AS BIGINT) AS g, MIN(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1),
+        |surv AS (
+        |  SELECT s.doc_id,
+        |    rtrim(repeat('tok' || CAST(s.g AS VARCHAR) || ' ',
+        |      CASE WHEN s.doc_id % 3 = 2 THEN 6 ELSE 4 END)) AS text,
+        |    d.source
+        |  FROM survivors s JOIN documents d ON d.doc_id = s.doc_id),
+        |avail AS (
+        |  SELECT source, CAST(SUM(length(text)) AS BIGINT) AS avail
+        |  FROM surv GROUP BY 1),
+        |b AS (SELECT CAST(SUM(avail) // 2 AS BIGINT) AS budget FROM avail),
+        |r1 AS (
+        |  SELECT avail.*, b.budget,
+        |    CAST(b.budget // (SELECT count(*) FROM avail) AS BIGINT)
+        |      >= avail AS capped
+        |  FROM avail, b),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN capped THEN avail ELSE 0 END) AS BIGINT)
+        |      AS taken,
+        |    CAST(sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS sumw2
+        |  FROM r1),
+        |rate AS (
+        |  SELECT r1.source,
+        |    CAST(round(CAST(CASE WHEN r1.capped THEN r1.avail
+        |      ELSE (r1.budget - agg.taken) // agg.sumw2 END AS DOUBLE)
+        |      / r1.avail * 100, 0) AS BIGINT) AS pct
+        |  FROM r1, agg),
+        |samp AS (
+        |  SELECT surv.* FROM surv JOIN rate USING (source)
+        |  WHERE doc_id % 100 < pct),
         |packed AS (
         |  SELECT source, doc_id, text, CAST(length(text) AS BIGINT) AS len,
         |    CAST(COALESCE(SUM(length(text)) OVER (PARTITION BY source

@@ -138,6 +138,58 @@ object CorpusPipeline {
       packBudget, sep)
   }
 
+  /** [[prepare]] with the mixing rates DERIVED from the token-budget
+    * waterfall instead of caller-supplied — the full production story in
+    * one call: clean → re-source → prune → PLAN ([[Mixing.allocateBudget]]
+    * over the post-clean sizes — planning on raw sizes would allocate
+    * budget to text the hygiene ladder is about to drop) → sample each
+    * source at its realized epochs → pack.
+    *
+    * The plan's `epochs` column (alloc/avail per source) IS the
+    * per-source sampling rate; with `maxEpochs` ≤ 1 (required) every
+    * rate is ≤ 1 and [[Mixing.systematicSampleByRates]] realizes it
+    * deterministically. Epoch mixes above 1.0 need the
+    * [[Mixing.upsampleByRates]] composition instead — not this method.
+    *
+    * Driver state: the waterfall collects one row per source (the
+    * [[Mixing.allocateBudget]] bound — model-state, never row data).
+    * The cleaned+pruned table feeds both the planner's size aggregate
+    * and the final sample→pack plan, so it is persisted (registered in
+    * [[OpCaches]]) rather than running the LSH dedup ladder twice. */
+  def prepareWithBudget(docs: DataFrame, weights: Map[String, Long],
+                        budget: Long, packBudget: Long,
+                        maxEpochs: Double = 1.0,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        sourceCol: String = "source",
+                        keepFrac: Double = 1.0,
+                        minQuality: Double = 0.3,
+                        shingleN: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4,
+                        jaccardThreshold: Double = 0.8,
+                        sep: String = " <eos> "): DataFrame = {
+    require(maxEpochs <= 1.0,
+      "epochs > 1 need the upsampleByRates composition, not sampling")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cleaned = clean(docs, idCol, textCol, minQuality,
+      shingleN, numHashes, bands, jaccardThreshold)
+    val sourced = cleaned
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val pruned = TextAnalysis.qualityPrune(sourced, keepFrac,
+      sourceCol, idCol, textCol)
+    val sized = OpCaches.register(pruned
+      .withColumn("__len", length(col(textCol)).cast("long"))
+      .persist())
+    val plan = Mixing.allocateBudget(sized, weights, budget, maxEpochs,
+      sourceCol, "__len")
+    val rates = plan.select(col(sourceCol), col("epochs"))
+      .as[(String, Double)].collect().toMap
+    val sampled = Mixing.systematicSampleByRates(sized, sourceCol,
+      idCol, rates)
+    Mixing.packWithBoundaries(sampled, sourceCol, idCol, "__len", textCol,
+      packBudget, sep)
+  }
+
   /** Per-document outcome report of [[clean]] (pairwise mode): one row
     * per input document with the stage that removed it — `exact_dup`
     * (not the smallest id of its identical-text group), `near_dup`

@@ -114,6 +114,26 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(keptIds === cleanIds, "report's kept set must equal clean's output")
   }
 
+  test("prepareWithBudget: waterfall rates drive the per-source sample") {
+    // two clean sources, keys chosen so the percent bucket is the id
+    // itself: src a avail=40 (4 docs × 10 chars), src b avail=20.
+    // budget = 30, uniform weights → share 15 each; b caps? 15 < 20 no →
+    // alloc 15 each; rates a = round(1500/40)=38%, b = round(1500/20)=75%
+    val docs = Seq(
+      (1L, "a", "aaaa bbbb2"), (37L, "a", "cccc dddd2"),
+      (38L, "a", "eeee ffff2"), (90L, "a", "gggg hhhh2"),
+      (2L, "b", "iiii jjjj2"), (74L, "b", "kkkk llll2")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusPipeline.prepareWithBudget(docs,
+        Map("a" -> 1L, "b" -> 1L), budget = 30L, packBudget = 1000L,
+        minQuality = 0.0)
+      .select("source", "doc_ids").as[(String, Seq[Long])].collect().toMap
+    // a keeps ids with id%100 < 38 → 1, 37; b keeps id%100 < 75 → 2, 74
+    assert(out("a") === Seq(1L, 37L))
+    assert(out("b") === Seq(2L, 74L))
+    graft.operators.OpCaches.release(true)
+  }
+
   test("clean is idempotent on an already-clean corpus") {
     val docs = Seq(
       (1L, "totally unique first document about spark windows and joins"),
