@@ -1148,6 +1148,24 @@ object SparkEntry {
           centroids = cents),
         floor = 0.8)
     }),
+    // E3 IVF probed from a PERSISTED index (VERDICT r6 item 6): train +
+    // assign once, write centroids + cell assignments through
+    // ManifestTable, read the artifact back, probe the read-back copy —
+    // the amortized-index shape Dedup.signatureIndex has for n-gram
+    // dedup, now for embeddings. Same layout-reproducible k-means
+    // centroids as q_ann_ivf_kmeans, so the floor holds identically.
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val (cents, cells) = Similarity.ivfIndex(e, nlist = 16, iters = 2)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toString
+      Similarity.writeIvfIndex(dir, cents, cells)
+      val (rc, ra) = Similarity.readIvfIndex(s, dir)
+      Similarity.recallAudit(e, q, 10,
+        Similarity.ivfTopKFromIndex(rc, ra, q, 10, nprobe = 12),
+        floor = 0.8)
+    }),
     // E3 product quantization: 16-byte ADC codes + exact re-rank of a
     // 128-deep shortlist (recall 0.91 at sf0.01, 0.865 at sf0.1 —
     // shortlist depth is the recall/IO dial); deterministic end-to-end,
@@ -2253,6 +2271,13 @@ object SparkEntry {
         |TRUE AS recall_ok""".stripMargin,
 
     "q_ann_ivf_kmeans" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_ivf_indexed" ->
       """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
         |  AS BIGINT) AS n_queries,
         |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10

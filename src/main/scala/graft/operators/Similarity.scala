@@ -223,6 +223,14 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(VectorExprs.topCellsByCosine(col("qv"), cellSeq, nprobe))
           .as("cell"))
+    probeCells(corpusCells, queryCells, k)
+  }
+
+  /** The cell-keyed probe join shared by [[ivfTopK]] and
+    * [[ivfTopKFromIndex]]: exact cosine + per-query rank over the probed
+    * cells' vectors only. */
+  private def probeCells(corpusCells: DataFrame, queryCells: DataFrame,
+                         k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     corpusCells.join(queryCells, "cell")
@@ -231,6 +239,78 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** The IVF index as a STORABLE artifact — the embedding-space analog
+    * of [[Dedup.signatureIndex]]'s amortized-index shape: train the
+    * coarse quantizer ONCE over the corpus, keep (centroids, cell
+    * assignments), write both out, and probe read-back copies per query
+    * batch with [[ivfTopKFromIndex]] — the corpus is never re-clustered
+    * or re-assigned at query time. Returns
+    * (centroids `(cell, cent_v)`, assignments `(idCol, vecCol, cell)`).
+    *
+    * Centroids come from [[kmeansCentroids]]' exact-decimal means, so
+    * the stored index is layout-reproducible: rebuilding it from the
+    * same corpus yields byte-identical artifacts (spec-pinned). */
+  def ivfIndex(corpus: DataFrame, nlist: Int, iters: Int = 2,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
+    val cellSeq = cents.as[(Long, Seq[Float])].collect().toSeq
+    val assigned = Ops.spread(corpus.select(col(idCol), col(vecCol)),
+        col(idCol))
+      .select(col(idCol), col(vecCol),
+        element_at(VectorExprs.topCellsByCosine(col(vecCol), cellSeq, 1), 1)
+          .as("cell"))
+    (cents, assigned)
+  }
+
+  /** Persist an [[ivfIndex]] through [[graft.sources.ManifestTable]]:
+    * centroids under `dir/centroids` (keyed by cell) and assignments
+    * under `dir/cells` (keyed by the vector id, so re-embedded vectors
+    * upsert in place and new corpus batches append — the index grows
+    * incrementally without retraining; callers re-run [[kmeansCentroids]]
+    * only when drift warrants it). Both writes are atomic manifest
+    * commits with time travel and CDF like any other ManifestTable. */
+  def writeIvfIndex(dir: String, centroids: DataFrame,
+                    assignments: DataFrame, idCol: String = "vec_id",
+                    nBuckets: Int = 64): Unit = {
+    graft.sources.ManifestTable.upsertBatch(centroids, s"$dir/centroids",
+      Seq("cell"), nBuckets = math.min(nBuckets, 8))
+    graft.sources.ManifestTable.upsertBatch(assignments, s"$dir/cells",
+      Seq(idCol), nBuckets = nBuckets)
+  }
+
+  /** Read back a persisted [[ivfIndex]]: (centroids, assignments). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (graft.sources.ManifestTable.read(spark, s"$dir/centroids"),
+     graft.sources.ManifestTable.read(spark, s"$dir/cells"))
+
+  /** [[ivfTopK]] against a pre-built (usually read-back) [[ivfIndex]] —
+    * the per-query-batch probe. Only the centroid table (model state,
+    * nlist rows) is collected to bind the query-side cell assignment;
+    * the stored corpus assignments stream straight into the cell-keyed
+    * probe join. */
+  def ivfTopKFromIndex(centroids: DataFrame, assignments: DataFrame,
+                       queries: DataFrame, k: Int, nprobe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val cellSeq = centroids.select(col("cell"), col("cent_v"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    require(nprobe > 0 && nprobe <= cellSeq.size)
+    val corpusCells = assignments.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(VectorExprs.topCellsByCosine(col("qv"), cellSeq, nprobe))
+          .as("cell"))
+    probeCells(corpusCells, queryCells, k)
   }
 
   /** In-plan recall audit for an ANN result: joins the approximate top-k

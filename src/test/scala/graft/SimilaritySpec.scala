@@ -156,6 +156,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(rk >= 0.8, s"k-means IVF recall@10 collapsed: $rk")
   }
 
+  test("ivfIndex write/read parity: probe of the read-back artifact equals in-memory IVF") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val (cents, cells) = Similarity.ivfIndex(e, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-spec").toString
+    Similarity.writeIvfIndex(dir, cents, cells)
+    val (rc, ra) = Similarity.readIvfIndex(spark, dir)
+    // the stored artifact round-trips byte-identically
+    assert(rendered(rc) === rendered(cents))
+    assert(rendered(ra.select("vec_id", "embedding", "cell"))
+      === rendered(cells))
+    // probing the read-back index reproduces the in-memory plan exactly
+    val fromIndex = Similarity.ivfTopKFromIndex(rc, ra, q, 5, nprobe = 4)
+    val inMemory = Similarity.ivfTopK(e, q, 5, nlist = 8, nprobe = 4,
+      centroids = cents)
+    assert(rendered(fromIndex) === rendered(inMemory))
+    // rebuilding from the same corpus is reproducible (decimal-exact
+    // means) — the stored index is not a one-off snapshot
+    val (cents2, _) = Similarity.ivfIndex(e, nlist = 8, iters = 2)
+    assert(rendered(cents2) === rendered(cents))
+  }
+
   test("pqTopK with shortlist >= corpus is exact (equals brute force)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 5)
