@@ -22,29 +22,30 @@ import org.apache.spark.sql.DataFrame
   * plan, so they share one entry rather than stacking copies.
   */
 object OpCaches {
-  private val frames =
-    scala.collection.mutable.ListBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
+  private val frames = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  /** Track an operator-persisted frame for later [[release]]. Weakly
-    * referenced: a frame the caller (and cache) no longer reachable
-    * costs nothing to keep listed. */
+  /** Track an operator-persisted frame for later [[release]]. Strongly
+    * referenced on purpose: the returned plan does NOT keep the
+    * intermediate's Dataset wrapper alive, and the CacheManager keeps
+    * the cached DATA alive regardless of the wrapper — a weak ref here
+    * would let GC collect the only handle that can still unpersist the
+    * entry. The wrapper itself is a few hundred bytes; the registry is
+    * bounded by release() calls, not by data size. */
   private[graft] def register(df: DataFrame): DataFrame = synchronized {
-    frames += new java.lang.ref.WeakReference(df)
+    frames += df
     df
   }
 
-  /** Number of live registered frames (test/observability hook). */
-  def registered: Int = synchronized { frames.count(_.get != null) }
+  /** Number of registered frames awaiting release (test/observability
+    * hook). */
+  def registered: Int = synchronized { frames.size }
 
   /** Unpersist every frame an operator registered since the last
     * release. Non-blocking by default, matching `Dataset.unpersist()`. */
   def release(blocking: Boolean = false): Unit = synchronized {
-    frames.foreach { ref =>
-      val df = ref.get
-      if (df != null) {
-        try df.unpersist(blocking)
-        catch { case _: Throwable => () } // stopped session: nothing to free
-      }
+    frames.foreach { df =>
+      try df.unpersist(blocking)
+      catch { case _: Throwable => () } // stopped session: nothing to free
     }
     frames.clear()
   }
