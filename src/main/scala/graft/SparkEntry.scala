@@ -1520,6 +1520,26 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // ---- E26 fuzzy (edit-distance ≤ 1) entity join via FastSS deletion
+    // neighborhoods — candidates from a variant-hash equi-join, exact
+    // levenshtein verify in-join, output identical to the brute force
+    // the oracle runs. Left: distinct word bigrams of the corpus;
+    // right: the same bigrams with the first char substituted, so
+    // matches exist by construction plus organic cross-matches. ----
+    "q_fuzzy_join" -> ((s, d) => {
+      val w = docsSpread(s, d)
+        .select(explode(Ngrams.ngramArray(col("text"), 2)).as("s"))
+        .distinct()
+      val l = w.select(col("s").as("id"), col("s"))
+      val r = w.select(
+        concat(lit("x"), col("s").substr(lit(2), length(col("s"))))
+          .as("s")).distinct()
+      Joins.fuzzyJoin(l, r.select(col("s").as("id"), col("s")),
+          "id", "s", "id", "s", maxDist = 1)
+        .select("left_id", "right_id", "dist")
+        .orderBy("left_id", "right_id")
+    }),
+
     // ---- explode_outer: docs with no qualifying token keep a NULL row ----
     "q_explode_outer" -> ((s, d) =>
       docsSpread(s, d)
@@ -3312,6 +3332,18 @@ object SparkEntry {
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
         |ORDER BY a.p_partkey""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT DISTINCT array_to_string(w[i:i+1], ' ') AS s
+        |      FROM t, unnest(range(1, len(w))) AS u(i)
+        |      WHERE len(w) >= 2),
+        |r AS (SELECT DISTINCT 'x' || s[2:] AS s FROM b)
+        |SELECT b.s AS left_id, r.s AS right_id,
+        |  CAST(levenshtein(b.s, r.s) AS BIGINT) AS dist
+        |FROM b, r
+        |WHERE levenshtein(b.s, r.s) <= 1
+        |ORDER BY left_id, right_id""".stripMargin,
 
     "q_explode_outer" ->
       """SELECT doc_id,

@@ -194,6 +194,74 @@ object Joins {
     reduced.join(dim, reduced(factKey) === dim(dimKey))
   }
 
+  /** Fuzzy (edit-distance) join — the entity-resolution primitive: every
+    * (left, right) pair whose strings are within Levenshtein distance
+    * `maxDist`, without the cross join a naive `levenshtein(l, r) <= d`
+    * predicate would plan (broadcast-nested-loop — quadratic work AND
+    * quadratic candidate volume).
+    *
+    * Candidate generation is the FastSS deletion neighborhood: each
+    * string expands to itself plus every variant reachable by deleting
+    * up to `maxDist` characters. Two strings within edit distance d
+    * always share a depth-d deletion variant (align them and delete the
+    * edited positions from each side), so joining on variant hash is a
+    * COMPLETE candidate filter; false candidates are culled by the exact
+    * `levenshtein` verify in-join, making the output identical to brute
+    * force. Variants travel as xxhash64 longs — fixed-width keys, no
+    * long strings through the shuffle (a 2^-64 hash collision can only
+    * add a candidate, which the verify removes).
+    *
+    * Cost model: a string of length L yields ~L^d variants (L+1 at d=1),
+    * so the exploded table is d-th-order polynomial in string length but
+    * LINEAR in rows — the right shape for name/title/entity columns
+    * (tens of chars). The PPJoin-style length bound (|len(a) − len(b)|
+    * ≤ d) cuts in-join before the verify. Very short strings (length
+    * ≤ d) share variants with everything of their size class — filter
+    * them out upstream if the skew shows.
+    *
+    * Output: (left_id, left_str, right_id, right_str, dist), one row per
+    * matching pair. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftId: String, leftStr: String,
+                rightId: String, rightStr: String,
+                maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "deletion-neighborhood size is len^maxDist: supported depths are 1 and 2")
+    def side(df: DataFrame, id: String, str: String,
+             oid: String, ostr: String) =
+      df.filter(col(str).isNotNull)
+        .select(col(id).as(oid), col(str).as(ostr),
+          explode(deletionNeighborhood(col(str), maxDist)).as("__v"))
+        .select(col(oid), col(ostr), xxhash64(col("__v")).as("__vh"))
+        .distinct()
+    side(left, leftId, leftStr, "left_id", "left_str")
+      .join(side(right, rightId, rightStr, "right_id", "right_str"), "__vh")
+      .filter(abs(length(col("left_str")) - length(col("right_str"))) <= maxDist)
+      .filter(levenshtein(col("left_str"), col("right_str")) <= maxDist)
+      .select(col("left_id"), col("left_str"), col("right_id"),
+        col("right_str"),
+        levenshtein(col("left_str"), col("right_str")).cast("long").as("dist"))
+      .distinct()
+  }
+
+  /** The string itself plus every variant reachable by deleting up to
+    * `depth` characters, distinct. Built from codegen'd string
+    * built-ins — one `transform` + `substr` pass per depth level. */
+  private def deletionNeighborhood(c: Column, depth: Int): Column = {
+    // delete the character at 1-based position i, for every i
+    def dels(s: Column): Column =
+      when(length(s) >= 1,
+        transform(sequence(lit(1), length(s)),
+          i => concat(s.substr(lit(1), i - lit(1)),
+                      s.substr(i + lit(1), length(s)))))
+        .otherwise(array().cast("array<string>"))
+    var vs: Column = array(c)
+    (1 to depth).foreach { _ =>
+      vs = array_distinct(concat(vs, flatten(transform(vs, dels(_)))))
+    }
+    vs
+  }
+
   /** Range join: pair every point row with every interval row whose
     * [lo, hi) contains the point, within an equi-bucketized plan.
     *

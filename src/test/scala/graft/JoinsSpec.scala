@@ -216,4 +216,45 @@ class JoinsSpec extends SparkTestBase {
     assert(got.map(p => (p._2, p._3)).toSet ===
       Set((1L, 10L), (3L, 12L), (4L, 13L)))
   }
+
+  test("fuzzyJoin equals brute force: substitution, insertion, deletion, self") {
+    val l = Seq((1L, "spark"), (2L, "filter"), (3L, "window"), (4L, "merge"))
+      .toDF("id", "s")
+    val r = Seq((10L, "spork"),  // substitution → dist 1
+                (11L, "filters"), // insertion → dist 1
+                (12L, "windo"),   // deletion → dist 1
+                (13L, "merge"),   // identical → dist 0
+                (14L, "stream")   // nothing within 1
+      ).toDF("id", "s")
+    val got = Joins.fuzzyJoin(l, r, "id", "s", "id", "s", maxDist = 1)
+      .select("left_id", "right_id", "dist")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val brute = l.as("a").join(r.as("b"),
+        levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === brute)
+    assert(got.map(p => (p._1, p._2)).toSet ===
+      Set((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L)))
+    assert(got.size === got.distinct.size, "each pair exactly once")
+  }
+
+  test("fuzzyJoin at depth 2 finds dist-2 pairs brute force finds") {
+    val l = Seq((1L, "spark"), (2L, "quantile")).toDF("id", "s")
+    val r = Seq((10L, "sprk"),      // dist 1
+                (11L, "sprocket"),  // far
+                (12L, "quintole"),  // dist 3 — excluded
+                (13L, "quanta")     // dist 3 — excluded
+      ).toDF("id", "s")
+    val got = Joins.fuzzyJoin(l, r, "id", "s", "id", "s", maxDist = 2)
+      .select("left_id", "right_id", "dist")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val brute = l.as("a").join(r.as("b"),
+        levenshtein(col("a.s"), col("b.s")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === brute)
+  }
 }
