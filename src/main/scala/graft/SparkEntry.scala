@@ -1483,6 +1483,12 @@ object SparkEntry {
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
         .orderBy("doc_id")),
 
+    // ---- E19 bigram LM transition score (sequential-coherence twin of
+    // q_lm_score: frequent tokens in random order score low here) ----
+    "q_bigram_lm" -> ((s, d) =>
+      Ngrams.bigramLogProb(docsSpread(s, d))
+        .orderBy("doc_id")),
+
     // ---- GROUP BY ALL / ORDER BY ALL (modern SQL shorthand surface) ----
     "q_group_by_all" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_gba")
@@ -3702,6 +3708,24 @@ object SparkEntry {
         |    AS avg_logp
         |FROM tokens t JOIN logp l USING (tok)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+        |          FROM t, unnest(range(1, len(w))) AS u(i)
+        |          WHERE len(w) >= 2),
+        |model AS (SELECT bg, COUNT(*) AS c_bg FROM grams GROUP BY bg),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS pw, SUM(c_bg) AS c_ctx
+        |        FROM model GROUP BY 1),
+        |logp AS (
+        |  SELECT bg, round(ln(CAST(c_bg AS DOUBLE) / c_ctx), 9) AS logp
+        |  FROM model JOIN ctx ON string_split(bg, ' ')[1] = pw)
+        |SELECT g.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CAST(l.logp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+        |    AS avg_logp
+        |FROM grams g JOIN logp l USING (bg)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "q_funnel" ->
       """WITH a AS (

@@ -205,6 +205,55 @@ object Ngrams {
         (docSum / count(lit(1))).as("avg_logp"))
   }
 
+  /** Bigram language-model score per document: mean log-probability of
+    * the document's token TRANSITIONS, log P(w_i | w_{i-1}) with MLE
+    * counts from the corpus itself — the sequential-coherence twin of
+    * [[unigramLogProb]]. A bag of frequent tokens in random order scores
+    * high under a unigram model but low here (its transitions are rare);
+    * template/boilerplate text scores near 0 (its transitions are
+    * near-deterministic). The two scores together separate "common
+    * words" from "common word ORDER", which is what perplexity filters
+    * actually want. Documents with fewer than 2 tokens have no
+    * transitions and are dropped.
+    *
+    * P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} ·), the context count
+    * c(w_{i-1} ·) derived by re-aggregating the bigram table on its
+    * first token — no second corpus pass. Self-scoring has no unseen
+    * transitions, so no smoothing is needed.
+    *
+    * Engine-exact contract (the [[unigramLogProb]] quantize mode, always
+    * on): each distinct bigram's log-prob is one IEEE `ln` of an exact
+    * integer ratio, rounded to `quantizeDecimals`; per-doc sums run over
+    * those rounded values in exact DECIMAL — order- and
+    * engine-independent, so a DuckDB oracle hash-matches bit-for-bit.
+    *
+    * Plan shape: one bigram explode + count aggregate builds the model
+    * (|bigram vocab| rows); context counts re-aggregate IT, broadcast
+    * back; the only corpus-sized shuffles are the model build and the
+    * per-doc regroup — same envelope as unigramLogProb. */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    quantizeDecimals: Int = 9): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(ngramArray(col(textCol), 2)).as("bg"))
+    val model = grams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val ctx = model
+      .groupBy(split(col("bg"), " ").getItem(0).as("__w"))
+      .agg(sum(col("c_bg")).as("c_ctx"))
+    val logp = model
+      .join(ctx, split(col("bg"), " ").getItem(0) === col("__w"))
+      .select(col("bg"),
+        round(log(col("c_bg").cast("double") / col("c_ctx")),
+          quantizeDecimals).as("logp"))
+    grams.join(broadcast(logp), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("logp").cast(
+            org.apache.spark.sql.types.DecimalType(28, quantizeDecimals)))
+          .cast("double") / count(lit(1))).as("avg_logp"))
+  }
+
   /** Gopher-style repetition statistics: per document, the number of
     * full word n-gram windows, the number of distinct ones, and the
     * duplicate fraction rep_ratio = 1 - distinct/total. Docs with fewer

@@ -147,4 +147,27 @@ class NgramsSpec extends SparkTestBase {
     assert(jac === 1.0 / 3.0)
     assert(ca === 0.5 && cb === 0.5)
   }
+
+  test("bigramLogProb: repeated transitions score higher than unique ones; " +
+       "short docs dropped") {
+    val df = Seq(
+      (1L, "a b a b a b"), // transitions a→b, b→a dominate the model
+      (2L, "a b c d e"),   // each of its later transitions occurs once
+      (3L, "a"),           // single token: no transitions → dropped
+      (4L, "")             // empty → dropped
+    ).toDF("doc_id", "text")
+    val out = Ngrams.bigramLogProb(df)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._2 === 5L, "n-1 transitions for an n-token doc")
+    assert(out(2L)._2 === 4L)
+    assert(out(1L)._3 > out(2L)._3,
+      "the doc made of the corpus's dominant transitions scores higher")
+    // a doc of frequent TOKENS in an order the corpus never uses scores
+    // low here even though a unigram model scores it high
+    val shuffled = df.union(Seq((5L, "b b a a b a")).toDF("doc_id", "text"))
+    val s = Ngrams.bigramLogProb(shuffled)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(s(5L) < s(1L), "rare transitions (b b, a a) drag the mean down")
+  }
 }
