@@ -1689,6 +1689,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- E20 exact two-sample KS statistic on doc lengths between two
+    // sources — the numeric drift monitor (q_dist_drift covers
+    // categorical keys); integer numerator is the hash-checked value ----
+    "q_ks_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Profiling.ksTwoSample(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"), "n_chars")
+    }),
+
     // ---- E20 incremental distinct: per-day HLL sketch slices, merged.
     // The sketch binary is engine-specific; the oracle checks the exact
     // companion count and asserts the merged estimate's tolerance
@@ -3556,6 +3566,33 @@ object SparkEntry {
         |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
         |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS kl_contrib
         |FROM j, t ORDER BY source""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH u AS (
+        |  SELECT CAST(floor(n_chars / 1.0) * 1.0 AS DOUBLE) AS v,
+        |         0 AS side
+        |  FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT CAST(floor(n_chars / 1.0) * 1.0 AS DOUBLE) AS v,
+        |         1 AS side
+        |  FROM documents WHERE source = 'src1'),
+        |pb AS (SELECT v,
+        |         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+        |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+        |       FROM u GROUP BY v),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |             CAST(SUM(cb) AS BIGINT) AS n_b FROM pb),
+        |c AS (SELECT
+        |        CAST(SUM(ca) OVER (ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        |        CAST(SUM(cb) OVER (ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+        |      FROM pb)
+        |SELECT t.n_a, t.n_b,
+        |  CAST(MAX(ABS(cuma * t.n_b - cumb * t.n_a)) AS BIGINT) AS d_num,
+        |  CAST(MAX(ABS(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
+        |    / (t.n_a * t.n_b) AS ks_d
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
 
     // merged-sketch estimate is engine-specific; the oracle pins the
     // exact count, the sliced row total, and the tolerance verdict

@@ -139,6 +139,58 @@ object Profiling {
         col("__approx").between(col("__lo"), col("__hi")).as("within_tol"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * `valueCol` distributions of `a` and `b` — the NUMERIC drift
+    * monitor ([[distributionDrift]] covers categorical keys; this
+    * covers lengths, scores, latencies): D = max_v |F_a(v) − F_b(v)|
+    * over the empirical CDFs. One row out: (n_a, n_b, d_num, ks_d)
+    * where `d_num` = max |cum_a·n_b − cum_b·n_a| is the EXACT integer
+    * numerator (engine-reproducible; `ks_d` = d_num/(n_a·n_b) is its
+    * one IEEE division).
+    *
+    * `binWidth` quantizes values to floor(v/w)·w bins first. ECDFs on
+    * binned data are exact for the binned distribution — drift between
+    * corpus snapshots needs stable resolution, not raw floats. On
+    * integer-valued columns, binWidth = 1 (the default) is the exact
+    * raw statistic.
+    *
+    * Plan shape at 100 TB: both sides collapse to per-bin counts FIRST
+    * (one linear shuffle; partial aggregation map-side), so the running
+    * ECDF window — necessarily a single ordered task — runs over the
+    * BIN table, whose size callers bound via binWidth, never over rows.
+    * The final max is a scalar aggregate. */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String,
+                  binWidth: Double = 1.0): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def side(df: DataFrame, tag: Int) =
+      df.filter(col(valueCol).isNotNull)
+        .select(
+          (floor(col(valueCol).cast("double") / binWidth) * binWidth)
+            .as("__v"),
+          lit(tag).as("__side"))
+    val perBin = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+           sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    // bounded by the bin count, not the corpus — safe to run twice
+    // (totals + ECDF) and to window over one ordered task
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = perBin.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    perBin
+      .select(sum(col("__ca")).over(w).as("__cuma"),
+              sum(col("__cb")).over(w).as("__cumb"))
+      .crossJoin(broadcast(totals))
+      .agg(max(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a")))
+        .as("d_num"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") / (col("n_a") * col("n_b")))
+          .as("ks_d"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     require(k > 0)
     val total = df.select(count(lit(1)).as("__total"))

@@ -183,4 +183,22 @@ class ProfilingSpec extends SparkTestBase {
       spark.emptyDataset[String].toDF("k"), "k", k = 2)
     assert(empty.count() === 0L)
   }
+
+  test("ksTwoSample: 0 for identical samples, 1 for disjoint, exact mid-case") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    assert(Profiling.ksTwoSample(a, a, "v")
+      .as[(Long, Long, Long, Double)].head() === ((4L, 4L, 0L, 0.0)))
+    val hi = Seq(10L, 11L).toDF("v")
+    assert(Profiling.ksTwoSample(a, hi, "v")
+      .as[(Long, Long, Long, Double)].head() === ((4L, 2L, 8L, 1.0)))
+    // a = {1,2,3,4}, b = {3,4,5,6}: D = |F_a − F_b| peaks at v=2:
+    // |2/4 − 0/4| = 1/2 → d_num = |2·4 − 0·4| = 8, ks_d = 8/16
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    assert(Profiling.ksTwoSample(a, b, "v")
+      .as[(Long, Long, Long, Double)].head() === ((4L, 4L, 8L, 0.5)))
+    // binWidth 10 puts {1..4} and {3..6} in one bin each → no drift at
+    // that resolution
+    assert(Profiling.ksTwoSample(a, b, "v", binWidth = 10.0)
+      .as[(Long, Long, Long, Double)].head() === ((4L, 4L, 0L, 0.0)))
+  }
 }
