@@ -1224,6 +1224,15 @@ object SparkEntry {
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
 
+    // ---- E27 BPE tokenizer training: round-1 pair stats (weighted by
+    // word frequency) and the full iterative merge learner ----
+    "q_bpe_pairs" -> ((s, d) =>
+      Ngrams.bpePairStats(docsSpread(s, d), minCount = 5)
+        .orderBy("left", "right")),
+    "q_bpe_merges" -> ((s, d) =>
+      Ngrams.bpeTrain(docsSpread(s, d), numMerges = bpeOracleMerges)
+        .orderBy("rank")),
+
     // k-fold CV labels: engine-independent Knuth-hash fold assignment,
     // summarized per fold (counts + char mass)
     "q_kfold" -> ((s, d) =>
@@ -1824,9 +1833,66 @@ object SparkEntry {
     docs.union(perturbed)
   }
 
+  /** Merge rounds q_bpe_merges trains; its oracle unrolls the same
+    * number of replay iterations. */
+  private val bpeOracleMerges = 6
+
+  /** DuckDB replay of [[operators.Ngrams.bpeTrain]], the k training
+    * rounds UNROLLED into a chained-CTE pipeline (SQL has no loops; the
+    * round count is a compile-time constant, so the oracle is generated
+    * mechanically): each round recomputes the weighted pair counts from
+    * the previous symbol state, picks the (cnt DESC, pair ASC) argmax,
+    * and replays the literal `<a><b>` → `<ab>` fuse. replace() scans
+    * left-to-right non-overlapping in both engines, which is exactly
+    * BPE's merge rule under the bracketed-symbol encoding. */
+  private def bpeMergesOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH state0 AS (
+      |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS syms,
+      |         COUNT(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) >= 1 GROUP BY w)""".stripMargin
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb ++= s""",
+        |pairs$i AS (
+        |  SELECT a[i] AS l, a[i+1] AS r, SUM(c) AS cnt
+        |  FROM (SELECT string_split(trim(syms, '<>'), '><') AS a, c
+        |        FROM state$p),
+        |       unnest(range(1, len(a))) AS u(i)
+        |  GROUP BY 1, 2),
+        |best$i AS (SELECT l, r, cnt FROM pairs$i
+        |           ORDER BY cnt DESC, l, r LIMIT 1),
+        |state$i AS (
+        |  SELECT replace(syms, '<'||l||'><'||r||'>',
+        |                 '<'||l||r||'>') AS syms, c
+        |  FROM state$p, best$i)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right",
+         |  l||r AS merged, CAST(cnt AS BIGINT) AS cnt FROM best$i"""
+        .stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
+
   /** DuckDB-equivalent ANSI SQL per query (driver runs these on the same
     * parquet tables). Omitted for the engine-specific ops above. */
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w),
+        |pr AS (SELECT w[i:i] AS l, w[i+1:i+1] AS r, c
+        |       FROM wc, unnest(range(1, len(w))) AS u(i))
+        |SELECT l AS "left", r AS "right", CAST(SUM(c) AS BIGINT) AS cnt
+        |FROM pr GROUP BY l, r HAVING SUM(c) >= 5
+        |ORDER BY "left", "right"""".stripMargin,
+
+    "q_bpe_merges" -> bpeMergesOracle(bpeOracleMerges),
+
     "entry" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))

@@ -205,6 +205,102 @@ object Ngrams {
         (docSum / count(lit(1))).as("avg_logp"))
   }
 
+  /** Adjacent-character pair frequencies over the word vocabulary,
+    * weighted by word occurrence counts — iteration 1 of byte-pair
+    * encoding (Sennrich et al. 2016, ACL: "Neural Machine Translation
+    * of Rare Words with Subword Units"), and the oracle-checkable
+    * surface of [[bpeTrain]]. Output: (left, right, cnt), cnt ≥
+    * `minCount`.
+    *
+    * The corpus is scanned ONCE into a word-count table; pairs explode
+    * from the (distinct-word, count) rows, so the pair aggregation is
+    * vocabulary-sized, not corpus-sized. */
+  def bpePairStats(docs: DataFrame, textCol: String = "text",
+                   minCount: Long = 1L): DataFrame = {
+    val wc = docs.select(explode(toks(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wc.select(col("c"), split(col("w"), "").as("a"))
+      .select(col("c"), explode(transform(
+        sequence(lit(1), size(col("a")) - 1),
+        j => struct(element_at(col("a"), j).as("l"),
+                    element_at(col("a"), j + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("c")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Byte-pair-encoding merge training — the tokenizer-learning step of
+    * an LLM data pipeline, run as `numMerges` rounds of: count adjacent
+    * symbol pairs over the vocabulary (weighted by word frequency),
+    * take the most frequent pair (ties broken lexicographically so the
+    * result is engine- and layout-independent), and fuse it everywhere,
+    * left-to-right non-overlapping — classic Sennrich-style BPE without
+    * the end-of-word marker.
+    *
+    * Output: one row per learned merge, (rank, left, right, merged,
+    * cnt) in learn order.
+    *
+    * Scale shape: the CORPUS is touched exactly once — the initial
+    * word-frequency aggregate. Every round after that runs on the
+    * (distinct-word, count) model table: one vocabulary-sized pair
+    * aggregation + a 1-row collect (the argmax pair — bounded driver
+    * state, the same contract as the k-means centroid collects), then a
+    * per-row `replace` projection. Lineage is localCheckpoint-cut every
+    * 4 rounds like [[Graphs.pageRank]] so the plan stays flat.
+    *
+    * Symbol representation: each word's symbol sequence is one string
+    * with every symbol bracketed (`low` → `<l><o><w>`). Fusing pair
+    * (a, b) is then the literal string replace `<a><b>` → `<ab>`, whose
+    * left-to-right non-overlapping scan is exactly BPE's merge rule —
+    * adjacent occurrences never share characters, so `aaa` under (a,a)
+    * correctly becomes `<aa><a>`. Tokens must not contain `<` or `>`. */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1)
+    val sp = docs.sparkSession
+    var words = docs.select(explode(toks(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("c"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    var i = 1
+    while (i <= numMerges && !done) {
+      val top = words
+        .select(col("c"),
+          split(expr("trim(BOTH '<>' FROM syms)"), "><").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), size(col("a")) - 1),
+          j => struct(element_at(col("a"), j).as("l"),
+                      element_at(col("a"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i.toLong, l, r, l + r, cnt))
+        val next = words.select(
+          replace(col("syms"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("syms"),
+          col("c"))
+        val mat =
+          if (i % 4 == 0) next.localCheckpoint(true) else next.persist()
+        words.unpersist()
+        words = mat
+        i += 1
+      }
+    }
+    words.unpersist()
+    import sp.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "cnt")
+  }
+
   /** Bigram language-model score per document: mean log-probability of
     * the document's token TRANSITIONS, log P(w_i | w_{i-1}) with MLE
     * counts from the corpus itself — the sequential-coherence twin of

@@ -170,4 +170,25 @@ class NgramsSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(s(5L) < s(1L), "rare transitions (b b, a a) drag the mean down")
   }
+
+  test("bpeTrain: frequency-ordered merges, greedy non-overlap, early stop") {
+    // words: ab×2, ac×1 → round 1 fuses (a,b) cnt 2, round 2 (a,c) cnt 1
+    val df = Seq((1L, "ab ab ac")).toDF("doc_id", "text")
+    val merges = Ngrams.bpeTrain(df, numMerges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(merges === Seq((1L, "a", "b", "ab", 2L), (2L, "a", "c", "ac", 1L)))
+    assert(Ngrams.bpePairStats(df)
+      .as[(String, String, Long)].collect().toSet ===
+      Set(("a", "b", 2L), ("a", "c", 1L)),
+      "pair stats are exactly round 1's count table")
+    // overlapping run: "aaa" under (a,a) fuses left-to-right to <aa><a>,
+    // so round 2 sees the pair (aa, a)
+    val runs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = Ngrams.bpeTrain(runs, numMerges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m2 === Seq((1L, "a", "a", "aa", 4L), (2L, "aa", "a", "aaa", 2L)))
+    // no pairs left before the budget → stop early instead of looping
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(Ngrams.bpeTrain(tiny, numMerges = 5).count() === 1L)
+  }
 }
