@@ -191,6 +191,66 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming ingest dedup — the amortized-index shape of
+    * [[graft.operators.Dedup.dedupAgainstIndex]] run as a pipeline:
+    * every micro-batch of documents probes the standing MinHash
+    * signature index, its near-dup survivors land in the output table,
+    * and the index grows by the survivors' OWN signatures — corpus text
+    * is read exactly once, at its own ingest, never again. Both tables
+    * are [[graft.sources.ManifestTable]]s, so each publish is one
+    * atomic manifest rename and a replayed batch is detected by its
+    * recorded batch id and skipped.
+    *
+    * Commit ORDER is load-bearing: output first, then index. A crash
+    * between the two replays the batch with survivors recomputed
+    * against the PRE-batch index (same result), skips the
+    * already-committed output, and completes the index commit. The
+    * reverse order would replay the probe against an index already
+    * holding this batch's signatures — every document would match
+    * itself and vanish.
+    *
+    * In-batch duplicates are not removed (same contract as
+    * dedupAgainstCorpus); compose [[graft.operators.Dedup.dedupNearClusters]]
+    * upstream if batches self-duplicate. Parameters define the hash
+    * family and must stay fixed for the index's lifetime. */
+  def dedupIngestStream(docs: DataFrame, indexPath: String, outPath: String,
+                        checkpoint: String, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3,
+                        numHashes: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.8, bucketCap: Int = 500,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                        nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val spark = batch.sparkSession
+          val standing = scala.util.Try(
+            graft.sources.ManifestTable.read(spark, indexPath)).toOption
+          val survivors = (standing match {
+            case Some(idx) => graft.operators.Dedup.dedupAgainstIndex(
+              batch.toDF(), idx, idCol, textCol, shingleN, numHashes,
+              bands, threshold, bucketCap)
+            case None => batch.toDF() // first batch: nothing to collide with
+          }).persist()
+          try {
+            graft.sources.ManifestTable.upsertBatch(
+              survivors, outPath, Seq(idCol),
+              nBuckets = nBuckets, batchId = batchId)
+            graft.sources.ManifestTable.upsertBatch(
+              graft.operators.Dedup.signatureIndex(
+                survivors, idCol, textCol, shingleN, numHashes, bands),
+              indexPath, Seq(idCol, "band_id"),
+              nBuckets = nBuckets, batchId = batchId)
+          } finally survivors.unpersist()
+          ()
+      }
+      .start()
+
   // ---- sessionization via flatMapGroupsWithState ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -398,6 +398,42 @@ class StreamOpsSpec extends SparkTestBase {
     assert(version === 2L && batchId === 1L)
   }
 
+  test("dedupIngestStream: batches probe the growing index; near-dups die") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val idx = s"$dir/index"; val out = s"$dir/docs"; val ckpt = s"$dir/ckpt"
+    def run(): Unit = {
+      val q = StreamOps.dedupIngestStream(
+        in.toDF().toDF("doc_id", "text"), idx, out, ckpt, nBuckets = 8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def kept(): Set[Long] =
+      graft.sources.ManifestTable.read(spark, out)
+        .select("doc_id").as[Long].collect().toSet
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    val tD = "red orange yellow green blue indigo violet umber ochre teal"
+    // batch 1: two unrelated docs — first commit, nothing to collide with
+    in.addData((1L, tA), (2L, tB))
+    run()
+    assert(kept() === Set(1L, 2L))
+    // batch 2: doc 3 duplicates doc 1's text (certain LSH recall), doc 4
+    // is new — the probe runs against the index batch 1 built
+    in.addData((3L, tA), (4L, tD))
+    run()
+    assert(kept() === Set(1L, 2L, 4L))
+    // the index holds signatures for survivors only (bands × 3 docs),
+    // so dead doc 3 can never contaminate a later probe
+    val idxIds = graft.sources.ManifestTable.read(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds === Set(1L, 2L, 4L))
+    // batch 3: a dup of batch-2 survivor 4 — the EXTENDED index catches it
+    in.addData((5L, tD))
+    run()
+    assert(kept() === Set(1L, 2L, 4L))
+  }
+
   test("sessionize closes a session after the event-time gap and emits once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
