@@ -1232,6 +1232,10 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) =>
       Ngrams.bpeTrain(docsSpread(s, d), numMerges = bpeOracleMerges)
         .orderBy("rank")),
+    // the induced word → subword segmentation (the encode-side artifact)
+    "q_bpe_segment" -> ((s, d) =>
+      Ngrams.bpeSegment(docsSpread(s, d), numMerges = bpeOracleMerges)
+        .orderBy("word")),
 
     // k-fold CV labels: engine-independent Knuth-hash fold assignment,
     // summarized per fold (counts + char mass)
@@ -1845,10 +1849,10 @@ object SparkEntry {
     * and replays the literal `<a><b>` → `<ab>` fuse. replace() scans
     * left-to-right non-overlapping in both engines, which is exactly
     * BPE's merge rule under the bracketed-symbol encoding. */
-  private def bpeMergesOracle(k: Int): String = {
+  private def bpeStateCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH state0 AS (
-      |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS syms,
+      |  SELECT w, regexp_replace(w, '(.)', '<\1>', 'g') AS syms,
       |         COUNT(*) AS c
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  WHERE len(w) >= 1 GROUP BY w)""".stripMargin
@@ -1864,17 +1868,30 @@ object SparkEntry {
         |best$i AS (SELECT l, r, cnt FROM pairs$i
         |           ORDER BY cnt DESC, l, r LIMIT 1),
         |state$i AS (
-        |  SELECT replace(syms, '<'||l||'><'||r||'>',
-        |                 '<'||l||r||'>') AS syms, c
+        |  SELECT w, replace(syms, '<'||l||'><'||r||'>',
+        |                    '<'||l||r||'>') AS syms, c
         |  FROM state$p, best$i)""".stripMargin
     }
-    sb ++= "\n" + (1 to k).map(i =>
+    sb.toString
+  }
+
+  private def bpeMergesOracle(k: Int): String =
+    bpeStateCtes(k) + "\n" + (1 to k).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right",
          |  l||r AS merged, CAST(cnt AS BIGINT) AS cnt FROM best$i"""
         .stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
-    sb.toString
-  }
+
+  /** DuckDB replay of [[operators.Ngrams.bpeSegment]]: the final symbol
+    * state of the same unrolled training rounds, rendered per word. */
+  private def bpeSegmentOracle(k: Int): String =
+    bpeStateCtes(k) + s"""
+      |SELECT w AS word, CAST(c AS BIGINT) AS cnt,
+      |  CAST(len(a) AS BIGINT) AS n_syms,
+      |  array_to_string(a, ' ') AS segments
+      |FROM (SELECT w, string_split(trim(syms, '<>'), '><') AS a, c
+      |      FROM state$k)
+      |ORDER BY word""".stripMargin
 
   /** DuckDB-equivalent ANSI SQL per query (driver runs these on the same
     * parquet tables). Omitted for the engine-specific ops above. */
@@ -1892,6 +1909,8 @@ object SparkEntry {
         |ORDER BY "left", "right"""".stripMargin,
 
     "q_bpe_merges" -> bpeMergesOracle(bpeOracleMerges),
+
+    "q_bpe_segment" -> bpeSegmentOracle(bpeOracleMerges),
 
     "entry" ->
       """SELECT r_name, n_name,

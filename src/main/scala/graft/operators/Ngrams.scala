@@ -257,12 +257,44 @@ object Ngrams {
     * correctly becomes `<aa><a>`. Tokens must not contain `<` or `>`. */
   def bpeTrain(docs: DataFrame, numMerges: Int,
                textCol: String = "text"): DataFrame = {
-    require(numMerges >= 1)
     val sp = docs.sparkSession
+    val (words, merges) = bpeTrainState(docs, numMerges, textCol)
+    words.unpersist()
+    import sp.implicits._
+    merges.toDF("rank", "left", "right", "merged", "cnt")
+  }
+
+  /** The word → subword segmentation [[bpeTrain]]'s merges induce — the
+    * ENCODE side of BPE, published as a vocabulary-sized table:
+    * (word, cnt, n_syms, segments), `segments` the space-joined symbol
+    * sequence after `numMerges` rounds (e.g. `low` → `"lo w"`). This is
+    * the artifact a tokenizer ships; joining it onto exploded documents
+    * encodes a corpus without re-running any merge logic. The returned
+    * frame rides the training loop's persisted state — release via
+    * [[OpCaches.release]] after consuming. */
+  def bpeSegment(docs: DataFrame, numMerges: Int,
+                 textCol: String = "text"): DataFrame = {
+    val (words, _) = bpeTrainState(docs, numMerges, textCol)
+    OpCaches.register(words)
+      .select(col("w").as("word"), col("c").as("cnt"),
+        size(symsArr).cast("long").as("n_syms"),
+        array_join(symsArr, " ").as("segments"))
+  }
+
+  private def symsArr: Column =
+    split(expr("trim(BOTH '<>' FROM syms)"), "><")
+
+  /** Shared BPE training loop: returns the final (w, syms, c) symbol
+    * state (persisted — caller owns release) plus the merge list. */
+  private def bpeTrainState(docs: DataFrame, numMerges: Int,
+                            textCol: String)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
+    require(numMerges >= 1)
     var words = docs.select(explode(toks(col(textCol))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("c"))
+      .select(col("w"),
+        regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("c"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
@@ -270,8 +302,7 @@ object Ngrams {
     var i = 1
     while (i <= numMerges && !done) {
       val top = words
-        .select(col("c"),
-          split(expr("trim(BOTH '<>' FROM syms)"), "><").as("a"))
+        .select(col("c"), symsArr.as("a"))
         .filter(size(col("a")) >= 2)
         .select(col("c"), explode(transform(
           sequence(lit(1), size(col("a")) - 1),
@@ -286,7 +317,7 @@ object Ngrams {
         val (l, r, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((i.toLong, l, r, l + r, cnt))
-        val next = words.select(
+        val next = words.select(col("w"),
           replace(col("syms"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("syms"),
           col("c"))
         val mat =
@@ -296,9 +327,7 @@ object Ngrams {
         i += 1
       }
     }
-    words.unpersist()
-    import sp.implicits._
-    merges.toSeq.toDF("rank", "left", "right", "merged", "cnt")
+    (words, merges.toSeq)
   }
 
   /** Bigram language-model score per document: mean log-probability of

@@ -191,4 +191,18 @@ class NgramsSpec extends SparkTestBase {
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(Ngrams.bpeTrain(tiny, numMerges = 5).count() === 1L)
   }
+
+  test("bpeSegment publishes the word → subword table the merges induce") {
+    // after 2 merges on "ab ab ac": (a,b)→ab then (a,c)→ac, so both
+    // words collapse to single symbols
+    val df = Seq((1L, "ab ab ac")).toDF("doc_id", "text")
+    val seg = Ngrams.bpeSegment(df, numMerges = 2)
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(seg === Set(("ab", 2L, 1L, "ab"), ("ac", 1L, 1L, "ac")))
+    // one merge only: ac stays split as "a c"
+    val seg1 = Ngrams.bpeSegment(df, numMerges = 1)
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(seg1 === Set(("ab", 2L, 1L, "ab"), ("ac", 1L, 2L, "a c")))
+    graft.operators.OpCaches.release()
+  }
 }
