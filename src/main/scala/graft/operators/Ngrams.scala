@@ -371,7 +371,10 @@ object Ngrams {
       .select(col("bg"),
         round(log(col("c_bg").cast("double") / col("c_ctx")),
           quantizeDecimals).as("logp"))
-    grams.join(broadcast(logp), Seq("bg"))
+    // no broadcast hint: a BIGRAM vocabulary grows far past its unigram
+    // counterpart at corpus scale — let AQE broadcast when it measures
+    // small, shuffle-join otherwise
+    grams.join(logp, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("logp").cast(
