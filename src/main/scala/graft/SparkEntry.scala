@@ -1379,6 +1379,14 @@ object SparkEntry {
           "doc_id", "text", chunkTokens = 10)
         .orderBy("doc_id")),
 
+    // ---- E2 sliding-window exact substring dedup: all but the first
+    // occurrence of any duplicated 8-token span masked at ANY offset
+    // (chunk dedup misses boundary-straddling repeats) ----
+    "q_substring_dedup" -> ((s, d) =>
+      Dedup.dedupSubstrings(docsSpread(s, d).select("doc_id", "text"),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
     // ---- E2 WITHIN-document repeated-chunk trim: zero-shuffle per-row
     // keep-first over each doc's own chunks (the in-doc repetition
     // stage; cross-doc repetition is q_para_dedup / q_boilerplate).
@@ -3293,6 +3301,35 @@ object SparkEntry {
         |  FROM chunks)
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
         |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |tokens AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        |           FROM d, unnest(range(1, len(w) + 1)) AS u(i)),
+        |occ AS (SELECT doc_id, i - 1 AS wpos,
+        |          array_to_string(w[i:i+7], ' ') AS win
+        |        FROM d, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |masked AS (SELECT doc_id, wpos FROM (
+        |             SELECT doc_id, wpos,
+        |               row_number() OVER (PARTITION BY win
+        |                 ORDER BY doc_id, wpos) AS rn
+        |             FROM occ) WHERE rn > 1),
+        |covered AS (SELECT DISTINCT doc_id, wpos + j AS pos
+        |            FROM masked, unnest(range(0, 8)) AS v(j)),
+        |kept AS (SELECT t.doc_id,
+        |           array_to_string(list(t.tok ORDER BY t.pos), ' ')
+        |             AS text_dedup,
+        |           COUNT(*) AS n_kept
+        |         FROM tokens t ANTI JOIN covered c
+        |           ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |         GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(kept.text_dedup, '') AS text_dedup,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // window twin (partition by doc, chunk) of the zero-shuffle per-row
     // keep-first scan

@@ -84,6 +84,73 @@ object Dedup {
       .unionByName(nullRows)
   }
 
+  /** Exact SUBSTRING deduplication over sliding windows — the
+    * "remove all but the first occurrence of every duplicated n-token
+    * span" pass (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", re-expressed relationally: the suffix
+    * array there exists to find duplicated spans; here the spans are
+    * the length-`n` token windows themselves, found by one group-rank).
+    * [[dedupChunksGlobal]]'s fixed non-overlapping chunks miss spans
+    * that straddle chunk boundaries or sit at different offsets; the
+    * stride-1 windows here catch any duplicated run of ≥ n tokens at
+    * any alignment.
+    *
+    * Rule: every occurrence of a window string except its global first
+    * (ordered by (doc id, position) — deterministic at any layout) is
+    * MASKED; a token survives unless some masked window covers it. A
+    * first-occurrence window's tokens can still die when an overlapping
+    * masked window covers them — the price of stride-1 coverage; in
+    * exchange no duplicated ≥ n-token run ever survives twice. Docs
+    * shorter than `n` tokens have no windows and pass through whole.
+    *
+    * Output: (idCol, text_dedup, n_tokens, n_dropped), every doc
+    * present (fully-masked docs keep an empty string; NULL text passes
+    * through with NULL stats).
+    *
+    * Plan shape: one posexplode to (doc, pos, window), one rank window
+    * partitioned BY WINDOW STRING (linear shuffle — same cost class as
+    * dedupChunksGlobal's chunk rank), covered positions exploded from
+    * masked occurrences (≤ n rows each), an anti-join on (doc, pos),
+    * and one per-doc regroup; order is restored by in-array sort, no
+    * global window. At petabyte scale swap the window STRING for
+    * `shingleHash64` to shuffle fixed-width longs — kept as strings
+    * here so the DuckDB oracle replays verbatim. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    require(n > 0)
+    val toksC = split(col(textCol), " ")
+    val base = df.select(col(idCol), col(textCol)).filter(col(textCol).isNotNull)
+    val tokens = base.select(col(idCol), posexplode(toksC))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__tok")
+    val occ = base.select(col(idCol),
+        posexplode(graft.operators.Ngrams.ngramArray(col(textCol), n)))
+      .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__w")
+    val rw = Window.partitionBy(col("__w")).orderBy(col(idCol), col("__wpos"))
+    val covered = occ
+      .withColumn("__rn", row_number().over(rw))
+      .filter(col("__rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__wpos"), col("__wpos") + (n - 1))).as("__pos"))
+      .distinct()
+    val kept = tokens.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x("__tok")), " ").as("text_dedup"),
+        count(lit(1)).as("__n_kept"))
+    base.select(col(idCol), size(toksC).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+      .unionByName(df.filter(col(textCol).isNull)
+        .select(col(idCol), lit(null).cast("string").as("text_dedup"),
+          lit(null).cast("long").as("n_tokens"),
+          lit(null).cast("long").as("n_dropped")))
+  }
+
   /** WITHIN-document repeated-chunk removal (the in-doc repetition trim
     * of SlimPajama/Gopher-style cleaning): each document is cut into
     * consecutive `chunkTokens`-token chunks and every chunk that already

@@ -265,6 +265,34 @@ class DedupSpec extends SparkTestBase {
       "probe-side df cap must survive into the optimized plan")
   }
 
+  test("dedupSubstrings masks repeats at any offset, keeps first, short docs whole") {
+    val df = Seq(
+      (1L, "a b c d e x y z"),      // first occurrence of "a b c d"
+      (2L, "p q a b c d r s"),      // same 4-gram at offset 2 → masked
+      (3L, "a b c"),                // shorter than n → passes whole
+      (4L, "a b c d a b c d")       // in-doc repeat: second run masked
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(df, "doc_id", "text", n = 4)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "a b c d e x y z", 8L, 0L)),
+      "the global first occurrence survives intact")
+    assert(out(2L) === ((2L, "p q r s", 8L, 4L)),
+      "a duplicated span dies at any offset (chunk dedup would miss this)")
+    assert(out(3L) === ((3L, "a b c", 3L, 0L)))
+    // doc 4 windows: [a b c d](0) first-in-doc-4? global rank for
+    // "a b c d": doc1 pos0 is first; doc4's BOTH occurrences are masked,
+    // as are its straddling windows — everything covered
+    assert(out(4L) === ((4L, "", 8L, 8L)),
+      "an all-duplicate doc masks down to empty")
+    // NULL text passes through with NULL stats
+    val withNull = df.union(Seq((5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val n5 = Dedup.dedupSubstrings(withNull, "doc_id", "text", n = 4)
+      .filter($"doc_id" === 5L).collect()(0)
+    assert(n5.isNullAt(1) && n5.isNullAt(2) && n5.isNullAt(3))
+  }
+
   test("OpCaches releases operator-internal persists; result still correct after") {
     spark.catalog.clearCache() // suites before us leak entries by design
     graft.operators.OpCaches.release(blocking = true)
