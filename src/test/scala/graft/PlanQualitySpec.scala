@@ -250,6 +250,15 @@ class PlanQualitySpec extends SparkTestBase {
       s"the eval gram set is small and must broadcast:\n$p")
   }
 
+  test("fuzzy join and substring dedup stay equi-join shaped") {
+    for (q <- Seq("q_fuzzy_join", "q_substring_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must never nested-loop (candidates come from hash joins):\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)

@@ -167,6 +167,40 @@ class PropertySpec extends SparkTestBase {
     }, samples = 10)
   }
 
+  test("property: fuzzyJoin equals brute-force levenshtein on random strings") {
+    val word: Gen[String] = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val gen = for {
+      ls <- Gen.listOfN(12, word); rs <- Gen.listOfN(12, word)
+    } yield (ls, rs)
+    check(Prop.forAll(gen) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val r = rs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val got = graft.operators.Joins.fuzzyJoin(l, r, "id", "s", "id", "s")
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (a, i) <- ls.zipWithIndex; (b, j) <- rs.zipWithIndex
+        if levenshteinRef(a, b) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      got == expect
+    }, samples = 8)
+  }
+
+  /** Textbook DP edit distance, the independent reference. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("property: dedupChunksGlobal is idempotent and conserves chunks") {
     val docGen: Gen[List[(Long, String)]] = Gen.listOfN(10, for {
       id <- Gen.choose(0L, 999L)
