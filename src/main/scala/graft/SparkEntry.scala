@@ -1710,6 +1710,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- E20 constraint-suite validation in one scan (the pre-commit
+    // expectation gate): violation counts + verdicts per rule; two
+    // rules pass, two fail by construction so counts are exercised ----
+    "q_validate" -> ((s, d) => {
+      import operators.Profiling.{InRange, NotNull, OneOf, Unique}
+      operators.Profiling.validate(t(s, d, "documents"), Seq(
+          NotNull("lang"), Unique("doc_id"),
+          InRange("n_chars", 0, 550),
+          OneOf("source", Seq("src0", "src1", "src2"))))
+        .orderBy("rule")
+    }),
+
     // ---- E20 exact two-sample KS statistic on doc lengths between two
     // sources — the numeric drift monitor (q_dist_drift covers
     // categorical keys); integer numerator is the hash-checked value ----
@@ -3688,6 +3700,36 @@ object SparkEntry {
         |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
         |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS kl_contrib
         |FROM j, t ORDER BY source""".stripMargin,
+
+    "q_validate" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+        |           FROM documents),
+        |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM documents
+        |       WHERE lang IS NULL),
+        |v2 AS (SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+        |         AS v FROM documents WHERE doc_id IS NOT NULL),
+        |v2n AS (SELECT CAST(CASE WHEN COUNT(*) > 0
+        |                 THEN COUNT(*) - 1 ELSE 0 END AS BIGINT) AS extra
+        |        FROM documents WHERE doc_id IS NULL),
+        |v3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM documents
+        |       WHERE n_chars IS NOT NULL
+        |         AND (n_chars < 0 OR n_chars > 550)),
+        |v4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM documents
+        |       WHERE source IS NOT NULL
+        |         AND source NOT IN ('src0', 'src1', 'src2'))
+        |SELECT 'in_range(n_chars)' AS rule, 'n_chars' AS "column",
+        |  n.n_rows, v3.v AS violations, v3.v = 0 AS passed FROM n, v3
+        |UNION ALL
+        |SELECT 'not_null(lang)', 'lang', n.n_rows, v1.v, v1.v = 0
+        |FROM n, v1
+        |UNION ALL
+        |SELECT 'one_of(source)', 'source', n.n_rows, v4.v, v4.v = 0
+        |FROM n, v4
+        |UNION ALL
+        |SELECT 'unique(doc_id)', 'doc_id', n.n_rows,
+        |  v2.v + v2n.extra, v2.v + v2n.extra = 0
+        |FROM n, v2, v2n
+        |ORDER BY rule""".stripMargin,
 
     "q_ks_drift" ->
       """WITH u AS (

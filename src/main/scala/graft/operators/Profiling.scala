@@ -38,6 +38,70 @@ object Profiling {
     one.select(explode(rows).as("p")).select("p.*")
   }
 
+  /** Declarative constraint rules for [[validate]] — the
+    * expectation-suite surface (the Deequ / Great Expectations idea):
+    * each rule compiles to aggregate expressions, so a whole suite
+    * evaluates in ONE scan. */
+  sealed trait Rule { def label: String; def column: String }
+  /** No NULLs in `column`. */
+  final case class NotNull(column: String) extends Rule {
+    def label = s"not_null($column)"
+  }
+  /** `column` values are unique across the frame (NULLs count as one
+    * duplicate group like any other value — count(*) vs distinct). */
+  final case class Unique(column: String) extends Rule {
+    def label = s"unique($column)"
+  }
+  /** Non-NULL `column` values lie in [lo, hi] (inclusive; NULLs are
+    * NotNull's business, not a range violation). */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Rule {
+    def label = s"in_range($column)"
+  }
+  /** Non-NULL `column` values belong to `values`. */
+  final case class OneOf(column: String, values: Seq[String]) extends Rule {
+    def label = s"one_of($column)"
+  }
+
+  /** Evaluate a constraint suite in one pass: for each rule, the number
+    * of violating rows and a pass verdict — the pre-commit gate a corpus
+    * pipeline publishes next to its output (violations = 0 → promote the
+    * snapshot; the counts, not just booleans, make the failure
+    * actionable). Output: (rule, column, n_rows, violations, passed),
+    * one row per rule in suite order.
+    *
+    * All rules compile into a single aggregate family over one scan —
+    * sums combine map-side; Unique's count_distinct plans as Spark's
+    * Expand-based distinct aggregate alongside them. The per-rule rows
+    * explode from the single aggregate row; the driver never touches
+    * data. */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty)
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      (r match {
+        case NotNull(c) => sum(when(col(c).isNull, 1L).otherwise(0L))
+        case Unique(c) => count(lit(1)) - count_distinct(col(c)) -
+          // count_distinct skips NULLs: add the null rows back, minus
+          // the one distinct group they'd have formed
+          when(sum(when(col(c).isNull, 1L).otherwise(0L)) > 0,
+            sum(when(col(c).isNull, 1L).otherwise(0L)) - 1L).otherwise(0L)
+        case InRange(c, lo, hi) => sum(when(
+          col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
+        case OneOf(c, vs) => sum(when(
+          col(c).isNotNull && !col(c).isInCollection(vs), 1L).otherwise(0L))
+      }).cast("long").as(s"__v_$i")
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(rules.zipWithIndex.map { case (r, i) => struct(
+      lit(r.label).as("rule"),
+      lit(r.column).as("column"),
+      col("__n").as("n_rows"),
+      col(s"__v_$i").as("violations"),
+      (col(s"__v_$i") === 0L).as("passed"))
+    }: _*)
+    one.select(explode(rows).as("p")).select("p.*")
+  }
+
   /** Per-slice HyperLogLog sketch table: one row per `sliceExpr` value
     * (day, source, shard …) carrying a mergeable Datasketches HLL binary
     * for `keyCol` plus the slice's row count.

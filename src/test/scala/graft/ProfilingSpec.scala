@@ -184,6 +184,36 @@ class ProfilingSpec extends SparkTestBase {
     assert(empty.count() === 0L)
   }
 
+  test("validate: one-scan rule suite with exact violation counts") {
+    import Profiling.{InRange, NotNull, OneOf, Unique}
+    val df = Seq(
+      (Some(1L), Some(10.0), Some("a")),
+      (Some(1L), Some(20.0), Some("b")),   // dup id, value out of range
+      (Some(2L), None, Some("zzz")),       // null value, bad category
+      (None, Some(5.0), None),             // null id, null category
+      (None, Some(7.0), Some("a"))         // second null id → dup group
+    ).toDF("id", "v", "cat")
+    val out = Profiling.validate(df, Seq(
+        NotNull("id"), Unique("id"), InRange("v", 0.0, 15.0),
+        OneOf("cat", Seq("a", "b"))))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("not_null(id)") === (("not_null(id)", "id", 5L, 2L, false)))
+    // 5 rows, 2 distinct non-null ids, 2 nulls → (5-2) - (2-1) = 2 dups
+    assert(out("unique(id)") === (("unique(id)", "id", 5L, 2L, false)))
+    assert(out("in_range(v)") === (("in_range(v)", "v", 5L, 1L, false)),
+      "NULL values are not range violations")
+    assert(out("one_of(cat)") === (("one_of(cat)", "cat", 5L, 1L, false)),
+      "NULL categories are not membership violations")
+    // a clean frame passes everything
+    val clean = Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("id", "v", "cat")
+    assert(Profiling.validate(clean, Seq(
+        NotNull("id"), Unique("id"), InRange("v", 0.0, 15.0),
+        OneOf("cat", Seq("a", "b"))))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .forall(r => r._4 === 0L && r._5))
+  }
+
   test("ksTwoSample: 0 for identical samples, 1 for disjoint, exact mid-case") {
     val a = Seq(1L, 2L, 3L, 4L).toDF("v")
     assert(Profiling.ksTwoSample(a, a, "v")
