@@ -78,7 +78,9 @@ object Profiling {
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty)
     val aggs = rules.zipWithIndex.map { case (r, i) =>
-      (r match {
+      // coalesce: sum over ZERO rows is NULL — an empty frame violates
+      // nothing and must pass, not return NULL verdicts
+      coalesce((r match {
         case NotNull(c) => sum(when(col(c).isNull, 1L).otherwise(0L))
         case Unique(c) => count(lit(1)) - count_distinct(col(c)) -
           // count_distinct skips NULLs: add the null rows back, minus
@@ -89,7 +91,7 @@ object Profiling {
           col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
         case OneOf(c, vs) => sum(when(
           col(c).isNotNull && !col(c).isInCollection(vs), 1L).otherwise(0L))
-      }).cast("long").as(s"__v_$i")
+      }).cast("long"), lit(0L)).as(s"__v_$i")
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(rules.zipWithIndex.map { case (r, i) => struct(

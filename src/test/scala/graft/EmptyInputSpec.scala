@@ -57,4 +57,27 @@ class EmptyInputSpec extends SparkTestBase {
     assertEmpty(Similarity.bruteForceTopK(noVecs, noVecs, 5))
     assertEmpty(Similarity.cosineNearDups(noVecs, 0.9))
   }
+
+  test("round-7 operators handle empty input") {
+    assertEmpty(Joins.fuzzyJoin(
+      noDocs.toDF("id", "s"), noDocs.toDF("id", "s"), "id", "s", "id", "s"))
+    assertEmpty(Ngrams.bigramLogProb(noDocs))
+    assertEmpty(Ngrams.bpeTrain(noDocs, numMerges = 3))
+    assertEmpty(Ngrams.bpeSegment(noDocs, numMerges = 3))
+    assertEmpty(Ngrams.bpePairStats(noDocs))
+    assertEmpty(Dedup.dedupSubstrings(noDocs, "doc_id", "text"))
+    graft.operators.OpCaches.release()
+    // ksTwoSample keeps its one-row shape with zero totals
+    val ks = Profiling.ksTwoSample(
+      noDocs.select(col("doc_id").as("v")),
+      noDocs.select(col("doc_id").as("v")), "v")
+    assert(ks.count() === 0 || {
+      val r = ks.collect()(0); r.isNullAt(0) || r.getLong(0) === 0L
+    })
+    // validate over zero rows: every rule passes with zero violations
+    val v = Profiling.validate(noDocs,
+      Seq(Profiling.NotNull("doc_id"), Profiling.Unique("doc_id")))
+      .select("violations", "passed").as[(Long, Boolean)].collect()
+    assert(v.toSeq === Seq((0L, true), (0L, true)))
+  }
 }
