@@ -1499,6 +1499,13 @@ object SparkEntry {
           withinUs = 3600L * 1000000L)
         .orderBy("user_id")),
 
+    // ---- E6 N-step funnel report: greedy first-match sequence scan
+    // per user (one shuffle, no per-step joins) ----
+    "q_funnel_steps" -> ((s, d) =>
+      EventOps.funnelN(t(s, d, "events"),
+          Seq("view", "click", "purchase"), withinUs = 7200L * 1000000L)
+        .orderBy("step_idx")),
+
     // ---- E19 unigram LM quality score (perplexity-style signal) ----
     "q_lm_score" -> ((s, d) =>
       Ngrams.unigramLogProb(docsSpread(s, d), quantize = Some(9))
@@ -3894,6 +3901,32 @@ object SparkEntry {
       """SELECT p_size AS k FROM part
         |EXCEPT ALL SELECT l_linenumber AS k FROM lineitem
         |ORDER BY k""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= t1.t1
+        |    AND epoch_us(e.ts) - t1.t1 <= 7200000000
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t2.t2
+        |    AND epoch_us(e.ts) - t2.t2 <= 7200000000
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click',
+        |  CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase',
+        |  CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+        |ORDER BY step_idx""".stripMargin,
 
     "q_lm_score" ->
       """WITH tokens AS (

@@ -86,6 +86,63 @@ object EventOps {
       .join(b, Seq(userCol), "left")
   }
 
+  /** N-step conversion funnel — [[funnel]] generalized to an arbitrary
+    * step sequence: per user, step 1 anchors at the FIRST step-1 event;
+    * each later step matches the first event of its type at-or-after
+    * the previous match and within `withinUs` of it. Output is the
+    * funnel report: (step_idx, step, n_users) with n_users the users
+    * whose match reached at least that step — monotone non-increasing
+    * down the funnel.
+    *
+    * One corpus-sized shuffle: events filtered to the step types group
+    * per user, and the greedy sequence match runs as an `aggregate` HOF
+    * over each user's time-ordered event array — per-row CPU, no
+    * per-step joins (k-1 self-joins would re-shuffle the event table
+    * per step). Events sort by (time, step rank) so a same-timestamp
+    * pair matches in funnel order — the inclusive `>=` the per-step
+    * min-chain formulation (and the DuckDB oracle) uses. The report
+    * aggregation runs over ≤ k+1 stage counts. `steps` must be
+    * distinct: with a repeated step the min-chain reading would match
+    * one event twice, which is never what a funnel means. */
+  def funnelN(events: DataFrame, steps: Seq[String], withinUs: Long,
+              userCol: String = "user_id", tsCol: String = "ts",
+              typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val sp = events.sparkSession
+    import sp.implicits._
+    val k = steps.size
+    val stepsArr = array(steps.map(lit): _*)
+    val perUser = events.filter(col(typeCol).isInCollection(steps))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col(tsCol)).as("t"),
+        array_position(stepsArr, col(typeCol)).as("r")))).as("__es"))
+    val state = aggregate(col("__es"),
+      struct(lit(0L).as("stage"), lit(0L).as("prev")),
+      (st, e) => {
+        val stage = st("stage"); val prev = st("prev")
+        val hit = stage < k && e("r") === stage + 1 &&
+          (stage === 0 ||
+            (e("t") >= prev && e("t") - prev <= withinUs))
+        when(hit, struct((stage + 1L).as("stage"), e("t").as("prev")))
+          .otherwise(st)
+      })
+    val stageCounts = perUser
+      .select(state.getField("stage").as("__stage"))
+      .filter(col("__stage") >= 1)
+      .groupBy(col("__stage")).agg(count(lit(1)).as("__cnt"))
+    val reached = stageCounts
+      .select(explode(sequence(lit(1L), col("__stage"))).as("step_idx"),
+        col("__cnt"))
+      .groupBy(col("step_idx")).agg(sum(col("__cnt")).as("n_users"))
+    steps.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
+      .toDF("step_idx", "step")
+      .join(reached, Seq("step_idx"), "left")
+      .select(col("step_idx"), col("step"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
   /** Approximate distinct users per event type (E7) — HLL sketch, constant
     * memory per group regardless of cardinality. */
   def approxDistinctUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =

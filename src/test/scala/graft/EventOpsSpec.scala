@@ -94,6 +94,32 @@ class EventOpsSpec extends SparkTestBase {
     assert(out(0)._2 === base)
   }
 
+  test("funnelN: per-step windows, same-ts funnel-order ties, report shape") {
+    val events = Seq(
+      // user 1 completes A→B→C, each hop inside the 1h window
+      (1L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, ts("2024-01-01 10:30:00"), "B"),
+      (1L, ts("2024-01-01 11:00:00"), "C"),
+      // user 2: B 2h after A → stalls at step 1 (C never reachable)
+      (2L, ts("2024-01-01 09:00:00"), "A"),
+      (2L, ts("2024-01-01 11:00:00"), "B"),
+      (2L, ts("2024-01-01 11:10:00"), "C"),
+      // user 3: B and A at the SAME timestamp — inclusive >= matches
+      (3L, ts("2024-01-01 08:00:00"), "A"),
+      (3L, ts("2024-01-01 08:00:00"), "B"),
+      // user 4: B before the first A → stalls at step 1
+      (4L, ts("2024-01-01 07:00:00"), "B"),
+      (4L, ts("2024-01-01 07:30:00"), "A"),
+      // user 5: only C → never enters the funnel
+      (5L, ts("2024-01-01 06:00:00"), "C")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.funnelN(events, Seq("A", "B", "C"),
+        withinUs = 3600L * 1000000L)
+      .orderBy("step_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "A", 4L), (2L, "B", 2L), (3L, "C", 1L)))
+  }
+
   test("sessionizeBatch splits on gaps > threshold, aggregates per session") {
     val events = Seq(
       // user 1: two sessions separated by a 2h gap
