@@ -1841,6 +1841,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- E24 exact triangle counts over the part co-occurrence graph
+    // (parts sharing an order are linked); degree-ordered wedge closure
+    // bounds hub fan-out by the arboricity, not degree² ----
+    "q_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graphs.triangleCount(e, "src", "dst")
+        .orderBy("node")
+    }),
+
     // ---- set ops: bag (ALL) variants ----
     "q_intersect_all" -> ((s, d) =>
       t(s, d, "part").select(col("p_size").as("k"))
@@ -3846,6 +3860,22 @@ object SparkEntry {
         |       CAST(doc_id - (doc_id % 5) AS BIGINT) AS comp
         |FROM documents WHERE doc_id < 500
         |ORDER BY id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+        |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |       GROUP BY node)
+        |SELECT nodes.node, COALESCE(pn.n, 0) AS n_triangles
+        |FROM nodes LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
 
     // fixed-point PageRank: the same 3 integer-arithmetic iterations
     // unrolled (// is integer division; SUM casts shed DuckDB's HUGEINT)

@@ -82,4 +82,58 @@ object Graphs {
     ranks.select(col("node"), col("rank").as("rank_fp"),
       (col("rank").cast("double") / Scale.toDouble).as("rank"))
   }
+
+  /** Exact per-node triangle counts over an undirected graph given as an
+    * edge list (direction and duplicates ignored; self-loops dropped) —
+    * the clustering-coefficient numerator, and the standard structure
+    * signal for link-spam and community density in web-corpus curation.
+    * Output: (node, n_triangles) for every node with at least one edge.
+    *
+    * Algorithm: degree-ordered wedge closure. Each edge orients from
+    * its lower-(degree, id) endpoint to the higher; wedges form at each
+    * node's oriented neighbors and close against an oriented edge —
+    * every triangle is found exactly once, at its lowest-ranked vertex.
+    * The orientation is the scale move: a hub of degree D contributes
+    * wedges only among neighbors RANKED ABOVE it, bounding per-node
+    * wedge fan-out by O(sqrt(m)) on any graph (the arboricity bound)
+    * instead of D² — the difference between a web graph finishing and
+    * its biggest hub exploding the join. All three passes are
+    * equi-joins on node ids; the canonical edge table is persisted
+    * (release via [[OpCaches.release]]) since degrees, wedges, and
+    * closures all read it. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = OpCaches.register(edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+              greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist())
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    val dir = e
+      .join(deg.select(col("node").as("u"), col("__deg").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("__deg").as("__dv")), "v")
+      .select(when(col("__du") < col("__dv") ||
+                   (col("__du") === col("__dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b"), col("__dv").as("db")))
+        .otherwise(
+          struct(col("v").as("a"), col("u").as("b"), col("__du").as("db")))
+        .as("o"))
+      .select(col("o.a").as("a"), col("o.b").as("b"), col("o.db").as("db"))
+    val wedges = dir.as("p").join(dir.as("q"),
+        col("p.a") === col("q.a") &&
+          (col("p.db") < col("q.db") ||
+            (col("p.db") === col("q.db") && col("p.b") < col("q.b"))))
+      .select(col("p.b").as("b"), col("q.b").as("c"), col("p.a").as("a"))
+    val tri = wedges.join(
+      dir.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

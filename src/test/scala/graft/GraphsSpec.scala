@@ -53,4 +53,21 @@ class GraphsSpec extends SparkTestBase {
     assert(total <= Graphs.Scale)
     assert(total > Graphs.Scale - 1000L)
   }
+
+  test("triangleCount: exact per-node counts; direction/dupes/loops ignored") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) plus a pendant 5 and an
+    // isolated triangle {6,7,8}; edge 2→1 duplicates 1→2 reversed, and
+    // 3→3 is a self-loop — both must not change counts
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 3L), (4L, 5L), (6L, 7L), (7L, 8L), (6L, 8L)
+    ).toDF("src", "dst")
+    val got = Graphs.triangleCount(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    graft.operators.OpCaches.release()
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 1L, 7L -> 1L, 8L -> 1L))
+    // global count = sum/3: 4 (K4) + 1 (isolated) = 5
+    assert(got.values.sum === 15L)
+  }
 }
