@@ -1294,6 +1294,18 @@ object SparkEntry {
     }),
     "q_rep_ratio" -> ((s, d) =>
       Ngrams.repetitionRatio(docsSpread(s, d), n = 3).orderBy("doc_id")),
+
+    // ---- E19 per-doc novelty: fraction of 8-grams first seen in this
+    // doc (ingest order) — the marginal-contribution mixing signal ----
+    "q_novelty" -> ((s, d) =>
+      Ngrams.noveltyScore(docsSpread(s, d), n = 8).orderBy("doc_id")),
+
+    // ---- E4 blocklist gate: one alternation regex, scan-side ----
+    "q_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(docsSpread(s, d),
+          Seq("slow batch", "dup table", "the vector"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
     // E19 corpus → token-id sequences against a ranked vocabulary (the
     // step before packSequences turns ids into training rows). The
     // vocab-ranking window runs over the post-minDf vocabulary — small
@@ -3179,6 +3191,29 @@ object SparkEntry {
         |SELECT ngram, COUNT(*) AS cnt FROM g
         |GROUP BY ngram HAVING COUNT(*) >= 3
         |ORDER BY ngram""".stripMargin,
+
+    "q_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        array_to_string(w[i:i+7], ' ') AS gm
+        |      FROM d, unnest(range(1, len(w) - 6)) AS u(i)
+        |      WHERE len(w) >= 8),
+        |f AS (SELECT gm, MIN(doc_id) AS fd FROM g GROUP BY gm)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS novelty
+        |FROM g JOIN f USING (gm)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_blocklist" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE NOT (text LIKE '%slow batch%'
+        |  OR text LIKE '%dup table%'
+        |  OR text LIKE '%the vector%')
+        |ORDER BY doc_id""".stripMargin,
 
     "q_decontam" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -205,6 +205,36 @@ object Ngrams {
         (docSum / count(lit(1))).as("avg_logp"))
   }
 
+  /** Per-document NOVELTY score: the fraction of a document's distinct
+    * word n-grams whose FIRST corpus occurrence (minimum `idCol`, i.e.
+    * ingest order) is this document — the marginal-contribution signal
+    * behind dedup-aware mixing: a document of common boilerplate scores
+    * near 0 even if no single near-duplicate exists; the corpus's first
+    * copy of anything scores high. The graded, per-document form of
+    * what [[Dedup.dedupChunksGlobal]] decides bluntly.
+    *
+    * Same hashed-shingle machinery as [[decontaminate]] (fixed-width
+    * long keys; a 2^-64 collision can only mark a gram non-novel):
+    * one distinct (doc, gram) table, a min-doc aggregate per gram
+    * joined back, one per-doc aggregate — all linear shuffles.
+    * Documents shorter than `n` tokens have no windows and are not
+    * scored. */
+  def noveltyScore(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val g = docs.filter(size(toks(col(textCol))) >= n)
+      .select(col(idCol),
+        explode(array_distinct(
+          VectorExprs.shingleHash64(toks(col(textCol)), n))).as("g"))
+    val first = g.groupBy(col("g")).agg(min(col(idCol)).as("__first"))
+    g.join(first, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** Adjacent-character pair frequencies over the word vocabulary,
     * weighted by word occurrence counts — iteration 1 of byte-pair
     * encoding (Sennrich et al. 2016, ACL: "Neural Machine Translation

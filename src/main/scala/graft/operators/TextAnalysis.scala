@@ -137,6 +137,26 @@ object TextAnalysis {
     regexp_replace(url, "[0-9]{8,}", "<NUM>")
   }
 
+  /** TRUE iff the text contains any of `terms` as a substring — the
+    * blocklist gate (banned phrases, slur/NSFW lists, known-contaminant
+    * strings). Compiles the whole list into ONE alternation regex
+    * (terms regex-quoted, so they match literally), evaluated in a
+    * single codegen'd scan-side pass — zero shuffle, no per-term column
+    * chain. Right-sized for curated lists up to a few thousand terms
+    * (one compiled automaton per task); for 100k+ term lists, hash
+    * token n-grams and anti-join instead — that is [[Ngrams.decontaminate]]'s
+    * shape. */
+  def containsAny(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty)
+    text.rlike(terms.map(java.util.regex.Pattern.quote).mkString("|"))
+  }
+
+  /** Keep only the documents [[containsAny]] clears — the blocklist
+    * filter stage of a cleaning pipeline. */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String],
+                      textCol: String = "text"): DataFrame =
+    docs.filter(!containsAny(col(textCol), terms))
+
   /** Canonical text normalization — the pre-dedup/pre-hash cleanup pass
     * (hash-based dedup is only as good as its normalization): lowercase,
     * strip everything outside [a-z0-9 ], collapse whitespace runs, trim.

@@ -171,6 +171,21 @@ class NgramsSpec extends SparkTestBase {
     assert(s(5L) < s(1L), "rare transitions (b b, a a) drag the mean down")
   }
 
+  test("noveltyScore: first corpus occurrence wins; boilerplate scores 0") {
+    val df = Seq(
+      (1L, "a b c d e"),   // grams {abc, bcd, cde} all first here → 1.0
+      (2L, "a b c d x"),   // {abc, bcd} seen in doc 1; {cdx} novel → 1/3
+      (3L, "a b c d e"),   // exact copy of doc 1 → nothing novel → 0.0
+      (4L, "a b")          // shorter than n → unscored
+    ).toDF("doc_id", "text")
+    val out = Ngrams.noveltyScore(df, n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((1L, 3L, 3L, 1.0)))
+    assert(out(2L) === ((2L, 3L, 1L, 1.0 / 3.0)))
+    assert(out(3L) === ((3L, 3L, 0L, 0.0)))
+  }
+
   test("bpeTrain: frequency-ordered merges, greedy non-overlap, early stop") {
     // words: ab×2, ac×1 → round 1 fuses (a,b) cnt 2, round 2 (a,c) cnt 1
     val df = Seq((1L, "ab ab ac")).toDF("doc_id", "text")

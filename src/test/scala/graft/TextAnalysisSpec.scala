@@ -131,4 +131,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.qualityPrune(df, 0.5).columns.toSeq ===
       Seq("doc_id", "source", "text"))
   }
+
+  test("blocklistFilter: literal substring semantics, regex chars inert") {
+    val df = Seq(
+      (1L, "perfectly fine text"),
+      (2L, "contains bad phrase here"),
+      (3L, "cost is $5.00 (a+b)"),   // only the literal term may match
+      (4L, "phrase spans bad\nphrase? no — newline breaks it")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.blocklistFilter(df, Seq("bad phrase", "$5.00"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L),
+      "doc 2 hits the phrase, doc 3 hits the LITERAL $5.00 (not a regex)")
+    assert(TextAnalysis.blocklistFilter(df, Seq("zzz")).count() === 4L)
+  }
 }
