@@ -222,6 +222,18 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
 
+    // ---- TPC-H Q6-shaped: selective-scan forecast revenue (the classic
+    // predicate-pushdown benchmark: every filter reaches the scan) ----
+    "q_tpch6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sumDec(col("l_extendedprice") * col("l_discount"), 6)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))),
+
     // ---- grouped aggregation (TPC-H Q1-shaped pricing summary) ----
     "q1_agg" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -2087,6 +2099,17 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch6" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
