@@ -1920,7 +1920,8 @@ object SparkEntry {
       |  SELECT w, regexp_replace(w, '(.)', '<\1>', 'g') AS syms,
       |         COUNT(*) AS c
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE len(w) >= 1 GROUP BY w)""".stripMargin
+      |  WHERE len(w) >= 1 AND NOT regexp_matches(w, '[<>]')
+      |  GROUP BY w)""".stripMargin
     for (i <- 1 to k) {
       val p = i - 1
       sb ++= s""",

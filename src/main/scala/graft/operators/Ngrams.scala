@@ -284,7 +284,11 @@ object Ngrams {
     * (a, b) is then the literal string replace `<a><b>` → `<ab>`, whose
     * left-to-right non-overlapping scan is exactly BPE's merge rule —
     * adjacent occurrences never share characters, so `aaa` under (a,a)
-    * correctly becomes `<aa><a>`. Tokens must not contain `<` or `>`. */
+    * correctly becomes `<aa><a>`. Tokens containing `<` or `>` would
+    * corrupt this encoding (a literal bracket can fuse across symbol
+    * boundaries), so the vocabulary build DROPS them — enforced in
+    * [[bpeTrainState]], not just documented; such tokens are control
+    * markup, not text, in every corpus this targets. */
   def bpeTrain(docs: DataFrame, numMerges: Int,
                textCol: String = "text"): DataFrame = {
     val sp = docs.sparkSession
@@ -322,6 +326,11 @@ object Ngrams {
     require(numMerges >= 1)
     var words = docs.select(explode(toks(col(textCol))).as("w"))
       .filter(length(col("w")) >= 1)
+      // enforce the bracketed-symbol encoding's precondition: a token
+      // containing a literal '<' or '>' would let `replace` fuse across
+      // symbol-character boundaries and silently corrupt the merge
+      // table — drop such tokens (documented policy on bpeTrain)
+      .filter(!col("w").rlike("[<>]"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(col("w"),
         regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("c"))

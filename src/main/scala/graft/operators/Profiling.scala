@@ -83,10 +83,11 @@ object Profiling {
       coalesce((r match {
         case NotNull(c) => sum(when(col(c).isNull, 1L).otherwise(0L))
         case Unique(c) => count(lit(1)) - count_distinct(col(c)) -
-          // count_distinct skips NULLs: add the null rows back, minus
-          // the one distinct group they'd have formed
-          when(sum(when(col(c).isNull, 1L).otherwise(0L)) > 0,
-            sum(when(col(c).isNull, 1L).otherwise(0L)) - 1L).otherwise(0L)
+          // count_distinct skips NULLs, but they form ONE distinct group
+          // like any other value — subtract exactly that one group when
+          // present, so n NULL rows contribute n-1 violations
+          when(sum(when(col(c).isNull, 1L).otherwise(0L)) > 0, 1L)
+            .otherwise(0L)
         case InRange(c, lo, hi) => sum(when(
           col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
         case OneOf(c, vs) => sum(when(
@@ -224,7 +225,12 @@ object Profiling {
     * (one linear shuffle; partial aggregation map-side), so the running
     * ECDF window — necessarily a single ordered task — runs over the
     * BIN table, whose size callers bound via binWidth, never over rows.
-    * The final max is a scalar aggregate. */
+    * The final max is a scalar aggregate.
+    *
+    * Empty-side contract: if either side has no non-NULL values the KS
+    * statistic is undefined; this returns ks_d = 0.0 (d_num is 0 — no
+    * bin can differ from an empty ECDF in integer numerator terms) so
+    * drift monitors see "no evidence of drift", never NULL/NaN. */
   def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String,
                   binWidth: Double = 1.0): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
@@ -243,18 +249,22 @@ object Profiling {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val totals = perBin.agg(sum(col("__ca")).as("n_a"),
-      sum(col("__cb")).as("n_b"))
+    val totals = perBin.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"))
     perBin
       .select(sum(col("__ca")).over(w).as("__cuma"),
               sum(col("__cb")).over(w).as("__cumb"))
       .crossJoin(broadcast(totals))
-      .agg(max(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a")))
-        .as("d_num"))
+      .agg(coalesce(
+        max(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a"))),
+        lit(0L)).as("d_num"))
       .crossJoin(broadcast(totals))
       .select(col("n_a"), col("n_b"), col("d_num"),
-        (col("d_num").cast("double") / (col("n_a") * col("n_b")))
-          .as("ks_d"))
+        // guard the empty-side case: n_a*n_b = 0 would yield NULL
+        when(col("n_a") * col("n_b") > 0,
+          col("d_num").cast("double") / (col("n_a") * col("n_b")))
+          .otherwise(lit(0.0)).as("ks_d"))
   }
 
   def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {

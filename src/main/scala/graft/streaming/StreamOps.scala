@@ -229,8 +229,14 @@ object StreamOps {
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val spark = batch.sparkSession
-          val standing = scala.util.Try(
-            graft.sources.ManifestTable.read(spark, indexPath)).toOption
+          // Only FileNotFoundException — ManifestTable.read's documented
+          // "not yet created" signal — means first batch. Any other
+          // failure (transient IO, corrupt manifest) must fail the batch
+          // so the checkpoint retries it, instead of silently committing
+          // the batch undeduplicated.
+          val standing =
+            try Some(graft.sources.ManifestTable.read(spark, indexPath))
+            catch { case _: java.io.FileNotFoundException => None }
           val survivors = (standing match {
             case Some(idx) => graft.operators.Dedup.dedupAgainstIndex(
               batch.toDF(), idx, idCol, textCol, shingleN, numHashes,

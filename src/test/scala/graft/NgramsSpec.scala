@@ -205,6 +205,13 @@ class NgramsSpec extends SparkTestBase {
     // no pairs left before the budget → stop early instead of looping
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(Ngrams.bpeTrain(tiny, numMerges = 5).count() === 1L)
+    // bracket-bearing tokens would corrupt the <a><b> symbol encoding —
+    // the vocabulary build drops them instead of training on garbage
+    val brackets = Seq((1L, "ab ab ac <s> a<b")).toDF("doc_id", "text")
+    val m3 = Ngrams.bpeTrain(brackets, numMerges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m3 === Seq((1L, "a", "b", "ab", 2L), (2L, "a", "c", "ac", 1L)),
+      "tokens containing < or > are excluded from the vocabulary")
   }
 
   test("bpeSegment publishes the word → subword table the merges induce") {

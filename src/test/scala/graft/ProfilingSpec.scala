@@ -205,6 +205,17 @@ class ProfilingSpec extends SparkTestBase {
       "NULL values are not range violations")
     assert(out("one_of(cat)") === (("one_of(cat)", "cat", 5L, 1L, false)),
       "NULL categories are not membership violations")
+    // exactly ONE null: the null group is unique like any other value —
+    // no phantom violation (the nullCount-1 formula would report one)
+    val oneNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    assert(Profiling.validate(oneNull, Seq(Unique("id")))
+      .as[(String, String, Long, Long, Boolean)].head()
+      === (("unique(id)", "id", 3L, 0L, true)))
+    // THREE nulls form one group → exactly 2 duplicate rows
+    val threeNulls = Seq(Some(1L), None, None, None).toDF("id")
+    assert(Profiling.validate(threeNulls, Seq(Unique("id")))
+      .as[(String, String, Long, Long, Boolean)].head()
+      === (("unique(id)", "id", 4L, 2L, false)))
     // a clean frame passes everything
     val clean = Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("id", "v", "cat")
     assert(Profiling.validate(clean, Seq(
@@ -230,5 +241,11 @@ class ProfilingSpec extends SparkTestBase {
     // that resolution
     assert(Profiling.ksTwoSample(a, b, "v", binWidth = 10.0)
       .as[(Long, Long, Long, Double)].head() === ((4L, 4L, 0L, 0.0)))
+    // empty-side contract: defined 0.0, never NULL/NaN
+    val none = Seq.empty[Long].toDF("v")
+    assert(Profiling.ksTwoSample(a, none, "v")
+      .as[(Long, Long, Long, Double)].head() === ((4L, 0L, 0L, 0.0)))
+    assert(Profiling.ksTwoSample(none, none, "v")
+      .as[(Long, Long, Long, Double)].head() === ((0L, 0L, 0L, 0.0)))
   }
 }
