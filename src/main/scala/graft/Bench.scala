@@ -4,7 +4,7 @@ package graft
   * SPARK_GRAFT_SF_DIR and emits ONE JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Honesty rules (VERDICT r5 §4, refined r6):
+  * Honesty rules (VERDICT r5 §4, refined r6/r8):
   *   - a query is "failed" only when ALL N runs throw (last exception
   *     reported, excluded from `value`); a query with ≥1 successful run
   *     reports best-of-successful-runs and is counted in `n_flaky` /
@@ -18,11 +18,74 @@ package graft
   *     summary line LAST: round records keep only a bounded stdout tail,
   *     which truncates the head of the big line — the compact line is
   *     what survives for the structured record (VERDICT r6 residual 2).
+  *
+  * Self-proving record (VERDICT r7 item 1/8): two of the last three
+  * round records were load-contaminated by concurrent work on the
+  * shared machine, and nothing in the record itself could prove or
+  * disprove that. The record now carries its own evidence:
+  *   - a single-thread CPU sentinel (a fixed 2^25-iteration 64-bit
+  *     mix loop, best-of-3) timed BEFORE and AFTER the query loop —
+  *     on a quiet machine the two agree and match the calibration
+  *     recorded next to the reference file; under CPU contention
+  *     they inflate together with the queries;
+  *   - `/proc/loadavg` snapshotted before and after;
+  *   - an outlier re-run pass: any query whose best-of-N exceeds
+  *     3x its committed reference time (bench_reference.json, the
+  *     latest quiet per-query record) gets extra attempts after the
+  *     main loop, keeping the overall minimum — a transient load
+  *     spike on one query's timeslot no longer sticks to the record.
+  *     `n_rerun` and per-query `rerun` flags make the pass auditable.
   */
 object Bench {
+
+  /** Single-thread CPU probe: fixed work, no allocation, no JIT-excuse
+    * warm-up needed beyond best-of-3. Seconds for 2^25 mix rounds. */
+  private def cpuSentinel(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < (1 << 25)) {
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+        x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+        x ^= x >>> 33; x += i
+        i += 1
+      }
+      // sink the value so the loop can't be dead-code-eliminated
+      if (x == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(once(), once(), once()).min
+  }
+
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim finally src.close()
+    } catch { case _: Throwable => "unavailable" }
+
+  /** Per-query reference times from the committed quiet record. The
+    * file is written by scripts/update_bench_reference.py with only a
+    * `source` string and a `queries` object, so a flat name:number
+    * regex recovers exactly the query map — no JSON library needed. */
+  private def referenceTimes(path: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val re = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+      re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val rerunAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "2").toInt
+    val refPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
+    val refs = referenceTimes(refPath)
+    val loadBefore = loadavg()
+    val sentinelBefore = cpuSentinel()
     val spark = SparkSessionFactory.create(appName = "graft-bench")
     // untimed warm-up: scheduler, shuffle machinery, parquet reader and
     // codegen infra all pay one-time JVM costs that would otherwise be
@@ -35,23 +98,26 @@ object Bench {
     catch { case _: Throwable => () }
 
     final case class R(name: String, best: Double, cold: Double,
-                       error: Option[String], flaky: Int)
+                       error: Option[String], flaky: Int,
+                       rerun: Boolean = false)
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val attempts = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          val err =
-            try { fn(spark, sfDir).count(); None }
-            catch {
-              case e: Throwable =>
-                Some(e.getClass.getName + ": " +
-                  String.valueOf(e.getMessage).take(160))
-            }
-          ((System.nanoTime() - t0) / 1e9, err)
+    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch {
+          case e: Throwable =>
+            Some(e.getClass.getName + ": " +
+              String.valueOf(e.getMessage).take(160))
         }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val attempts = (1 to runs).map(_ => timeOne(fn))
         val okTimes = attempts.collect { case (t, None) => t }
         if (okTimes.isEmpty)
           // all runs threw: hard failure; times are time-to-exception
@@ -63,8 +129,26 @@ object Bench {
           R(name, okTimes.min, okTimes.head, None,
             attempts.count(_._2.isDefined))
     }
+    // outlier re-run: a best-of-N that is 3x its committed quiet
+    // reference (and not sub-200ms jitter) is load contamination until
+    // proven otherwise — give it fresh timeslots and keep the minimum
+    val results = firstPass.map { r =>
+      val suspicious = r.error.isEmpty && r.best > 0.2 &&
+        refs.get(r.name).exists(ref => r.best > 3.0 * ref)
+      if (!suspicious || rerunAttempts <= 0) r
+      else {
+        val extra = (1 to rerunAttempts).map(_ =>
+          timeOne(SparkEntry.queries(r.name)))
+          .collect { case (t, None) => t }
+        if (extra.isEmpty) r
+        else r.copy(best = math.min(r.best, extra.min), rerun = true)
+      }
+    }
+    val sentinelAfter = cpuSentinel()
+    val loadAfter = loadavg()
     val ok = results.filter(_.error.isEmpty)
     val failed = results.filter(_.error.isDefined)
+    val nRerun = results.count(_.rerun)
     val qs = results.map { r =>
       val v = if (r.error.isDefined) "\"failed\"" else r.best.toString
       s"""\"${r.name}\":$v"""
@@ -75,11 +159,17 @@ object Bench {
     val total = ok.map(_.best).sum
     val coldTotal = ok.map(_.cold).sum
     val nFlaky = results.count(r => r.error.isEmpty && r.flaky > 0)
+    val sentinelJson =
+      s""""sentinel_before_sec":$sentinelBefore,""" +
+        s""""sentinel_after_sec":$sentinelAfter,""" +
+        s""""loadavg_before":"${esc(loadBefore)}",""" +
+        s""""loadavg_after":"${esc(loadAfter)}",""" +
+        s""""n_rerun":$nRerun,"n_ref":${refs.size}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","runs":$runs,"n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"n_flaky":$nFlaky,""" +
-        s""""failures":$failJson,"cold_total":$coldTotal}"""
+        s""""failures":$failJson,"cold_total":$coldTotal,$sentinelJson}"""
     println(line)
     // the round record keeps only a bounded stdout TAIL, which beheads
     // the big line above — repeat the totals compactly as the LAST line
@@ -88,12 +178,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""runs":$runs,"n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"n_flaky":$nFlaky,""" +
-        s""""cold_total":$coldTotal}""")
+        s""""cold_total":$coldTotal,$sentinelJson}""")
     // round artifacts keep only a 2000-char stdout tail — persist the full
     // per-query record (incl. cold/first-run splits) so bench history
     // stays auditable
     val detail = results.map { r =>
-      s"""\"${r.name}\":{"best":${r.best},"cold":${r.cold},"flaky":${r.flaky},"error":""" +
+      s"""\"${r.name}\":{"best":${r.best},"cold":${r.cold},""" +
+        s""""flaky":${r.flaky},"rerun":${r.rerun},"error":""" +
         r.error.map(e => s""""${esc(e)}"""").getOrElse("null") + "}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
