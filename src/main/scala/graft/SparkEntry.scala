@@ -1178,6 +1178,26 @@ object SparkEntry {
         Similarity.ivfTopKFromIndex(rc, ra, q, 10, nprobe = 12),
         floor = 0.8)
     }),
+    // E3 incremental index APPEND (VERDICT r7 item 7): train + persist
+    // the index over the even-id half of the corpus, append the odd-id
+    // half's cell assignments with the STORED centroids (no retraining,
+    // O(batch) ingest), read the extended artifact back, and probe it
+    // over the FULL corpus — proving appended vectors are findable
+    "q_ann_ivf_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val (cents, cells) = Similarity.ivfIndex(
+        e.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 2)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString
+      Similarity.writeIvfIndex(dir, cents, cells)
+      Similarity.appendToIvfIndex(s, dir,
+        e.filter(col("vec_id") % 2 === 1))
+      val (rc, ra) = Similarity.readIvfIndex(s, dir)
+      Similarity.recallAudit(e, q, 10,
+        Similarity.ivfTopKFromIndex(rc, ra, q, 10, nprobe = 12),
+        floor = 0.8)
+    }),
     // E3 product quantization: 16-byte ADC codes + exact re-rank of a
     // 128-deep shortlist (recall 0.91 at sf0.01, 0.865 at sf0.1 —
     // shortlist depth is the recall/IO dial); deterministic end-to-end,
@@ -1248,6 +1268,15 @@ object SparkEntry {
     "q_bpe_segment" -> ((s, d) =>
       Ngrams.bpeSegment(docsSpread(s, d), numMerges = bpeOracleMerges)
         .orderBy("word")),
+    // corpus → token-id sequences with the TRAINED tokenizer: train on
+    // the full corpus, segment, dense-rank the symbol vocabulary, and
+    // encode a doc subset in (token pos, symbol pos) order — the last
+    // seam in the tokenize→pack chain, closed end-to-end
+    "q_bpe_encode" -> ((s, d) =>
+      Ngrams.bpeEncode(docsSpread(s, d),
+          docsSpread(s, d).filter(col("doc_id") < 200),
+          numMerges = bpeOracleMerges)
+        .orderBy("doc_id")),
 
     // k-fold CV labels: engine-independent Knuth-hash fold assignment,
     // summarized per fold (counts + char mass)
@@ -1959,6 +1988,34 @@ object SparkEntry {
       |      FROM state$k)
       |ORDER BY word""".stripMargin
 
+  /** DuckDB replay of [[operators.Ngrams.bpeEncode]]: the unrolled
+    * training rounds' final state joined onto the (filtered) document
+    * token stream, symbols dense-ranked to ids, per-doc id lists in
+    * (token position, symbol position) order. */
+  private def bpeEncodeOracle(k: Int): String =
+    bpeStateCtes(k) + s""",
+      |seg AS (SELECT w, string_split(trim(syms, '<>'), '><') AS a
+      |        FROM state$k),
+      |vocab AS (
+      |  SELECT sym, row_number() OVER (ORDER BY sym) AS id
+      |  FROM (SELECT DISTINCT unnest(a) AS sym FROM seg)),
+      |tok AS (
+      |  SELECT doc_id, tp, w FROM (
+      |    SELECT doc_id, generate_subscripts(toks, 1) AS tp,
+      |           unnest(toks) AS w
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents WHERE doc_id < 200))
+      |  WHERE len(w) >= 1 AND NOT regexp_matches(w, '[<>]')),
+      |symrows AS (
+      |  SELECT doc_id, tp, generate_subscripts(a, 1) AS sp,
+      |         unnest(a) AS sym
+      |  FROM tok JOIN seg USING (w)),
+      |enc AS (SELECT doc_id, tp, sp, id FROM symrows JOIN vocab USING (sym))
+      |SELECT doc_id, CAST(COUNT(DISTINCT tp) AS BIGINT) AS n_toks,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |  array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DuckDB-equivalent ANSI SQL per query (driver runs these on the same
     * parquet tables). Omitted for the engine-specific ops above. */
   def oracleSql: Map[String, String] = Map(
@@ -1977,6 +2034,8 @@ object SparkEntry {
     "q_bpe_merges" -> bpeMergesOracle(bpeOracleMerges),
 
     "q_bpe_segment" -> bpeSegmentOracle(bpeOracleMerges),
+
+    "q_bpe_encode" -> bpeEncodeOracle(bpeOracleMerges),
 
     "entry" ->
       """SELECT r_name, n_name,
@@ -2476,6 +2535,13 @@ object SparkEntry {
         |TRUE AS recall_ok""".stripMargin,
 
     "q_ann_ivf_indexed" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_ivf_append" ->
       """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
         |  AS BIGINT) AS n_queries,
         |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10

@@ -108,13 +108,18 @@ object Dedup {
     * through with NULL stats).
     *
     * Plan shape: one posexplode to (doc, pos, window), one rank window
-    * partitioned BY WINDOW STRING (linear shuffle — same cost class as
-    * dedupChunksGlobal's chunk rank), covered positions exploded from
-    * masked occurrences (≤ n rows each), an anti-join on (doc, pos),
-    * and one per-doc regroup; order is restored by in-array sort, no
-    * global window. At petabyte scale swap the window STRING for
-    * `shingleHash64` to shuffle fixed-width longs — kept as strings
-    * here so the DuckDB oracle replays verbatim. */
+    * partitioned by a 128-BIT HASH PAIR of the window string (two
+    * independent xxhash64 seeds) — the raw n-gram string is projected
+    * away BEFORE the exchange, so the shuffle carries three longs per
+    * occurrence instead of an n-token string (~5× narrower at n=8; at
+    * 100 TB that is the difference between a ~0.16 PB and a ~0.8 PB
+    * exchange). Collision odds at 128 bits are negligible (~1e-20 for
+    * 1e9 distinct windows), and a collision only over-masks one span.
+    * Covered positions explode from masked occurrences (≤ n rows
+    * each), an anti-join on (doc, pos), one per-doc regroup; order is
+    * restored by in-array sort, no global window. The DuckDB oracle
+    * replays the same rule on the raw strings — identical output
+    * because the hash pair is injective in practice. */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 8): DataFrame = {
     require(n > 0)
@@ -125,7 +130,11 @@ object Dedup {
     val occ = base.select(col(idCol),
         posexplode(graft.operators.Ngrams.ngramArray(col(textCol), n)))
       .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__w")
-    val rw = Window.partitionBy(col("__w")).orderBy(col(idCol), col("__wpos"))
+      .select(col(idCol), col("__wpos"),
+        xxhash64(col("__w")).as("__wh1"),
+        xxhash64(lit("graft-substr-s2"), col("__w")).as("__wh2"))
+    val rw = Window.partitionBy(col("__wh1"), col("__wh2"))
+      .orderBy(col(idCol), col("__wpos"))
     val covered = occ
       .withColumn("__rn", row_number().over(rw))
       .filter(col("__rn") > 1)

@@ -103,21 +103,43 @@ object EventOps {
     * min-chain formulation (and the DuckDB oracle) uses. The report
     * aggregation runs over ≤ k+1 stage counts. `steps` must be
     * distinct: with a repeated step the min-chain reading would match
-    * one event twice, which is never what a funnel means. */
+    * one event twice, which is never what a funnel means.
+    *
+    * `maxEventsPerUser` bounds per-user state: a bot user with 10M
+    * step-typed events would otherwise materialize a 10M-element array
+    * in one task. The cap keeps each user's EARLIEST `maxEventsPerUser`
+    * events by (time, step rank) — a `row_number <= k` filter that
+    * Catalyst rewrites to WindowGroupLimit, so the truncation happens
+    * map-side BEFORE the exchange as well as after it; no task ever
+    * buffers more than the cap per user. Keep-earliest is the right
+    * truncation for a funnel anchored at the FIRST step-1 event: a
+    * user whose conversion needs an event beyond the cap is reported
+    * at the stage the capped prefix reaches (monotone undercount,
+    * never a phantom conversion). */
   def funnelN(events: DataFrame, steps: Seq[String], withinUs: Long,
               userCol: String = "user_id", tsCol: String = "ts",
-              typeCol: String = "event_type"): DataFrame = {
+              typeCol: String = "event_type",
+              maxEventsPerUser: Int = 100000): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     require(steps.distinct.size == steps.size, "steps must be distinct")
+    require(maxEventsPerUser >= steps.size,
+      "cap must admit at least one event per step")
     val sp = events.sparkSession
     import sp.implicits._
     val k = steps.size
     val stepsArr = array(steps.map(lit): _*)
-    val perUser = events.filter(col(typeCol).isInCollection(steps))
+    val typed = events.filter(col(typeCol).isInCollection(steps))
+      .select(col(userCol),
+        unix_micros(col(tsCol)).as("__t"),
+        array_position(stepsArr, col(typeCol)).as("__r"))
+    val wu = Window.partitionBy(col(userCol))
+      .orderBy(col("__t"), col("__r"))
+    val perUser = typed
+      .withColumn("__rn", row_number().over(wu))
+      .filter(col("__rn") <= maxEventsPerUser)
       .groupBy(col(userCol))
       .agg(array_sort(collect_list(struct(
-        unix_micros(col(tsCol)).as("t"),
-        array_position(stepsArr, col(typeCol)).as("r")))).as("__es"))
+        col("__t").as("t"), col("__r").as("r")))).as("__es"))
     val state = aggregate(col("__es"),
       struct(lit(0L).as("stage"), lit(0L).as("prev")),
       (st, e) => {

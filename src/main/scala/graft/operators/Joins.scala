@@ -219,29 +219,68 @@ object Joins {
     * ≤ d) share variants with everything of their size class — filter
     * them out upstream if the skew shows.
     *
+    * LONG-STRING GUARD: the L^d blow-up means a single 500-char string
+    * at d=2 would emit ~250k variant rows, so deletion neighborhoods
+    * are used only for strings of length ≤ `maxLen`. Longer strings
+    * route through a positional q-gram candidate filter (q = 16):
+    * every length-q substring is emitted with its position, candidates
+    * join on gram hash with an in-join position band |pa − pb| ≤ d.
+    * Completeness: d edits destroy at most d·q of a string's
+    * len − q + 1 grams and shift survivors' positions by at most d, so
+    * any string longer than q·(d+1) − 1 = 47 chars within distance d
+    * of another shares an intact, band-aligned gram — and the long
+    * class (len > maxLen − d ≥ 47) always qualifies. Fan-out is
+    * LINEAR in length (one row per gram), never L^d. A pair straddling
+    * the boundary (one side ≤ maxLen, other > maxLen) has both
+    * lengths in (maxLen − d, maxLen + d], so both sides also enter
+    * the long class — the classes overlap by `maxDist` and the final
+    * distinct() collapses pairs found by both paths. Both paths end
+    * in the same exact `levenshtein` verify, so output stays identical
+    * to brute force at every length.
+    *
     * Output: (left_id, left_str, right_id, right_str, dist), one row per
     * matching pair. */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftId: String, leftStr: String,
                 rightId: String, rightStr: String,
-                maxDist: Int = 1): DataFrame = {
+                maxDist: Int = 1, maxLen: Int = 64): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       "deletion-neighborhood size is len^maxDist: supported depths are 1 and 2")
-    def side(df: DataFrame, id: String, str: String,
-             oid: String, ostr: String) =
-      df.filter(col(str).isNotNull)
-        .select(col(id).as(oid), col(str).as(ostr),
-          explode(deletionNeighborhood(col(str), maxDist)).as("__v"))
-        .select(col(oid), col(ostr), xxhash64(col("__v")).as("__vh"))
-        .distinct()
-    side(left, leftId, leftStr, "left_id", "left_str")
-      .join(side(right, rightId, rightStr, "right_id", "right_str"), "__vh")
+    val q = 16
+    require(maxLen - maxDist >= q * (maxDist + 1) - 1,
+      s"maxLen too small: long class must satisfy the q-gram count " +
+        s"filter (need maxLen >= ${q * (maxDist + 1) - 1 + maxDist})")
+    def verify(cands: DataFrame): DataFrame = cands
       .filter(abs(length(col("left_str")) - length(col("right_str"))) <= maxDist)
       .filter(levenshtein(col("left_str"), col("right_str")) <= maxDist)
       .select(col("left_id"), col("left_str"), col("right_id"),
         col("right_str"),
         levenshtein(col("left_str"), col("right_str")).cast("long").as("dist"))
+    def side(df: DataFrame, id: String, str: String,
+             oid: String, ostr: String) =
+      df.filter(col(str).isNotNull && length(col(str)) <= maxLen)
+        .select(col(id).as(oid), col(str).as(ostr),
+          explode(deletionNeighborhood(col(str), maxDist)).as("__v"))
+        .select(col(oid), col(ostr), xxhash64(col("__v")).as("__vh"))
+        .distinct()
+    def gramSide(df: DataFrame, id: String, str: String,
+                 oid: String, ostr: String) =
+      df.filter(col(str).isNotNull && length(col(str)) > maxLen - maxDist)
+        .select(col(id).as(oid), col(str).as(ostr),
+          explode(transform(sequence(lit(1), length(col(str)) - (q - 1)),
+            i => struct(i.as("p"),
+              xxhash64(col(str).substr(i, lit(q))).as("gh")))).as("__g"))
+        .select(col(oid), col(ostr),
+          col("__g")("p").as(s"${oid}_p"), col("__g")("gh").as("__gh"))
+    val short = side(left, leftId, leftStr, "left_id", "left_str")
+      .join(side(right, rightId, rightStr, "right_id", "right_str"), "__vh")
+    val long = gramSide(left, leftId, leftStr, "left_id", "left_str")
+      .join(gramSide(right, rightId, rightStr, "right_id", "right_str"), "__gh")
+      .filter(abs(col("left_id_p") - col("right_id_p")) <= maxDist)
+      .select(col("left_id"), col("left_str"), col("right_id"),
+        col("right_str"))
       .distinct()
+    verify(short).unionByName(verify(long)).distinct()
   }
 
   /** The string itself plus every variant reachable by deleting up to

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VectorExprs
 
@@ -272,12 +273,21 @@ object Ngrams {
     * cnt) in learn order.
     *
     * Scale shape: the CORPUS is touched exactly once — the initial
-    * word-frequency aggregate. Every round after that runs on the
-    * (distinct-word, count) model table: one vocabulary-sized pair
-    * aggregation + a 1-row collect (the argmax pair — bounded driver
-    * state, the same contract as the k-means centroid collects), then a
-    * per-row `replace` projection. Lineage is localCheckpoint-cut every
-    * 4 rounds like [[Graphs.pageRank]] so the plan stays flat.
+    * word-frequency aggregate. After that the loop maintains TWO model
+    * tables: the (word, syms, cnt) symbol state and a persisted
+    * (l, r, cnt) PAIR-COUNT table updated INCREMENTALLY — a merge only
+    * changes the pair counts of words that CONTAIN the merged pair, so
+    * each round re-counts pairs over `contains(syms, '<l><r>')` words
+    * only (for a real vocabulary that is a tiny, shrinking fraction)
+    * and applies the ± delta to the pair table with one
+    * vocabulary-of-pairs-sized re-aggregate. The full-vocabulary pair
+    * explode runs exactly once, at round 1 — at a production 32k-merge
+    * vocabulary this turns 32k corpus-vocabulary aggregations into one
+    * plus 32k affected-subset scans. Per round the driver still
+    * collects exactly one argmax row (bounded driver state, the same
+    * contract as the k-means centroid collects). Lineage is
+    * localCheckpoint-cut every 4 rounds like [[Graphs.pageRank]] so
+    * the plan stays flat.
     *
     * Symbol representation: each word's symbol sequence is one string
     * with every symbol bracketed (`low` → `<l><o><w>`). Fusing pair
@@ -315,11 +325,83 @@ object Ngrams {
         array_join(symsArr, " ").as("segments"))
   }
 
+  /** End-to-end BPE corpus encoding — [[bpeTrain]] → [[bpeSegment]] →
+    * token-id sequences, closing the corpus→tensors chain with the
+    * TRAINED tokenizer rather than a given vocabulary: train
+    * `numMerges` rounds on `trainDocs`, derive the symbol vocabulary
+    * from the final segmentation (ids dense-ranked by symbol string —
+    * engine-independent), then encode `encodeDocs` by joining each
+    * token to its segment sequence and each symbol to its id, keeping
+    * (token position, symbol position) order. Symbols outside the
+    * trained vocabulary (possible only when encoding a corpus the
+    * tokenizer was not trained on) take `oovId` — the same OOV
+    * contract as [[encodeTokens]]. Tokens containing `<`/`>` are
+    * dropped, matching the training-side policy.
+    *
+    * Output: (idCol, n_toks, n_ids, token_ids) — `token_ids` the
+    * canonical comma-joined id string (driver-gate scalar form; a
+    * trainer would keep the typed array and feed
+    * [[Mixing.packSequences]]). Docs with no encodable tokens are
+    * absent, like any group-by.
+    *
+    * Plan shape: the training loop's model tables plus, on the encode
+    * side, one posexplode of tokens, a broadcast-sized join to the
+    * vocabulary-sized segment table, one symbol posexplode, a
+    * broadcast join to the symbol vocabulary, and one per-doc regroup
+    * — the only corpus-sized shuffle is the final regroup. */
+  def bpeEncode(trainDocs: DataFrame, encodeDocs: DataFrame,
+                numMerges: Int, idCol: String = "doc_id",
+                textCol: String = "text", oovId: Long = 0L): DataFrame = {
+    val (words, _) = bpeTrainState(trainDocs, numMerges, textCol)
+    val seg = OpCaches.register(words)
+      .select(col("w"), symsArr.as("__syms"))
+    val vw = Window.orderBy(col("sym"))
+    val vocab = seg.select(explode(col("__syms")).as("sym")).distinct()
+      .select(col("sym"), row_number().over(vw).cast("long").as("id"))
+    val tok = encodeDocs
+      .select(col(idCol), posexplode(toks(col(textCol))))
+      .withColumnRenamed("pos", "__tp").withColumnRenamed("col", "w")
+      .filter(length(col("w")) >= 1 && !col("w").rlike("[<>]"))
+    tok.join(seg, Seq("w"), "left")
+      .select(col(idCol), col("__tp"),
+        posexplode(coalesce(col("__syms"), split(col("w"), "(?!^)"))))
+      .withColumnRenamed("pos", "__sp").withColumnRenamed("col", "sym")
+      .join(vocab, Seq("sym"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count_distinct(col("__tp")).as("n_toks"),
+        count(lit(1)).as("n_ids"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__tp"), col("__sp"),
+            coalesce(col("id"), lit(oovId)).as("id")))),
+          x => x("id").cast("string")), ",").as("token_ids"))
+  }
+
   private def symsArr: Column =
     split(expr("trim(BOTH '<>' FROM syms)"), "><")
 
+  /** Weighted adjacent-pair counts of a (w, syms, c) symbol state —
+    * the aggregate the BPE argmax ranks. Vocabulary-sized input, pair-
+    * vocabulary-sized output. */
+  private def bpePairCounts(ws: DataFrame): DataFrame = ws
+    .select(col("c"), symsArr.as("a"))
+    .filter(size(col("a")) >= 2)
+    .select(col("c"), explode(transform(
+      sequence(lit(1), size(col("a")) - 1),
+      j => struct(element_at(col("a"), j).as("l"),
+                  element_at(col("a"), j + 1).as("r")))).as("p"))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum(col("c")).as("cnt"))
+
   /** Shared BPE training loop: returns the final (w, syms, c) symbol
-    * state (persisted — caller owns release) plus the merge list. */
+    * state (persisted — caller owns release) plus the merge list.
+    * Pair counts are DELTA-maintained (see [[bpeTrain]] scale notes):
+    * round N's only vocabulary-wide work is the `contains` filter and
+    * the per-row `replace`; the pair re-count aggregates affected
+    * words only, and the maintained table is exactly equal (integer
+    * arithmetic, no drift) to a from-scratch re-count, so the argmax —
+    * and therefore the merge list — is bit-identical to the naive
+    * loop the DuckDB oracle unrolls. */
   private def bpeTrainState(docs: DataFrame, numMerges: Int,
                             textCol: String)
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
@@ -335,20 +417,13 @@ object Ngrams {
       .select(col("w"),
         regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("c"))
       .persist()
+    var pairs = bpePairCounts(words).persist()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var done = false
     var i = 1
     while (i <= numMerges && !done) {
-      val top = words
-        .select(col("c"), symsArr.as("a"))
-        .filter(size(col("a")) >= 2)
-        .select(col("c"), explode(transform(
-          sequence(lit(1), size(col("a")) - 1),
-          j => struct(element_at(col("a"), j).as("l"),
-                      element_at(col("a"), j + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("c")).as("cnt"))
+      val top = pairs
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty) done = true
@@ -356,16 +431,44 @@ object Ngrams {
         val (l, r, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((i.toLong, l, r, l + r, cnt))
-        val next = words.select(col("w"),
-          replace(col("syms"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("syms"),
+        val pat = s"<$l><$r>"
+        val fused = s"<$l$r>"
+        // only words containing the merged pair change their adjacent
+        // pairs; re-count those before and after the fuse and apply
+        // the signed delta — unaffected words' counts carry over
+        val affected = words.filter(col("syms").contains(pat))
+        val affectedNext = affected.select(col("w"),
+          replace(col("syms"), lit(pat), lit(fused)).as("syms"), col("c"))
+        val nextPairs = pairs
+          .unionByName(bpePairCounts(affected)
+            .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
+          .unionByName(bpePairCounts(affectedNext))
+          .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+        val nextWords = words.select(col("w"),
+          when(col("syms").contains(pat),
+            replace(col("syms"), lit(pat), lit(fused)))
+            .otherwise(col("syms")).as("syms"),
           col("c"))
-        val mat =
-          if (i % 4 == 0) next.localCheckpoint(true) else next.persist()
-        words.unpersist()
-        words = mat
+        // materialize the new state BEFORE dropping the old: persist is
+        // lazy, and computing the delta later (parents evicted) would
+        // walk lineage back to the corpus — the count() jobs are
+        // affected-subset + projection sized, and they make "corpus
+        // touched exactly once" literally true
+        val (wm, pm) =
+          if (i % 4 == 0)
+            (nextWords.localCheckpoint(true), nextPairs.localCheckpoint(true))
+          else {
+            val w2 = nextWords.persist(); val p2 = nextPairs.persist()
+            p2.count(); w2.count()
+            (w2, p2)
+          }
+        words.unpersist(); pairs.unpersist()
+        words = wm; pairs = pm
         i += 1
       }
     }
+    pairs.unpersist()
     (words, merges.toSeq)
   }
 

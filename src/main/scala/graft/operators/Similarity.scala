@@ -289,6 +289,36 @@ object Similarity {
     (graft.sources.ManifestTable.read(spark, s"$dir/centroids"),
      graft.sources.ManifestTable.read(spark, s"$dir/cells"))
 
+  /** Append a new vector batch to a persisted [[ivfIndex]] WITHOUT
+    * retraining — the embedding-space mirror of
+    * [[Dedup.dedupAgainstIndex]]'s extend-by-union shape: the STORED
+    * centroids (nlist rows of model state, the only collect) assign
+    * each new vector to its cell via the same native TopCellsByCosine
+    * projection the build used, and the assignments upsert into
+    * `dir/cells` keyed by vector id — new ids append, re-embedded ids
+    * replace in place. One atomic manifest commit; the existing corpus
+    * is never re-read, re-clustered, or re-assigned, so ingesting a
+    * batch costs O(batch), not O(index). Centroids drift-refresh
+    * (re-running [[kmeansCentroids]]) stays an explicit, separate
+    * operation. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, batch: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       nBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val cellSeq = graft.sources.ManifestTable.read(spark, s"$dir/centroids")
+      .select(col("cell"), col("cent_v"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val assigned = Ops.spread(batch.select(col(idCol), col(vecCol)),
+        col(idCol))
+      .select(col(idCol), col(vecCol),
+        element_at(VectorExprs.topCellsByCosine(col(vecCol), cellSeq, 1), 1)
+          .as("cell"))
+    graft.sources.ManifestTable.upsertBatch(assigned, s"$dir/cells",
+      Seq(idCol), nBuckets = nBuckets)
+  }
+
   /** [[ivfTopK]] against a pre-built (usually read-back) [[ivfIndex]] —
     * the per-query-batch probe. Only the centroid table (model state,
     * nlist rows) is collected to bind the query-side cell assignment;

@@ -120,6 +120,34 @@ class EventOpsSpec extends SparkTestBase {
     assert(out === Seq((1L, "A", 4L), (2L, "B", 2L), (3L, "C", 1L)))
   }
 
+  test("funnelN: per-user cap plans WindowGroupLimit, keeps earliest events") {
+    val events = Seq(
+      (6L, ts("2024-01-01 10:00:00"), "A"),
+      (6L, ts("2024-01-01 10:05:00"), "A"),
+      (6L, ts("2024-01-01 10:30:00"), "B"),
+      (6L, ts("2024-01-01 11:00:00"), "C")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq("A", "B", "C"); val hour = 3600L * 1000000L
+    // a generous cap is a no-op on results…
+    val full = EventOps.funnelN(events, steps, hour)
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq
+    assert(full === Seq((1L, "A", 1L), (2L, "B", 1L), (3L, "C", 1L)))
+    // …but always bounds per-user task state: the row_number <= cap
+    // filter must be rewritten to a WindowGroupLimit (truncation runs
+    // map-side BEFORE the exchange, so a 10M-event bot user never
+    // buffers more than the cap anywhere)
+    val p = EventOps.funnelN(events, steps, hour)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"per-user cap must plan a WindowGroupLimit:\n$p")
+    // a tight cap keeps the EARLIEST events by (time, step rank): user 6
+    // truncated to (A, A, B) reaches stage 2 — a monotone undercount,
+    // never a phantom conversion
+    val tight = EventOps.funnelN(events, steps, hour, maxEventsPerUser = 3)
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq
+    assert(tight === Seq((1L, "A", 1L), (2L, "B", 1L), (3L, "C", 0L)))
+  }
+
   test("sessionizeBatch splits on gaps > threshold, aggregates per session") {
     val events = Seq(
       // user 1: two sessions separated by a 2h gap

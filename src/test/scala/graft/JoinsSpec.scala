@@ -257,4 +257,38 @@ class JoinsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(got === brute)
   }
+
+  test("fuzzyJoin long-string guard: q-gram path equals brute force, " +
+      "boundary-straddling pairs found, worst-case fan-out stays linear") {
+    // a ~360-char string at maxDist 2 would emit ~65k deletion variants
+    // per row on the old single-path plan; the guard routes it through
+    // positional q-grams (one row per gram — linear in length)
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val l = Seq((1L, base),
+                (2L, "a" * 63),  // short class (len <= 64)
+                (3L, "entity resolution"),
+                // 2000 chars: would be ~2M variants/row at depth 2 on
+                // the unguarded plan — the guard makes it ~1985 gram rows
+                (4L, "x" * 1000 + "y" * 1000)).toDF("id", "s")
+    val r = Seq((10L, base.drop(1)),    // delete at front → dist 1
+                (11L, base + "!?"),     // two appends → dist 2
+                (12L, "a" * 65),        // dist 2 vs "a"*63 — pair straddles
+                                        // the maxLen=64 class boundary
+                (13L, ("lorem ipsum " * 30).trim),   // far, same length
+                (14L, "x" * 1000 + "y" * 999 + "z")  // dist 1 vs id 4
+      ).toDF("id", "s")
+    val got = Joins.fuzzyJoin(l, r, "id", "s", "id", "s", maxDist = 2)
+      .select("left_id", "right_id", "dist")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val brute = l.as("a").join(r.as("b"),
+        levenshtein(col("a.s"), col("b.s")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === brute)
+    assert(got.map(p => (p._1, p._2)).toSet ===
+      Set((1L, 10L), (1L, 11L), (2L, 12L), (4L, 14L)))
+    assert(got.size === got.distinct.size,
+      "pairs found by both class paths must collapse to one row")
+  }
 }

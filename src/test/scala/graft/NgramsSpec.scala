@@ -227,4 +227,59 @@ class NgramsSpec extends SparkTestBase {
     assert(seg1 === Set(("ab", 2L, 1L, "ab"), ("ac", 1L, 2L, "a c")))
     graft.operators.OpCaches.release()
   }
+
+  test("bpeEncode: trained ids in (token, symbol) order; unseen words " +
+      "char-split to the OOV id") {
+    // train on "aa aa ab": merge 1 fuses (a,a) cnt 2 → segments
+    // aa→[aa], ab→[a, b]; symbol vocab dense by string: a=1, aa=2, b=3
+    val train = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val enc = Seq((1L, "aa ab"),  // in-vocab: [2] ++ [1, 3]
+                  (2L, "cd"))     // unseen word → chars c, d → OOV 0, 0
+      .toDF("doc_id", "text")
+    val out = Ngrams.bpeEncode(train, enc, numMerges = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "n_ids", "token_ids")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 2L, 3L, "2,1,3"), (2L, 1L, 2L, "0,0")))
+    graft.operators.OpCaches.release()
+  }
+
+  test("bpeTrain delta-maintained pair counts equal a from-scratch recount " +
+      "across merge rounds (incl. the checkpoint boundary)") {
+    // 6 rounds over a corpus where merges overlap and cascade — every
+    // round's argmax must match the naive recount the DuckDB oracle
+    // unrolls; a drifting delta would diverge by round 2–3
+    val df = Seq(
+      (1L, "lower lower lowest low low low newer newest new wide wider"),
+      (2L, "low lower newest newest wide wide widest new new lowest")
+    ).toDF("doc_id", "text")
+    val merges = Ngrams.bpeTrain(df, numMerges = 6)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // reference: driver-side naive BPE over the same (word, count) table
+    var words: Map[String, (Vector[String], Long)] =
+      ("lower lower lowest low low low newer newest new wide wider " +
+       "low lower newest newest wide wide widest new new lowest")
+        .split(" ").groupBy(identity).view
+        .mapValues(a => (a.head.map(_.toString).toVector, a.length.toLong))
+        .toMap
+    val expect = (1 to 6).map { rank =>
+      val counts = words.values.toSeq
+        .flatMap { case (syms, c) =>
+          syms.zip(syms.tail).map(p => (p, c)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      words = words.view.mapValues { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), c)
+      }.toMap
+      (rank.toLong, l, r, l + r, cnt)
+    }
+    assert(merges === expect)
+  }
 }

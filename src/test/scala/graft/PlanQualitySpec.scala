@@ -259,6 +259,20 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("substring dedup shuffles 128-bit hashed window keys, never the n-gram string") {
+    val p = plan("q_substring_dedup")
+    // the keep-first rank window partitions on the xxhash64 pair…
+    assert(p.contains("__wh1") && p.contains("__wh2"),
+      s"rank window must key on the hash pair:\n$p")
+    // …and the raw window string (__w, ~n× the corpus bytes at window
+    // size n) must not appear in ANY exchange — neither as a partition
+    // key nor as carried shuffle data
+    val leaky = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("__w#")).toSeq
+    assert(leaky.isEmpty,
+      s"no exchange may carry the raw n-gram string:\n${leaky.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)

@@ -179,6 +179,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(rendered(cents2) === rendered(cents))
   }
 
+  test("appendToIvfIndex: O(batch) ingest — seed rows untouched, appended " +
+      "vectors findable, upsert idempotent") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val seed = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    val (cents, cells) = Similarity.ivfIndex(seed, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append-spec").toString
+    Similarity.writeIvfIndex(dir, cents, cells)
+    Similarity.appendToIvfIndex(spark, dir, batch)
+    val (rc, ra) = Similarity.readIvfIndex(spark, dir)
+    // centroids untouched by the append; every corpus vector indexed once
+    assert(rendered(rc) === rendered(cents))
+    assert(ra.count() === e.count())
+    // the seed half's stored assignments are byte-identical after the
+    // append — upsert keyed by id never rewrites untouched rows' content
+    assert(rendered(ra.filter(col("vec_id") % 2 === 0)
+        .select("vec_id", "embedding", "cell")) === rendered(cells))
+    // an appended vector is findable through the extended artifact: a
+    // query carrying vec 1's own embedding returns vec 1 at rank 1
+    val probe = e.filter(col("vec_id") === 1)
+      .select(lit(999999L).as("vec_id"), col("embedding"))
+    val top = Similarity.ivfTopKFromIndex(rc, ra, probe, 1, nprobe = 1)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(top.length === 1 && top(0)._1 === 1L &&
+      math.abs(top(0)._2 - 1.0) < 1e-9,
+      s"appended vector must be its own nearest neighbor, got ${top.toSeq}")
+    // re-appending the same batch is a no-op on index size (id-keyed
+    // upsert replaces in place)
+    Similarity.appendToIvfIndex(spark, dir, batch)
+    assert(Similarity.readIvfIndex(spark, dir)._2.count() === e.count())
+  }
+
   test("pqTopK with shortlist >= corpus is exact (equals brute force)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 5)
