@@ -223,20 +223,34 @@ object Joins {
     * at d=2 would emit ~250k variant rows, so deletion neighborhoods
     * are used only for strings of length ≤ `maxLen`. Longer strings
     * route through a positional q-gram candidate filter (q = 16):
-    * every length-q substring is emitted with its position, candidates
-    * join on gram hash with an in-join position band |pa − pb| ≤ d.
+    * every length-q substring is emitted with its position, and
+    * candidates equi-join on (gram hash, position BUCKET) — buckets of
+    * width d+1, probe side replicated to the 3 adjacent buckets — with
+    * the exact |pa − pb| ≤ d band cut in-join. The bucket key is what
+    * keeps REPETITIVE strings linear: "xxxx…" yields one distinct gram
+    * at a thousand positions, and a join on gram hash alone would pair
+    * all of them (quadratic, the degenerate-bucket failure LSH caps
+    * with bucketCap); bucketed, each occurrence meets only the ≤ 3(d+1)
+    * occurrences in adjacent buckets — constant per gram.
     * Completeness: d edits destroy at most d·q of a string's
     * len − q + 1 grams and shift survivors' positions by at most d, so
     * any string longer than q·(d+1) − 1 = 47 chars within distance d
-    * of another shares an intact, band-aligned gram — and the long
-    * class (len > maxLen − d ≥ 47) always qualifies. Fan-out is
-    * LINEAR in length (one row per gram), never L^d. A pair straddling
-    * the boundary (one side ≤ maxLen, other > maxLen) has both
-    * lengths in (maxLen − d, maxLen + d], so both sides also enter
-    * the long class — the classes overlap by `maxDist` and the final
-    * distinct() collapses pairs found by both paths. Both paths end
-    * in the same exact `levenshtein` verify, so output stays identical
-    * to brute force at every length.
+    * of another shares an intact gram with |pa − pb| ≤ d — and
+    * |pa − pb| ≤ d < bucket width means the buckets differ by at most
+    * 1, which the 3-bucket replication covers. The long class
+    * (len > maxLen − d ≥ 47) always qualifies. Fan-out is LINEAR in
+    * length (one row per gram, ×3 on the probe side), never L^d. A
+    * pair straddling the boundary (one side ≤ maxLen, other > maxLen)
+    * has both lengths in (maxLen − d, maxLen + d], so both sides also
+    * enter the long class — the classes overlap by `maxDist` and the
+    * candidate-pair distinct collapses pairs found by both paths.
+    *
+    * Candidate joins carry (id, hash, position) ONLY — strings
+    * re-attach to the DISTINCT candidate pairs (the band-table
+    * discipline from lshTopK/minhashNearDups), so no long string rides
+    * a shuffle wider than the final verified output. Both paths end in
+    * the same exact `levenshtein` verify, so output stays identical to
+    * brute force at every length.
     *
     * Output: (left_id, left_str, right_id, right_str, dist), one row per
     * matching pair. */
@@ -250,37 +264,44 @@ object Joins {
     require(maxLen - maxDist >= q * (maxDist + 1) - 1,
       s"maxLen too small: long class must satisfy the q-gram count " +
         s"filter (need maxLen >= ${q * (maxDist + 1) - 1 + maxDist})")
-    def verify(cands: DataFrame): DataFrame = cands
+    val bw = maxDist + 1 // position-bucket width: |pa-pb| <= d spans <= 2 buckets
+    val la = left.filter(col(leftStr).isNotNull)
+      .select(col(leftId).as("left_id"), col(leftStr).as("left_str"))
+    val ra = right.filter(col(rightStr).isNotNull)
+      .select(col(rightId).as("right_id"), col(rightStr).as("right_str"))
+    def side(df: DataFrame, id: String, str: String, oid: String) =
+      df.filter(col(str).isNotNull && length(col(str)) <= maxLen)
+        .select(col(id).as(oid),
+          explode(deletionNeighborhood(col(str), maxDist)).as("__v"))
+        .select(col(oid), xxhash64(col("__v")).as("__vh"))
+        .distinct()
+    def gramSide(df: DataFrame, id: String, str: String, oid: String) =
+      df.filter(col(str).isNotNull && length(col(str)) > maxLen - maxDist)
+        .select(col(id).as(oid),
+          explode(transform(sequence(lit(1), length(col(str)) - (q - 1)),
+            i => struct(i.as("p"),
+              xxhash64(col(str).substr(i, lit(q))).as("gh")))).as("__g"))
+        .select(col(oid), col("__g")("p").as("__p"), col("__g")("gh").as("__gh"))
+    val candShort = side(left, leftId, leftStr, "left_id")
+      .join(side(right, rightId, rightStr, "right_id"), "__vh")
+      .select("left_id", "right_id")
+    val lg = gramSide(left, leftId, leftStr, "left_id")
+      .select(col("left_id"), col("__p").as("__pl"), col("__gh"),
+        floor((col("__p") - 1) / bw).as("__b"))
+    val rg = gramSide(right, rightId, rightStr, "right_id")
+      .select(col("right_id"), col("__p").as("__pr"), col("__gh"),
+        explode(sequence(floor((col("__p") - 1) / bw) - 1,
+                         floor((col("__p") - 1) / bw) + 1)).as("__b"))
+    val candLong = lg.join(rg, Seq("__gh", "__b"))
+      .filter(abs(col("__pl") - col("__pr")) <= maxDist)
+      .select("left_id", "right_id")
+    candShort.unionByName(candLong).distinct()
+      .join(la, "left_id").join(ra, "right_id")
       .filter(abs(length(col("left_str")) - length(col("right_str"))) <= maxDist)
       .filter(levenshtein(col("left_str"), col("right_str")) <= maxDist)
       .select(col("left_id"), col("left_str"), col("right_id"),
         col("right_str"),
         levenshtein(col("left_str"), col("right_str")).cast("long").as("dist"))
-    def side(df: DataFrame, id: String, str: String,
-             oid: String, ostr: String) =
-      df.filter(col(str).isNotNull && length(col(str)) <= maxLen)
-        .select(col(id).as(oid), col(str).as(ostr),
-          explode(deletionNeighborhood(col(str), maxDist)).as("__v"))
-        .select(col(oid), col(ostr), xxhash64(col("__v")).as("__vh"))
-        .distinct()
-    def gramSide(df: DataFrame, id: String, str: String,
-                 oid: String, ostr: String) =
-      df.filter(col(str).isNotNull && length(col(str)) > maxLen - maxDist)
-        .select(col(id).as(oid), col(str).as(ostr),
-          explode(transform(sequence(lit(1), length(col(str)) - (q - 1)),
-            i => struct(i.as("p"),
-              xxhash64(col(str).substr(i, lit(q))).as("gh")))).as("__g"))
-        .select(col(oid), col(ostr),
-          col("__g")("p").as(s"${oid}_p"), col("__g")("gh").as("__gh"))
-    val short = side(left, leftId, leftStr, "left_id", "left_str")
-      .join(side(right, rightId, rightStr, "right_id", "right_str"), "__vh")
-    val long = gramSide(left, leftId, leftStr, "left_id", "left_str")
-      .join(gramSide(right, rightId, rightStr, "right_id", "right_str"), "__gh")
-      .filter(abs(col("left_id_p") - col("right_id_p")) <= maxDist)
-      .select(col("left_id"), col("left_str"), col("right_id"),
-        col("right_str"))
-      .distinct()
-    verify(short).unionByName(verify(long)).distinct()
   }
 
   /** The string itself plus every variant reachable by deleting up to
