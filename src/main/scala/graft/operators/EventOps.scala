@@ -115,11 +115,17 @@ object EventOps {
     * truncation for a funnel anchored at the FIRST step-1 event: a
     * user whose conversion needs an event beyond the cap is reported
     * at the stage the capped prefix reaches (monotone undercount,
-    * never a phantom conversion). */
+    * never a phantom conversion).
+    *
+    * The default cap sits comfortably under the optimizer's
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (1000 — a STRICT
+    * bound: a limit equal to it keeps the plain rank filter, which
+    * bounds output but only after the full window buffers). Raise the
+    * cap to or past 1000 only together with that conf. */
   def funnelN(events: DataFrame, steps: Seq[String], withinUs: Long,
               userCol: String = "user_id", tsCol: String = "ts",
               typeCol: String = "event_type",
-              maxEventsPerUser: Int = 100000): DataFrame = {
+              maxEventsPerUser: Int = 512): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     require(steps.distinct.size == steps.size, "steps must be distinct")
     require(maxEventsPerUser >= steps.size,

@@ -362,9 +362,14 @@ object Ngrams {
       .select(col(idCol), posexplode(toks(col(textCol))))
       .withColumnRenamed("pos", "__tp").withColumnRenamed("col", "w")
       .filter(length(col("w")) >= 1 && !col("w").rlike("[<>]"))
+    // OOV char-split: Spark's split keeps a trailing empty string at the
+    // end-of-string lookahead match (limit = -1) — filter it, or every
+    // unseen word gains a phantom empty symbol
+    val charSplit =
+      filter(split(col("w"), "(?!^)"), s => length(s) >= 1)
     tok.join(seg, Seq("w"), "left")
       .select(col(idCol), col("__tp"),
-        posexplode(coalesce(col("__syms"), split(col("w"), "(?!^)"))))
+        posexplode(coalesce(col("__syms"), charSplit)))
       .withColumnRenamed("pos", "__sp").withColumnRenamed("col", "sym")
       .join(vocab, Seq("sym"), "left")
       .groupBy(col(idCol))

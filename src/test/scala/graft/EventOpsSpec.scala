@@ -135,8 +135,11 @@ class EventOpsSpec extends SparkTestBase {
     // …but always bounds per-user task state: the row_number <= cap
     // filter must be rewritten to a WindowGroupLimit (truncation runs
     // map-side BEFORE the exchange, so a 10M-event bot user never
-    // buffers more than the cap anywhere)
-    val p = EventOps.funnelN(events, steps, hour)
+    // buffers more than the cap anywhere). The optimizer skips the
+    // rewrite when the cap exceeds the child's KNOWN maxRows — true
+    // for this 4-row fixture under the default cap, never for a real
+    // unbounded scan — so the plan assertion uses a fixture-tight cap.
+    val p = EventOps.funnelN(events, steps, hour, maxEventsPerUser = 3)
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"),
       s"per-user cap must plan a WindowGroupLimit:\n$p")
