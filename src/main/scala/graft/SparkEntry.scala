@@ -234,6 +234,119 @@ object SparkEntry {
                .as("revenue"),
              count(lit(1)).as("n_items"))),
 
+    // ---- TPC-H Q7-shaped: bilateral trade volume between two nations
+    // by ship year. Both nation dims broadcast (filtered to the two
+    // names scan-side); the fact tables chain through hash joins and
+    // ONE final tiny aggregate — the 6-table join is the point. ----
+    "q_tpch7" -> ((s, d) => {
+      val n1 = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("__snk"),
+                col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("__cnk"),
+                col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("__snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("__cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+               .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- TPC-H Q13-shaped: customer order-count distribution — the
+    // classic LEFT join + double aggregate (zero-order customers must
+    // survive to the c_count=0 bucket) ----
+    "q_tpch13" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey")
+        .join(t(s, d, "orders").select("o_custkey", "o_orderkey"),
+              col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // ---- TPC-H Q14-shaped: promo revenue share for one month. The
+    // part dim broadcasts; the conditional sum runs map-side — one
+    // scalar row crosses the final exchange. ----
+    "q_tpch14" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part")),
+              col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+                sumDec(when(col("p_type") === "PROMO",
+                    col("l_extendedprice") * (lit(1) - col("l_discount")))
+                  .otherwise(lit(0.0)), 6) /
+                sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")),
+                  6)).as("promo_revenue"),
+             count(lit(1)).as("n_items"))),
+
+    // ---- TPC-H Q15-shaped: top supplier by quarterly revenue — an
+    // aggregate view consumed twice (argmax via broadcast scalar max,
+    // not a window), supplier dim broadcast onto the one winning row ----
+    "q_tpch15" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+               .as("total_revenue"))
+      val revP = operators.OpCaches.register(rev.persist())
+      val mx = revP.agg(max(col("total_revenue")).as("__mx"))
+      revP.join(broadcast(mx), col("total_revenue") === col("__mx"))
+        .join(broadcast(t(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- TPC-H Q18-shaped: large-quantity orders — the HAVING
+    // semi-join folds into the same aggregate that produces sum_qty
+    // (one lineitem shuffle, no IN-subquery re-scan) ----
+    "q_tpch18" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sumDec(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+                col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
+    // ---- TPC-H Q19-shaped: disjunctive brand/size/quantity predicate
+    // evaluated INSIDE the broadcast join (OR-of-ANDs join condition —
+    // Catalyst keeps the equi-key, the residual filters in-join) ----
+    "q_tpch19" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" &&
+             col("p_size").between(1, 15) &&
+             col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" &&
+             col("p_size").between(1, 25) &&
+             col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" &&
+             col("p_size").between(1, 35) &&
+             col("l_quantity").between(20, 30))))
+        .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))),
+
     // ---- grouped aggregation (TPC-H Q1-shaped pricing summary) ----
     "q1_agg" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -314,6 +427,19 @@ object SparkEntry {
         .select(col("doc_id") +: cols :+
           TextAnalysis.langId(col("text")).as("lang_pred"): _*)
         .orderBy("doc_id")
+    }),
+
+    // ---- E4 trainable Naive Bayes classifier: train on the even-id
+    // half (labeled slice), predict the WHOLE corpus, publish the
+    // confusion matrix. Rounded-decimal log-probs make the scores (and
+    // so the argmax) engine-exact — the DuckDB oracle retrains the
+    // same model from scratch. ----
+    "q_nb_classify" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      TextAnalysis.nbClassify(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), docs,
+          labelCol = "lang", textCol = "text")
+        .orderBy("actual", "predicted")
     }),
 
     // ---- E4 quality score ----
@@ -1044,6 +1170,24 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // E2 keep-BEST cluster dedup (same certain-recall fixture as
+    // q_dedup_clusters: clusters = div-4 groups): quality is the
+    // closed-form (doc_id*7) mod 13, so the survivor per group is the
+    // quality argmax with min-id tie-break — SQL-derivable without
+    // reproducing any hash
+    "q_dedup_keep_best" -> ((s, d) => {
+      val g = expr("doc_id div 4")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("t"), g.cast("string")),
+            (pmod(col("doc_id"), lit(4)) + 4).cast("int"))).as("text"),
+          pmod(col("doc_id") * 7, lit(13)).as("quality"))
+      Dedup.dedupKeepBest(docs, "doc_id", "text", "quality",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    }),
     // E2 incremental near-dedup against a standing corpus (the ingest
     // shape: probe the new batch against the index, never re-pair the
     // corpus). Closed-form fixture: corpus = one doc per div-4 group
@@ -1277,6 +1421,25 @@ object SparkEntry {
           docsSpread(s, d).filter(col("doc_id") < 200),
           numMerges = bpeOracleMerges)
         .orderBy("doc_id")),
+    // tokenizer fertility report: subwords-per-word of the TRAINED
+    // tokenizer, by language — the "is the tokenizer efficient on each
+    // slice of the mix" evaluation. Occurrence-weighted: corpus tokens
+    // join the vocabulary-sized segment table (broadcast-able), one
+    // tiny per-lang aggregate
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val seg = Ngrams.bpeSegment(docs, numMerges = bpeOracleMerges)
+        .select(col("word").as("w"), col("n_syms"))
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1 && !col("w").rlike("[<>]"))
+        .join(seg, Seq("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("n_syms")).as("n_subwords"),
+             round(sum(col("n_syms")).cast("double") /
+                   count(lit(1)).cast("double"), 9).as("fertility"))
+        .orderBy("lang")
+    }),
 
     // k-fold CV labels: engine-independent Knuth-hash fold assignment,
     // summarized per fold (counts + char mass)
@@ -2016,6 +2179,24 @@ object SparkEntry {
       |  array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of the q_bpe_fertility composition: the same
+    * unrolled training rounds' final segmentation, occurrence-weighted
+    * subwords-per-word by language. */
+  private def bpeFertilityOracle(k: Int): String =
+    bpeStateCtes(k) + s""",
+      |seg AS (SELECT w, len(string_split(trim(syms, '<>'), '><'))
+      |          AS n_syms
+      |        FROM state$k),
+      |tok AS (SELECT lang, u.w
+      |        FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      |        WHERE len(u.w) >= 1 AND NOT regexp_matches(u.w, '[<>]'))
+      |SELECT lang, COUNT(*) AS n_words,
+      |  CAST(SUM(n_syms) AS BIGINT) AS n_subwords,
+      |  round(CAST(SUM(n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+      |    AS fertility
+      |FROM tok JOIN seg USING (w)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** DuckDB-equivalent ANSI SQL per query (driver runs these on the same
     * parquet tables). Omitted for the engine-specific ops above. */
   def oracleSql: Map[String, String] = Map(
@@ -2036,6 +2217,8 @@ object SparkEntry {
     "q_bpe_segment" -> bpeSegmentOracle(bpeOracleMerges),
 
     "q_bpe_encode" -> bpeEncodeOracle(bpeOracleMerges),
+
+    "q_bpe_fertility" -> bpeFertilityOracle(bpeOracleMerges),
 
     "entry" ->
       """SELECT r_name, n_name,
@@ -2171,6 +2354,85 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
 
+    "q_tpch7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n1.n_name <> n2.n_name)
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch14" ->
+      """SELECT 100.0 *
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(18,6))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q_tpch15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey) big
+        |JOIN orders ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE sum_qty > 250
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2233,6 +2495,50 @@ object SparkEntry {
         |        x -> x IN ('le','la','et','les','est'))) AS fr_hits
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // NB retrained from scratch: add-one-smoothed per-(label, token)
+    // log-probs rounded to 9 decimals and summed as DECIMAL(28,9) —
+    // the bigram-LM exactness recipe — then per-doc argmax with label
+    // tie-break, aggregated to the confusion matrix
+    "q_nb_classify" ->
+      """WITH tr AS (
+        |  SELECT lang AS label, u.w
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        |  WHERE doc_id % 2 = 0 AND len(u.w) >= 1),
+        |clt AS (SELECT label, w, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+        |cl AS (SELECT label, SUM(c) AS tot FROM clt GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM clt),
+        |vs AS (SELECT COUNT(*) AS v FROM vocab),
+        |lb AS (SELECT lang AS label, COUNT(*) AS nd FROM documents
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ndocs AS (SELECT SUM(nd) AS n FROM lb),
+        |prior AS (
+        |  SELECT label,
+        |    CAST(round(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9)) AS pr
+        |  FROM lb, ndocs),
+        |model AS (
+        |  SELECT v.w, cl.label,
+        |    CAST(round(ln(CAST(COALESCE(clt.c, 0) + 1 AS DOUBLE) /
+        |        CAST(cl.tot + vs.v AS DOUBLE)), 9) AS DECIMAL(28,9))
+        |      AS logp
+        |  FROM vocab v CROSS JOIN cl CROSS JOIN vs
+        |  LEFT JOIN clt ON clt.label = cl.label AND clt.w = v.w),
+        |ta AS (
+        |  SELECT doc_id, lang AS actual, u.w
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        |  WHERE len(u.w) >= 1),
+        |sc AS (
+        |  SELECT doc_id, actual, m.label, SUM(m.logp) AS s
+        |  FROM ta JOIN model m USING (w) GROUP BY 1, 2, 3),
+        |pick AS (
+        |  SELECT doc_id, actual, label,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY pr + s DESC, label) AS rn
+        |  FROM sc JOIN prior USING (label))
+        |SELECT actual, label AS predicted, COUNT(*) AS n_docs
+        |FROM pick WHERE rn = 1
+        |GROUP BY actual, label ORDER BY actual, predicted""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,
@@ -2494,6 +2800,16 @@ object SparkEntry {
     "q_dedup_clusters" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents
         |GROUP BY doc_id // 4 ORDER BY doc_id""".stripMargin,
+
+    // keep-best fixture: survivor per div-4 group = quality argmax,
+    // min-id tie-break
+    "q_dedup_keep_best" ->
+      """SELECT doc_id, quality FROM (
+        |  SELECT doc_id, (doc_id * 7) % 13 AS quality,
+        |    row_number() OVER (PARTITION BY doc_id // 4
+        |      ORDER BY (doc_id * 7) % 13 DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // incremental-ingest fixture (see the queries entry): survivors =
     // the batch docs (doc_id%4<>0) of odd div-4 groups

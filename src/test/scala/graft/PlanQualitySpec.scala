@@ -130,6 +130,14 @@ class PlanQualitySpec extends SparkTestBase {
       s"rn<=k filter must push a per-group limit below the window:\n$p")
   }
 
+  test("funnelN's per-user event cap pushes a group limit on a real scan") {
+    // the scan's maxRows is unknown, so the default cap (512) rewrites;
+    // a bot user's events truncate map-side before the exchange
+    val p = plan("q_funnel_steps")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-user cap must plan a WindowGroupLimit:\n$p")
+  }
+
   test("LM scoring broadcasts the model, never reshuffles the corpus by token") {
     val p = plan("q_lm_score")
     assert(p.contains("BroadcastHashJoin"),
@@ -271,6 +279,42 @@ class PlanQualitySpec extends SparkTestBase {
       .filter(l => l.contains("Exchange") && l.contains("__w#")).toSeq
     assert(leaky.isEmpty,
       s"no exchange may carry the raw n-gram string:\n${leaky.mkString("\n")}")
+  }
+
+  test("new TPC-H shapes: dims broadcast, pushdown reaches the scans") {
+    // Q14/Q19: the part dim broadcasts; the date filter is pushed to the
+    // lineitem scan (Q14); the disjunctive residual stays IN the join
+    // (no fact-side blow-up, no nested loop)
+    val q14 = plan("q_tpch14")
+    assert(q14.contains("BroadcastHashJoin"), s"part must broadcast:\n$q14")
+    assert(q14.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate,"),
+      s"shipdate filter must reach the scan:\n$q14")
+    val q19 = plan("q_tpch19")
+    assert(q19.contains("BroadcastHashJoin"), s"part must broadcast:\n$q19")
+    assert(!q19.contains("BroadcastNestedLoopJoin") &&
+      !q19.contains("CartesianProduct"),
+      s"the OR-of-ANDs must keep the equi-key:\n$q19")
+    // Q18: the HAVING semi-join folds into ONE lineitem aggregate —
+    // lineitem is scanned once, not re-scanned for the IN-subquery
+    val q18 = plan("q_tpch18")
+    assert(q18.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") === 3,
+      s"exactly three scans (lineitem once, orders, customer):\n$q18")
+    // Q7: both nation copies broadcast, filtered to the two names
+    val q7 = plan("q_tpch7")
+    assert(q7.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3,
+      s"supplier + both nation dims broadcast:\n$q7")
+  }
+
+  test("nbClassify: corpus-sized sides never cross-join; model joins are equi") {
+    val p = plan("q_nb_classify")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast scalar crosses allowed:\n$p")
+    // the scoring join (tokens × model on token) must be an equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"token join must be hash/merge:\n$p")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipelines") {
