@@ -721,6 +721,39 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-level near-dup removal keeping the BEST document per
+    * cluster, not the first: production near-dedup keeps the highest-
+    * quality representative (longest, best classifier score, most
+    * recent crawl) rather than the minimum id, so a spammy early copy
+    * can't shadow the clean one. Composes [[minhashNearDups]] with
+    * [[connectedComponents]], then ranks each cluster by
+    * (`qualityCol` DESC, id ASC — the tie-break keeps the survivor
+    * set deterministic) and keeps rank 1. Docs in no near-dup pair are
+    * their own singleton cluster and always survive.
+    *
+    * Plan shape: LSH pair generation and the component loop are the
+    * [[dedupNearClusters]] envelope; on top of it ONE id-keyed equi-
+    * join labels docs with their component (left join — singletons
+    * fall back to their own id) and ONE rank window partitioned by
+    * component picks the survivor. Cluster size bounds the window
+    * partition, the same bound the component loop already carries. */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    qualityCol: String,
+                    shingleN: Int = 3, numHashes: Int = 16,
+                    bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val comps = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp").as("__comp0"))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("__comp0"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__comp0", "__comp", "__rn")
+  }
+
   /** Exact n-gram Jaccard similarity between chained doc pairs
     * (doc_id, doc_id+1) — a linear-cost, fully deterministic probe of the
     * Jaccard machinery (the LSH path uses the same expressions). */

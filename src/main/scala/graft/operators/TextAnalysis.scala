@@ -206,6 +206,84 @@ object TextAnalysis {
     }
   }
 
+  /** Multinomial Naive Bayes text classifier, trained AND applied
+    * entirely in-plan — the "train a cheap classifier on the labeled
+    * slice, label the rest" stage of a corpus pipeline (lang-ID or
+    * source attribution at 100 TB runs exactly this shape: the model
+    * is a token-count table, training is one aggregation pass, and
+    * scoring is a join).
+    *
+    * Training (`train`, labeled by `labelCol`): per-(label, token)
+    * occurrence counts with Laplace add-one smoothing over the train
+    * vocabulary `V`, plus per-label document priors. Tokens absent
+    * from the TRAIN vocabulary are dropped at predict time (the
+    * standard restrict-to-vocab convention — an inner join, so the
+    * rule is engine-replicable). Docs with zero in-vocab tokens are
+    * absent from the output, like any group-by.
+    *
+    * Determinism: every log is rounded to `quantizeDecimals` and cast
+    * to DECIMAL before summing (the [[Ngrams.bigramLogProb]] recipe),
+    * so per-doc scores are bit-identical across engines and partition
+    * layouts; the argmax tie-breaks on label order.
+    *
+    * Output: the confusion matrix (actual, predicted, n_docs) —
+    * accuracy, per-class recall, and the mislabel structure all read
+    * off it.
+    *
+    * Plan shape: the model is vocab × |labels| rows (model-sized, NOT
+    * corpus-sized; labels/priors/vocab-size broadcast). Corpus-sized
+    * work is the train token aggregate, the score token join (AQE
+    * picks broadcast when the model measures small), the per-(doc,
+    * label) score aggregate, and the |labels|-row-per-doc argmax
+    * window — all linear, no collect. */
+  def nbClassify(train: DataFrame, predict: DataFrame,
+                 labelCol: String, textCol: String,
+                 idCol: String = "doc_id",
+                 quantizeDecimals: Int = 9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, quantizeDecimals)
+    def tok(df: DataFrame, keep: Column*) =
+      df.select(keep :+ explode(split(col(textCol), " ")).as("__w"): _*)
+        .filter(length(col("__w")) >= 1)
+    val clt = OpCaches.register(
+      tok(train, col(labelCol).as("__label"))
+        .groupBy("__label", "__w").agg(count(lit(1)).as("__c"))
+        .persist())
+    val cl = clt.groupBy("__label").agg(sum(col("__c")).as("__tot"))
+    val vocab = clt.select("__w").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("__v"))
+    val labels = train.groupBy(col(labelCol).as("__label"))
+      .agg(count(lit(1)).as("__nd"))
+    val ndocs = labels.agg(sum(col("__nd")).as("__n"))
+    val prior = labels.crossJoin(broadcast(ndocs))
+      .select(col("__label"),
+        round(log(col("__nd").cast("double") / col("__n").cast("double")),
+          quantizeDecimals).cast(dec).as("__prior"))
+    val model = vocab
+      .crossJoin(broadcast(cl))
+      .crossJoin(broadcast(vsize))
+      .join(clt, Seq("__label", "__w"), "left")
+      .select(col("__w"), col("__label"),
+        round(log((coalesce(col("__c"), lit(0L)) + lit(1)).cast("double") /
+            (col("__tot") + col("__v")).cast("double")),
+          quantizeDecimals).cast(dec).as("__logp"))
+    val scored = tok(predict, col(idCol), col(labelCol).as("__actual"))
+      .join(model, Seq("__w"))
+      .groupBy(col(idCol), col("__actual"), col("__label"))
+      .agg(sum(col("__logp")).as("__s"))
+      .join(broadcast(prior), Seq("__label"))
+      .select(col(idCol), col("__actual"), col("__label"),
+        (col("__prior") + col("__s")).as("__score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("__label"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__actual").as("actual"), col("__label").as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {

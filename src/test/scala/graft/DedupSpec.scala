@@ -115,6 +115,21 @@ class DedupSpec extends SparkTestBase {
     assert(out === Set(1L, 3L, 4L))
   }
 
+  test("dedupKeepBest keeps the quality argmax per cluster, id tie-break") {
+    // cluster {1,2,5}: qualities 10, 99, 99 → survivor = 2 (highest
+    // quality, min id among the tie); singletons 3, 4 always survive
+    val scored = docs.withColumn("quality",
+      when(col("doc_id") === 1, 10).otherwise(
+        when(col("doc_id").isin(2, 5), 99).otherwise(50)))
+    val out = Dedup.dedupKeepBest(scored, "doc_id", "text", "quality",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(2L, 3L, 4L))
+    // all original columns survive, no helper columns leak
+    assert(Dedup.dedupKeepBest(scored, "doc_id", "text", "quality")
+      .columns.toSeq === Seq("doc_id", "text", "quality"))
+  }
+
   test("minhashNearDups bounds mega-buckets: cohort edges, clusters intact") {
     // 300 identical template docs share every LSH bucket — uncapped that
     // is 300·299/2 = 44 850 candidate pairs from ONE bucket. With

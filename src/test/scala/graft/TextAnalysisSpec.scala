@@ -145,4 +145,42 @@ class TextAnalysisSpec extends SparkTestBase {
       "doc 2 hits the phrase, doc 3 hits the LITERAL $5.00 (not a regex)")
     assert(TextAnalysis.blocklistFilter(df, Seq("zzz")).count() === 4L)
   }
+
+  test("nbClassify: disjoint vocabularies classify perfectly; OOV drops") {
+    val train = Seq(
+      (1L, "spam", "buy cheap pills now"),
+      (2L, "spam", "cheap pills cheap deals"),
+      (3L, "ham", "meeting notes for tuesday"),
+      (4L, "ham", "notes about the quarterly report")
+    ).toDF("doc_id", "label", "text")
+    val predict = Seq(
+      (10L, "spam", "cheap deals now"),        // spam vocab → spam
+      (11L, "ham", "quarterly meeting notes"), // ham vocab → ham
+      // "pills" is spam (count 2) but "for"/"tuesday" are ham; hand-run
+      // NB: spam = ln½ + ln(3/21) + 2·ln(1/21) ≈ −8.728, ham = ln½ +
+      // ln(1/22) + 2·ln(2/22) ≈ −8.580 → ham wins (a real mislabel)
+      (12L, "spam", "pills for tuesday"),
+      (13L, "ham", "zzz qqq www")              // all OOV → absent from output
+    ).toDF("doc_id", "label", "text")
+    val out = TextAnalysis.nbClassify(train, predict, "label", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(("spam", "spam") -> 1L, ("spam", "ham") -> 1L,
+        ("ham", "ham") -> 1L),
+      "doc 13 (all OOV) is absent; 10/11 classify right, 12 flips to ham")
+  }
+
+  test("nbClassify: zero-token-overlap label falls back to prior") {
+    // predict doc shares tokens with NO label strongly; equal priors and
+    // symmetric counts → tie broken by label order (alpha asc)
+    val train = Seq(
+      (1L, "a", "tok"),
+      (2L, "b", "tok")
+    ).toDF("doc_id", "label", "text")
+    val predict = Seq((9L, "a", "tok")).toDF("doc_id", "label", "text")
+    val out = TextAnalysis.nbClassify(train, predict, "label", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(("a", "a") -> 1L), "symmetric scores pick label 'a'")
+  }
 }
