@@ -262,6 +262,40 @@ object SparkEntry {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // ---- TPC-H Q8-shaped: one nation's market share inside one
+    // region's orders for one part type, by order year — the widest
+    // star join in the suite (8 tables; every dim broadcast, the two
+    // fact tables chain through hash joins, one tiny final aggregate) ----
+    "q_tpch8" -> ((s, d) => {
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("__snk"), col("n_name").as("nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("__cnk"),
+                col("n_regionkey").as("__crk"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+                .filter(col("p_type") === "ECONOMY")),
+              col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("__snk"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("__cnk"))
+        .join(broadcast(t(s, d, "region")
+                .filter(col("r_name") === "EUROPE")),
+              col("__crk") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((lit(100.0) *
+                sumDec(when(col("nation") === "NATION_1",
+                    col("l_extendedprice") * (lit(1) - col("l_discount")))
+                  .otherwise(lit(0.0)), 6) /
+                sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")),
+                  6)).as("mkt_share"),
+             count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    }),
+
     // ---- TPC-H Q13-shaped: customer order-count distribution — the
     // classic LEFT join + double aggregate (zero-order customers must
     // survive to the c_count=0 bucket) ----
@@ -1214,6 +1248,55 @@ object SparkEntry {
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id")
         .orderBy("doc_id")
+    }),
+    // E2f+E13 incremental corpus REFRESH — the full daily-ingest
+    // operational loop, oracle-checked: publish a standing corpus and
+    // its signature index as ManifestTables, then ingest two batches,
+    // each probing the READ-BACK index and extending both tables (the
+    // dedupIngestStream commit shape, batch API). Closed-form fixture:
+    // corpus = t<g> per div-4 group; batch1 (%4==1) = u<g>, disjoint
+    // from the corpus → all survive and their signatures extend the
+    // index; batch2 (%4==2) = u<g> for EVEN groups — an exact shingle-
+    // set dup of batch1's survivors, so it is dropped ONLY IF the
+    // index extension actually committed and round-tripped — and v<g>
+    // for ODD groups (new → survives). Final membership is SQL-closed.
+    "q_incremental_refresh" -> ((s, d) => {
+      import graft.sources.ManifestTable
+      val g = expr("doc_id div 4")
+      val base0 = t(s, d, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-refresh").toString
+      val idxPath = s"$tmp/sig_index"; val outPath = s"$tmp/corpus"
+      def mk(tag: Column, reps: Column) =
+        concat_ws(" ", array_repeat(tag, reps.cast("int")))
+      val corpus = base0.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"),
+          mk(concat(lit("t"), g.cast("string")), lit(4)).as("text"))
+      val batch1 = base0.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("doc_id"),
+          mk(concat(lit("u"), g.cast("string")),
+             pmod(col("doc_id"), lit(4)) + 4).as("text"))
+      val tok2 = when(pmod(g, lit(2)) === 0,
+          concat(lit("u"), g.cast("string")))
+        .otherwise(concat(lit("v"), g.cast("string")))
+      val batch2 = base0.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .select(col("doc_id"),
+          mk(tok2, pmod(col("doc_id"), lit(4)) + 4).as("text"))
+      ManifestTable.upsertBatch(corpus, outPath, Seq("doc_id"),
+        nBuckets = 8, batchId = 0L)
+      ManifestTable.upsertBatch(
+        Dedup.signatureIndex(corpus, "doc_id", "text"),
+        idxPath, Seq("doc_id", "band_id"), nBuckets = 8, batchId = 0L)
+      Seq((batch1, 1L), (batch2, 2L)).foreach { case (b, bid) =>
+        val idx = ManifestTable.read(s, idxPath)
+        val surv = Dedup.dedupAgainstIndex(b, idx, "doc_id", "text")
+        ManifestTable.upsertBatch(surv, outPath, Seq("doc_id"),
+          nBuckets = 8, batchId = bid)
+        ManifestTable.upsertBatch(
+          Dedup.signatureIndex(surv, "doc_id", "text"),
+          idxPath, Seq("doc_id", "band_id"), nBuckets = 8, batchId = bid)
+      }
+      ManifestTable.read(s, outPath).select("doc_id").orderBy("doc_id")
     }),
     // E2 SimHash near-dup over the same perturbed corpus, published
     // through the in-plan recall audit (former rows-only probe): truth =
@@ -2373,6 +2456,28 @@ object SparkEntry {
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
+    "q_tpch8" ->
+      """SELECT o_year,
+        |  100.0 * CAST(SUM(CAST(CASE WHEN nation = 'NATION_1'
+        |      THEN volume ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) /
+        |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS mkt_share,
+        |  COUNT(*) AS n_items
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n1.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
     "q_tpch13" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -2816,6 +2921,15 @@ object SparkEntry {
     "q_dedup_incremental" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 4 <> 0 AND (doc_id // 4) % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // refresh fixture: base (%4==0) and batch1 (%4==1) always in; of
+    // batch2 (%4==2) only the odd-group v<g> docs survive the extended
+    // index; %4==3 never ingested
+    "q_incremental_refresh" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 4 IN (0, 1)
+        |   OR (doc_id % 4 = 2 AND (doc_id // 4) % 2 = 1)
         |ORDER BY doc_id""".stripMargin,
 
     // simhash fixture: pair set = in-group pairs at hamming 0
