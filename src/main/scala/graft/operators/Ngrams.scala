@@ -455,24 +455,30 @@ object Ngrams {
             replace(col("syms"), lit(pat), lit(fused)))
             .otherwise(col("syms")).as("syms"),
           col("c"))
-        // materialize the new state BEFORE dropping the old: persist is
-        // lazy, and computing the delta later (parents evicted) would
-        // walk lineage back to the corpus — the count() jobs are
-        // affected-subset + projection sized, and they make "corpus
-        // touched exactly once" literally true
+        // Job economy (2 per round, the dominating fixed cost at demo
+        // vocabularies): the new WORD state materializes eagerly (one
+        // cheap cached-projection job) because the next round's delta
+        // reads it; the new PAIR table stays LAZY — the next round's
+        // argmax is the job that fills it. Its parents (this round's
+        // words+pairs caches) therefore must outlive this round: they
+        // move to `deferred` and unpersist only after the next argmax
+        // has run. Eagerly counting both (the old shape) spent a third
+        // job per round for nothing.
         val (wm, pm) =
           if (i % 4 == 0)
             (nextWords.localCheckpoint(true), nextPairs.localCheckpoint(true))
           else {
             val w2 = nextWords.persist(); val p2 = nextPairs.persist()
-            p2.count(); w2.count()
+            w2.count()
             (w2, p2)
           }
-        words.unpersist(); pairs.unpersist()
+        deferred.foreach(_.unpersist())
+        deferred = Seq(words, pairs)
         words = wm; pairs = pm
         i += 1
       }
     }
+    deferred.foreach(_.unpersist())
     pairs.unpersist()
     (words, merges.toSeq)
   }
