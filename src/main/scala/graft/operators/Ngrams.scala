@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VectorExprs
@@ -302,8 +303,7 @@ object Ngrams {
   def bpeTrain(docs: DataFrame, numMerges: Int,
                textCol: String = "text"): DataFrame = {
     val sp = docs.sparkSession
-    val (words, merges) = bpeTrainState(docs, numMerges, textCol)
-    words.unpersist()
+    val (_, merges) = bpeTrainCached(docs, numMerges, textCol)
     import sp.implicits._
     merges.toDF("rank", "left", "right", "merged", "cnt")
   }
@@ -314,12 +314,12 @@ object Ngrams {
     * sequence after `numMerges` rounds (e.g. `low` → `"lo w"`). This is
     * the artifact a tokenizer ships; joining it onto exploded documents
     * encodes a corpus without re-running any merge logic. The returned
-    * frame rides the training loop's persisted state — release via
-    * [[OpCaches.release]] after consuming. */
+    * frame rides the memoized training state ([[clearBpeCache]] to
+    * release). */
   def bpeSegment(docs: DataFrame, numMerges: Int,
                  textCol: String = "text"): DataFrame = {
-    val (words, _) = bpeTrainState(docs, numMerges, textCol)
-    OpCaches.register(words)
+    val (words, _) = bpeTrainCached(docs, numMerges, textCol)
+    words
       .select(col("w").as("word"), col("c").as("cnt"),
         size(symsArr).cast("long").as("n_syms"),
         array_join(symsArr, " ").as("segments"))
@@ -352,9 +352,8 @@ object Ngrams {
   def bpeEncode(trainDocs: DataFrame, encodeDocs: DataFrame,
                 numMerges: Int, idCol: String = "doc_id",
                 textCol: String = "text", oovId: Long = 0L): DataFrame = {
-    val (words, _) = bpeTrainState(trainDocs, numMerges, textCol)
-    val seg = OpCaches.register(words)
-      .select(col("w"), symsArr.as("__syms"))
+    val (words, _) = bpeTrainCached(trainDocs, numMerges, textCol)
+    val seg = words.select(col("w"), symsArr.as("__syms"))
     val vw = Window.orderBy(col("sym"))
     val vocab = seg.select(explode(col("__syms")).as("sym")).distinct()
       .select(col("sym"), row_number().over(vw).cast("long").as("id"))
@@ -399,7 +398,7 @@ object Ngrams {
     .agg(sum(col("c")).as("cnt"))
 
   /** Shared BPE training loop: returns the final (w, syms, c) symbol
-    * state (persisted — caller owns release) plus the merge list.
+    * state (persisted — [[bpeMemo]] owns release) plus the merge list.
     * Pair counts are DELTA-maintained (see [[bpeTrain]] scale notes):
     * round N's only vocabulary-wide work is the `contains` filter and
     * the per-row `replace`; the pair re-count aggregates affected
@@ -407,6 +406,40 @@ object Ngrams {
     * arithmetic, no drift) to a from-scratch re-count, so the argmax —
     * and therefore the merge list — is bit-identical to the naive
     * loop the DuckDB oracle unrolls. */
+  /** Session-scoped memo over [[bpeTrainState]]: the four published BPE
+    * artifacts (merge table, segmentation, encoded corpus, fertility
+    * report) all ride the SAME trained tokenizer, and a production
+    * tokenizer trains once — without the memo each artifact re-ran the
+    * full merge loop. Keyed by (session, canonicalized train plan,
+    * numMerges, textCol): canonicalization normalizes expression ids, so
+    * two independent reads of the same corpus path hit the same entry,
+    * while any change to corpus, merge count, or column misses. The
+    * cached `words` frame stays persisted (vocabulary-sized — bounded
+    * model state, one entry per distinct training config); a cache miss
+    * after an external unpersist merely retrains. [[clearBpeCache]]
+    * releases everything (spec teardown hook). */
+  private val bpeMemo = scala.collection.mutable.Map.empty[
+    (SparkSession, LogicalPlan, Int, String),
+    (DataFrame, Seq[(Long, String, String, String, Long)])]
+
+  private def bpeTrainCached(docs: DataFrame, numMerges: Int,
+                             textCol: String)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) =
+    bpeMemo.synchronized {
+      val key = (docs.sparkSession,
+        docs.queryExecution.analyzed.canonicalized, numMerges, textCol)
+      bpeMemo.getOrElseUpdate(key, bpeTrainState(docs, numMerges, textCol))
+    }
+
+  /** Unpersist and drop every memoized BPE training state. */
+  private[graft] def clearBpeCache(): Unit = bpeMemo.synchronized {
+    bpeMemo.values.foreach { case (words, _) =>
+      try words.unpersist()
+      catch { case _: Throwable => () } // stopped session: nothing to free
+    }
+    bpeMemo.clear()
+  }
+
   private def bpeTrainState(docs: DataFrame, numMerges: Int,
                             textCol: String)
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
@@ -427,6 +460,9 @@ object Ngrams {
       .empty[(Long, String, String, String, Long)]
     var done = false
     var i = 1
+    // caches from round N-1 that round N's lazy pair table still reads;
+    // released only after the next argmax job has materialized it
+    var deferred: Seq[DataFrame] = Seq.empty
     while (i <= numMerges && !done) {
       val top = pairs
         .orderBy(col("cnt").desc, col("l"), col("r"))
