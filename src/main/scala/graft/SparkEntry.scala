@@ -34,6 +34,23 @@ object SparkEntry {
   private def sumDec(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Run an index-lifecycle query body against a fresh scratch
+    * directory, materialize its (small — audit/survivor rows) result so
+    * the returned plan no longer reads the scratch files, then delete
+    * the tree. The lifecycle queries (`q_incremental_refresh`,
+    * `q_ann_ivf_indexed/append`) invoke their body once per bench
+    * iteration; without the delete each invocation leaked a temp dir. */
+  private def withScratchDir(prefix: String)
+      (body: String => DataFrame): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    try body(p.toString).localCheckpoint(true)
+    finally {
+      import java.nio.file.{Files, Path}
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   /** Flagship query — star-join revenue rollup: lineitem ⋈ orders ⋈
     * customer ⋈ nation ⋈ region, dims broadcast, one shuffle for the
     * final aggregate. Takes `dir` like every other query and is
@@ -416,10 +433,14 @@ object SparkEntry {
         .distinct()
         .orderBy("k")),
 
-    // ---- anti join (NOT EXISTS) ----
+    // ---- anti join (NOT EXISTS): customers with no big-ticket order.
+    // The right side is restricted (o_totalprice > 400k) so the
+    // survivor set is non-empty at every SF (202 rows at sf0.01) —
+    // an all-customers anti-join matches nobody in this corpus and a
+    // 0-row hash match proves nothing about anti-join semantics. ----
     "q_anti_join" -> ((s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"),
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
               col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
@@ -1260,12 +1281,10 @@ object SparkEntry {
     // set dup of batch1's survivors, so it is dropped ONLY IF the
     // index extension actually committed and round-tripped — and v<g>
     // for ODD groups (new → survives). Final membership is SQL-closed.
-    "q_incremental_refresh" -> ((s, d) => {
+    "q_incremental_refresh" -> ((s, d) => withScratchDir("graft-refresh") { tmp =>
       import graft.sources.ManifestTable
       val g = expr("doc_id div 4")
       val base0 = t(s, d, "documents")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-refresh").toString
       val idxPath = s"$tmp/sig_index"; val outPath = s"$tmp/corpus"
       def mk(tag: Column, reps: Column) =
         concat_ws(" ", array_repeat(tag, reps.cast("int")))
@@ -1298,6 +1317,7 @@ object SparkEntry {
       }
       ManifestTable.read(s, outPath).select("doc_id").orderBy("doc_id")
     }),
+
     // E2 SimHash near-dup over the same perturbed corpus, published
     // through the in-plan recall audit (former rows-only probe): truth =
     // pairs with IDENTICAL distinct-token sets — identical SimHash,
@@ -1393,12 +1413,10 @@ object SparkEntry {
     // the amortized-index shape Dedup.signatureIndex has for n-gram
     // dedup, now for embeddings. Same layout-reproducible k-means
     // centroids as q_ann_ivf_kmeans, so the floor holds identically.
-    "q_ann_ivf_indexed" -> ((s, d) => {
+    "q_ann_ivf_indexed" -> ((s, d) => withScratchDir("graft-ivf-index") { dir =>
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
       val (cents, cells) = Similarity.ivfIndex(e, nlist = 16, iters = 2)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index").toString
       Similarity.writeIvfIndex(dir, cents, cells)
       val (rc, ra) = Similarity.readIvfIndex(s, dir)
       Similarity.recallAudit(e, q, 10,
@@ -1410,13 +1428,11 @@ object SparkEntry {
     // half's cell assignments with the STORED centroids (no retraining,
     // O(batch) ingest), read the extended artifact back, and probe it
     // over the FULL corpus — proving appended vectors are findable
-    "q_ann_ivf_append" -> ((s, d) => {
+    "q_ann_ivf_append" -> ((s, d) => withScratchDir("graft-ivf-append") { dir =>
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 20)
       val (cents, cells) = Similarity.ivfIndex(
         e.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 2)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-append").toString
       Similarity.writeIvfIndex(dir, cents, cells)
       Similarity.appendToIvfIndex(s, dir,
         e.filter(col("vec_id") % 2 === 1))
@@ -2565,7 +2581,9 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_semi_join" ->
@@ -2630,17 +2648,19 @@ object SparkEntry {
         |  FROM vocab v CROSS JOIN cl CROSS JOIN vs
         |  LEFT JOIN clt ON clt.label = cl.label AND clt.w = v.w),
         |ta AS (
-        |  SELECT doc_id, lang AS actual, u.w
+        |  SELECT doc_id, u.w
         |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
         |  WHERE len(u.w) >= 1),
         |sc AS (
-        |  SELECT doc_id, actual, m.label, SUM(m.logp) AS s
-        |  FROM ta JOIN model m USING (w) GROUP BY 1, 2, 3),
+        |  SELECT doc_id, m.label, SUM(m.logp) AS s
+        |  FROM ta JOIN model m USING (w) GROUP BY 1, 2),
         |pick AS (
-        |  SELECT doc_id, actual, label,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY pr + s DESC, label) AS rn
-        |  FROM sc JOIN prior USING (label))
+        |  SELECT d.doc_id, d.lang AS actual, p.label,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY p.pr + COALESCE(sc.s, CAST(0 AS DECIMAL(28,9))) DESC,
+        |               p.label) AS rn
+        |  FROM documents d CROSS JOIN prior p
+        |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = p.label)
         |SELECT actual, label AS predicted, COUNT(*) AS n_docs
         |FROM pick WHERE rn = 1
         |GROUP BY actual, label ORDER BY actual, predicted""".stripMargin,

@@ -216,10 +216,12 @@ object TextAnalysis {
     * Training (`train`, labeled by `labelCol`): per-(label, token)
     * occurrence counts with Laplace add-one smoothing over the train
     * vocabulary `V`, plus per-label document priors. Tokens absent
-    * from the TRAIN vocabulary are dropped at predict time (the
-    * standard restrict-to-vocab convention — an inner join, so the
-    * rule is engine-replicable). Docs with zero in-vocab tokens are
-    * absent from the output, like any group-by.
+    * from the TRAIN vocabulary contribute zero to the likelihood at
+    * predict time (the standard restrict-to-vocab convention — an
+    * inner join on the token side, so the rule is engine-replicable).
+    * A doc with ZERO in-vocab tokens still appears in the output with
+    * the prior-only argmax — a classifier must label every input, not
+    * silently drop the ones it finds unfamiliar.
     *
     * Determinism: every log is rounded to `quantizeDecimals` and cast
     * to DECIMAL before summing (the [[Ngrams.bigramLogProb]] recipe),
@@ -268,13 +270,22 @@ object TextAnalysis {
         round(log((coalesce(col("__c"), lit(0L)) + lit(1)).cast("double") /
             (col("__tot") + col("__v")).cast("double")),
           quantizeDecimals).cast(dec).as("__logp"))
-    val scored = tok(predict, col(idCol), col(labelCol).as("__actual"))
+    // per-(doc, label) likelihood sums from IN-vocabulary tokens only;
+    // OOV tokens contribute zero (they drop out of the model join)
+    val sums = tok(predict, col(idCol))
       .join(model, Seq("__w"))
-      .groupBy(col(idCol), col("__actual"), col("__label"))
+      .groupBy(col(idCol), col("__label"))
       .agg(sum(col("__logp")).as("__s"))
-      .join(broadcast(prior), Seq("__label"))
+    // score every predict doc × label, left-joining the sums: a doc
+    // with NO in-vocabulary tokens keeps its rows (likelihood 0) and
+    // gets the prior-only argmax instead of silently vanishing from
+    // the confusion matrix
+    val scored = predict.select(col(idCol), col(labelCol).as("__actual"))
+      .crossJoin(broadcast(prior))
+      .join(sums, Seq(idCol, "__label"), "left")
       .select(col(idCol), col("__actual"), col("__label"),
-        (col("__prior") + col("__s")).as("__score"))
+        (col("__prior") + coalesce(col("__s"), lit(0).cast(dec)))
+          .as("__score"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("__label"))
     scored.withColumn("__rn", row_number().over(w))

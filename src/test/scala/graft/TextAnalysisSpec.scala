@@ -146,7 +146,8 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.blocklistFilter(df, Seq("zzz")).count() === 4L)
   }
 
-  test("nbClassify: disjoint vocabularies classify perfectly; OOV drops") {
+  test("nbClassify: disjoint vocabularies classify perfectly; " +
+       "all-OOV doc gets the prior-only argmax") {
     val train = Seq(
       (1L, "spam", "buy cheap pills now"),
       (2L, "spam", "cheap pills cheap deals"),
@@ -160,14 +161,17 @@ class TextAnalysisSpec extends SparkTestBase {
       // NB: spam = ln½ + ln(3/21) + 2·ln(1/21) ≈ −8.728, ham = ln½ +
       // ln(1/22) + 2·ln(2/22) ≈ −8.580 → ham wins (a real mislabel)
       (12L, "spam", "pills for tuesday"),
-      (13L, "ham", "zzz qqq www")              // all OOV → absent from output
+      // all OOV → likelihood 0 for both labels → prior-only argmax;
+      // equal priors (2 docs each) tie-break to the first label: ham
+      (13L, "ham", "zzz qqq www")
     ).toDF("doc_id", "label", "text")
     val out = TextAnalysis.nbClassify(train, predict, "label", "text")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     assert(out === Map(("spam", "spam") -> 1L, ("spam", "ham") -> 1L,
-        ("ham", "ham") -> 1L),
-      "doc 13 (all OOV) is absent; 10/11 classify right, 12 flips to ham")
+        ("ham", "ham") -> 2L),
+      "doc 13 (all OOV) stays, labeled by the prior tie-break (ham); " +
+        "10/11 classify right, 12 flips to ham")
   }
 
   test("nbClassify: zero-token-overlap label falls back to prior") {
