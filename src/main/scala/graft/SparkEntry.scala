@@ -1815,10 +1815,14 @@ object SparkEntry {
         .orderBy("user_id")),
 
     // ---- E6 N-step funnel report: greedy first-match sequence scan
-    // per user (one shuffle, no per-step joins) ----
+    // per user (one shuffle, no per-step joins). The explicit 512 cap
+    // sits under the WindowGroupLimit threshold, so a bot user's
+    // events truncate map-side before the exchange; the corpus maxes
+    // at 99 events/user, so the cap never bites. ----
     "q_funnel_steps" -> ((s, d) =>
       EventOps.funnelN(t(s, d, "events"),
-          Seq("view", "click", "purchase"), withinUs = 7200L * 1000000L)
+          Seq("view", "click", "purchase"), withinUs = 7200L * 1000000L,
+          maxEventsPerUser = 512)
         .orderBy("step_idx")),
 
     // ---- E19 unigram LM quality score (perplexity-style signal) ----

@@ -117,15 +117,19 @@ object EventOps {
     * at the stage the capped prefix reaches (monotone undercount,
     * never a phantom conversion).
     *
-    * The default cap sits comfortably under the optimizer's
-    * `spark.sql.optimizer.windowGroupLimitThreshold` (1000 — a STRICT
-    * bound: a limit equal to it keeps the plain rank filter, which
-    * bounds output but only after the full window buffers). Raise the
-    * cap to or past 1000 only together with that conf. */
+    * The DEFAULT cap (100000) is a safety net, not a planning hint: it
+    * never truncates a plausible human user, but it sits above the
+    * optimizer's `spark.sql.optimizer.windowGroupLimitThreshold`
+    * (1000 — a STRICT bound: a limit >= it keeps the plain rank
+    * filter, which bounds output but only after the full window
+    * buffers), so the truncation is reduce-side. Call sites that know
+    * their per-user ceiling should pass a cap UNDER that threshold
+    * (e.g. 512) to get the map-side WindowGroupLimit truncation —
+    * the registered `q_funnel_steps` does exactly this. */
   def funnelN(events: DataFrame, steps: Seq[String], withinUs: Long,
               userCol: String = "user_id", tsCol: String = "ts",
               typeCol: String = "event_type",
-              maxEventsPerUser: Int = 512): DataFrame = {
+              maxEventsPerUser: Int = 100000): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     require(steps.distinct.size == steps.size, "steps must be distinct")
     require(maxEventsPerUser >= steps.size,

@@ -131,7 +131,7 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("funnelN's per-user event cap pushes a group limit on a real scan") {
-    // the scan's maxRows is unknown, so the default cap (512) rewrites;
+    // q_funnel_steps opts into a 512 cap (under the rewrite threshold);
     // a bot user's events truncate map-side before the exchange
     val p = plan("q_funnel_steps")
     assert(p.contains("WindowGroupLimit"),
