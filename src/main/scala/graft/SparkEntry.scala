@@ -1495,6 +1495,29 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("id")).limit(50)
     }),
 
+    // ---- E27+E15 tokenize→pack, end-to-end: the TRAINED tokenizer's
+    // token-id sequences (q_bpe_encode's artifact) packed into fixed
+    // token-budget training rows with boundary arrays — the final seam
+    // between tokenizer and training tensors, closed in ONE plan.
+    // Weight = n_ids (real token counts, not the char-count stand-in);
+    // sep ",0," splices the reserved id 0 in as the EOS boundary. ----
+    "q_bpe_pack" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val enc = Ngrams.bpeEncode(docs, docs.filter(col("doc_id") < 200),
+          numMerges = bpeOracleMerges)
+      val keyed = enc.join(docs.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      Mixing.packWithBoundaries(keyed, "source", "doc_id",
+          "n_ids", "token_ids", budget = 512L, sep = ",0,")
+        .withColumn("doc_ids",
+          array_join(col("doc_ids").cast("array<string>"), ","))
+        .withColumn("doc_lens",
+          array_join(col("doc_lens").cast("array<string>"), ","))
+        .withColumn("doc_starts",
+          array_join(col("doc_starts").cast("array<string>"), ","))
+        .orderBy("source", "shard")
+    }),
+
     // ---- E19 corpus statistics / decontamination (Ngrams) ----
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
@@ -2254,11 +2277,10 @@ object SparkEntry {
       |      FROM state$k)
       |ORDER BY word""".stripMargin
 
-  /** DuckDB replay of [[operators.Ngrams.bpeEncode]]: the unrolled
-    * training rounds' final state joined onto the (filtered) document
-    * token stream, symbols dense-ranked to ids, per-doc id lists in
-    * (token position, symbol position) order. */
-  private def bpeEncodeOracle(k: Int): String =
+  /** Shared encode-side CTEs (through per-(doc, token, symbol) id rows
+    * `enc`): the unrolled training rounds' final state joined onto the
+    * (filtered) document token stream, symbols dense-ranked to ids. */
+  private def bpeEncCtes(k: Int): String =
     bpeStateCtes(k) + s""",
       |seg AS (SELECT w, string_split(trim(syms, '<>'), '><') AS a
       |        FROM state$k),
@@ -2276,11 +2298,53 @@ object SparkEntry {
       |  SELECT doc_id, tp, generate_subscripts(a, 1) AS sp,
       |         unnest(a) AS sym
       |  FROM tok JOIN seg USING (w)),
-      |enc AS (SELECT doc_id, tp, sp, id FROM symrows JOIN vocab USING (sym))
+      |enc AS (SELECT doc_id, tp, sp, id FROM symrows JOIN vocab USING (sym))"""
+      .stripMargin
+
+  /** DuckDB replay of [[operators.Ngrams.bpeEncode]]: per-doc id lists
+    * in (token position, symbol position) order. */
+  private def bpeEncodeOracle(k: Int): String =
+    bpeEncCtes(k) + s"""
       |SELECT doc_id, CAST(COUNT(DISTINCT tp) AS BIGINT) AS n_toks,
       |  CAST(COUNT(*) AS BIGINT) AS n_ids,
       |  array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of the q_bpe_pack composition: the encoded per-doc
+    * id sequences keyed by source, then the packByBudget recurrence
+    * (exclusive running token sum div budget) and the boundary-array
+    * rendering — the q_pack_boundaries oracle with token-count weights
+    * and the id-0 EOS separator. */
+  private def bpePackOracle(k: Int): String =
+    bpeEncCtes(k) + s""",
+      |encdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |    array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
+      |  FROM enc GROUP BY doc_id),
+      |src AS (
+      |  SELECT e.doc_id, d.source, e.n_ids, e.token_ids
+      |  FROM encdoc e JOIN documents d USING (doc_id)),
+      |packed AS (
+      |  SELECT source, doc_id, token_ids, n_ids,
+      |    CAST(COALESCE(SUM(n_ids) OVER (PARTITION BY source
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+      |      AS BIGINT) AS shard
+      |  FROM src),
+      |g AS (
+      |  SELECT source, shard,
+      |    string_agg(token_ids, ',0,' ORDER BY doc_id) AS seq,
+      |    list(doc_id ORDER BY doc_id) AS doc_ids,
+      |    list(n_ids ORDER BY doc_id) AS doc_lens
+      |  FROM packed GROUP BY source, shard)
+      |SELECT source, shard, seq,
+      |  COALESCE(array_to_string(doc_ids, ','), '') AS doc_ids,
+      |  COALESCE(array_to_string(doc_lens, ','), '') AS doc_lens,
+      |  COALESCE(array_to_string(
+      |    list_transform(range(1, len(doc_lens) + 1),
+      |      i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT)),
+      |    ','), '') AS doc_starts
+      |FROM g ORDER BY source, shard""".stripMargin
 
   /** DuckDB replay of the q_bpe_fertility composition: the same
     * unrolled training rounds' final segmentation, occurrence-weighted
@@ -2320,6 +2384,8 @@ object SparkEntry {
     "q_bpe_segment" -> bpeSegmentOracle(bpeOracleMerges),
 
     "q_bpe_encode" -> bpeEncodeOracle(bpeOracleMerges),
+
+    "q_bpe_pack" -> bpePackOracle(bpeOracleMerges),
 
     "q_bpe_fertility" -> bpeFertilityOracle(bpeOracleMerges),
 
