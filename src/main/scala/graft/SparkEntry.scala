@@ -398,6 +398,107 @@ object SparkEntry {
                .as("revenue"),
              count(lit(1)).as("n_items"))),
 
+    // ---- TPC-H Q4-shaped: order-priority checking. EXISTS a late-
+    // shipped line (l_shipdate after the order date — the corpus has no
+    // commit/receipt dates) = one LEFT SEMI join with a non-equi
+    // conjunct; the orders date filter prunes scan-side. ----
+    "q_tpch4" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .join(t(s, d, "lineitem"),
+              col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // ---- TPC-H Q5-shaped: local-supplier volume — revenue where the
+    // CUSTOMER's nation equals the SUPPLIER's nation, one region, one
+    // year. The extra c_nationkey = s_nationkey conjunct is the Q5
+    // signature; supplier/nation/region broadcast, facts hash-join. ----
+    "q_tpch5" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+              col("l_orderkey") === col("o_orderkey") &&
+              col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"),
+              col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")
+                .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+               .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
+    // ---- TPC-H Q12-shaped: late-shipment priority split by line
+    // status (the corpus has no ship mode): conditional aggregation
+    // folded map-side into ONE orders⋈lineitem join. ----
+    "q_tpch12" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // ---- TPC-H Q17-shaped: small-quantity-order revenue for one
+    // brand. The per-part average-quantity threshold is kept EXACT by
+    // clearing denominators: qty < 0.2·(sum/n) ⇔ 5·qty·n < sum with
+    // integral quantities summed as DECIMAL — no float rounding to
+    // diverge between engines. The brand dim broadcasts; the per-part
+    // aggregate joins back to the fact on the part key. ----
+    "q_tpch17" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
+             count(lit(1)).as("nq"))
+      li.join(broadcast(t(s, d, "part")
+            .filter(col("p_brand") === "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pk"))
+        .filter(lit(5) * col("l_quantity").cast(DecimalType(18, 2)) *
+                col("nq") < col("sq"))
+        .agg(sumDec(col("l_extendedprice"), 2).as("total_price"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    // ---- TPC-H Q22-shaped: global sales opportunity — well-funded
+    // customers (acctbal above the positive-balance average, compared
+    // exactly via acctbal·n > sum with DECIMAL cents) DORMANT since
+    // 2000 (anti join against recent orders — every customer here has
+    // SOME order, so the unrestricted Q22 anti join would be the
+    // 0-row trap q_anti_join had), counted per nation (the corpus has
+    // no phone country codes). The scalar average broadcasts. ----
+    "q_tpch22" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val posAvg = c.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sb"),
+             count(lit(1)).as("nb"))
+      c.crossJoin(broadcast(posAvg))
+        .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("nb") >
+                col("sb"))
+        .join(t(s, d, "orders").filter(
+                col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("numcust"),
+             sumDec(col("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("cntry")
+    }),
+
     // ---- grouped aggregation (TPC-H Q1-shaped pricing summary) ----
     "q1_agg" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -2623,6 +2724,73 @@ object SparkEntry {
         |        AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch17" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    COUNT(*) AS nq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        |JOIN pp ON l_partkey = pk
+        |WHERE 5 * CAST(l_quantity AS DECIMAL(18,2)) * nq < sq""".stripMargin,
+
+    "q_tpch22" ->
+      """WITH pa AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sb,
+        |         COUNT(*) AS nb
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer, pa
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * nb > sb
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = customer.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY cntry""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -306,6 +306,28 @@ class PlanQualitySpec extends SparkTestBase {
     assert(q7.sliding("BroadcastHashJoin".length)
       .count(_ == "BroadcastHashJoin") >= 3,
       s"supplier + both nation dims broadcast:\n$q7")
+    // Q4: the EXISTS is ONE semi join (no aggregate-then-join detour);
+    // the orders date filter reaches the scan
+    val q4 = plan("q_tpch4")
+    assert(q4.contains("LeftSemi"), s"EXISTS must plan a semi join:\n$q4")
+    assert(q4.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate,"),
+      s"orders date filter must reach the scan:\n$q4")
+    // Q5: supplier/nation/region broadcast; the c=s nation conjunct
+    // stays inside the customer hash join (no post-join filter scan)
+    val q5 = plan("q_tpch5")
+    assert(q5.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3,
+      s"supplier + nation + region must broadcast:\n$q5")
+    assert(!q5.contains("CartesianProduct") &&
+      !q5.contains("BroadcastNestedLoopJoin"),
+      s"all joins keep equi keys:\n$q5")
+    // Q17: the per-part threshold joins exactly once — lineitem is
+    // scanned twice (fact + per-part aggregate), never three times
+    val q17 = plan("q_tpch17")
+    assert(q17.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") === 3,
+      s"lineitem twice + part once:\n$q17")
   }
 
   test("nbClassify: corpus-sized sides never cross-join; model joins are equi") {
