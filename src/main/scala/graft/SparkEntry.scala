@@ -1596,6 +1596,25 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("id")).limit(50)
     }),
 
+    // ---- E27+E13 stored-tokenizer round trip: train (memoized), SHIP
+    // the k-row merge list through a ManifestTable commit, read the
+    // artifact back, and segment the corpus with the STORED merges via
+    // the chained-replace serve path — no training loop at serve time.
+    // Green only if the persisted model round-trips AND the serve path
+    // is bit-identical to the train-side segmentation: the oracle is
+    // the SAME SQL as q_bpe_segment. ----
+    "q_bpe_stored" -> ((s, d) => withScratchDir("graft-bpe-model") { tmp =>
+      import graft.sources.ManifestTable
+      val docs = docsSpread(s, d)
+      ManifestTable.upsertBatch(
+        Ngrams.bpeTrain(docs, numMerges = bpeOracleMerges),
+        s"$tmp/bpe_model", Seq("rank"), nBuckets = 1, batchId = 0L)
+      val stored = ManifestTable.read(s, s"$tmp/bpe_model")
+        .orderBy("rank").select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      Ngrams.bpeSegmentWithMerges(docs, stored).orderBy("word")
+    }),
+
     // ---- E27+E15 tokenize→pack, end-to-end: the TRAINED tokenizer's
     // token-id sequences (q_bpe_encode's artifact) packed into fixed
     // token-budget training rows with boundary arrays — the final seam
@@ -2483,6 +2502,10 @@ object SparkEntry {
     "q_bpe_merges" -> bpeMergesOracle(bpeOracleMerges),
 
     "q_bpe_segment" -> bpeSegmentOracle(bpeOracleMerges),
+
+    // same oracle as q_bpe_segment on purpose: the stored-model serve
+    // path must reproduce the train-side segmentation bit-for-bit
+    "q_bpe_stored" -> bpeSegmentOracle(bpeOracleMerges),
 
     "q_bpe_encode" -> bpeEncodeOracle(bpeOracleMerges),
 

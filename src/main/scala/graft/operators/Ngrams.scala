@@ -325,6 +325,39 @@ object Ngrams {
         array_join(symsArr, " ").as("segments"))
   }
 
+  /** The SERVE side of BPE from a STORED merge list — segmentation
+    * with no training loop at all. Training learns the merges once
+    * ([[bpeTrain]], typically persisted through a ManifestTable);
+    * serving replays them as ONE chained expression: the bracketed
+    * symbol string folded through `replace(<l><r> → <lr>)` in rank
+    * order. Applying merge i to the full vocabulary after merges
+    * 1..i-1 is exactly the cumulative state the training loop held at
+    * round i, so the induced segmentation is bit-identical to
+    * [[bpeSegment]]'s — proved by the shared DuckDB oracle on
+    * `q_bpe_stored`.
+    *
+    * Scale shape: zero jobs besides the one vocabulary aggregation —
+    * the k replaces are a single codegen'd projection over the
+    * vocabulary-sized table (at 32k merges the expression chain is
+    * deep but still one pass; a driver-side loop or per-merge job
+    * would be 32k passes). The merge list itself is model-sized
+    * (k rows), the only thing a serving cluster needs to load. */
+  def bpeSegmentWithMerges(docs: DataFrame, merges: Seq[(String, String)],
+                           textCol: String = "text"): DataFrame = {
+    val symsN = merges.foldLeft(
+        regexp_replace(col("w"), "(.)", "<$1>")) {
+      case (e, (l, r)) => replace(e, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .filter(!col("w").rlike("[<>]"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), symsN.as("syms"), col("c"))
+      .select(col("w").as("word"), col("c").as("cnt"),
+        size(symsArr).cast("long").as("n_syms"),
+        array_join(symsArr, " ").as("segments"))
+  }
+
   /** End-to-end BPE corpus encoding — [[bpeTrain]] → [[bpeSegment]] →
     * token-id sequences, closing the corpus→tensors chain with the
     * TRAINED tokenizer rather than a given vocabulary: train

@@ -228,6 +228,29 @@ class NgramsSpec extends SparkTestBase {
     graft.operators.OpCaches.release()
   }
 
+  test("bpeSegmentWithMerges: the stored-model serve path reproduces " +
+      "the train-side segmentation") {
+    val df = Seq(
+      (1L, "lower lower lowest low low low newer newest new wide wider"),
+      (2L, "low lower newest newest wide wide widest new new lowest")
+    ).toDF("doc_id", "text")
+    val merges = Ngrams.bpeTrain(df, numMerges = 6)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val trained = Ngrams.bpeSegment(df, numMerges = 6)
+      .as[(String, Long, Long, String)].collect().toSet
+    val served = Ngrams.bpeSegmentWithMerges(df, merges)
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(served === trained,
+      "chained replaces in rank order = the cumulative training fold")
+    // serving with a merge PREFIX equals training stopped at that round
+    val seg2 = Ngrams.bpeSegment(df, numMerges = 2)
+      .as[(String, Long, Long, String)].collect().toSet
+    val served2 = Ngrams.bpeSegmentWithMerges(df, merges.take(2))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(served2 === seg2)
+  }
+
   test("bpeEncode: trained ids in (token, symbol) order; unseen words " +
       "char-split to the OOV id") {
     // train on "aa aa ab": merge 1 fuses (a,a) cnt 2 → segments
