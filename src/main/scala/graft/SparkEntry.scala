@@ -598,6 +598,29 @@ object SparkEntry {
         .orderBy("actual", "predicted")
     }),
 
+    // ---- E4+E13 stored-classifier round trip: train once, COMMIT the
+    // (token, label, logp) model and (label, prior) tables through
+    // ManifestTable, read both back, score the whole corpus from the
+    // STORED artifact — the train-once/score-many production shape.
+    // Oracle is deliberately the same SQL as q_nb_classify: the green
+    // row certifies the DECIMAL log-probs survive the round trip
+    // bit-for-bit. ----
+    "q_nb_stored" -> ((s, d) => withScratchDir("graft-nb-model") { tmp =>
+      import graft.sources.ManifestTable
+      val docs = docsSpread(s, d)
+      val (model, priors) = TextAnalysis.nbTrain(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "text")
+      ManifestTable.upsertBatch(model, s"$tmp/nb_model",
+        Seq("token", "label"), nBuckets = 4, batchId = 0L)
+      ManifestTable.upsertBatch(priors, s"$tmp/nb_priors",
+        Seq("label"), nBuckets = 1, batchId = 0L)
+      TextAnalysis.nbScore(docs,
+          ManifestTable.read(s, s"$tmp/nb_model"),
+          ManifestTable.read(s, s"$tmp/nb_priors"),
+          labelCol = "lang", textCol = "text")
+        .orderBy("actual", "predicted")
+    }),
+
     // ---- E4 quality score ----
     "q_quality" -> ((s, d) =>
       docsSpread(s, d)
@@ -2484,6 +2507,54 @@ object SparkEntry {
       |FROM tok JOIN seg USING (w)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** DuckDB replay of the NB train-and-score composition, shared by
+    * `q_nb_classify` and `q_nb_stored` (scoring from the stored model
+    * must reproduce the direct confusion matrix exactly): add-one-
+    * smoothed per-(label, token) log-probs rounded to 9 decimals and
+    * summed as DECIMAL(28,9), every doc × label scaffolded so all-OOV
+    * docs keep the prior-only argmax. */
+  private val nbConfusionOracle: String =
+    """WITH tr AS (
+      |  SELECT lang AS label, u.w
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      |  WHERE doc_id % 2 = 0 AND len(u.w) >= 1),
+      |clt AS (SELECT label, w, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+      |cl AS (SELECT label, SUM(c) AS tot FROM clt GROUP BY 1),
+      |vocab AS (SELECT DISTINCT w FROM clt),
+      |vs AS (SELECT COUNT(*) AS v FROM vocab),
+      |lb AS (SELECT lang AS label, COUNT(*) AS nd FROM documents
+      |       WHERE doc_id % 2 = 0 GROUP BY 1),
+      |ndocs AS (SELECT SUM(nd) AS n FROM lb),
+      |prior AS (
+      |  SELECT label,
+      |    CAST(round(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS pr
+      |  FROM lb, ndocs),
+      |model AS (
+      |  SELECT v.w, cl.label,
+      |    CAST(round(ln(CAST(COALESCE(clt.c, 0) + 1 AS DOUBLE) /
+      |        CAST(cl.tot + vs.v AS DOUBLE)), 9) AS DECIMAL(28,9))
+      |      AS logp
+      |  FROM vocab v CROSS JOIN cl CROSS JOIN vs
+      |  LEFT JOIN clt ON clt.label = cl.label AND clt.w = v.w),
+      |ta AS (
+      |  SELECT doc_id, u.w
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      |  WHERE len(u.w) >= 1),
+      |sc AS (
+      |  SELECT doc_id, m.label, SUM(m.logp) AS s
+      |  FROM ta JOIN model m USING (w) GROUP BY 1, 2),
+      |pick AS (
+      |  SELECT d.doc_id, d.lang AS actual, p.label,
+      |    row_number() OVER (PARTITION BY d.doc_id
+      |      ORDER BY p.pr + COALESCE(sc.s, CAST(0 AS DECIMAL(28,9))) DESC,
+      |               p.label) AS rn
+      |  FROM documents d CROSS JOIN prior p
+      |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = p.label)
+      |SELECT actual, label AS predicted, COUNT(*) AS n_docs
+      |FROM pick WHERE rn = 1
+      |GROUP BY actual, label ORDER BY actual, predicted""".stripMargin
+
   /** DuckDB-equivalent ANSI SQL per query (driver runs these on the same
     * parquet tables). Omitted for the engine-specific ops above. */
   def oracleSql: Map[String, String] = Map(
@@ -2884,47 +2955,11 @@ object SparkEntry {
     // log-probs rounded to 9 decimals and summed as DECIMAL(28,9) —
     // the bigram-LM exactness recipe — then per-doc argmax with label
     // tie-break, aggregated to the confusion matrix
-    "q_nb_classify" ->
-      """WITH tr AS (
-        |  SELECT lang AS label, u.w
-        |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
-        |  WHERE doc_id % 2 = 0 AND len(u.w) >= 1),
-        |clt AS (SELECT label, w, COUNT(*) AS c FROM tr GROUP BY 1, 2),
-        |cl AS (SELECT label, SUM(c) AS tot FROM clt GROUP BY 1),
-        |vocab AS (SELECT DISTINCT w FROM clt),
-        |vs AS (SELECT COUNT(*) AS v FROM vocab),
-        |lb AS (SELECT lang AS label, COUNT(*) AS nd FROM documents
-        |       WHERE doc_id % 2 = 0 GROUP BY 1),
-        |ndocs AS (SELECT SUM(nd) AS n FROM lb),
-        |prior AS (
-        |  SELECT label,
-        |    CAST(round(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)), 9)
-        |      AS DECIMAL(28,9)) AS pr
-        |  FROM lb, ndocs),
-        |model AS (
-        |  SELECT v.w, cl.label,
-        |    CAST(round(ln(CAST(COALESCE(clt.c, 0) + 1 AS DOUBLE) /
-        |        CAST(cl.tot + vs.v AS DOUBLE)), 9) AS DECIMAL(28,9))
-        |      AS logp
-        |  FROM vocab v CROSS JOIN cl CROSS JOIN vs
-        |  LEFT JOIN clt ON clt.label = cl.label AND clt.w = v.w),
-        |ta AS (
-        |  SELECT doc_id, u.w
-        |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
-        |  WHERE len(u.w) >= 1),
-        |sc AS (
-        |  SELECT doc_id, m.label, SUM(m.logp) AS s
-        |  FROM ta JOIN model m USING (w) GROUP BY 1, 2),
-        |pick AS (
-        |  SELECT d.doc_id, d.lang AS actual, p.label,
-        |    row_number() OVER (PARTITION BY d.doc_id
-        |      ORDER BY p.pr + COALESCE(sc.s, CAST(0 AS DECIMAL(28,9))) DESC,
-        |               p.label) AS rn
-        |  FROM documents d CROSS JOIN prior p
-        |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = p.label)
-        |SELECT actual, label AS predicted, COUNT(*) AS n_docs
-        |FROM pick WHERE rn = 1
-        |GROUP BY actual, label ORDER BY actual, predicted""".stripMargin,
+    "q_nb_classify" -> nbConfusionOracle,
+
+    // same oracle on purpose: scoring from the STORED model tables
+    // must reproduce the train-and-score confusion matrix exactly
+    "q_nb_stored" -> nbConfusionOracle,
 
     "q_quality" ->
       """SELECT doc_id,

@@ -242,14 +242,27 @@ object TextAnalysis {
                  labelCol: String, textCol: String,
                  idCol: String = "doc_id",
                  quantizeDecimals: Int = 9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (model, priors) = nbTrain(train, labelCol, textCol, quantizeDecimals)
+    nbScore(predict, model, priors, labelCol, textCol, idCol)
+  }
+
+  /** Train the multinomial NB model as two SHIPPABLE tables — the
+    * artifact form of [[nbClassify]]'s training pass: `model` =
+    * (token, label, logp) add-one-smoothed rounded-decimal token
+    * log-likelihoods (vocab × |labels| rows), `priors` = (label,
+    * prior) document-frequency log-priors. Both are model-sized and
+    * survive a parquet/ManifestTable round trip exactly (DECIMAL
+    * columns), so a pipeline trains once, commits the tables, and
+    * scores every future batch from the stored artifact —
+    * [[nbScore]] is the serve side. */
+  def nbTrain(train: DataFrame, labelCol: String, textCol: String,
+              quantizeDecimals: Int = 9): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(28, quantizeDecimals)
-    def tok(df: DataFrame, keep: Column*) =
-      df.select(keep :+ explode(split(col(textCol), " ")).as("__w"): _*)
-        .filter(length(col("__w")) >= 1)
     val clt = OpCaches.register(
-      tok(train, col(labelCol).as("__label"))
+      train.select(col(labelCol).as("__label"),
+          explode(split(col(textCol), " ")).as("__w"))
+        .filter(length(col("__w")) >= 1)
         .groupBy("__label", "__w").agg(count(lit(1)).as("__c"))
         .persist())
     val cl = clt.groupBy("__label").agg(sum(col("__c")).as("__tot"))
@@ -258,39 +271,52 @@ object TextAnalysis {
     val labels = train.groupBy(col(labelCol).as("__label"))
       .agg(count(lit(1)).as("__nd"))
     val ndocs = labels.agg(sum(col("__nd")).as("__n"))
-    val prior = labels.crossJoin(broadcast(ndocs))
-      .select(col("__label"),
+    val priors = labels.crossJoin(broadcast(ndocs))
+      .select(col("__label").as("label"),
         round(log(col("__nd").cast("double") / col("__n").cast("double")),
-          quantizeDecimals).cast(dec).as("__prior"))
+          quantizeDecimals).cast(dec).as("prior"))
     val model = vocab
       .crossJoin(broadcast(cl))
       .crossJoin(broadcast(vsize))
       .join(clt, Seq("__label", "__w"), "left")
-      .select(col("__w"), col("__label"),
+      .select(col("__w").as("token"), col("__label").as("label"),
         round(log((coalesce(col("__c"), lit(0L)) + lit(1)).cast("double") /
             (col("__tot") + col("__v")).cast("double")),
-          quantizeDecimals).cast(dec).as("__logp"))
+          quantizeDecimals).cast(dec).as("logp"))
+    (model, priors)
+  }
+
+  /** Score a batch against a (possibly read-back) [[nbTrain]] model and
+    * publish the confusion matrix — the serve side of [[nbClassify]],
+    * identical output whether the tables come straight off training or
+    * out of storage. */
+  def nbScore(predict: DataFrame, model: DataFrame, priors: DataFrame,
+              labelCol: String, textCol: String,
+              idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val decZero = lit(0).cast(priors.schema("prior").dataType)
     // per-(doc, label) likelihood sums from IN-vocabulary tokens only;
     // OOV tokens contribute zero (they drop out of the model join)
-    val sums = tok(predict, col(idCol))
-      .join(model, Seq("__w"))
-      .groupBy(col(idCol), col("__label"))
-      .agg(sum(col("__logp")).as("__s"))
+    val sums = predict
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) >= 1)
+      .join(model.withColumnRenamed("token", "__w"), Seq("__w"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("logp")).as("__s"))
     // score every predict doc × label, left-joining the sums: a doc
     // with NO in-vocabulary tokens keeps its rows (likelihood 0) and
     // gets the prior-only argmax instead of silently vanishing from
     // the confusion matrix
     val scored = predict.select(col(idCol), col(labelCol).as("__actual"))
-      .crossJoin(broadcast(prior))
-      .join(sums, Seq(idCol, "__label"), "left")
-      .select(col(idCol), col("__actual"), col("__label"),
-        (col("__prior") + coalesce(col("__s"), lit(0).cast(dec)))
-          .as("__score"))
+      .crossJoin(broadcast(priors))
+      .join(sums, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("__actual"), col("label"),
+        (col("prior") + coalesce(col("__s"), decZero)).as("__score"))
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__score").desc, col("__label"))
+      .orderBy(col("__score").desc, col("label"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("__actual").as("actual"), col("__label").as("predicted"))
+      .select(col("__actual").as("actual"), col("label").as("predicted"))
       .groupBy("actual", "predicted")
       .agg(count(lit(1)).as("n_docs"))
   }
