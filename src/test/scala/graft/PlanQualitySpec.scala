@@ -330,6 +330,23 @@ class PlanQualitySpec extends SparkTestBase {
       s"lineitem twice + part once:\n$q17")
   }
 
+  test("lifecycle queries clean their scratch trees (one invocation, " +
+      "zero residue)") {
+    def residue(): Set[String] = {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      tmp.listFiles((_, n) => n.startsWith("graft-refresh") ||
+          n.startsWith("graft-ivf-") || n.startsWith("graft-bpe-model") ||
+          n.startsWith("graft-nb-model"))
+        .map(_.getName).toSet
+    }
+    val before = residue()
+    SparkEntry.queries("q_incremental_refresh")(spark, d).collect()
+    SparkEntry.queries("q_bpe_stored")(spark, d).collect()
+    assert(residue() === before,
+      "withScratchDir must delete every scratch tree it creates")
+  }
+
   test("nbClassify: corpus-sized sides never cross-join; model joins are equi") {
     val p = plan("q_nb_classify")
     assert(!p.contains("CartesianProduct"),
