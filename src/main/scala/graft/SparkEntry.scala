@@ -2167,6 +2167,15 @@ object SparkEntry {
           array_join(col("doc_starts").cast("array<string>"), ","))
         .orderBy("source", "shard")),
 
+    // ---- E15 GPT-style contiguous packing: cut each source's
+    // concatenated token stream every 1000 tokens EXACTLY — documents
+    // span example boundaries (span table, all-integer offsets);
+    // packByBudget's greedy shards round up, this doesn't ----
+    "q_pack_contiguous" -> ((s, d) =>
+      Mixing.packContiguous(t(s, d, "documents"), "source", "doc_id",
+          "n_chars", budget = 1000L)
+        .orderBy("source", "example", "doc_id", "tok_start")),
+
     // ---- E20 key-skew report (the pre-join salting diagnostic) ----
     "q_key_skew" -> ((s, d) =>
       operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 20)),
@@ -4542,6 +4551,23 @@ object SparkEntry {
         |      i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT)),
         |    ','), '') AS doc_starts
         |FROM g ORDER BY source, shard""".stripMargin,
+
+    // the engine's prefix-sum/explode span construction replayed as a
+    // window + range unnest: doc at stream offset s, weight w covers
+    // examples s//B .. (s+w-1)//B with half-open in-doc token bounds
+    "q_pack_contiguous" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT source, CAST(e AS BIGINT) AS example, doc_id,
+        |  CAST(GREATEST(0, e * 1000 - s) AS BIGINT) AS tok_start,
+        |  CAST(LEAST(w, (e + 1) * 1000 - s) AS BIGINT) AS tok_end
+        |FROM w, unnest(range(s // 1000, (s + w - 1) // 1000 + 1)) AS u(e)
+        |ORDER BY source, example, doc_id, tok_start""".stripMargin,
 
     "q_key_skew" ->
       """SELECT l_suppkey, COUNT(*) AS cnt,

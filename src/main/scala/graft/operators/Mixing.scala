@@ -396,6 +396,44 @@ object Mixing {
             (acc, x) => concat(acc, array(element_at(acc, -1) + x))),
           lit(1), size(col("__docs"))).as("doc_starts"))
 
+  /** GPT-style CONTIGUOUS packing: concatenate each group's documents
+    * into one token stream (ordered by `orderCol`) and cut it every
+    * `budget` tokens EXACTLY — documents SPAN example boundaries
+    * instead of rounding shards up like [[packByBudget]] (whose greedy
+    * fill leaves per-shard slack; pretraining wants every example
+    * exactly `budget` tokens with no padding). Output: one row per
+    * (document, example) SPAN — `example` the fixed-length example
+    * index, `tok_start`/`tok_end` the half-open token range of this
+    * document consumed by that example; a document of weight L at
+    * stream offset S covers examples ⌊S/B⌋..⌊(S+L-1)/B⌋. A trainer
+    * materializes example e by concatenating its spans in (orderCol,
+    * tok_start) order; attention resets ride the span boundaries.
+    *
+    * All-integer arithmetic (offsets via one prefix-sum window, span
+    * bounds by div/min/max), so the span table is engine-exact. Cost:
+    * the [[packByBudget]] window plus a 1 + L/B fan-out explode —
+    * stream-offset bookkeeping without materializing the stream.
+    * Zero-weight docs contribute nothing and are dropped. */
+  def packContiguous(df: DataFrame, groupCol: String, orderCol: String,
+                     weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val before = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(groupCol), col(orderCol),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__s", coalesce(sum(col("__w")).over(before), lit(0L)))
+      .select(col(groupCol), col(orderCol), col("__w"), col("__s"),
+        explode(sequence(
+          expr(s"__s div $budget"),
+          expr(s"(__s + __w - 1) div $budget"))).as("example"))
+      .select(col(groupCol), col("example"), col(orderCol),
+        greatest(lit(0L), col("example") * budget - col("__s"))
+          .as("tok_start"),
+        least(col("__w"), (col("example") + 1) * budget - col("__s"))
+          .as("tok_end"))
+  }
+
   /** Greedy fixed-budget shard assignment: within each `groupCol`
     * (ordered by `orderCol`), rows are packed into shards of at most
     * `budget` total `weightCol` (a row larger than the budget gets its

@@ -329,6 +329,29 @@ class MixingSpec extends SparkTestBase {
     assert((s1, ids1, starts1) === ((1L, Seq(3L), Seq(0L))))
   }
 
+  test("packContiguous: exact fixed-length cuts, docs span example " +
+      "boundaries, zero-weight docs drop") {
+    val df = Seq(
+      (1L, "g", 3L), (2L, "g", 5L), (3L, "g", 2L), (4L, "g", 0L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Mixing.packContiguous(df, "source", "doc_id", "n_chars",
+        budget = 4L)
+      .orderBy("example", "doc_id", "tok_start")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // stream: d1[0,3) d2[3,8) d3[8,10); cuts at 4 and 8 → d2 spans
+    // examples 0 and 1; the final example is the partial tail
+    assert(out === Seq(
+      ("g", 0L, 1L, 0L, 3L),   // d1 whole, into e0
+      ("g", 0L, 2L, 0L, 1L),   // d2's first token finishes e0
+      ("g", 1L, 2L, 1L, 5L),   // d2's remaining 4 fill e1 exactly
+      ("g", 2L, 3L, 0L, 2L)),  // d3 opens the partial tail e2
+      "d4 (weight 0) contributes no span")
+    // every example except the tail holds exactly `budget` tokens
+    val perExample = out.groupBy(_._2).view
+      .mapValues(_.map(s => s._5 - s._4).sum).toMap
+    assert(perExample === Map(0L -> 4L, 1L -> 4L, 2L -> 2L))
+  }
+
   test("allocateBudget: waterfall cascades caps across rounds, integer-exact") {
     val corpus = Seq(("A", 10L), ("B", 20L), ("C", 1000L), ("D", 7L))
       .toDF("source", "n_chars")
