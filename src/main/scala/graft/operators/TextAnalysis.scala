@@ -289,36 +289,51 @@ object TextAnalysis {
   /** Score a batch against a (possibly read-back) [[nbTrain]] model and
     * publish the confusion matrix — the serve side of [[nbClassify]],
     * identical output whether the tables come straight off training or
-    * out of storage. */
+    * out of storage. Carry-through columns: the per-doc argmax rows
+    * keep the doc's actual label so the matrix needs no re-join. */
   def nbScore(predict: DataFrame, model: DataFrame, priors: DataFrame,
               labelCol: String, textCol: String,
-              idCol: String = "doc_id"): DataFrame = {
+              idCol: String = "doc_id"): DataFrame =
+    nbArgmax(predict, model, priors, textCol, idCol,
+        Seq(col(labelCol).as("__actual")))
+      .select(col("__actual").as("actual"), col("label").as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-document prediction from a stored [[nbTrain]] model — the
+    * label-every-input serve shape ([[nbScore]] aggregates the same
+    * argmax into a confusion matrix when actuals exist). Output:
+    * (idCol, predicted). */
+  def nbPredict(docs: DataFrame, model: DataFrame, priors: DataFrame,
+                textCol: String, idCol: String = "doc_id"): DataFrame =
+    nbArgmax(docs, model, priors, textCol, idCol, Seq.empty)
+      .select(col(idCol), col("label").as("predicted"))
+
+  /** Shared NB scoring core: every doc × label scored as prior +
+    * in-vocabulary token log-likelihood sum (OOV tokens contribute
+    * zero; a doc with NO in-vocab tokens keeps its rows and gets the
+    * prior-only argmax instead of silently vanishing), reduced to the
+    * per-doc argmax row with label-order tie-break. `carry` columns
+    * ride from the doc row to the argmax output. */
+  private def nbArgmax(docs: DataFrame, model: DataFrame,
+                       priors: DataFrame, textCol: String, idCol: String,
+                       carry: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val decZero = lit(0).cast(priors.schema("prior").dataType)
-    // per-(doc, label) likelihood sums from IN-vocabulary tokens only;
-    // OOV tokens contribute zero (they drop out of the model join)
-    val sums = predict
+    val sums = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
       .filter(length(col("__w")) >= 1)
       .join(model.withColumnRenamed("token", "__w"), Seq("__w"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("logp")).as("__s"))
-    // score every predict doc × label, left-joining the sums: a doc
-    // with NO in-vocabulary tokens keeps its rows (likelihood 0) and
-    // gets the prior-only argmax instead of silently vanishing from
-    // the confusion matrix
-    val scored = predict.select(col(idCol), col(labelCol).as("__actual"))
+    val scored = docs.select(col(idCol) +: carry: _*)
       .crossJoin(broadcast(priors))
       .join(sums, Seq(idCol, "label"), "left")
-      .select(col(idCol), col("__actual"), col("label"),
-        (col("prior") + coalesce(col("__s"), decZero)).as("__score"))
+      .withColumn("__score", col("prior") + coalesce(col("__s"), decZero))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("label"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("__actual").as("actual"), col("label").as("predicted"))
-      .groupBy("actual", "predicted")
-      .agg(count(lit(1)).as("n_docs"))
   }
 
   /** Full text-analysis projection over a documents table. */

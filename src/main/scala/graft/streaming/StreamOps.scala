@@ -257,6 +257,47 @@ object StreamOps {
       }
       .start()
 
+  /** Score a document stream against a STORED Naive Bayes model — the
+    * online half of [[graft.operators.TextAnalysis.nbTrain]]: each
+    * micro-batch reads the committed model/priors ManifestTables,
+    * labels every incoming doc via
+    * [[graft.operators.TextAnalysis.nbPredict]] (prior-only fallback
+    * for all-OOV docs — a classifier labels every input), and appends
+    * (idCol, predicted) to the output ManifestTable keyed by batch id,
+    * so a replayed batch is detected and skipped. The model tables
+    * must exist BEFORE the stream starts: a missing model is a
+    * pipeline wiring error and must fail the batch for the checkpoint
+    * to retry — silently passing docs through unlabeled would poison
+    * the output table.
+    *
+    * Scale: the model is vocab × |labels| rows — read once per
+    * micro-batch, broadcast by AQE in the token join; per-batch work
+    * is batch-sized, state lives in the store, not the stream. */
+  def classifyStream(docs: DataFrame, modelPath: String,
+                     priorsPath: String, outPath: String,
+                     checkpoint: String, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                     nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val spark = batch.sparkSession
+          graft.sources.ManifestTable.upsertBatch(
+            graft.operators.TextAnalysis.nbPredict(batch.toDF(),
+              graft.sources.ManifestTable.read(spark, modelPath),
+              graft.sources.ManifestTable.read(spark, priorsPath),
+              textCol, idCol),
+            outPath, Seq(idCol), nBuckets = nBuckets, batchId = batchId)
+          ()
+      }
+      .start()
+
   // ---- sessionization via flatMapGroupsWithState ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

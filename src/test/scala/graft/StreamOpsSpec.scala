@@ -434,6 +434,45 @@ class StreamOpsSpec extends SparkTestBase {
     assert(kept() === Set(1L, 2L, 4L))
   }
 
+  test("classifyStream labels every doc from the stored model, " +
+      "including all-OOV docs") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-classify").toString
+    val (mp, pp, out, ckpt) =
+      (s"$dir/model", s"$dir/priors", s"$dir/pred", s"$dir/ckpt")
+    // train once, commit the artifact; the stream only ever reads it
+    val train = Seq(
+      (1L, "spam", "buy cheap pills now"),
+      (2L, "spam", "cheap pills cheap deals"),
+      (3L, "ham", "meeting notes for tuesday"),
+      (4L, "ham", "notes about the quarterly report")
+    ).toDF("doc_id", "label", "text")
+    val (model, priors) = TextAnalysis.nbTrain(train, "label", "text")
+    graft.sources.ManifestTable.upsertBatch(model, mp,
+      Seq("token", "label"), nBuckets = 4, batchId = 0L)
+    graft.sources.ManifestTable.upsertBatch(priors, pp,
+      Seq("label"), nBuckets = 1, batchId = 0L)
+    def run(): Unit = {
+      val q = StreamOps.classifyStream(
+        in.toDF().toDF("doc_id", "text"), mp, pp, out, ckpt, nBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def preds(): Map[Long, String] =
+      graft.sources.ManifestTable.read(spark, out)
+        .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    in.addData((10L, "cheap deals now"), (11L, "quarterly meeting notes"))
+    run()
+    assert(preds() === Map(10L -> "spam", 11L -> "ham"))
+    // batch 2: an all-OOV doc still gets labeled (prior tie → ham, the
+    // first label) — the stream never drops an input
+    in.addData((12L, "zzz qqq www"))
+    run()
+    assert(preds() === Map(10L -> "spam", 11L -> "ham", 12L -> "ham"))
+  }
+
   test("sessionize closes a session after the event-time gap and emits once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
