@@ -1638,6 +1638,29 @@ object SparkEntry {
       Ngrams.bpeSegmentWithMerges(docs, stored).orderBy("word")
     }),
 
+    // ---- E27+E13 stored-tokenizer ENCODE round trip: commit the
+    // complete tokenizer artifact (merge list + symbol vocabulary)
+    // through ManifestTable, read both back, and encode a doc subset
+    // from the STORED artifact — zero training jobs at serve time.
+    // Oracle is deliberately the same SQL as q_bpe_encode: the green
+    // row certifies stored-artifact encode ≡ train-side encode. ----
+    "q_bpe_encode_stored" -> ((s, d) => withScratchDir("graft-bpe-model") { tmp =>
+      import graft.sources.ManifestTable
+      val docs = docsSpread(s, d)
+      ManifestTable.upsertBatch(
+        Ngrams.bpeTrain(docs, numMerges = bpeOracleMerges),
+        s"$tmp/merges", Seq("rank"), nBuckets = 1, batchId = 0L)
+      ManifestTable.upsertBatch(
+        Ngrams.bpeVocab(docs, numMerges = bpeOracleMerges),
+        s"$tmp/vocab", Seq("sym"), nBuckets = 1, batchId = 0L)
+      val merges = ManifestTable.read(s, s"$tmp/merges")
+        .orderBy("rank").select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      Ngrams.bpeEncodeWithMerges(docs.filter(col("doc_id") < 200),
+          merges, ManifestTable.read(s, s"$tmp/vocab"))
+        .orderBy("doc_id")
+    }),
+
     // ---- E27+E15 tokenize→pack, end-to-end: the TRAINED tokenizer's
     // token-id sequences (q_bpe_encode's artifact) packed into fixed
     // token-budget training rows with boundary arrays — the final seam
@@ -2590,6 +2613,10 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeOracle(bpeOracleMerges),
 
     "q_bpe_pack" -> bpePackOracle(bpeOracleMerges),
+
+    // same oracle as q_bpe_encode on purpose: encoding from the stored
+    // merges+vocab artifact must reproduce the train-side encode
+    "q_bpe_encode_stored" -> bpeEncodeOracle(bpeOracleMerges),
 
     "q_bpe_fertility" -> bpeFertilityOracle(bpeOracleMerges),
 

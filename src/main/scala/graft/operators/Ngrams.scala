@@ -358,6 +358,63 @@ object Ngrams {
         array_join(symsArr, " ").as("segments"))
   }
 
+  /** The trained symbol vocabulary as a SHIPPABLE (sym, id) table —
+    * ids dense-ranked by symbol string (engine-independent), exactly
+    * the ids [[bpeEncode]] derives internally. Together with
+    * [[bpeTrain]]'s merge list this is the complete tokenizer
+    * artifact: merges drive segmentation, this table drives id
+    * assignment; [[bpeEncodeWithMerges]] serves from the stored pair
+    * with no training loop. Model-sized (|vocab| rows). */
+  def bpeVocab(docs: DataFrame, numMerges: Int,
+               textCol: String = "text"): DataFrame = {
+    val (words, _) = bpeTrainCached(docs, numMerges, textCol)
+    words.select(explode(symsArr).as("sym")).distinct()
+      .select(col("sym"),
+        row_number().over(Window.orderBy(col("sym"))).cast("long").as("id"))
+  }
+
+  /** Corpus → token-id sequences from the STORED tokenizer artifact
+    * (merge list + (sym, id) vocabulary) — the serve-side twin of
+    * [[bpeEncode]], zero training jobs. Each batch's DISTINCT words
+    * segment by replaying the merges as one chained `replace`
+    * projection (batch-vocabulary-sized, NOT per token occurrence —
+    * at 32k merges the replay must run once per distinct word, not
+    * once per token), then tokens join their segmentation and symbols
+    * join the stored vocabulary; symbols outside it take `oovId`.
+    * Replaying merges segments ANY word — including words unseen at
+    * train time, which fall apart into whatever trained subwords
+    * match, real BPE's unseen-word behavior. Output schema matches
+    * [[bpeEncode]]. */
+  def bpeEncodeWithMerges(encodeDocs: DataFrame,
+                          merges: Seq[(String, String)], vocab: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          oovId: Long = 0L): DataFrame = {
+    val symsExpr = merges.foldLeft(
+        regexp_replace(col("w"), "(.)", "<$1>")) {
+      case (e, (l, r)) => replace(e, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    val tok = encodeDocs
+      .select(col(idCol), posexplode(toks(col(textCol))))
+      .withColumnRenamed("pos", "__tp").withColumnRenamed("col", "w")
+      .filter(length(col("w")) >= 1 && !col("w").rlike("[<>]"))
+    val wordSeg = tok.select("w").distinct()
+      .select(col("w"), symsExpr.as("syms"))
+      .select(col("w"), symsArr.as("__syms"))
+    tok.join(wordSeg, Seq("w"))
+      .select(col(idCol), col("__tp"), posexplode(col("__syms")))
+      .withColumnRenamed("pos", "__sp").withColumnRenamed("col", "sym")
+      .join(vocab, Seq("sym"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count_distinct(col("__tp")).as("n_toks"),
+        count(lit(1)).as("n_ids"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__tp"), col("__sp"),
+            coalesce(col("id"), lit(oovId)).as("id")))),
+          x => x("id").cast("string")), ",").as("token_ids"))
+  }
+
   /** End-to-end BPE corpus encoding — [[bpeTrain]] → [[bpeSegment]] →
     * token-id sequences, closing the corpus→tensors chain with the
     * TRAINED tokenizer rather than a given vocabulary: train

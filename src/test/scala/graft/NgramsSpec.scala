@@ -267,6 +267,32 @@ class NgramsSpec extends SparkTestBase {
     graft.operators.OpCaches.release()
   }
 
+  test("bpeEncodeWithMerges: stored merges+vocab reproduce the trained " +
+      "encode; unseen words fall apart into trained subwords") {
+    val train = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = Ngrams.bpeTrain(train, numMerges = 1)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val vocab = Ngrams.bpeVocab(train, numMerges = 1) // a=1, aa=2, b=3
+    // in-vocab docs: identical to bpeEncode's output
+    val enc = Seq((1L, "aa ab")).toDF("doc_id", "text")
+    val direct = Ngrams.bpeEncode(train, enc, numMerges = 1)
+      .select("doc_id", "n_toks", "n_ids", "token_ids")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val stored = Ngrams.bpeEncodeWithMerges(enc, merges, vocab)
+      .select("doc_id", "n_toks", "n_ids", "token_ids")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(stored === direct && direct === Seq((1L, 2L, 3L, "2,1,3")))
+    // unseen word "aab": the merge replay fuses the leading pair →
+    // [aa, b] = ids [2, 3] — real BPE's unseen-word behavior (trained
+    // subwords), not a blanket char-split; truly novel chars go OOV 0
+    val novel = Seq((2L, "aab cd")).toDF("doc_id", "text")
+    val out = Ngrams.bpeEncodeWithMerges(novel, merges, vocab)
+      .select("doc_id", "n_toks", "n_ids", "token_ids")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq((2L, 2L, 4L, "2,3,0,0")))
+  }
+
   test("bpeTrain delta-maintained pair counts equal a from-scratch recount " +
       "across merge rounds (incl. the checkpoint boundary)") {
     // 6 rounds over a corpus where merges overlap and cascade — every
