@@ -298,6 +298,45 @@ object StreamOps {
       }
       .start()
 
+  /** Tokenize a document stream with a STORED BPE artifact — the
+    * online half of [[graft.operators.Ngrams.bpeTrain]]/
+    * [[graft.operators.Ngrams.bpeVocab]]: each micro-batch reads the
+    * committed merge-list and vocabulary ManifestTables, encodes every
+    * incoming doc via
+    * [[graft.operators.Ngrams.bpeEncodeWithMerges]] (merge replay over
+    * the batch's distinct words; unseen words fall apart into trained
+    * subwords), and appends (idCol, n_toks, n_ids, token_ids) keyed by
+    * batch id, so a replayed batch is detected and skipped. Like
+    * [[classifyStream]], a missing artifact fails the batch for the
+    * checkpoint to retry. The collected merge list is k rows —
+    * bounded model state, the centroid-collect contract. */
+  def encodeStream(docs: DataFrame, mergesPath: String, vocabPath: String,
+                   outPath: String, checkpoint: String,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                   nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val spark = batch.sparkSession
+          val merges = graft.sources.ManifestTable.read(spark, mergesPath)
+            .orderBy("rank").select("left", "right").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSeq
+          graft.sources.ManifestTable.upsertBatch(
+            graft.operators.Ngrams.bpeEncodeWithMerges(batch.toDF(),
+              merges,
+              graft.sources.ManifestTable.read(spark, vocabPath),
+              idCol, textCol),
+            outPath, Seq(idCol), nBuckets = nBuckets, batchId = batchId)
+          ()
+      }
+      .start()
+
   // ---- sessionization via flatMapGroupsWithState ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -473,6 +473,39 @@ class StreamOpsSpec extends SparkTestBase {
     assert(preds() === Map(10L -> "spam", 11L -> "ham", 12L -> "ham"))
   }
 
+  test("encodeStream tokenizes each batch from the stored artifact, " +
+      "unseen words fall apart into trained subwords") {
+    import graft.operators.Ngrams
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-encode").toString
+    val (mp, vp, out, ckpt) =
+      (s"$dir/merges", s"$dir/vocab", s"$dir/ids", s"$dir/ckpt")
+    val train = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    graft.sources.ManifestTable.upsertBatch(
+      Ngrams.bpeTrain(train, numMerges = 1), mp,
+      Seq("rank"), nBuckets = 1, batchId = 0L)
+    graft.sources.ManifestTable.upsertBatch(
+      Ngrams.bpeVocab(train, numMerges = 1), vp, // a=1, aa=2, b=3
+      Seq("sym"), nBuckets = 1, batchId = 0L)
+    def run(): Unit = {
+      val q = StreamOps.encodeStream(
+        in.toDF().toDF("doc_id", "text"), mp, vp, out, ckpt, nBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def ids(): Map[Long, String] =
+      graft.sources.ManifestTable.read(spark, out)
+        .select("doc_id", "token_ids").as[(Long, String)].collect().toMap
+    in.addData((10L, "aa ab"))
+    run()
+    assert(ids() === Map(10L -> "2,1,3"))
+    // batch 2: unseen "aab" → merge replay → [aa, b]; novel chars → OOV
+    in.addData((11L, "aab cd"))
+    run()
+    assert(ids() === Map(10L -> "2,1,3", 11L -> "2,3,0,0"))
+  }
+
   test("sessionize closes a session after the event-time gap and emits once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
