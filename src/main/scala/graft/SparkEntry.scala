@@ -1684,6 +1684,21 @@ object SparkEntry {
         .orderBy("source", "shard")
     }),
 
+    // ---- E27+E15 the full GPT data path in ONE plan: trained-
+    // tokenizer token counts → contiguous fixed-length example spans.
+    // Every 256-token example is exactly full (docs span boundaries);
+    // the span table is what a loader materializes examples from. ----
+    "q_bpe_pack_contiguous" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val enc = Ngrams.bpeEncode(docs, docs.filter(col("doc_id") < 200),
+          numMerges = bpeOracleMerges)
+      val keyed = enc.join(docs.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      Mixing.packContiguous(keyed, "source", "doc_id", "n_ids",
+          budget = 256L)
+        .orderBy("source", "example", "doc_id", "tok_start")
+    }),
+
     // ---- E19 corpus statistics / decontamination (Ngrams) ----
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
@@ -2485,6 +2500,28 @@ object SparkEntry {
       |  array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of the q_bpe_pack_contiguous composition: encoded
+    * per-doc token counts keyed by source, then the exact fixed-length
+    * span construction (prefix sum + range unnest). */
+  private def bpePackContiguousOracle(k: Int): String =
+    bpeEncCtes(k) + s""",
+      |encdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids
+      |  FROM enc GROUP BY doc_id),
+      |src AS (
+      |  SELECT e.doc_id, d.source, e.n_ids AS w,
+      |    CAST(COALESCE(SUM(e.n_ids) OVER (PARTITION BY d.source
+      |      ORDER BY e.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS s
+      |  FROM encdoc e JOIN documents d USING (doc_id)
+      |  WHERE e.n_ids > 0)
+      |SELECT source, CAST(e AS BIGINT) AS example, doc_id,
+      |  CAST(GREATEST(0, e * 256 - s) AS BIGINT) AS tok_start,
+      |  CAST(LEAST(w, (e + 1) * 256 - s) AS BIGINT) AS tok_end
+      |FROM src, unnest(range(s // 256, (s + w - 1) // 256 + 1)) AS u(e)
+      |ORDER BY source, example, doc_id, tok_start""".stripMargin
+
   /** DuckDB replay of the q_bpe_pack composition: the encoded per-doc
     * id sequences keyed by source, then the packByBudget recurrence
     * (exclusive running token sum div budget) and the boundary-array
@@ -2613,6 +2650,8 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeOracle(bpeOracleMerges),
 
     "q_bpe_pack" -> bpePackOracle(bpeOracleMerges),
+
+    "q_bpe_pack_contiguous" -> bpePackContiguousOracle(bpeOracleMerges),
 
     // same oracle as q_bpe_encode on purpose: encoding from the stored
     // merges+vocab artifact must reproduce the train-side encode
