@@ -621,6 +621,13 @@ object SparkEntry {
         .orderBy("actual", "predicted")
     }),
 
+    // ---- E4 deterministic MLM masking plan: 15% of (doc, position)
+    // pairs masked by the engine-independent Knuth-hash bucket — the
+    // reproducible-mask prep a masked-LM data pipeline ships ----
+    "q_mask_tokens" -> ((s, d) =>
+      TextAnalysis.maskTokens(docsSpread(s, d), maskPct = 15)
+        .orderBy("doc_id")),
+
     // ---- E4 quality score ----
     "q_quality" -> ((s, d) =>
       docsSpread(s, d)
@@ -3035,6 +3042,28 @@ object SparkEntry {
     // same oracle on purpose: scoring from the STORED model tables
     // must reproduce the train-and-score confusion matrix exactly
     "q_nb_stored" -> nbConfusionOracle,
+
+    // 0-based positions (generate_subscripts is 1-based); the nested
+    // mod chain replays Spark's pmod(pmod(k*C, 2^32), 100) exactly —
+    // all operands non-negative, so % and pmod agree
+    "q_mask_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tp,
+        |         unnest(toks) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |m AS (
+        |  SELECT doc_id, tp,
+        |    ((doc_id * 10007 + tp) * 2654435761) % 4294967296 % 100 < 15
+        |      AS masked
+        |  FROM tok WHERE len(w) >= 1)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  COALESCE(array_to_string(
+        |    list(tp ORDER BY tp) FILTER (WHERE masked), ','), '')
+        |    AS masked_positions
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,

@@ -336,6 +336,39 @@ object TextAnalysis {
       .filter(col("__rn") === 1)
   }
 
+  /** Deterministic MLM-style masking plan: per (doc, token position),
+    * mask iff the Knuth multiplicative hash of `id·salt + position`
+    * lands under `maskPct` percent — the [[Mixing.deterministicSplit]]
+    * convention, so the mask is layout- and engine-independent
+    * (bit-reproducible across runs AND replayable by the SQL oracle),
+    * unlike `rand()`-based masking which no two runs agree on. Output:
+    * one row per doc — (idCol, n_tokens, n_masked, masked_positions),
+    * positions 0-based comma-joined; a trainer applies the mask by
+    * position. Pure per-row explode + one per-doc regroup, no model
+    * state. `idCol·salt + position` must stay under ~3.4e9 for the
+    * hash multiply to fit a long (same key-domain contract as the
+    * mixing ops); `salt` must exceed the max token count so distinct
+    * (doc, pos) pairs never collide. */
+  def maskTokens(docs: DataFrame, maskPct: Int,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 salt: Long = 10007L): DataFrame = {
+    require(maskPct >= 0 && maskPct <= 100)
+    val tok = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("pos", "__tp").withColumnRenamed("col", "__w")
+      .filter(length(col("__w")) >= 1)
+    val bucket = pmod(pmod(
+      (col(idCol) * lit(salt) + col("__tp")) * lit(2654435761L),
+      lit(4294967296L)), lit(100L))
+    tok.withColumn("__m", bucket < maskPct)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__m"), 1L).otherwise(0L)).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__m"), col("__tp")))),
+          x => x.cast("string")), ",").as("masked_positions"))
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {

@@ -174,6 +174,32 @@ class TextAnalysisSpec extends SparkTestBase {
         "10/11 classify right, 12 flips to ham")
   }
 
+  test("maskTokens: deterministic positions, 0/100 edges, layout-free") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.maskTokens(df, maskPct = 15)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // repeatable: same inputs, same mask, regardless of partitioning
+    val again = TextAnalysis.maskTokens(df.repartition(7), maskPct = 15)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === again, "the mask must not depend on layout")
+    assert(out.map(_._2) === Seq(10L, 3L), "token counts")
+    out.foreach { case (_, n, m, pos) =>
+      assert(m === (if (pos.isEmpty) 0 else pos.split(",").length))
+      assert(m <= n)
+    }
+    // edges: 0% masks nothing, 100% masks everything
+    val none = TextAnalysis.maskTokens(df, maskPct = 0)
+      .as[(Long, Long, Long, String)].collect()
+    assert(none.forall(r => r._3 === 0L && r._4 === ""))
+    val all = TextAnalysis.maskTokens(df, maskPct = 100)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(all.map(_._3).toSeq === Seq(10L, 3L))
+    assert(all(1)._4 === "0,1,2")
+  }
+
   test("nbClassify: zero-token-overlap label falls back to prior") {
     // predict doc shares tokens with NO label strongly; equal priors and
     // symmetric counts → tie broken by label order (alpha asc)
