@@ -118,6 +118,11 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val attempts = (1 to runs).map(_ => timeOne(fn))
+        // operator-internal caches are per-QUERY state: release them
+        // before the next query so 190+ queries' persisted frames don't
+        // stack up and bill their GC/eviction pressure to whichever
+        // memory-hungry query runs late in the alphabet
+        graft.operators.OpCaches.release(blocking = true)
         val okTimes = attempts.collect { case (t, None) => t }
         if (okTimes.isEmpty)
           // all runs threw: hard failure; times are time-to-exception
@@ -140,6 +145,7 @@ object Bench {
         val extra = (1 to rerunAttempts).map(_ =>
           timeOne(SparkEntry.queries(r.name)))
           .collect { case (t, None) => t }
+        graft.operators.OpCaches.release(blocking = true)
         if (extra.isEmpty) r
         else r.copy(best = math.min(r.best, extra.min), rerun = true)
       }

@@ -330,6 +330,9 @@ object TextAnalysis {
       .crossJoin(broadcast(priors))
       .join(sums, Seq(idCol, "label"), "left")
       .withColumn("__score", col("prior") + coalesce(col("__s"), decZero))
+      // prune before the window: prior/__s would otherwise ride every
+      // buffered row through the per-doc sort
+      .drop("prior", "__s")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("label"))
     scored.withColumn("__rn", row_number().over(w))

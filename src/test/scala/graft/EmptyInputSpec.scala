@@ -80,4 +80,27 @@ class EmptyInputSpec extends SparkTestBase {
       .select("violations", "passed").as[(Long, Boolean)].collect()
     assert(v.toSeq === Seq((0L, true), (0L, true)))
   }
+
+  test("round-9 operators handle empty and degenerate input") {
+    val noWeighted = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "source", "n_chars")
+    assertEmpty(Mixing.packContiguous(noWeighted, "source", "doc_id",
+      "n_chars", budget = 4L))
+    // all-zero weights: no spans, not a divide-by-zero
+    assertEmpty(Mixing.packContiguous(
+      Seq((1L, "g", 0L), (2L, "g", 0L)).toDF("doc_id", "source", "n_chars"),
+      "source", "doc_id", "n_chars", budget = 4L))
+    assertEmpty(TextAnalysis.maskTokens(noDocs, maskPct = 15))
+    // empty merge list = pure char segmentation, not an error
+    val seg = Ngrams.bpeSegmentWithMerges(
+      Seq((1L, "ab")).toDF("doc_id", "text"), Seq.empty)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(seg === Seq(("ab", 1L, 2L, "a b")))
+    assertEmpty(Ngrams.bpeSegmentWithMerges(noDocs, Seq(("a", "b"))))
+    // empty predict batch against a real model: empty, shaped output
+    val train = Seq((1L, "a", "tok")).toDF("doc_id", "label", "text")
+    val (model, priors) = TextAnalysis.nbTrain(train, "label", "text")
+    assertEmpty(TextAnalysis.nbPredict(noDocs, model, priors, "text"))
+    graft.operators.OpCaches.release()
+  }
 }
