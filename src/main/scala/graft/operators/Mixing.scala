@@ -409,20 +409,44 @@ object Mixing {
     * materializes example e by concatenating its spans in (orderCol,
     * tok_start) order; attention resets ride the span boundaries.
     *
-    * All-integer arithmetic (offsets via one prefix-sum window, span
-    * bounds by div/min/max), so the span table is engine-exact. Cost:
-    * the [[packByBudget]] window plus a 1 + L/B fan-out explode —
-    * stream-offset bookkeeping without materializing the stream.
-    * Zero-weight docs contribute nothing and are dropped. */
+    * All-integer arithmetic (span bounds by div/min/max over exact
+    * stream offsets), so the span table is engine-exact. Zero-weight
+    * docs contribute nothing and are dropped.
+    *
+    * The stream offsets come from a DISTRIBUTED two-level prefix sum,
+    * not one window per group: `Window.partitionBy(groupCol)` would
+    * stream each group's ENTIRE corpus through a single task — fine at
+    * test scale, broken at 5 TB/source. Instead (1) rows bucket by
+    * `orderCol div orderBucketWidth` (monotone in the order, computed
+    * scan-side, no global pass), (2) per-(group, bucket) totals
+    * aggregate in parallel, (3) the exclusive bucket-offset window runs
+    * over BUCKET-COUNT rows per group (millions of longs at 100 TB —
+    * trivial for one task), (4) the within-bucket exclusive window
+    * partitions by (group, bucket) — parallel across the cluster. Same
+    * math, same output, no group-sized serial scan; `orderCol` must be
+    * numeric for the bucketing (doc ids are). */
   def packContiguous(df: DataFrame, groupCol: String, orderCol: String,
-                     weightCol: String, budget: Long): DataFrame = {
-    require(budget > 0)
-    val before = Window.partitionBy(groupCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(groupCol), col(orderCol),
+                     weightCol: String, budget: Long,
+                     orderBucketWidth: Long = 4096L): DataFrame = {
+    require(budget > 0 && orderBucketWidth > 0)
+    val rows = df.select(col(groupCol), col(orderCol),
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
-      .withColumn("__s", coalesce(sum(col("__w")).over(before), lit(0L)))
+      .withColumn("__b", (col(orderCol) / lit(orderBucketWidth))
+        .cast("long"))
+    val bucketTotals = rows.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__w")).as("__bw"))
+    val bucketBefore = Window.partitionBy(groupCol).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals.select(col(groupCol), col("__b"),
+      coalesce(sum(col("__bw")).over(bucketBefore), lit(0L)).as("__boff"))
+    val withinBefore = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .join(bucketOffsets, Seq(groupCol, "__b"))
+      .withColumn("__s", col("__boff") +
+        coalesce(sum(col("__w")).over(withinBefore), lit(0L)))
       .select(col(groupCol), col(orderCol), col("__w"), col("__s"),
         explode(sequence(
           expr(s"__s div $budget"),

@@ -350,6 +350,14 @@ class MixingSpec extends SparkTestBase {
     val perExample = out.groupBy(_._2).view
       .mapValues(_.map(s => s._5 - s._4).sum).toMap
     assert(perExample === Map(0L -> 4L, 1L -> 4L, 2L -> 2L))
+    // the distributed two-level prefix sum must not depend on the
+    // bucket width: offsets crossing bucket boundaries are identical
+    // to the single-stream math above
+    val bucketed = Mixing.packContiguous(df, "source", "doc_id",
+        "n_chars", budget = 4L, orderBucketWidth = 2L)
+      .orderBy("example", "doc_id", "tok_start")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(bucketed === out, "bucket width is an execution detail")
   }
 
   test("allocateBudget: waterfall cascades caps across rounds, integer-exact") {
