@@ -428,25 +428,12 @@ object Mixing {
   def packContiguous(df: DataFrame, groupCol: String, orderCol: String,
                      weightCol: String, budget: Long,
                      orderBucketWidth: Long = 4096L): DataFrame = {
-    require(budget > 0 && orderBucketWidth > 0)
+    require(budget > 0)
     val rows = df.select(col(groupCol), col(orderCol),
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
-      .withColumn("__b", (col(orderCol) / lit(orderBucketWidth))
-        .cast("long"))
-    val bucketTotals = rows.groupBy(col(groupCol), col("__b"))
-      .agg(sum(col("__w")).as("__bw"))
-    val bucketBefore = Window.partitionBy(groupCol).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOffsets = bucketTotals.select(col(groupCol), col("__b"),
-      coalesce(sum(col("__bw")).over(bucketBefore), lit(0L)).as("__boff"))
-    val withinBefore = Window.partitionBy(col(groupCol), col("__b"))
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    rows
-      .join(bucketOffsets, Seq(groupCol, "__b"))
-      .withColumn("__s", col("__boff") +
-        coalesce(sum(col("__w")).over(withinBefore), lit(0L)))
+    withExclusivePrefixSum(rows, groupCol, orderCol, col("__w"), "__s",
+        orderBucketWidth)
       .select(col(groupCol), col(orderCol), col("__w"), col("__s"),
         explode(sequence(
           expr(s"__s div $budget"),
@@ -458,18 +445,49 @@ object Mixing {
           .as("tok_end"))
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `weight` over each group's
+    * `orderCol` order, added as `out` — the two-level construction
+    * both packers share: (1) rows bucket by `orderCol div width`
+    * (monotone in the order, computed scan-side), (2) per-(group,
+    * bucket) totals aggregate in parallel, (3) the bucket-offset
+    * window runs over bucket-COUNT rows per group, (4) the
+    * within-bucket window partitions by (group, bucket) — parallel.
+    * `orderCol` must be numeric; all input columns carry through. */
+  private def withExclusivePrefixSum(df: DataFrame, groupCol: String,
+                                     orderCol: String, weight: Column,
+                                     out: String, width: Long): DataFrame = {
+    require(width > 0)
+    val rows = df.withColumn("__ps_b",
+      (col(orderCol) / lit(width)).cast("long"))
+    val bucketBefore = Window.partitionBy(groupCol).orderBy(col("__ps_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = rows.groupBy(col(groupCol), col("__ps_b"))
+      .agg(sum(weight).as("__ps_bw"))
+      .select(col(groupCol), col("__ps_b"),
+        coalesce(sum(col("__ps_bw")).over(bucketBefore), lit(0L))
+          .as("__ps_boff"))
+    val withinBefore = Window.partitionBy(col(groupCol), col("__ps_b"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.join(bucketOffsets, Seq(groupCol, "__ps_b"))
+      .withColumn(out, col("__ps_boff") +
+        coalesce(sum(weight).over(withinBefore), lit(0L)))
+      .drop("__ps_b", "__ps_boff")
+  }
+
   /** Greedy fixed-budget shard assignment: within each `groupCol`
     * (ordered by `orderCol`), rows are packed into shards of at most
     * `budget` total `weightCol` (a row larger than the budget gets its
     * own shard). Adds a `shard` column = preceding-weight-sum div
-    * budget. One shuffle on the group key; the running sum shares it. */
+    * budget, via the same distributed two-level prefix sum as
+    * [[packContiguous]] — no group-sized serial window (`orderCol`
+    * must be numeric). */
   def packByBudget(df: DataFrame, groupCol: String, orderCol: String,
-                   weightCol: String, budget: Long): DataFrame = {
+                   weightCol: String, budget: Long,
+                   orderBucketWidth: Long = 4096L): DataFrame = {
     require(budget > 0)
-    val before = Window.partitionBy(groupCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__cum_before",
-        coalesce(sum(col(weightCol)).over(before), lit(0L)))
+    withExclusivePrefixSum(df, groupCol, orderCol, col(weightCol),
+        "__cum_before", orderBucketWidth)
       .withColumn("shard", expr(s"__cum_before div $budget"))
       .drop("__cum_before")
   }
