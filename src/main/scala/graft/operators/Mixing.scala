@@ -299,8 +299,10 @@ object Mixing {
     require(weights.nonEmpty && weights.forall(_._2 > 0) &&
       weights.map(_._2).sum == 100, "percent weights must sum to 100")
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
-    val rn = row_number().over(w)
+    // row_number = exclusive prefix COUNT + 1, via the distributed
+    // two-level sum — a per-stratum serial window would stream whole
+    // strata through single tasks at scale (orderCol must be numeric)
+    val rn = col("__ps_rn") + lit(1L)
     // boundary_i = floor(n * cum_i / 100). `div`, not Divide: Divide on
     // longs is a DOUBLE divide in Spark, which rounds past 2^53 and can
     // disagree with the oracle's integer `//` — div stays in longs
@@ -312,9 +314,11 @@ object Mixing {
       case (((name, _), cum), acc) =>
         when(rn <= boundary(cum), lit(name)).otherwise(acc)
     }
-    df.join(broadcast(counts), Seq(strataCol))
+    withExclusivePrefixSum(df, strataCol, orderCol, lit(1L), "__ps_rn",
+        4096L)
+      .join(broadcast(counts), Seq(strataCol))
       .withColumn(splitCol, label)
-      .drop("__n")
+      .drop("__n", "__ps_rn")
   }
 
   /** Near-dup-leakage-safe train/val/test assignment: documents in the
@@ -457,8 +461,22 @@ object Mixing {
                                      orderCol: String, weight: Column,
                                      out: String, width: Long): DataFrame = {
     require(width > 0)
-    val rows = df.withColumn("__ps_b",
-      (col(orderCol) / lit(width)).cast("long"))
+    withExclusivePrefixSumOrdered(df, groupCol,
+      (col(orderCol) / lit(width)).cast("long"), Seq(col(orderCol)),
+      weight, out)
+  }
+
+  /** General form of the two-level prefix sum: `bucket` must be
+    * monotone NON-DECREASING along `orderCols`' ordering and constant
+    * across order-ties (any scan-side projection of the sort key works:
+    * `orderCol div width`, `-floor(score·K)` for a DESC score, …). The
+    * bucket-offset window sees bucket-count rows per group; the
+    * within-bucket window partitions by (group, bucket) — no
+    * group-sized serial scan anywhere. */
+  private[graft] def withExclusivePrefixSumOrdered(
+      df: DataFrame, groupCol: String, bucket: Column,
+      orderCols: Seq[Column], weight: Column, out: String): DataFrame = {
+    val rows = df.withColumn("__ps_b", bucket)
     val bucketBefore = Window.partitionBy(groupCol).orderBy(col("__ps_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketOffsets = rows.groupBy(col(groupCol), col("__ps_b"))
@@ -467,7 +485,7 @@ object Mixing {
         coalesce(sum(col("__ps_bw")).over(bucketBefore), lit(0L))
           .as("__ps_boff"))
     val withinBefore = Window.partitionBy(col(groupCol), col("__ps_b"))
-      .orderBy(col(orderCol))
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     rows.join(bucketOffsets, Seq(groupCol, "__ps_b"))
       .withColumn(out, col("__ps_boff") +

@@ -188,8 +188,14 @@ object TextAnalysis {
     *
     * Keeps rows whose `percent_rank` under (score DESC, `idCol`) within
     * `groupCol` is < `keepFrac`; the id tie-break makes the kept SET
-    * layout- and engine-deterministic even with duplicated scores. One
-    * shuffle on the group key; the rank window rides its partitioning. */
+    * layout- and engine-deterministic even with duplicated scores.
+    *
+    * The rank comes from the distributed two-level prefix count
+    * ([[Mixing.withExclusivePrefixSumOrdered]], bucketed by the score
+    * itself) — `percent_rank().over(partitionBy(groupCol))` would
+    * stream each group's whole corpus through one task at scale. The
+    * unique id tie-break means rank ≡ row_number (no shared ranks), so
+    * (rank−1)/(n−1) reproduces percent_rank's value bit-for-bit. */
   def qualityPrune(docs: DataFrame, keepFrac: Double,
                    groupCol: String = "source", idCol: String = "doc_id",
                    textCol: String = "text",
@@ -197,12 +203,20 @@ object TextAnalysis {
     require(keepFrac > 0.0 && keepFrac <= 1.0)
     if (keepFrac == 1.0) docs  // keep-all: percent_rank < 1 would drop the tail
     else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(groupCol))
-        .orderBy(score(col(textCol)).desc, col(idCol))
-      docs.withColumn("__pr", percent_rank().over(w))
+      val scored = docs.withColumn("__q", score(col(textCol)))
+      // bucket ascends along (score DESC): -floor(score·2^20); equal
+      // scores share a bucket, so the monotonicity contract holds
+      val bucket = -floor(col("__q") * lit(1 << 20)).cast("long")
+      val counts = scored.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__n"))
+      Mixing.withExclusivePrefixSumOrdered(scored, groupCol, bucket,
+          Seq(col("__q").desc, col(idCol)), lit(1L), "__rk")
+        .join(broadcast(counts), Seq(groupCol))
+        .withColumn("__pr", when(col("__n") <= 1, lit(0.0))
+          .otherwise(col("__rk").cast("double") /
+            (col("__n") - 1).cast("double")))
         .filter(col("__pr") < keepFrac)
-        .drop("__pr")
+        .select(docs.columns.map(col).toSeq: _*) // joins reorder; keep the input schema
     }
   }
 
