@@ -34,4 +34,15 @@ class OracleShapeSpec extends SparkTestBase {
       s"non-scalar columns in oracle-checked outputs (driver gate would " +
       s"crash sorting these):\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("every registered query has an oracle and every oracle has a query") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((qs -- os).isEmpty,
+      s"queries with no oracle (driver records only a weak rows-only " +
+      s"check): ${(qs -- os).toSeq.sorted.mkString(", ")}")
+    assert((os -- qs).isEmpty,
+      s"orphaned oracle entries (dead SQL the driver would skip): " +
+      s"${(os -- qs).toSeq.sorted.mkString(", ")}")
+  }
 }
