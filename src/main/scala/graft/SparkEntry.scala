@@ -621,6 +621,18 @@ object SparkEntry {
         .orderBy("actual", "predicted")
     }),
 
+    // ---- E4 PII exposure report (the measurement side of q_redact) ----
+    "q_pii_stats" -> ((s, d) =>
+      TextAnalysis.piiStats(docsSpread(s, d)).orderBy("doc_id")),
+
+    // ---- E20 k-anonymity audit: quasi-identifier combinations shared
+    // by fewer than k=10 customers — the re-identification risk report
+    // (35 violating groups of 125 at sf0.01) ----
+    "q_k_anonymity" -> ((s, d) =>
+      operators.Profiling.kAnonymityViolations(t(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // ---- E4 deterministic MLM masking plan: 15% of (doc, position)
     // pairs masked by the engine-independent Knuth-hash bucket — the
     // reproducible-mask prep a masked-LM data pipeline ships ----
@@ -3042,6 +3054,22 @@ object SparkEntry {
     // same oracle on purpose: scoring from the STORED model tables
     // must reproduce the train-and-score confusion matrix exactly
     "q_nb_stored" -> nbConfusionOracle,
+
+    "q_pii_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |    AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{8,}'))
+        |    AS BIGINT) AS n_long_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
+        |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // 0-based positions (generate_subscripts is 1-based); the nested
     // mod chain replays Spark's pmod(pmod(k*C, 2^32), 100) exactly —

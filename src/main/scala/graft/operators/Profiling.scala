@@ -279,6 +279,22 @@ object Profiling {
       .limit(k)
   }
 
+  /** k-anonymity audit over quasi-identifier columns: every
+    * quasi-identifier COMBINATION occurring in fewer than `k` rows,
+    * with its count — the re-identification risk report a governance
+    * pass runs before releasing grouped data (a combination shared by
+    * < k individuals singles people out). One hash aggregation on the
+    * quasi columns; output is violation-sized, empty = k-anonymous.
+    * NULLs group as values (SQL GROUP BY semantics), matching how a
+    * release would bucket them. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
+  }
+
   /** EXACT heavy hitters with sketch-bounded shuffle: every value of
     * `keyCol` whose count strictly exceeds n/(k+1) (n = non-null rows),
     * with its exact count and corpus share.

@@ -353,6 +353,24 @@ object TextAnalysis {
       .filter(col("__rn") === 1)
   }
 
+  /** Per-document PII exposure counts — the measurement side of
+    * [[redact]] (same three pattern classes), for the "how much PII
+    * does each source carry" report a governance pass needs BEFORE
+    * deciding to redact vs drop. Pure codegen'd regexp counts, zero
+    * shuffle. */
+  def piiStats(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(t,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit("https?://[^ ]+"), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(t, lit("[0-9]{8,}"), lit(0)))
+        .cast("long").as("n_long_digit_runs"))
+  }
+
   /** Deterministic MLM-style masking plan: per (doc, token position),
     * mask iff the Knuth multiplicative hash of `id·salt + position`
     * lands under `maskPct` percent — the [[Mixing.deterministicSplit]]

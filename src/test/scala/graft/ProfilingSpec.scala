@@ -248,4 +248,19 @@ class ProfilingSpec extends SparkTestBase {
     assert(Profiling.ksTwoSample(none, none, "v")
       .as[(Long, Long, Long, Double)].head() === ((0L, 0L, 0L, 0.0)))
   }
+
+  test("kAnonymityViolations flags sub-k quasi-identifier groups; " +
+      "NULLs group as values") {
+    val df = Seq(
+      (1L, "US", "A"), (2L, "US", "A"), (3L, "US", "A"),
+      (4L, "DE", "B"), (5L, "DE", "B"),
+      (6L, null.asInstanceOf[String], "C")
+    ).toDF("id", "country", "seg")
+    val out = Profiling.kAnonymityViolations(df, Seq("country", "seg"), 3L)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("DE", "B", 2L), (null, "C", 1L)),
+      "the 3-row US/A group is k-anonymous at k=3; NULL country groups")
+    assert(Profiling.kAnonymityViolations(df, Seq("country", "seg"), 2L)
+      .count() === 1, "at k=2 only the singleton NULL/C group violates")
+  }
 }

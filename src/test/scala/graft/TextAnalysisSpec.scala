@@ -174,6 +174,17 @@ class TextAnalysisSpec extends SparkTestBase {
         "10/11 classify right, 12 flips to ham")
   }
 
+  test("piiStats counts the same pattern classes redact masks") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d@e.org, see https://x.y/z then 123456789"),
+      (2L, "clean text, short digits 1234567")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiStats(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L, 1L), (2L, 0L, 0L, 0L)),
+      "two emails, one url, one 8+ digit run; 7 digits don't trip")
+  }
+
   test("maskTokens: deterministic positions, 0/100 edges, layout-free") {
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y z"))
       .toDF("doc_id", "text")
