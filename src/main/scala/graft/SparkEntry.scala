@@ -1718,6 +1718,23 @@ object SparkEntry {
         .orderBy("source", "example", "doc_id", "tok_start")
     }),
 
+    // ---- E27+E15 materialized training rows: the span table joined
+    // back to the encoded sequences, sliced and concatenated — every
+    // example is EXACTLY 256 tokens of real ids (tail excepted); the
+    // row a training loader ships. Token payloads move only in this
+    // final step; all upstream packing math runs on ids+offsets. ----
+    "q_bpe_examples" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val enc = Ngrams.bpeEncode(docs, docs.filter(col("doc_id") < 200),
+          numMerges = bpeOracleMerges)
+      val keyed = enc.join(docs.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      val spans = Mixing.packContiguous(keyed, "source", "doc_id",
+          "n_ids", budget = 256L)
+      Mixing.materializeExamples(spans, enc, "doc_id", "source")
+        .orderBy("source", "example")
+    }),
+
     // ---- E19 corpus statistics / decontamination (Ngrams) ----
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
@@ -2541,6 +2558,37 @@ object SparkEntry {
       |FROM src, unnest(range(s // 256, (s + w - 1) // 256 + 1)) AS u(e)
       |ORDER BY source, example, doc_id, tok_start""".stripMargin
 
+  /** DuckDB replay of the q_bpe_examples composition: the contiguous
+    * span construction carrying each doc's id LIST, sliced 1-based
+    * inclusive (ids[ts+1..te] = the engine's half-open [ts, te)) and
+    * flattened per example in document order. */
+  private def bpeExamplesOracle(k: Int): String =
+    bpeEncCtes(k) + s""",
+      |encdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |    list(id ORDER BY tp, sp) AS ids
+      |  FROM enc GROUP BY doc_id),
+      |src AS (
+      |  SELECT e.doc_id, d.source, e.n_ids AS w, e.ids,
+      |    CAST(COALESCE(SUM(e.n_ids) OVER (PARTITION BY d.source
+      |      ORDER BY e.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS s
+      |  FROM encdoc e JOIN documents d USING (doc_id)
+      |  WHERE e.n_ids > 0),
+      |sp AS (
+      |  SELECT source, CAST(e AS BIGINT) AS example, doc_id,
+      |    CAST(GREATEST(0, e * 256 - s) AS BIGINT) AS ts,
+      |    CAST(LEAST(w, (e + 1) * 256 - s) AS BIGINT) AS te, ids
+      |  FROM src, unnest(range(s // 256, (s + w - 1) // 256 + 1)) AS u(e))
+      |SELECT source, example,
+      |  CAST(SUM(te - ts) AS BIGINT) AS n_tokens,
+      |  array_to_string(flatten(
+      |    list(ids[CAST(ts + 1 AS BIGINT):te] ORDER BY doc_id)), ',')
+      |    AS token_ids
+      |FROM sp GROUP BY source, example
+      |ORDER BY source, example""".stripMargin
+
   /** DuckDB replay of the q_bpe_pack composition: the encoded per-doc
     * id sequences keyed by source, then the packByBudget recurrence
     * (exclusive running token sum div budget) and the boundary-array
@@ -2671,6 +2719,8 @@ object SparkEntry {
     "q_bpe_pack" -> bpePackOracle(bpeOracleMerges),
 
     "q_bpe_pack_contiguous" -> bpePackContiguousOracle(bpeOracleMerges),
+
+    "q_bpe_examples" -> bpeExamplesOracle(bpeOracleMerges),
 
     // same oracle as q_bpe_encode on purpose: encoding from the stored
     // merges+vocab artifact must reproduce the train-side encode

@@ -493,6 +493,35 @@ object Mixing {
       .drop("__ps_b", "__ps_boff")
   }
 
+  /** Materialize [[packContiguous]]'s spans into the actual training
+    * rows: join each span to its document's token-id sequence, slice
+    * the half-open [tok_start, tok_end) range, and concatenate each
+    * example's slices in document order — (groupCol, example,
+    * n_tokens, token_ids), every example exactly `budget` tokens
+    * except the final partial tail per group. This is the row a
+    * training loader ships; the span table stays the cheap exchange
+    * format (ids + offsets, no token bytes) until this last step.
+    *
+    * `seqCol` is the canonical comma-joined id string ([[Ngrams.bpeEncode]]'s
+    * driver-gate form). Cost: one join from spans to sequences on the
+    * doc key and one regroup by (group, example) — the only stage in
+    * the chain that moves token payloads, so it runs LAST. */
+  def materializeExamples(spans: DataFrame, enc: DataFrame,
+                          idCol: String, groupCol: String,
+                          seqCol: String = "token_ids"): DataFrame = {
+    val ids = enc.select(col(idCol), split(col(seqCol), ",").as("__ids"))
+    spans.join(ids, Seq(idCol))
+      .select(col(groupCol), col("example"), col(idCol),
+        slice(col("__ids"), col("tok_start") + 1,
+          col("tok_end") - col("tok_start")).as("__slice"))
+      .groupBy(col(groupCol), col("example"))
+      .agg(
+        sum(size(col("__slice"))).cast("long").as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col(idCol), col("__slice")))),
+          x => x("__slice"))), ",").as("token_ids"))
+  }
+
   /** Greedy fixed-budget shard assignment: within each `groupCol`
     * (ordered by `orderCol`), rows are packed into shards of at most
     * `budget` total `weightCol` (a row larger than the budget gets its

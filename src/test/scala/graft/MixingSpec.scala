@@ -360,6 +360,27 @@ class MixingSpec extends SparkTestBase {
     assert(bucketed === out, "bucket width is an execution detail")
   }
 
+  test("materializeExamples: spans slice and concatenate to exactly-full " +
+      "examples in doc order") {
+    val enc = Seq(
+      (1L, "10,11,12"),        // 3 ids
+      (2L, "20,21,22,23,24"),  // 5 ids — spans the e0/e1 cut
+      (3L, "30,31")            // 2 ids — the partial tail
+    ).toDF("doc_id", "token_ids")
+    val weights = Seq((1L, "g", 3L), (2L, "g", 5L), (3L, "g", 2L))
+      .toDF("doc_id", "source", "n_ids")
+    val spans = Mixing.packContiguous(weights, "source", "doc_id",
+      "n_ids", budget = 4L)
+    val out = Mixing.materializeExamples(spans, enc, "doc_id", "source")
+      .orderBy("example")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      ("g", 0L, 4L, "10,11,12,20"),
+      ("g", 1L, 4L, "21,22,23,24"),
+      ("g", 2L, 2L, "30,31")),
+      "every cut example is exactly full; content follows the stream")
+  }
+
   test("allocateBudget: waterfall cascades caps across rounds, integer-exact") {
     val corpus = Seq(("A", 10L), ("B", 20L), ("C", 1000L), ("D", 7L))
       .toDF("source", "n_chars")
