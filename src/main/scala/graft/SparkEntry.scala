@@ -1735,6 +1735,14 @@ object SparkEntry {
         .orderBy("source", "example")
     }),
 
+    // ---- E15 deterministic epoch shuffle: the layout-independent
+    // pseudo-random training order (seed 3) any two runs agree on —
+    // orderBy(rand(seed)) is partition-dependent and irreproducible ----
+    "q_epoch_shuffle" -> ((s, d) =>
+      Mixing.epochShuffle(t(s, d, "documents").select("doc_id"),
+          "doc_id", seed = 3L)
+        .orderBy("epoch_rank")),
+
     // ---- E19 corpus statistics / decontamination (Ngrams) ----
     "q_vocab" -> ((s, d) =>
       Ngrams.vocabulary(docsSpread(s, d), minDf = 5).orderBy("tok")),
@@ -3104,6 +3112,14 @@ object SparkEntry {
     // same oracle on purpose: scoring from the STORED model tables
     // must reproduce the train-and-score confusion matrix exactly
     "q_nb_stored" -> nbConfusionOracle,
+
+    // seed 3 → odd multiplier 7; rank is 0-based (exclusive count)
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY (doc_id * 7 * 2654435761) % 4294967296, doc_id) - 1
+        |    AS BIGINT) AS epoch_rank
+        |FROM documents ORDER BY epoch_rank""".stripMargin,
 
     "q_pii_stats" ->
       """SELECT doc_id,

@@ -522,6 +522,29 @@ object Mixing {
           x => x("__slice"))), ",").as("token_ids"))
   }
 
+  /** Deterministic epoch shuffle order: `epoch_rank` = dense position
+    * of the Knuth multiplicative hash of `keyCol · (seed·2+1)` — a
+    * layout- and engine-independent pseudo-random training order that
+    * any two runs (and the SQL oracle) agree on exactly, unlike
+    * `orderBy(rand(seed))` whose sampling is partition-dependent.
+    * Different seeds decorrelate epochs (the odd multiplier keeps the
+    * product full-period mod 2^32). Rank comes from the distributed
+    * two-level prefix count bucketed by the hash itself — no global
+    * serial sort window. Same key-domain contract as the other mixing
+    * ops: non-negative keys, `key·(2·seed+1)` under ~3.4e9. */
+  def epochShuffle(df: DataFrame, keyCol: String, seed: Long,
+                   rankCol: String = "epoch_rank"): DataFrame = {
+    require(seed >= 0)
+    val h = pmod(col(keyCol) * lit(2 * seed + 1) * lit(2654435761L),
+      lit(4294967296L))
+    val hashed = df.withColumn("__eh", h).withColumn("__eg", lit(0))
+    withExclusivePrefixSumOrdered(hashed, "__eg",
+        bucket = (col("__eh") / lit(1 << 22)).cast("long"),
+        orderCols = Seq(col("__eh"), col(keyCol)),
+        weight = lit(1L), out = rankCol)
+      .drop("__eh", "__eg")
+  }
+
   /** Greedy fixed-budget shard assignment: within each `groupCol`
     * (ordered by `orderCol`), rows are packed into shards of at most
     * `budget` total `weightCol` (a row larger than the budget gets its

@@ -381,6 +381,20 @@ class MixingSpec extends SparkTestBase {
       "every cut example is exactly full; content follows the stream")
   }
 
+  test("epochShuffle: a permutation, layout-independent, seeds decorrelate") {
+    val df = (0L until 64L).toDF("id")
+    val e1 = Mixing.epochShuffle(df, "id", seed = 1L)
+      .orderBy("epoch_rank").as[(Long, Long)].collect().toSeq
+    assert(e1.map(_._2) === (0L until 64L), "ranks are a dense permutation")
+    assert(e1.map(_._1).sorted === (0L until 64L), "every key appears once")
+    val again = Mixing.epochShuffle(df.repartition(7), "id", seed = 1L)
+      .orderBy("epoch_rank").as[(Long, Long)].collect().toSeq
+    assert(again === e1, "order must not depend on layout")
+    val e2 = Mixing.epochShuffle(df, "id", seed = 2L)
+      .orderBy("epoch_rank").as[(Long, Long)].collect().toSeq
+    assert(e2.map(_._1) !== e1.map(_._1), "different seeds reorder")
+  }
+
   test("allocateBudget: waterfall cascades caps across rounds, integer-exact") {
     val corpus = Seq(("A", 10L), ("B", 20L), ("C", 1000L), ("D", 7L))
       .toDF("source", "n_chars")
