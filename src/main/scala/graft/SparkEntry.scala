@@ -1725,8 +1725,12 @@ object SparkEntry {
     // final step; all upstream packing math runs on ids+offsets. ----
     "q_bpe_examples" -> ((s, d) => {
       val docs = docsSpread(s, d)
-      val enc = Ngrams.bpeEncode(docs, docs.filter(col("doc_id") < 200),
-          numMerges = bpeOracleMerges)
+      // enc feeds BOTH the span construction and the materialize join —
+      // persist it (registered for release) or the encode pipeline
+      // runs twice
+      val enc = operators.OpCaches.register(
+        Ngrams.bpeEncode(docs, docs.filter(col("doc_id") < 200),
+          numMerges = bpeOracleMerges).persist())
       val keyed = enc.join(docs.select(col("doc_id"), col("source")),
           Seq("doc_id"))
       val spans = Mixing.packContiguous(keyed, "source", "doc_id",
