@@ -625,6 +625,13 @@ object SparkEntry {
     "q_pii_stats" -> ((s, d) =>
       TextAnalysis.piiStats(docsSpread(s, d)).orderBy("doc_id")),
 
+    // ---- E20 engine-exact covariance report: quantity vs price over
+    // lineitem — DECIMAL moment sums, numerator-form cov/var (no IEEE
+    // accumulation order anywhere), one global aggregate ----
+    "q_covariance" -> ((s, d) =>
+      operators.Profiling.covarianceExact(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice")),
+
     // ---- E20 k-anonymity audit: quasi-identifier combinations shared
     // by fewer than k=10 customers — the re-identification risk report
     // (35 violating groups of 125 at sf0.01) ----
@@ -3135,6 +3142,25 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[0-9]{8,}'))
         |    AS BIGINT) AS n_long_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_covariance" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(38,4))) AS sxy,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,4)) *
+        |        CAST(l_quantity AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(38,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(38,4))) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+        |SELECT n, CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS var_num_x,
+        |  CAST(n * syy - sy * sy AS DOUBLE) AS var_num_y
+        |FROM m""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows

@@ -279,6 +279,42 @@ object Profiling {
       .limit(k)
   }
 
+  /** Engine-exact pairwise linear-relationship report between two
+    * numeric columns: n, the DECIMAL-exact moment sums, and the
+    * covariance/variance NUMERATORS n·Σxy − Σx·Σy (and the per-column
+    * variance twins) — every value exact integer/decimal arithmetic,
+    * no IEEE accumulation order anywhere, so two engines (or two
+    * partitionings) agree bit-for-bit. Pearson's r is one driver-side
+    * `covNum / sqrt(varNumX·varNumY)` away; published in exact
+    * numerator form because THAT is the part a distributed engine can
+    * get wrong (float sums drift with partition order) — the final
+    * sqrt is a local scalar. One aggregation pass, no shuffle beyond
+    * the single global aggregate. NULL rows (either side) drop. */
+  def covarianceExact(df: DataFrame, xCol: String, yCol: String,
+                      scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, scale)
+    val x = col(xCol).cast(dec); val y = col(yCol).cast(dec)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sum_x"), sum(y).as("sum_y"),
+        sum(x * y).as("sum_xy"),
+        sum(x * x).as("sum_xx"), sum(y * y).as("sum_yy"))
+      // exact DECIMAL arithmetic throughout; the final DOUBLE cast is
+      // one deterministic rounding of an exact value (the driver-gate
+      // scalar form — both engines round the same exact decimal)
+      .select(col("n"),
+        col("sum_x").cast("double").as("sum_x"),
+        col("sum_y").cast("double").as("sum_y"),
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("double").as("cov_num"),
+        (col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .cast("double").as("var_num_x"),
+        (col("n") * col("sum_yy") - col("sum_y") * col("sum_y"))
+          .cast("double").as("var_num_y"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: every
     * quasi-identifier COMBINATION occurring in fewer than `k` rows,
     * with its count — the re-identification risk report a governance

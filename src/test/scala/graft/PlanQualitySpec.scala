@@ -328,6 +328,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(q17.sliding("Scan parquet".length)
       .count(_ == "Scan parquet") === 3,
       s"lineitem twice + part once:\n$q17")
+    // Q12: the priority split folds into the aggregate (partial
+    // HashAggregate before the final exchange — map-side combine)
+    val q12 = plan("q_tpch12")
+    assert(q12.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") >= 2,
+      s"conditional counts must partial-aggregate map-side:\n$q12")
+    // Q22: the dormancy anti join keeps its equi key (hash/merge, not
+    // nested loop); the scalar average rides a broadcast
+    val q22 = plan("q_tpch22")
+    assert(q22.contains("LeftAnti"), s"NOT EXISTS must plan anti:\n$q22")
+    assert(!q22.contains("CartesianProduct"),
+      s"only the broadcast scalar may cross:\n$q22")
   }
 
   test("lifecycle queries clean their scratch trees (one invocation, " +
