@@ -632,6 +632,13 @@ object SparkEntry {
       operators.Profiling.covarianceExact(t(s, d, "lineitem"),
         "l_quantity", "l_extendedprice")),
 
+    // ---- E20 covariance per segment: the grouped refutation of a
+    // spurious pooled correlation ----
+    "q_covariance_by_flag" -> ((s, d) =>
+      operators.Profiling.covarianceExactBy(t(s, d, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     // ---- E20 k-anonymity audit: quasi-identifier combinations shared
     // by fewer than k=10 customers — the re-identification risk report
     // (35 violating groups of 125 at sf0.01) ----
@@ -3161,6 +3168,27 @@ object SparkEntry {
         |  CAST(n * sxx - sx * sx AS DOUBLE) AS var_num_x,
         |  CAST(n * syy - sy * sy AS DOUBLE) AS var_num_y
         |FROM m""".stripMargin,
+
+    "q_covariance_by_flag" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(38,4))) AS sxy,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,4)) *
+        |        CAST(l_quantity AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(38,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(38,4))) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS var_num_x,
+        |  CAST(n * syy - sy * sy AS DOUBLE) AS var_num_y
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows

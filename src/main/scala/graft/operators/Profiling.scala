@@ -315,6 +315,34 @@ object Profiling {
           .cast("double").as("var_num_y"))
   }
 
+  /** [[covarianceExact]] per group — "does the x→y relationship hold
+    * in every segment, or is one source driving it" (the grouped
+    * refutation of a spurious pooled correlation). Same exact
+    * arithmetic; one hash aggregation on the group keys. */
+  def covarianceExactBy(df: DataFrame, groupCols: Seq[String],
+                        xCol: String, yCol: String,
+                        scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, scale)
+    val x = col(xCol).cast(dec); val y = col(yCol).cast(dec)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        col("__sx").cast("double").as("sum_x"),
+        col("__sy").cast("double").as("sum_y"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double").as("cov_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("double").as("var_num_x"),
+        (col("n") * col("__syy") - col("__sy") * col("__sy"))
+          .cast("double").as("var_num_y")): _*)
+  }
+
   /** k-anonymity audit over quasi-identifier columns: every
     * quasi-identifier COMBINATION occurring in fewer than `k` rows,
     * with its count — the re-identification risk report a governance
