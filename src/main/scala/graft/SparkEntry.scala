@@ -1618,6 +1618,12 @@ object SparkEntry {
       EventOps.approxDistinctUsersChecked(t(s, d, "events"))
         .orderBy("event_type")),
 
+    // ---- E6 inter-event dwell-time report: exact integer-microsecond
+    // gap statistics per event type (the engagement/bot heuristic) ----
+    "q_gap_stats" -> ((s, d) =>
+      EventOps.gapStats(t(s, d, "events"))
+        .orderBy("event_type")),
+
     // user-journey Markov transitions: exact pair counts + conditional
     // probability, deterministic via the event_id order tie-break
     "q_transition_matrix" -> ((s, d) =>
@@ -3449,6 +3455,19 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_gap_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS gap
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+        |  CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_transition_matrix" ->
       """WITH pairs AS (

@@ -209,6 +209,32 @@ object EventOps {
     * so the closing probability window is free. Ordering ties broken by
     * `idCol` for a deterministic, layout-independent matrix; the
     * probability is a single IEEE division of exact integer counts. */
+  /** Inter-event gap statistics per event type — the dwell-time
+    * report behind engagement and bot-detection heuristics: for each
+    * user's consecutive event pairs (by time, id tie-break), the gap
+    * in microseconds attributed to the EARLIER event's type, reduced
+    * to (event_type, n_gaps, sum/min/max gap). Exact integer
+    * microsecond arithmetic end to end — no float means, so the
+    * report is engine- and layout-exact; mean = sum/n is one local
+    * division away. One shuffle on the user key (the lag window),
+    * then a types-sized aggregate. A user's LAST event opens no gap
+    * and is excluded, like any lead/lag edge. */
+  def gapStats(events: DataFrame, userCol: String = "user_id",
+               tsCol: String = "ts", typeCol: String = "event_type",
+               idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(typeCol).as("event_type"),
+        (lead(unix_micros(col(tsCol)), 1).over(byUser) -
+          unix_micros(col(tsCol))).as("__gap"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("sum_gap_us"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"))
+  }
+
   def transitionMatrix(events: DataFrame, userCol: String = "user_id",
                        tsCol: String = "ts", typeCol: String = "event_type",
                        idCol: String = "event_id"): DataFrame = {

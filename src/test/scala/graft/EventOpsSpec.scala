@@ -67,6 +67,26 @@ class EventOpsSpec extends SparkTestBase {
     assert(t2.toSeq === Seq(("X", "Y", 1L, 1.0)))
   }
 
+  test("gapStats: per-user gaps attribute to the earlier event's type; " +
+      "last events open no gap") {
+    // u1: A --60s--> B --120s--> A ; u2: B --30s--> B
+    val df = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 10L, "A"),
+      (2L, ts("2026-01-01 00:01:00"), 10L, "B"),
+      (3L, ts("2026-01-01 00:03:00"), 10L, "A"),
+      (4L, ts("2026-01-01 00:00:00"), 20L, "B"),
+      (5L, ts("2026-01-01 00:00:30"), 20L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.gapStats(df)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val s = 1000000L
+    assert(out === Map(
+      "A" -> ((1L, 60 * s, 60 * s, 60 * s)),     // u1's first A → B
+      "B" -> ((2L, 150 * s, 30 * s, 120 * s))),  // u1 B→A + u2 B→B
+      "u1's final A and u2's final B open no gap")
+  }
+
   test("funnel: first A, min delay to B within window; non-converters null") {
     val events = Seq(
       // user 1: click at 10:00, purchases at 10:30 (in) and 10:10 (in, min)
