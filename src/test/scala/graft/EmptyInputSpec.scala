@@ -102,5 +102,26 @@ class EmptyInputSpec extends SparkTestBase {
     val (model, priors) = TextAnalysis.nbTrain(train, "label", "text")
     assertEmpty(TextAnalysis.nbPredict(noDocs, model, priors, "text"))
     graft.operators.OpCaches.release()
+    assertEmpty(EventOps.gapStats(noEvents))
+    // single event per user: no consecutive pair, no gap row
+    assertEmpty(EventOps.gapStats(
+      Seq((1L, new Timestamp(0L), 10L, "A", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")))
+    assertEmpty(Mixing.epochShuffle(noDocs.select("doc_id"), "doc_id", 1L))
+    assertEmpty(Mixing.materializeExamples(
+      Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "example", "doc_id", "tok_start", "tok_end"),
+      Seq.empty[(Long, String)].toDF("doc_id", "token_ids"),
+      "doc_id", "source"))
+    // covariance over zero rows keeps its one-row aggregate shape with
+    // n = 0 and NULL moment sums (SQL SUM-over-empty), matching DuckDB
+    val cov = Profiling.covarianceExact(
+      Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y").collect()(0)
+    assert(cov.getLong(0) === 0L && cov.isNullAt(1) && cov.isNullAt(3))
+    assertEmpty(Profiling.covarianceExactBy(
+      Seq.empty[(String, Long, Long)].toDF("g", "x", "y"),
+      Seq("g"), "x", "y"))
+    assertEmpty(Profiling.kAnonymityViolations(noDocs, Seq("text"), 2L))
+    assertEmpty(TextAnalysis.piiStats(noDocs))
   }
 }
