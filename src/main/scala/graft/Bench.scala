@@ -121,8 +121,12 @@ object Bench {
         // operator-internal caches are per-QUERY state: release them
         // before the next query so 190+ queries' persisted frames don't
         // stack up and bill their GC/eviction pressure to whichever
-        // memory-hungry query runs late in the alphabet
+        // memory-hungry query runs late in the alphabet. The BPE
+        // training memo is session-scoped in production but cleared
+        // here too, so each q_bpe_* row measures its own training cost
+        // (memo hits are allowed only within one query's best-of-N).
         graft.operators.OpCaches.release(blocking = true)
+        graft.operators.Ngrams.clearBpeCache()
         val okTimes = attempts.collect { case (t, None) => t }
         if (okTimes.isEmpty)
           // all runs threw: hard failure; times are time-to-exception
@@ -146,6 +150,7 @@ object Bench {
           timeOne(SparkEntry.queries(r.name)))
           .collect { case (t, None) => t }
         graft.operators.OpCaches.release(blocking = true)
+        graft.operators.Ngrams.clearBpeCache()
         if (extra.isEmpty) r
         else r.copy(best = math.min(r.best, extra.min), rerun = true)
       }

@@ -46,8 +46,10 @@ object SparkEntry {
     try body(p.toString).localCheckpoint(true)
     finally {
       import java.nio.file.{Files, Path}
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
   }
 

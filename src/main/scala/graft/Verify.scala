@@ -39,6 +39,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the BPE training memo is session-scoped (the q_bpe_* family rides
+    // one trained tokenizer); release it at end of run
+    graft.operators.Ngrams.clearBpeCache()
     spark.stop()
   }
 }

@@ -505,12 +505,25 @@ object Ngrams {
     * two independent reads of the same corpus path hit the same entry,
     * while any change to corpus, merge count, or column misses. The
     * cached `words` frame stays persisted (vocabulary-sized — bounded
-    * model state, one entry per distinct training config); a cache miss
-    * after an external unpersist merely retrains. [[clearBpeCache]]
-    * releases everything (spec teardown hook). */
-  private val bpeMemo = scala.collection.mutable.Map.empty[
+    * model state) and is registered session-scoped with [[OpCaches]],
+    * so `OpCaches.registered` accounts for it while the per-query
+    * `OpCaches.release` deliberately does not free it; a cache miss
+    * after an external unpersist merely retrains. The memo is BOUNDED:
+    * at most [[bpeMemoCap]] distinct training configs are retained,
+    * with oldest-first eviction unpersisting the evicted state, so a
+    * long-lived session cycling many tokenizer configs/corpora cannot
+    * accumulate persisted executor memory. Released in full by
+    * [[clearBpeCache]] — called between bench queries (Bench keeps the
+    * memo only within one query's best-of-N so each BPE query's record
+    * measures its own training), at the end of a Verify run, and from
+    * SparkTestBase's afterAll teardown. */
+  private val bpeMemo = scala.collection.mutable.LinkedHashMap.empty[
     (SparkSession, LogicalPlan, Int, String),
     (DataFrame, Seq[(Long, String, String, String, Long)])]
+
+  /** Max distinct (session, plan, merges, col) training states retained
+    * at once; one entry is vocabulary-sized. */
+  private val bpeMemoCap = 4
 
   private def bpeTrainCached(docs: DataFrame, numMerges: Int,
                              textCol: String)
@@ -518,14 +531,23 @@ object Ngrams {
     bpeMemo.synchronized {
       val key = (docs.sparkSession,
         docs.queryExecution.analyzed.canonicalized, numMerges, textCol)
-      bpeMemo.getOrElseUpdate(key, bpeTrainState(docs, numMerges, textCol))
+      bpeMemo.getOrElse(key, {
+        while (bpeMemo.size >= bpeMemoCap) {
+          val (oldKey, (oldWords, _)) = bpeMemo.head
+          OpCaches.deregisterSession(oldWords)
+          bpeMemo.remove(oldKey)
+        }
+        val state = bpeTrainState(docs, numMerges, textCol)
+        OpCaches.registerSession(state._1)
+        bpeMemo.put(key, state)
+        state
+      })
     }
 
   /** Unpersist and drop every memoized BPE training state. */
   private[graft] def clearBpeCache(): Unit = bpeMemo.synchronized {
     bpeMemo.values.foreach { case (words, _) =>
-      try words.unpersist()
-      catch { case _: Throwable => () } // stopped session: nothing to free
+      OpCaches.deregisterSession(words)
     }
     bpeMemo.clear()
   }

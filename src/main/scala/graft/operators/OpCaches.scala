@@ -23,6 +23,8 @@ import org.apache.spark.sql.DataFrame
   */
 object OpCaches {
   private val frames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val sessionFrames =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
 
   /** Track an operator-persisted frame for later [[release]]. Strongly
     * referenced on purpose: the returned plan does NOT keep the
@@ -36,12 +38,38 @@ object OpCaches {
     df
   }
 
-  /** Number of registered frames awaiting release (test/observability
-    * hook). */
-  def registered: Int = synchronized { frames.size }
+  /** Track a SESSION-scoped persisted frame — model state an operator
+    * memoizes across queries (e.g. [[Ngrams]]' BPE training memo).
+    * Counted by [[registered]] so the accounting is uniform, but
+    * deliberately NOT freed by the per-query [[release]]: the owner
+    * bounds and evicts its own entries via [[deregisterSession]] (and a
+    * full teardown — spec afterAll, end of Verify — clears the owner's
+    * memo, which deregisters everything). */
+  private[graft] def registerSession(df: DataFrame): DataFrame =
+    synchronized {
+      sessionFrames += df
+      df
+    }
 
-  /** Unpersist every frame an operator registered since the last
-    * release. Non-blocking by default, matching `Dataset.unpersist()`. */
+  /** Unpersist and stop tracking one session-scoped frame (memo
+    * eviction or full memo clear). Reference-identity match: the owner
+    * hands back the exact wrapper it registered. */
+  private[graft] def deregisterSession(df: DataFrame): Unit =
+    synchronized {
+      try df.unpersist()
+      catch { case _: Throwable => () } // stopped session: nothing to free
+      val i = sessionFrames.indexWhere(_ eq df)
+      if (i >= 0) sessionFrames.remove(i)
+    }
+
+  /** Number of registered frames awaiting release, per-query AND
+    * session-scoped (test/observability hook). */
+  def registered: Int = synchronized { frames.size + sessionFrames.size }
+
+  /** Unpersist every PER-QUERY frame an operator registered since the
+    * last release; session-scoped frames (bounded memoized model state)
+    * survive by design. Non-blocking by default, matching
+    * `Dataset.unpersist()`. */
   def release(blocking: Boolean = false): Unit = synchronized {
     frames.foreach { df =>
       try df.unpersist(blocking)

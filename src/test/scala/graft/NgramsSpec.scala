@@ -331,4 +331,32 @@ class NgramsSpec extends SparkTestBase {
     }
     assert(merges === expect)
   }
+
+  test("BPE training memo: bounded, OpCaches-visible, freed by " +
+       "clearBpeCache") {
+    import graft.operators.OpCaches
+    Ngrams.clearBpeCache()
+    OpCaches.release(blocking = true)
+    val base = OpCaches.registered
+    val df = Seq((1L, "ab ab ac ad ae af")).toDF("doc_id", "text")
+    Ngrams.bpeTrain(df, numMerges = 1).count()
+    assert(OpCaches.registered === base + 1,
+      "one trained config = one session-scoped memoized frame")
+    Ngrams.bpeSegment(df, numMerges = 1).count() // memo hit
+    assert(OpCaches.registered === base + 1,
+      "a memo hit must not register a second frame")
+    // 5 distinct configs against a cap of 4: oldest evicts + unpersists,
+    // the registry never grows past the cap
+    (1 to 5).foreach(m => Ngrams.bpeTrain(df, numMerges = m).count())
+    assert(OpCaches.registered === base + 4,
+      "memo is bounded: 5 distinct configs retain only bpeMemoCap=4")
+    Ngrams.clearBpeCache()
+    assert(OpCaches.registered === base,
+      "clearBpeCache deregisters every session frame")
+    // post-clear retrain still correct (cache miss merely retrains)
+    assert(Ngrams.bpeTrain(df, numMerges = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq ===
+      Seq((1L, "a", "b", "ab", 2L)))
+    Ngrams.clearBpeCache()
+  }
 }
