@@ -581,10 +581,23 @@ object Dedup {
     * same lineage-cut role. Superseded generations are released by
     * Spark's ContextCleaner once the loop drops their references; the
     * returned frame is backed by the final checkpoint (one (id, comp)
-    * row per near-dup doc — small by construction). */
+    * row per near-dup doc — small by construction).
+    *
+    * `strict` governs maxIter exhaustion. Non-converged labels are
+    * DANGEROUS to consume silently: a cluster split across two labels
+    * makes [[dedupNearClusters]]/[[dedupKeepBest]] keep extra "unique"
+    * docs and makes [[Mixing.leakageSafeSplit]] place near-duplicates
+    * in different train/eval splits — a metric-inflating leak with no
+    * visible symptom. Under `strict = true` (what every in-library
+    * consumer passes) exhaustion THROWS IllegalStateException naming
+    * the residual changed-count; under the default it logs a warning
+    * and returns the partial labels (useful for exploratory runs).
+    * With path halving, maxIter = 25 covers diameters ~2^25, so the
+    * throw fires only on genuinely misconfigured calls. */
   def connectedComponents(pairs: DataFrame, idA: String = "doc_a",
                           idB: String = "doc_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          strict: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -629,12 +642,15 @@ object Dedup {
       }
       i += 1
     }
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+    if (changed > 0) {
+      edges.unpersist()
+      val msg =
         s"connectedComponents stopped at maxIter=$maxIter with $changed " +
           "labels still changing — returned labels are NOT converged; " +
-          "raise maxIter for graphs with longer chains")
-    edges.unpersist()
+          "raise maxIter for graphs with longer chains"
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    } else edges.unpersist()
     labels
   }
 
@@ -715,7 +731,7 @@ object Dedup {
                         bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
       bands, threshold)
-    val comps = connectedComponents(pairs)
+    val comps = connectedComponents(pairs, strict = true)
     val drop = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
@@ -743,7 +759,7 @@ object Dedup {
                     bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
       bands, threshold)
-    val comps = connectedComponents(pairs)
+    val comps = connectedComponents(pairs, strict = true)
       .select(col("id").as(idCol), col("comp").as("__comp0"))
     val w = Window.partitionBy(col("__comp"))
       .orderBy(col(qualityCol).desc, col(idCol))

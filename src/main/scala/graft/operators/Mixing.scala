@@ -340,7 +340,10 @@ object Mixing {
                        threshold: Double = 0.8): DataFrame = {
     val pairs = Dedup.minhashNearDups(df, idCol, textCol,
       shingleN, numHashes, bands, threshold)
-    val comps = Dedup.connectedComponents(pairs)
+    // strict: non-converged labels would silently split near-dup
+    // clusters across train/eval — the exact leak this op exists to
+    // prevent — so exhaustion must fail loudly, never degrade
+    val comps = Dedup.connectedComponents(pairs, strict = true)
       .withColumnRenamed("id", idCol)
     val keyed = df.join(comps, Seq(idCol), "left")
       .withColumn("__rep", coalesce(col("comp"), col(idCol)))

@@ -94,4 +94,23 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(Profiling.heavyHitters(allNull, "k", k = 3).count() === 0)
     assert(Profiling.heavyHittersByGroup(allNull, "g", "k", k = 3).count() === 0)
   }
+
+  test("connectedComponents maxIter exhaustion: strict throws, default " +
+       "warns and returns partial labels") {
+    // 40-node path graph: the initial min(id, neighbor) fold plus ONE
+    // propagate+halve round cannot finish a diameter-39 chain, so
+    // maxIter = 1 exhausts with labels still moving
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1, strict = true)
+    }
+    assert(e.getMessage.contains("NOT converged"))
+    // non-strict keeps the exploratory behavior: labels come back (all
+    // 40 ids present) even though they are not a fixpoint yet
+    val partial = Dedup.connectedComponents(chain, maxIter = 1)
+    assert(partial.count() === 40L)
+    // and enough iterations converge the same chain to one component
+    val full = Dedup.connectedComponents(chain, maxIter = 25, strict = true)
+    assert(full.select("comp").distinct().count() === 1L)
+  }
 }
