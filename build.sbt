@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ad-hoc system properties for the forked run/test JVMs (A/B perf
+// experiments on library knobs without editing this file)
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -115,7 +115,12 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional targeted sweep (iteration aid): comma-separated names
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => onlySet.forall(_.contains(name)) }
+      .map {
       case (name, fn) =>
         val attempts = (1 to runs).map(_ => timeOne(fn))
         // operator-internal caches are per-QUERY state: release them

@@ -469,16 +469,61 @@ object Mixing {
       weight, out)
   }
 
+  /** Estimated input size threshold (bytes) under which the prefix sum
+    * keeps the plain one-window-per-group plan. The two-level
+    * construction exists so no group ever streams through a single
+    * window task at scale, but it costs an extra aggregate + join —
+    * a fixed overhead that at bench scale made `prepare`/
+    * `qualityPrune` ~1.5× slower for nothing (the whole corpus fits
+    * one task's window with room to spare).
+    *
+    * The probe sums the LEAF relations' estimated sizes (scan file
+    * sizes — the statistic Spark's own broadcast decision trusts), not
+    * the derived plan's estimate: multiplicative join estimates above
+    * the leaves run orders of magnitude high mid-pipeline (exactly
+    * where `prepare`'s pack stage sits), which would pin the cutoff
+    * permanently off. Leaf sizes bound what the window can see for the
+    * drop/sample/pack pipelines these prefix sums serve (they contract
+    * data); a caller exploding a small scan far past the threshold
+    * gets a slow-but-correct single task, never a wrong answer. Costs
+    * zero jobs. 256 MB of scan input is comfortable for one window
+    * task; at any real scale the leaves alone cross the bar and the
+    * distributed construction engages. Overridable via the
+    * `graft.mixing.singleWindowMaxBytes` system property (0 forces the
+    * two-level construction — how the spec pins both branches equal). */
+  private def singleWindowMaxBytes: BigInt = BigInt(
+    sys.props.get("graft.mixing.singleWindowMaxBytes").map(_.toLong)
+      .getOrElse(256L << 20))
+
+  private def leafInputBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+
   /** General form of the two-level prefix sum: `bucket` must be
     * monotone NON-DECREASING along `orderCols`' ordering and constant
     * across order-ties (any scan-side projection of the sort key works:
     * `orderCol div width`, `-floor(score·K)` for a DESC score, …). The
     * bucket-offset window sees bucket-count rows per group; the
     * within-bucket window partitions by (group, bucket) — no
-    * group-sized serial scan anywhere. */
+    * group-sized serial scan anywhere.
+    *
+    * Small inputs (estimated ≤ [[singleWindowMaxBytes]]) skip the
+    * two-level machinery for the direct per-group window — bit-
+    * identical output (bucket is monotone along `orderCols`, and the
+    * summed weights are integers, so summation order cannot drift)
+    * with one shuffle instead of two and no join. */
   private[graft] def withExclusivePrefixSumOrdered(
       df: DataFrame, groupCol: String, bucket: Column,
       orderCols: Seq[Column], weight: Column, out: String): DataFrame = {
+    if (leafInputBytes(df) <= singleWindowMaxBytes) {
+      val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // column order matches the two-level branch, whose using-join
+      // fronts the group key — consumers see one schema either way
+      return df.withColumn(out, coalesce(sum(weight).over(w), lit(0L)))
+        .select(col(groupCol) +:
+          (df.columns.filter(_ != groupCol).map(col).toSeq :+ col(out)): _*)
+    }
     val rows = df.withColumn("__ps_b", bucket)
     val bucketBefore = Window.partitionBy(groupCol).orderBy(col("__ps_b"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -426,4 +426,29 @@ class MixingSpec extends SparkTestBase {
     assert(prop === Map("A" -> 5L, "B" -> 15L),
       "uncapped budget splits by integer weight shares")
   }
+
+  test("prefix-sum small-input cutoff: forced two-level construction is " +
+       "bit-identical to the single-window plan") {
+    // ties in weight and order-adjacent rows across bucket boundaries
+    // (width 4096 with ids straddling 4096) exercise the monotonicity
+    // contract on both sides
+    val df = Seq(
+      ("a", 1L, 3L), ("a", 2L, 3L), ("a", 4095L, 1L), ("a", 4096L, 2L),
+      ("a", 4097L, 5L), ("b", 1L, 7L), ("b", 8191L, 7L), ("b", 8192L, 1L),
+      ("c", 10L, 4L)
+    ).toDF("g", "id", "w")
+    def all(): Seq[Seq[Seq[String]]] = Seq(
+      rendered(Mixing.packContiguous(df, "g", "id", "w", budget = 4L)),
+      rendered(Mixing.packByBudget(df, "g", "id", "w", budget = 6L)),
+      rendered(Mixing.stratifiedExactSplit(df, "g", "id",
+        Seq("train" -> 80, "test" -> 20))),
+      rendered(Mixing.epochShuffle(df, "id", seed = 3L)))
+    val single = all()
+    sys.props("graft.mixing.singleWindowMaxBytes") = "0"
+    val forced =
+      try all()
+      finally sys.props.remove("graft.mixing.singleWindowMaxBytes")
+    assert(single === forced,
+      "both prefix-sum constructions must agree row-for-row")
+  }
 }
