@@ -40,18 +40,97 @@ object SparkEntry {
     * the tree. The lifecycle queries (`q_incremental_refresh`,
     * `q_ann_ivf_indexed/append`) invoke their body once per bench
     * iteration; without the delete each invocation leaked a temp dir. */
-  private def withScratchDir(prefix: String)
-      (body: String => DataFrame): DataFrame = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    try body(p.toString).localCheckpoint(true)
-    finally {
-      import java.nio.file.{Files, Path}
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p)) {
       val walk = Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
       finally walk.close()
     }
   }
+
+  private def withScratchDir(prefix: String)
+      (body: String => DataFrame): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    try body(p.toString).localCheckpoint(true)
+    finally deleteTree(p)
+  }
+
+  /** On-disk cache root for the SPLIT index-lifecycle queries. The
+    * end-to-end proofs (`q_ann_ivf_indexed/append`,
+    * `q_incremental_refresh`) time build + commit + read-back + probe
+    * as one number; capacity planning needs the halves separated —
+    * amortizable index CONSTRUCTION vs per-ingest PROBE cost. The
+    * `q_*_build` queries rebuild their index here from scratch on
+    * every invocation (their bench rows honestly time construction);
+    * the `q_*_probe` twins read what build left — and build-if-missing
+    * first, because correctness runs may execute queries in any order,
+    * so a probe row's BEST-of-N is pure probe even when its cold run
+    * had to construct. Keyed per corpus dir (one JVM can exercise
+    * several SFs); removed by a shutdown hook, so bench/verify leave
+    * no scratch trees behind. */
+  private lazy val indexCacheRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-index-cache")
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteTree(p), "graft-index-cache-cleanup"))
+    p.toString
+  }
+
+  private def cacheDirFor(d: String, kind: String): String = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff
+    s"$indexCacheRoot/$kind-$h"
+  }
+
+  /** Rebuild the IVF embedding index (same parameters as
+    * `q_ann_ivf_indexed`) at its cache path, from scratch. */
+  private def buildIvfCache(s: SparkSession, d: String): String =
+    this.synchronized {
+      val dir = cacheDirFor(d, "ivf")
+      deleteTree(java.nio.file.Paths.get(dir))
+      val e = t(s, d, "embeddings")
+      val (cents, cells) = operators.Similarity.ivfIndex(e, nlist = 16,
+        iters = 2)
+      operators.Similarity.writeIvfIndex(dir, cents, cells)
+      dir
+    }
+
+  private def ensureIvfCache(s: SparkSession, d: String): String =
+    this.synchronized {
+      val dir = cacheDirFor(d, "ivf")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "cells")))
+        buildIvfCache(s, d)
+      dir
+    }
+
+  /** Rebuild the standing MinHash signature index over the refresh
+    * fixture's corpus slice (doc_id %4 == 0, text = t<g>×4 — the
+    * `q_incremental_refresh` fixture) as a ManifestTable, from
+    * scratch. */
+  private def buildSigCache(s: SparkSession, d: String): String =
+    this.synchronized {
+      val dir = cacheDirFor(d, "sig")
+      deleteTree(java.nio.file.Paths.get(dir))
+      val g = expr("doc_id div 4")
+      val corpus = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("t"), g.cast("string")), 4)).as("text"))
+      graft.sources.ManifestTable.upsertBatch(
+        operators.Dedup.signatureIndex(corpus, "doc_id", "text"),
+        dir, Seq("doc_id", "band_id"), nBuckets = 8)
+      dir
+    }
+
+  private def ensureSigCache(s: SparkSession, d: String): String =
+    this.synchronized {
+      val dir = cacheDirFor(d, "sig")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        buildSigCache(s, d)
+      dir
+    }
 
   /** Flagship query — star-join revenue rollup: lineitem ⋈ orders ⋈
     * customer ⋈ nation ⋈ region, dims broadcast, one shuffle for the
@@ -1476,6 +1555,49 @@ object SparkEntry {
       }
       ManifestTable.read(s, outPath).select("doc_id").orderBy("doc_id")
     }),
+    // E2f+E13 ingest lifecycle SPLIT, build half (VERDICT r9 item 2):
+    // publish the standing corpus's MinHash signature index as a
+    // ManifestTable from scratch — pure index-construction + commit
+    // cost on this bench row. Output is the read-back's SQL-closed
+    // shape: 8 band rows (numHashes 32 / bands 8, the signatureIndex
+    // defaults) per corpus doc.
+    "q_refresh_build" -> ((s, d) => {
+      val dir = buildSigCache(s, d)
+      graft.sources.ManifestTable.read(s, dir)
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_sig_rows"))
+        .select(col("n_docs"), col("n_sig_rows"))
+    }),
+    // E2f+E13 ingest lifecycle SPLIT, probe half: dedup two ingest
+    // batches against the READ-BACK standing index without extending
+    // it — the recurring per-ingest cost (`q_incremental_refresh`
+    // keeps the full extend-and-round-trip proof). Closed-form
+    // fixture vs the t<g>×4 corpus: batch1 (%4==1) = u<g> (disjoint →
+    // survives), batch2 (%4==2) = t<g> for EVEN groups (identical
+    // shingle set as the corpus doc → dropped) and v<g> for ODD
+    // groups (new → survives); one doc per group per batch, so no
+    // within-batch interplay.
+    "q_refresh_probe" -> ((s, d) => {
+      val dir = ensureSigCache(s, d)
+      val idx = graft.sources.ManifestTable.read(s, dir)
+      val g = expr("doc_id div 4")
+      val base0 = t(s, d, "documents")
+      def mk(tag: Column, reps: Column) =
+        concat_ws(" ", array_repeat(tag, reps.cast("int")))
+      val batch1 = base0.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("doc_id"),
+          mk(concat(lit("u"), g.cast("string")),
+             pmod(col("doc_id"), lit(4)) + 4).as("text"))
+      val tok2 = when(pmod(g, lit(2)) === 0,
+          concat(lit("t"), g.cast("string")))
+        .otherwise(concat(lit("v"), g.cast("string")))
+      val batch2 = base0.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .select(col("doc_id"),
+          mk(tok2, pmod(col("doc_id"), lit(4)) + 4).as("text"))
+      Dedup.dedupAgainstIndex(batch1.unionByName(batch2), idx,
+          "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // E2 SimHash near-dup over the same perturbed corpus, published
     // through the in-plan recall audit (former rows-only probe): truth =
@@ -1595,6 +1717,38 @@ object SparkEntry {
       Similarity.writeIvfIndex(dir, cents, cells)
       Similarity.appendToIvfIndex(s, dir,
         e.filter(col("vec_id") % 2 === 1))
+      val (rc, ra) = Similarity.readIvfIndex(s, dir)
+      Similarity.recallAudit(e, q, 10,
+        Similarity.ivfTopKFromIndex(rc, ra, q, 10, nprobe = 12),
+        floor = 0.8)
+    }),
+    // E3 index lifecycle SPLIT, build half (VERDICT r9 item 2): train +
+    // write the IVF index from scratch into the persistent per-corpus
+    // cache — this row's bench time is pure amortizable CONSTRUCTION
+    // cost. Output audits the committed artifact's read-back:
+    // referential integrity (every stored assignment points at a
+    // stored centroid — broadcast left join over 16 rows) plus the
+    // SQL-closed counts; nearest-centroid assignment quality is what
+    // the probe half's recall floor pins.
+    "q_ann_ivf_build" -> ((s, d) => {
+      val dir = buildIvfCache(s, d)
+      val (rc, ra) = Similarity.readIvfIndex(s, dir)
+      ra.join(broadcast(rc.select(col("cell"), lit(1).as("__c"))),
+          Seq("cell"), "left")
+        .agg(count(lit(1)).as("n_vectors"),
+          bool_and(col("__c").isNotNull).as("assign_ok"))
+        .crossJoin(broadcast(rc.agg(count(lit(1)).as("n_centroids"))))
+        .select(col("n_vectors"), col("n_centroids"), col("assign_ok"))
+    }),
+    // E3 index lifecycle SPLIT, probe half: read the cached index and
+    // answer a query batch — the recurring per-batch cost a capacity
+    // planner sizes for (the build half's cost amortizes over every
+    // probe). Build-if-missing keeps the query self-contained in any
+    // execution order; bench best-of-N is pure probe either way.
+    "q_ann_ivf_probe" -> ((s, d) => {
+      val dir = ensureIvfCache(s, d)
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
       val (rc, ra) = Similarity.readIvfIndex(s, dir)
       Similarity.recallAudit(e, q, 10,
         Similarity.ivfTopKFromIndex(rc, ra, q, 10, nprobe = 12),
@@ -3525,6 +3679,21 @@ object SparkEntry {
         |   OR (doc_id % 4 = 2 AND (doc_id // 4) % 2 = 1)
         |ORDER BY doc_id""".stripMargin,
 
+    // lifecycle split halves: build = signature-index shape (8 band
+    // rows per corpus doc), probe = survivor membership vs the
+    // standing corpus-only index (batch2's corpus-dups die, nothing
+    // else does)
+    "q_refresh_build" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(COUNT(*) * 8 AS BIGINT) AS n_sig_rows
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
+
+    "q_refresh_probe" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 4 = 1
+        |   OR (doc_id % 4 = 2 AND (doc_id // 4) % 2 = 1)
+        |ORDER BY doc_id""".stripMargin,
+
     // simhash fixture: pair set = in-group pairs at hamming 0
     "q_simhash_fixture" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3565,6 +3734,19 @@ object SparkEntry {
         |TRUE AS recall_ok""".stripMargin,
 
     "q_ann_ivf_append" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_ivf_build" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |CAST(16 AS BIGINT) AS n_centroids,
+        |TRUE AS assign_ok
+        |FROM embeddings""".stripMargin,
+
+    "q_ann_ivf_probe" ->
       """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
         |  AS BIGINT) AS n_queries,
         |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
