@@ -927,6 +927,32 @@ object SparkEntry {
                 octet_length(col("frame")).cast("long").as("frame_bytes"),
                 md5(col("frame")).as("frame_md5"))
         .orderBy("media_id", "frame_idx")),
+    // E8 perceptual near-dup over binary payloads (VERDICT r9 item 3),
+    // banded via the SimHash chunk pigeonhole — never all-pairs.
+    // Closed-form planted-duplicate fixture, the q_simhash_fixture
+    // argument lifted to byte space: per div-4 group, payload = one
+    // 8-byte pattern P_g ("0000000gX" zero-padded) repeated k∈{2..5}
+    // times. With windowBytes=8, stride=4 every window offset is a
+    // multiple of 4 and n-8 is too, so the DISTINCT window set is
+    // exactly {P_g, rot4(P_g)} for every k — in-group payloads differ
+    // byte-for-byte (different lengths) yet share the identical window
+    // set, hence identical SimHash, hamming 0, found with pigeonhole
+    // CERTAINTY; cross-group window sets are disjoint, so signatures
+    // are independent 64-bit values (P(hamming ≤ 3) ≈ 2e-15/pair) and
+    // no cross-group pair emits. The pair list is SQL-closed.
+    "q_media_neardup" -> ((s, d) => {
+      val g = expr("doc_id div 4")
+      val pat = concat(lpad(pmod(g, lit(10000000)).cast("string"), 7, "0"),
+        lit("X"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          concat_ws("", array_repeat(pat,
+            (pmod(col("doc_id"), lit(4)) + 2).cast("int")))
+            .cast("binary").as("payload"))
+      Multimodal.mediaNearDups(media, windowBytes = 8, stride = 4,
+          maxHamming = 3)
+        .orderBy("media_a", "media_b")
+    }),
 
     // ---- window analytics: lag / lead ----
     "q_window_lag_lead" -> ((s, d) => {
@@ -3966,6 +3992,17 @@ object SparkEntry {
         |    AS frame_bytes,
         |  md5(substr(text, CAST(frame_idx*32+1 AS INT), 32)) AS frame_md5
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // perceptual media fixture: pair set = in-group pairs at hamming 0
+    // (identical window sets ⇒ identical SimHash; cross-group pairs
+    // are 2e-15-improbable, same certainty argument as
+    // q_simhash_fixture)
+    "q_media_neardup" ->
+      """SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "q_window_lag_lead" ->
       """SELECT o_custkey, o_orderkey,

@@ -132,4 +132,51 @@ object Multimodal {
       (acc, p) => concat(acc, substring(col("payload"), p, lit(1))))
     media.select(col("media_id"), col("media_type"), sampled.as("payload"))
   }
+
+  /** Perceptual 64-bit signature of a binary payload: SimHash over the
+    * payload's OVERLAPPING byte windows (`windowBytes` wide, every
+    * `stride` bytes, hex-rendered so the window features ride the same
+    * native single-pass [[Dedup.simhash]] expression the text path
+    * uses). Two payloads differing in a few bytes share almost all
+    * windows, so their signatures sit a few bits apart — the byte-space
+    * analogue of pHash-style perceptual image hashing, with byte
+    * windows standing in for DCT blocks (this container decodes no
+    * real pixels; a production build would feed [[decodeFeatures]]'
+    * per-block features through the same sign-aggregate). Per-row
+    * expression only — zero shuffle, 100 TB-ready scan-side work.
+    * Output: (idCol, simhash: Long). */
+  def mediaSimhash(media: DataFrame, idCol: String = "media_id",
+                   payloadCol: String = "payload",
+                   windowBytes: Int = 8, stride: Int = 4): DataFrame = {
+    require(windowBytes > 0 && stride > 0)
+    val hexs = hex(col(payloadCol)) // 2 chars per byte
+    val nBytes = octet_length(col(payloadCol))
+    // byte offsets 0, stride, ... up to the last full window (a payload
+    // shorter than one window contributes its whole prefix)
+    val starts = sequence(lit(0),
+      greatest(nBytes - windowBytes, lit(0)), lit(stride))
+    val windows = transform(starts,
+      p => hexs.substr(p * 2 + 1, lit(windowBytes * 2)))
+    Ops.spread(media.select(col(idCol), col(payloadCol)), col(idCol))
+      .select(col(idCol),
+        Dedup.simhash(array_distinct(windows)).as("simhash"))
+  }
+
+  /** Perceptual near-duplicate detection over binary media payloads —
+    * the image-dedup stage of a multimodal training pipeline, banded:
+    * [[mediaSimhash]] signatures feed [[Dedup.simhashPairs]]' 16-bit-
+    * chunk pigeonhole buckets (a pair within `maxHamming` ≤ 3 shares
+    * at least one of 4 chunks with certainty), so candidate generation
+    * is bucket joins over ids+hashes — never an all-pairs scan, and
+    * payload bytes move nowhere. Output: (media_a, media_b, hamming),
+    * one row per qualifying pair. */
+  def mediaNearDups(media: DataFrame, idCol: String = "media_id",
+                    payloadCol: String = "payload",
+                    windowBytes: Int = 8, stride: Int = 4,
+                    maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+        mediaSimhash(media, idCol, payloadCol, windowBytes, stride),
+        maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
 }

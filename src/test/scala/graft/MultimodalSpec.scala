@@ -69,4 +69,45 @@ class MultimodalSpec extends SparkTestBase {
     // 42 bytes, step = max(42/4,1) = 10 → positions 1, 11, 21, 31 (1-based)
     assert(new String(out) === "AKU4")
   }
+
+  test("mediaSimhash: equal distinct window sets give equal signatures; " +
+       "disjoint sets differ") {
+    // pattern repeated k times with window 8 / stride 4: distinct window
+    // set = {P, rot4(P)} independent of k
+    val m = Seq(
+      (1L, "ABCDEFGH" * 2), (2L, "ABCDEFGH" * 5), (3L, "ZYXWVUTS" * 3)
+    ).toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    val sh = Multimodal.mediaSimhash(m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L),
+      "same window set, different byte strings → identical signature")
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("mediaNearDups: planted near-duplicates pair at hamming 0, " +
+       "banded pipeline finds them and nothing else") {
+    val m = Seq(
+      (1L, "ABCDEFGH" * 2), (2L, "ABCDEFGH" * 4), (3L, "ABCDEFGH" * 5),
+      (4L, "QRSTUVWX" * 3), (5L, "QRSTUVWX" * 2), (6L, "07162534" * 3)
+    ).toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    val pairs = Multimodal.mediaNearDups(m)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+      (4L, 5L, 0)))
+    // a single-byte corruption of a LARGE shared-window payload stays
+    // within a few bits: most windows survive, so the signature moves
+    // little — the perceptual property. 64 repeats = 127 windows, a
+    // 1-byte edit corrupts ≤ 3 of them (plus ≤ 3 novel windows).
+    val big = Seq(
+      (10L, "ABCDEFGH" * 64),
+      (11L, "ABCDEFGH" * 31 + "ABCDEFGX" + "ABCDEFGH" * 32)
+    ).toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    val h = Multimodal.mediaSimhash(big).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(h(10L) ^ h(11L)) <= 16,
+      "one corrupted byte must not rewrite the perceptual signature")
+  }
 }
