@@ -791,6 +791,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- E3 hard-negative mining (triplet construction for
+    // contrastive embedding training: top-k most-similar
+    // different-label candidates per anchor, with nearest-positive
+    // similarity and the FaceNet semi-hard flag) ----
+    "q_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") % 37 === 0), 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("anchor_id", "rank")
+    }),
+
     // ---- E5 JSON props extraction ----
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -3571,6 +3582,30 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |a AS (SELECT * FROM e WHERE vec_id % 37 = 0),
+        |s AS (
+        |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+        |    c.vec_id AS cand_id, c.label AS cand_label,
+        |    list_dot_product(a.v, c.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM a JOIN e c ON c.vec_id <> a.vec_id),
+        |x AS (
+        |  SELECT *,
+        |    max(CASE WHEN cand_label = anchor_label THEN sim END)
+        |      OVER (PARTITION BY anchor_id) AS sim_pos,
+        |    row_number() OVER (
+        |      PARTITION BY anchor_id, (cand_label <> anchor_label)
+        |      ORDER BY sim DESC, cand_id) AS rank
+        |  FROM s)
+        |SELECT anchor_id, anchor_label, cand_id AS negative_id, rank,
+        |  sim AS sim_neg, sim_pos, (sim < sim_pos) AS semi_hard
+        |FROM x WHERE cand_label <> anchor_label AND rank <= 3
+        |ORDER BY anchor_id, rank""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id,

@@ -373,6 +373,54 @@ object Similarity {
           .as("recall_ok"))
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * for each anchor, the k most-similar corpus vectors with a DIFFERENT
+    * label (the "hard negatives" a triplet-loss batch wants), annotated
+    * with the anchor's nearest same-label similarity (`sim_pos`) and the
+    * standard semi-hard flag (`sim_neg < sim_pos` — negatives closer than
+    * the hardest positive are the ones FaceNet-style mining skips;
+    * Schroff et al., CVPR 2015, §3.2).
+    *
+    * Plan shape at scale: anchors are a small sample by contract and
+    * broadcast; the corpus streams ONCE through the scored cross join,
+    * then ONE exchange on `anchor_id` feeds both window computations —
+    * the same-label max rides as a windowed conditional `max` over the
+    * anchor partition, and the negative rank is a `row_number` over the
+    * (anchor, is-negative) sub-partition, which Spark plans as one sort
+    * within the shared anchor exchange (verified: single Exchange in the
+    * physical plan). No vectors move through the shuffle — only (ids,
+    * labels, sim) triples — because similarity is computed before the
+    * exchange. Output: anchor_id, anchor_label, negative_id, rank,
+    * sim_neg, sim_pos (null when the anchor's label is unique in the
+    * corpus), semi_hard. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("av"),
+      col(labelCol).as("anchor_label"))
+    val c = Ops.spread(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        col(labelCol).as("cand_label")),
+      col("cand_id"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("anchor_label"), col("cand_id"),
+        col("cand_label"), cosine(col("av"), col("cv")).as("sim"))
+    val isNeg = col("cand_label") =!= col("anchor_label")
+    val wAll = Window.partitionBy(col("anchor_id"))
+    val wNeg = Window.partitionBy(col("anchor_id"), isNeg)
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("sim_pos",
+        max(when(!isNeg, col("sim"))).over(wAll))
+      .withColumn("rank", row_number().over(wNeg))
+      .filter(isNeg && col("rank") <= k)
+      .select(col("anchor_id"), col("anchor_label"),
+        col("cand_id").as("negative_id"), col("rank"),
+        col("sim").as("sim_neg"), col("sim_pos"),
+        (col("sim") < col("sim_pos")).as("semi_hard"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Candidate
     * generation via LSH band buckets (same plan shape as minhashNearDups —
     * no n² cross join).

@@ -42,6 +42,54 @@ class SimilaritySpec extends SparkTestBase {
       "for query v1: v2 (~1.0) > v5 (~0.707) > v3 (0.0)")
   }
 
+  test("hardNegatives: top-k different-label by cosine, with sim_pos " +
+       "and the FaceNet semi-hard flag") {
+    // anchor v1 (label A). Same label: v2 (cos ≈ 1 → sim_pos) and v5
+    // (cos ≈ 0.707). Different label: v3 (0.0), v4 (-1.0) — both less
+    // similar than the nearest positive, hence semi-hard.
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), "A"),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f), "A"),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), "B"),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), "B"),
+      (5L, Array(0.7f, 0.7f, 0.0f, 0.0f), "A")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        labeled, labeled.filter(col("vec_id") === 1), k = 2)
+      .select("negative_id", "rank", "sim_pos", "semi_hard")
+      .as[(Long, Int, Double, Boolean)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq === Seq(3L, 4L),
+      "negatives ranked by cosine desc: v3 (0.0) before v4 (-1.0)")
+    assert(out.forall(_._3 > 0.999), "sim_pos = nearest same-label (v2)")
+    assert(out.forall(_._4), "both negatives are below sim_pos → semi-hard")
+    // anchor with a corpus-unique label: sim_pos is null, semi_hard null
+    val solo = Seq((9L, Array(0.0f, 0.0f, 1.0f, 0.0f), "C"))
+      .toDF("vec_id", "embedding", "label")
+    val noPos = Similarity.hardNegatives(
+        labeled.unionByName(solo), solo, k = 1)
+      .select("sim_pos").collect()
+    assert(noPos.length === 1 && noPos.head.isNullAt(0))
+  }
+
+  test("hardNegatives plan: one exchange serves both windows; no vectors " +
+       "through the shuffle") {
+    val labeled = vecs.withColumn("label",
+      (col("vec_id") % 2).cast("string"))
+    val plan = Similarity.hardNegatives(
+        labeled, labeled.filter(col("vec_id") === 1), k = 2)
+      .queryExecution.executedPlan.toString
+    // Ops.spread's REPARTITION_BY_NUM on the corpus side is deliberate
+    // (pre-join parallelism); the property under test is that the two
+    // window computations share ONE requirement-driven anchor exchange
+    // and that similarity is computed before it (scalars-only shuffle).
+    val nExchange = "ENSURE_REQUIREMENTS".r.findAllIn(plan).length
+    assert(nExchange == 1, s"expected a single anchor-key exchange:\n$plan")
+    assert("Exchange hashpartitioning\\(anchor_id[^\\n]*ENSURE_REQUIREMENTS".r
+      .findFirstIn(plan).isDefined, s"anchor-key exchange missing:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "negative top-k should push a map-side group limit")
+  }
+
   test("cosineNearDups finds the near-parallel pair only") {
     val pairs = Similarity.cosineNearDups(vecs, threshold = 0.99)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
