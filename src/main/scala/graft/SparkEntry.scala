@@ -1836,6 +1836,12 @@ object SparkEntry {
       operators.Search.bm25(t(s, d, "documents"),
           Seq("spark", "join", "window"))
         .orderBy("doc_id")),
+    // quoted-query phrase search: positional-postings intersection in
+    // one aggregation (slots covered per candidate start), no m-way join
+    "q_phrase_search" -> ((s, d) =>
+      operators.Search.phraseSearch(t(s, d, "documents"),
+          Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")),
     // lexical BM25 rank fused with vector cosine rank (query = vec 0)
     // by reciprocal-rank fusion — scores are exact rationals of the two
     // integer ranks, so the fused list is engine-exact
@@ -4478,6 +4484,20 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_terms,
         |  CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS score
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |       FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |ph AS (SELECT * FROM (VALUES (0, 'slow'), (1, 'hash'),
+        |                             (2, 'batch')) p(idx, tok)),
+        |c AS (SELECT tk.doc_id, tk.pos - ph.idx AS start
+        |      FROM tk JOIN ph USING (tok) WHERE tk.pos - ph.idx >= 0
+        |      GROUP BY 1, 2 HAVING count(DISTINCT ph.idx) = 3)
+        |SELECT doc_id, COUNT(*) AS n_matches,
+        |  CAST(MIN(start) AS BIGINT) AS first_pos
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // hybrid retrieval: BM25 rank + cosine rank fused by RRF — fused
     // scores are exact rationals of integer ranks

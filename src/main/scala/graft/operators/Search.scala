@@ -63,6 +63,44 @@ object Search {
         sum(col("__w").cast(DecimalType(28, 9))).cast("double").as("score"))
   }
 
+  /** Exact phrase search via positional postings — the distributed form
+    * of the positional-inverted-index intersection every full-text
+    * engine runs for quoted queries.
+    *
+    * Construction: the token stream (doc_id, pos, tok) is restricted to
+    * the phrase's terms by a broadcast join BEFORE any exchange (same
+    * discipline as [[bm25]]), each surviving occurrence emits a candidate
+    * start `pos - idx` for every phrase slot `idx` its token fills, and a
+    * start is a real occurrence iff all `m` slots are covered —
+    * `count(DISTINCT idx) = m` in ONE aggregation. No m-way self-join:
+    * phrase length only multiplies the (already term-filtered) emission
+    * count, and the single shuffle carries (doc_id, start, idx) triples.
+    * Repeated phrase tokens and overlapping occurrences ("a a a" contains
+    * "a a" twice) fall out correctly because slots are counted distinctly
+    * per start. Output: (doc_id, n_matches, first_pos). */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val m = phrase.size
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrase.zipWithIndex.toDF("tok", "idx")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    toks.join(broadcast(ph), "tok")
+      .select(col("doc_id"), (col("pos") - col("idx")).as("start"),
+        col("idx"))
+      .filter(col("start") >= 0)
+      .groupBy("doc_id", "start")
+      .agg(countDistinct(col("idx")).as("__slots"))
+      .filter(col("__slots") === m)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
   /** Dense rank table for fusion: (id, rank) with rank 1 = best, ordered
     * by `scoreCol` descending, ties broken by id — the deterministic
     * total order every ranking must carry before fusing. Capped at

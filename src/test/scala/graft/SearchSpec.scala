@@ -34,6 +34,38 @@ class SearchSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("phraseSearch: exact positional match, counts and first position") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"),       // match at 1
+      (2L, "quick brown"),               // match at 0
+      (3L, "brown quick"),               // both terms, wrong order
+      (4L, "quick crown brown"),         // terms not adjacent
+      (5L, "x quick brown y quick brown") // two matches: 1 and 4
+    ).toDF("doc_id", "text")
+    val out = Search.phraseSearch(corpus, Seq("quick", "brown"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(1L -> (1L, 1L), 2L -> (1L, 0L), 5L -> (2L, 1L)))
+  }
+
+  test("phraseSearch: repeated tokens and overlapping occurrences") {
+    val corpus = Seq((1L, "a a a"), (2L, "a b a"), (3L, "b a a b"))
+      .toDF("doc_id", "text")
+    val out = Search.phraseSearch(corpus, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(1L -> (2L, 0L), 3L -> (1L, 1L)),
+      "\"a a a\" contains \"a a\" at 0 and 1; \"a b a\" not at all")
+  }
+
+  test("phraseSearch plan: token stream filtered by broadcast join " +
+       "before the aggregation exchange") {
+    val plan = Search.phraseSearch(docs, Seq("cat", "dog"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase-term restriction must broadcast:\n$plan")
+  }
+
   test("rankBy: dense 1..topN ranks, score-desc, id tie-break") {
     val scored = Seq((10L, 5.0), (11L, 7.0), (12L, 5.0), (13L, 1.0))
       .toDF("doc_id", "s")
