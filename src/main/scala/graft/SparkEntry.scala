@@ -2307,6 +2307,12 @@ object SparkEntry {
       Ngrams.bigramLogProb(docsSpread(s, d))
         .orderBy("doc_id")),
 
+    // ---- E19 PMI collocation mining (multiword-unit discovery for
+    // tokenizer vocab / phrase-aware dedup decisions) ----
+    "q_collocations" -> ((s, d) =>
+      Ngrams.collocations(docsSpread(s, d), minCount = 5)
+        .orderBy("w1", "w2")),
+
     // ---- GROUP BY ALL / ORDER BY ALL (modern SQL shorthand surface) ----
     "q_group_by_all" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_gba")
@@ -5429,6 +5435,21 @@ object SparkEntry {
         |    AS avg_logp
         |FROM grams g JOIN logp l USING (bg)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT w[i] AS w1, w[i + 1] AS w2
+        |      FROM t, unnest(range(1, len(w))) AS u(i)
+        |      WHERE len(w) >= 2),
+        |m AS (SELECT w1, w2, COUNT(*) AS c_ab FROM g GROUP BY 1, 2),
+        |l AS (SELECT w1, SUM(c_ab) AS c_left FROM m GROUP BY 1),
+        |r AS (SELECT w2, SUM(c_ab) AS c_right FROM m GROUP BY 1),
+        |n AS (SELECT SUM(c_ab) AS n_total FROM m)
+        |SELECT m.w1, m.w2, m.c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |    / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE))), 9) AS pmi
+        |FROM m JOIN l USING (w1) JOIN r USING (w2), n
+        |WHERE c_ab >= 5 ORDER BY w1, w2""".stripMargin,
 
     "q_funnel" ->
       """WITH a AS (

@@ -683,6 +683,50 @@ object Ngrams {
           .cast("double") / count(lit(1))).as("avg_logp"))
   }
 
+  /** PMI collocation mining — the corpus-analysis pass that surfaces
+    * multiword units ("new york", "machine learning") for tokenizer
+    * vocabulary decisions and phrase-aware dedup (Church & Hanks, 1990).
+    * For every adjacent token pair with `c_ab >= minCount`:
+    * pmi = ln( c_ab · N / (c_left(a) · c_right(b)) ), the marginals
+    * taken over bigram POSITIONS (left / right occurrence counts), so
+    * probabilities are self-consistent with N = total bigram tokens.
+    * `minCount` is a significance floor, not an optimization: PMI is
+    * notoriously inflated for hapax pairs.
+    *
+    * Engine-exact contract: c_ab·N and c_left·c_right are products of
+    * exact integer counts, exact in Double while below 2^53 (at 2^53
+    * total bigrams — petabytes of text — both factors of each product
+    * are far below 2^26.5 only for the marginals, so the practical bound
+    * is N·c_ab < 2^53: beyond that, shard the corpus before colloc
+    * mining); one IEEE divide and one `ln`, rounded to
+    * `quantizeDecimals`, land bit-identically in any engine.
+    *
+    * Plan shape: one bigram explode + count builds the model
+    * (|bigram vocab| rows, persisted — four consumers: two marginal
+    * re-aggregations, the total, the final join); marginals re-aggregate
+    * the MODEL, never the corpus; the total rides in broadcast. The only
+    * corpus-sized shuffle is the model build. */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+                   textCol: String = "text",
+                   quantizeDecimals: Int = 9): DataFrame = {
+    val model = OpCaches.register(docs
+      .select(explode(ngramArray(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c_ab"))
+      .persist())
+    val left = model.groupBy("w1").agg(sum("c_ab").as("c_left"))
+    val right = model.groupBy("w2").agg(sum("c_ab").as("c_right"))
+    val total = model.agg(sum("c_ab").as("n_total"))
+    model.filter(col("c_ab") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab").cast("double") * col("n_total").cast("double"))
+            / (col("c_left").cast("double") * col("c_right").cast("double"))),
+          quantizeDecimals).as("pmi"))
+  }
+
   /** Gopher-style repetition statistics: per document, the number of
     * full word n-gram windows, the number of distinct ones, and the
     * duplicate fraction rep_ratio = 1 - distinct/total. Docs with fewer

@@ -171,6 +171,24 @@ class NgramsSpec extends SparkTestBase {
     assert(s(5L) < s(1L), "rare transitions (b b, a a) drag the mean down")
   }
 
+  test("collocations: PMI over bigram-position marginals, minCount floor") {
+    val df = Seq(
+      (1L, "new york new york"), // (new,york)×2, (york,new)×1
+      (2L, "a new day")          // (a,new), (new,day)
+    ).toDF("doc_id", "text")
+    // N = 5 bigrams; c_left(new) = 3, c_right(york) = 2
+    // pmi(new,york) = ln(2·5 / (3·2)) = ln(5/3)
+    val out = Ngrams.collocations(df, minCount = 2)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.length === 1, "only (new, york) reaches minCount = 2")
+    val (w1, w2, c, pmi) = out.head
+    assert((w1, w2, c) === ("new", "york", 2L))
+    assert(math.abs(pmi - math.log(5.0 / 3.0)) < 1e-8)
+    // hapax floor off → every distinct pair appears (N = 5 bigram
+    // tokens, 4 distinct pairs — (new,york) repeats)
+    assert(Ngrams.collocations(df, minCount = 1).count() === 4)
+  }
+
   test("noveltyScore: first corpus occurrence wins; boilerplate scores 0") {
     val df = Seq(
       (1L, "a b c d e"),   // grams {abc, bcd, cde} all first here → 1.0
