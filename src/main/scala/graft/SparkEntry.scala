@@ -776,6 +776,13 @@ object SparkEntry {
       Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", 0.6)
         .orderBy("doc_a", "doc_b")),
 
+    // ---- E2 EXACT all-pairs WEIGHTED cosine over shingle TF profiles
+    // (prefix-filtered by suffix norm — repetition-sensitive twin of
+    // q_allpairs_jaccard) ----
+    "q_apss_cosine" -> ((s, d) =>
+      Dedup.allPairsCosine(t(s, d, "documents"), "doc_id", "text", 0.6)
+        .orderBy("doc_a", "doc_b")),
+
     // ---- E2 EXACT directional containment join (subsumed-document /
     // quote-containment primitive; prefix-filtered on the contained
     // side only — see Dedup.containmentJoin) ----
@@ -3503,6 +3510,27 @@ object SparkEntry {
         |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
         |            JOIN sh b ON b.doc_id = cand.doc_b)
         |WHERE jaccard >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_apss_cosine" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |-- full windows only (empty for docs under 3 tokens), matching
+        |-- the engine's shingleStrings semantics
+        |sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS tok
+        |       FROM t,
+        |         unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)),
+        |tk AS (SELECT doc_id, tok, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+        |nm AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+        |       FROM tk GROUP BY 1),
+        |w AS (SELECT doc_id, tok, CAST(tf AS DOUBLE) / nrm AS w
+        |      FROM tk JOIN nm USING (doc_id)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(SUM(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9)))
+        |          AS DOUBLE) AS cos_sim
+        |      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cos_sim FROM p WHERE cos_sim >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // brute-force twin of the asymmetric prefix-filtered containment join

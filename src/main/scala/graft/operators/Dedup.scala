@@ -895,6 +895,87 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT all-pairs WEIGHTED cosine join over n-gram term-frequency
+    * profiles — the weighted sibling of [[allPairsJaccard]]: set Jaccard
+    * ignores how often a shingle repeats, so a document that loops one
+    * paragraph and a document that states it once look identical; cosine
+    * over TF-weighted shingle vectors separates them. Every unordered
+    * pair with cos(a, b) ≥ `threshold` is returned exactly — prefix
+    * filtering only prunes candidates, never the answer.
+    *
+    * Prefix bound (Bayardo et al., WWW'07 §3; Xiao et al.'s PPJoin
+    * generalization to weighted similarity): order each doc's unit-vector
+    * entries by a global (df, term) order, rare first, and expose the
+    * head positions while the remaining suffix norm is still ≥ t — if
+    * cos(a,b) ≥ t, the globally-smallest SHARED term must sit in BOTH
+    * prefixes (were it outside a's prefix, every shared term would lie in
+    * a's suffix and cos ≤ ‖a_suffix‖·‖b‖ < t). So the candidate join is
+    * prefix ⋈ prefix on the term — the same shape as [[allPairsJaccard]],
+    * with the suffix-NORM cutoff replacing the suffix-count cutoff. The
+    * 1e-6 slack on t² only ENLARGES prefixes (floating cumulative sums
+    * may err by ulps): more candidates, never a missed pair.
+    *
+    * Verification is engine-exact: weights w = tf/‖tf‖ are single IEEE
+    * ops on exact integers, per-shared-term contributions w_a·w_b are
+    * rounded to 9 decimals and summed in DECIMAL(28,9) — order-
+    * independent, so shuffle-aggregated sums hash-match a DuckDB oracle
+    * bit-for-bit. Candidate pairs carry ids only; the verify join
+    * re-attaches (doc, term, weight) rows, so shuffle volume is
+    * |candidates| × doc length, bounded by the prefix pruning.
+    *
+    * The weight table feeds prefix generation and both verify sides;
+    * persisted via [[OpCaches]] like the Jaccard twin. */
+  def allPairsCosine(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val grams = VectorExprs.shingleStrings(split(col(textCol), " "),
+      shingleN)
+    val tf = Ops.spread(df.select(col(idCol).as("doc_id"), col(textCol)),
+        col("doc_id"))
+      .select(col("doc_id"), explode(grams).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nrm = tf.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+    val wts = OpCaches.register(tf.join(nrm, "doc_id")
+      .select(col("doc_id"), col("tok"),
+        (col("tf").cast("double") / col("nrm")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfCounts = wts.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val pw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tok_df"), col("tok"))
+    // suffix norm² INCLUDING the current position: a position stays in
+    // the prefix while the suffix starting AT it could still reach t —
+    // i.e. while Σ_{j ≥ i} w² ≥ t² (computed as total − head_before)
+    val headBefore = sum(col("w") * col("w")).over(
+      pw.rowsBetween(Window.unboundedPreceding, -1))
+    val total = sum(col("w") * col("w")).over(
+      Window.partitionBy(col("doc_id")))
+    val prefix = OpCaches.register(wts.join(dfCounts, "tok")
+      .withColumn("__head", coalesce(headBefore, lit(0.0)))
+      .withColumn("__tot", total)
+      .filter(col("__tot") - col("__head") >=
+        lit(threshold * threshold) - lit(1e-6))
+      .select(col("doc_id"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.tok") === col("pb.tok") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(wts.select(col("doc_id").as("doc_a"), col("tok"),
+        col("w").as("wa")), "doc_a")
+      .join(wts.select(col("doc_id").as("doc_b"), col("tok"),
+        col("w").as("wb")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(round(col("wa") * col("wb"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** EXACT directional containment join: every ordered pair (doc_a,
     * doc_b), doc_a ≠ doc_b, with
     * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ `threshold` — "a is

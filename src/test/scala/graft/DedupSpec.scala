@@ -220,6 +220,57 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("allPairsCosine equals a driver-side brute force at every threshold") {
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    def tfv(s: String): Map[String, Long] = {
+      val t = s.split(" ").filter(_.nonEmpty)
+      val shs = if (t.length < 3) Seq.empty[String]
+                else t.sliding(3).map(_.mkString(" ")).toSeq
+      shs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    // mirror the engine arithmetic exactly: integer Σtf² → sqrt → IEEE
+    // divide → per-term product rounded HALF_UP to 9 → decimal sum
+    def cos(a: Map[String, Long], b: Map[String, Long]): Double = {
+      val na = math.sqrt(a.values.map(v => v * v).sum.toDouble)
+      val nb = math.sqrt(b.values.map(v => v * v).sum.toDouble)
+      val shared = a.keySet.intersect(b.keySet).toSeq.sorted
+      if (shared.isEmpty) 0.0
+      else shared.map { t =>
+        new JBD((a(t) / na) * (b(t) / nb))
+          .setScale(9, RoundingMode.HALF_UP)
+      }.reduce(_.add(_)).doubleValue()
+    }
+    val local = docs.as[(Long, String)].collect().map {
+      case (id, s) => id -> tfv(s)
+    }
+    val brute = (for {
+      (ia, va) <- local; (ib, vb) <- local if ia < ib
+    } yield (ia, ib, cos(va, vb))).toSeq
+    for (t <- Seq(0.2, 0.6, 0.9, 1.0)) {
+      val expected = brute.filter(_._3 >= t).toSet
+      val got = Dedup.allPairsCosine(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected, s"threshold $t")
+    }
+  }
+
+  test("allPairsCosine separates repetition the set-Jaccard view cannot") {
+    // identical shingle SETS, different TF profiles: Jaccard says 1.0,
+    // cosine must say < 1
+    val rep = Seq(
+      (1L, "a b c a b c a b c"), // tf: (a b c)=3, (b c a)=2, (c a b)=2
+      (2L, "a b c")              // tf: (a b c)=1
+    ).toDF("doc_id", "text")
+    val j = Dedup.allPairsJaccard(rep, "doc_id", "text", 0.99)
+    assert(j.count() === 0,
+      "shingle SETS differ here ({abc,bca,cab} vs {abc}) — sanity")
+    val c = Dedup.allPairsCosine(rep, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(c.length === 1)
+    // cos = 3 / (sqrt(9+4+4) · 1) = 3/sqrt(17) ≈ 0.7276
+    assert(math.abs(c.head._3 - 3.0 / math.sqrt(17.0)) < 1e-6)
+  }
+
   test("allPairsJaccard finds pairs sharing NO frequent tokens (prefix completeness)") {
     // two docs identical to each other but disjoint from the rest: their
     // only shared shingles are globally rare, so they must surface via
