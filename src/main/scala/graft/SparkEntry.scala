@@ -1830,6 +1830,13 @@ object SparkEntry {
       EventOps.transitionMatrix(t(s, d, "events"))
         .orderBy("from_type", "to_type")),
 
+    // ---- E6 first-/last-touch attribution (conversion credit to path
+    // endpoints; organic conversions kept in the "(none)" cell) ----
+    "q_attribution" -> ((s, d) =>
+      EventOps.attribution(t(s, d, "events"), Seq("click", "view"),
+          "purchase")
+        .orderBy("first_touch", "last_touch")),
+
     // mergeable quantile sketch + in-plan rank-guarantee audit: checkable
     // output is (group, exact percentile, verdict) — the sketch value
     // itself is engine-specific
@@ -3739,6 +3746,27 @@ object SparkEntry {
         |  CAST(n AS DOUBLE)
         |    / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob
         |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+
+    "q_attribution" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type IN ('click', 'view')
+        |                     THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS ft,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lt
+        |  FROM events)
+        |SELECT coalesce(ft, '(none)') AS first_touch,
+        |  coalesce(lt, '(none)') AS last_touch,
+        |  COUNT(*) AS n_conversions,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the quantile-sketch value is engine-specific; the oracle reproduces
     // the exact percentile and asserts the rank-guarantee verdict

@@ -250,6 +250,44 @@ object EventOps {
       (col("n").cast("double") / sum(col("n")).over(byFrom)).as("prob"))
   }
 
+  /** First-/last-touch attribution report — the marketing-analytics
+    * complement of [[funnelN]]: each conversion event is credited to the
+    * user's FIRST and MOST RECENT preceding touch event (the two
+    * endpoints of the path single-touch attribution models argue about),
+    * grouped into (first_touch, last_touch) cells with conversion counts
+    * and exact-DECIMAL revenue. Conversions with no preceding touch land
+    * in the "(none)" cell — organic conversions stay visible instead of
+    * silently dropping.
+    *
+    * Plan shape: ONE user-keyed window (ordered by (ts, id) so ties are
+    * deterministic) computes both endpoints via `first`/`last` with
+    * ignoreNulls over the strictly-preceding frame; the conversion
+    * filter then reduces to a tiny (touch × touch) aggregate. One
+    * exchange on the user key, one on the 2-column group — both linear,
+    * and revenue sums ride DECIMAL(18,6) so partition order cannot
+    * perturb them. */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+                  conversionType: String, userCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type",
+                  idCol: String = "event_id",
+                  valueCol: String = "value"): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isInCollection(touchTypes), col(typeCol))
+    events
+      .select(col(typeCol), col(valueCol),
+        first(touch, ignoreNulls = true).over(byUser).as("__ft"),
+        last(touch, ignoreNulls = true).over(byUser).as("__lt"))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("__ft"), lit("(none)")).as("first_touch"),
+        coalesce(col("__lt"), lit("(none)")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast("double")
+          .as("revenue"))
+  }
+
   /** Cohort retention matrix: users grouped by the `granularity` period
     * of their FIRST event (the cohort), counted distinct in every later
     * period they remain active, keyed by the period offset from their

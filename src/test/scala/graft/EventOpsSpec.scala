@@ -67,6 +67,29 @@ class EventOpsSpec extends SparkTestBase {
     assert(t2.toSeq === Seq(("X", "Y", 1L, 1.0)))
   }
 
+  test("attribution: first/last preceding touch per conversion; organic " +
+       "purchases land in (none)") {
+    val df = Seq(
+      // u10: view → click → purchase(5.0) → purchase(2.0)
+      //   first_touch = view, last_touch = click for BOTH purchases
+      (1L, ts("2026-01-01 00:00:00"), 10L, "view", 0.0),
+      (2L, ts("2026-01-01 00:01:00"), 10L, "click", 0.0),
+      (3L, ts("2026-01-01 00:02:00"), 10L, "purchase", 5.0),
+      (4L, ts("2026-01-01 00:03:00"), 10L, "purchase", 2.0),
+      // u20: purchase with no preceding touch → (none, none)
+      (5L, ts("2026-01-01 00:00:00"), 20L, "purchase", 7.0),
+      // u30: click AFTER the purchase must not attribute
+      (6L, ts("2026-01-01 00:00:00"), 30L, "purchase", 1.0),
+      (7L, ts("2026-01-01 00:01:00"), 30L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.attribution(df, Seq("click", "view"), "purchase")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out === Map(
+      ("view", "click") -> ((2L, 7.0)),
+      ("(none)", "(none)") -> ((2L, 8.0))))
+  }
+
   test("gapStats: per-user gaps attribute to the earlier event's type; " +
       "last events open no gap") {
     // u1: A --60s--> B --120s--> A ; u2: B --30s--> B
