@@ -951,19 +951,32 @@ object Dedup {
       pw.rowsBetween(Window.unboundedPreceding, -1))
     val total = sum(col("w") * col("w")).over(
       Window.partitionBy(col("doc_id")))
+    // each prefix row carries rem = ‖suffix from this position‖ for the
+    // POSITIONAL bound below (PPJoin's positional-filter analog)
     val prefix = OpCaches.register(wts.join(dfCounts, "tok")
       .withColumn("__head", coalesce(headBefore, lit(0.0)))
       .withColumn("__tot", total)
       .filter(col("__tot") - col("__head") >=
         lit(threshold * threshold) - lit(1e-6))
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("tok"),
+        sqrt(greatest(col("__tot") - col("__head"), lit(0.0))).as("__rem"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // POSITIONAL cut: every shared term of a qualifying pair sits at or
+    // after the globally-smallest shared term t* in both docs, so by
+    // Cauchy–Schwarz cos ≤ rem_a(pos of t* in a) · rem_b(pos in b) —
+    // and t* is one of the matched prefix rows, so the pair survives
+    // only if SOME matched row's rem product reaches t. The max-
+    // aggregate replaces the candidate distinct (same exchange), and
+    // random pairs colliding on late frequent terms die before the
+    // verify join ever sees them.
     val cand = prefix.as("pa")
       .join(prefix.as("pb"),
         col("pa.tok") === col("pb.tok") &&
           col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .agg(max(col("pa.__rem") * col("pb.__rem")).as("__ub"))
+      .filter(col("__ub") >= lit(threshold) - lit(1e-6))
+      .select("doc_a", "doc_b")
     cand
       .join(wts.select(col("doc_id").as("doc_a"), col("tok"),
         col("w").as("wa")), "doc_a")
