@@ -368,6 +368,30 @@ class PlanQualitySpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), s"token join must be hash/merge:\n$p")
   }
 
+  test("r10 additions: no cartesian/nested-loop in the corpus-sized paths") {
+    // phraseSearch: term restriction must broadcast BEFORE any exchange
+    val ph = plan("q_phrase_search")
+    assert(ph.contains("BroadcastHashJoin"),
+      s"phrase terms must broadcast:\n$ph")
+    assert(!ph.contains("CartesianProduct"))
+    // collocations: the bigram model build is the only corpus-sized
+    // shuffle; marginal joins stay equi-shaped
+    val co = plan("q_collocations")
+    assert(!co.contains("CartesianProduct") &&
+      !co.contains("BroadcastNestedLoopJoin") ||
+      co.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin") <= 1, // broadcast total row
+      s"collocations must stay equi-join shaped:\n$co")
+    // APSS cosine: prefix-prefix candidates + verify joins, all equi
+    val ap = plan("q_apss_cosine")
+    assert(!ap.contains("CartesianProduct") &&
+      !ap.contains("BroadcastNestedLoopJoin"),
+      s"apss must never plan an n^2 join:\n$ap")
+    // attribution: one user window + final small aggregate
+    val at = plan("q_attribution")
+    assert(!at.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
