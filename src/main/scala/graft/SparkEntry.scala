@@ -2327,6 +2327,13 @@ object SparkEntry {
       Ngrams.collocations(docsSpread(s, d), minCount = 5)
         .orderBy("w1", "w2")),
 
+    // ---- E19 DSIR importance weights (domain-targeted selection:
+    // log-likelihood ratio of target vs raw unigram models) ----
+    "q_dsir_weights" -> ((s, d) =>
+      Ngrams.importanceWeights(docsSpread(s, d),
+          col("source") === "src0")
+        .orderBy("doc_id")),
+
     // ---- GROUP BY ALL / ORDER BY ALL (modern SQL shorthand surface) ----
     "q_group_by_all" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_gba")
@@ -5491,6 +5498,32 @@ object SparkEntry {
         |    AS avg_logp
         |FROM grams g JOIN logp l USING (bg)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (source = 'src0') AS t,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_r,
+        |    CAST(COUNT(*) FILTER (t) AS BIGINT) AS c_t
+        |  FROM tk GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+        |    CAST(SUM(c_t) AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM m),
+        |d AS (
+        |  SELECT tok, round(ln(
+        |    (CAST(c_t + 1 AS DOUBLE) * CAST(n_r + v AS DOUBLE))
+        |    / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + v AS DOUBLE))), 9)
+        |    AS delta
+        |  FROM m, tot)
+        |SELECT tk.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+        |    AS imp
+        |FROM tk JOIN d USING (tok)
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
 
     "q_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

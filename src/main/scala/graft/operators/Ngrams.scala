@@ -683,6 +683,54 @@ object Ngrams {
           .cast("double") / count(lit(1))).as("avg_logp"))
   }
 
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al., NeurIPS 2023): per document, the length-normalized mean
+    * of per-token log-likelihood ratios ln P_target(t) / P_raw(t) under
+    * Laplace-smoothed unigram models — documents that "sound like" the
+    * target domain get positive weight, generic documents negative; the
+    * standard importance-resampling signal for carving a domain corpus
+    * out of a web-scale crawl. `isTarget` marks the in-domain rows (an
+    * expression over the input, e.g. `col("source") === "wiki"`), so
+    * BOTH models build from ONE corpus pass: the token aggregation
+    * counts raw and target occurrences together.
+    *
+    * Engine-exact contract: each distinct token's ratio
+    * (c_t+1)·(N_r+V) / ((c_r+1)·(N_t+V)) is a quotient of exact integer
+    * products (exact in Double below 2^53 — beyond that, shard), one
+    * IEEE divide + `ln`, rounded to `quantizeDecimals`; per-doc sums
+    * ride DECIMAL. Same treatment as [[unigramLogProb]].
+    *
+    * Plan shape: one token-count aggregate builds the joint model (the
+    * only corpus-sized shuffle), totals ride in broadcast, the per-doc
+    * regroup joins the token stream with the (vocabulary-sized) delta
+    * table — AQE decides broadcast vs shuffle, like [[bigramLogProb]].
+    * Output: (doc_id, n_tokens, imp). */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        quantizeDecimals: Int = 9): DataFrame = {
+    val toksT = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+      explode(toks(col(textCol))).as("tok"))
+    val model = OpCaches.register(toksT.groupBy("tok")
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"))
+      .persist())
+    val totals = model.agg(sum(col("c_r")).as("n_r"),
+      sum(col("c_t")).as("n_t"), count(lit(1)).as("v"))
+    val delta = model.crossJoin(broadcast(totals))
+      .select(col("tok"), round(log(
+        ((col("c_t") + lit(1L)).cast("double") *
+          (col("n_r") + col("v")).cast("double")) /
+        ((col("c_r") + lit(1L)).cast("double") *
+          (col("n_t") + col("v")).cast("double"))),
+        quantizeDecimals).as("delta"))
+    toksT.join(delta, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("delta").cast(
+            org.apache.spark.sql.types.DecimalType(28, quantizeDecimals)))
+          .cast("double") / count(lit(1))).as("imp"))
+  }
+
   /** PMI collocation mining — the corpus-analysis pass that surfaces
     * multiword units ("new york", "machine learning") for tokenizer
     * vocabulary decisions and phrase-aware dedup (Church & Hanks, 1990).

@@ -171,6 +171,33 @@ class NgramsSpec extends SparkTestBase {
     assert(s(5L) < s(1L), "rare transitions (b b, a a) drag the mean down")
   }
 
+  test("importanceWeights: in-domain docs score positive, generic " +
+       "docs negative, mean is length-normalized") {
+    // target domain speaks "alpha"; the rest speaks "beta". A doc of
+    // pure alpha must get imp > 0, pure beta imp < 0, and a doc from
+    // the raw pool that happens to be alpha-only scores the same as the
+    // target's own alpha docs (weights depend on tokens, not membership)
+    val df = Seq(
+      (1L, "alpha alpha alpha", "tgt"),
+      (2L, "alpha alpha alpha", "tgt"),
+      (3L, "beta beta beta", "raw"),
+      (4L, "beta beta beta", "raw"),
+      (5L, "alpha alpha alpha", "raw")
+    ).toDF("doc_id", "text", "source")
+    val out = Ngrams.importanceWeights(df, col("source") === "tgt")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.values.forall(_._2 === 3L))
+    assert(out(1L)._3 > 0, "target-domain text must weigh positive")
+    assert(out(3L)._3 < 0, "off-domain text must weigh negative")
+    assert(out(5L)._3 === out(1L)._3,
+      "weights are a function of tokens, not of membership")
+    // hand-check doc 1: c_t(alpha)=6, c_r(alpha)=9, n_t=6, n_r=15, v=2
+    // delta = ln(7*17 / (10*8)); imp = round(delta,9) (mean of 3 equal)
+    val exp = BigDecimal(math.log(7.0 * 17 / (10 * 8)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L)._3 - exp) < 1e-9)
+  }
+
   test("collocations: PMI over bigram-position marginals, minCount floor") {
     val df = Seq(
       (1L, "new york new york"), // (new,york)×2, (york,new)×1
