@@ -2667,6 +2667,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- E24 deterministic synchronous label propagation (community
+    // detection over the order-part bipartite graph; min-label ties,
+    // full 3-iteration loop CTE-unrolled in the oracle) ----
+    "q_label_prop" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst"))
+      graft.operators.Graphs.labelPropagation(edges, "src", "dst",
+          iterations = 3)
+        .orderBy("node")
+    }),
+
     // ---- E24 exact triangle counts over the part co-occurrence graph
     // (parts sharing an order are linked); degree-ordered wedge closure
     // bounds hub fan-out by the arboricity, not degree² ----
@@ -5387,6 +5399,35 @@ object SparkEntry {
 
     // fixed-point PageRank: the same 3 integer-arithmetic iterations
     // unrolled (// is integer division; SUM casts shed DuckDB's HUGEINT)
+    "q_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT CAST(l_orderkey*2 AS BIGINT) AS src,
+        |                            CAST(l_partkey*2+1 AS BIGINT) AS dst
+        |            FROM lineitem),
+        |und AS (SELECT src, dst FROM e0
+        |        UNION SELECT dst AS src, src AS dst FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+        |c1 AS (SELECT u.src AS node, l.label, COUNT(*) AS c
+        |       FROM und u JOIN l0 l ON u.dst = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT u.src AS node, l.label, COUNT(*) AS c
+        |       FROM und u JOIN l1 l ON u.dst = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT u.src AS node, l.label, COUNT(*) AS c
+        |       FROM und u JOIN l2 l ON u.dst = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM c3) WHERE rn = 1),
+        |sz AS (SELECT label, COUNT(*) AS n_members FROM l3 GROUP BY 1)
+        |SELECT node, label, n_members FROM l3 JOIN sz USING (label)
+        |ORDER BY node""".stripMargin,
+
     "q_pagerank" ->
       """WITH e AS (SELECT DISTINCT CAST(l_orderkey*2 AS BIGINT) AS src,
         |                           CAST(l_partkey*2+1 AS BIGINT) AS dst

@@ -83,6 +83,52 @@ object Graphs {
       (col("rank").cast("double") / Scale.toDouble).as("rank"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), DETERMINISTIC variant: init label(v) = v; each iteration
+    * every node adopts its neighbors' most frequent label, ties broken
+    * by the smallest label — the classic near-linear community finder
+    * for link-graph curation (which site cluster does this page belong
+    * to), complementing [[Dedup.connectedComponents]] (pure reachability)
+    * and [[pageRank]] (importance). The canonical randomized/async LPA
+    * is irreproducible; the synchronous min-tie-break form is
+    * bit-reproducible across engines and layouts, so the full iterative
+    * loop is oracle-checkable by CTE unrolling (the pageRank treatment).
+    *
+    * Scale shape: per iteration one equi-join of the (symmetrized,
+    * deduped) edge list to the label table (shuffle by neighbor id), one
+    * (node, label) count aggregate with map-side partial combine, and a
+    * per-node WindowGroupLimit rank — ids and counts only, nothing
+    * quadratic, no driver state; lineage cut every 4 iterations.
+    * Output: (node, label, n_members). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+                          col(dstCol).cast("long").as("dst"))
+    val und = OpCaches.register(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .persist())
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("label"))
+    for (i <- 1 to iterations) {
+      val counted = und
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = counted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("node", "label")
+      if (i % 4 == 0 && i < iterations)
+        labels = labels.localCheckpoint(eager = false)
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label").select("node", "label", "n_members")
+  }
+
   /** Exact per-node triangle counts over an undirected graph given as an
     * edge list (direction and duplicates ignored; self-loops dropped) —
     * the clustering-coefficient numerator, and the standard structure

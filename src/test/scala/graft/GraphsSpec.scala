@@ -54,6 +54,38 @@ class GraphsSpec extends SparkTestBase {
     assert(total > Graphs.Scale - 1000L)
   }
 
+  test("labelPropagation: two cliques joined by a bridge resolve to two " +
+       "communities with min-label ids") {
+    // clique A = {1,2,3}, clique B = {10,11,12}, bridge 3–10. Each
+    // node's clique neighbors outvote the bridge, so the cliques settle
+    // on two DISTINCT internal labels (min-tie-breaks may carry a label
+    // across the bridge early — B ends on label 3 here — but the
+    // partition itself is what LPA promises).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    val out = Graphs.labelPropagation(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    val aLabels = Set(1L, 2L, 3L).map(out(_)._1)
+    val bLabels = Set(10L, 11L, 12L).map(out(_)._1)
+    assert(aLabels.size === 1 && bLabels.size === 1,
+      s"each clique must agree on one label: $out")
+    assert(aLabels !== bLabels,
+      s"the two cliques must form distinct communities: $out")
+    assert(out.values.forall(_._2 === 3L), "both communities have 3 members")
+  }
+
+  test("labelPropagation is deterministic across layouts and ignores " +
+       "direction/duplicates") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (4L, 3L))
+      .toDF("src", "dst")
+    val a = Graphs.labelPropagation(edges, "src", "dst").collect().toSet
+    val b = Graphs.labelPropagation(edges.repartition(7), "src", "dst")
+      .collect().toSet
+    assert(a === b)
+  }
+
   test("triangleCount: exact per-node counts; direction/dupes/loops ignored") {
     // K4 on {1,2,3,4} (4 triangles, 3 per node) plus a pendant 5 and an
     // isolated triangle {6,7,8}; edge 2→1 duplicates 1→2 reversed, and
