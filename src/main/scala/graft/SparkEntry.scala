@@ -776,6 +776,14 @@ object SparkEntry {
       Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", 0.6)
         .orderBy("doc_a", "doc_b")),
 
+    // ---- E2 sorted-neighborhood (SNM) near-dup pass: block by lang,
+    // sort by length, verify exact Jaccard within a 3-position window —
+    // O(n·w) candidates, the predictable-cost record-linkage classic ----
+    "q_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhood(t(s, d, "documents"), "doc_id", "text",
+          col("lang"), col("n_chars"), window = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
     // ---- E2 EXACT all-pairs WEIGHTED cosine over shingle TF profiles
     // (prefix-filtered by suffix norm — repetition-sensitive twin of
     // q_allpairs_jaccard) ----
@@ -3537,6 +3545,31 @@ object SparkEntry {
         |            JOIN sh b ON b.doc_id = cand.doc_b)
         |WHERE jaccard >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS rk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM r a JOIN r b
+        |    ON a.lang = b.lang AND b.rk - a.rk BETWEEN 1 AND 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |            JOIN sh y ON y.doc_id = doc_b)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_apss_cosine" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -785,6 +785,52 @@ object Dedup {
          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
   }
 
+  /** Sorted-neighborhood (SNM) near-dup pass (Hernández & Stolfo 1995,
+    * the record-linkage classic): block rows by a cheap key, sort each
+    * block by a second key, and verify exact Jaccard only for pairs
+    * within `window` positions — O(n·w) candidates under full control
+    * of the caller, the predictable-cost complement to the
+    * similarity-driven candidate generators ([[minhashNearDups]],
+    * [[allPairsJaccard]]). Recall comes from MULTI-PASS use: run again
+    * with a different (block, sort) key and union — each pass is this
+    * one operator.
+    *
+    * Scale shape: the window ranks (block, sort, id) triples — document
+    * text never rides the sort exchange; candidate (doc_a, doc_b) id
+    * pairs re-attach the persisted shingle table for the exact verify,
+    * the [[chainedJaccard]] treatment. Per-block windows need no global
+    * rank. Output: (doc_a, doc_b, jaccard) for candidates meeting
+    * `threshold`, doc_a preceding doc_b in sort order. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+                         blockKey: Column, sortKey: Column,
+                         window: Int = 2, threshold: Double = 0.5,
+                         shingleN: Int = 3): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val base = Ops.spread(
+      df.select(col(idCol).as("doc_id"), col(textCol),
+        blockKey.as("__blk"), sortKey.as("__srt")),
+      col("doc_id"))
+    val sh = OpCaches.register(base
+      .select(col("doc_id"), shingleCol(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = Window.partitionBy(col("__blk"))
+      .orderBy(col("__srt"), col("doc_id"))
+    val cand = base.select(col("doc_id"), col("__blk"), col("__srt"))
+      .withColumn("__nbrs",
+        array((1 to window).map(o => lead(col("doc_id"), o).over(w)): _*))
+      .select(col("doc_id").as("doc_a"), explode(col("__nbrs")).as("doc_b"))
+      .filter(col("doc_b").isNotNull)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** EXACT all-pairs similarity self-join: every document pair with
     * shingle-set Jaccard >= `threshold`, no probabilistic misses — the
     * deterministic complement to [[minhashNearDups]] (whose LSH bands

@@ -220,6 +220,30 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("sortedNeighborhood: within-window pairs only, per block, in sort " +
+       "order; cross-block pairs never compared") {
+    val df = Seq(
+      // block X, sorted by len: 1 (dup of 2), 2, 3 far away
+      (1L, "the quick brown fox jumps high", "X", 10L),
+      (2L, "the quick brown fox jumps high", "X", 11L),
+      (3L, "completely different words entirely here now", "X", 12L),
+      // block Y holds another copy of 1 — blocked away, must NOT pair
+      (4L, "the quick brown fox jumps high", "Y", 10L)
+    ).toDF("doc_id", "text", "blk", "len")
+    val out = Dedup.sortedNeighborhood(df, "doc_id", "text",
+        col("blk"), col("len"), window = 1, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)),
+      "only the adjacent same-block duplicate pair verifies")
+    // window 2 reaches (1,3) and (2,3) as candidates, but verify kills
+    // them; the threshold=0 run shows the candidate envelope
+    val all = Dedup.sortedNeighborhood(df, "doc_id", "text",
+        col("blk"), col("len"), window = 2, threshold = 0.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(all === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "candidates are exactly the within-window same-block pairs")
+  }
+
   test("allPairsCosine equals a driver-side brute force at every threshold") {
     import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
     def tfv(s: String): Map[String, Long] = {
