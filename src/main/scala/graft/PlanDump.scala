@@ -60,7 +60,19 @@ object PlanDump {
        SparkEntry.queries("q_containment")(spark, d)),
       ("q_semantic_decontam — embedding train-vs-eval anti-join",
        "Cross-table banded LSH candidates (ids + band keys only), first-shared-band emission, exact-cosine verify, one left-anti join back onto the train corpus.",
-       SparkEntry.queries("q_semantic_decontam")(spark, d)))
+       SparkEntry.queries("q_semantic_decontam")(spark, d)),
+      ("q_apss_cosine — exact weighted all-pairs cosine (APSS)",
+       "Suffix-norm prefixes under the global (df, term) order feed a prefix-prefix equi-join; the per-pair max of rem_a*rem_b (Cauchy-Schwarz positional bound) prunes before the verify join; contributions 9-dec-rounded and DECIMAL-summed for engine-exact output.",
+       SparkEntry.queries("q_apss_cosine")(spark, d)),
+      ("q_phrase_search — positional-postings phrase intersection",
+       "The token stream is restricted to phrase terms by a BROADCAST join before any exchange; candidate starts pos-idx aggregate once with count(DISTINCT slot) = m — no m-way self-join, the shuffle carries (doc, start, idx) triples.",
+       SparkEntry.queries("q_phrase_search")(spark, d)),
+      ("q_hard_negatives — contrastive triplet mining",
+       "Anchors broadcast; cosine computed BEFORE the exchange so only (ids, labels, sim) shuffle; ONE anchor-key exchange serves both the conditional-max window (sim_pos) and the negative rank, whose top-k pushes a map-side WindowGroupLimit.",
+       SparkEntry.queries("q_hard_negatives")(spark, d)),
+      ("q_label_prop — synchronous label-propagation communities",
+       "Per round: edge-to-labels equi-join, then the mode as ONE hash aggregate (max_by over (count, -label) — no sort window); community sizes attach via a window count so the iteration chain is consumed once.",
+       SparkEntry.queries("q_label_prop")(spark, d)))
 
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of headline queries\n\n")
