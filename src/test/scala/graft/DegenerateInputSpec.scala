@@ -113,4 +113,51 @@ class DegenerateInputSpec extends SparkTestBase {
     val full = Dedup.connectedComponents(chain, maxIter = 25, strict = true)
     assert(full.select("comp").distinct().count() === 1L)
   }
+
+  test("r10 operators: empty and single-row inputs flow through") {
+    // APSS cosine / SNM on empty and singleton corpora
+    assert(Dedup.allPairsCosine(emptyDocs, "doc_id", "text", 0.8)
+      .count() === 0)
+    assert(Dedup.allPairsCosine(oneDoc, "doc_id", "text", 0.8)
+      .count() === 0)
+    assert(Dedup.sortedNeighborhood(emptyDocs, "doc_id", "text",
+      lit("b"), col("doc_id"), window = 2).count() === 0)
+    assert(Dedup.sortedNeighborhood(oneDoc, "doc_id", "text",
+      lit("b"), col("doc_id"), window = 2).count() === 0)
+    // phrase search: empty corpus; phrase longer than every doc; and the
+    // empty-phrase contract must throw, not return garbage
+    assert(Search.phraseSearch(emptyDocs, Seq("a", "b")).count() === 0)
+    assert(Search.phraseSearch(oneDoc,
+      (1 to 9).map(i => s"w$i")).count() === 0)
+    intercept[IllegalArgumentException] {
+      Search.phraseSearch(oneDoc, Seq.empty)
+    }
+    // collocations / DSIR weights on empty and sub-bigram corpora
+    assert(Ngrams.collocations(emptyDocs).count() === 0)
+    assert(Ngrams.collocations(
+      Seq((1L, "solo")).toDF("doc_id", "text")).count() === 0)
+    assert(Ngrams.importanceWeights(emptyDocs, lit(true)).count() === 0)
+    // all-target / no-target degenerate splits still produce weights
+    assert(Ngrams.importanceWeights(oneDoc, lit(true)).count() === 1)
+    assert(Ngrams.importanceWeights(oneDoc, lit(false)).count() === 1)
+    // hard negatives: empty corpus, empty anchors, single-label corpus
+    val labeled = someVecs.withColumn("label", lit("only"))
+    assert(Similarity.hardNegatives(labeled,
+      labeled.limit(0), 3).count() === 0, "no anchors")
+    assert(Similarity.hardNegatives(labeled, labeled, 3).count() === 0,
+      "a single-label corpus has no negatives")
+    // label propagation: empty edges, self-loop-only edges
+    assert(Graphs.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+      .count() === 0)
+    assert(Graphs.labelPropagation(
+      Seq((7L, 7L)).toDF("src", "dst"), "src", "dst").count() === 0,
+      "self-loops drop; no nodes remain")
+    // attribution: no conversions; conversions with no touches at all
+    val noConv = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      1L, "click", 0.0)).toDF("event_id", "ts", "user_id", "event_type",
+      "value")
+    assert(EventOps.attribution(noConv, Seq("click"), "purchase")
+      .count() === 0)
+  }
 }
