@@ -766,6 +766,13 @@ object SparkEntry {
                 TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- E19 winnowing sketch (MOSS): min-hash-per-window k-gram
+    // selection with the rightmost-tie rule — the guarantee-bearing
+    // ~1/w-size sketch for substring-overlap detection ----
+    "q_winnow" -> ((s, d) =>
+      Ngrams.winnow(docsSpread(s, d), k = 3, w = 4)
+        .orderBy("doc_id", "pos")),
+
     // ---- E2 exact n-gram Jaccard (linear chained pairs) ----
     "q_chained_jaccard" -> ((s, d) =>
       Dedup.chainedJaccard(t(s, d, "documents"), "doc_id", "text")
@@ -895,6 +902,12 @@ object SparkEntry {
           "n_chars", budget = 1000L)
         .select("doc_id", "source", "n_chars", "shard")
         .orderBy("doc_id")),
+
+    // ---- dynamic-batching planner: quantile length buckets + the
+    // pad-to-max waste a fixed batch shape per bucket would carry ----
+    "q_length_buckets" -> ((s, d) =>
+      Mixing.lengthBuckets(docsSpread(s, d), nBuckets = 4)
+        .orderBy("bucket")),
 
     // ---- multimodal metadata plumbing (binary column) ----
     "q_multimodal_meta" -> ((s, d) =>
@@ -2541,6 +2554,13 @@ object SparkEntry {
       operators.Profiling.heavyHittersByGroup(toks, "source", "tok", k = 30)
     }),
 
+    // ---- E20 winsorization report: clip n_chars to per-source exact
+    // [p05, p95] and audit the move (clip counts, mean before/after) ----
+    "q_winsorize" -> ((s, d) =>
+      operators.Profiling.winsorize(t(s, d, "documents"), "source",
+          "n_chars", pLo = 0.05, pHi = 0.95)
+        .orderBy("source")),
+
     // ---- E20 distribution drift between two corpus snapshots: per-key
     // smoothed shares + KL contributions (the source-mix monitor) ----
     "q_dist_drift" -> ((s, d) => {
@@ -3510,6 +3530,33 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // winnowing: same char-polynomial over each 3-gram string, then the
+    // min-of-window selection with the rightmost-tie rule encoded in the
+    // same hash*2^21 + (2^21-1-pos) key the engine minimizes
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        array_to_string(w[i:i+2], ' ') AS gram
+        |      FROM t, unnest(range(1, len(w) - 3 + 2)) AS u(i)
+        |      WHERE len(w) >= 3),
+        |h AS (SELECT doc_id, pos,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(gram, ''),
+        |                         c -> CAST(unicode(c) AS BIGINT))),
+        |          (a, b) -> (a * 31 + b) % 1000000007) * 2097152
+        |          + (2097151 - pos) AS comb
+        |      FROM g),
+        |m AS (SELECT doc_id,
+        |        min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+        |        count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n
+        |      FROM h)
+        |SELECT DISTINCT doc_id, sel // 2097152 AS fp,
+        |  CAST(2097151 - (sel % 2097152) AS BIGINT) AS pos
+        |FROM m WHERE n = 4 ORDER BY doc_id, pos""".stripMargin,
+
     "q_chained_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -4103,6 +4150,26 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
         |    AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // interior quartile boundaries via quantile_cont (the exact
+    // interpolated percentile Spark's `percentile` computes); a doc's
+    // bucket = 1 + #boundaries strictly below its token count
+    "q_length_buckets" ->
+      """WITH l AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_len
+        |           FROM documents),
+        |b AS (SELECT quantile_cont(tok_len, [0.25, 0.5, 0.75]) AS bs FROM l),
+        |a AS (SELECT tok_len,
+        |        CAST(1 + len(list_filter(b.bs, x -> x < tok_len)) AS BIGINT)
+        |          AS bucket
+        |      FROM l, b)
+        |SELECT bucket, count(*) AS n_docs,
+        |  min(tok_len) AS min_len, max(tok_len) AS max_len,
+        |  CASE WHEN max(tok_len) > 0 THEN
+        |    round(CAST(count(*) * max(tok_len) - sum(tok_len) AS DOUBLE)
+        |      / (count(*) * max(tok_len)), 9)
+        |  ELSE 0.0 END AS pad_frac
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image/stub' AS media_type,
@@ -5255,6 +5322,27 @@ object SparkEntry {
         |  c.cnt / CAST(n.n AS DOUBLE) AS share
         |FROM c JOIN n USING (source) WHERE c.cnt * 31 > n.n
         |ORDER BY c.source, c.cnt DESC, c.tok""".stripMargin,
+
+    // quantile_cont == Spark exact percentile; the Decimal(18,6) sum
+    // absorbs any final-ulp interpolation difference in clipped values
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, count(*) AS n,
+        |  CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 9) AS mean_before,
+        |  round(CAST(sum(CAST(greatest(lo, least(hi,
+        |      CAST(n_chars AS DOUBLE))) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 9) AS mean_after
+        |FROM documents d JOIN b USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q_dist_drift" ->
       """WITH ca AS (SELECT source, count(*) AS cnt_a FROM documents

@@ -609,4 +609,49 @@ object Mixing {
       .withColumn("shard", expr(s"__cum_before div $budget"))
       .drop("__cum_before")
   }
+
+  /** Length-bucketed batching report: quantile token-length buckets and
+    * the padding waste a fixed-shape batch of each bucket would carry —
+    * the planning step behind dynamic batching (batch docs of similar
+    * length together so the pad-to-max overhead stays small; padding
+    * waste across ONE global batch shape is the number this report
+    * refutes).
+    *
+    * Bucket boundaries are the exact (nBuckets-1) interior quantiles of
+    * the per-doc token count; a doc lands in the first bucket whose
+    * boundary is >= its length (i.e. bucket = 1 + #boundaries strictly
+    * below it). Boundaries ride a one-row aggregate broadcast-joined
+    * onto the corpus — no driver action, the plan stays lazy. Exact
+    * `percentile` keeps per-partition state bounded by the number of
+    * DISTINCT lengths (a small domain), not rows, so the single
+    * aggregate holds at corpus scale; `pad_frac` is integer arithmetic
+    * until one final division, so the oracle reproduces it exactly.
+    *
+    * Output: one row per non-empty bucket — doc count, min/max length,
+    * and pad_frac = wasted/total token slots at pad-to-bucket-max. */
+  def lengthBuckets(docs: DataFrame, nBuckets: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val lens = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("tok_len"))
+    val bounds = lens.agg(
+      percentile(col("tok_len"),
+        array(ps.map(lit(_)): _*)).as("__bs"))
+    lens.crossJoin(broadcast(bounds))
+      .select(col("tok_len"),
+        (size(filter(col("__bs"),
+          b => b < col("tok_len"))) + 1).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("tok_len")).as("min_len"),
+           max(col("tok_len")).as("max_len"),
+           sum(col("tok_len")).as("__sum"))
+      .select(col("bucket"), col("n_docs"), col("min_len"), col("max_len"),
+        when(col("max_len") > 0,
+            round((col("n_docs") * col("max_len") - col("__sum"))
+              .cast("double") / (col("n_docs") * col("max_len")), 9))
+          .otherwise(lit(0.0)).as("pad_frac"))
+  }
 }

@@ -891,4 +891,50 @@ object Ngrams {
       .withColumn("rep_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every word `k`-gram, then in each window of `w`
+    * consecutive k-gram hashes keep the minimum (ties break to the
+    * RIGHTMOST position, the paper's rule). The selected set is the
+    * document's winnowed sketch — unlike a full shingle set it is ~1/w
+    * the size, yet any shared substring of `k + w - 1` tokens between two
+    * documents is guaranteed to surface a shared fingerprint, which makes
+    * it the standard sketch for plagiarism-style overlap detection.
+    *
+    * Hash = the portable char-polynomial (fold h*31+c mod 1e9+7) over the
+    * k-gram string, so the DuckDB oracle reproduces values exactly; the
+    * Spark side runs it as the codegen'd PolyHash expression.
+    *
+    * Plan shape: posexplode of the per-doc k-gram array, then two window
+    * aggregates over one (doc, pos) sort — min-of-frame and frame-size —
+    * followed by a distinct on the decoded (doc, pos, hash). One shuffle
+    * on the doc key shared by both windows and reused by the distinct's
+    * partial aggregation; nothing leaves the doc's partition.
+    *
+    * The min/tie selection is one 64-bit key: `hash * 2^21 + (2^21-1 -
+    * pos)` — minimal hash wins, equal hashes prefer larger pos.
+    * Precondition: documents under 2^21 (~2M) tokens, the usual shape for
+    * training corpora (giant blobs should be chunked upstream anyway). */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
+             idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    val M = 2097152L // 2^21 position slots per hash value
+    val grams = docs.select(col(idCol),
+        posexplode(ngramArray(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col(idCol),
+        (VectorExprs.polyHash(col("gram")) * M +
+          (lit(M - 1) - col("pos"))).as("__comb"),
+        col("pos"))
+    val frame = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .select(col(idCol),
+        min(col("__comb")).over(frame).as("__sel"),
+        count(lit(1)).over(frame).as("__n"))
+      .filter(col("__n") === w)
+      .select(col(idCol),
+        expr(s"__sel div $M").as("fp"),
+        (lit(M - 1) - (col("__sel") % M)).cast("long").as("pos"))
+      .distinct()
+  }
 }

@@ -443,4 +443,43 @@ object Profiling {
         (col("cnt").cast("double") / col("__n")).as("share"))
       .orderBy(col(groupCol), col("cnt").desc, col(keyCol))
   }
+
+  /** Per-group winsorization report: clip `valueCol` to its group's
+    * exact [pLo, pHi] percentiles and report what the clip did — row
+    * count, clipped-low/high counts, and the mean before/after — the
+    * outlier-robustification step run on a numeric feature (doc length,
+    * score) before it feeds a threshold or a mixing weight, plus the
+    * audit trail that says how much the clip moved the distribution.
+    *
+    * Two aggregates over one shuffle key: the grouped exact-percentile
+    * pass (state bounded by distinct values per group, not rows), then
+    * the clip + re-aggregate with the boundaries joined back on the
+    * group key — a broadcast join at any realistic group count. Clipped
+    * values are doubles, so their sum rides a Decimal(18,6) cast and
+    * surfaces as double: order-independent, exact across engines.
+    * Means round to 9 places, the repo's transcendental-double rule. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(pLo)).as("__lo"),
+           percentile(v, lit(pHi)).as("__hi"))
+    val clipped = greatest(col("__lo"), least(col("__hi"), v))
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double")
+    df.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           sum(when(v < col("__lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+           sum(when(v > col("__hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+           decSum(v).as("__sum_before"),
+           decSum(clipped).as("__sum_after"))
+      .select(col(groupCol), col("n"), col("n_clipped_lo"),
+        col("n_clipped_hi"),
+        round(col("__sum_before") / col("n"), 9).as("mean_before"),
+        round(col("__sum_after") / col("n"), 9).as("mean_after"))
+  }
 }

@@ -451,4 +451,20 @@ class MixingSpec extends SparkTestBase {
     assert(single === forced,
       "both prefix-sum constructions must agree row-for-row")
   }
+
+  test("lengthBuckets: interpolated quartile boundaries, <=-goes-lower, " +
+       "exact pad fractions") {
+    // token lengths 1..8; interior quartiles of [1..8] are 2.75/4.5/6.25
+    val docs = (1 to 8).map(n => (n.toLong, Seq.fill(n)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Mixing.lengthBuckets(docs, nBuckets = 4)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 1L, 2L, 0.25)),
+      "bucket 1 = lens {1,2}: waste (2*2-3)/4")
+    assert(out(2L) === ((2L, 2L, 3L, 4L, 0.125)))
+    assert(out(3L) === ((3L, 2L, 5L, 6L, 0.083333333)),
+      "integer arithmetic until one rounded division")
+    assert(out(4L) === ((4L, 2L, 7L, 8L, 0.0625)))
+  }
 }

@@ -404,4 +404,41 @@ class NgramsSpec extends SparkTestBase {
       Seq((1L, "a", "b", "ab", 2L)))
     Ngrams.clearBpeCache()
   }
+
+  test("winnow: coverage guarantee, subset-of-grams, rightmost tie rule") {
+    val text = "the quick brown fox jumps over the lazy dog today"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val sel = Ngrams.winnow(df, k = 3, w = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._3, r._2)).toMap
+    // 10 tokens -> 8 3-grams (pos 0..7), 5 full windows (start 0..4)
+    val allPos = sel.keySet
+    assert(allPos.subsetOf((0L to 7L).toSet), "positions are k-gram indices")
+    assert((0L to 4L).forall(s => (s until s + 4).exists(allPos)),
+      "winnowing guarantee: every w-window contains a selected gram")
+    // every selected hash equals the portable char-polynomial of its gram
+    val toks = text.split(" ")
+    def poly(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    sel.foreach { case (pos, fp) =>
+      assert(fp === poly(toks.slice(pos.toInt, pos.toInt + 3).mkString(" ")),
+        s"hash at pos $pos is the k-gram's polynomial hash")
+    }
+    // all-equal hashes: each window must keep its RIGHTMOST position,
+    // so the selected set is exactly {w-1 .. nGrams-1}
+    val rep = Seq((2L, Seq.fill(9)("x").mkString(" "))).toDF("doc_id", "text")
+    val tiePos = Ngrams.winnow(rep, k = 3, w = 4)
+      .as[(Long, Long, Long)].collect().map(_._3).toSet
+    assert(tiePos === (3L to 6L).toSet,
+      "rightmost-tie rule: window starting at s selects pos s+w-1")
+    // two docs sharing a k+w-1 = 6-token run share a fingerprint VALUE
+    val pair = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta aaa bbb ccc ddd"),
+      (4L, "one two three alpha beta gamma delta epsilon zeta nine")
+    ).toDF("doc_id", "text")
+    val byDoc = Ngrams.winnow(pair, k = 3, w = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(3L) intersect byDoc(4L)).nonEmpty,
+      "shared 6-token substring surfaces a shared fingerprint")
+  }
 }

@@ -263,4 +263,13 @@ class ProfilingSpec extends SparkTestBase {
     assert(Profiling.kAnonymityViolations(df, Seq("country", "seg"), 2L)
       .count() === 1, "at k=2 only the singleton NULL/C group violates")
   }
+
+  test("winsorize: interpolated clip bounds, clip counts, exact means") {
+    // g: values 1..20 — p05 = 1.95, p90 = 18.1 (index p*(n-1) rule)
+    val df = (1 to 20).map(v => ("g", v.toLong)).toDF("src", "v")
+    val Array(r) = Profiling.winsorize(df, "src", "v", pLo = 0.05, pHi = 0.9)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(r === (("g", 20L, 1L, 2L, 10.5, 10.4075)),
+      "clip {1} low, {19,20} high; after-sum = 1.95 + Σ(2..18) + 2·18.1")
+  }
 }
