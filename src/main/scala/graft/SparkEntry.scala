@@ -889,6 +889,18 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")),
 
+    // ---- E6 market-basket pairs: event types co-occurring per user,
+    // exact support + lift over per-user DISTINCT item sets ----
+    "q_itemsets" -> ((s, d) =>
+      EventOps.frequentPairs(t(s, d, "events"), minSupport = 2L)
+        .orderBy("item_a", "item_b")),
+
+    // ---- E6 RFM segmentation grid: 1..5 quintile scores on recency /
+    // frequency / monetary per user, boundary-exact (no global ntile) ----
+    "q_rfm" -> ((s, d) =>
+      EventOps.rfmSegments(t(s, d, "events"))
+        .orderBy("r_score", "f_score", "m_score")),
+
     // ---- corpus mixing: systematic per-source sampling ----
     "q_sample_mix" -> ((s, d) =>
       Mixing.systematicSampleByRates(t(s, d, "documents"), "source", "doc_id",
@@ -2354,6 +2366,13 @@ object SparkEntry {
       Ngrams.importanceWeights(docsSpread(s, d),
           col("source") === "src0")
         .orderBy("doc_id")),
+
+    // ---- E19 chi-square term–class association (feature selection:
+    // which tokens characterize a language) ----
+    "q_chi2_terms" -> ((s, d) =>
+      Ngrams.chiSquareTerms(docsSpread(s, d), classCol = "lang",
+          minDf = 20L)
+        .orderBy("lang", "tok")),
 
     // ---- GROUP BY ALL / ORDER BY ALL (modern SQL shorthand surface) ----
     "q_group_by_all" -> ((s, d) => {
@@ -4499,6 +4518,51 @@ object SparkEntry {
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_itemsets" ->
+      """WITH bk AS (SELECT DISTINCT user_id, event_type FROM events
+        |            WHERE event_type IS NOT NULL),
+        |c AS (SELECT event_type, count(*) AS cnt FROM bk GROUP BY 1),
+        |n AS (SELECT count(DISTINCT user_id) AS n FROM bk),
+        |p AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+        |        count(*) AS support
+        |      FROM bk x JOIN bk y ON x.user_id = y.user_id
+        |        AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, support,
+        |  round(CAST(support AS DOUBLE) * n.n / (ca.cnt * cb.cnt), 9)
+        |    AS lift
+        |FROM p JOIN c ca ON ca.event_type = item_a
+        |       JOIN c cb ON cb.event_type = item_b, n
+        |WHERE support >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // quintile boundaries of the PER-USER aggregates via quantile_cont
+    // (== Spark exact percentile); score = 1 + #boundaries strictly below
+    "q_rfm" ->
+      """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS r,
+        |             count(*) AS f,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |               AS m
+        |           FROM events GROUP BY user_id),
+        |b AS (SELECT
+        |        quantile_cont(CAST(r AS DOUBLE), [0.2,0.4,0.6,0.8]) AS rb,
+        |        quantile_cont(CAST(f AS DOUBLE), [0.2,0.4,0.6,0.8]) AS fb,
+        |        quantile_cont(m, [0.2,0.4,0.6,0.8]) AS mb
+        |      FROM u),
+        |s AS (SELECT
+        |        CAST(1 + len(list_filter(b.rb, x -> x < r)) AS BIGINT)
+        |          AS r_score,
+        |        CAST(1 + len(list_filter(b.fb, x -> x < f)) AS BIGINT)
+        |          AS f_score,
+        |        CAST(1 + len(list_filter(b.mb, x -> x < m)) AS BIGINT)
+        |          AS m_score,
+        |        m
+        |      FROM u, b)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |  round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+        |    9) AS avg_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q_interval_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id,
         |             epoch_us(ts) AS s, epoch_us(ts) + 21600000000 AS e
@@ -5686,6 +5750,27 @@ object SparkEntry {
         |    AS imp
         |FROM tk JOIN d USING (tok)
         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+
+    // 2x2 presence table per (lang, token); the chi2 formula runs in
+    // doubles with the same fixed multiplication order as the engine
+    "q_chi2_terms" ->
+      """WITH pres AS (
+        |  SELECT lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |aa AS (SELECT lang, tok, count(*) AS ca FROM pres GROUP BY 1, 2),
+        |dfv AS (SELECT tok, CAST(sum(ca) AS BIGINT) AS df
+        |        FROM aa GROUP BY 1),
+        |ncl AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT aa.lang, aa.tok, ca AS n_in_class, df,
+        |  round(CAST(n AS DOUBLE)
+        |    * CAST(ca*(n - df - (nc - ca)) - (df - ca)*(nc - ca) AS DOUBLE)
+        |    * CAST(ca*(n - df - (nc - ca)) - (df - ca)*(nc - ca) AS DOUBLE)
+        |    / (CAST(df AS DOUBLE) * (n - df) * nc * (n - nc)), 9) AS chi2
+        |FROM aa JOIN dfv USING (tok) JOIN ncl USING (lang), nn
+        |WHERE df >= 20 AND df < n AND nc < n
+        |ORDER BY lang, tok""".stripMargin,
 
     "q_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

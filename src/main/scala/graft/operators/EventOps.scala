@@ -324,4 +324,80 @@ object EventOps {
       .groupBy(col("cohort_start"), offset.as("period_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Frequent item pairs (market-basket on the user's distinct item
+    * set): pairs of `itemCol` values co-occurring for the same user,
+    * with their exact support and lift — the 2-itemset core of
+    * Apriori/SON, the "users who do A also do B" signal behind
+    * recommendation and funnel design.
+    *
+    * The quadratic step is per-user over the user's DISTINCT item set
+    * (bounded by item-type cardinality, not event count), after a
+    * dedup shuffle on the user key — never a cross join over events.
+    * Lift's denominator counts ride a broadcast join on the item key;
+    * the total-users divisor is a one-row broadcast aggregate. Lift is
+    * one integer-ratio division rounded to 9 places. */
+  def frequentPairs(events: DataFrame, userCol: String = "user_id",
+                    itemCol: String = "event_type",
+                    minSupport: Long = 2L): DataFrame = {
+    val baskets = events
+      .filter(col(itemCol).isNotNull)
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .distinct()
+    val counts = baskets.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val nUsers = baskets.select(col("__u")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val a = baskets.select(col("__u"), col("__i").as("item_a"))
+    val b = baskets.select(col("__u"), col("__i").as("item_b"))
+    a.join(b, Seq("__u")).filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .join(broadcast(counts.withColumnRenamed("__i", "item_a")
+        .withColumnRenamed("__c", "__ca")), Seq("item_a"))
+      .join(broadcast(counts.withColumnRenamed("__i", "item_b")
+        .withColumnRenamed("__c", "__cb")), Seq("item_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") * col("__n") /
+          (col("__ca") * col("__cb")), 9).as("lift"))
+  }
+
+  /** RFM segmentation: score every user 1..5 on Recency (last event
+    * time), Frequency (event count) and Monetary (exact value sum),
+    * then report each (r, f, m) cell — user count and mean monetary —
+    * the classic behavioral-segmentation grid.
+    *
+    * Scores come from exact interior-quintile boundaries of the
+    * PER-USER aggregates (score = 1 + #boundaries strictly below the
+    * user's value, so higher recency-timestamp / frequency / spend
+    * scores higher); the boundaries are a one-row aggregate broadcast
+    * onto the user table — a global ntile would be a single-partition
+    * sort, this is two hash aggregates and a broadcast. Recency is
+    * epoch-microseconds (exact longs); monetary sums through
+    * Decimal(18,6), so every score and mean reproduces exactly. */
+  def rfmSegments(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", valueCol: String = "value",
+                  nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2, s"need >= 2 score tiles, got $nTiles")
+    val ps = (1 until nTiles).map(_.toDouble / nTiles)
+    def bs(c: Column) = percentile(c, array(ps.map(lit(_)): _*))
+    val users = events.groupBy(col(userCol))
+      .agg(max(unix_micros(col(tsCol))).as("__r"),
+           count(lit(1)).as("__f"),
+           sum(col(valueCol).cast(DecimalType(18, 6))).cast("double")
+             .as("__m"))
+    val bounds = users.agg(bs(col("__r")).as("__rb"),
+      bs(col("__f").cast("double")).as("__fb"), bs(col("__m")).as("__mb"))
+    def score(v: Column, b: String): Column =
+      (size(filter(col(b), x => x < v)) + 1).cast("long")
+    users.crossJoin(broadcast(bounds))
+      .select(score(col("__r"), "__rb").as("r_score"),
+        score(col("__f").cast("double"), "__fb").as("f_score"),
+        score(col("__m"), "__mb").as("m_score"), col("__m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("__m").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 9).as("avg_monetary"))
+  }
 }

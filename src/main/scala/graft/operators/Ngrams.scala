@@ -892,6 +892,51 @@ object Ngrams {
         lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
   }
 
+  /** Chi-square term–class association (the classic feature-selection
+    * statistic): for every (class, token) with document frequency >=
+    * `minDf`, the chi² of the 2×2 presence table — docs in/out of the
+    * class × docs containing/not containing the token. High scores mark
+    * tokens that characterize a class (a language, a source domain);
+    * the per-class ranking is the vocabulary a classifier or a
+    * quality-filter wordlist is built from.
+    *
+    * All four cell counts derive from one distinct-presence aggregation
+    * (per-doc `array_distinct`, so no extra dedup shuffle): a =
+    * per-(class, token) doc count, df = its per-token marginal
+    * (re-aggregated from `a`, same token key — co-located), class sizes
+    * and N are broadcast one-row/`|classes|`-row aggregates. The chi²
+    * formula runs in doubles with a fixed multiplication order, so the
+    * oracle reproduces it bit-for-bit; tokens present in every document
+    * (df = N) drop — their table is degenerate and the statistic
+    * undefined. */
+  def chiSquareTerms(docs: DataFrame, classCol: String = "lang",
+                     idCol: String = "doc_id", textCol: String = "text",
+                     minDf: Long = 5L): DataFrame = {
+    val pres = docs.select(col(classCol).as("__cls"),
+        explode(array_distinct(toks(col(textCol)))).as("tok"))
+    val a = pres.groupBy(col("__cls"), col("tok"))
+      .agg(count(lit(1)).as("__a"))
+    val dfTok = a.groupBy(col("tok")).agg(sum(col("__a")).as("__df"))
+    val nCls = docs.groupBy(col(classCol).as("__cls"))
+      .agg(count(lit(1)).as("__nc"))
+    val total = docs.agg(count(lit(1)).as("__N"))
+    val adbc = (col("__a") * (col("__N") - col("__df") -
+        (col("__nc") - col("__a"))) -
+      (col("__df") - col("__a")) * (col("__nc") - col("__a")))
+      .cast("double")
+    val num = col("__N").cast("double") * adbc * adbc
+    val den = col("__df").cast("double") * (col("__N") - col("__df")) *
+      col("__nc") * (col("__N") - col("__nc"))
+    a.join(dfTok, "tok")
+      .join(broadcast(nCls), "__cls")
+      .crossJoin(broadcast(total))
+      .filter(col("__df") >= minDf && col("__df") < col("__N") &&
+              col("__nc") < col("__N"))
+      .select(col("__cls").as(classCol), col("tok"),
+        col("__a").as("n_in_class"), col("__df").as("df"),
+        round(num / den, 9).as("chi2"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): hash every word `k`-gram, then in each window of `w`
     * consecutive k-gram hashes keep the minimum (ties break to the

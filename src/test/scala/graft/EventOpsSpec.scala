@@ -252,4 +252,34 @@ class EventOpsSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("frequentPairs: distinct per-user baskets, exact support and lift") {
+    // u1 {A,B}, u2 {A,B}, u3 {A,C}, u4 {B}; duplicate (u1, A) events
+    // must not inflate support
+    val events = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B")
+    ).toDF("user_id", "event_type")
+    val out = EventOps.frequentPairs(events, minSupport = 1L)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out === Set(
+      ("A", "B", 2L, 0.888888889), // 2·4/(3·3)
+      ("A", "C", 1L, 1.333333333)  // 1·4/(3·1)
+    ), "support over distinct baskets; lift = support·N/(cA·cB)")
+    assert(EventOps.frequentPairs(events, minSupport = 2L).count() === 1,
+      "minSupport prunes the singleton pair")
+  }
+
+  test("rfmSegments: monotone users land on the 1..5 diagonal") {
+    // user i: i events of value i at increasing times — recency,
+    // frequency and monetary all rank users identically, so quintile
+    // scores must be the (i,i,i) diagonal with avg_monetary = i^2
+    val events = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (i.toLong, ts(f"2024-01-0$i 00:0$j:00"), i.toDouble))
+    }.toDF("user_id", "ts", "value")
+    val out = EventOps.rfmSegments(events)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out === (1 to 5).map(i =>
+      (i.toLong, i.toLong, i.toLong, 1L, (i * i).toDouble)).toSet)
+  }
 }

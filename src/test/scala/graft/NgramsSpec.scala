@@ -405,6 +405,22 @@ class NgramsSpec extends SparkTestBase {
     Ngrams.clearBpeCache()
   }
 
+  test("chiSquareTerms: exact 2x2 chi-square per present (class, token)") {
+    val docs = Seq(
+      (1L, "en", "cat dog"), (2L, "en", "cat fish"), (3L, "fr", "chien dog")
+    ).toDF("doc_id", "lang", "text")
+    val out = Ngrams.chiSquareTerms(docs, classCol = "lang", minDf = 2L)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    // (en,cat): a=2 b=0 c=0 d=1 -> 3·(2·1-0)²/(2·1·2·1) = 3.0
+    // (en,dog): a=1 b=1 c=1 d=0 -> 3·(0-1)²/4 = 0.75; (fr,dog) mirrors
+    assert(out === Set(
+      ("en", "cat", 2L, 2L, 3.0),
+      ("en", "dog", 1L, 2L, 0.75),
+      ("fr", "dog", 1L, 2L, 0.75)
+    ), "df<minDf tokens (fish, chien) drop; absent (class,token) cells " +
+       "are not emitted")
+  }
+
   test("winnow: coverage guarantee, subset-of-grams, rightmost tie rule") {
     val text = "the quick brown fox jumps over the lazy dog today"
     val df = Seq((1L, text)).toDF("doc_id", "text")
