@@ -2374,6 +2374,18 @@ object SparkEntry {
           minDf = 20L)
         .orderBy("lang", "tok")),
 
+    // ---- E19 skip-gram PPMI co-occurrence (window ±2 — the
+    // distributional-association table beyond adjacent bigrams) ----
+    "q_ppmi_cooc" -> ((s, d) =>
+      Ngrams.ppmiCooc(docsSpread(s, d), window = 2, minCount = 5L)
+        .orderBy("w1", "w2")),
+
+    // ---- E19 lexical-diversity screen (TTR + hapax share per source:
+    // template spam vs natural text vs noise) ----
+    "q_lexical_div" -> ((s, d) =>
+      Ngrams.lexicalDiversity(docsSpread(s, d), groupCol = "source")
+        .orderBy("source")),
+
     // ---- GROUP BY ALL / ORDER BY ALL (modern SQL shorthand surface) ----
     "q_group_by_all" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_gba")
@@ -5771,6 +5783,41 @@ object SparkEntry {
         |FROM aa JOIN dfv USING (tok) JOIN ncl USING (lang), nn
         |WHERE df >= 20 AND df < n AND nc < n
         |ORDER BY lang, tok""".stripMargin,
+
+    // brute-force position pairing (the engine's equi-join expansion is
+    // plan shape, not semantics); marginals over ALL pairs, filter last
+    "q_ppmi_cooc" ->
+      """WITH tk AS (
+        |  SELECT doc_id, i - 1 AS p, w[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents),
+        |    unnest(range(1, len(w) + 1)) AS u(i)),
+        |pr AS (SELECT a.tok AS w1, b.tok AS w2, count(*) AS c_ab
+        |       FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+        |         AND abs(b.p - a.p) BETWEEN 1 AND 2
+        |       GROUP BY 1, 2),
+        |mg AS (SELECT w1 AS w, CAST(sum(c_ab) AS BIGINT) AS m
+        |       FROM pr GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t FROM pr)
+        |SELECT w1, w2, c_ab,
+        |  round(greatest(ln(CAST(c_ab AS DOUBLE) * t
+        |    / (CAST(ma.m AS DOUBLE) * mb.m)), 0.0), 9) AS ppmi
+        |FROM pr JOIN mg ma ON ma.w = w1 JOIN mg mb ON mb.w = w2, tt
+        |WHERE c_ab >= 5 ORDER BY w1, w2""".stripMargin,
+
+    "q_lexical_div" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS n_types,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_hapax
+        |      FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  round(CAST(n_types AS DOUBLE) / n_tokens, 9) AS ttr,
+        |  round(CAST(n_hapax AS DOUBLE) / n_types, 9) AS hapax_share
+        |FROM g ORDER BY source""".stripMargin,
 
     "q_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -892,6 +892,72 @@ object Ngrams {
         lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
   }
 
+  /** Skip-gram PPMI co-occurrence (the word-embedding-era association
+    * table): counts of (center, context) token pairs within a symmetric
+    * window of `window` positions, with positive pointwise mutual
+    * information against the pair marginals — the statistic SGNS
+    * implicitly factorizes and the standard input for distributional
+    * similarity. Unlike [[collocations]] (adjacent bigrams only), this
+    * sees every pair up to `window` apart.
+    *
+    * The context pairing is an EQUI-join, not a per-doc cross join:
+    * each (doc, pos, token) row expands to its 2·window candidate
+    * context positions, then joins back to the position table on the
+    * exact (doc, pos) key — O(tokens · window) rows through one hash
+    * join, linear at corpus scale. PPMI = max(0, ln(c_ab·T/(c_a·c_b)))
+    * rounded to 9 places; with the symmetric window the center and
+    * context marginals coincide. */
+  def ppmiCooc(docs: DataFrame, window: Int = 2, minCount: Long = 5L,
+               idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val pos = docs.select(col(idCol).as("__d"),
+      posexplode(toks(col(textCol))).as(Seq("__p", "__w")))
+    val offsets = ((-window to window).filter(_ != 0)).map(lit(_))
+    val centers = pos.select(col("__d"), col("__w").as("w1"),
+      explode(array(offsets: _*)).as("__off"),
+      (col("__p") + col("__off")).as("__cp"))
+    val pairs = centers.join(
+        pos.select(col("__d"), col("__p").as("__cp"), col("__w").as("w2")),
+        Seq("__d", "__cp"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val marg = pairs.groupBy(col("w1").as("__w")).agg(sum("c_ab").as("__m"))
+    val total = pairs.agg(sum("c_ab").as("__T"))
+    pairs.filter(col("c_ab") >= minCount)
+      .join(marg.select(col("__w").as("w1"), col("__m").as("__ma")), "w1")
+      .join(marg.select(col("__w").as("w2"), col("__m").as("__mb")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(greatest(
+          log(col("c_ab").cast("double") * col("__T") /
+            (col("__ma").cast("double") * col("__mb"))), lit(0.0)),
+          9).as("ppmi"))
+  }
+
+  /** Lexical-diversity health report per `groupCol`: token count, type
+    * (distinct-token) count, hapax count (types occurring exactly once)
+    * and the derived type–token and hapax ratios — the quick corpus-QA
+    * screen that separates natural text (hapax share ~0.4–0.6 by
+    * Zipf's law) from template spam (few types, no hapax tail) and
+    * from OCR noise (hapax share near 1). Two stacked aggregations on
+    * the (group, token) key, all-integer until two final rounded
+    * divisions. */
+  def lexicalDiversity(docs: DataFrame, groupCol: String = "source",
+                       textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol), explode(toks(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum("__c").as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 9)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 9)
+          .as("hapax_share"))
+
   /** Chi-square term–class association (the classic feature-selection
     * statistic): for every (class, token) with document frequency >=
     * `minDf`, the chi² of the 2×2 presence table — docs in/out of the

@@ -405,6 +405,34 @@ class NgramsSpec extends SparkTestBase {
     Ngrams.clearBpeCache()
   }
 
+  test("ppmiCooc: window pairing, shared symmetric marginals, ln floor") {
+    // "a b c a": ordered (center, context) pairs within +-2 positions
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val out = Ngrams.ppmiCooc(docs, window = 2, minCount = 1L)
+      .as[(String, String, Long, Double)].collect().toSet
+    val hi = 0.510825624 // ln(2·10/(4·3)); T=10, m(a)=4, m(b)=m(c)=3
+    val lo = 0.105360516 // ln(1·10/(3·3))
+    assert(out === Set(
+      ("a", "b", 2L, hi), ("a", "c", 2L, hi), ("b", "a", 2L, hi),
+      ("c", "a", 2L, hi), ("b", "c", 1L, lo), ("c", "b", 1L, lo)))
+    // negative PMI floors at 0 rather than going negative
+    val anti = Seq((1L, "p q p q r r p q p q r r")).toDF("doc_id", "text")
+    val withR = Ngrams.ppmiCooc(anti, window = 2, minCount = 1L)
+      .as[(String, String, Long, Double)].collect()
+    assert(withR.forall(_._4 >= 0.0), "PPMI is clamped at zero")
+  }
+
+  test("lexicalDiversity: exact type/token/hapax counts and ratios") {
+    val docs = Seq(
+      ("s1", "a b a"), ("s1", "c a"), ("s2", "x x x x")
+    ).toDF("source", "text")
+    val out = Ngrams.lexicalDiversity(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    assert(out === Set(
+      ("s1", 5L, 3L, 2L, 0.6, 0.666666667),
+      ("s2", 4L, 1L, 0L, 0.25, 0.0)))
+  }
+
   test("chiSquareTerms: exact 2x2 chi-square per present (class, token)") {
     val docs = Seq(
       (1L, "en", "cat dog"), (2L, "en", "cat fish"), (3L, "fr", "chien dog")
