@@ -904,15 +904,19 @@ object Ngrams {
     * each (doc, pos, token) row expands to its 2·window candidate
     * context positions, then joins back to the position table on the
     * exact (doc, pos) key — O(tokens · window) rows through one hash
-    * join, linear at corpus scale. PPMI = max(0, ln(c_ab·T/(c_a·c_b)))
-    * rounded to 9 places; with the symmetric window the center and
-    * context marginals coincide. */
+    * join, linear at corpus scale. The marginals never touch the pair
+    * table at all: a token occurrence at position p in an L-token doc
+    * has exactly `min(p+window, L-1) − max(p−window, 0)` contexts, so
+    * c_a and T come from one token-keyed aggregation of that per-row
+    * closed form — the pair table is built once, for c_ab only.
+    * PPMI = max(0, ln(c_ab·T/(c_a·c_b))) rounded to 9 places; with the
+    * symmetric window the center and context marginals coincide. */
   def ppmiCooc(docs: DataFrame, window: Int = 2, minCount: Long = 5L,
                idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val pos = docs.select(col(idCol).as("__d"),
-      posexplode(toks(col(textCol))).as(Seq("__p", "__w")))
+    val pos = docs.select(col(idCol).as("__d"), size(toks(col(textCol)))
+        .as("__L"), posexplode(toks(col(textCol))).as(Seq("__p", "__w")))
     val offsets = ((-window to window).filter(_ != 0)).map(lit(_))
     val centers = pos.select(col("__d"), col("__w").as("w1"),
       explode(array(offsets: _*)).as("__off"),
@@ -921,8 +925,10 @@ object Ngrams {
         pos.select(col("__d"), col("__p").as("__cp"), col("__w").as("w2")),
         Seq("__d", "__cp"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-    val marg = pairs.groupBy(col("w1").as("__w")).agg(sum("c_ab").as("__m"))
-    val total = pairs.agg(sum("c_ab").as("__T"))
+    val nCtx = (least(col("__p") + window, col("__L") - 1) -
+      greatest(col("__p") - window, lit(0))).cast("long")
+    val marg = pos.groupBy(col("__w")).agg(sum(nCtx).as("__m"))
+    val total = marg.agg(sum("__m").as("__T"))
     pairs.filter(col("c_ab") >= minCount)
       .join(marg.select(col("__w").as("w1"), col("__m").as("__ma")), "w1")
       .join(marg.select(col("__w").as("w2"), col("__m").as("__mb")), "w2")

@@ -160,4 +160,48 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(EventOps.attribution(noConv, Seq("click"), "purchase")
       .count() === 0)
   }
+
+  test("late-r10 operators: empty and sub-threshold inputs flow through") {
+    // winnow: empty corpus; doc shorter than one k-gram; doc with
+    // k-grams but fewer than one full window
+    assert(Ngrams.winnow(emptyDocs).count() === 0)
+    assert(Ngrams.winnow(Seq((1L, "a b")).toDF("doc_id", "text"))
+      .count() === 0, "no k-gram fits")
+    assert(Ngrams.winnow(oneDoc, k = 3, w = 4).count() === 0,
+      "5 tokens = 3 grams < one w=4 window")
+    // chi2 / ppmi / lexical diversity on empty corpora
+    val emptyLang = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(Ngrams.chiSquareTerms(emptyLang).count() === 0)
+    assert(Ngrams.chiSquareTerms(
+      Seq((1L, "en", "a a b")).toDF("doc_id", "lang", "text"), minDf = 1L)
+      .count() === 0, "single-class corpus: nc = N filters every row")
+    assert(Ngrams.ppmiCooc(emptyDocs, minCount = 1L).count() === 0)
+    assert(Ngrams.ppmiCooc(Seq((1L, "solo")).toDF("doc_id", "text"),
+      minCount = 1L).count() === 0, "one token has no context")
+    val emptySrc = Seq.empty[(String, String)].toDF("source", "text")
+    assert(Ngrams.lexicalDiversity(emptySrc).count() === 0)
+    // quantile-boundary family: empty inputs mean empty boundary rows —
+    // the broadcast side is empty, results must be empty, not a crash
+    assert(Mixing.lengthBuckets(emptyDocs).count() === 0)
+    assert(Profiling.winsorize(emptySrc.withColumn("n", lit(1L)),
+      "source", "n").count() === 0)
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Double, String)]
+      .toDF("user_id", "ts", "value", "event_type")
+    assert(EventOps.rfmSegments(emptyEvents).count() === 0)
+    assert(EventOps.frequentPairs(emptyEvents).count() === 0)
+    // single-user / single-item basket: no pair to emit
+    assert(EventOps.frequentPairs(
+      Seq((1L, "A"), (1L, "A")).toDF("user_id", "event_type"),
+      minSupport = 1L).count() === 0)
+    // single-row quantile families: every boundary collapses to the
+    // value itself -> one bucket / all scores 1, never a crash
+    assert(Mixing.lengthBuckets(oneDoc).count() === 1)
+    val oneUser = Seq((1L,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 2.5))
+      .toDF("user_id", "ts", "value")
+    assert(EventOps.rfmSegments(oneUser)
+      .select("r_score", "f_score", "m_score")
+      .as[(Long, Long, Long)].head() === ((1L, 1L, 1L)))
+  }
 }

@@ -392,6 +392,37 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!at.contains("CartesianProduct"))
   }
 
+  test("late-r10 additions: equi-joins only; one-row bounds broadcast, " +
+       "never a corpus cartesian") {
+    def bnlj(p: String) =
+      p.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin")
+    // winnow: pure window op — no join of any kind, one doc-key shuffle
+    val wn = plan("q_winnow")
+    assert(!wn.contains("Join") && wn.contains("Window"),
+      s"winnow must stay join-free:\n$wn")
+    // quantile-boundary family: the only nested-loop join is the one-row
+    // boundary/total aggregate riding a broadcast
+    for (q <- Seq("q_length_buckets", "q_rfm", "q_itemsets", "q_chi2_terms",
+                  "q_ppmi_cooc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(bnlj(p) <= 1, s"$q: only the one-row bounds may nest-loop:\n$p")
+    }
+    // winsorize: per-group bounds join back as a broadcast equi-join
+    val ws = plan("q_winsorize")
+    assert(ws.contains("BroadcastHashJoin") && bnlj(ws) == 0,
+      s"winsorize bounds must broadcast on the group key:\n$ws")
+    // ppmi: the marginals come from position arithmetic, not a second
+    // pass over the pair table — the pair aggregation appears ONCE
+    val pp = plan("q_ppmi_cooc")
+    val pairAggs = pp.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("w1") && l.contains("w2") &&
+      l.contains("partial_count"))
+    assert(pairAggs <= 1,
+      s"pair table must be aggregated once, got $pairAggs:\n$pp")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
