@@ -382,11 +382,14 @@ object EventOps {
     require(nTiles >= 2, s"need >= 2 score tiles, got $nTiles")
     val ps = (1 until nTiles).map(_.toDouble / nTiles)
     def bs(c: Column) = percentile(c, array(ps.map(lit(_)): _*))
-    val users = events.groupBy(col(userCol))
+    // the per-user aggregate feeds BOTH the boundary aggregate and the
+    // scoring join — persist it (OpCaches-released per query) or the
+    // event scan + user shuffle runs twice
+    val users = OpCaches.register(events.groupBy(col(userCol))
       .agg(max(unix_micros(col(tsCol))).as("__r"),
            count(lit(1)).as("__f"),
            sum(col(valueCol).cast(DecimalType(18, 6))).cast("double")
-             .as("__m"))
+             .as("__m")).persist())
     val bounds = users.agg(bs(col("__r")).as("__rb"),
       bs(col("__f").cast("double")).as("__fb"), bs(col("__m")).as("__mb"))
     def score(v: Column, b: String): Column =
