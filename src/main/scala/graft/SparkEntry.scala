@@ -806,6 +806,12 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     // ---- E3 brute-force cosine top-k ----
+    // ---- E3 per-dimension embedding health audit (dead dims, scale
+    // pathologies) — one posexplode + one dim-keyed aggregate ----
+    "q_dim_variance" -> ((s, d) =>
+      Similarity.dimVariance(t(s, d, "embeddings"))
+        .orderBy("dim")),
+
     "q_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
@@ -1556,6 +1562,22 @@ object SparkEntry {
       Dedup.dedupKeepBest(docs, "doc_id", "text", "quality",
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // E2 soft dedup (downweight, don't drop): certain-recall fixture
+    // with VARIABLE cluster sizes — group g = floor(sqrt(doc_id)) has
+    // 2g+1 members (truncated at the corpus edge), all sharing one
+    // 3-shingle set, so clusters and 1/size weights are closed-form
+    "q_soft_dedup" -> ((s, d) => {
+      val g = expr("CAST(FLOOR(SQRT(CAST(doc_id AS DOUBLE))) AS LONG)")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(
+            concat(lit("t"), g.cast("string")),
+            (pmod(col("doc_id"), lit(4)) + 4).cast("int"))).as("text"))
+      Dedup.softDedupWeights(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .orderBy("doc_id")
     }),
     // E2 incremental near-dedup against a standing corpus (the ingest
@@ -3746,6 +3768,22 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS truth, TRUE AS recall_ok
         |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
 
+    "q_dim_variance" ->
+      """WITH x AS (SELECT i - 1 AS dim,
+        |             CAST(embedding[i] AS DOUBLE) AS v
+        |           FROM embeddings,
+        |             unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |a AS (SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        |        CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) AS s,
+        |        CAST(sum(CAST(v * v AS DECIMAL(28,9))) AS DOUBLE) AS s2,
+        |        min(v) AS min_v, max(v) AS max_v
+        |      FROM x GROUP BY 1)
+        |SELECT dim, n, round(s / n, 9) AS mean,
+        |  round((CAST(n AS DOUBLE) * s2 - s * s) / (n * n), 9)
+        |    AS variance,
+        |  min_v, max_v
+        |FROM a ORDER BY dim""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 10),
@@ -3921,6 +3959,17 @@ object SparkEntry {
         |      ORDER BY (doc_id * 7) % 13 DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // cluster = component label = min id of the sqrt group = g^2;
+    // weight = 1 / group size via the same unordered count window
+    "q_soft_dedup" ->
+      """WITH g AS (SELECT doc_id,
+        |             CAST(FLOOR(SQRT(CAST(doc_id AS DOUBLE))) AS BIGINT)
+        |               AS gr
+        |           FROM documents)
+        |SELECT doc_id, gr * gr AS cluster,
+        |  round(1.0 / count(*) OVER (PARTITION BY gr), 9) AS weight
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // incremental-ingest fixture (see the queries entry): survivors =
     // the batch docs (doc_id%4<>0) of odd div-4 groups

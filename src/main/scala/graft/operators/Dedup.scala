@@ -770,6 +770,36 @@ object Dedup {
       .drop("__comp0", "__comp", "__rn")
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, weight every
+    * document by the inverse size of its transitive near-dup cluster —
+    * cluster members share one document's worth of influence, so a
+    * passage crawled 40 times contributes once in expectation while
+    * unique text keeps weight 1. The downweight-don't-drop alternative
+    * to [[dedupNearClusters]] for loss-weighted or sampled training,
+    * where hard removal would throw away the evidence that a passage
+    * is common.
+    *
+    * Plan shape: the [[minhashNearDups]] + [[connectedComponents]]
+    * envelope, then ONE id-keyed left join to label docs (singletons
+    * fall back to their own id) and ONE unordered count window
+    * partitioned by cluster — cluster size bounds the partition, the
+    * same bound the component loop already carries. Weight is one
+    * 1/size division rounded to 9 places. */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4, threshold: Double = 0.8)
+      : DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val comps = connectedComponents(pairs, strict = true)
+      .select(col("id").as(idCol), col("comp").as("__comp0"))
+    val w = Window.partitionBy(col("cluster"))
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("__comp0"), col(idCol)))
+      .select(col(idCol), col("cluster"),
+        round(lit(1.0) / count(lit(1)).over(w), 9).as("weight"))
+  }
+
   /** Exact n-gram Jaccard similarity between chained doc pairs
     * (doc_id, doc_id+1) — a linear-cost, fully deterministic probe of the
     * Jaccard machinery (the LSH path uses the same expressions). */

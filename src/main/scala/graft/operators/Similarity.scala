@@ -682,4 +682,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** Per-dimension embedding health audit: count, mean, variance and
+    * min/max for every vector dimension — the pre-index screen that
+    * catches dead dimensions (variance 0 — wasted index bytes and a
+    * broken normalizer), scale pathologies (one dimension 100× the
+    * rest dominating L2), and truncated exports (NaN/short rows change
+    * `n` per dim). One posexplode and ONE dim-keyed aggregation; the
+    * output is `dim` rows — model-state-sized, never corpus-sized.
+    *
+    * Sums ride Decimal(28,9) so they are order-independent; variance is
+    * the exact closed form (n·Σv² − (Σv)²)/n² evaluated in a fixed
+    * double order, so the oracle reproduces every value. */
+  def dimVariance(vecs: DataFrame, vecCol: String = "embedding")
+      : DataFrame = {
+    def dec(c: Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double")
+    val v = col("__v").cast("double")
+    vecs.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), dec(v).as("__s"), dec(v * v).as("__s2"),
+           min(v).as("min_v"), max(v).as("max_v"))
+      .select(col("dim"), col("n"),
+        round(col("__s") / col("n"), 9).as("mean"),
+        round((col("n").cast("double") * col("__s2") -
+          col("__s") * col("__s")) / (col("n") * col("n")), 9)
+          .as("variance"),
+        col("min_v"), col("max_v"))
+  }
 }

@@ -543,4 +543,18 @@ class DedupSpec extends SparkTestBase {
         chunkTokens = 3, minDocs = 3)
     assert(rendered(out) === rendered(docs), "2 occurrences < minDocs=3")
   }
+
+  test("softDedupWeights: 1/cluster-size weights, singletons keep 1.0") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (5L, "a b c d"),
+      (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, 0.333333333), (2L, 1L, 0.333333333), (5L, 1L, 0.333333333),
+      (3L, 3L, 1.0)
+    ), "identical docs share the min-id cluster and split one unit of " +
+       "weight; the unique doc is its own singleton")
+  }
 }

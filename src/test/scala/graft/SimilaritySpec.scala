@@ -294,4 +294,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head._1 === 2L, "v2 must rank first")
     assert(out.head._3 > 0.999)
   }
+
+  test("dimVariance: exact per-dimension moments; dead dims read 0") {
+    val e = Seq(
+      (1L, Array(1.0f, 2.0f, 7.0f)),
+      (2L, Array(3.0f, 4.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimVariance(e)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 2L, 2.0, 1.0, 1.0, 3.0)),
+      "var = (2*(1+9) - 16)/4 = 1")
+    assert(out(1L) === ((1L, 2L, 3.0, 1.0, 2.0, 4.0)))
+    assert(out(2L) === ((2L, 2L, 7.0, 0.0, 7.0, 7.0)),
+      "a constant dimension audits as variance 0 (dead dim)")
+  }
 }
