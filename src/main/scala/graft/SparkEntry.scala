@@ -702,6 +702,31 @@ object SparkEntry {
         .orderBy("actual", "predicted")
     }),
 
+    // ---- E13 expectations on write: a clean batch commits, a poisoned
+    // batch is REJECTED with the table left bit-identical; the output is
+    // both audit reports + the surviving table state ----
+    "q_expectations" -> ((s, d) => withScratchDir("graft-expect") { tmp =>
+      import graft.sources.ManifestTable
+      import operators.Profiling.{InRange, NotNull}
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val rules = Seq(InRange("n_chars", 0, 1000000), NotNull("lang"))
+      val tbl = s"$tmp/governed"
+      val good = docs.filter(col("doc_id") < 100)
+      val bad = docs.filter(col("doc_id") >= 100)
+        .withColumn("n_chars", -col("n_chars") - 1)
+      val r1 = ManifestTable.guardedUpsert(good, tbl, Seq("doc_id"), rules)
+        .withColumn("attempt", lit(1L))
+      val r2 = ManifestTable.guardedUpsert(bad, tbl, Seq("doc_id"), rules)
+        .withColumn("attempt", lit(2L))
+      val state = ManifestTable.read(s, tbl)
+        .agg(count(lit(1)).as("table_rows"))
+      r1.unionByName(r2).crossJoin(broadcast(state))
+        .select(col("attempt"), col("rule"), col("column"), col("n_rows"),
+          col("violations"), col("passed"), col("committed"),
+          col("table_rows"))
+        .orderBy("attempt", "rule")
+    }),
+
     // ---- E4 PII exposure report (the measurement side of q_redact) ----
     "q_pii_stats" -> ((s, d) =>
       TextAnalysis.piiStats(docsSpread(s, d)).orderBy("doc_id")),
@@ -3767,6 +3792,31 @@ object SparkEntry {
         |k AS (SELECT doc_id, list_sort(list_distinct(toks)) AS key FROM d)
         |SELECT CAST(count(*) AS BIGINT) AS truth, TRUE AS recall_ok
         |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    // closed-form lifecycle: the clean batch (doc_id < 100) commits,
+    // the negated-n_chars batch violates in_range on every row and is
+    // rejected, so the table holds exactly the first batch
+    "q_expectations" ->
+      """WITH c1 AS (SELECT count(*) AS n FROM documents
+        |            WHERE doc_id < 100),
+        |c2 AS (SELECT count(*) AS n FROM documents WHERE doc_id >= 100)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS attempt,
+        |    'in_range(n_chars)' AS rule, 'n_chars' AS "column",
+        |    c1.n AS n_rows, CAST(0 AS BIGINT) AS violations,
+        |    TRUE AS passed, TRUE AS committed, c1.n AS table_rows
+        |  FROM c1
+        |  UNION ALL
+        |  SELECT 1, 'not_null(lang)', 'lang', c1.n, 0, TRUE, TRUE, c1.n
+        |  FROM c1
+        |  UNION ALL
+        |  SELECT 2, 'in_range(n_chars)', 'n_chars', c2.n, c2.n, FALSE,
+        |    FALSE, c1.n
+        |  FROM c1, c2
+        |  UNION ALL
+        |  SELECT 2, 'not_null(lang)', 'lang', c2.n, 0, TRUE, FALSE, c1.n
+        |  FROM c1, c2)
+        |ORDER BY attempt, rule""".stripMargin,
 
     "q_dim_variance" ->
       """WITH x AS (SELECT i - 1 AS dim,

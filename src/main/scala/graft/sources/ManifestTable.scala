@@ -427,6 +427,35 @@ object ManifestTable {
   /** Drop data of snapshots older than the `keep` most recent ones.
     * Never runs automatically — a retention policy is an operator
     * decision (readers of historical snapshots must have drained). */
+  /** Expectation-gated commit ("expectations on write"): validate the
+    * batch against `rules` and commit via [[upsertBatch]] ONLY if every
+    * rule passes — a rejected batch leaves the table bit-identical
+    * (readers keep resolving the previous manifest; nothing is written,
+    * not even unreferenced files). This is the write-side guard a
+    * governed lake table runs so a malformed upstream batch cannot
+    * poison downstream consumers; the returned report (one row per
+    * rule + a `committed` flag) is the audit trail.
+    *
+    * The validation is [[graft.operators.Profiling.validate]]'s
+    * one-scan aggregate; its |rules|-row report is collected for the
+    * commit decision — bounded driver state of the same class as the
+    * manifest entries. The batch plan executes twice on a commit
+    * (validate scan + write); callers with an expensive upstream plan
+    * should persist it first. */
+  def guardedUpsert(updates: DataFrame, table: String, keys: Seq[String],
+                    rules: Seq[graft.operators.Profiling.Rule],
+                    versionCol: Option[String] = None,
+                    nBuckets: Int = 64, batchId: Long = -1L,
+                    statsCol: Option[String] = None): DataFrame = {
+    val report = graft.operators.Profiling.validate(updates, rules)
+    val rows = report.collect() // |rules| rows of driver state
+    val clean = rows.forall(_.getAs[Boolean]("passed"))
+    val committed =
+      clean && upsertBatch(updates, table, keys, versionCol, nBuckets,
+        batchId, statsCol)
+    report.withColumn("committed", lit(committed))
+  }
+
   def vacuum(spark: SparkSession, table: String, keep: Int = 2): Unit = {
     require(keep >= 1)
     val fs = fsFor(spark, table)

@@ -280,4 +280,30 @@ class ManifestTableSpec extends SparkTestBase {
     assert(ManifestTable.currentVersionAndBatch(spark, table)
       .exists(_._1 === 2L))
   }
+
+  test("guardedUpsert: clean batch commits; poisoned batch is rejected " +
+       "with the table left bit-identical") {
+    import graft.operators.Profiling.{InRange, NotNull}
+    val table = tmpTable()
+    val rules = Seq(NotNull("v"), InRange("ver", 0, 10))
+    val r1 = ManifestTable.guardedUpsert(rows((1L, "a", 1L), (2L, "b", 2L)),
+        table, Seq("k"), rules)
+      .select("rule", "violations", "passed", "committed")
+      .as[(String, Long, Boolean, Boolean)].collect().toSet
+    assert(r1 === Set(("not_null(v)", 0L, true, true),
+                      ("in_range(ver)", 0L, true, true)))
+    val v1 = state(table)
+    val ver1 = ManifestTable.currentVersionAndBatch(spark, table).map(_._1)
+    // batch 2: one NULL v and one out-of-range ver — MUST NOT commit
+    val badRows = Seq((3L, null.asInstanceOf[String], 1L), (4L, "d", 99L))
+      .toDF("k", "v", "ver")
+    val r2 = ManifestTable.guardedUpsert(badRows, table, Seq("k"), rules)
+      .select("rule", "violations", "passed", "committed")
+      .as[(String, Long, Boolean, Boolean)].collect().toSet
+    assert(r2 === Set(("not_null(v)", 1L, false, false),
+                      ("in_range(ver)", 1L, false, false)))
+    assert(state(table) === v1, "rejected batch must not change the data")
+    assert(ManifestTable.currentVersionAndBatch(spark, table).map(_._1)
+      === ver1, "rejected batch must not advance the version either")
+  }
 }
