@@ -191,6 +191,45 @@ object StreamOps {
       .start()
   }
 
+  /** Expectation-gated streaming upsert sink: [[upsertStream]] with the
+    * write-side constraint gate of
+    * [[graft.sources.ManifestTable.guardedUpsert]] — a micro-batch that
+    * violates any rule is dropped whole (the table keeps its snapshot;
+    * the stream continues) and its per-rule report is appended to the
+    * `auditPath` ManifestTable with the batch id, so rejected data is
+    * diagnosable after the fact rather than silently vanished. The
+    * streaming twin of the batch expectations gate: a poisoned upstream
+    * micro-batch cannot poison the governed table, and restarts stay
+    * idempotent because both the data commit and the audit commit carry
+    * the batch id. */
+  def guardedUpsertStream(df: DataFrame, tablePath: String,
+                          auditPath: String, checkpoint: String,
+                          keys: Seq[String],
+                          rules: Seq[graft.operators.Profiling.Rule],
+                          versionCol: Option[String] = None,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger
+                              .AvailableNow(),
+                          nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty && rules.nonEmpty)
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val report = graft.sources.ManifestTable.guardedUpsert(
+              batch.toDF(), tablePath, keys, rules, versionCol, nBuckets,
+              batchId)
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.ManifestTable.upsertBatch(report, auditPath,
+            Seq("batch_id", "rule"), None, nBuckets = 1, batchId)
+          ()
+      }
+      .start()
+  }
+
   /** Streaming ingest dedup — the amortized-index shape of
     * [[graft.operators.Dedup.dedupAgainstIndex]] run as a pipeline:
     * every micro-batch of documents probes the standing MinHash

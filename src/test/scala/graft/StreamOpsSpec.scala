@@ -398,6 +398,40 @@ class StreamOpsSpec extends SparkTestBase {
     assert(version === 2L && batchId === 1L)
   }
 
+  test("guardedUpsertStream: poisoned micro-batch bounces whole; audit " +
+       "table records both verdicts") {
+    import graft.operators.Profiling.{InRange, NotNull}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-guard").toString
+    val table = s"$dir/table"; val audit = s"$dir/audit"
+    val ckpt = s"$dir/ckpt"
+    def run(): Unit = {
+      val q = StreamOps.guardedUpsertStream(
+        in.toDF().toDF("k", "v", "ver"), table, audit, ckpt,
+        keys = Seq("k"), rules = Seq(NotNull("v"), InRange("ver", 0, 10)),
+        nBuckets = 8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state(): Set[(Long, String, Long)] =
+      graft.sources.ManifestTable.read(spark, table)
+        .select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
+    in.addData((1L, "a", 1L), (2L, "b", 2L))       // clean → commits
+    run()
+    assert(state() === Set((1L, "a", 1L), (2L, "b", 2L)))
+    in.addData((2L, "b2", 99L), (3L, "c", 1L))     // 99 > 10 → bounced
+    run()
+    assert(state() === Set((1L, "a", 1L), (2L, "b", 2L)),
+      "a violating micro-batch must not change the governed table")
+    val auditRows = graft.sources.ManifestTable.read(spark, audit)
+      .select("batch_id", "rule", "violations", "committed")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(auditRows === Set(
+      (0L, "not_null(v)", 0L, true), (0L, "in_range(ver)", 0L, true),
+      (1L, "not_null(v)", 0L, false), (1L, "in_range(ver)", 1L, false)),
+      "audit trail carries per-batch, per-rule verdicts")
+  }
+
   test("dedupIngestStream: batches probe the growing index; near-dups die") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
