@@ -727,6 +727,26 @@ object SparkEntry {
         .orderBy("attempt", "rule")
     }),
 
+    // ---- E13 schema evolution round-trip: a second commit adds a
+    // column; history null-fills it, time travel keeps the old shape ----
+    "q_schema_evolution" -> ((s, d) => withScratchDir("graft-evolve") {
+      tmp =>
+      import graft.sources.ManifestTable
+      val docs = t(s, d, "documents")
+      val tbl = s"$tmp/evolving"
+      ManifestTable.upsertBatch(
+        docs.filter(col("doc_id") < 50).select("doc_id", "lang"),
+        tbl, Seq("doc_id"), nBuckets = 8)
+      ManifestTable.upsertBatch(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+          .select("doc_id", "lang", "n_chars"),
+        tbl, Seq("doc_id"), nBuckets = 8, allowEvolution = true)
+      val v1Cols = ManifestTable.readVersion(s, tbl, 1L).columns.length
+      ManifestTable.read(s, tbl)
+        .withColumn("v1_cols", lit(v1Cols.toLong))
+        .orderBy("doc_id")
+    }),
+
     // ---- E4 PII exposure report (the measurement side of q_redact) ----
     "q_pii_stats" -> ((s, d) =>
       TextAnalysis.piiStats(docsSpread(s, d)).orderBy("doc_id")),
@@ -3792,6 +3812,14 @@ object SparkEntry {
         |k AS (SELECT doc_id, list_sort(list_distinct(toks)) AS key FROM d)
         |SELECT CAST(count(*) AS BIGINT) AS truth, TRUE AS recall_ok
         |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    // closed-form lifecycle: commit 1 ships (doc_id, lang) only, commit
+    // 2 evolves in n_chars — history null-fills, v1 stays 2 columns
+    "q_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id >= 50 THEN n_chars ELSE NULL END AS n_chars,
+        |  CAST(2 AS BIGINT) AS v1_cols
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     // closed-form lifecycle: the clean batch (doc_id < 100) commits,
     // the negated-n_chars batch violates in_range on every row and is

@@ -98,7 +98,8 @@ object ManifestTable {
                        stats: Option[(Long, Long)])
 
   private case class Manifest(version: Long, batchId: Long,
-                              files: Seq[FileEntry])
+                              files: Seq[FileEntry],
+                              schemaJson: Option[String] = None)
 
   /** Committed versions of a table, ascending (empty if none). */
   def versions(spark: SparkSession, table: String): Seq[Long] =
@@ -123,7 +124,14 @@ object ManifestTable {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     val batchId = lines.head.stripPrefix("batchId=").toLong
-    val files = lines.tail.map { l =>
+    // optional second header line records the snapshot's schema (added
+    // for schema evolution; manifests written before it simply lack it)
+    val (schemaJson, fileLines) = lines.tail match {
+      case s :: rest if s.startsWith("schema=") =>
+        (Some(s.stripPrefix("schema=")), rest)
+      case rest => (None, rest)
+    }
+    val files = fileLines.map { l =>
       l.split('\t') match {
         case Array(b, path)         => FileEntry(b.toLong, path, None)
         case Array(b, path, lo, hi) =>
@@ -131,7 +139,7 @@ object ManifestTable {
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
-    Some(warnIfLarge(table, Manifest(version, batchId, files)))
+    Some(warnIfLarge(table, Manifest(version, batchId, files, schemaJson)))
   }
 
   /** Highest committed version, or None for a not-yet-created table. */
@@ -153,12 +161,26 @@ object ManifestTable {
         throw new java.io.FileNotFoundException(
           s"no manifest v$version under $table/_manifests")))
 
+  private def recordedSchema(m: Manifest) = m.schemaJson.map(j =>
+    org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   private def readManifest(spark: SparkSession, table: String,
-                           m: Manifest): DataFrame =
+                           m: Manifest): DataFrame = {
+    // reading under the manifest's RECORDED schema makes snapshots that
+    // span schema evolution read as the union — files from before a
+    // column existed null-fill it — with zero footer reads (the
+    // mergeSchema alternative sweeps every file's footer per query);
+    // each manifest keeps ITS OWN schema, so time travel sees history
+    val reader = recordedSchema(m) match {
+      case Some(st) => spark.read.schema(st)
+      case None     => spark.read
+    }
     if (m.files.isEmpty) {
       // committed-empty snapshot: preserve "a reader always sees a table"
-      spark.read.parquet(table + "/data/c" + m.version)
-    } else spark.read.parquet(m.files.map(_.path): _*)
+      reader.parquet(table + "/data/c" + m.version)
+    } else reader.parquet(m.files.map(_.path): _*)
+  }
 
   /** Zone-map read: the current snapshot restricted to files whose
     * stats-column range intersects [lo, hi] — Delta/Iceberg-style data
@@ -176,7 +198,10 @@ object ManifestTable {
     val keep = m.files.filter(f =>
       f.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
     if (keep.isEmpty) readManifest(spark, table, m).limit(0)
-    else spark.read.parquet(keep.map(_.path): _*)
+    else recordedSchema(m) match {
+      case Some(st) => spark.read.schema(st).parquet(keep.map(_.path): _*)
+      case None     => spark.read.parquet(keep.map(_.path): _*)
+    }
   }
 
   /** Version + batchId of the current snapshot (test/ops introspection). */
@@ -261,7 +286,8 @@ object ManifestTable {
   def upsertBatch(updates: DataFrame, table: String, keys: Seq[String],
                   versionCol: Option[String] = None,
                   nBuckets: Int = 64, batchId: Long = -1L,
-                  statsCol: Option[String] = None): Boolean = {
+                  statsCol: Option[String] = None,
+                  allowEvolution: Boolean = false): Boolean = {
     require(keys.nonEmpty)
     val spark = updates.sparkSession
     val fs = fsFor(spark, table)
@@ -275,7 +301,41 @@ object ManifestTable {
         updates, keys.map(col), Seq(col(v).desc))
       case None => updates
     }
-    val fresh = fresh0.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+    // schema governance against the RECORDED table schema: a batch that
+    // drifts is rejected loudly unless evolution was asked for, and
+    // evolution is ADDITIVE only — a shared column changing type is a
+    // corruption risk, never an evolution. Tables whose manifests
+    // predate schema recording keep the old trust-the-caller behavior.
+    val tableSchema = current.flatMap(recordedSchema)
+    val unified: org.apache.spark.sql.types.StructType = tableSchema match {
+      case None => fresh0.schema
+      case Some(ts) =>
+        val tsTypes = ts.fields.map(f => f.name -> f.dataType).toMap
+        fresh0.schema.fields.foreach { f =>
+          tsTypes.get(f.name).foreach { dt =>
+            require(dt == f.dataType,
+              s"type drift on '${f.name}': table has $dt, batch has " +
+              s"${f.dataType} — not an evolution, rejected")
+          }
+        }
+        val added = fresh0.schema.fields
+          .filterNot(f => tsTypes.contains(f.name))
+        val missing = ts.fields
+          .filterNot(f => fresh0.columns.contains(f.name))
+        require((added.isEmpty && missing.isEmpty) || allowEvolution,
+          s"batch schema differs from table schema (new: " +
+          s"${added.map(_.name).mkString(",")}; absent: " +
+          s"${missing.map(_.name).mkString(",")}) — pass " +
+          "allowEvolution=true to evolve additively")
+        org.apache.spark.sql.types.StructType(ts.fields ++ added)
+    }
+    def align(df: DataFrame): DataFrame =
+      df.select(unified.fields.toIndexedSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val fresh = align(fresh0)
+      .withColumn(BucketCol, bucketExpr(keys, nBuckets))
     // the affected-bucket set is tiny by construction (≤ nBuckets longs)
     val affected = fresh.select(BucketCol).distinct()
       .collect().map(_.getLong(0)).toSet
@@ -283,9 +343,13 @@ object ManifestTable {
     val (oldAffected, carried) = current match {
       case Some(m) =>
         val (aff, keep) = m.files.partition(f => affected(f.bucket))
+        // explicit unified schema: pre-evolution files null-fill the
+        // columns they predate, no mergeSchema footer sweep
+        val reader = if (tableSchema.isDefined) spark.read.schema(unified)
+                     else spark.read
         val old =
           if (aff.isEmpty) None
-          else Some(spark.read.parquet(aff.map(_.path): _*)
+          else Some(reader.parquet(aff.map(_.path): _*)
             .withColumn(BucketCol, bucketExpr(keys, nBuckets)))
         (old, keep)
       case None => (None, Nil)
@@ -307,7 +371,8 @@ object ManifestTable {
       .write.mode("errorifexists").partitionBy(BucketCol)
       .parquet(commitDir.toString)
     val written = writtenEntries(spark, fs, commitDir, statsCol)
-    publish(fs, table, Manifest(version, batchId, carried ++ written))
+    publish(fs, table,
+      Manifest(version, batchId, carried ++ written, Some(unified.json)))
     true
   }
 
@@ -390,14 +455,19 @@ object ManifestTable {
     val version = current.version + 1
     val commitDir = new Path(table, s"data/c$version")
     if (fs.exists(commitDir)) fs.delete(commitDir, true)
-    spark.read.parquet(multi.values.flatten.map(_.path).toSeq: _*)
+    val reader = recordedSchema(current) match {
+      case Some(st) => spark.read.schema(st) // schema-spanning fold-up
+      case None     => spark.read
+    }
+    reader.parquet(multi.values.flatten.map(_.path).toSeq: _*)
       .withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .repartition(col(BucketCol))
       .write.mode("errorifexists").partitionBy(BucketCol)
       .parquet(commitDir.toString)
     val written = writtenEntries(spark, fs, commitDir, statsCol)
       .map(f => f.copy(stats = f.stats.orElse(mergedStats.get(f.bucket))))
-    publish(fs, table, Manifest(version, current.batchId, carried ++ written))
+    publish(fs, table, Manifest(version, current.batchId,
+      carried ++ written, current.schemaJson))
     true
   }
 
@@ -410,7 +480,10 @@ object ManifestTable {
     val tmp = new Path(dir, s".tmp-v${m.version}")
     val out = fs.create(tmp, true)
     try {
-      val body = (s"batchId=${m.batchId}" +:
+      // StructType.json is single-line compact JSON — line-format safe
+      val header = s"batchId=${m.batchId}" +:
+        m.schemaJson.map(j => s"schema=$j").toSeq
+      val body = (header ++
         m.files.map { f =>
           f.stats match {
             case Some((lo, hi)) => s"${f.bucket}\t${f.path}\t$lo\t$hi"

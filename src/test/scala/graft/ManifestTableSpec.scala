@@ -306,4 +306,51 @@ class ManifestTableSpec extends SparkTestBase {
     assert(ManifestTable.currentVersionAndBatch(spark, table).map(_._1)
       === ver1, "rejected batch must not advance the version either")
   }
+
+  test("schema evolution: additive columns null-fill history, drift " +
+       "without the flag rejects, time travel keeps each version's schema") {
+    val table = tmpTable()
+    assert(ManifestTable.upsertBatch(rows((1L, "a", 1L), (2L, "b", 1L)),
+      table, Seq("k"), nBuckets = 4))
+    // additive evolution: new column `w`, existing rows null-fill
+    val evolved = Seq((2L, "b2", 2L, 7.5), (3L, "c", 1L, 9.0))
+      .toDF("k", "v", "ver", "w")
+    assert(ManifestTable.upsertBatch(evolved, table, Seq("k"),
+      nBuckets = 4, allowEvolution = true))
+    val now = ManifestTable.read(spark, table)
+      .select("k", "v", "ver", "w")
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    assert(now === Set((1L, "a", 1L, None), (2L, "b2", 2L, Some(7.5)),
+                       (3L, "c", 1L, Some(9.0))),
+      "pre-evolution rows read with the new column as NULL")
+    // the batch may also OMIT old columns (additive superset table)
+    assert(ManifestTable.upsertBatch(Seq((4L, 4L)).toDF("k", "ver"),
+      table, Seq("k"), nBuckets = 4, allowEvolution = true))
+    assert(ManifestTable.read(spark, table).count() === 4)
+    // time travel: version 1 still reads with its own (pre-w) schema
+    assert(!ManifestTable.readVersion(spark, table, 1L)
+      .columns.contains("w"))
+    assert(ManifestTable.readVersion(spark, table, 2L)
+      .columns.contains("w"))
+    // drift without the flag is rejected loudly, table untouched
+    val before = ManifestTable.currentVersionAndBatch(spark, table)
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertBatch(
+        Seq((5L, "e", 1L, "x")).toDF("k", "v", "ver", "extra"),
+        table, Seq("k"), nBuckets = 4)
+    }
+    // type change is corruption, not evolution — rejected even with flag
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsertBatch(Seq((5L, 99L, 1L)).toDF("k", "v", "ver"),
+        table, Seq("k"), nBuckets = 4, allowEvolution = true)
+    }
+    assert(ManifestTable.currentVersionAndBatch(spark, table) === before)
+    // compaction folds schema-spanning files under the unified schema
+    ManifestTable.compact(spark, table, Seq("k"), nBuckets = 1)
+    assert(ManifestTable.read(spark, table)
+      .select("k", "v", "ver", "w")
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+      .map((r: (Long, String, Option[Long], Option[Double])) => r._1)
+      === Set(1L, 2L, 3L, 4L))
+  }
 }
