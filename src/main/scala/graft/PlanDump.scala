@@ -72,7 +72,16 @@ object PlanDump {
        SparkEntry.queries("q_hard_negatives")(spark, d)),
       ("q_label_prop — synchronous label-propagation communities",
        "Per round: edge-to-labels equi-join, then the mode as ONE hash aggregate (max_by over (count, -label) — no sort window); community sizes attach via a window count so the iteration chain is consumed once.",
-       SparkEntry.queries("q_label_prop")(spark, d)))
+       SparkEntry.queries("q_label_prop")(spark, d)),
+      ("q_winnow — MOSS winnowing fingerprint selection",
+       "Join-free: posexplode to (pos, k-gram hash) then TWO frame aggregates (min-of-window + frame size) over one (doc, pos) sort; the rightmost-tie rule rides the single 64-bit hash*2^21+(2^21-1-pos) min key; distinct reuses the doc partitioning.",
+       SparkEntry.queries("q_winnow")(spark, d)),
+      ("q_ppmi_cooc — skip-gram PPMI co-occurrence",
+       "Context pairing is an O(tokens*window) EQUI-join (offset expansion + position join), never a per-doc cross join; marginals come from per-position closed-form context counts, so the corpus-sized pair table aggregates exactly once; the one-row total broadcasts.",
+       SparkEntry.queries("q_ppmi_cooc")(spark, d)),
+      ("q_rfm — RFM quintile segmentation",
+       "The per-user aggregate persists across its two consumers (boundary aggregate + scoring join); quintile boundaries are a ONE-ROW broadcast, so scoring is a per-row projection — no global ntile sort anywhere.",
+       SparkEntry.queries("q_rfm")(spark, d)))
 
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of headline queries\n\n")
