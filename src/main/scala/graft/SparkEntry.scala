@@ -946,6 +946,29 @@ object SparkEntry {
       EventOps.frequentPairs(t(s, d, "events"), minSupport = 2L)
         .orderBy("item_a", "item_b")),
 
+    // ---- E6 hour-of-week seasonality profile (UTC) ----
+    "q_time_profile" -> ((s, d) =>
+      EventOps.timeProfile(t(s, d, "events"))
+        .orderBy("dow", "hour")),
+
+    // ---- E20 categorical-dependence audit: PMI of (lang, source)
+    // cells against independence ----
+    "q_mutual_info" -> ((s, d) =>
+      operators.Profiling.mutualInformation(t(s, d, "documents"),
+          "lang", "source")
+        .orderBy("lang", "source")),
+
+    // ---- E3 approximate kNN-GRAPH construction (the clustering
+    // primitive), audited against exact kNN on the query subset ----
+    "q_knn_graph" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val g = Similarity.knnGraph(e, k = 10, numPlanes = 64, bands = 16)
+      Similarity.recallAudit(e, e.filter(col("vec_id") < 20), 10,
+        g.filter(col("src") < 20)
+          .select(col("src").as("query_id"), col("dst").as("neighbor_id")),
+        floor = 0.8)
+    }),
+
     // ---- E6 RFM segmentation grid: 1..5 quintile scores on recency /
     // frequency / monetary per user, boundary-exact (no global ntile) ----
     "q_rfm" -> ((s, d) =>
@@ -4656,6 +4679,39 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_time_profile" ->
+      """SELECT CAST(strftime(ts, '%w') AS BIGINT) AS dow,
+        |  CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same integer-ratio ln(9-dec) arithmetic as the other association
+    // ops; NULL cells excluded on both sides
+    "q_mutual_info" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL
+        |           GROUP BY 1, 2),
+        |ma AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ca FROM c
+        |       GROUP BY 1),
+        |mb AS (SELECT source, CAST(sum(n) AS BIGINT) AS cb FROM c
+        |       GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+        |SELECT c.lang, c.source, n,
+        |  round(ln(CAST(n AS DOUBLE) * nn
+        |    / (CAST(ca AS DOUBLE) * cb)), 9) AS pmi
+        |FROM c JOIN ma USING (lang) JOIN mb USING (source), t
+        |ORDER BY c.lang, c.source""".stripMargin,
+
+    // LSH graph construction is plan shape; the checkable semantics is
+    // the recall floor against exact kNN on the audited subset
+    "q_knn_graph" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
 
     "q_itemsets" ->
       """WITH bk AS (SELECT DISTINCT user_id, event_type FROM events

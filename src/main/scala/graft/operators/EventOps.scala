@@ -325,6 +325,22 @@ object EventOps {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Hour-of-week activity profile: event count and exact value sum per
+    * (day-of-week, hour-of-day) cell under the session's pinned UTC —
+    * the seasonality fingerprint behind load-aware scheduling and the
+    * baseline an anomaly monitor compares a live window against. One
+    * hash aggregation over derived calendar keys (168 output rows);
+    * `dow` is 0=Sunday..6 so the cell ids match the common strftime
+    * convention. */
+  def timeProfile(events: DataFrame, tsCol: String = "ts",
+                  valueCol: String = "value"): DataFrame =
+    events.groupBy(
+        (dayofweek(col(tsCol)) - 1).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col(valueCol).cast(DecimalType(18, 6))).cast("double")
+             .as("sum_value"))
+
   /** Frequent item pairs (market-basket on the user's distinct item
     * set): pairs of `itemCol` values co-occurring for the same user,
     * with their exact support and lift — the 2-itemset core of

@@ -444,6 +444,34 @@ object Profiling {
       .orderBy(col(groupCol), col("cnt").desc, col(keyCol))
   }
 
+  /** Pairwise categorical-dependence audit: the pointwise mutual
+    * information of every observed (colA, colB) value pair against the
+    * independence baseline — the screen for confounded corpus columns
+    * (is `lang` just a proxy for `source`? does a label leak through a
+    * shard key?). Positive cells mark over-represented combinations;
+    * the count-weighted sum of `pmi` is the columns' mutual
+    * information. Cells with either value NULL are excluded (NULLs are
+    * a missingness question, not a dependence one).
+    *
+    * Three aggregations on one pass family (cell counts + both
+    * marginals re-aggregated from the cells, same keys — co-located),
+    * marginal joins on the value keys, N as a one-row broadcast. The
+    * pmi is one ln of an integer ratio, rounded to 9 places — the
+    * engine-exact arithmetic the other association ops use. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String)
+      : DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA), col(colB)).agg(count(lit(1)).as("n"))
+    val ma = cells.groupBy(col(colA)).agg(sum("n").as("__ca"))
+    val mb = cells.groupBy(col(colB)).agg(sum("n").as("__cb"))
+    val tot = cells.agg(sum("n").as("__N"))
+    cells.join(ma, colA).join(mb, colB).crossJoin(broadcast(tot))
+      .select(col(colA), col(colB), col("n"),
+        round(log(col("n").cast("double") * col("__N") /
+          (col("__ca").cast("double") * col("__cb"))), 9).as("pmi"))
+  }
+
   /** Per-group winsorization report: clip `valueCol` to its group's
     * exact [pLo, pHi] percentiles and report what the clip did — row
     * count, clipped-low/high counts, and the mean before/after — the

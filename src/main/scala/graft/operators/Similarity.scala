@@ -683,6 +683,74 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Approximate k-NN GRAPH construction — every node's top-k most
+    * similar neighbors among its LSH-candidate set: the primitive under
+    * graph-based semantic clustering (connect, then
+    * [[graft.operators.Graphs.labelPropagation]] /
+    * [[graft.operators.Dedup.connectedComponents]] over the edges) and
+    * kNN-graph diagnostics. Unlike [[lshTopK]] the "query" side is the
+    * whole corpus, so NOTHING broadcasts: both band tables are ids-only,
+    * the candidate join is an equi-join on (band, value), and each
+    * side's vectors re-attach through ordinary shuffled equi-joins —
+    * at 100 TB every exchange carries ids, band keys or single vectors,
+    * never a corpus-sized build side. One rank window per source node
+    * caps the output at k·n edges.
+    *
+    * Recall follows the banding calculus (same signatures as
+    * [[lshTopK]]): raise numPlanes/bands for recall, lower for cost.
+    * Audit with [[recallAudit]] over a query subset, as `q_knn_graph`
+    * does. */
+  def knnGraph(corpus: DataFrame, k: Int, numPlanes: Int = 16,
+               bands: Int = 4, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes % bands == 0)
+    val r = numPlanes / bands
+    val mask = (1L << r) - 1
+    val cv = Ops.spread(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      col("__id"))
+    val banded = cv
+      .select(col("__id"), lshSignature(col("__v"), numPlanes).as("sig"))
+      .select(col("__id"), explode(
+        transform(sequence(lit(0), lit(bands - 1)), bd =>
+          struct(bd.as("band_id"),
+            call_function("shiftrightunsigned", col("sig"),
+              (bd * r).cast("int")).bitwiseAND(mask).as("band_val"))))
+        .as("bv"))
+      .select(col("__id"), col("bv.band_id"), col("bv.band_val"))
+    val cand = banded.withColumnRenamed("__id", "src")
+      .join(banded.withColumnRenamed("__id", "dst"),
+        Seq("band_id", "band_val"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").dropDuplicates("src", "dst")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    cand
+      .join(cv.select(col("__id").as("src"), col("__v").as("sv")), "src")
+      .join(cv.select(col("__id").as("dst"), col("__v").as("dv")), "dst")
+      .withColumn("sim", cosine(col("sv"), col("dv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "rank", "sim")
+  }
+
+  /** Mutual-kNN reduction of [[knnGraph]]: keep the undirected edge
+    * (a, b), a < b, only when each endpoint ranks in the OTHER's top-k
+    * — the standard asymmetry cleanup before clustering (a hub that
+    * many nodes point at but that points elsewhere stops gluing
+    * unrelated regions together). One ids-only self-semi-join on the
+    * directed edge set. */
+  def mutualKnnGraph(corpus: DataFrame, k: Int, numPlanes: Int = 16,
+                     bands: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val g = OpCaches.register(
+      knnGraph(corpus, k, numPlanes, bands, idCol, vecCol).persist())
+    g.join(g.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst", "sim")
+  }
+
   /** Per-dimension embedding health audit: count, mean, variance and
     * min/max for every vector dimension — the pre-index screen that
     * catches dead dimensions (variance 0 — wasted index bytes and a

@@ -203,5 +203,18 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(EventOps.rfmSegments(oneUser)
       .select("r_score", "f_score", "m_score")
       .as[(Long, Long, Long)].head() === ((1L, 1L, 1L)))
+    // kNN graph: empty corpus and a single vector (no candidate pairs)
+    assert(Similarity.knnGraph(emptyVecs, 3).count() === 0)
+    assert(Similarity.knnGraph(someVecs.limit(1), 3).count() === 0)
+    assert(Similarity.mutualKnnGraph(emptyVecs, 3).count() === 0)
+    OpCaches.release()
+    // association/profile aggregates on empty or all-null frames
+    val nullPairs = Seq((null.asInstanceOf[String],
+      null.asInstanceOf[String])).toDF("lang", "source")
+    assert(Profiling.mutualInformation(nullPairs, "lang", "source")
+      .count() === 0, "all-NULL cells contribute nothing")
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(EventOps.timeProfile(emptyEv).count() === 0)
   }
 }

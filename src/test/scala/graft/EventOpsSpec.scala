@@ -270,6 +270,19 @@ class EventOpsSpec extends SparkTestBase {
       "minSupport prunes the singleton pair")
   }
 
+  test("timeProfile: strftime dow convention (0=Sunday), exact cells") {
+    // 2024-01-07 is a Sunday
+    val events = Seq(
+      (1L, ts("2024-01-07 09:15:00"), 1.5),
+      (2L, ts("2024-01-07 09:45:00"), 2.5),
+      (3L, ts("2024-01-08 23:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventOps.timeProfile(events)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out === Set((0L, 9L, 2L, 4.0), (1L, 23L, 1L, 4.0)),
+      "Sunday 9h cell aggregates both events; Monday 23h holds the third")
+  }
+
   test("rfmSegments: monotone users land on the 1..5 diagonal") {
     // user i: i events of value i at increasing times — recency,
     // frequency and monetary all rank users identically, so quintile

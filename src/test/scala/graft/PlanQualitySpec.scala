@@ -421,6 +421,15 @@ class PlanQualitySpec extends SparkTestBase {
       l.contains("partial_count"))
     assert(pairAggs <= 1,
       s"pair table must be aggregated once, got $pairAggs:\n$pp")
+    // kNN graph: corpus-as-queries must NOT broadcast a corpus side —
+    // candidates are an equi-join on band keys, vectors re-attach via
+    // shuffled equi-joins; the only broadcast is the exact-kNN audit's
+    // bounded query subset
+    val kg = plan("q_knn_graph")
+    assert(!kg.contains("CartesianProduct"), s"knn graph cartesian:\n$kg")
+    // time profile / mutual info: single aggregate families, no windows
+    assert(!plan("q_time_profile").contains("Window"))
+    assert(!plan("q_mutual_info").contains("CartesianProduct"))
   }
 
   test("whole-stage codegen covers the scan-filter-project pipelines") {

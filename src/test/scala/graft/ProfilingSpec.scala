@@ -264,6 +264,23 @@ class ProfilingSpec extends SparkTestBase {
       .count() === 1, "at k=2 only the singleton NULL/C group violates")
   }
 
+  test("mutualInformation: dependent cells score ln2, independent 0, " +
+       "NULLs drop") {
+    val dep = Seq(("en", "a"), ("en", "a"), ("fr", "b"), ("fr", "b"),
+      (null.asInstanceOf[String], "a"))
+      .toDF("lang", "source")
+    val d = Profiling.mutualInformation(dep, "lang", "source")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(d === Set(("en", "a", 2L, 0.693147181),
+                     ("fr", "b", 2L, 0.693147181)),
+      "perfect dependence: every cell at ln 2; the NULL row is excluded")
+    val ind = Seq(("en", "a"), ("en", "b"), ("fr", "a"), ("fr", "b"))
+      .toDF("lang", "source")
+    val i = Profiling.mutualInformation(ind, "lang", "source")
+      .as[(String, String, Long, Double)].collect()
+    assert(i.forall(_._4 === 0.0), "independent columns: all cells at 0")
+  }
+
   test("winsorize: interpolated clip bounds, clip counts, exact means") {
     // g: values 1..20 — p05 = 1.95, p90 = 18.1 (index p*(n-1) rule)
     val df = (1 to 20).map(v => ("g", v.toLong)).toDF("src", "v")

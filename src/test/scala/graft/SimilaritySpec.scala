@@ -295,6 +295,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head._3 > 0.999)
   }
 
+  test("knnGraph: per-node top-k over LSH candidates; mutual reduction " +
+       "is symmetric and id-canonical") {
+    // full-band parameters => every pair shares a bucket on this tiny
+    // corpus, so the graph equals exact kNN and the top edge is known
+    val g = Similarity.knnGraph(vecs, k = 2, numPlanes = 16, bands = 16)
+      .as[(Long, Long, Int, Double)].collect()
+    val top = g.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    assert(top(1L) === 2L && top(2L) === 1L,
+      "near-identical vectors are each other's nearest neighbor")
+    assert(g.groupBy(_._1).forall(_._2.length <= 2), "k caps out-degree")
+    val m = Similarity.mutualKnnGraph(vecs, k = 1, numPlanes = 16,
+        bands = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(m.map(e => (e._1, e._2)).toSet === Set((1L, 2L)),
+      "k=1 mutual edges keep only reciprocal nearest pairs, a < b once")
+    graft.operators.OpCaches.release()
+  }
+
   test("dimVariance: exact per-dimension moments; dead dims read 0") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f, 7.0f)),
