@@ -288,4 +288,64 @@ class PropertySpec extends SparkTestBase {
         }
     }, samples = 60)
   }
+
+  test("property: winnowing guarantee holds on arbitrary token streams") {
+    // the paper's contract: every window of w consecutive k-grams
+    // contributes a selected fingerprint, selections are real k-gram
+    // positions, and the sketch is layout-independent
+    val docsGen: Gen[List[(Long, String)]] = Gen.listOfN(6, for {
+      id <- Gen.choose(0, 1000); n <- Gen.choose(0, 14)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield (id.toLong, toks.mkString(" ")))
+    check(Prop.forAll(docsGen, Gen.choose(1, 8)) { (docs0, parts) =>
+      val docs = docs0.distinctBy(_._1)
+      docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        val sel = operators.Ngrams.winnow(df, k = 2, w = 3)
+          .as[(Long, Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+        val ok = docs.forall { case (id, text) =>
+          val n = text.split(" ").count(_.nonEmpty)
+          val grams = math.max(0, n - 1) // k=2 grams for n>=2 tokens
+          val pos = sel.getOrElse(id, Set.empty)
+          if (n < 2 || grams < 3) pos.isEmpty
+          else (0 to grams - 3).forall(s =>
+            (s until s + 3).exists(j => pos(j.toLong))) &&
+            pos.forall(p => p >= 0 && p < grams)
+        }
+        val b = operators.Ngrams.winnow(df.repartition(parts), k = 2, w = 3)
+          .as[(Long, Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+        ok && sel == b
+      }
+    }, samples = 8)
+  }
+
+  test("property: quantile-boundary operators partition and bound") {
+    val rowsGen2: Gen[List[(Int, Int)]] = Gen.listOfN(30, for {
+      g <- Gen.choose(0, 2); v <- Gen.choose(0, 50)
+    } yield (g, v))
+    check(Prop.forAll(rowsGen2) { rows =>
+      rows.isEmpty || {
+        val docs = rows.zipWithIndex
+          .map { case ((g, v), i) =>
+            (i.toLong, Seq.fill(v % 9 + 1)("t").mkString(" ")) }
+          .toDF("doc_id", "text")
+        val lb = operators.Mixing.lengthBuckets(docs, nBuckets = 3)
+          .as[(Long, Long, Long, Long, Double)].collect()
+        val df2 = rows.map { case (g, v) => (s"g$g", v.toLong) }
+          .toDF("src", "v")
+        val ws = operators.Profiling
+          .winsorize(df2, "src", "v", pLo = 0.1, pHi = 0.9)
+          .as[(String, Long, Long, Long, Double, Double)].collect()
+        val perSrc = rows.groupBy(r => s"g${r._1}")
+        lb.map(_._2).sum == rows.size &&              // buckets partition
+        lb.forall(b => b._3 <= b._4 && b._5 >= 0.0 && b._5 < 1.0) &&
+        ws.forall { case (src, n, lo, hi, _, _) =>
+          val m = perSrc(src).size
+          n == m && lo <= m * 0.1 + 1 && hi <= m * 0.1 + 1
+        }
+      }
+    }, samples = 8)
+  }
 }
