@@ -828,6 +828,13 @@ object SparkEntry {
       Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", 0.6)
         .orderBy("doc_a", "doc_b")),
 
+    // ---- E2 cross-source near-dup matrix (who copies from whom):
+    // the exact pair list rolled up by endpoint sources ----
+    "q_dup_source_matrix" -> ((s, d) =>
+      Dedup.nearDupSourceMatrix(t(s, d, "documents"), "doc_id", "text",
+          "source", threshold = 0.5)
+        .orderBy("src_a", "src_b")),
+
     // ---- E2 sorted-neighborhood (SNM) near-dup pass: block by lang,
     // sort by length, verify exact Jaccard within a 3-position window —
     // O(n·w) candidates, the predictable-cost record-linkage classic ----
@@ -3713,6 +3720,35 @@ object SparkEntry {
         |            JOIN sh b ON b.doc_id = cand.doc_b)
         |WHERE jaccard >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // brute-force pair list at threshold 0.5, endpoints' sources
+    // canonicalized (least/greatest) and counted per cell
+    "q_dup_source_matrix" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+        |            JOIN sh b ON b.doc_id = cand.doc_b)
+        |  WHERE jaccard >= 0.5),
+        |j AS (SELECT least(da.source, db.source) AS src_a,
+        |        greatest(da.source, db.source) AS src_b
+        |      FROM p JOIN documents da ON da.doc_id = p.doc_a
+        |             JOIN documents db ON db.doc_id = p.doc_b)
+        |SELECT src_a, src_b, count(*) AS n_pairs
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sorted_neighborhood" ->
       """WITH r AS (

@@ -770,6 +770,32 @@ object Dedup {
       .drop("__comp0", "__comp", "__rn")
   }
 
+  /** Cross-source near-dup matrix: exact near-dup pairs
+    * ([[allPairsJaccard]], so no recall caveat) rolled up by the
+    * sources of the two endpoints — the "who copies from whom" view a
+    * corpus owner reads before deciding which feed to dedup against
+    * which (diagonal cells = within-source duplication; off-diagonal =
+    * one feed mirroring another). Source pairs are canonicalized
+    * (src_a <= src_b) so each unordered pair is one cell.
+    *
+    * Plan shape: the PPJoin pair generation is the whole cost; the
+    * rollup adds two ids-only broadcast-or-hash joins onto the pair
+    * list (pairs carry ids, never text) and one small aggregate. */
+  def nearDupSourceMatrix(df: DataFrame, idCol: String, textCol: String,
+                          groupCol: String, threshold: Double,
+                          shingleN: Int = 3): DataFrame = {
+    val pairs = allPairsJaccard(df, idCol, textCol, threshold, shingleN)
+    val src = df.select(col(idCol), col(groupCol))
+    pairs
+      .join(src.select(col(idCol).as("doc_a"), col(groupCol).as("__sa")),
+        "doc_a")
+      .join(src.select(col(idCol).as("doc_b"), col(groupCol).as("__sb")),
+        "doc_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("src_a"),
+               greatest(col("__sa"), col("__sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Soft dedup: instead of DROPPING near-duplicates, weight every
     * document by the inverse size of its transitive near-dup cluster —
     * cluster members share one document's worth of influence, so a

@@ -544,6 +544,20 @@ class DedupSpec extends SparkTestBase {
     assert(rendered(out) === rendered(docs), "2 occurrences < minDocs=3")
   }
 
+  test("nearDupSourceMatrix: canonical source cells with exact pair " +
+       "counts") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"), (3L, "a b c d", "s1"),
+      (4L, "x y z q", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.nearDupSourceMatrix(docs, "doc_id", "text", "source",
+        threshold = 0.5)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("s1", "s1", 1L), ("s1", "s2", 2L)),
+      "within-s1 pair (1,3); cross pairs (1,2),(2,3) fold into one " +
+      "canonical (s1,s2) cell; the unique doc appears nowhere")
+  }
+
   test("softDedupWeights: 1/cluster-size weights, singletons keep 1.0") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (5L, "a b c d"),
