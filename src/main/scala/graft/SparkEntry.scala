@@ -958,6 +958,12 @@ object SparkEntry {
       EventOps.timeProfile(t(s, d, "events"))
         .orderBy("dow", "hour")),
 
+    // ---- E6 lag-1 autocorrelation of the hourly count series per
+    // type (integer-sum Pearson — engine-exact) ----
+    "q_autocorr" -> ((s, d) =>
+      EventOps.autocorrelation(t(s, d, "events"), lag = 1)
+        .orderBy("event_type")),
+
     // ---- E20 categorical-dependence audit: PMI of (lang, source)
     // cells against independence ----
     "q_mutual_info" -> ((s, d) =>
@@ -4715,6 +4721,28 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |             count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, c AS x,
+        |        lead(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS y
+        |      FROM h),
+        |f AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL),
+        |a AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx,
+        |        CAST(sum(y*y) AS BIGINT) AS syy,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy
+        |      FROM f GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)), 9)
+        |  ELSE NULL END AS r1
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q_time_profile" ->
       """SELECT CAST(strftime(ts, '%w') AS BIGINT) AS dow,

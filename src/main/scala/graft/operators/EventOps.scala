@@ -325,6 +325,45 @@ object EventOps {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Lag-k autocorrelation of the hourly event-count series per event
+    * type — the rhythm detector (a strong lag-24 says daily cycle, a
+    * negative lag-1 says spiky retries) behind capacity planning and
+    * anomaly baselines. The series is the TIME-BUCKETED aggregate, so
+    * its length is hours-of-history — bounded and small by
+    * construction; the per-type lead window sorts that series, not
+    * events (events reduce in the first aggregation). Counts are
+    * integers, so the Pearson numerator form runs on exact integer
+    * sums; one final sqrt+division rounds to 9 places. Types whose
+    * series is shorter than lag+2 or has zero variance on either slice
+    * emit NULL (undefined, not 0). */
+  def autocorrelation(events: DataFrame, lag: Int = 1,
+                      typeCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1, got $lag")
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("__h"))
+    val paired = hourly
+      .withColumn("__y", lead(col("__c"), lag).over(w))
+      .filter(col("__y").isNotNull)
+    def sq(c: Column) = c * c
+    val agg = paired.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col("__c")).as("__sx"), sum(col("__y")).as("__sy"),
+           sum(sq(col("__c"))).as("__sxx"), sum(sq(col("__y"))).as("__syy"),
+           sum(col("__c") * col("__y")).as("__sxy"))
+    val num = (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val vx = (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val vy = (col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    agg.select(col(typeCol), col("n"),
+      when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 9))
+        .otherwise(lit(null).cast("double")).as(s"r$lag"))
+  }
+
   /** Hour-of-week activity profile: event count and exact value sum per
     * (day-of-week, hour-of-day) cell under the session's pinned UTC —
     * the seasonality fingerprint behind load-aware scheduling and the

@@ -270,6 +270,28 @@ class EventOpsSpec extends SparkTestBase {
       "minSupport prunes the singleton pair")
   }
 
+  test("autocorrelation: exact integer-sum Pearson; degenerate series " +
+       "go NULL or vanish") {
+    def burst(tp: String, hour: Int, n: Int) = (1 to n).map(i =>
+      (tp, ts(f"2024-01-01 $hour%02d:0${i % 6}:00")))
+    // alt: counts 1,3,1,3,1,3 -> r1 = -1; lin: 1,2,3 -> r1 = 1;
+    // konst: 2,2,2 -> zero variance -> NULL; solo: one hour -> no pair
+    val events = (
+      burst("alt", 0, 1) ++ burst("alt", 1, 3) ++ burst("alt", 2, 1) ++
+      burst("alt", 3, 3) ++ burst("alt", 4, 1) ++ burst("alt", 5, 3) ++
+      burst("lin", 0, 1) ++ burst("lin", 1, 2) ++ burst("lin", 2, 3) ++
+      burst("konst", 0, 2) ++ burst("konst", 1, 2) ++ burst("konst", 2, 2) ++
+      burst("solo", 0, 4)
+    ).toDF("event_type", "ts")
+    val out = EventOps.autocorrelation(events, lag = 1)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("alt") === (("alt", 5L, Some(-1.0))))
+    assert(out("lin") === (("lin", 2L, Some(1.0))))
+    assert(out("konst")._3 === None, "constant series: undefined, NULL")
+    assert(!out.contains("solo"), "series shorter than lag+1 vanish")
+  }
+
   test("timeProfile: strftime dow convention (0=Sunday), exact cells") {
     // 2024-01-07 is a Sunday
     val events = Seq(
