@@ -964,6 +964,12 @@ object SparkEntry {
       EventOps.autocorrelation(t(s, d, "events"), lag = 1)
         .orderBy("event_type")),
 
+    // ---- E6 hour anomalies vs the hour-of-week baseline (the alert
+    // the seasonality fingerprint exists to feed) ----
+    "q_anomaly_hours" -> ((s, d) =>
+      EventOps.anomalousHours(t(s, d, "events"), zThreshold = 2.0)
+        .orderBy("event_type", "hour_start")),
+
     // ---- E20 categorical-dependence audit: PMI of (lang, source)
     // cells against independence ----
     "q_mutual_info" -> ((s, d) =>
@@ -4721,6 +4727,26 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_anomaly_hours" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |k AS (SELECT *, CAST(strftime(hour_start, '%w') AS BIGINT) AS dow,
+        |        CAST(extract(hour FROM hour_start) AS BIGINT) AS hod
+        |      FROM h),
+        |c AS (SELECT event_type, dow, hod, count(*) AS n,
+        |        CAST(sum(cnt) AS BIGINT) AS sx,
+        |        CAST(sum(cnt*cnt) AS BIGINT) AS sxx
+        |      FROM k GROUP BY 1, 2, 3)
+        |SELECT k.event_type, hour_start, cnt,
+        |  round((cnt - CAST(sx AS DOUBLE) / n)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / (n*n)), 9) AS z
+        |FROM k JOIN c USING (event_type, dow, hod)
+        |WHERE n >= 2 AND (n*sxx - sx*sx) > 0
+        |  AND abs(round((cnt - CAST(sx AS DOUBLE) / n)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / (n*n)), 9)) >= 2.0
+        |ORDER BY event_type, hour_start""".stripMargin,
 
     "q_autocorr" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h,

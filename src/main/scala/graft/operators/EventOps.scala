@@ -364,6 +364,41 @@ object EventOps {
         .otherwise(lit(null).cast("double")).as(s"r$lag"))
   }
 
+  /** Hour-level anomaly report against the hour-of-week baseline: for
+    * every concrete hour, the z-score of its event count within its
+    * (type, day-of-week, hour-of-day) cell across the history — the
+    * alert [[timeProfile]]'s fingerprint exists to feed ("Tuesday 3am
+    * saw 40× its usual traffic"). Cells need >= `minSamples` hours and
+    * non-zero variance to judge; hours with |z| >= `zThreshold`
+    * surface, ordered worst-first by the caller.
+    *
+    * Two aggregations (hourly counts, then cell moments re-aggregated
+    * from them — same key family) and one broadcast-sized join back:
+    * the baseline table is at most |types|·168 rows. Integer sums feed
+    * one fixed-order double formula, so z is engine-exact. */
+  def anomalousHours(events: DataFrame, zThreshold: Double = 2.0,
+                     minSamples: Long = 2L, typeCol: String = "event_type",
+                     tsCol: String = "ts"): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("hour_start"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__dow", (dayofweek(col("hour_start")) - 1).cast("long"))
+      .withColumn("__hod", hour(col("hour_start")).cast("long"))
+    val cells = hourly.groupBy(col(typeCol), col("__dow"), col("__hod"))
+      .agg(count(lit(1)).as("__n"), sum(col("cnt")).as("__sx"),
+           sum(col("cnt") * col("cnt")).as("__sxx"))
+    val mean = col("__sx").cast("double") / col("__n")
+    val variance = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double") / (col("__n") * col("__n"))
+    val z = (col("cnt") - mean) / sqrt(variance)
+    hourly.join(broadcast(cells), Seq(typeCol, "__dow", "__hod"))
+      .filter(col("__n") >= minSamples &&
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")) > 0)
+      .withColumn("z", round(z, 9))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col(typeCol), col("hour_start"), col("cnt"), col("z"))
+  }
+
   /** Hour-of-week activity profile: event count and exact value sum per
     * (day-of-week, hour-of-day) cell under the session's pinned UTC —
     * the seasonality fingerprint behind load-aware scheduling and the

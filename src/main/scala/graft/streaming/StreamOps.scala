@@ -191,6 +191,41 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming traffic-mix drift monitor: per event-time window and
+    * key, the log-ratio of the observed count against a static
+    * baseline expectation (events-per-window from a reference period)
+    * — the live counterpart of
+    * [[graft.operators.Profiling.distributionDrift]] for the case a
+    * pipeline actually alerts on: "clicks are at 3× their normal rate
+    * this hour", "a key we have never seen is arriving". Keys missing
+    * from the baseline emit a NULL ratio and flag as drifted (novelty
+    * IS drift); `logRatioThreshold` defaults to ln 2 (a 2× move either
+    * way).
+    *
+    * The baseline attaches as a stream-STATIC broadcast join BEFORE
+    * the windowed aggregation (joining after a streaming aggregation
+    * would chain stateful operators; before it, the join is stateless
+    * and the plan stays a single aggregation), so state is one row per
+    * live (window, key). */
+  def rateDriftStream(events: DataFrame, baseline: DataFrame,
+                      keyCol: String = "event_type",
+                      windowLength: String = "1 hour",
+                      watermarkDelay: String = "2 hours",
+                      logRatioThreshold: Double = math.log(2.0))
+      : DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .join(broadcast(baseline), Seq(keyCol), "left")
+      .groupBy(window(col("ts"), windowLength).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"),
+           first(col("expected"), ignoreNulls = true).as("expected"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("cnt"),
+        col("expected"),
+        when(col("expected") > 0,
+          round(log(col("cnt") / col("expected")), 9)).as("log_ratio"))
+      .withColumn("drifted",
+        col("log_ratio").isNull || abs(col("log_ratio")) >= logRatioThreshold)
+
   /** Expectation-gated streaming upsert sink: [[upsertStream]] with the
     * write-side constraint gate of
     * [[graft.sources.ManifestTable.guardedUpsert]] — a micro-batch that

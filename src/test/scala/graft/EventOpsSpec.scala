@@ -292,6 +292,24 @@ class EventOpsSpec extends SparkTestBase {
     assert(!out.contains("solo"), "series shorter than lag+1 vanish")
   }
 
+  test("anomalousHours: spike against its hour-of-week cell flags at " +
+       "exactly the z threshold") {
+    // five Sundays 09h with counts 2,2,2,2,12: mean 4, std 4 -> the
+    // spike sits at z = 2.0 (inclusive threshold), the rest at -0.5
+    val sundays = Seq("2024-01-07", "2024-01-14", "2024-01-21",
+      "2024-01-28", "2024-02-04")
+    val events = sundays.zip(Seq(2, 2, 2, 2, 12)).flatMap {
+      case (day, n) => (1 to n).map(i => ("x", ts(s"$day 09:${10 + i}:00")))
+    }.toDF("event_type", "ts")
+    val out = EventOps.anomalousHours(events, zThreshold = 2.0)
+      .as[(String, java.sql.Timestamp, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      ("x", ts("2024-02-04 09:00:00"), 12L, 2.0)),
+      "only the spike hour flags; z is the exact integer-sum value")
+    assert(EventOps.anomalousHours(events, zThreshold = 2.1).count() === 0,
+      "threshold is inclusive at 2.0 and excludes above it")
+  }
+
   test("timeProfile: strftime dow convention (0=Sunday), exact cells") {
     // 2024-01-07 is a Sunday
     val events = Seq(

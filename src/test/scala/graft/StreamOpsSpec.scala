@@ -398,6 +398,47 @@ class StreamOpsSpec extends SparkTestBase {
     assert(version === 2L && batchId === 1L)
   }
 
+  test("rateDriftStream: log-ratio vs baseline per window; novel keys " +
+       "flag as drift") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val baseline = Seq(("click", 2.0), ("view", 4.0))
+      .toDF("event_type", "expected")
+    val sink = nextSink()
+    val q = StreamOps.rateDriftStream(in.toDF(), baseline)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), "click", 1.0),
+        Ev(3, ts("2024-01-01 10:15:00"), "click", 1.0),
+        Ev(4, ts("2024-01-01 10:20:00"), "click", 1.0),
+        Ev(5, ts("2024-01-01 10:25:00"), "view", 1.0),
+        Ev(6, ts("2024-01-01 10:30:00"), "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("event_type", "cnt", "log_ratio", "drifted")
+        .as[(String, Long, Option[Double], Boolean)].collect().toSet
+      assert(rows === Set(
+        ("click", 4L, Some(0.693147181), true),   // 2x up: ln 2, flagged
+        ("view", 1L, Some(-1.386294361), true),   // 4x down, flagged
+        ("purchase", 1L, None, true)),            // novel key = drift
+        "log-ratio threshold is inclusive at ln 2; novelty flags")
+      // a within-band window must NOT flag
+      in.addData(
+        Ev(7, ts("2024-01-01 11:05:00"), "click", 1.0),
+        Ev(8, ts("2024-01-01 11:10:00"), "click", 1.0),
+        Ev(9, ts("2024-01-01 11:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      val w11 = spark.table(sink)
+        .filter(col("window_start") === ts("2024-01-01 11:00:00"))
+        .select("event_type", "drifted").as[(String, Boolean)].collect()
+      assert(w11.toSeq === Seq(("click", false)),
+        "3 clicks vs expected 2: |ln 1.5| < ln 2, inside the band")
+    } finally q.stop()
+  }
+
   test("guardedUpsertStream: poisoned micro-batch bounces whole; audit " +
        "table records both verdicts") {
     import graft.operators.Profiling.{InRange, NotNull}
