@@ -727,6 +727,30 @@ object SparkEntry {
         .orderBy("attempt", "rule")
     }),
 
+    // ---- E13 incremental view maintenance: roll a grouped summary
+    // forward through the CDF diff (O(changes), not O(table)) — output
+    // is the maintained summary, oracle is the from-scratch truth ----
+    "q_incremental_view" -> ((s, d) => withScratchDir("graft-ivm") { tmp =>
+      import graft.sources.ManifestTable
+      val docs = t(s, d, "documents").select("doc_id", "source", "n_chars")
+      val tbl = s"$tmp/facts"
+      ManifestTable.upsertBatch(docs.filter(col("doc_id") < 30), tbl,
+        Seq("doc_id"), nBuckets = 8, batchId = 0L)
+      val batch2 = docs
+        .filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(docs.filter(col("doc_id") >= 30 && col("doc_id") < 40))
+      ManifestTable.upsertBatch(batch2, tbl, Seq("doc_id"), nBuckets = 8,
+        batchId = 1L)
+      val prev = operators.Dimensional.summarizeForMaintenance(
+        ManifestTable.readVersion(s, tbl, 1L), "source", "n_chars")
+      val cdf = ManifestTable.diff(s, tbl, 1L, 2L, Seq("doc_id"))
+      operators.Dimensional.maintainSummary(prev, cdf, "source", "n_chars")
+        .select(col("source"), col("n_rows"),
+          col("sum_dec").cast("double").as("sum_v"))
+        .orderBy("source")
+    }),
+
     // ---- E13 schema evolution round-trip: a second commit adds a
     // column; history null-fills it, time travel keeps the old shape ----
     "q_schema_evolution" -> ((s, d) => withScratchDir("graft-evolve") {
@@ -3883,6 +3907,18 @@ object SparkEntry {
         |k AS (SELECT doc_id, list_sort(list_distinct(toks)) AS key FROM d)
         |SELECT CAST(count(*) AS BIGINT) AS truth, TRUE AS recall_ok
         |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+
+    // from-scratch truth of the rolled-forward summary: final state =
+    // doc_id < 40 with the [10,20) rows carrying their +1000 update
+    "q_incremental_view" ->
+      """WITH st AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id >= 10 AND doc_id < 20 THEN n_chars + 1000
+        |         ELSE n_chars END AS v
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
     // closed-form lifecycle: commit 1 ships (doc_id, lang) only, commit
     // 2 evolves in n_chars — history null-fills, v1 stays 2 columns

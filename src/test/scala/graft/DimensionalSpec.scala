@@ -77,4 +77,27 @@ class DimensionalSpec extends SparkTestBase {
       .filter(col("is_current")).select("v").as[String].collect()
     assert(current.toSeq === Seq("second"))
   }
+
+  test("maintainSummary: CDF deltas roll the summary to the from-scratch " +
+       "truth; emptied groups vanish") {
+    val v1 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("k", "g", "v")
+    val prev = Dimensional.summarizeForMaintenance(v1, "g", "v")
+    // update k=2 (20 -> 25), delete k=3 (group b empties), insert k=4/c
+    val cdf = Seq(
+      (2L, "a", 20L, "update_preimage"), (2L, "a", 25L, "update_postimage"),
+      (3L, "b", 5L, "delete"), (4L, "c", 7L, "insert")
+    ).toDF("k", "g", "v", "_change_type")
+    val rolled = Dimensional.maintainSummary(prev, cdf, "g", "v")
+      .select(col("g"), col("n_rows"), col("sum_dec").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(rolled === Set(("a", 2L, 35.0), ("c", 1L, 7.0)),
+      "update nets +5 on a; b drops at count 0; c appears")
+    val v2 = Seq((1L, "a", 10L), (2L, "a", 25L), (4L, "c", 7L))
+      .toDF("k", "g", "v")
+    val direct = Dimensional.summarizeForMaintenance(v2, "g", "v")
+      .select(col("g"), col("n_rows"), col("sum_dec").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(rolled === direct, "rolled-forward equals from-scratch")
+  }
 }
