@@ -1001,6 +1001,25 @@ object SparkEntry {
           "lang", "source")
         .orderBy("lang", "source")),
 
+    // ---- E20 Benford first-digit screen over order totals ----
+    "q_benford" -> ((s, d) =>
+      operators.Profiling.benford(t(s, d, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
+    // ---- E22 NDCG@10 ranking-quality metric (deterministic fixture
+    // ranking per lang; graded relevance = doc_id mod 4) ----
+    "q_ndcg" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = docs.select(col("lang").as("query_id"), col("doc_id"),
+        row_number().over(w).as("rank")).filter(col("rank") <= 10)
+      val rels = docs.select(col("lang").as("query_id"), col("doc_id"),
+        pmod(col("doc_id"), lit(4)).as("rel"))
+      operators.Search.ndcgAt(ranked, rels, k = 10).orderBy("query_id")
+    }),
+
     // ---- E3 approximate kNN-GRAPH construction (the clustering
     // primitive), audited against exact kNN on the query subset ----
     "q_knn_graph" -> ((s, d) => {
@@ -4815,6 +4834,46 @@ object SparkEntry {
 
     // same integer-ratio ln(9-dec) arithmetic as the other association
     // ops; NULL cells excluded on both sides
+    "q_ndcg" ->
+      """WITH r AS (SELECT lang AS query_id, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id) AS rank
+        |      FROM documents),
+        |rk AS (SELECT * FROM r WHERE rank <= 10),
+        |rel AS (SELECT lang AS query_id, doc_id, doc_id % 4 AS rel
+        |        FROM documents),
+        |d AS (SELECT rk.query_id,
+        |        CAST(sum(CAST(round(
+        |          (pow(2.0, CAST(COALESCE(rel, 0) AS DOUBLE)) - 1.0)
+        |          / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)), 9)
+        |          AS DECIMAL(28,9))) AS DOUBLE) AS dcg
+        |      FROM rk LEFT JOIN rel ON rel.query_id = rk.query_id
+        |        AND rel.doc_id = rk.doc_id
+        |      GROUP BY 1),
+        |i0 AS (SELECT query_id, rel, row_number() OVER (
+        |         PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rr
+        |       FROM rel),
+        |i AS (SELECT query_id,
+        |        CAST(sum(CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |          / (ln(CAST(rr AS DOUBLE) + 1.0) / ln(2.0)), 9)
+        |          AS DECIMAL(28,9))) AS DOUBLE) AS idcg
+        |      FROM i0 WHERE rr <= 10 GROUP BY 1)
+        |SELECT d.query_id,
+        |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 9) END AS ndcg
+        |FROM d JOIN i USING (query_id) ORDER BY query_id""".stripMargin,
+
+    "q_benford" ->
+      """WITH f AS (SELECT o_totalprice AS v FROM orders
+        |           WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+        |n AS (SELECT count(*) AS n FROM f)
+        |SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS BIGINT) AS digit,
+        |  count(*) AS cnt,
+        |  round(CAST(count(*) AS DOUBLE) / n.n, 9) AS share,
+        |  round(ln(1.0 + 1.0 / CAST(substr(CAST(CAST(floor(v) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT)) / ln(10.0), 9) AS expected
+        |FROM f, n GROUP BY 1, n.n ORDER BY 1""".stripMargin,
+
     "q_mutual_info" ->
       """WITH c AS (SELECT lang, source, count(*) AS n FROM documents
         |           WHERE lang IS NOT NULL AND source IS NOT NULL

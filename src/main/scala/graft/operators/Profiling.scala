@@ -444,6 +444,32 @@ object Profiling {
       .orderBy(col(groupCol), col("cnt").desc, col(keyCol))
   }
 
+  /** Benford first-digit audit: the observed leading-digit distribution
+    * of a positive numeric column against Benford's law — the classic
+    * screen for fabricated or truncated numeric data (organically grown
+    * magnitudes follow log(1+1/d); generator artifacts, caps and
+    * padding do not). Values below 1 are excluded (no leading digit in
+    * Benford's sense). One aggregation to nine rows; the leading digit
+    * comes from the decimal rendering, so no float log10 edge cases.
+    * Shares and the expected-law values round to 9 places with the same
+    * fixed arithmetic on both engines. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    // floor-then-cast: a straight double->long cast truncates in Spark
+    // but rounds in some engines — floor makes the value integral first
+    val digit = substring(floor(v).cast("long").cast("string"), 1, 1)
+      .cast("long")
+    df.filter(v.isNotNull && v >= 1)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(
+        df.filter(v.isNotNull && v >= 1).agg(count(lit(1)).as("__n"))))
+      .select(col("digit"), col("cnt"),
+        round(col("cnt").cast("double") / col("__n"), 9).as("share"),
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 9)
+          .as("expected"))
+  }
+
   /** Pairwise categorical-dependence audit: the pointwise mutual
     * information of every observed (colA, colB) value pair against the
     * independence baseline — the screen for confounded corpus columns

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -134,5 +134,47 @@ object Search {
       .agg(sum(col("__contrib").cast(DecimalType(28, 9))).cast("double")
              .as("rrf"),
            count(lit(1)).as("n_lists"))
+  }
+
+  /** NDCG@k — the ranking-quality metric that closes the retrieval
+    * loop: given a ranked list per query and graded relevance labels,
+    * the discounted cumulative gain of the ranking normalized by the
+    * ideal ordering's. The number a retrieval stack reports when it
+    * changes BM25 parameters, fusion weights or the embedding model.
+    *
+    * Per-position gains ((2^rel − 1)/log₂(rank+1)) are 9-dec-rounded
+    * doubles summed in DECIMAL, and the ideal ranking is a rank window
+    * over the labels (rel DESC, id — deterministic ties), so NDCG is
+    * engine- and layout-exact. Unlabeled ranked docs count rel 0;
+    * queries whose labels are all 0 emit NULL (undefined, not 1).
+    * Two window sorts over per-query rows — both partition by the
+    * query key; label/ranking tables carry ids and small ints only. */
+  def ndcgAt(ranked: DataFrame, rels: DataFrame, k: Int,
+             queryCol: String = "query_id", idCol: String = "doc_id",
+             rankCol: String = "rank", relCol: String = "rel")
+      : DataFrame = {
+    require(k > 0)
+    def gain(rel: Column, rank: Column): Column =
+      round((pow(lit(2.0), rel) - 1.0) /
+        (log(rank.cast("double") + 1.0) / log(lit(2.0))), 9)
+    def decSum(c: Column) = sum(c.cast(DecimalType(28, 9))).cast("double")
+    val dcg = ranked.filter(col(rankCol) <= k)
+      .join(rels.select(col(queryCol), col(idCol), col(relCol)),
+        Seq(queryCol, idCol), "left")
+      .withColumn("__g",
+        gain(coalesce(col(relCol), lit(0L)).cast("double"), col(rankCol)))
+      .groupBy(col(queryCol)).agg(decSum(col("__g")).as("__dcg"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(idCol))
+    val idcg = rels
+      .withColumn("__r", row_number().over(iw))
+      .filter(col("__r") <= k)
+      .withColumn("__g", gain(col(relCol).cast("double"), col("__r")))
+      .groupBy(col(queryCol)).agg(decSum(col("__g")).as("__idcg"))
+    dcg.join(idcg, Seq(queryCol))
+      .select(col(queryCol),
+        when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 9))
+          .as("ndcg"))
   }
 }

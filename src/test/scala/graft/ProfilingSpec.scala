@@ -264,6 +264,18 @@ class ProfilingSpec extends SparkTestBase {
       .count() === 1, "at k=2 only the singleton NULL/C group violates")
   }
 
+  test("benford: leading digits from decimal rendering; sub-1 and NULL " +
+       "values drop; law column is exact") {
+    val df = Seq[java.lang.Double](123.4, 19.0, 150.0, 0.5, null, 9000.0,
+      1.0).toDF("v")
+    val out = Profiling.benford(df, "v")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 9L), "0.5 and NULL contribute nothing")
+    assert(out(1L) === ((1L, 4L, 0.8, 0.301029996)),
+      "123, 19, 150, 1 lead with 1; expected = ln(2)/ln(10)")
+    assert(out(9L) === ((9L, 1L, 0.2, 0.045757491)))
+  }
+
   test("mutualInformation: dependent cells score ln2, independent 0, " +
        "NULLs drop") {
     val dep = Seq(("en", "a"), ("en", "a"), ("fr", "b"), ("fr", "b"),

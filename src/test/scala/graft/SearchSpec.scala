@@ -89,4 +89,27 @@ class SearchSpec extends SparkTestBase {
     assert(out(1L) === ((c(1).toDouble, 1L)))
     assert(out(3L) === ((c(2).toDouble, 1L)))
   }
+
+  test("ndcgAt: hand-computed gains, unlabeled docs rel 0, all-zero " +
+       "labels go NULL") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gain(rel: Int, rank: Int): Double =
+      r9((math.pow(2.0, rel) - 1.0) /
+        (math.log(rank + 1.0) / math.log(2.0)))
+    val ranked = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3),
+      ("z", 9L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    // D (doc 4) is relevant but unranked — it should cost ndcg via idcg;
+    // doc 1 is ranked first but unlabeled -> rel 0
+    val rels = Seq(("q", 2L, 2L), ("q", 3L, 1L), ("q", 4L, 3L),
+      ("z", 9L, 0L))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Search.ndcgAt(ranked, rels, k = 10)
+      .as[(String, Option[Double])].collect().toMap
+    val dcg = gain(0, 1) + gain(2, 2) + gain(1, 3)
+    val idcg = gain(3, 1) + gain(2, 2) + gain(1, 3) + gain(0, 4)
+    assert(out("q") === Some(r9(dcg / idcg)))
+    assert(out("z") === None, "all-zero labels: NDCG undefined, NULL")
+  }
 }
