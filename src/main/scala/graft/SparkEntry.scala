@@ -1037,6 +1037,31 @@ object SparkEntry {
       EventOps.rfmSegments(t(s, d, "events"))
         .orderBy("r_score", "f_score", "m_score")),
 
+    // ---- E20 Lorenz concentration: Gini of document length per
+    // source (is one source's mass dominated by a few giants?) ----
+    "q_gini" -> ((s, d) =>
+      operators.Profiling.gini(t(s, d, "documents"), "source", "n_chars")
+        .orderBy("source")),
+
+    // ---- E20 rater-agreement audit: Cohen's kappa between the
+    // char-length screen and the token-count screen, per lang ----
+    "q_kappa" -> ((s, d) =>
+      operators.Profiling.cohenKappa(t(s, d, "documents"), "lang",
+          col("n_chars") >= 300, size(split(col("text"), " ")) >= 55)
+        .orderBy("lang")),
+
+    // ---- E19 Zipf-slope naturalness screen over the token-frequency
+    // distribution (natural text ≈ −1) ----
+    "q_zipf" -> ((s, d) =>
+      Ngrams.zipfSlope(docsSpread(s, d), minTf = 5)
+        .orderBy("n_types")),
+
+    // ---- corpus mixing: deterministic seedless MD5-ranked sample
+    // per source (the reproducible eval-slice extractor) ----
+    "q_hash_sample" -> ((s, d) =>
+      Mixing.hashSample(t(s, d, "documents"), "source", "doc_id", k = 10)
+        .orderBy("source", "rn")),
+
     // ---- corpus mixing: systematic per-source sampling ----
     "q_sample_mix" -> ((s, d) =>
       Mixing.systematicSampleByRates(t(s, d, "documents"), "source", "doc_id",
@@ -4888,6 +4913,91 @@ object SparkEntry {
         |    / (CAST(ca AS DOUBLE) * cb)), 9) AS pmi
         |FROM c JOIN ma USING (lang) JOIN mb USING (source), t
         |ORDER BY c.lang, c.source""".stripMargin,
+
+    // exact integer arithmetic to the closing division (rank formula);
+    // ties are sum-invariant, so the rank order-by needs no tiebreak
+    "q_gini" ->
+      """WITH r AS (SELECT source, n_chars AS x,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars) AS BIGINT) AS i
+        |      FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |a AS (SELECT source, count(*) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sum_value,
+        |        CAST(sum(i * x) AS BIGINT) AS w
+        |      FROM r GROUP BY 1)
+        |SELECT source, n, sum_value,
+        |  round(CAST(2 * w - (n + 1) * sum_value AS DOUBLE)
+        |    / CAST(n * sum_value AS DOUBLE), 9) AS gini
+        |FROM a WHERE sum_value > 0 ORDER BY source""".stripMargin,
+
+    "q_kappa" ->
+      """WITH l AS (SELECT lang, n_chars >= 300 AS a,
+        |        length(string_split(text, ' ')) >= 55 AS b
+        |      FROM documents),
+        |g AS (SELECT lang, count(*) AS n,
+        |        CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n11,
+        |        CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n10,
+        |        CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n01,
+        |        CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n00
+        |      FROM l WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1)
+        |SELECT lang, n, n11, n10, n01, n00,
+        |  round(CAST(n11 + n00 AS DOUBLE) / n, 9) AS po,
+        |  round(CAST((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n), 9) AS pe,
+        |  CASE WHEN CAST((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+        |      AS DOUBLE) / (CAST(n AS DOUBLE) * n) < 1.0 THEN
+        |    round((CAST(n11 + n00 AS DOUBLE) / n
+        |        - CAST((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+        |          AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+        |      / (1.0 - CAST((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+        |          AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 9)
+        |  END AS kappa
+        |FROM g ORDER BY lang""".stripMargin,
+
+    // per-type terms round to 9 then sum as DECIMAL(38,9): the slope is
+    // order-independent; rank built from the tf-distribution prefix +
+    // within-tf row_number (identical to the global frequency sort)
+    "q_zipf" ->
+      """WITH tf AS (SELECT tok, count(*) AS tf
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents)
+        |      GROUP BY tok HAVING count(*) >= 5),
+        |d AS (SELECT tf AS f, count(*) AS cnt FROM tf GROUP BY 1),
+        |c AS (SELECT f, COALESCE(sum(cnt) OVER (ORDER BY f DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS higher FROM d),
+        |r AS (SELECT t.tf,
+        |        c.higher + row_number() OVER (PARTITION BY t.tf
+        |          ORDER BY t.tok) AS rank
+        |      FROM tf t JOIN c ON c.f = t.tf),
+        |terms AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |        round(ln(CAST(tf AS DOUBLE)), 9) AS y FROM r),
+        |s AS (SELECT count(*) AS n_types,
+        |        CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(x*x, 9) AS DECIMAL(38,9)))
+        |          AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(round(x*y, 9) AS DECIMAL(38,9)))
+        |          AS DOUBLE) AS sxy
+        |      FROM terms)
+        |SELECT n_types,
+        |  CASE WHEN n_types * sxx - sx * sx > 0.0 THEN
+        |    round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 9)
+        |  END AS slope
+        |FROM s ORDER BY n_types""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
 
     // LSH graph construction is plan shape; the checkable semantics is
     // the recall floor against exact kNN on the audited subset

@@ -654,4 +654,29 @@ object Mixing {
               .cast("double") / (col("n_docs") * col("max_len")), 9))
           .otherwise(lit(0.0)).as("pad_frac"))
   }
+
+  /** Deterministic fixed-size sample per stratum: the k rows of each
+    * group whose MD5(id) digests sort first — a seedless, engine- and
+    * layout-independent "random" sample (MD5 of the id text is the
+    * shared coin every engine can flip identically), reproducible
+    * forever without storing a sample list. The eval-slice /
+    * spot-check-extraction primitive: re-running it next quarter on the
+    * grown corpus keeps previously-sampled ids in the sample iff they
+    * still win their hash rank, and an auditor can verify membership
+    * from the id alone.
+    *
+    * One grouped window (shuffle on the stratum key, top-k rank
+    * filter); Spark's WindowGroupLimit pushes the `rank <= k` cut into
+    * the sort, so no group ever materializes fully. The digest is
+    * computed on `CAST(id AS STRING)` — cheap, and textual so the
+    * oracle side is the same bytes. */
+  def hashSample(df: DataFrame, strataCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(strataCol), col(idCol),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+  }
 }

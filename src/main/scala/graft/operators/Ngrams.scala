@@ -1054,4 +1054,54 @@ object Ngrams {
         (lit(M - 1) - (col("__sel") % M)).cast("long").as("pos"))
       .distinct()
   }
+
+  /** Zipf fit of the corpus token-frequency distribution: the
+    * least-squares slope of ln(tf) on ln(rank) over all token types
+    * with tf ≥ `minTf`, plus the type count — the one-number
+    * naturalness screen for a text source (natural language sits near
+    * slope ≈ −1; templated/boilerplate corpora flatten, spam with
+    * generated vocab steepens).
+    *
+    * The rank is built WITHOUT a whole-vocabulary single-partition
+    * sort: the tf-distribution table (one row per DISTINCT frequency —
+    * O(√tokens) rows by Heaps'-law shapes) carries the
+    * count-of-strictly-higher prefix in a tiny unpartitioned window,
+    * and the within-frequency tiebreak (`tok` ascending) is a window
+    * PARTITIONED by tf — distributed, skew bounded by the largest
+    * frequency class. rank = higher + rn, identical to the global sort.
+    *
+    * The regression sums ride the repo's exact-sum rule: each per-type
+    * term (ln rank, ln tf, their products) is rounded to 9 places and
+    * summed as DECIMAL(38,9) — order-independent, so the slope is
+    * bit-identical across engines and layouts; the closing normal
+    * equation is scalar IEEE arithmetic on those exact sums. */
+  def zipfSlope(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", minTf: Long = 5L): DataFrame = {
+    val tf = docs.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minTf)
+    val dist = tf.groupBy("tf").agg(count(lit(1)).as("__cnt"))
+    val wHigher = Window.orderBy(col("tf").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val higher = dist.select(col("tf"),
+      coalesce(sum(col("__cnt")).over(wHigher), lit(0L)).as("__higher"))
+    val wTie = Window.partitionBy("tf").orderBy("tok")
+    val ranked = tf.join(higher, "tf")
+      .select(col("tf"),
+        (col("__higher") + row_number().over(wTie)).as("rank"))
+    val x = round(log(col("rank").cast("double")), 9)
+    val y = round(log(col("tf").cast("double")), 9)
+    def decSum(c: Column) = sum(c.cast(
+      org.apache.spark.sql.types.DecimalType(38, 9))).cast("double")
+    val s = ranked.agg(count(lit(1)).as("n_types"),
+      decSum(x).as("__sx"), decSum(y).as("__sy"),
+      decSum(round(x * x, 9)).as("__sxx"),
+      decSum(round(x * y, 9)).as("__sxy"))
+    val nD = col("n_types").cast("double")
+    val det = nD * col("__sxx") - col("__sx") * col("__sx")
+    s.select(col("n_types"),
+      when(det > 0.0, round(
+        (nD * col("__sxy") - col("__sx") * col("__sy")) / det, 9))
+        .as("slope"))
+  }
 }

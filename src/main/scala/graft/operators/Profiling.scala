@@ -536,4 +536,73 @@ object Profiling {
         round(col("__sum_before") / col("n"), 9).as("mean_before"),
         round(col("__sum_after") / col("n"), 9).as("mean_after"))
   }
+
+  /** Per-group Gini coefficient of an integer `valueCol` — the
+    * concentration audit behind "is 1% of sources contributing 90% of
+    * the tokens?": 0 = perfectly even, →1 = all mass on one row. Uses
+    * the rank formulation G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * group-ascending sort, which is EXACT integer arithmetic until the
+    * closing division — engine- and layout-independent (ties swap equal
+    * x between ranks, leaving Σ i·xᵢ unchanged).
+    *
+    * Plan shape: one shuffle on the group key (the rank window), then a
+    * groups-sized aggregate — grouped windows scale with the group, not
+    * the corpus. Products stay in Long: rank·value ≤ rows/group ×
+    * max(value); overflow would need ~10⁹ rows of 10⁹-sized values in
+    * ONE group — cast `valueCol` down or pre-aggregate first if a group
+    * can hold that. NULL and negative values are excluded (the Lorenz
+    * construction needs a non-negative measure). */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(v)
+    df.filter(v.isNotNull && v >= 0)
+      .select(col(groupCol), v.as("__x"),
+        row_number().over(w).cast("long").as("__i"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col("__x")).as("sum_value"),
+           sum(col("__i") * col("__x")).as("__w"))
+      .filter(col("sum_value") > 0)
+      .select(col(groupCol), col("n"), col("sum_value"),
+        round((lit(2L) * col("__w") - (col("n") + 1L) * col("sum_value"))
+          .cast("double") / (col("n") * col("sum_value")).cast("double"), 9)
+          .as("gini"))
+  }
+
+  /** Cohen's kappa between two boolean raters — the agreement audit run
+    * before trusting a cheap heuristic label against a reference one
+    * (are the char-length screen and the token-count screen the same
+    * rater in disguise, or genuinely independent checks?). Per group:
+    * the 2×2 contingency counts, observed agreement `po`, chance
+    * agreement `pe`, and κ = (po − pe)/(1 − pe); κ is NULL when the
+    * raters are degenerate (pe = 1: both constant). Rows where either
+    * rater abstains (NULL) are excluded.
+    *
+    * One grouped aggregation — the contingency cells are four boolean
+    * sums in a single pass, so the whole audit costs one shuffle on the
+    * group key with map-side partial aggregation. The ratios are single
+    * IEEE divisions of exact integer counts, rounded to 9 places. */
+  def cohenKappa(df: DataFrame, groupCol: String,
+                 raterA: org.apache.spark.sql.Column,
+                 raterB: org.apache.spark.sql.Column): DataFrame = {
+    val a = raterA.cast("boolean")
+    val b = raterB.cast("boolean")
+    def cell(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val g = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           cell(a && b).as("n11"), cell(a && !b).as("n10"),
+           cell(!a && b).as("n01"), cell(!a && !b).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+              (col("n01") + col("n00")) * (col("n10") + col("n00")))
+      .cast("double") / (nD * nD)
+    g.select(col(groupCol), col("n"), col("n11"), col("n10"),
+      col("n01"), col("n00"),
+      round(po, 9).as("po"), round(pe, 9).as("pe"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 9)).as("kappa"))
+  }
 }

@@ -467,4 +467,41 @@ class MixingSpec extends SparkTestBase {
       "integer arithmetic until one rounded division")
     assert(out(4L) === ((4L, 2L, 7L, 8L, 0.0625)))
   }
+
+  test("hashSample: MD5-rank selection is exact, per-group sized, and " +
+       "stable under corpus growth") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = (0L until 30L).map(i => (s"s${i % 2}", i)).toDF("src", "id")
+    val out = Mixing.hashSample(df, "src", "id", k = 5)
+      .as[(String, Long, Long)].collect()
+    assert(out.count(_._1 == "s0") === 5 && out.count(_._1 == "s1") === 5)
+    // the sample IS the first k of the group's md5 sort — recompute it
+    val want = (0L until 30L).groupBy(i => s"s${i % 2}").flatMap {
+      case (g, ids) =>
+        ids.sortBy(i => (md5hex(i.toString), i)).take(5)
+          .zipWithIndex.map { case (i, r) => (g, i, r + 1L) }
+    }.toSet
+    assert(out.toSet === want, "engine sample = reference md5 ranking")
+    // growth stability: adding rows only displaces losers — every kept
+    // id either stays (with rank <= old rank) or was out-hashed
+    val grown = (0L until 60L).map(i => (s"s${i % 2}", i)).toDF("src", "id")
+    val kept = Mixing.hashSample(grown, "src", "id", k = 5)
+      .as[(String, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    val oldByG = out.groupBy(_._1).view
+      .mapValues(_.map(t => md5hex(t._2.toString)).max).toMap
+    assert(kept.forall { case (g, i) =>
+      md5hex(i.toString) <= oldByG(g) ||
+        !out.exists(t => t._1 == g && t._2 == i) },
+      "new winners can only enter by hashing below the old cutoff")
+    // a group smaller than k returns whole
+    val tiny = Seq(("t", 1L), ("t", 2L)).toDF("src", "id")
+    assert(Mixing.hashSample(tiny, "src", "id", k = 5).count() === 2)
+    // top-k rank filter must fuse into the sort (WindowGroupLimit)
+    val plan = Mixing.hashSample(df, "src", "id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push into the window sort:\n$plan")
+  }
 }

@@ -485,4 +485,37 @@ class NgramsSpec extends SparkTestBase {
     assert((byDoc(3L) intersect byDoc(4L)).nonEmpty,
       "shared 6-token substring surfaces a shared fingerprint")
   }
+
+  test("zipfSlope: exact two-point fit, tie ranks follow the global " +
+       "frequency sort, sub-minTf types drop") {
+    // tf(a)=10 -> rank 1 (x=0), tf(b)=5 -> rank 2: slope = ln(5/10)/ln 2 = -1
+    val docs = Seq((1L, (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++
+      Seq("rare")).mkString(" "))).toDF("doc_id", "text")
+    val Array((n, slope)) = Ngrams.zipfSlope(docs)
+      .as[(Long, Option[Double])].collect()
+    assert(n === 2L, "the tf=1 type is under minTf")
+    assert(math.abs(slope.get + 1.0) < 1e-6,
+      "two-point fit through (0, ln10) and (ln2, ln5)")
+    // a single type (or all-equal ln-rank) has no determined slope
+    val one = Seq((1L, Seq.fill(6)("only").mkString(" ")))
+      .toDF("doc_id", "text")
+    val Array((n1, s1)) = Ngrams.zipfSlope(one)
+      .as[(Long, Option[Double])].collect()
+    assert(n1 === 1L && s1.isEmpty, "degenerate fit surfaces as NULL")
+    // tied frequencies: ranks must be 1,2,3 (distribution prefix +
+    // within-tf tok order), matching the global sort
+    val tied = Seq((1L, (Seq.fill(10)("z") ++ Seq.fill(5)("b") ++
+      Seq.fill(5)("a")).mkString(" "))).toDF("doc_id", "text")
+    val Array((n3, s3)) = Ngrams.zipfSlope(tied)
+      .as[(Long, Option[Double])].collect()
+    assert(n3 === 3L)
+    // least squares over (0,ln10),(ln2,ln5),(ln3,ln5)
+    val xs = Seq(0.0, math.log(2), math.log(3))
+    val ys = Seq(math.log(10), math.log(5), math.log(5))
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val want = (3 * sxy - sx * sy) / (3 * sxx - sx * sx)
+    assert(math.abs(s3.get - want) < 1e-6)
+  }
 }

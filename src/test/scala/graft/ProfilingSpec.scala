@@ -293,6 +293,47 @@ class ProfilingSpec extends SparkTestBase {
     assert(i.forall(_._4 === 0.0), "independent columns: all cells at 0")
   }
 
+  test("gini: uniform mass scores 0, one-row mass scores (n-1)/n, " +
+       "NULL/negative rows drop") {
+    val df = Seq(
+      ("even", Some(7L)), ("even", Some(7L)), ("even", Some(7L)),
+      ("even", Some(7L)),
+      ("conc", Some(0L)), ("conc", Some(0L)), ("conc", Some(0L)),
+      ("conc", Some(10L)),
+      ("conc", None), ("conc", Some(-5L)),
+      ("zero", Some(0L)))
+      .toDF("src", "v")
+    val out = Profiling.gini(df, "src", "v")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("even") === (("even", 4L, 28L, 0.0)),
+      "equal values: Lorenz curve is the diagonal")
+    assert(out("conc") === (("conc", 4L, 10L, 0.75)),
+      "all mass on the last rank: G = (n-1)/n; NULL and negative drop")
+    assert(!out.contains("zero"), "sum=0 groups have no Lorenz curve")
+  }
+
+  test("cohenKappa: perfect=1, independent=0, constant raters -> NULL") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // perfect agreement, mixed labels
+      ("p", true, true), ("p", false, false), ("p", true, true),
+      // independence: uniform 2x2 grid
+      ("i", true, true), ("i", true, false),
+      ("i", false, true), ("i", false, false),
+      // both raters constant: pe = 1, kappa undefined
+      ("c", true, true), ("c", true, true))
+      .toDF("g", "a", "b")
+    val out = Profiling.cohenKappa(df, "g", col("a"), col("b"))
+      .select("g", "po", "pe", "kappa")
+      .as[(String, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("p") === (("p", 1.0, 0.555555556, Some(1.0))))
+    assert(out("i") === (("i", 0.5, 0.5, Some(0.0))),
+      "uniform grid: observed agreement equals chance")
+    assert(out("c") === (("c", 1.0, 1.0, None)),
+      "degenerate raters: kappa is NULL, not a division blowup")
+  }
+
   test("winsorize: interpolated clip bounds, clip counts, exact means") {
     // g: values 1..20 — p05 = 1.95, p90 = 18.1 (index p*(n-1) rule)
     val df = (1 to 20).map(v => ("g", v.toLong)).toDF("src", "v")
