@@ -1062,6 +1062,33 @@ object SparkEntry {
       Mixing.hashSample(t(s, d, "documents"), "source", "doc_id", k = 10)
         .orderBy("source", "rn")),
 
+    // ---- E6 next-event entropy per state: is the journey a rail or
+    // a coin flip? (the determinism screen over transitionMatrix) ----
+    "q_transition_entropy" -> ((s, d) =>
+      EventOps.transitionEntropy(t(s, d, "events"))
+        .orderBy("from_type")),
+
+    // ---- E4 LIX-style readability report per source ----
+    "q_readability" -> ((s, d) =>
+      TextAnalysis.readability(docsSpread(s, d), "source")
+        .orderBy("source")),
+
+    // ---- E20 Tukey-fence outlier census (robust-quartile fences) ----
+    "q_iqr_outliers" -> ((s, d) =>
+      operators.Profiling.iqrOutliers(t(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    // ---- E24 degree histogram of the customer→supplier trade graph
+    // (the connectivity fingerprint before any graph algorithm) ----
+    "q_degree_hist" -> ((s, d) => {
+      val edges = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+      operators.Graphs.degreeHistogram(edges, "o_custkey", "l_suppkey")
+        .orderBy("degree")
+    }),
+
     // ---- corpus mixing: systematic per-source sampling ----
     "q_sample_mix" -> ((s, d) =>
       Mixing.systematicSampleByRates(t(s, d, "documents"), "source", "doc_id",
@@ -4998,6 +5025,75 @@ object SparkEntry {
         |      AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+
+    // c·ln(c) terms round to 9 then sum as DECIMAL(38,9) — the
+    // order-independent entropy arithmetic the JSD oracle also uses
+    "q_transition_entropy" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS to_type
+        |      FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS c FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS n_out,
+        |        count(*) AS n_dsts,
+        |        CAST(sum(CAST(round(CAST(c AS DOUBLE)
+        |          * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(38,9)))
+        |          AS DOUBLE) AS clnc
+        |      FROM c GROUP BY 1)
+        |SELECT from_type, n_out, n_dsts,
+        |  round(ln(CAST(n_out AS DOUBLE))
+        |    - clnc / CAST(n_out AS DOUBLE), 9) AS entropy
+        |FROM a ORDER BY from_type""".stripMargin,
+
+    "q_readability" ->
+      """WITH d AS (SELECT source,
+        |        CAST(length(string_split(text, ' ')) AS BIGINT) AS nt,
+        |        CAST(length(list_filter(string_split(text, ' '),
+        |          w -> length(w) >= 5)) AS BIGINT) AS nl,
+        |        CAST(length(text) - (length(string_split(text, ' ')) - 1)
+        |          AS BIGINT) AS ch
+        |      FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |        CAST(sum(nl) AS BIGINT) AS n_long_tokens,
+        |        CAST(sum(ch) AS BIGINT) AS ch
+        |      FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_long_tokens,
+        |  round(CAST(ch AS DOUBLE) / n_tokens, 9) AS avg_tok_len,
+        |  round(CAST(n_long_tokens AS DOUBLE) * 100.0 / n_tokens, 9)
+        |    AS long_pct
+        |FROM g WHERE n_tokens > 0 ORDER BY source""".stripMargin,
+
+    // fences compare against the UNROUNDED interpolated quartiles;
+    // only the reported q1/q3 round
+    "q_iqr_outliers" ->
+      """WITH b AS (SELECT l_returnflag,
+        |        quantile_cont(l_extendedprice, 0.25) AS q1,
+        |        quantile_cont(l_extendedprice, 0.75) AS q3
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |      GROUP BY 1),
+        |f AS (SELECT l_returnflag, q1, q3,
+        |        q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |      FROM b)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high,
+        |  round(f.q1, 9) AS q1, round(f.q3, 9) AS q3
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY l.l_returnflag, f.q1, f.q3
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_degree_hist" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+        |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |      WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |dg AS (SELECT s, count(*) AS degree FROM e GROUP BY 1)
+        |SELECT degree, count(*) AS n_nodes FROM dg
+        |GROUP BY 1 ORDER BY degree""".stripMargin,
 
     // LSH graph construction is plan shape; the checkable semantics is
     // the recall floor against exact kNN on the audited subset

@@ -250,6 +250,39 @@ object EventOps {
       (col("n").cast("double") / sum(col("n")).over(byFrom)).as("prob"))
   }
 
+  /** Next-event entropy per state — the one-number collapse of
+    * [[transitionMatrix]]: for each `from_type`, the Shannon entropy of
+    * its outgoing-transition distribution (nats). 0 = the journey is a
+    * rail (one successor, bot-like or funnel-forced); ln(n_dsts) = the
+    * successor is a coin flip — the determinism screen run over user
+    * journeys before trusting a funnel analysis.
+    *
+    * Same two shuffles as the matrix (user window → pair aggregate),
+    * closed by a states-sized aggregate. H = ln(N) − Σc·ln(c)/N with
+    * each c·ln(c) term rounded to 9 places and summed as
+    * DECIMAL(38,9) — order-independent, engine-exact. */
+  def transitionEntropy(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts", typeCol: String = "event_type",
+                        idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(byUser).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("__c"))
+    val term = round(col("__c").cast("double") *
+      log(col("__c").cast("double")), 9)
+    pairs.groupBy(col("from_type"))
+      .agg(sum(col("__c")).as("n_out"),
+           count(lit(1)).as("n_dsts"),
+           sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+             .cast("double").as("__clnc"))
+      .select(col("from_type"), col("n_out"), col("n_dsts"),
+        round(log(col("n_out").cast("double")) -
+          col("__clnc") / col("n_out").cast("double"), 9).as("entropy"))
+  }
+
   /** First-/last-touch attribution report — the marketing-analytics
     * complement of [[funnelN]]: each conversion event is credited to the
     * user's FIRST and MOST RECENT preceding touch event (the two

@@ -190,4 +190,25 @@ object Graphs {
       .select(col("node"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Degree histogram of a (possibly bipartite) edge list: how many
+    * `src` nodes touch exactly d distinct `dst` nodes — the
+    * connectivity fingerprint read before any graph algorithm is
+    * trusted (a power-law tail means hubs that need the skew
+    * treatments; a spike at 1 means the "graph" is mostly a lookup
+    * table). Parallel edges collapse first, so degree means distinct
+    * neighbors.
+    *
+    * Three shuffles, each smaller than the last: edge distinct (src,
+    * dst), per-src count (src — map-side combined), then the
+    * degree-sized histogram aggregate. Nothing global, nothing driver-
+    * side; all integer arithmetic. */
+  def degreeHistogram(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame =
+    edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct()
+      .groupBy(col("__s")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 }

@@ -605,4 +605,39 @@ object Profiling {
       round(po, 9).as("po"), round(pe, 9).as("pe"),
       when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 9)).as("kappa"))
   }
+
+  /** Tukey-fence outlier census per group: the exact interpolated
+    * quartiles, the 1.5·IQR fences, and how many rows fall outside
+    * each — the distribution-shape complement of [[winsorize]] (which
+    * clips): it answers "how contaminated is this column?" before
+    * anyone decides a clip policy. Fences, not z-scores, because the
+    * quartiles are robust to the very outliers being counted.
+    *
+    * Two aggregates on ONE shuffle key: the grouped exact-percentile
+    * pass (state bounded by distinct values per group), then the fence
+    * comparison re-aggregated with the bounds broadcast back on the
+    * group key. Counts are exact integers; the fence values are the
+    * IEEE interpolation both engines share, rounded to 9 places only
+    * for display (comparisons use the unrounded bound). */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 1.5): DataFrame = {
+    require(k >= 0, s"fence multiplier must be non-negative, got $k")
+    val v = col(valueCol).cast("double")
+    val bounds = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.25)).as("__q1"),
+           percentile(v, lit(0.75)).as("__q3"))
+      .select(col(groupCol), col("__q1"), col("__q3"),
+        (col("__q1") - lit(k) * (col("__q3") - col("__q1"))).as("__lo"),
+        (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("__hi"))
+    df.filter(v.isNotNull).join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           sum(when(v < col("__lo"), 1L).otherwise(0L)).as("n_low"),
+           sum(when(v > col("__hi"), 1L).otherwise(0L)).as("n_high"),
+           first(col("__q1")).as("__q1f"),
+           first(col("__q3")).as("__q3f"))
+      .select(col(groupCol), col("n"), col("n_low"), col("n_high"),
+        round(col("__q1f"), 9).as("q1"),
+        round(col("__q3f"), 9).as("q3"))
+  }
 }

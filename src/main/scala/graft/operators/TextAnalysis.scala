@@ -417,4 +417,39 @@ object TextAnalysis {
       qualityScore(t).as("quality"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** Per-group readability report (LIX-style, punctuation-free): token
+    * and long-token totals, exact mean token length, the long-word
+    * share, and their sum as the readability score — higher = denser
+    * text. The cheap complexity screen that separates telegraphic /
+    * template output from prose when a corpus carries no sentence
+    * punctuation to lean on (code, logs, OCR fragments).
+    *
+    * Every per-doc measure is integral (token counts via the
+    * whitespace split; in-token chars = length minus separators), so
+    * the group sums are exact and the report reduces to one grouped
+    * aggregation — one shuffle, map-side combined; the two closing
+    * divisions round to 9 places. `longLen` is the "long word"
+    * threshold (6+ chars in classic LIX; tune to the corpus). */
+  def readability(docs: DataFrame, groupCol: String,
+                  textCol: String = "text", longLen: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val nToks = size(toks).cast("long")
+    val nLong = size(filter(toks, w => length(w) >= longLen)).cast("long")
+    val tokChars = (length(t) - (nToks - 1L)).cast("long")
+    docs.filter(t.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(nToks).as("n_tokens"),
+           sum(nLong).as("n_long_tokens"),
+           sum(tokChars).as("__chars"))
+      .filter(col("n_tokens") > 0)
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_long_tokens"),
+        round(col("__chars").cast("double") / col("n_tokens"), 9)
+          .as("avg_tok_len"),
+        round(col("n_long_tokens").cast("double") * 100.0 /
+          col("n_tokens"), 9).as("long_pct"))
+  }
 }

@@ -67,6 +67,26 @@ class EventOpsSpec extends SparkTestBase {
     assert(t2.toSeq === Seq(("X", "Y", 1L, 1.0)))
   }
 
+  test("transitionEntropy: rails score 0, uniform fanout scores ln(n)") {
+    // u1..u4 each A→B then A→C twice total each way: A fans out 50/50;
+    // B and C are rails into D
+    val rows = (1L to 4L).flatMap { u =>
+      val mid = if (u % 2 == 0) "B" else "C"
+      Seq((u * 10L, ts("2026-01-01 00:00:00"), u, "A"),
+          (u * 10L + 1, ts("2026-01-01 00:01:00"), u, mid),
+          (u * 10L + 2, ts("2026-01-01 00:02:00"), u, "D"))
+    }
+    val out = EventOps.transitionEntropy(
+        rows.toDF("event_id", "ts", "user_id", "event_type"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 4L, 2L, 0.693147181)),
+      "two successors at 2/2: H = ln 2")
+    assert(out("B") === (("B", 2L, 1L, 0.0)) &&
+           out("C") === (("C", 2L, 1L, 0.0)),
+      "single successor: the journey is a rail")
+    assert(!out.contains("D"), "terminal states emit no transitions")
+  }
+
   test("attribution: first/last preceding touch per conversion; organic " +
        "purchases land in (none)") {
     val df = Seq(

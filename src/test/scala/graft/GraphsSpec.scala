@@ -102,4 +102,17 @@ class GraphsSpec extends SparkTestBase {
     // global count = sum/3: 4 (K4) + 1 (isolated) = 5
     assert(got.values.sum === 15L)
   }
+
+  test("degreeHistogram: distinct-neighbor degrees, parallel edges " +
+       "collapse, NULL endpoints drop") {
+    val e = Seq(
+      (Some(1L), Some(10L)), (Some(1L), Some(10L)), // parallel: deg 1
+      (Some(2L), Some(10L)), (Some(2L), Some(11L)), // deg 2
+      (Some(3L), Some(10L)), (Some(3L), Some(11L)), (Some(3L), Some(12L)),
+      (Some(4L), None), (None, Some(13L))           // dropped
+    ).toDF("s", "d")
+    val got = Graphs.degreeHistogram(e, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

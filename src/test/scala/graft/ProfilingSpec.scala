@@ -334,6 +334,25 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate raters: kappa is NULL, not a division blowup")
   }
 
+  test("iqrOutliers: fences from interpolated quartiles, exact censuses") {
+    // g: 1..11 plus outliers -100 and 1000 (n=13):
+    // q1 = 1 + 0.25*12 = 4? no — quantile over the FULL 13 values:
+    // sorted {-100,1..11,1000}; q1 at idx 0.25*12 = 3 -> value 3,
+    // q3 at idx 9 -> 9; iqr 6; fences [-6, 18] -> 1 low, 1 high
+    val df = ((1 to 11).map(_.toDouble) ++ Seq(-100.0, 1000.0))
+      .map(v => ("g", v)).toDF("src", "v")
+    val Array(r) = Profiling.iqrOutliers(df, "src", "v")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(r === (("g", 13L, 1L, 1L, 3.0, 9.0)))
+    // zero-IQR group: constant bulk, everything off-center is outlier
+    val c = (Seq.fill(9)(5.0) ++ Seq(7.0)).map(v => ("c", v))
+      .toDF("src", "v")
+    val Array(r2) = Profiling.iqrOutliers(c, "src", "v")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(r2 === (("c", 10L, 0L, 1L, 5.0, 5.0)),
+      "degenerate quartiles: fences collapse to the constant")
+  }
+
   test("winsorize: interpolated clip bounds, clip counts, exact means") {
     // g: values 1..20 — p05 = 1.95, p90 = 18.1 (index p*(n-1) rule)
     val df = (1 to 20).map(v => ("g", v.toLong)).toDF("src", "v")

@@ -224,4 +224,20 @@ class TextAnalysisSpec extends SparkTestBase {
       .toMap
     assert(out === Map(("a", "a") -> 1L), "symmetric scores pick label 'a'")
   }
+
+  test("readability: exact token/char/long-word accounting per group") {
+    val df = Seq(
+      ("a", "aa bb ccccc"),    // 3 toks, 1 long (>=5), 9 chars in toks
+      ("a", "ddddd"),          // 1 tok, 1 long, 5 chars
+      ("b", "x y"),            // 2 toks, 0 long, 2 chars
+      ("b", null)              // ignored
+    ).toDF("src", "text")
+    val out = TextAnalysis.readability(df, "src", "text", longLen = 5)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 2L, 4L, 2L, 3.5, 50.0)),
+      "14 in-token chars over 4 tokens; 2 of 4 long")
+    assert(out("b") === (("b", 1L, 2L, 0L, 1.0, 0.0)),
+      "NULL text drops before the group count")
+  }
 }
