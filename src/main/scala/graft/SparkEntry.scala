@@ -1079,6 +1079,25 @@ object SparkEntry {
           "l_returnflag", "l_extendedprice")
         .orderBy("l_returnflag")),
 
+    // ---- E23 count-min sketch as a mergeable d×w counter TABLE (no
+    // driver state), audited per key against the exact counts ----
+    "q_cms_counts" -> ((s, d) =>
+      operators.Profiling.cmsCheckedCounts(t(s, d, "events"), "user_id")
+        .orderBy("key")),
+
+    // ---- E6 frequent length-3 journeys (sequential patterns one hop
+    // deeper than the transition matrix) ----
+    "q_seq_patterns" -> ((s, d) =>
+      EventOps.sequencePatterns(t(s, d, "events"), minSupport = 5)
+        .orderBy("e1", "e2", "e3")),
+
+    // ---- E20 fixed-width value histogram (drift-comparable buckets,
+    // sparse by construction) ----
+    "q_histogram" -> ((s, d) =>
+      operators.Profiling.equiWidthHistogram(t(s, d, "orders"),
+          "o_totalprice", width = 20000.0)
+        .orderBy("bucket")),
+
     // ---- E24 degree histogram of the customer→supplier trade graph
     // (the connectivity fingerprint before any graph algorithm) ----
     "q_degree_hist" -> ((s, d) => {
@@ -5086,6 +5105,32 @@ object SparkEntry {
         |WHERE l_extendedprice IS NOT NULL
         |GROUP BY l.l_returnflag, f.q1, f.q3
         |ORDER BY l.l_returnflag""".stripMargin,
+
+    // sketch-audit oracle shape (q_approx_users): exact counts are the
+    // checkable payload; the CMS estimate itself is plan-internal
+    "q_cms_counts" ->
+      """SELECT user_id AS key, count(*) AS cnt, TRUE AS cms_ok
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q_seq_patterns" ->
+      """WITH p AS (SELECT event_type AS e1,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS e2,
+        |        lead(event_type, 2) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS e3
+        |      FROM events)
+        |SELECT e1, e2, e3, count(*) AS support FROM p
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 5
+        |ORDER BY e1, e2, e3""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+        |  count(*) AS n_rows,
+        |  min(o_totalprice) AS min_value, max(o_totalprice) AS max_value
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_degree_hist" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS s, l_suppkey AS d

@@ -283,6 +283,35 @@ object EventOps {
           col("__clnc") / col("n_out").cast("double"), 9).as("entropy"))
   }
 
+  /** Frequent length-3 event sequences — the sequential-pattern miner
+    * (PrefixSpan's workhorse case): every run of three consecutive
+    * events inside one user's time-ordered stream, counted across
+    * users and kept at `minSupport`+. Unlike the pairwise
+    * [[transitionMatrix]], triples expose ORDER-dependent structure
+    * (view→cart→buy vs cart→view→buy are different rows) — the input
+    * behind journey templates and next-step models deeper than one
+    * hop.
+    *
+    * One shuffle on the user key computes BOTH lookahead columns in a
+    * single window pass, then one aggregate on the (e1,e2,e3) triple
+    * key — map-side combined, output bounded by |types|³ before the
+    * support cut and usually far under it after. A user with g events
+    * emits g−2 triples: linear, no self-join blowup. */
+  def sequencePatterns(events: DataFrame, minSupport: Long = 2L,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(byUser).as("e2"),
+        lead(col(typeCol), 2).over(byUser).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** First-/last-touch attribution report — the marketing-analytics
     * complement of [[funnelN]]: each conversion event is credited to the
     * user's FIRST and MOST RECENT preceding touch event (the two

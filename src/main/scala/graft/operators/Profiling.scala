@@ -640,4 +640,69 @@ object Profiling {
         round(col("__q1f"), 9).as("q1"),
         round(col("__q3f"), 9).as("q3"))
   }
+
+  /** In-plan count-min sketch with a per-key audit — point-frequency
+    * estimation as a MERGEABLE d×w counter table instead of driver
+    * state: `depth` hash rows of `width` counters each, built by one
+    * explode + aggregate (the sketch is just a (row, bucket, count)
+    * DataFrame, so shards' sketches union+re-aggregate into the
+    * corpus sketch — the property that makes CMS the streaming /
+    * distributed frequency structure). The probe side reads each
+    * key's `depth` counters and takes the min; the output row is the
+    * EXACT count (so the result is engine-checkable) plus the CMS
+    * verdict: est ≥ exact (structural) and est ≤ exact + ⌈(e/w)·N⌉
+    * (the Cormode–Muthukrishnan overestimate bound at the sketch's
+    * ε). A failing verdict means the width is undersized for the key
+    * cardinality — the sizing signal, not an error.
+    *
+    * Hash family: xxhash64 seeded by the row index — codegen'd, no
+    * UDF. Both the sketch (d·w rows) and the probe join are bounded;
+    * the only corpus-sized steps are the two linear aggregations. */
+  def cmsCheckedCounts(df: DataFrame, keyCol: String, width: Int = 1024,
+                       depth: Int = 5): DataFrame = {
+    require(width > 0 && depth > 0, s"need positive w/d, got $width/$depth")
+    val k = col(keyCol)
+    val rows = df.filter(k.isNotNull)
+    def buckets(key: org.apache.spark.sql.Column) = array(
+      (0 until depth).map(i => struct(lit(i).as("i"),
+        pmod(xxhash64(lit(i), key), lit(width.toLong)).as("b"))): _*)
+    val sketch = rows.select(explode(buckets(k)).as("h"))
+      .groupBy(col("h.i").as("i"), col("h.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = rows.groupBy(k.as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = rows.agg(count(lit(1)).as("__N"))
+    exact.select(col("key"), col("cnt"),
+        explode(buckets(col("key"))).as("h"))
+      .join(sketch, col("h.i") === col("i") && col("h.b") === col("b"))
+      .groupBy(col("key"), col("cnt"))
+      .agg(min(col("c")).as("__est"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        (col("__est") >= col("cnt") &&
+          (col("__est") - col("cnt")).cast("double") <=
+            ceil(lit(math.E / width) * col("__N")).cast("double"))
+          .as("cms_ok"))
+  }
+
+  /** Fixed-width histogram of a numeric column: bucket = ⌊v / width⌋
+    * over the caller-chosen width — the layout-independent profile
+    * plot (data-derived bounds would make the buckets drift between
+    * runs; a FIXED width keeps time-series of histograms comparable,
+    * which is what drift monitoring wants). Reports each occupied
+    * bucket's count and inclusive value range; empty buckets are
+    * absent (sparse by construction, so a pathological column can't
+    * explode the output).
+    *
+    * One grouped aggregation on the bucket key — map-side combined,
+    * output bounded by occupied buckets. Integer bucket ids from a
+    * single floor-divide; min/max are exact pass-through values. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+                         width: Double): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull)
+      .groupBy(floor(v / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(v).as("min_value"), max(v).as("max_value"))
+  }
 }

@@ -87,6 +87,26 @@ class EventOpsSpec extends SparkTestBase {
     assert(!out.contains("D"), "terminal states emit no transitions")
   }
 
+  test("sequencePatterns: order-sensitive triples per user stream, " +
+       "support cut, short streams emit nothing") {
+    // u1: A B C D  -> ABC, BCD ; u2: A B C -> ABC ; u3: B A -> nothing
+    val rows = Seq(
+      (1L, "00:00", 1L, "A"), (2L, "00:01", 1L, "B"),
+      (3L, "00:02", 1L, "C"), (4L, "00:03", 1L, "D"),
+      (5L, "00:00", 2L, "A"), (6L, "00:01", 2L, "B"),
+      (7L, "00:02", 2L, "C"),
+      (8L, "00:00", 3L, "B"), (9L, "00:01", 3L, "A")
+    ).map { case (id, t, u, e) => (id, ts(s"2026-01-01 $t:00"), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val all = EventOps.sequencePatterns(rows, minSupport = 1)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(all === Set(("A", "B", "C", 2L), ("B", "C", "D", 1L)),
+      "triples never cross users; u3's 2-event stream emits none")
+    val cut = EventOps.sequencePatterns(rows, minSupport = 2)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(cut === Set(("A", "B", "C", 2L)))
+  }
+
   test("attribution: first/last preceding touch per conversion; organic " +
        "purchases land in (none)") {
     val df = Seq(

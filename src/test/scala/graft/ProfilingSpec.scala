@@ -353,6 +353,53 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate quartiles: fences collapse to the constant")
   }
 
+  test("cmsCheckedCounts: exact counts always surface; verdict holds " +
+       "at sane width and flags an undersized sketch") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold") ++
+      Seq(null.asInstanceOf[String])).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val out = Profiling.cmsCheckedCounts(df, "k", width = 256, depth = 3)
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("hot", "warm", "cold"), "NULL keys drop")
+    assert(out("hot")._2 === 6L && out("warm")._2 === 3L &&
+           out("cold")._2 === 1L, "the checkable payload is EXACT")
+    assert(out.values.forall(_._3),
+      "3 keys in 256 buckets: the overestimate bound must hold")
+    // engineered failure: find two keys sharing a bucket at depth=1,
+    // w=4, give one of them 10× the mass — the cold key's overestimate
+    // (10) exceeds the bound ceil(e·11/4) = 8, so the verdict must flag
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val byBucket = spark.range(100)
+      .select(col("id").cast("string").as("k"),
+        pmod(xxhash64(lit(0), col("id").cast("string")), lit(4L)).as("b"))
+      .as[(String, Long)].collect().groupBy(_._2)
+    val Seq(hot, cold) =
+      byBucket.values.find(_.length >= 2).get.take(2).map(_._1).toSeq
+    val clash = (Seq.fill(10)(hot) ++ Seq(cold)).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val flagged = Profiling.cmsCheckedCounts(clash, "k",
+        width = 4, depth = 1)
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(flagged(hot), "the heavy key estimates itself fine")
+    assert(!flagged(cold),
+      "undersized width must surface as a failing verdict, not silence")
+  }
+
+  test("equiWidthHistogram: floor-divide buckets, exact ranges, " +
+       "negatives land below zero") {
+    val df = Seq(-25.0, -1.0, 0.0, 9.9, 10.0, 19.5, 42.0)
+      .map(v => Tuple1(v)).toDF("v")
+    val out = Profiling.equiWidthHistogram(df, "v", width = 10.0)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(-3L) === ((-3L, 1L, -25.0, -25.0)),
+      "floor semantics: -25/10 buckets to -3, not -2")
+    assert(out(-1L) === ((-1L, 1L, -1.0, -1.0)))
+    assert(out(0L) === ((0L, 2L, 0.0, 9.9)))
+    assert(out(1L) === ((1L, 2L, 10.0, 19.5)), "boundary 10.0 goes up")
+    assert(out(4L) === ((4L, 1L, 42.0, 42.0)))
+    assert(out.size === 5, "empty buckets are absent")
+  }
+
   test("winsorize: interpolated clip bounds, clip counts, exact means") {
     // g: values 1..20 — p05 = 1.95, p90 = 18.1 (index p*(n-1) rule)
     val df = (1 to 20).map(v => ("g", v.toLong)).toDF("src", "v")
