@@ -217,4 +217,47 @@ class DegenerateInputSpec extends SparkTestBase {
       .toDF("user_id", "ts", "value")
     assert(EventOps.timeProfile(emptyEv).count() === 0)
   }
+
+  test("audit-batch operators: empty, single-row and all-NULL inputs " +
+       "flow through") {
+    val emptySrc = Seq.empty[(String, Option[Long])].toDF("src", "v")
+    assert(Profiling.gini(emptySrc, "src", "v").count() === 0)
+    // single row: rank formula gives (2·1·x − 2x)/(1·x) = 0
+    assert(Profiling.gini(Seq(("s", 5L)).toDF("src", "v"), "src", "v")
+      .select("gini").as[Double].head() === 0.0)
+    assert(Profiling.cohenKappa(emptySrc, "src",
+      col("v") > 1, col("v") > 2).count() === 0)
+    assert(Profiling.iqrOutliers(emptySrc, "src", "v").count() === 0)
+    val one = Profiling.iqrOutliers(Seq(("s", 5L)).toDF("src", "v"),
+      "src", "v").select("n", "n_low", "n_high")
+      .as[(Long, Long, Long)].head()
+    assert(one === ((1L, 0L, 0L)), "one row is its own quartiles")
+    assert(Profiling.cmsCheckedCounts(emptySrc, "v").count() === 0)
+    assert(Profiling.equiWidthHistogram(emptySrc, "v", 10.0).count() === 0)
+    assert(Ngrams.zipfSlope(emptyDocs).count() === 1,
+      "the fit row survives with n_types=0, slope NULL")
+    assert(Ngrams.zipfSlope(emptyDocs)
+      .select("slope").as[Option[Double]].head().isEmpty)
+    val noText = Seq.empty[(String, String)].toDF("src", "text")
+    assert(TextAnalysis.readability(noText, "src").count() === 0)
+    assert(TextAnalysis.readability(
+      Seq(("s", null.asInstanceOf[String])).toDF("src", "text"), "src")
+      .count() === 0, "all-NULL text drops before the group")
+    assert(Mixing.hashSample(emptySrc, "src", "v", 3).count() === 0)
+    val emptyEdges = Seq.empty[(Option[Long], Option[Long])].toDF("s", "d")
+    assert(Graphs.degreeHistogram(emptyEdges, "s", "d").count() === 0)
+    val emptyEv4 = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventOps.transitionEntropy(emptyEv4).count() === 0)
+    assert(EventOps.sequencePatterns(emptyEv4).count() === 0)
+    // a 2-event stream emits no triple; a 1-event stream no pair
+    val short = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1L, "A"),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), 1L, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventOps.sequencePatterns(short, minSupport = 1L).count() === 0)
+    assert(EventOps.transitionEntropy(short)
+      .select("entropy").as[Double].head() === 0.0,
+      "a single observed transition is a rail")
+  }
 }

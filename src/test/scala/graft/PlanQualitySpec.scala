@@ -432,6 +432,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan("q_mutual_info").contains("CartesianProduct"))
   }
 
+  test("audit-batch additions: grouped windows, broadcast bounds, " +
+       "no corpus cartesians") {
+    def bnlj(p: String) =
+      p.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin")
+    // gini: one grouped window + one grouped aggregate, join-free
+    val gi = plan("q_gini")
+    assert(gi.contains("Window") && !gi.contains("Join"),
+      s"gini must stay join-free:\n$gi")
+    // kappa / readability / transition entropy / histograms: aggregate
+    // families with map-side partials, no joins beyond one-row totals
+    for (q <- Seq("q_kappa", "q_readability", "q_transition_entropy",
+                  "q_histogram", "q_degree_hist", "q_seq_patterns")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(p.contains("partial"), s"$q must combine map-side:\n$p")
+    }
+    // hash sample: the rank cut must fuse into the window sort
+    val hs = plan("q_hash_sample")
+    assert(hs.contains("WindowGroupLimit"),
+      s"hash sample needs the group-limit pushdown:\n$hs")
+    // IQR: quartile bounds re-attach as a broadcast equi-join
+    val iq = plan("q_iqr_outliers")
+    assert(iq.contains("BroadcastHashJoin") && bnlj(iq) == 0,
+      s"iqr fences must broadcast on the group key:\n$iq")
+    // zipf: the only unpartitioned window runs over the tf-DISTRIBUTION
+    // table (distinct frequencies), never the vocabulary
+    val zf = plan("q_zipf")
+    assert(!zf.contains("CartesianProduct"), s"zipf cartesian:\n$zf")
+    // CMS: sketch and probe meet in an equi-join; the only nest-loop is
+    // the one-row N total
+    val cm = plan("q_cms_counts")
+    assert(!cm.contains("CartesianProduct") && bnlj(cm) <= 1,
+      s"cms must stay equi-join shaped:\n$cm")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)

@@ -348,4 +348,40 @@ class PropertySpec extends SparkTestBase {
       }
     }, samples = 8)
   }
+
+  test("property: gini bounds and mean-preservation, kappa range, CMS " +
+       "bound on arbitrary multisets") {
+    check(Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, parts) =>
+      rows.isEmpty || {
+        val df = rows.map { case (g, _, x) => (s"g$g", x.toLong) }
+          .toDF("src", "v").repartition(parts)
+        val gi = operators.Profiling.gini(df, "src", "v")
+          .as[(String, Long, Long, Double)].collect()
+        val byG = rows.groupBy(r => s"g${r._1}")
+        val giniOk = gi.forall { case (g, n, s, v) =>
+          val xs = byG(g).map(_._3.toLong).filter(_ >= 0)
+          n == xs.size && s == xs.sum &&
+          v >= 0.0 && v < 1.0 &&
+          // closed form: G = Σ|xi-xj| / (2 n Σx)  (cross-check)
+          math.abs(v - xs.flatMap(a => xs.map(b => math.abs(a - b))).sum
+            .toDouble / (2.0 * n * s)) < 1e-6
+        }
+        val kp = operators.Profiling.cohenKappa(df, "src",
+            col("v") % 2 === 0, col("v") % 3 === 0)
+          .as[(String, Long, Long, Long, Long, Long, Double, Double,
+               Option[Double])].collect()
+        val kappaOk = kp.forall { r =>
+          r._2 == r._3 + r._4 + r._5 + r._6 &&
+          r._9.forall(k => k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
+        }
+        val cms = operators.Profiling
+          .cmsCheckedCounts(df, "v", width = 64, depth = 4)
+          .as[(Long, Long, Boolean)].collect()
+        // 10 distinct values in 64 buckets x4 rows: bound must hold
+        val cmsOk = cms.forall(_._3) &&
+          cms.map(_._2).sum == rows.size
+        giniOk && kappaOk && cmsOk
+      }
+    }, samples = 10)
+  }
 }
