@@ -658,28 +658,69 @@ object Profiling {
     * Hash family: xxhash64 seeded by the row index — codegen'd, no
     * UDF. Both the sketch (d·w rows) and the probe join are bounded;
     * the only corpus-sized steps are the two linear aggregations. */
-  def cmsCheckedCounts(df: DataFrame, keyCol: String, width: Int = 1024,
-                       depth: Int = 5): DataFrame = {
+  /** The CMS hash family: `depth` (row, bucket) coordinates per key,
+    * xxhash64 seeded by the row index — codegen'd, shared by the batch
+    * builder, the probe, and the streaming twin so their sketches are
+    * interchangeable. */
+  private[graft] def cmsBuckets(key: org.apache.spark.sql.Column,
+                                width: Int, depth: Int) = array(
+    (0 until depth).map(i => struct(lit(i).as("i"),
+      pmod(xxhash64(lit(i), key), lit(width.toLong)).as("b"))): _*)
+
+  /** Build the d×w CMS counter table over `keyCol`: one explode + one
+    * aggregate; output ≤ d·w rows of (i, b, c). Sketches over shards
+    * (or stream windows) union + re-aggregate into the corpus sketch —
+    * the mergeability that makes CMS the distributed frequency
+    * structure. */
+  def cmsSketch(df: DataFrame, keyCol: String, width: Int = 1024,
+                depth: Int = 5): DataFrame = {
     require(width > 0 && depth > 0, s"need positive w/d, got $width/$depth")
     val k = col(keyCol)
-    val rows = df.filter(k.isNotNull)
-    def buckets(key: org.apache.spark.sql.Column) = array(
-      (0 until depth).map(i => struct(lit(i).as("i"),
-        pmod(xxhash64(lit(i), key), lit(width.toLong)).as("b"))): _*)
-    val sketch = rows.select(explode(buckets(k)).as("h"))
+    df.filter(k.isNotNull)
+      .select(explode(cmsBuckets(k, width, depth)).as("h"))
       .groupBy(col("h.i").as("i"), col("h.b").as("b"))
       .agg(count(lit(1)).as("c"))
-    val exact = rows.groupBy(k.as("key")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe a [[cmsSketch]] table: each key in `keys` reads its `depth`
+    * counters and estimates min over them (absent counter rows read as
+    * 0 — the sketch is stored sparse). `width`/`depth` must match the
+    * build. The join is equi on (i, b) against a ≤ d·w-row table —
+    * broadcastable at any sane sketch size. */
+  def cmsProbe(keys: DataFrame, sketch: DataFrame, keyCol: String,
+               width: Int = 1024, depth: Int = 5): DataFrame = {
+    require(width > 0 && depth > 0, s"need positive w/d, got $width/$depth")
+    keys.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key")).distinct()
+      .select(col("key"),
+        explode(cmsBuckets(col("key"), width, depth)).as("h"))
+      .join(broadcast(sketch),
+        col("h.i") === col("i") && col("h.b") === col("b"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** In-plan count-min sketch with a per-key audit — point-frequency
+    * estimation as a MERGEABLE d×w counter table instead of driver
+    * state (build: [[cmsSketch]]; read: [[cmsProbe]]). The output row
+    * is the EXACT count (so the result is engine-checkable) plus the
+    * CMS verdict: est ≥ exact (structural) and est ≤ exact +
+    * ⌈(e/w)·N⌉ (the Cormode–Muthukrishnan overestimate bound at the
+    * sketch's ε). A failing verdict means the width is undersized for
+    * the key cardinality — the sizing signal, not an error. */
+  def cmsCheckedCounts(df: DataFrame, keyCol: String, width: Int = 1024,
+                       depth: Int = 5): DataFrame = {
+    val rows = df.filter(col(keyCol).isNotNull)
+    val exact = rows.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
     val tot = rows.agg(count(lit(1)).as("__N"))
-    exact.select(col("key"), col("cnt"),
-        explode(buckets(col("key"))).as("h"))
-      .join(sketch, col("h.i") === col("i") && col("h.b") === col("b"))
-      .groupBy(col("key"), col("cnt"))
-      .agg(min(col("c")).as("__est"))
+    exact
+      .join(cmsProbe(rows, cmsSketch(rows, keyCol, width, depth),
+        keyCol, width, depth), "key")
       .crossJoin(broadcast(tot))
       .select(col("key"), col("cnt"),
-        (col("__est") >= col("cnt") &&
-          (col("__est") - col("cnt")).cast("double") <=
+        (col("est") >= col("cnt") &&
+          (col("est") - col("cnt")).cast("double") <=
             ceil(lit(math.E / width) * col("__N")).cast("double"))
           .as("cms_ok"))
   }

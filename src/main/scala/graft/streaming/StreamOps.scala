@@ -89,6 +89,28 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col(groupCol),
         col(s"p_$valCol"))
 
+  /** Streaming count-min sketch — the per-window frequency structure
+    * when the key cardinality is too high for [[frequentItemsStream]]'s
+    * per-key state: state per (window, row, bucket) is ONE counter, so
+    * a window's whole footprint is the fixed d×w grid no matter how
+    * many distinct keys flow through it. Emits the sketch TABLE per
+    * closed window; batch consumers read it with
+    * [[graft.operators.Profiling.cmsProbe]] (same hash family, so
+    * streamed and batch-built sketches are interchangeable — and
+    * windows union+re-aggregate into coarser sketches downstream). */
+  def cmsStream(events: DataFrame, keyCol: String, width: Int = 1024,
+                depth: Int = 5, windowLength: String = "1 hour",
+                watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .filter(col(keyCol).isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(graft.operators.Profiling
+        .cmsBuckets(col(keyCol), width, depth)).as("h"))
+      .groupBy(window(col("ts"), windowLength).as("w"),
+        col("h.i").as("i"), col("h.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("w_start"), col("i"), col("b"), col("c"))
+
   /** Streaming exact dedup by event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids
     * older than the horizon is evicted (streaming twin of E1). */

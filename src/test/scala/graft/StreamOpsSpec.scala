@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamOps
@@ -75,6 +75,41 @@ class StreamOpsSpec extends SparkTestBase {
       assert(w10("click") >= 2L && w10("click") <= 4L)
       assert(w10.size <= 2)
       assert(rows(ts("2024-01-01 11:00:00")) === Map("view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("cmsStream: windowed counter grid merges across triggers; probe " +
+       "recovers exact counts at sane width") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = StreamOps.cmsStream(in.toDF(), "event_type", width = 64,
+        depth = 3, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), "view", 1.0))
+      q.processAllAvailable()
+      in.addData( // second trigger folds into the SAME window's counters
+        Ev(3, ts("2024-01-01 10:20:00"), "click", 1.0),
+        Ev(4, ts("2024-01-01 11:05:00"), "view", 1.0))
+      q.processAllAvailable()
+      val sketch10 = spark.table(sink)
+        .filter(col("w_start") === ts("2024-01-01 10:00:00"))
+        .select("i", "b", "c")
+      // grid bounded by d×w regardless of key count; mass = d·rows
+      assert(sketch10.count() <= 64L * 3)
+      assert(sketch10.agg(sum("c")).as[Long].head() === 3L * 3)
+      // batch probe over the streamed sketch: 2 keys in 64 buckets
+      // collide with nothing, so estimates are EXACT
+      val keys = Seq("click", "view", "absent").toDF("event_type")
+      val est = operators.Profiling.cmsProbe(keys, sketch10,
+          "event_type", width = 64, depth = 3)
+        .as[(String, Long)].collect().toMap
+      assert(est === Map("click" -> 2L, "view" -> 1L, "absent" -> 0L),
+        "streamed and batch-built sketches share the hash family")
     } finally q.stop()
   }
 
