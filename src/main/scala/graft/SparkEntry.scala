@@ -1079,6 +1079,35 @@ object SparkEntry {
           "l_returnflag", "l_extendedprice")
         .orderBy("l_returnflag")),
 
+    // ---- E7 pairwise audience overlap between event types, HLL
+    // inclusion–exclusion audited against the exact intersection ----
+    "q_audience_overlap" -> ((s, d) =>
+      EventOps.audienceOverlap(t(s, d, "events"))
+        .orderBy("type_a", "type_b")),
+
+    // ---- E6 conversion latency: first view → first purchase at or
+    // after it (rate + exact interpolated delay percentiles) ----
+    "q_time_to_convert" -> ((s, d) =>
+      EventOps.timeToConvert(t(s, d, "events"), "view", "purchase")
+        .orderBy("n_touched")),
+
+    // ---- E20 χ² independence of (lang, source) — the one-number
+    // sibling of q_mutual_info, absent cells folded in closed-form ----
+    "q_chi2_indep" -> ((s, d) =>
+      operators.Profiling.chi2Independence(t(s, d, "documents"),
+          "lang", "source")
+        .orderBy("n")),
+
+    // ---- E20 referential-integrity audit: a clean FK relation and a
+    // deliberately partial one (customers without event activity) ----
+    "q_ref_integrity" -> ((s, d) =>
+      operators.Profiling.refIntegrity(t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey", "lineitem->orders")
+        .unionByName(operators.Profiling.refIntegrity(t(s, d, "orders"),
+          "o_custkey", t(s, d, "events"), "user_id",
+          "orders->active_users"))
+        .orderBy("relation")),
+
     // ---- E23 count-min sketch as a mergeable d×w counter TABLE (no
     // driver state), audited per key against the exact counts ----
     "q_cms_counts" -> ((s, d) =>
@@ -5105,6 +5134,90 @@ object SparkEntry {
         |WHERE l_extendedprice IS NOT NULL
         |GROUP BY l.l_returnflag, f.q1, f.q3
         |ORDER BY l.l_returnflag""".stripMargin,
+
+    // sketch-audit oracle shape: the exact pair counts are the
+    // checkable payload; the HLL verdict pins to TRUE
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |      FROM events
+        |      WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |n AS (SELECT t, count(*) AS nu FROM ut GROUP BY 1),
+        |i AS (SELECT a.t AS type_a, b.t AS type_b,
+        |        count(*) AS users_both
+        |      FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, na.nu AS users_a, nb.nu AS users_b,
+        |  users_both, TRUE AS hll_ok
+        |FROM i JOIN n na ON na.t = type_a JOIN n nb ON nb.t = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH ft AS (SELECT user_id AS u, min(epoch_us(ts)) AS t0
+        |      FROM events WHERE event_type = 'view' GROUP BY 1),
+        |dl AS (SELECT ft.u, min(epoch_us(e.ts)) - ft.t0 AS delay_us
+        |      FROM events e JOIN ft ON e.user_id = ft.u
+        |      WHERE e.event_type = 'purchase'
+        |        AND epoch_us(e.ts) >= ft.t0
+        |      GROUP BY ft.u, ft.t0),
+        |s AS (SELECT count(*) AS n_converted,
+        |        quantile_cont(delay_us, 0.5) AS med,
+        |        quantile_cont(delay_us, 0.9) AS p90 FROM dl),
+        |t AS (SELECT count(*) AS n_touched FROM ft)
+        |SELECT t.n_touched, s.n_converted,
+        |  round(CAST(s.n_converted AS DOUBLE) / t.n_touched, 9)
+        |    AS conv_rate,
+        |  round(med, 9) AS med_delay_us, round(p90, 9) AS p90_delay_us
+        |FROM s, t ORDER BY n_touched""".stripMargin,
+
+    // absent cells fold in via chi2 = Σ_present (o-e)²/e + (N - Σ_present e)
+    "q_chi2_indep" ->
+      """WITH c AS (SELECT lang AS a, source AS b, count(*) AS o
+        |      FROM documents
+        |      WHERE lang IS NOT NULL AND source IS NOT NULL
+        |      GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS ca FROM c GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |        count(DISTINCT a) AS r, count(DISTINCT b) AS cc FROM c)
+        |SELECT t.n AS n, count(*) AS n_cells,
+        |  CAST((t.r - 1) * (t.cc - 1) AS BIGINT) AS dof,
+        |  round(CAST(sum(CAST(round(
+        |      pow(o - CAST(ca AS DOUBLE) * cb / t.n, 2)
+        |        / (CAST(ca AS DOUBLE) * cb / t.n), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE)
+        |    + (CAST(t.n AS DOUBLE)
+        |      - CAST(sum(CAST(round(CAST(ca AS DOUBLE) * cb / t.n, 9)
+        |        AS DECIMAL(38,9))) AS DOUBLE)), 9) AS chi2
+        |FROM c JOIN ma USING (a) JOIN mb USING (b), t
+        |GROUP BY t.n, t.r, t.cc ORDER BY n""".stripMargin,
+
+    "q_ref_integrity" ->
+      """WITH r1 AS (SELECT 'lineitem->orders' AS relation,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |      AS n_null_keys,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS n_orphan_rows,
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem l
+        |     WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS n_orphan_keys),
+        |r2 AS (SELECT 'orders->active_users' AS relation,
+        |    (SELECT count(*) FROM orders) AS n_child,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |      AS n_null_keys,
+        |    (SELECT count(*) FROM orders r
+        |     WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM events e WHERE e.user_id = r.o_custkey))
+        |      AS n_orphan_rows,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders r
+        |     WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM events e WHERE e.user_id = r.o_custkey))
+        |      AS n_orphan_keys)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY relation""".stripMargin,
 
     // sketch-audit oracle shape (q_approx_users): exact counts are the
     // checkable payload; the CMS estimate itself is plan-internal

@@ -312,6 +312,84 @@ object EventOps {
       .filter(col("support") >= minSupport)
   }
 
+  /** Pairwise audience overlap between event types, with an HLL audit:
+    * for every pair of types sharing at least one user, the EXACT
+    * distinct-user counts of each side and of the intersection, plus a
+    * verdict that the DataSketches inclusion–exclusion estimate
+    * (|A|+|B|−|A∪B|̂) lands within `tol` of the exact union — the "can
+    * I trust sketch-based overlap dashboards on this data?" audit.
+    * Pairs with an empty intersection are absent (at T types the dense
+    * pair grid is a presentation concern, not an engine one).
+    *
+    * ONE distinct pass over (type, user) feeds everything: the
+    * per-type exact counts and HLL sketches (a types-sized table) and
+    * the pairwise intersection via a self-join on the user key —
+    * bounded by Σ_u deg(u)², the co-occurrence bound every basket op
+    * here shares, NOT |users|². Sketch pairs union per-row
+    * (types-sized, broadcast); no corpus data moves twice. */
+  def audienceOverlap(events: DataFrame, typeCol: String = "event_type",
+                      userCol: String = "user_id", lgK: Int = 12,
+                      tol: Double = 0.08): DataFrame = {
+    val ut = events
+      .filter(col(typeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(typeCol).as("t"), col(userCol).as("u")).distinct()
+    val perType = ut.groupBy("t")
+      .agg(count(lit(1)).as("nu"), hll_sketch_agg(col("u"), lit(lgK)).as("h"))
+    val inter = ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("users_both"))
+    val estInter = col("users_a") + col("users_b") -
+      hll_sketch_estimate(hll_union(col("__ha"), col("__hb")))
+    inter
+      .join(broadcast(perType.select(col("t").as("type_a"),
+        col("nu").as("users_a"), col("h").as("__ha"))), "type_a")
+      .join(broadcast(perType.select(col("t").as("type_b"),
+        col("nu").as("users_b"), col("h").as("__hb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("users_a"),
+        col("users_b"), col("users_both"),
+        (abs(estInter - col("users_both")) <=
+          lit(tol) * (col("users_a") + col("users_b") - col("users_both")))
+          .as("hll_ok"))
+  }
+
+  /** Time-to-convert report: among users whose stream contains
+    * `touchType`, how many reach `convType` AT OR AFTER their first
+    * touch, and how long that takes — the conversion-latency summary
+    * (rate, median, p90) behind funnel dashboards. Conversions that
+    * precede every touch don't count (the touch didn't cause them);
+    * delays are exact integer microseconds, percentiles exact
+    * interpolated.
+    *
+    * Two filtered aggregates on the user key (first touch, then first
+    * qualifying conversion via one equi-join + min), closed by a
+    * one-row summary; the touched-population count rides a broadcast.
+    * No windows, no corpus re-shuffle beyond the user key. */
+  def timeToConvert(events: DataFrame, touchType: String, convType: String,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val firstTouch = events.filter(col(typeCol) === touchType)
+      .groupBy(col(userCol).as("u")).agg(min(us).as("t0"))
+    val delays = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), us.as("tc"))
+      .join(firstTouch, "u")
+      .filter(col("tc") >= col("t0"))
+      .groupBy(col("u")).agg((min(col("tc")) - first(col("t0")))
+        .as("delay_us"))
+    delays
+      .agg(count(lit(1)).as("n_converted"),
+           percentile(col("delay_us"), lit(0.5)).as("__med"),
+           percentile(col("delay_us"), lit(0.9)).as("__p90"))
+      .crossJoin(broadcast(
+        firstTouch.agg(count(lit(1)).as("n_touched"))))
+      .select(col("n_touched"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_touched"), 9)
+          .as("conv_rate"),
+        round(col("__med"), 9).as("med_delay_us"),
+        round(col("__p90"), 9).as("p90_delay_us"))
+  }
+
   /** First-/last-touch attribution report — the marketing-analytics
     * complement of [[funnelN]]: each conversion event is credited to the
     * user's FIRST and MOST RECENT preceding touch event (the two

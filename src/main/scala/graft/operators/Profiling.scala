@@ -725,6 +725,74 @@ object Profiling {
           .as("cms_ok"))
   }
 
+  /** Pearson χ² test of independence between two categorical columns —
+    * the one-number sibling of [[mutualInformation]] (which localizes
+    * dependence to cells; this says whether the table as a whole could
+    * plausibly be independent). Reports N, the observed-cell count,
+    * the degrees of freedom (R−1)(C−1), and the χ² statistic; compare
+    * against the caller's critical value for the test proper. Absent
+    * cells (observed 0) contribute their expectation; the identity
+    * Σ_absent e = N − Σ_present e folds them in without materializing
+    * the dense R×C grid, so a high-cardinality pair can't explode the
+    * plan. NULL-carrying rows are excluded.
+    *
+    * Everything derives from the observed-cell table (one corpus
+    * aggregation): marginals re-aggregate from cells on the same keys,
+    * N broadcasts, and the per-cell terms round to 9 places and sum as
+    * DECIMAL(38,9) — layout- and engine-exact. */
+  def chi2Independence(df: DataFrame, colA: String, colB: String)
+      : DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ma = cells.groupBy(col("__a")).agg(sum("__o").as("__ca"))
+    val mb = cells.groupBy(col("__b")).agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__N"),
+      count_distinct(col("__a")).as("__R"),
+      count_distinct(col("__b")).as("__C"))
+    val e = col("__ca").cast("double") * col("__cb") / col("__N")
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+        .cast("double")
+    cells.join(ma, "__a").join(mb, "__b").crossJoin(broadcast(tot))
+      .agg(first(col("__N")).as("n"),
+           count(lit(1)).as("n_cells"),
+           first((col("__R") - 1) * (col("__C") - 1)).as("dof"),
+           decSum(round(pow(col("__o") - e, 2) / e, 9)).as("__present"),
+           decSum(round(e, 9)).as("__e_present"))
+      .select(col("n"), col("n_cells"), col("dof"),
+        round(col("__present") +
+          (col("n").cast("double") - col("__e_present")), 9).as("chi2"))
+  }
+
+  /** Referential-integrity audit for one child→parent relation: total
+    * child rows, NULL foreign keys (excluded from orphan counting —
+    * they're NotNull's finding), orphan ROWS and orphan KEYS (rows
+    * whose key exists nowhere in the parent) — the pre-join health
+    * check that explains why a fact table silently shrinks through an
+    * inner join. `relation` labels the output row so several audits
+    * union into one report.
+    *
+    * One anti-join against the DISTINCT parent keys (column-pruned to
+    * the key before the exchange; broadcast when the parent key set is
+    * small) plus one child-side aggregate — no corpus joins beyond the
+    * key columns. */
+  def refIntegrity(child: DataFrame, childKey: String, parent: DataFrame,
+                   parentKey: String, relation: String): DataFrame = {
+    val keys = child.select(col(childKey).as("__k"))
+    val orphans = keys.filter(col("__k").isNotNull)
+      .join(parent.select(col(parentKey).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+    val base = keys.agg(count(lit(1)).as("n_child"),
+      sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    val orp = orphans.agg(count(lit(1)).as("n_orphan_rows"),
+      count_distinct(col("__k")).as("n_orphan_keys"))
+    base.crossJoin(broadcast(orp))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_null_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
   /** Fixed-width histogram of a numeric column: bucket = ⌊v / width⌋
     * over the caller-chosen width — the layout-independent profile
     * plot (data-derived bounds would make the buckets drift between

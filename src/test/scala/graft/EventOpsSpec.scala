@@ -107,6 +107,48 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("audienceOverlap: exact pair intersections from one distinct " +
+       "pass; disjoint pairs absent; duplicate events collapse") {
+    val rows = Seq(
+      (1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 3L), // dup
+      (5L, "B", 2L), (6L, "B", 3L), (7L, "B", 4L),
+      (8L, "C", 9L))
+      .map { case (id, t, u) =>
+        (id, ts("2026-01-01 00:00:00"), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.audienceOverlap(rows)
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet === Set(("A", "B")),
+      "C shares no user with anyone — no dense grid rows")
+    assert(out(("A", "B")) === (("A", "B", 3L, 3L, 2L, true)),
+      "duplicate (type,user) events count once")
+  }
+
+  test("timeToConvert: pre-touch conversions don't count; exact " +
+       "interpolated delay percentiles") {
+    val rows = Seq(
+      // u1: view then purchase +10s
+      (1L, "2026-01-01 00:00:00", 1L, "view"),
+      (2L, "2026-01-01 00:00:10", 1L, "purchase"),
+      // u2: view only
+      (3L, "2026-01-01 00:00:00", 2L, "view"),
+      // u3: purchase BEFORE its only view — not a conversion
+      (4L, "2026-01-01 00:00:00", 3L, "purchase"),
+      (5L, "2026-01-01 00:00:10", 3L, "view"),
+      // u4: view then purchase +30s (an earlier same-user view too)
+      (6L, "2026-01-01 00:00:00", 4L, "view"),
+      (7L, "2026-01-01 00:00:30", 4L, "purchase"),
+      // u5: purchase with no view at all — outside the touched base
+      (8L, "2026-01-01 00:00:00", 5L, "purchase"))
+      .map { case (id, at, u, t) => (id, ts(at), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val Array(r) = EventOps.timeToConvert(rows, "view", "purchase")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(r === ((4L, 2L, 0.5, 2.0e7, 2.8e7)),
+      "delays {10s, 30s}: median 20s, p90 = 10 + 0.9·20 = 28s")
+  }
+
   test("attribution: first/last preceding touch per conversion; organic " +
        "purchases land in (none)") {
     val df = Seq(

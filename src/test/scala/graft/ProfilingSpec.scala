@@ -353,6 +353,32 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate quartiles: fences collapse to the constant")
   }
 
+  test("chi2Independence: perfect dependence scores N, independence 0, " +
+       "absent cells fold in closed-form") {
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val Array(d) = Profiling.chi2Independence(dep, "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(d === ((4L, 2L, 1L, 4.0)),
+      "phi = 1 on a 2x2 -> chi2 = N; the two ABSENT cells contribute " +
+      "their expectation via the telescoped identity")
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val Array(i) = Profiling.chi2Independence(ind, "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(i === ((4L, 4L, 1L, 0.0)), "uniform grid: no dependence")
+  }
+
+  test("refIntegrity: orphan rows vs keys, NULL FKs counted separately") {
+    val child = Seq(Some(1L), Some(2L), Some(2L), Some(3L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 2L).toDF("pk")
+    val Array(r) = Profiling.refIntegrity(child, "fk", parent, "pk", "t")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r === (("t", 5L, 1L, 1L, 1L)),
+      "key 3 orphans once; the NULL FK is not an orphan")
+  }
+
   test("cmsCheckedCounts: exact counts always surface; verdict holds " +
        "at sane width and flags an undersized sketch") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold") ++
