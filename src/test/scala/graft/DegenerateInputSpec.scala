@@ -259,5 +259,26 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(EventOps.transitionEntropy(short)
       .select("entropy").as[Double].head() === 0.0,
       "a single observed transition is a rail")
+    // audience overlap / conversion on empty or touch-free streams
+    assert(EventOps.audienceOverlap(emptyEv4).count() === 0)
+    val noTouch = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1L,
+        "purchase")).toDF("event_id", "ts", "user_id", "event_type")
+    val Array(ttc) = EventOps.timeToConvert(noTouch, "view", "purchase")
+      .select("n_touched", "n_converted").as[(Long, Long)].collect()
+    assert(ttc === ((0L, 0L)), "an untouched stream reports, not throws")
+    // chi2 on a single observed cell: dof 0, statistic 0
+    val oneCell = Seq(("x", "p"), ("x", "p")).toDF("a", "b")
+    assert(Profiling.chi2Independence(oneCell, "a", "b")
+      .select("dof", "chi2").as[(Long, Double)].head() === ((0L, 0.0)))
+    assert(Profiling.chi2Independence(
+      Seq.empty[(String, String)].toDF("a", "b"), "a", "b")
+      .select("n_cells").as[Long].head() === 0L)
+    // FK audit against an EMPTY parent: every non-null key orphans
+    val ch = Seq(Some(1L), Some(1L), None).toDF("fk")
+    val noParent = Seq.empty[Tuple1[Long]].toDF("pk")
+    assert(Profiling.refIntegrity(ch, "fk", noParent, "pk", "r")
+      .select("n_child", "n_null_keys", "n_orphan_rows", "n_orphan_keys")
+      .as[(Long, Long, Long, Long)].head() === ((3L, 1L, 2L, 1L)))
   }
 }

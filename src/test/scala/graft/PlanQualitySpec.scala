@@ -466,6 +466,22 @@ class PlanQualitySpec extends SparkTestBase {
     val cm = plan("q_cms_counts")
     assert(!cm.contains("CartesianProduct") && bnlj(cm) <= 1,
       s"cms must stay equi-join shaped:\n$cm")
+    // audience overlap: the user-key self-join is equi; the types-sized
+    // sketch tables attach as broadcasts
+    val ao = plan("q_audience_overlap")
+    assert(!ao.contains("CartesianProduct") &&
+      ao.contains("BroadcastHashJoin"),
+      s"overlap pairs must come from an equi self-join:\n$ao")
+    // conversion latency: one equi-join on the user key, the one-row
+    // touched total rides the only nest-loop
+    val tc = plan("q_time_to_convert")
+    assert(!tc.contains("CartesianProduct") && bnlj(tc) <= 1,
+      s"time-to-convert must stay user-key shaped:\n$tc")
+    // FK audit: anti joins on the key, no corpus cartesian (the two
+    // one-row stat frames meet in bounded nest-loops)
+    val ri = plan("q_ref_integrity")
+    assert(ri.contains("Anti") && !ri.contains("CartesianProduct"),
+      s"orphan counting must plan as an anti join:\n$ri")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipelines") {
