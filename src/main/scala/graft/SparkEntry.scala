@@ -1120,9 +1120,9 @@ object SparkEntry {
       EventOps.sequencePatterns(t(s, d, "events"), minSupport = 5)
         .orderBy("e1", "e2", "e3")),
 
-    // ---- E20 fixed-width value histogram (drift-comparable buckets,
-    // sparse by construction) ----
-    "q_histogram" -> ((s, d) =>
+    // ---- E20 fixed-width value histogram with per-bucket ranges (the
+    // operator form of q_histogram's inline shape) ----
+    "q_value_histogram" -> ((s, d) =>
       operators.Profiling.equiWidthHistogram(t(s, d, "orders"),
           "o_totalprice", width = 20000.0)
         .orderBy("bucket")),
@@ -5238,7 +5238,7 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 HAVING count(*) >= 5
         |ORDER BY e1, e2, e3""".stripMargin,
 
-    "q_histogram" ->
+    "q_value_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
         |  count(*) AS n_rows,
         |  min(o_totalprice) AS min_value, max(o_totalprice) AS max_value

@@ -444,7 +444,7 @@ class PlanQualitySpec extends SparkTestBase {
     // kappa / readability / transition entropy / histograms: aggregate
     // families with map-side partials, no joins beyond one-row totals
     for (q <- Seq("q_kappa", "q_readability", "q_transition_entropy",
-                  "q_histogram", "q_degree_hist", "q_seq_patterns")) {
+                  "q_value_histogram", "q_degree_hist", "q_seq_patterns")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(p.contains("partial"), s"$q must combine map-side:\n$p")
