@@ -45,4 +45,26 @@ class OracleShapeSpec extends SparkTestBase {
       s"orphaned oracle entries (dead SQL the driver would skip): " +
       s"${(os -- qs).toSeq.sorted.mkString(", ")}")
   }
+
+  test("no shadowed duplicate keys in the source registries") {
+    // a Map literal silently keeps the LAST binding for a repeated key,
+    // so a name collision makes the earlier query/oracle dead code with
+    // no runtime symptom (found live: two q_histogram registrations).
+    // Count key literals in the SOURCE and pin them to the map sizes:
+    // each name must appear exactly twice — once per registry.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      "UTF-8")
+    val keys = """"(entry|q1_agg|q_[a-z0-9_]+)" ->""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val dupes = keys.groupBy(identity).filter(_._2.size != 2)
+    assert(dupes.isEmpty,
+      s"registry keys not appearing exactly twice (query + oracle) in " +
+      s"source: ${dupes.map { case (k, v) => s"$k×${v.size}" }.toSeq.sorted
+        .mkString(", ")}")
+    assert(keys.size ===
+      SparkEntry.queries.size + SparkEntry.oracleSql.size,
+      "source key literals must match the materialized map sizes — a " +
+      "mismatch means a Map-literal collision swallowed an entry")
+  }
 }
