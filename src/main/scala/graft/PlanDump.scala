@@ -79,6 +79,15 @@ object PlanDump {
       ("q_ppmi_cooc — skip-gram PPMI co-occurrence",
        "Context pairing is an O(tokens*window) EQUI-join (offset expansion + position join), never a per-doc cross join; marginals come from per-position closed-form context counts, so the corpus-sized pair table aggregates exactly once; the one-row total broadcasts.",
        SparkEntry.queries("q_ppmi_cooc")(spark, d)),
+      ("q_cms_counts — count-min sketch build + audited probe",
+       "The sketch is a d×w counter table from one explode+aggregate; probe joins it back equi on (row, bucket) under a broadcast; the only nested-loop is the one-row N total for the bound.",
+       SparkEntry.queries("q_cms_counts")(spark, d)),
+      ("q_audience_overlap — pairwise audience overlap, HLL-audited",
+       "One distinct pass over (type, user) feeds the per-type sketch table (broadcast) and the user-key equi self-join for exact intersections — bounded by co-occurrence, never |users|².",
+       SparkEntry.queries("q_audience_overlap")(spark, d)),
+      ("q_gini — per-group Lorenz concentration",
+       "One grouped rank window + one grouped aggregate; integer arithmetic to the closing division, no joins.",
+       SparkEntry.queries("q_gini")(spark, d)),
       ("q_rfm — RFM quintile segmentation",
        "The per-user aggregate persists across its two consumers (boundary aggregate + scoring join); quintile boundaries are a ONE-ROW broadcast, so scoring is a per-row projection — no global ntile sort anywhere.",
        SparkEntry.queries("q_rfm")(spark, d)))
