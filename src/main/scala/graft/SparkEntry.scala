@@ -1137,6 +1137,33 @@ object SparkEntry {
         .orderBy("degree")
     }),
 
+    // ---- E24 power-law exponent of that degree distribution (the
+    // hubs-exist? screen: generic log-log OLS over the histogram) ----
+    "q_powerlaw" -> ((s, d) => {
+      val edges = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+      operators.Profiling.loglogFit(
+        operators.Graphs.degreeHistogram(edges, "o_custkey", "l_suppkey"),
+        "degree", "n_nodes")
+        .orderBy("n_points")
+    }),
+
+    // ---- E20 2-D skyline: Pareto frontier of (price, recency) over
+    // orders — two-level bucketed, no corpus-wide sort ----
+    "q_skyline" -> ((s, d) =>
+      operators.Ops.skyline2D(
+        t(s, d, "orders").select(col("o_totalprice").as("price"),
+          unix_date(col("o_orderdate").cast("date")).as("day")),
+        "price", "day")
+        .orderBy("x")),
+
+    // ---- E6 burst collapse: keep burst-starting events per user
+    // (1-hour debounce), numbered per user ----
+    "q_debounce" -> ((s, d) =>
+      EventOps.debounce(t(s, d, "events"), gapUs = 3600L * 1000000L)
+        .orderBy("event_id")),
+
     // ---- corpus mixing: systematic per-source sampling ----
     "q_sample_mix" -> ((s, d) =>
       Mixing.systematicSampleByRates(t(s, d, "documents"), "source", "doc_id",
@@ -5060,7 +5087,7 @@ object SparkEntry {
         |          AS DOUBLE) AS sxy
         |      FROM terms)
         |SELECT n_types,
-        |  CASE WHEN n_types * sxx - sx * sx > 0.0 THEN
+        |  CASE WHEN n_types * sxx - sx * sx > 0.000001 THEN
         |    round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 9)
         |  END AS slope
         |FROM s ORDER BY n_types""".stripMargin,
@@ -5252,6 +5279,63 @@ object SparkEntry {
         |dg AS (SELECT s, count(*) AS degree FROM e GROUP BY 1)
         |SELECT degree, count(*) AS n_nodes FROM dg
         |GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    // same rounded-decimal OLS arithmetic as q_zipf, over the degree
+    // histogram
+    "q_powerlaw" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+        |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |      WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |dg AS (SELECT s, count(*) AS degree FROM e GROUP BY 1),
+        |h AS (SELECT degree, count(*) AS n_nodes FROM dg GROUP BY 1),
+        |terms AS (SELECT round(ln(CAST(degree AS DOUBLE)), 9) AS x,
+        |        round(ln(CAST(n_nodes AS DOUBLE)), 9) AS y
+        |      FROM h WHERE degree > 0 AND n_nodes > 0),
+        |s AS (SELECT count(*) AS n_points,
+        |        CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(x*x, 9) AS DECIMAL(38,9)))
+        |          AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(round(x*y, 9) AS DECIMAL(38,9)))
+        |          AS DOUBLE) AS sxy
+        |      FROM terms)
+        |SELECT n_points,
+        |  CASE WHEN n_points * sxx - sx * sx > 0.000001 THEN
+        |    round((n_points * sxy - sx * sy)
+        |      / (n_points * sxx - sx * sx), 9)
+        |  END AS slope
+        |FROM s ORDER BY n_points""".stripMargin,
+
+    // the frontier is definitionally checkable: NOT EXISTS dominance
+    "q_skyline" ->
+      """WITH p AS (SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |        CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS DOUBLE) AS y
+        |      FROM orders
+        |      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
+        |SELECT DISTINCT x, y FROM p p1
+        |WHERE NOT EXISTS (SELECT 1 FROM p p2
+        |  WHERE p2.x >= p1.x AND p2.y >= p1.y
+        |    AND (p2.x > p1.x OR p2.y > p1.y))
+        |ORDER BY x""".stripMargin,
+
+    "q_debounce" ->
+      """WITH w AS (SELECT event_id, user_id, ts, event_type,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev,
+        |        epoch_us(ts) AS us
+        |      FROM events),
+        |s AS (SELECT event_id, user_id, ts, event_type,
+        |        CASE WHEN prev IS NULL OR us - prev > 3600000000
+        |          THEN 1 ELSE 0 END AS st
+        |      FROM w),
+        |b AS (SELECT event_id, user_id, ts, event_type, st,
+        |        CAST(sum(st) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS BIGINT) AS burst
+        |      FROM s)
+        |SELECT event_id, user_id, ts, event_type, burst FROM b
+        |WHERE st = 1 ORDER BY event_id""".stripMargin,
 
     // LSH graph construction is plan shape; the checkable semantics is
     // the recall floor against exact kNN on the audited subset

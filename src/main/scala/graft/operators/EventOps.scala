@@ -312,6 +312,38 @@ object EventOps {
       .filter(col("support") >= minSupport)
   }
 
+  /** Burst collapse (debounce): keep each user's burst-STARTING events
+    * — rows whose gap from the user's previous event exceeds `gapUs` —
+    * and number the bursts per user. Retries, double-clicks, and
+    * sensor chatter collapse to one row per burst; `burst` joins any
+    * later analysis back to "the k-th burst of user u". The first
+    * event of a user always starts burst 1.
+    *
+    * One shuffle on the user key; the lag and the running start-count
+    * share a single window sort (same key, same order), so the whole
+    * op is one exchange + one WindowExec. Exact integer microsecond
+    * arithmetic — no timestamp rounding. */
+  def debounce(events: DataFrame, gapUs: Long,
+               userCol: String = "user_id", tsCol: String = "ts",
+               typeCol: String = "event_type", idCol: String = "event_id")
+      : DataFrame = {
+    require(gapUs >= 0, s"gap must be non-negative, got $gapUs")
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val run = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col(tsCol))
+    val isStart = lag(us, 1).over(byUser).isNull ||
+      (us - lag(us, 1).over(byUser)) > gapUs
+    events
+      .select(col(idCol), col(userCol), col(tsCol), col(typeCol),
+        isStart.as("__start"))
+      .select(col(idCol), col(userCol), col(tsCol), col(typeCol),
+        col("__start"),
+        sum(col("__start").cast("long")).over(run).as("burst"))
+      .filter(col("__start"))
+      .drop("__start")
+  }
+
   /** Pairwise audience overlap between event types, with an HLL audit:
     * for every pair of types sharing at least one user, the EXACT
     * distinct-user counts of each side and of the intersection, plus a

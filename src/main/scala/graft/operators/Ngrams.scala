@@ -1100,7 +1100,7 @@ object Ngrams {
     val nD = col("n_types").cast("double")
     val det = nD * col("__sxx") - col("__sx") * col("__sx")
     s.select(col("n_types"),
-      when(det > 0.0, round(
+      when(det > 1e-6, round(
         (nD * col("__sxy") - col("__sx") * col("__sy")) / det, 9))
         .as("slope"))
   }

@@ -793,6 +793,38 @@ object Profiling {
         col("n_null_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
   }
 
+  /** Log–log least-squares fit of `yCol` on `xCol` over positive
+    * points — the power-law exponent estimator (ln y = slope·ln x + c).
+    * Run it on a degree histogram and the slope is the scale-free
+    * exponent that says whether hubs exist (and therefore whether the
+    * skew treatments are mandatory); on a frequency table it is the
+    * generic Zipf/Heaps-style fit. Returns the point count and the
+    * slope (NULL when all x coincide — no determined line).
+    *
+    * The per-point terms round to 9 places and sum as DECIMAL(38,9) —
+    * the repo's order-independent regression arithmetic — so one
+    * global aggregate closes the fit; nothing sorts, nothing windows. */
+  def loglogFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val xd = col(xCol).cast("double")
+    val yd = col(yCol).cast("double")
+    val x = round(log(xd), 9)
+    val y = round(log(yd), 9)
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+        .cast("double")
+    val s = df.filter(xd > 0 && yd > 0)
+      .agg(count(lit(1)).as("n_points"),
+        decSum(x).as("__sx"), decSum(y).as("__sy"),
+        decSum(round(x * x, 9)).as("__sxx"),
+        decSum(round(x * y, 9)).as("__sxy"))
+    val nD = col("n_points").cast("double")
+    val det = nD * col("__sxx") - col("__sx") * col("__sx")
+    s.select(col("n_points"),
+      when(det > 1e-6, round(
+        (nD * col("__sxy") - col("__sx") * col("__sy")) / det, 9))
+        .as("slope"))
+  }
+
   /** Fixed-width histogram of a numeric column: bucket = ⌊v / width⌋
     * over the caller-chosen width — the layout-independent profile
     * plot (data-derived bounds would make the buckets drift between

@@ -107,6 +107,30 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("debounce: burst starters survive, bursts number per user, " +
+       "first event always starts burst 1") {
+    // u1: events at 0s, 1s, 2s (one burst), 100s, 101s (second burst)
+    // u2: single event
+    val rows = Seq(
+      (1L, "00:00:00", 1L), (2L, "00:00:01", 1L), (3L, "00:00:02", 1L),
+      (4L, "00:01:40", 1L), (5L, "00:01:41", 1L),
+      (6L, "00:00:00", 2L))
+      .map { case (id, at, u) => (id, ts(s"2026-01-01 $at"), u, "e") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.debounce(rows, gapUs = 10L * 1000000L)
+      .select("event_id", "user_id", "burst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 1L), (4L, 1L, 2L), (6L, 2L, 1L)),
+      "only gap-exceeding events start bursts; numbering is per user")
+    // gap exactly equal to the threshold does NOT start a new burst
+    val eq = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 1L, "e"),
+      (2L, ts("2026-01-01 00:00:10"), 1L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventOps.debounce(eq, gapUs = 10L * 1000000L).count() === 1,
+      "strict > semantics at the boundary")
+  }
+
   test("audienceOverlap: exact pair intersections from one distinct " +
        "pass; disjoint pairs absent; duplicate events collapse") {
     val rows = Seq(

@@ -353,6 +353,21 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate quartiles: fences collapse to the constant")
   }
 
+  test("loglogFit: exact exponent on a pure power law; degenerate and " +
+       "non-positive points handled") {
+    // y = 8/x^2 over x in {1,2} -> slope exactly -2 through both points
+    val pl = Seq((1.0, 8.0), (2.0, 2.0), (0.0, 5.0), (3.0, -1.0))
+      .toDF("x0", "y0")
+    val Array((n, s)) = Profiling.loglogFit(pl, "x0", "y0")
+      .as[(Long, Option[Double])].collect()
+    assert(n === 2L, "x<=0 and y<=0 points drop")
+    assert(math.abs(s.get + 2.0) < 1e-6)
+    // all x equal: no determined line
+    val flat = Seq((2.0, 1.0), (2.0, 9.0)).toDF("x0", "y0")
+    assert(Profiling.loglogFit(flat, "x0", "y0")
+      .select("slope").as[Option[Double]].head().isEmpty)
+  }
+
   test("chi2Independence: perfect dependence scores N, independence 0, " +
        "absent cells fold in closed-form") {
     val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
