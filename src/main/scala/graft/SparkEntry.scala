@@ -1164,6 +1164,31 @@ object SparkEntry {
       EventOps.debounce(t(s, d, "events"), gapUs = 3600L * 1000000L)
         .orderBy("event_id")),
 
+    // ---- E20 per-segment linear trend: slope of hourly traffic over
+    // the hour index, one grouped OLS pass ----
+    "q_trend" -> ((s, d) => {
+      val hours = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000")
+            .as("h"))
+        .agg(count(lit(1)).as("c"))
+      operators.Profiling.groupedTrend(hours, "event_type", "h", "c")
+        .orderBy("event_type")
+    }),
+
+    // ---- E24 local clustering coefficient over the order-copurchase
+    // part graph (community structure vs hub topology) ----
+    "q_clustering_coef" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+      operators.Graphs.clusteringCoefficient(e, "src", "dst")
+        .orderBy("node")
+    }),
+
     // ---- corpus mixing: systematic per-source sampling ----
     "q_sample_mix" -> ((s, d) =>
       Mixing.systematicSampleByRates(t(s, d, "documents"), "source", "doc_id",
@@ -5318,6 +5343,53 @@ object SparkEntry {
         |  WHERE p2.x >= p1.x AND p2.y >= p1.y
         |    AND (p2.x > p1.x OR p2.y > p1.y))
         |ORDER BY x""".stripMargin,
+
+    // grouped OLS with the relative determinant guard mirrored exactly
+    "q_trend" ->
+      """WITH h AS (SELECT event_type,
+        |        CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+        |          AS BIGINT) AS h,
+        |        count(*) AS c
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n_points,
+        |        CAST(sum(CAST(round(CAST(h AS DOUBLE), 9)
+        |          AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(round(CAST(c AS DOUBLE), 9)
+        |          AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(CAST(h AS DOUBLE) * CAST(h AS DOUBLE),
+        |          9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(round(CAST(h AS DOUBLE) * CAST(c AS DOUBLE),
+        |          9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, n_points,
+        |  CASE WHEN n_points * sxx - sx * sx >
+        |      0.0000000000001 * n_points * abs(sxx) + 0.000001 THEN
+        |    round((n_points * sxy - sx * sy)
+        |      / (n_points * sxx - sx * sx), 9)
+        |  END AS slope
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q_clustering_coef" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+        |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |       GROUP BY node),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |        FROM (SELECT u AS node FROM e
+        |              UNION ALL SELECT v FROM e) GROUP BY 1)
+        |SELECT nodes.node, deg.degree, COALESCE(pn.n, 0) AS n_triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    round(2.0 * COALESCE(pn.n, 0) / (degree * (degree - 1)), 9)
+        |  END AS clustering
+        |FROM nodes LEFT JOIN pn USING (node) JOIN deg USING (node)
+        |ORDER BY node""".stripMargin,
 
     "q_debounce" ->
       """WITH w AS (SELECT event_id, user_id, ts, event_type,

@@ -793,6 +793,44 @@ object Profiling {
         col("n_null_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
   }
 
+  /** Per-group linear trend: the least-squares slope of `yCol` on
+    * `xCol` within each group — "is this segment's metric growing?"
+    * asked of every segment in one pass (traffic per event type over
+    * hour index, quality per source over ingest day). Returns each
+    * group's point count and slope; groups whose x values all coincide
+    * get NULL (no determined line).
+    *
+    * One grouped aggregation — the four regression sums ride the
+    * rounded-DECIMAL(38,9) rule, so partial aggregation is map-side
+    * combined AND the result is layout/engine-exact; the closing
+    * normal equation is per-group scalar arithmetic. The determinant
+    * guard scales with the ulp of the subtraction's operands
+    * (ε·n·|Σxx|, ε ≫ double ulp) so rounding residue at large x
+    * magnitudes can't fabricate a slope, while legitimate
+    * tight-spread fits (consecutive epoch hours) still resolve. */
+  def groupedTrend(df: DataFrame, groupCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val xd = col(xCol).cast("double")
+    val yd = col(yCol).cast("double")
+    val x = round(xd, 9)
+    val y = round(yd, 9)
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+        .cast("double")
+    val s = df.filter(xd.isNotNull && yd.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        decSum(x).as("__sx"), decSum(y).as("__sy"),
+        decSum(round(x * x, 9)).as("__sxx"),
+        decSum(round(x * y, 9)).as("__sxy"))
+    val nD = col("n_points").cast("double")
+    val det = nD * col("__sxx") - col("__sx") * col("__sx")
+    s.select(col(groupCol), col("n_points"),
+      when(det > lit(1e-13) * nD * abs(col("__sxx")) + lit(1e-6), round(
+        (nD * col("__sxy") - col("__sx") * col("__sy")) / det, 9))
+        .as("slope"))
+  }
+
   /** Log–log least-squares fit of `yCol` on `xCol` over positive
     * points — the power-law exponent estimator (ln y = slope·ln x + c).
     * Run it on a degree histogram and the slope is the scale-free

@@ -103,6 +103,27 @@ class GraphsSpec extends SparkTestBase {
     assert(got.values.sum === 15L)
   }
 
+  test("clusteringCoefficient: K4 closes fully, pendant is NULL, " +
+       "open wedge scores 0") {
+    // K4 {1,2,3,4} + pendant 5 on 4 + open wedge 6-7-8
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L)
+    ).toDF("src", "dst")
+    val got = Graphs.clusteringCoefficient(e, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    graft.operators.OpCaches.release()
+    assert(got(1L) === ((1L, 3L, 3L, Some(1.0))),
+      "inside K4 every neighbor pair is closed")
+    assert(got(4L) === ((4L, 4L, 3L, Some(0.5))),
+      "4 has degree 4 (incl. pendant): 3 closed of 6 pairs")
+    assert(got(5L) === ((5L, 1L, 0L, None)),
+      "degree-1 nodes have no wedge: NULL, not 0")
+    assert(got(7L) === ((7L, 2L, 0L, Some(0.0))),
+      "an open wedge center scores a true 0")
+  }
+
   test("degreeHistogram: distinct-neighbor degrees, parallel edges " +
        "collapse, NULL endpoints drop") {
     val e = Seq(

@@ -353,6 +353,27 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate quartiles: fences collapse to the constant")
   }
 
+  test("groupedTrend: exact slopes per group; constant-x groups NULL") {
+    val df = Seq(
+      ("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L),   // slope 2
+      ("dn", 10L, 9L), ("dn", 12L, 5L),                 // slope -2
+      ("flat", 7L, 1L), ("flat", 7L, 9L))               // undetermined
+      .toDF("g", "x0", "y0")
+    val out = Profiling.groupedTrend(df, "g", "x0", "y0")
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r)
+      .toMap
+    assert(out("up") === (("up", 3L, Some(2.0))))
+    assert(out("dn") === (("dn", 2L, Some(-2.0))))
+    assert(out("flat") === (("flat", 2L, None)),
+      "coincident x never fabricates a slope")
+    // large-magnitude x (epoch-hour scale): the RELATIVE determinant
+    // guard must not reject a legitimate fit
+    val big = Seq(("t", 490000L, 1L), ("t", 490001L, 2L),
+      ("t", 490002L, 3L)).toDF("g", "x0", "y0")
+    assert(Profiling.groupedTrend(big, "g", "x0", "y0")
+      .select("slope").as[Option[Double]].head() === Some(1.0))
+  }
+
   test("loglogFit: exact exponent on a pure power law; degenerate and " +
        "non-positive points handled") {
     // y = 8/x^2 over x in {1,2} -> slope exactly -2 through both points
