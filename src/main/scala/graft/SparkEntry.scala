@@ -1164,6 +1164,22 @@ object SparkEntry {
       EventOps.debounce(t(s, d, "events"), gapUs = 3600L * 1000000L)
         .orderBy("event_id")),
 
+    // ---- E6 interval coalescing (gaps-and-islands): merge each
+    // user's overlapping 10-minute activity windows ----
+    "q_interval_merge" -> ((s, d) =>
+      EventOps.coalesceIntervals(
+        t(s, d, "events").select(col("user_id"), col("ts").as("s_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e_ts")),
+        "user_id", "s_ts", "e_ts")
+        .orderBy("user_id", "island")),
+
+    // ---- E20 MAD robust outlier census (the 50%-breakdown-point
+    // complement of the IQR fences) ----
+    "q_mad_outliers" -> ((s, d) =>
+      operators.Profiling.madOutliers(t(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     // ---- E20 per-segment linear trend: slope of hourly traffic over
     // the hour index, one grouped OLS pass ----
     "q_trend" -> ((s, d) => {
@@ -5343,6 +5359,45 @@ object SparkEntry {
         |  WHERE p2.x >= p1.x AND p2.y >= p1.y
         |    AND (p2.x > p1.x OR p2.y > p1.y))
         |ORDER BY x""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |        epoch_us(ts) + 600000000 AS e FROM events),
+        |w AS (SELECT user_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS pmax
+        |      FROM iv),
+        |f AS (SELECT user_id, s, e,
+        |        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+        |          AS nw
+        |      FROM w),
+        |i AS (SELECT user_id, s, e,
+        |        CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS island
+        |      FROM f)
+        |SELECT user_id, island, count(*) AS n_merged,
+        |  CAST(min(s) AS BIGINT) AS start_us,
+        |  CAST(max(e) AS BIGINT) AS end_us
+        |FROM i GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH m AS (SELECT l_returnflag,
+        |        quantile_cont(l_extendedprice, 0.5) AS med
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |      GROUP BY 1),
+        |md AS (SELECT l.l_returnflag, m.med,
+        |        quantile_cont(abs(l_extendedprice - m.med), 0.5) AS mad
+        |      FROM lineitem l JOIN m USING (l_returnflag)
+        |      WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(l_extendedprice - md.med)
+        |      > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(md.med, 9) AS median, round(md.mad, 9) AS mad
+        |FROM lineitem l JOIN md USING (l_returnflag)
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1, md.med, md.mad ORDER BY l.l_returnflag""".stripMargin,
 
     // grouped OLS with the relative determinant guard mirrored exactly
     "q_trend" ->

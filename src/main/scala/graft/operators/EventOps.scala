@@ -344,6 +344,39 @@ object EventOps {
       .drop("__start")
   }
 
+  /** Interval coalescing (gaps-and-islands): merge every set of
+    * overlapping-or-touching [start, end] intervals per key into one
+    * covering interval, reporting how many merged and the covered
+    * span — the availability/outage/contract-period consolidation
+    * every temporal model needs before durations can be summed
+    * without double counting. Intervals touch when start ≤ the
+    * running max end (closed-interval semantics).
+    *
+    * One shuffle on the key: a single window sort computes the
+    * running max end over STRICTLY preceding rows, a new island
+    * starts where start exceeds it, and the island id is the running
+    * sum of those flags — then one grouped aggregate per island.
+    * Exact integer microsecond arithmetic throughout. */
+  def coalesceIntervals(df: DataFrame, keyCol: String,
+                        startCol: String, endCol: String): DataFrame = {
+    val order = Window.partitionBy(keyCol)
+      .orderBy(col("__s"), col("__e"))
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val run = order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val isNew = max(col("__e")).over(before).isNull ||
+      col("__s") > max(col("__e")).over(before)
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(startCol)).as("__s"),
+        unix_micros(col(endCol)).as("__e"))
+      .select(col(keyCol), col("__s"), col("__e"), isNew.as("__new"))
+      .select(col(keyCol), col("__s"), col("__e"),
+        sum(col("__new").cast("long")).over(run).as("island"))
+      .groupBy(col(keyCol), col("island"))
+      .agg(count(lit(1)).as("n_merged"),
+        min(col("__s")).as("start_us"), max(col("__e")).as("end_us"))
+  }
+
   /** Pairwise audience overlap between event types, with an HLL audit:
     * for every pair of types sharing at least one user, the EXACT
     * distinct-user counts of each side and of the intersection, plus a

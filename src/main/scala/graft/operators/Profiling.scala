@@ -793,6 +793,40 @@ object Profiling {
         col("n_null_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
   }
 
+  /** MAD robust outlier census per group: the median absolute
+    * deviation scale (median of |x − median|) and how many rows sit
+    * beyond k·MAD of the median — the robust z-score complement of
+    * [[iqrOutliers]] (MAD tolerates up to 50% contamination where the
+    * quartile fences break down around 25%). Groups whose MAD is 0
+    * (a majority-constant column) report the off-median count
+    * instead of dividing by zero — the degenerate answer that is
+    * actually wanted there.
+    *
+    * Two grouped exact-percentile aggregates on ONE shuffle key (the
+    * median, then the deviation median with the median broadcast
+    * back), then the census re-aggregate — three passes, all keyed by
+    * the group, no corpus sort. Counts are exact integers; the
+    * reported median/MAD are the engines' shared interpolation,
+    * rounded to 9 for display only. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"scale multiplier must be positive, got $k")
+    val v = col(valueCol).cast("double")
+    val med = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val mad = df.filter(v.isNotNull).join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("__med")).as("__med"),
+           percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    df.filter(v.isNotNull).join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(v - col("__med")) > lit(k) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        first(round(col("__med"), 9)).as("median"),
+        first(round(col("__mad"), 9)).as("mad"))
+  }
+
   /** Per-group linear trend: the least-squares slope of `yCol` on
     * `xCol` within each group — "is this segment's metric growing?"
     * asked of every segment in one pass (traffic per event type over

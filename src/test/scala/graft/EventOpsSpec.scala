@@ -107,6 +107,29 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("coalesceIntervals: overlapping and touching intervals merge, " +
+       "gaps split islands, keys never mix") {
+    def iv(u: Long, s: String, e: String) =
+      (u, ts(s"2026-01-01 $s"), ts(s"2026-01-01 $e"))
+    val df = Seq(
+      iv(1L, "00:00:00", "00:10:00"),   // island 1
+      iv(1L, "00:05:00", "00:12:00"),   //   overlaps
+      iv(1L, "00:12:00", "00:15:00"),   //   touches (closed semantics)
+      iv(1L, "00:20:00", "00:25:00"),   // island 2 after a gap
+      iv(1L, "00:21:00", "00:22:00"),   //   contained
+      iv(2L, "00:00:00", "00:01:00"))   // other key
+      .toDF("k", "s_ts", "e_ts")
+    val out = EventOps.coalesceIntervals(df, "k", "s_ts", "e_ts")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    def us(t0: String) =
+      ts(s"2026-01-01 $t0").getTime * 1000L
+    assert(out((1L, 1L)) === ((1L, 1L, 3L, us("00:00:00"), us("00:15:00"))))
+    assert(out((1L, 2L)) === ((1L, 2L, 2L, us("00:20:00"), us("00:25:00"))),
+      "a contained interval merges without extending the cover")
+    assert(out((2L, 1L)) === ((2L, 1L, 1L, us("00:00:00"), us("00:01:00"))))
+  }
+
   test("debounce: burst starters survive, bursts number per user, " +
        "first event always starts burst 1") {
     // u1: events at 0s, 1s, 2s (one burst), 100s, 101s (second burst)

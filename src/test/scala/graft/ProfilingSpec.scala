@@ -353,6 +353,30 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate quartiles: fences collapse to the constant")
   }
 
+  test("madOutliers: robust census survives 40% contamination; zero-MAD " +
+       "groups count off-median rows") {
+    // g: bulk 1..10 plus outliers {1000, 2000, 3000, -999}: median of 14
+    // values = 7.5? sorted: -999,1..10,1000,2000,3000 -> median idx 6.5
+    // between 6 and 7 = 6.5; MAD robust despite 4/14 contamination
+    val df = ((1 to 10).map(_.toDouble) ++ Seq(1000.0, 2000.0, 3000.0,
+      -999.0)).map(v => ("g", v)).toDF("src", "v")
+    val Array(r) = Profiling.madOutliers(df, "src", "v")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(r._1 === "g" && r._2 === 14L)
+    assert(r._4 === 6.5, "median stays in the bulk")
+    // deviations from 6.5: {5.5,4.5,...,0.5,...,3.5, 993.5, ...}:
+    // median of sorted devs = between 3.5 and 3.5 -> 3.5
+    assert(r._5 === 3.5)
+    assert(r._3 === 4L, "exactly the four planted outliers exceed 3*MAD")
+    // majority-constant group: MAD 0, off-median rows are the census
+    val c = (Seq.fill(8)(5.0) ++ Seq(5.1, 9.0)).map(v => ("c", v))
+      .toDF("src", "v")
+    val Array(r2) = Profiling.madOutliers(c, "src", "v")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(r2 === (("c", 10L, 2L, 5.0, 0.0)),
+      "zero MAD: every off-median row counts, no division blowup")
+  }
+
   test("groupedTrend: exact slopes per group; constant-x groups NULL") {
     val df = Seq(
       ("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L),   // slope 2
