@@ -281,4 +281,37 @@ class DegenerateInputSpec extends SparkTestBase {
       .select("n_child", "n_null_keys", "n_orphan_rows", "n_orphan_keys")
       .as[(Long, Long, Long, Long)].head() === ((3L, 1L, 2L, 1L)))
   }
+
+  test("trend/interval/robust-stat operators: empty and single-row " +
+       "inputs flow through") {
+    val emptyEv4 = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventOps.debounce(emptyEv4, 1000L).count() === 0)
+    val noIv = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("k", "s_ts", "e_ts")
+    assert(EventOps.coalesceIntervals(noIv, "k", "s_ts", "e_ts")
+      .count() === 0)
+    val oneIv = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-01 00:01:00")))
+      .toDF("k", "s_ts", "e_ts")
+    assert(EventOps.coalesceIntervals(oneIv, "k", "s_ts", "e_ts")
+      .select("island", "n_merged").as[(Long, Long)].head() === ((1L, 1L)))
+    val emptyGV = Seq.empty[(String, Option[Double])].toDF("g", "v")
+    assert(Profiling.madOutliers(emptyGV, "g", "v").count() === 0)
+    // one row: median = the value, MAD 0, zero outliers
+    assert(Profiling.madOutliers(Seq(("g", 4.0)).toDF("g", "v"), "g", "v")
+      .select("n", "n_outliers", "median", "mad")
+      .as[(Long, Long, Double, Double)].head() === ((1L, 0L, 4.0, 0.0)))
+    assert(Profiling.groupedTrend(
+      Seq.empty[(String, Long, Long)].toDF("g", "x0", "y0"),
+      "g", "x0", "y0").count() === 0)
+    // loglogFit's global aggregate keeps its one row with a NULL slope
+    assert(Profiling.loglogFit(emptyGV.withColumnRenamed("v", "y0")
+        .withColumn("x0", lit(1.0)), "x0", "y0")
+      .select("n_points").as[Long].head() === 0L)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.clusteringCoefficient(noEdges, "src", "dst")
+      .count() === 0)
+    OpCaches.release()
+  }
 }

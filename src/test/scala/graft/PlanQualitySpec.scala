@@ -482,6 +482,26 @@ class PlanQualitySpec extends SparkTestBase {
     val ri = plan("q_ref_integrity")
     assert(ri.contains("Anti") && !ri.contains("CartesianProduct"),
       s"orphan counting must plan as an anti join:\n$ri")
+    // debounce / interval merge: pure keyed-window ops, join-free
+    for (q <- Seq("q_debounce", "q_interval_merge")) {
+      val p = plan(q)
+      assert(p.contains("Window") && !p.contains("Join"),
+        s"$q must stay a single keyed window family:\n$q\n$p")
+    }
+    // grouped trend: one aggregate family, map-side combined, no joins
+    val tr = plan("q_trend")
+    assert(tr.contains("partial") && !tr.contains("Join"),
+      s"grouped OLS must be one aggregate pass:\n$tr")
+    // MAD: both percentile bounds re-attach as broadcast equi-joins
+    val md = plan("q_mad_outliers")
+    assert(md.contains("BroadcastHashJoin") && bnlj(md) == 0 &&
+      !md.contains("CartesianProduct"),
+      s"MAD bounds must broadcast on the group key:\n$md")
+    // graph closers: wedge/degree joins stay equi-shaped
+    for (q <- Seq("q_clustering_coef", "q_powerlaw", "q_skyline")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
   }
 
   test("whole-stage codegen covers the scan-filter-project pipelines") {
