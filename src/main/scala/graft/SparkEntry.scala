@@ -1164,6 +1164,16 @@ object SparkEntry {
       EventOps.debounce(t(s, d, "events"), gapUs = 3600L * 1000000L)
         .orderBy("event_id")),
 
+    // ---- E26 blocked Jaro–Winkler linkage over DISTINCT part names
+    // (native codegen'd comparator; blocking = the noun token) ----
+    "q_jaro_winkler" -> ((s, d) =>
+      Joins.blockedJaroWinkler(
+        t(s, d, "part").select("p_name").distinct(),
+        "p_name", "p_name",
+        element_at(split(col("p_name"), " "), 2), minSim = 0.8)
+        .filter(col("jw") < 1.0)
+        .orderBy("id_a", "id_b")),
+
     // ---- E6 interval coalescing (gaps-and-islands): merge each
     // user's overlapping 10-minute activity windows ----
     "q_interval_merge" -> ((s, d) =>
@@ -5359,6 +5369,21 @@ object SparkEntry {
         |  WHERE p2.x >= p1.x AND p2.y >= p1.y
         |    AND (p2.x > p1.x OR p2.y > p1.y))
         |ORDER BY x""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity IS the pinned semantics of the
+    // native expression (boost only above 0.7; empty -> 0); identical
+    // names are excluded to keep the linkage dictionary interesting
+    "q_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part
+        |           WHERE p_name IS NOT NULL),
+        |p AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n)
+        |SELECT a.p_name AS id_a, b.p_name AS id_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
+        |    >= 0.8
+        |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 9) < 1.0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_interval_merge" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,

@@ -398,4 +398,33 @@ object Joins {
         greatest(col("__ls"), col("__rs")).as("ov_start") :+
         least(col("__le"), col("__re")).as("ov_end")): _*)
   }
+
+  /** Blocked Jaro–Winkler self-match — the record-linkage comparator
+    * pass: within each blocking key (last name token, zip code,
+    * normalized domain), score every id-ordered pair with the native
+    * codegen'd [[org.apache.spark.sql.graft.VectorExprs.JaroWinkler]]
+    * and keep those at `minSim`+. Jaro–Winkler is the linkage-standard
+    * choice where edit distance over-penalizes transpositions
+    * (swapped name parts, typo'd digits); the deletion-neighborhood
+    * fuzzy join stays the right tool for bounded-edit matching.
+    *
+    * The blocking key bounds candidates exactly like the LSH band
+    * joins: one equi-join on the key, per-pair scoring inside
+    * whole-stage codegen, no all-pairs anywhere. The score rounds to
+    * 9 places BEFORE thresholding, so the survivor set is engine- and
+    * layout-exact. */
+  def blockedJaroWinkler(df: DataFrame, idCol: String, nameCol: String,
+                         block: Column, minSim: Double): DataFrame = {
+    require(minSim >= 0 && minSim <= 1, s"minSim in [0,1], got $minSim")
+    val t = df
+      .filter(col(idCol).isNotNull && col(nameCol).isNotNull)
+      .select(col(idCol).as("id"), col(nameCol).as("name"), block.as("__blk"))
+      .filter(col("__blk").isNotNull)
+    t.as("a").join(t.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(org.apache.spark.sql.graft.VectorExprs
+          .jaroWinkler(col("a.name"), col("b.name")), 9).as("jw"))
+      .filter(col("jw") >= minSim)
+  }
 }

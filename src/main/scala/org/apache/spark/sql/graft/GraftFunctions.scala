@@ -84,6 +84,10 @@ object GraftFunctions {
     "graft_interleave" -> { args =>
       need(2, "graft_interleave")(args)
       VectorExprs.Interleave64(args(0), args(1))
+    },
+    "graft_jaro_winkler" -> { args =>
+      need(2, "graft_jaro_winkler")(args)
+      VectorExprs.JaroWinkler(args(0), args(1))
     })
 
   def expressionInfo(name: String): ExpressionInfo =

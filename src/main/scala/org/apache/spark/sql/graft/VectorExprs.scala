@@ -582,6 +582,91 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Shared Jaro–Winkler kernel, reachable from generated code (the
+    * match/transposition loops need two scratch boolean arrays, so the
+    * implementation lives in ONE static JVM method that whole-stage
+    * codegen calls — the same shape Spark's own intrinsics use —
+    * rather than inlined array-allocating codegen).
+    *
+    * Semantics pinned to DuckDB's `jaro_winkler_similarity` (the
+    * correctness oracle): either side empty → 0.0 (even both-empty);
+    * match window ⌊max(len)/2⌋−1; transpositions = half the
+    * out-of-order matches; the Winkler prefix boost (ℓ ≤ 4, p = 0.1)
+    * applies only when the Jaro score exceeds 0.7. Comparison is by
+    * UTF-16 code unit — identical to DuckDB's per-character walk on
+    * BMP text. */
+  def jaroWinklerImpl(
+      aU: org.apache.spark.unsafe.types.UTF8String,
+      bU: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = aU.toString; val b = bU.toString
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la); val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val lim = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < lim && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  /** Jaro–Winkler similarity of two strings in [0, 1] — the record-
+    * linkage comparator (names, addresses, titles) Spark lacks as a
+    * built-in; see [[jaroWinklerImpl]] for the pinned semantics. Used
+    * by the blocked fuzzy-match operators where edit distance
+    * over-penalizes transposed tokens. */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaro_winkler"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinklerImpl(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = org.apache.spark.sql.graft.VectorExprs" +
+          s".jaroWinklerImpl($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Shannon entropy (nats) of a string's BYTE distribution — the
     * gibberish / binary-spill / repeated-filler quality gate (low entropy
     * flags "aaaa…"-style filler and template spam; anomalously high flags
@@ -1085,6 +1170,10 @@ object VectorExprs {
 
   def polyHash(text: Column): Column =
     ExprBridge.column(PolyHash(ExprBridge.expression(text)))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExprBridge.column(
+      JaroWinkler(ExprBridge.expression(a), ExprBridge.expression(b)))
 
   def byteEntropy(text: Column): Column =
     ExprBridge.column(ByteEntropy(ExprBridge.expression(text)))

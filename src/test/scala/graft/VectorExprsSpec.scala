@@ -132,6 +132,7 @@ class VectorExprsSpec extends SparkTestBase {
       VectorExprs.lshSign64(col("va"), 16),
       VectorExprs.shingleStrings(split(col("text"), " "), 3),
       VectorExprs.polyHash(col("text")),
+      VectorExprs.jaroWinkler(col("text"), reverse(col("text"))),
       VectorExprs.interleave64(col("id") * 12345L, col("id") * 67L), {
         val cents = Seq(Seq(0.5f, 0.25f, -1.0f), Seq(1f, -2f, 3.5f),
           Seq(0f, 0f, 1f), Seq(-1f, 1f, 0f))
@@ -153,6 +154,28 @@ class VectorExprsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
+  }
+
+  test("jaroWinkler: textbook values, DuckDB-pinned edge semantics") {
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(VectorExprs.jaroWinkler(col("a"), col("b")))
+        .as[Double].head()
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12,
+      "one transposition, 3-char prefix boost")
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("a", "b") === 0.0, "no matches at all")
+    // DuckDB-pinned: either side empty -> 0, even both empty
+    assert(jw("", "abc") === 0.0 && jw("", "") === 0.0)
+    // boost gate: prefix 2 but jaro 0.5 <= 0.7 -> NO Winkler boost
+    assert(jw("abzzzzzz", "abqqqqqq") === 0.5)
+    // just over the gate: prefix 2, jaro 0.7083... -> boosted
+    assert(math.abs(jw("ab", "abcdefghijklmnop") - 0.7666666666666667)
+      < 1e-12)
+    // symmetric
+    assert(jw("JELLYFISH", "SMELLYFISH") === jw("SMELLYFISH", "JELLYFISH"))
   }
 
   test("interleave64 bit-interleaves: known values, invertible on randoms") {
