@@ -1164,6 +1164,12 @@ object SparkEntry {
       EventOps.debounce(t(s, d, "events"), gapUs = 3600L * 1000000L)
         .orderBy("event_id")),
 
+    // ---- E6 rolling active users: DAU / trailing-7-day WAU and the
+    // stickiness ratio per observed day ----
+    "q_rolling_active" -> ((s, d) =>
+      EventOps.rollingActiveUsers(t(s, d, "events"), windowDays = 7)
+        .orderBy("day")),
+
     // ---- E26 blocked Jaro–Winkler linkage over DISTINCT part names
     // (native codegen'd comparator; blocking = the noun token) ----
     "q_jaro_winkler" -> ((s, d) =>
@@ -5369,6 +5375,21 @@ object SparkEntry {
         |  WHERE p2.x >= p1.x AND p2.y >= p1.y
         |    AND (p2.x > p1.x OR p2.y > p1.y))
         |ORDER BY x""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT
+        |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS BIGINT) AS day,
+        |        user_id AS u
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT day, count(DISTINCT u) AS dau FROM du GROUP BY 1),
+        |ex AS (SELECT du.day + t.o AS day, du.u
+        |       FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o) t),
+        |wau AS (SELECT day, count(DISTINCT u) AS wau FROM ex GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 9) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     // DuckDB's jaro_winkler_similarity IS the pinned semantics of the
     // native expression (boost only above 0.7; empty -> 0); identical

@@ -344,6 +344,41 @@ object EventOps {
       .drop("__start")
   }
 
+  /** Rolling active users: for every observed day, the distinct users
+    * active that day (DAU) and over the trailing `windowDays` window
+    * (WAU at 7), plus the DAU/WAU stickiness ratio — the
+    * product-health headline. Computed WITHOUT a distinct-over-
+    * sliding-window (which would hold per-window user sets): the
+    * (day, user) distinct pass explodes each activity day onto the
+    * `windowDays` days it keeps the user active for, and one
+    * count_distinct per target day closes it — linear in activity ×
+    * window, the standard scale-out shape for windowed distinct
+    * counts. Days outside the observed range are clipped by the join
+    * back onto the DAU table.
+    *
+    * Two shuffles: the (day, user) distinct and the day-keyed
+    * distinct aggregates (Spark plans both counts in one Expand
+    * family per side). Exact integers; the ratio is one rounded IEEE
+    * division. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
+                         userCol: String = "user_id",
+                         tsCol: String = "ts"): DataFrame = {
+    require(windowDays > 0, s"window must be positive, got $windowDays")
+    val du = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(unix_date(col(tsCol).cast("date")).cast("long").as("day"),
+        col(userCol).as("__u"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count_distinct(col("__u")).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("day"), col("__u"))
+      .groupBy("day").agg(count_distinct(col("__u")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 9).as("stickiness"))
+  }
+
   /** Interval coalescing (gaps-and-islands): merge every set of
     * overlapping-or-touching [start, end] intervals per key into one
     * covering interval, reporting how many merged and the covered

@@ -107,6 +107,24 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("rollingActiveUsers: trailing-window distincts, users count once " +
+       "per window, stickiness exact") {
+    // u1 active day 0 and day 2; u2 active day 0 only; window 3 days
+    val rows = Seq(
+      (1L, "2026-01-01", 1L), (2L, "2026-01-01", 2L),
+      (3L, "2026-01-03", 1L), (4L, "2026-01-03", 1L)) // same-day dup
+      .map { case (id, day, u) => (id, ts(s"$day 10:00:00"), u, "e") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.rollingActiveUsers(rows, windowDays = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val d0 = out.keys.min
+    assert(out(d0) === ((d0, 2L, 2L, 1.0)),
+      "day 0: both users active that day and in its trailing window")
+    assert(out(d0 + 2) === ((d0 + 2, 1L, 2L, 0.5)),
+      "day 2: u1 is today's DAU; u2 still in the 3-day window from day 0")
+    assert(out.size === 2, "only OBSERVED days report (no padding days)")
+  }
+
   test("coalesceIntervals: overlapping and touching intervals merge, " +
        "gaps split islands, keys never mix") {
     def iv(u: Long, s: String, e: String) =
