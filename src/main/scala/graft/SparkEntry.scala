@@ -1164,6 +1164,13 @@ object SparkEntry {
       EventOps.debounce(t(s, d, "events"), gapUs = 3600L * 1000000L)
         .orderBy("event_id")),
 
+    // ---- E6 two-proportion A/B readout (id-parity assignment,
+    // purchase conversion, pooled z statistic) ----
+    "q_ab_test" -> ((s, d) =>
+      EventOps.abTest(t(s, d, "events"),
+          treatment = pmod(col("user_id"), lit(2)) === 1, "purchase")
+        .orderBy("n_a")),
+
     // ---- E6 rolling active users: DAU / trailing-7-day WAU and the
     // stickiness ratio per observed day ----
     "q_rolling_active" -> ((s, d) =>
@@ -5375,6 +5382,38 @@ object SparkEntry {
         |  WHERE p2.x >= p1.x AND p2.y >= p1.y
         |    AND (p2.x > p1.x OR p2.y > p1.y))
         |ORDER BY x""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH pu AS (SELECT user_id AS u,
+        |        CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+        |          ELSE 0 END) AS BIGINT) AS conv,
+        |        user_id % 2 = 1 AS t
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (SELECT
+        |        CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_a,
+        |        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_b,
+        |        CAST(sum(CASE WHEN NOT t AND conv = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS conv_a,
+        |        CAST(sum(CASE WHEN t AND conv = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS conv_b
+        |      FROM pu)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / n_a, 9) AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE) / n_b, 9) AS rate_b,
+        |  round(CAST(conv_b AS DOUBLE) / n_b
+        |    - CAST(conv_a AS DOUBLE) / n_a, 9) AS lift,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |      AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) > 0.0
+        |      AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) < 1.0
+        |    THEN round((CAST(conv_b AS DOUBLE) / n_b
+        |        - CAST(conv_a AS DOUBLE) / n_a)
+        |      / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)), 9)
+        |  END AS z
+        |FROM g ORDER BY n_a""".stripMargin,
 
     "q_rolling_active" ->
       """WITH du AS (SELECT DISTINCT

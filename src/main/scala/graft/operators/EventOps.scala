@@ -344,6 +344,52 @@ object EventOps {
       .drop("__start")
   }
 
+  /** Two-proportion A/B readout: split users by a caller-supplied
+    * deterministic assignment expression (a hash or id parity — NEVER
+    * re-randomized between reads), score each user as converted iff
+    * their stream contains `convType`, and report both arms'
+    * user/conversion counts, rates, the absolute lift, and the pooled
+    * two-proportion z statistic — the experiment-dashboard number
+    * (|z| ≳ 1.96 ≈ 95% two-sided). Degenerate pools (either arm
+    * empty, or pooled rate 0/1) yield NULL z rather than a division
+    * blowup.
+    *
+    * One shuffle on the user key (per-user conversion flag via
+    * map-side-combinable max), then an arms-sized aggregate folded to
+    * ONE row with conditional sums — no pivot, no second pass. The z
+    * arithmetic is a fixed IEEE sequence over exact integer counts,
+    * rounded to 9. */
+  def abTest(events: DataFrame, treatment: org.apache.spark.sql.Column,
+             convType: String, userCol: String = "user_id",
+             typeCol: String = "event_type"): DataFrame = {
+    val perUser = events
+      .filter(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("__u"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .as("__conv"),
+        // the assignment expression evaluates on the raw events and
+        // must be constant per user (hash/parity of the id); max-fold
+        // makes that constancy explicit rather than order-dependent
+        (max(when(treatment, 1L).otherwise(0L)) === 1L).as("__t"))
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val g = perUser.agg(
+      cnt(!col("__t")).as("n_a"), cnt(col("__t")).as("n_b"),
+      cnt(!col("__t") && col("__conv") === 1L).as("conv_a"),
+      cnt(col("__t") && col("__conv") === 1L).as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a")
+    val rb = col("conv_b").cast("double") / col("n_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    g.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(ra, 9).as("rate_a"), round(rb, 9).as("rate_b"),
+      round(rb - ra, 9).as("lift"),
+      when(col("n_a") > 0 && col("n_b") > 0 && p > 0.0 && p < 1.0,
+        round((rb - ra) / se, 9)).as("z"))
+  }
+
   /** Rolling active users: for every observed day, the distinct users
     * active that day (DAU) and over the trailing `windowDays` window
     * (WAU at 7), plus the DAU/WAU stickiness ratio — the

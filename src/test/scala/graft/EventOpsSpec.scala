@@ -107,6 +107,37 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("abTest: per-user conversion flags, exact arm counts, pooled z; " +
+       "degenerate pools yield NULL z") {
+    // arm A (even ids): u0 converts, u2 doesn't; arm B (odd): u1, u3
+    // convert -> rates 0.5 vs 1.0, lift 0.5
+    val rows = Seq(
+      (1L, 0L, "view"), (2L, 0L, "purchase"), (3L, 0L, "purchase"),
+      (4L, 2L, "view"),
+      (5L, 1L, "purchase"), (6L, 3L, "view"), (7L, 3L, "purchase"))
+      .map { case (id, u, e) =>
+        (id, ts("2026-01-01 00:00:00"), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val Array(r) = EventOps.abTest(rows,
+        org.apache.spark.sql.functions.pmod(col("user_id"),
+          org.apache.spark.sql.functions.lit(2)) === 1, "purchase")
+      .as[(Long, Long, Long, Long, Double, Double, Double,
+           Option[Double])].collect()
+    assert((r._1, r._2, r._3, r._4) === ((2L, 2L, 1L, 2L)),
+      "duplicate conversions count once per user")
+    assert((r._5, r._6, r._7) === ((0.5, 1.0, 0.5)))
+    // z = 0.5 / sqrt(0.75*0.25*(1/2+1/2)) = 1.154700538
+    assert(math.abs(r._8.get - 1.154700538) < 1e-9)
+    // every user converts: pooled rate 1 -> z undefined, not Infinity
+    val allConv = Seq((1L, 0L, "purchase"), (2L, 1L, "purchase"))
+      .map { case (id, u, e) => (id, ts("2026-01-01 00:00:00"), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventOps.abTest(allConv,
+        org.apache.spark.sql.functions.pmod(col("user_id"),
+          org.apache.spark.sql.functions.lit(2)) === 1, "purchase")
+      .select("z").as[Option[Double]].head().isEmpty)
+  }
+
   test("rollingActiveUsers: trailing-window distincts, users count once " +
        "per window, stickiness exact") {
     // u1 active day 0 and day 2; u2 active day 0 only; window 3 days
