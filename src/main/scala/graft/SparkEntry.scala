@@ -1164,6 +1164,25 @@ object SparkEntry {
       EventOps.debounce(t(s, d, "events"), gapUs = 3600L * 1000000L)
         .orderBy("event_id")),
 
+    // ---- E26 best-match linkage: each name's highest-similarity
+    // partner from the blocked Jaro–Winkler pairs (rank ties broken
+    // by partner name, WindowGroupLimit-fused) ----
+    "q_best_match" -> ((s, d) => {
+      val pairs = Joins.blockedJaroWinkler(
+        t(s, d, "part").select("p_name").distinct(),
+        "p_name", "p_name",
+        element_at(split(col("p_name"), " "), 2), minSim = 0.0)
+        .filter(col("jw") < 1.0)
+      val sym = pairs.unionByName(pairs.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("jw")))
+      val w = Window.partitionBy("id_a")
+        .orderBy(col("jw").desc, col("id_b"))
+      sym.select(col("id_a"), col("id_b"), col("jw"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("id_a")
+    }),
+
     // ---- E6 two-proportion A/B readout (id-parity assignment,
     // purchase conversion, pooled z statistic) ----
     "q_ab_test" -> ((s, d) =>
@@ -5382,6 +5401,25 @@ object SparkEntry {
         |  WHERE p2.x >= p1.x AND p2.y >= p1.y
         |    AND (p2.x > p1.x OR p2.y > p1.y))
         |ORDER BY x""".stripMargin,
+
+    "q_best_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part
+        |           WHERE p_name IS NOT NULL),
+        |p AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n),
+        |pr AS (SELECT a.p_name AS id_a, b.p_name AS id_b,
+        |        round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
+        |          AS jw
+        |      FROM p a JOIN p b ON a.blk = b.blk
+        |        AND a.p_name < b.p_name
+        |      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
+        |        < 1.0),
+        |sym AS (SELECT id_a, id_b, jw FROM pr
+        |        UNION ALL SELECT id_b, id_a, jw FROM pr),
+        |r AS (SELECT id_a, id_b, jw, row_number() OVER (
+        |        PARTITION BY id_a ORDER BY jw DESC, id_b) AS rn
+        |      FROM sym)
+        |SELECT id_a, id_b, jw FROM r WHERE rn = 1
+        |ORDER BY id_a""".stripMargin,
 
     "q_ab_test" ->
       """WITH pu AS (SELECT user_id AS u,
