@@ -1062,6 +1062,13 @@ object SparkEntry {
       Mixing.hashSample(t(s, d, "documents"), "source", "doc_id", k = 10)
         .orderBy("source", "rn")),
 
+    // ---- corpus mixing: A-Res weighted priority sample (inclusion
+    // ∝ document length), seedless and reproducible from ids ----
+    "q_priority_sample" -> ((s, d) =>
+      Mixing.weightedPrioritySample(t(s, d, "documents"), "source",
+          "doc_id", "n_chars", k = 5)
+        .orderBy("source", "rn")),
+
     // ---- E6 next-event entropy per state: is the journey a rail or
     // a coin flip? (the determinism screen over transitionMatrix) ----
     "q_transition_entropy" -> ((s, d) =>
@@ -5183,6 +5190,22 @@ object SparkEntry {
         |      AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+
+    // uniform = first 13 md5 hex digits / 2^52 (exact in double); the
+    // A-Res key ln(u)/w rounds to 9 with an id tie-break on both sides
+    "q_priority_sample" ->
+      """WITH b AS (SELECT source, doc_id, n_chars,
+        |        round(ln(CAST(CAST(concat('0x',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |            AS UBIGINT) AS DOUBLE) / 4503599627370496.0)
+        |          / n_chars, 9) AS key
+        |      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT source, doc_id, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY key DESC, doc_id) AS BIGINT) AS rn
+        |      FROM b)
+        |SELECT source, doc_id, n_chars, rn FROM r
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
 
     // c·ln(c) terms round to 9 then sum as DECIMAL(38,9) — the
     // order-independent entropy arithmetic the JSD oracle also uses

@@ -679,4 +679,35 @@ object Mixing {
         row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= k)
   }
+
+  /** Weighted priority sample (Efraimidis–Spirakis A-Res), seedless
+    * and deterministic: each row draws its uniform from the first 13
+    * hex digits of MD5(id) — the same engine-shared coin as
+    * [[hashSample]] — and the k rows per stratum with the largest
+    * u^(1/weight) win, giving inclusion probability proportional to
+    * weight (the long-document up-weighting / importance-mixing
+    * primitive). Reproducible forever from ids alone; rows with
+    * non-positive or NULL weight are excluded.
+    *
+    * Ordering uses the equivalent monotone key ln(u)/weight (no pow —
+    * ln is the one transcendental both engines evaluate identically),
+    * rounded to 9 places with an id tie-break so the survivor set is
+    * engine- and layout-exact. One grouped window; the rank ≤ k cut
+    * fuses into the sort via WindowGroupLimit, so no stratum ever
+    * materializes fully. */
+  def weightedPrioritySample(df: DataFrame, strataCol: String,
+                             idCol: String, weightCol: String,
+                             k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val wgt = col(weightCol).cast("double")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0) // 16^13 = 2^52
+    val key = round(log(u) / wgt, 9)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(key.desc, col(idCol))
+    df.filter(wgt.isNotNull && wgt > 0)
+      .select(col(strataCol), col(idCol), col(weightCol),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+  }
 }

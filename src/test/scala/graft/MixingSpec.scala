@@ -468,6 +468,42 @@ class MixingSpec extends SparkTestBase {
     assert(out(4L) === ((4L, 2L, 7L, 8L, 0.0625)))
   }
 
+  test("weightedPrioritySample: matches the A-Res reference ranking, " +
+       "drops non-positive weights, layout-independent") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u(id: Long): Double =
+      java.lang.Long.parseLong(md5hex(id.toString).take(13), 16) /
+        4503599627370496.0
+    val rows = (0L until 40L).map(i =>
+      (s"s${i % 2}", i, if (i % 10 == 9) 0L else (i % 7) * 100L + 50L))
+    val df = rows.toDF("src", "id", "w")
+    val got = Mixing.weightedPrioritySample(df, "src", "id", "w", k = 4)
+      .as[(String, Long, Long, Long)].collect()
+    // reference: top-4 per stratum by round(ln(u)/w, 9) desc, id asc
+    val want = rows.filter(_._3 > 0).groupBy(_._1).flatMap {
+      case (g, rs) =>
+        rs.sortBy { case (_, id, w) =>
+          (-BigDecimal(math.log(u(id)) / w)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+        }.take(4).zipWithIndex.map { case ((_, id, w), r) =>
+          (g, id, w, r + 1L) }
+    }.toSet
+    assert(got.toSet === want, "engine sample = reference A-Res ranking")
+    assert(got.count(_._1 == "s0") === 4 && got.count(_._1 == "s1") === 4)
+    // zero-weight rows (i % 10 == 9) never appear
+    assert(got.forall(_._3 > 0))
+    // layout independence
+    val re = Mixing.weightedPrioritySample(df.repartition(7), "src",
+      "id", "w", k = 4).as[(String, Long, Long, Long)].collect().toSet
+    assert(re === got.toSet)
+    // the rank cut fuses into the window sort
+    val p = Mixing.weightedPrioritySample(df, "src", "id", "w", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("hashSample: MD5-rank selection is exact, per-group sized, and " +
        "stable under corpus growth") {
     def md5hex(s: String): String =
