@@ -1190,6 +1190,26 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- E6 longest consecutive-day streak histogram (habit
+    // strength, gaps-and-islands on distinct activity days) ----
+    "q_streaks" -> ((s, d) =>
+      EventOps.streakHistogram(t(s, d, "events"))
+        .orderBy("streak_days")),
+
+    // ---- E6 top session-opening paths (first-5-event prefixes) ----
+    "q_top_paths" -> ((s, d) =>
+      EventOps.topPaths(t(s, d, "events"), depth = 3, minSupport = 2)
+        .orderBy("path")),
+
+    // ---- E20 fact-to-header reconciliation: order totals vs line
+    // sums (the financial-close audit an FK check can't see) ----
+    "q_reconcile" -> ((s, d) =>
+      operators.Profiling.reconcile(
+        t(s, d, "orders"), "o_orderkey", "o_totalprice",
+        t(s, d, "lineitem"), "l_orderkey", "l_extendedprice",
+        relTol = 0.01)
+        .orderBy("n_parents")),
+
     // ---- E6 two-proportion A/B readout (id-parity assignment,
     // purchase conversion, pooled z statistic) ----
     "q_ab_test" -> ((s, d) =>
@@ -5443,6 +5463,55 @@ object SparkEntry {
         |      FROM sym)
         |SELECT id_a, id_b, jw FROM r WHERE rn = 1
         |ORDER BY id_a""".stripMargin,
+
+    "q_streaks" ->
+      """WITH du AS (SELECT DISTINCT user_id AS u,
+        |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS BIGINT) AS d
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT u, d, d - row_number() OVER (PARTITION BY u
+        |        ORDER BY d) AS g FROM du),
+        |l AS (SELECT u, count(*) AS len FROM r GROUP BY u, g),
+        |m AS (SELECT u, CAST(max(len) AS BIGINT) AS streak_days
+        |      FROM l GROUP BY 1)
+        |SELECT streak_days, count(*) AS n_users FROM m
+        |GROUP BY 1 ORDER BY streak_days""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS rn
+        |      FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT user_id,
+        |        string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |HAVING count(*) >= 2 ORDER BY path""".stripMargin,
+
+    // exact-equality short-circuit reconciles both-zero totals; rel
+    // diff rounds to 9 BEFORE the tolerance compare on both sides
+    "q_reconcile" ->
+      """WITH cs AS (SELECT l_orderkey AS k,
+        |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |          AS DOUBLE) AS cs
+        |      FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT CAST(o_totalprice AS DOUBLE) AS pv, cs.cs AS cs
+        |      FROM orders LEFT JOIN cs ON cs.k = o_orderkey
+        |      WHERE o_orderkey IS NOT NULL),
+        |f AS (SELECT pv, cs IS NOT NULL AS has,
+        |        CASE WHEN pv = cs THEN 0.0
+        |             ELSE round(abs(pv - cs)
+        |               / (CASE WHEN abs(pv) > 0.0 THEN abs(pv) END), 9)
+        |        END AS rel
+        |      FROM j)
+        |SELECT count(*) AS n_parents,
+        |  CAST(sum(CASE WHEN has THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_children,
+        |  CAST(sum(CASE WHEN NOT has OR rel IS NULL OR rel > 0.01
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+        |  round(max(rel), 9) AS worst_rel_diff
+        |FROM f ORDER BY n_parents""".stripMargin,
 
     "q_ab_test" ->
       """WITH pu AS (SELECT user_id AS u,

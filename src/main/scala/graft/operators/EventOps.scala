@@ -344,6 +344,63 @@ object EventOps {
       .drop("__start")
   }
 
+  /** Longest consecutive-day activity streak per user, reduced to a
+    * histogram (streak length → user count) — the retention-curve
+    * companion of [[rollingActiveUsers]]: stickiness says how much of
+    * the window is active, streaks say how UNBROKEN the habit is. The
+    * gaps-and-islands trick on distinct days: day − row_number is
+    * constant exactly along a consecutive run, so one window and two
+    * grouped aggregates produce per-run lengths, per-user maxima, and
+    * the closing histogram. Output bounded by the longest streak.
+    *
+    * Three shuffles, each on a smaller key set: (user, day) distinct
+    * + the user-keyed window, the (user, run) count, the histogram.
+    * All integer arithmetic. */
+  def streakHistogram(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val byUser = Window.partitionBy("__u").orderBy("__d")
+    val du = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        unix_date(col(tsCol).cast("date")).cast("long").as("__d"))
+      .distinct()
+    du.select(col("__u"), col("__d"),
+        (col("__d") - row_number().over(byUser)).as("__run"))
+      .groupBy(col("__u"), col("__run"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("__u")).agg(max(col("__len")).as("streak_days"))
+      .groupBy(col("streak_days")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Top session-opening paths: each user's first `depth` events in
+    * time order, rendered as a `>`-joined path string and counted
+    * across users at `minSupport`+ — the "how do journeys begin"
+    * overview one level above the transition matrix (full ordered
+    * prefixes, not memoryless hops).
+    *
+    * One user-keyed window (rank ≤ depth pushes a WindowGroupLimit:
+    * bot users truncate map-side), one per-user assembly whose order
+    * is restored INSIDE the grouped array (array_sort on (rank, type)
+    * structs — no second window, no global sort), one path count. */
+  def topPaths(events: DataFrame, depth: Int = 5, minSupport: Long = 1L,
+               userCol: String = "user_id", tsCol: String = "ts",
+               typeCol: String = "event_type", idCol: String = "event_id")
+      : DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__e"),
+        row_number().over(byUser).as("__rn"))
+      .filter(col("__rn") <= depth)
+      .groupBy(col("__u"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("__rn"), col("__e")))),
+        x => x("__e"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+  }
+
   /** Two-proportion A/B readout: split users by a caller-supplied
     * deterministic assignment expression (a hash or id parity — NEVER
     * re-randomized between reads), score each user as converted iff

@@ -766,6 +766,52 @@ object Profiling {
           (col("n").cast("double") - col("__e_present")), 9).as("chi2"))
   }
 
+  /** Fact-to-header reconciliation: does the parent's stored total
+    * equal the sum of its children's amounts? The financial-close
+    * audit (order total vs line extended prices, invoice vs postings)
+    * that catches silent drops and double-loads an FK check can't
+    * see. Reports parent counts (total, with children, mismatched at
+    * `relTol`+), and the worst relative difference; parents with no
+    * children always count as mismatched (their total reconciles
+    * against nothing).
+    *
+    * Child sums ride DECIMAL(18,6) — order-independent — and join the
+    * parents on the key (one shuffle each side); the closing census
+    * is a one-row aggregate. The relative difference is rounded to 9
+    * BEFORE the tolerance compare, so the verdict set is engine-
+    * exact. */
+  def reconcile(parent: DataFrame, parentKey: String, parentVal: String,
+                child: DataFrame, childKey: String, childVal: String,
+                relTol: Double = 0.01): DataFrame = {
+    require(relTol >= 0, s"tolerance must be non-negative, got $relTol")
+    val sums = child.filter(col(childKey).isNotNull)
+      .groupBy(col(childKey).as("__k"))
+      .agg(sum(col(childVal).cast(
+        org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("__cs"))
+    // exact equality (incl. both zero) reconciles even when the
+    // relative scale is undefined; otherwise a zero parent total with
+    // nonzero children has no relative measure -> NULL -> mismatched
+    val rel = when(col("__pv") === col("__cs"), lit(0.0))
+      .otherwise(round(abs(col("__pv") - col("__cs")) /
+        when(abs(col("__pv")) > 0.0, abs(col("__pv"))), 9))
+    parent.filter(col(parentKey).isNotNull)
+      .select(col(parentKey).as("__k"),
+        col(parentVal).cast("double").as("__pv"))
+      .join(sums, Seq("__k"), "left")
+      .select(col("__pv"),
+        col("__cs").isNotNull.as("__has"),
+        when(col("__cs").isNull, lit(true))
+          .otherwise(rel.isNull || rel > relTol).as("__bad"),
+        rel.as("__rel"))
+      .agg(count(lit(1)).as("n_parents"),
+        sum(when(col("__has"), 1L).otherwise(0L)).as("n_with_children"),
+        sum(when(col("__bad"), 1L).otherwise(0L)).as("n_mismatched"),
+        max(col("__rel")).as("__worst"))
+      .select(col("n_parents"), col("n_with_children"),
+        col("n_mismatched"), round(col("__worst"), 9).as("worst_rel_diff"))
+  }
+
   /** Referential-integrity audit for one child→parent relation: total
     * child rows, NULL foreign keys (excluded from orphan counting —
     * they're NotNull's finding), orphan ROWS and orphan KEYS (rows

@@ -107,6 +107,42 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("streakHistogram: consecutive days chain, gaps break, same-day " +
+       "repeats collapse") {
+    // u1: days 1,2,3 then 5 -> longest 3; u2: days 1,1,1 -> longest 1;
+    // u3: days 2,3 -> longest 2
+    val rows = Seq(
+      (1L, "01", 1L), (2L, "02", 1L), (3L, "03", 1L), (4L, "05", 1L),
+      (5L, "01", 2L), (6L, "01", 2L), (7L, "01", 2L),
+      (8L, "02", 3L), (9L, "03", 3L))
+      .map { case (id, dd, u) =>
+        (id, ts(s"2026-01-$dd 10:00:00"), u, "e") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.streakHistogram(rows)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(3L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("topPaths: ordered prefixes, depth cut, support cut") {
+    // u1, u2: A>B>C ; u3: A>B (short stream keeps its short path);
+    // u4: B>A>C (order matters)
+    val rows = Seq(
+      (1L, 0, 1L, "A"), (2L, 1, 1L, "B"), (3L, 2, 1L, "C"), (4L, 3, 1L, "D"),
+      (5L, 0, 2L, "A"), (6L, 1, 2L, "B"), (7L, 2, 2L, "C"),
+      (8L, 0, 3L, "A"), (9L, 1, 3L, "B"),
+      (10L, 0, 4L, "B"), (11L, 1, 4L, "A"), (12L, 2, 4L, "C"))
+      .map { case (id, m, u, e) =>
+        (id, ts(f"2026-01-01 00:0$m%d:00"), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val all = EventOps.topPaths(rows, depth = 3, minSupport = 1)
+      .as[(String, Long)].collect().toMap
+    assert(all === Map("A>B>C" -> 2L, "A>B" -> 1L, "B>A>C" -> 1L),
+      "the 4th event never enters a depth-3 path; order distinguishes")
+    val cut = EventOps.topPaths(rows, depth = 3, minSupport = 2)
+      .as[(String, Long)].collect().toMap
+    assert(cut === Map("A>B>C" -> 2L))
+  }
+
   test("abTest: per-user conversion flags, exact arm counts, pooled z; " +
        "degenerate pools yield NULL z") {
     // arm A (even ids): u0 converts, u2 doesn't; arm B (odd): u1, u3

@@ -353,6 +353,23 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate quartiles: fences collapse to the constant")
   }
 
+  test("reconcile: exact sums pass, tolerance splits, childless parents " +
+       "and zero totals handled") {
+    val parents = Seq((1L, 100.0), (2L, 100.0), (3L, 50.0), (4L, 0.0),
+      (5L, 0.0)).toDF("pk", "total")
+    val children = Seq(
+      (1L, 60.0), (1L, 40.0),     // exact
+      (2L, 100.5),                // 0.5% off -> within 1%
+      (3L, 60.0),                 // 20% off -> mismatch
+      (4L, 0.0))                  // both zero -> exact short-circuit
+      .toDF("fk", "amount")       // parent 5 has no children
+    val Array(r) = Profiling.reconcile(parents, "pk", "total",
+        children, "fk", "amount", relTol = 0.01)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r === ((5L, 4L, 2L, 0.2)),
+      "mismatches: parent 3 (20%) and childless parent 5; worst 0.2")
+  }
+
   test("madOutliers: robust census survives 40% contamination; zero-MAD " +
        "groups count off-median rows") {
     // g: bulk 1..10 plus outliers {1000, 2000, 3000, -999}: median of 14
