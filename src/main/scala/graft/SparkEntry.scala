@@ -5530,10 +5530,13 @@ object SparkEntry {
         |          AS BIGINT) AS conv_b
         |      FROM pu)
         |SELECT n_a, n_b, conv_a, conv_b,
-        |  round(CAST(conv_a AS DOUBLE) / n_a, 9) AS rate_a,
-        |  round(CAST(conv_b AS DOUBLE) / n_b, 9) AS rate_b,
-        |  round(CAST(conv_b AS DOUBLE) / n_b
-        |    - CAST(conv_a AS DOUBLE) / n_a, 9) AS lift,
+        |  CASE WHEN n_a > 0 THEN
+        |    round(CAST(conv_a AS DOUBLE) / n_a, 9) END AS rate_a,
+        |  CASE WHEN n_b > 0 THEN
+        |    round(CAST(conv_b AS DOUBLE) / n_b, 9) END AS rate_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round(CAST(conv_b AS DOUBLE) / n_b
+        |      - CAST(conv_a AS DOUBLE) / n_a, 9) END AS lift,
         |  CASE WHEN n_a > 0 AND n_b > 0
         |      AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) > 0.0
         |      AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) < 1.0

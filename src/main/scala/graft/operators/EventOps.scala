@@ -428,21 +428,29 @@ object EventOps {
         // must be constant per user (hash/parity of the id); max-fold
         // makes that constancy explicit rather than order-dependent
         (max(when(treatment, 1L).otherwise(0L)) === 1L).as("__t"))
+    // coalesce: sums over an EMPTY user pool are NULL — an experiment
+    // with no traffic reports zero arms, not a null-typed row
     def cnt(p: org.apache.spark.sql.Column) =
-      sum(when(p, 1L).otherwise(0L))
+      coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L))
     val g = perUser.agg(
       cnt(!col("__t")).as("n_a"), cnt(col("__t")).as("n_b"),
       cnt(!col("__t") && col("__conv") === 1L).as("conv_a"),
       cnt(col("__t") && col("__conv") === 1L).as("conv_b"))
-    val ra = col("conv_a").cast("double") / col("n_a")
-    val rb = col("conv_b").cast("double") / col("n_b")
+    // NULL-denominator guards, not predicates: under ANSI mode a
+    // division by zero THROWS even inside an unselected CASE branch's
+    // operand evaluation, so empty arms must poison via x/NULL -> NULL
+    val naD = when(col("n_a") > 0, col("n_a").cast("double"))
+    val nbD = when(col("n_b") > 0, col("n_b").cast("double"))
+    val ra = col("conv_a").cast("double") / naD
+    val rb = col("conv_b").cast("double") / nbD
     val p = (col("conv_a") + col("conv_b")).cast("double") /
-      (col("n_a") + col("n_b"))
-    val se = sqrt(p * (lit(1.0) - p) *
-      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      when(col("n_a") + col("n_b") > 0,
+        (col("n_a") + col("n_b")).cast("double"))
+    val se = sqrt(p * (lit(1.0) - p) * (lit(1.0) / naD + lit(1.0) / nbD))
     g.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-      round(ra, 9).as("rate_a"), round(rb, 9).as("rate_b"),
-      round(rb - ra, 9).as("lift"),
+      when(col("n_a") > 0, round(ra, 9)).as("rate_a"),
+      when(col("n_b") > 0, round(rb, 9)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(rb - ra, 9)).as("lift"),
       when(col("n_a") > 0 && col("n_b") > 0 && p > 0.0 && p < 1.0,
         round((rb - ra) / se, 9)).as("z"))
   }

@@ -805,8 +805,12 @@ object Profiling {
           .otherwise(rel.isNull || rel > relTol).as("__bad"),
         rel.as("__rel"))
       .agg(count(lit(1)).as("n_parents"),
-        sum(when(col("__has"), 1L).otherwise(0L)).as("n_with_children"),
-        sum(when(col("__bad"), 1L).otherwise(0L)).as("n_mismatched"),
+        // coalesce: sums over ZERO parents are NULL; an empty relation
+        // reconciles vacuously with zero counts
+        coalesce(sum(when(col("__has"), 1L).otherwise(0L)), lit(0L))
+          .as("n_with_children"),
+        coalesce(sum(when(col("__bad"), 1L).otherwise(0L)), lit(0L))
+          .as("n_mismatched"),
         max(col("__rel")).as("__worst"))
       .select(col("n_parents"), col("n_with_children"),
         col("n_mismatched"), round(col("__worst"), 9).as("worst_rel_diff"))

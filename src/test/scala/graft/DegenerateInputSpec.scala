@@ -314,4 +314,38 @@ class DegenerateInputSpec extends SparkTestBase {
       .count() === 0)
     OpCaches.release()
   }
+
+  test("wave-3 operators: empty, all-null and single-row inputs flow " +
+       "through") {
+    val emptyEv4 = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventOps.streakHistogram(emptyEv4).count() === 0)
+    assert(EventOps.topPaths(emptyEv4).count() === 0)
+    assert(EventOps.audienceOverlap(emptyEv4).count() === 0)
+    // abTest on an empty stream: one report row, all-zero arms, NULL z
+    val ab = EventOps.abTest(emptyEv4,
+      org.apache.spark.sql.functions.pmod(col("user_id"),
+        lit(2)) === 1, "purchase")
+      .select("n_a", "n_b", "z")
+      .as[(Long, Long, Option[Double])].head()
+    assert(ab === ((0L, 0L, None)))
+    // weighted priority sample: zero/negative/null weights all drop
+    val wdf = Seq(("s", 1L, Some(0L)), ("s", 2L, Some(-3L)),
+      ("s", 3L, Option.empty[Long]), ("s", 4L, Some(5L)))
+      .toDF("src", "id", "w")
+    val kept = operators.Mixing
+      .weightedPrioritySample(wdf, "src", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(4L))
+    assert(operators.Mixing.weightedPrioritySample(
+      Seq.empty[(String, Long, Long)].toDF("src", "id", "w"),
+      "src", "id", "w", 3).count() === 0)
+    // reconcile: no parents -> zero-row census is the right answer? No:
+    // the one-row report with zero counts (global aggregate semantics)
+    val noP = Seq.empty[(Long, Double)].toDF("pk", "total")
+    val noC = Seq.empty[(Long, Double)].toDF("fk", "amount")
+    assert(Profiling.reconcile(noP, "pk", "total", noC, "fk", "amount")
+      .select("n_parents", "n_mismatched")
+      .as[(Long, Long)].head() === ((0L, 0L)))
+  }
 }

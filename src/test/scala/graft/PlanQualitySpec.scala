@@ -502,6 +502,18 @@ class PlanQualitySpec extends SparkTestBase {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
     }
+    // samplers and linkage: rank cuts fuse (WindowGroupLimit); the
+    // jaro block join stays equi-shaped
+    for (q <- Seq("q_priority_sample", "q_top_paths")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: rank<=k must push into the window sort:\n$p")
+    }
+    for (q <- Seq("q_jaro_winkler", "q_best_match", "q_streaks",
+                  "q_rolling_active", "q_ab_test", "q_reconcile")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
   }
 
   test("whole-stage codegen covers the scan-filter-project pipelines") {
