@@ -88,6 +88,12 @@ object PlanDump {
       ("q_gini — per-group Lorenz concentration",
        "One grouped rank window + one grouped aggregate; integer arithmetic to the closing division, no joins.",
        SparkEntry.queries("q_gini")(spark, d)),
+      ("q_skyline — 2-D Pareto frontier, two-level bucketed",
+       "Per-x collapse, quantile-sketch range buckets, per-bucket windows plus a broadcast cross-bucket max — no corpus-wide single-partition sort, no n² dominance join.",
+       SparkEntry.queries("q_skyline")(spark, d)),
+      ("q_jaro_winkler — blocked native-comparator linkage",
+       "Candidates come from an equi self-join on the blocking key; the Jaro-Winkler comparator runs inside whole-stage codegen; scores round to 9 before the threshold.",
+       SparkEntry.queries("q_jaro_winkler")(spark, d)),
       ("q_rfm — RFM quintile segmentation",
        "The per-user aggregate persists across its two consumers (boundary aggregate + scoring join); quintile boundaries are a ONE-ROW broadcast, so scoring is a per-row projection — no global ntile sort anywhere.",
        SparkEntry.queries("q_rfm")(spark, d)))
