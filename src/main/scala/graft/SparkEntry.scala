@@ -1190,6 +1190,19 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- E20 Pareto coverage point: how many of the heaviest
+    // sources carry 80% of the corpus characters ----
+    "q_pareto" -> ((s, d) =>
+      operators.Profiling.paretoCoverage(t(s, d, "documents"),
+          "source", "n_chars", target = 0.8)
+        .orderBy("n_groups")),
+
+    // ---- E6 cohort LTV matrix: first-active-month cohorts × age,
+    // with per-cell and cumulative revenue ----
+    "q_cohort_ltv" -> ((s, d) =>
+      EventOps.cohortLtv(t(s, d, "events"), granularity = "week")
+        .orderBy("cohort_period", "age_periods")),
+
     // ---- E6 longest consecutive-day streak histogram (habit
     // strength, gaps-and-islands on distinct activity days) ----
     "q_streaks" -> ((s, d) =>
@@ -5463,6 +5476,45 @@ object SparkEntry {
         |      FROM sym)
         |SELECT id_a, id_b, jw FROM r WHERE rn = 1
         |ORDER BY id_a""".stripMargin,
+
+    "q_pareto" ->
+      """WITH s AS (SELECT source AS g, CAST(sum(n_chars) AS BIGINT) AS s
+        |      FROM documents
+        |      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |      GROUP BY 1),
+        |c AS (SELECT s,
+        |        CAST(sum(s) OVER (ORDER BY s DESC, g
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(row_number() OVER (ORDER BY s DESC, g) AS BIGINT)
+        |          AS k
+        |      FROM s),
+        |t AS (SELECT count(*) AS n_groups, CAST(sum(s) AS BIGINT) AS tot
+        |      FROM s)
+        |SELECT t.n_groups, CAST(min(c.k) AS BIGINT) AS n_top,
+        |  round(CAST(min_by(c.cum, c.k) AS DOUBLE)
+        |    / CAST(t.tot AS DOUBLE), 9) AS share
+        |FROM c, t
+        |WHERE CAST(c.cum AS DOUBLE) >= 0.8 * CAST(t.tot AS DOUBLE)
+        |GROUP BY t.n_groups, t.tot ORDER BY n_groups""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id AS u,
+        |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS BIGINT) // 7 AS m, value
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, min(m) AS c FROM e GROUP BY 1),
+        |cell AS (SELECT f.c AS cohort_period, e.m - f.c AS age_periods,
+        |        count(DISTINCT e.u) AS n_active,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          AS revenue
+        |      FROM e JOIN f ON e.u = f.u GROUP BY 1, 2)
+        |SELECT cohort_period, age_periods, n_active, revenue,
+        |  sum(revenue) OVER (PARTITION BY cohort_period
+        |    ORDER BY age_periods ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS cum_revenue
+        |FROM cell ORDER BY cohort_period, age_periods""".stripMargin,
 
     "q_streaks" ->
       """WITH du AS (SELECT DISTINCT user_id AS u,

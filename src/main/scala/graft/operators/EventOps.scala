@@ -344,6 +344,50 @@ object EventOps {
       .drop("__start")
   }
 
+  /** Cohort LTV matrix — the revenue companion of [[cohortRetention]]:
+    * users cohort by their FIRST active month (integer month index
+    * year·12+month, engine-exact), and every (cohort, age-in-months)
+    * cell reports active users, that month's revenue, and the running
+    * cumulative revenue — the payback-curve table under every LTV
+    * model. Revenue rides exact DECIMAL sums; the cumulative walk is
+    * a per-cohort window over the months-sized cell table (bounded by
+    * cohorts × ages, not events).
+    *
+    * Two shuffles on the user key (first-month aggregate + the join
+    * back), one on the (cohort, age) cell key; the cohort table
+    * broadcasts under AQE at any realistic user count ÷ month span. */
+  def cohortLtv(events: DataFrame, granularity: String = "month",
+                userCol: String = "user_id", tsCol: String = "ts",
+                valueCol: String = "value"): DataFrame = {
+    // period index: calendar months, or 7-day periods from the epoch —
+    // the [[cohortRetention]] granularity surface
+    val mIdx = granularity match {
+      case "month" => (year(col(tsCol)) * 12 + month(col(tsCol)))
+        .cast("long")
+      case "week" => expr(
+        s"CAST(unix_date(CAST($tsCol AS DATE)) AS BIGINT) div 7")
+      case other => throw new IllegalArgumentException(
+        s"granularity must be month|week, got $other")
+    }
+    val e = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), mIdx.as("__m"),
+        col(valueCol).as("__v"))
+    val first = e.groupBy(col("__u")).agg(min(col("__m")).as("__c"))
+    val cells = e.join(first, "__u")
+      .groupBy(col("__c").as("cohort_period"),
+        (col("__m") - col("__c")).as("age_periods"))
+      .agg(count_distinct(col("__u")).as("n_active"),
+        sum(col("__v").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("revenue"))
+    val wc = Window.partitionBy("cohort_period").orderBy("age_periods")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.select(col("cohort_period"), col("age_periods"),
+      col("n_active"), col("revenue"),
+      sum(col("revenue")).over(wc).as("cum_revenue"))
+  }
+
   /** Longest consecutive-day activity streak per user, reduced to a
     * histogram (streak length → user count) — the retention-curve
     * companion of [[rollingActiveUsers]]: stickiness says how much of

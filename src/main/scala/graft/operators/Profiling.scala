@@ -766,6 +766,46 @@ object Profiling {
           (col("n").cast("double") - col("__e_present")), 9).as("chi2"))
   }
 
+  /** Pareto coverage point — the "80/20" answer [[gini]] compresses
+    * away: how many of the heaviest groups cover `target` of the total
+    * weight, and the exact share those groups hold. One row:
+    * (n_groups, n_top, share). The capacity/curation headline ("6 of
+    * 20 sources are 80% of the corpus — dedup those first").
+    *
+    * Group sums are exact integers; the cumulative walk runs in ONE
+    * unpartitioned window over the GROUP-SUM table — bounded by the
+    * group count, never the corpus (same justification as the
+    * tf-distribution window in the Zipf fit). Deterministic ordering
+    * by (weight desc, group); the threshold compare is integer-exact
+    * (cum·1 ≥ target·total evaluated as cum ≥ target·total in double
+    * on both engines — identical operands, identical verdict). */
+  def paretoCoverage(df: DataFrame, groupCol: String, weightCol: String,
+                     target: Double = 0.8): DataFrame = {
+    require(target > 0 && target <= 1, s"target in (0,1], got $target")
+    val sums = df
+      .filter(col(groupCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(weightCol).cast("long")).as("__s"))
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc, col("__g"))
+    val cum = sums.select(col("__s"),
+      sum(col("__s")).over(order.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)).as("__cum"),
+      row_number().over(order).cast("long").as("__k"))
+    val tot = sums.agg(count(lit(1)).as("n_groups"),
+      sum(col("__s")).as("__tot"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__cum").cast("double") >=
+        lit(target) * col("__tot").cast("double"))
+      .groupBy(col("n_groups"), col("__tot"))
+      .agg(min(col("__k")).as("n_top"),
+        min_by(col("__cum"), col("__k")).as("__cumAt"))
+      .select(col("n_groups"), col("n_top"),
+        round(col("__cumAt").cast("double") /
+          col("__tot").cast("double"), 9).as("share"))
+  }
+
   /** Fact-to-header reconciliation: does the parent's stored total
     * equal the sum of its children's amounts? The financial-close
     * audit (order total vs line extended prices, invoice vs postings)

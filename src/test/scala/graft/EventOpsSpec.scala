@@ -107,6 +107,34 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("cohortLtv: first-period cohorts, exact cell revenue, cumulative " +
+       "walk per cohort") {
+    // week cohorts: u1 starts week w, spends 1.0 then 2.0 next week;
+    // u2 starts week w+1 (joins u1's second week as its OWN cohort 0)
+    val rows = Seq(
+      (1L, "2026-01-05", 1L, 1.0),   // Monday, week A
+      (2L, "2026-01-12", 1L, 2.0),   // week A+1
+      (3L, "2026-01-13", 2L, 5.0),   // u2's first week = A+1
+      (4L, "2026-01-12", 1L, 0.5))   // same cell as event 2
+      .map { case (id, day, u, v) =>
+        (id, ts(s"$day 10:00:00"), u, "e", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.cohortLtv(rows, granularity = "week")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val a = out.keys.map(_._1).min
+    assert(out((a, 0L)) === ((a, 0L, 1L, 1.0, 1.0)))
+    assert(out((a, 1L)) === ((a, 1L, 1L, 2.5, 3.5)),
+      "same-cell events sum; cumulative carries the cohort's week 0")
+    assert(out((a + 1, 0L)) === ((a + 1, 0L, 1L, 5.0, 5.0)),
+      "u2 anchors its own cohort, not u1's")
+    // month granularity collapses everything into one cell here
+    assert(EventOps.cohortLtv(rows, granularity = "month").count() === 1)
+    intercept[IllegalArgumentException] {
+      EventOps.cohortLtv(rows, granularity = "day")
+    }
+  }
+
   test("streakHistogram: consecutive days chain, gaps break, same-day " +
        "repeats collapse") {
     // u1: days 1,2,3 then 5 -> longest 3; u2: days 1,1,1 -> longest 1;

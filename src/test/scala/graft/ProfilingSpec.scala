@@ -353,6 +353,25 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate quartiles: fences collapse to the constant")
   }
 
+  test("paretoCoverage: smallest head covering the target, exact share, " +
+       "ties ordered by group") {
+    // weights 50, 30, 15, 5 (total 100): 80% needs the top TWO (80)
+    val df = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L))
+      .flatMap { case (g, w) => Seq((g, w)) }.toDF("g", "w")
+    val Array(r) = Profiling.paretoCoverage(df, "g", "w", target = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(r === ((4L, 2L, 0.8)))
+    // a just-higher target pulls in the third group
+    val Array(r2) = Profiling.paretoCoverage(df, "g", "w", target = 0.81)
+      .as[(Long, Long, Double)].collect()
+    assert(r2 === ((4L, 3L, 0.95)))
+    // single group trivially covers everything
+    val Array(r3) = Profiling.paretoCoverage(
+      Seq(("only", 7L)).toDF("g", "w"), "g", "w")
+      .as[(Long, Long, Double)].collect()
+    assert(r3 === ((1L, 1L, 1.0)))
+  }
+
   test("reconcile: exact sums pass, tolerance splits, childless parents " +
        "and zero totals handled") {
     val parents = Seq((1L, 100.0), (2L, 100.0), (3L, 50.0), (4L, 0.0),
