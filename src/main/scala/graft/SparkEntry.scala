@@ -1190,6 +1190,26 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- E6 user-lifespan survival curve (sparse Kaplan–Meier) ----
+    "q_survival" -> ((s, d) =>
+      EventOps.survivalCurve(t(s, d, "events"))
+        .orderBy("age_days")),
+
+    // ---- E6 per-day bounce rate over 1-hour-gap sessions ----
+    "q_bounce_rate" -> ((s, d) =>
+      EventOps.bounceRate(t(s, d, "events"), gapMs = 3600000L)
+        .orderBy("day")),
+
+    // ---- E6 peak concurrent activity windows per day (day-clipped
+    // boundary walk over the merged 10-minute intervals) ----
+    "q_peak_concurrency" -> ((s, d) =>
+      EventOps.peakConcurrency(
+        EventOps.coalesceIntervals(
+          t(s, d, "events").select(col("user_id"), col("ts").as("s_ts"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as("e_ts")),
+          "user_id", "s_ts", "e_ts"))
+        .orderBy("day")),
+
     // ---- E20 Pareto coverage point: how many of the heaviest
     // sources carry 80% of the corpus characters ----
     "q_pareto" -> ((s, d) =>
@@ -5476,6 +5496,79 @@ object SparkEntry {
         |      FROM sym)
         |SELECT id_a, id_b, jw FROM r WHERE rn = 1
         |ORDER BY id_a""".stripMargin,
+
+    "q_survival" ->
+      """WITH d AS (SELECT user_id AS u,
+        |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS BIGINT) AS d
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT u, max(d) - min(d) AS age_days FROM d GROUP BY 1),
+        |h AS (SELECT age_days, count(*) AS n FROM l GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM l),
+        |c AS (SELECT age_days, CAST(sum(n) OVER (ORDER BY age_days DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS n_surviving FROM h)
+        |SELECT age_days, n_surviving,
+        |  round(CAST(n_surviving AS DOUBLE) / t.tot, 9) AS survival_rate
+        |FROM c, t ORDER BY age_days""".stripMargin,
+
+    "q_bounce_rate" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |s AS (SELECT user_id, sid, min(ts) AS session_start,
+        |        count(*) AS n_events
+        |      FROM sess GROUP BY 1, 2)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(session_start AS DATE)) AS BIGINT) AS day,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 9) AS bounce_rate
+        |FROM s GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // ends sort before starts at the same microsecond (half-open) so
+    // back-to-back windows never double-count
+    "q_peak_concurrency" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |        epoch_us(ts) + 600000000 AS e FROM events),
+        |w AS (SELECT user_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS pmax
+        |      FROM iv),
+        |f AS (SELECT user_id, s, e,
+        |        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+        |          AS nw FROM w),
+        |i AS (SELECT user_id, s, e,
+        |        CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS island FROM f),
+        |m AS (SELECT user_id, island, min(s) AS s, max(e) AS e
+        |      FROM i GROUP BY 1, 2),
+        |fr AS (SELECT t.day,
+        |        greatest(m.s, t.day * 86400000000) AS fs,
+        |        least(m.e, (t.day + 1) * 86400000000) AS fe
+        |      FROM m, LATERAL (SELECT unnest(range(m.s // 86400000000,
+        |        (m.e - 1) // 86400000000 + 1)) AS day) t),
+        |b AS (SELECT day, fs AS t, CAST(1 AS BIGINT) AS delta FROM fr
+        |      UNION ALL
+        |      SELECT day, fe, CAST(-1 AS BIGINT) FROM fr),
+        |r AS (SELECT day, sum(delta) OVER (PARTITION BY day
+        |        ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS run FROM b)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_pareto" ->
       """WITH s AS (SELECT source AS g, CAST(sum(n_chars) AS BIGINT) AS s

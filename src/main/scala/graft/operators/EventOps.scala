@@ -344,6 +344,92 @@ object EventOps {
       .drop("__start")
   }
 
+  /** Kaplan–Meier-style survival curve over user lifespans: for every
+    * OBSERVED lifespan L (days between a user's first and last
+    * activity), how many users survive to at least age L and the
+    * survival rate — the churn curve behind retention targets. Sparse
+    * by construction: rows exist only at observed lifespans, so a
+    * billion users emit at most max-lifespan rows.
+    *
+    * One user aggregate (min/max day), one lifespan histogram, and
+    * the reverse-cumulative walk over the HISTOGRAM (bounded by the
+    * day span, never users) in one small window. All integers until
+    * the closing rounded division. */
+  def survivalCurve(events: DataFrame, userCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame = {
+    val life = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        unix_date(col(tsCol).cast("date")).cast("long").as("__d"))
+      .groupBy(col("__u"))
+      .agg((max(col("__d")) - min(col("__d"))).as("age_days"))
+    val hist = life.groupBy(col("age_days")).agg(count(lit(1)).as("__n"))
+    val wRev = Window.orderBy(col("age_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .select(col("age_days"),
+        sum(col("__n")).over(wRev).as("n_surviving"))
+      .crossJoin(broadcast(life.agg(count(lit(1)).as("__tot"))))
+      .select(col("age_days"), col("n_surviving"),
+        round(col("n_surviving").cast("double") / col("__tot"), 9)
+          .as("survival_rate"))
+  }
+
+  /** Per-day bounce rate from gap sessionization: sessions that never
+    * get a second event over total sessions started that day — the
+    * engagement-quality headline on top of [[sessionizeBatch]]'s
+    * session table. One extra day-keyed aggregate over sessions
+    * (already user-keyed and bounded); the rate is one rounded
+    * division of exact counts. */
+  def bounceRate(events: DataFrame, gapMs: Long,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 valueCol: String = "value"): DataFrame =
+    sessionizeBatch(events, gapMs, userCol, tsCol, valueCol)
+      .groupBy(unix_date(col("session_start").cast("date")).cast("long")
+        .as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 9)
+          .as("bounce_rate"))
+
+  /** Peak concurrency per day over an interval table [start_us,
+    * end_us): the max number of simultaneously-open intervals — the
+    * capacity-planning number (peak concurrent sessions/streams) that
+    * averages hide. Intervals are clipped into per-day fragments
+    * first, so the running-sum sort is PARTITIONED by day (each day's
+    * boundary list is bounded by that day's activity, never the
+    * corpus) and multi-day intervals count in every day they touch.
+    * Half-open semantics: at the same microsecond an end applies
+    * before a start, so back-to-back intervals never double-count.
+    *
+    * One explode (linear in interval-days), one day-keyed window over
+    * ±1 boundary events, one max per day. */
+  def peakConcurrency(intervals: DataFrame, startCol: String = "start_us",
+                      endCol: String = "end_us"): DataFrame = {
+    val usDay = 86400000000L
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val frags = intervals
+      .filter(s.isNotNull && e.isNotNull && e > s)
+      .select(explode(sequence(expr(s"$startCol div $usDay"),
+        ((e - 1) / lit(usDay)).cast("long"))).as("day"), s.as("__s"),
+        e.as("__e"))
+      .select(col("day"),
+        greatest(col("__s"), col("day") * usDay).as("__fs"),
+        least(col("__e"), (col("day") + 1) * usDay).as("__fe"))
+    val bounds = frags.select(col("day"), col("__fs").as("t"),
+        lit(1L).as("delta"))
+      .unionByName(frags.select(col("day"), col("__fe").as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .select(col("day"), sum(col("delta")).over(w).as("__run"))
+      .groupBy(col("day")).agg(max(col("__run")).as("peak_concurrent"))
+  }
+
   /** Cohort LTV matrix — the revenue companion of [[cohortRetention]]:
     * users cohort by their FIRST active month (integer month index
     * year·12+month, engine-exact), and every (cohort, age-in-months)

@@ -107,6 +107,55 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("survivalCurve: sparse observed ages, reverse-cumulative counts") {
+    // u1: one day (lifespan 0); u2, u3: 3-day span (lifespan 2)
+    val rows = Seq(
+      (1L, "2026-01-01", 1L),
+      (2L, "2026-01-01", 2L), (3L, "2026-01-03", 2L),
+      (4L, "2026-01-02", 3L), (5L, "2026-01-04", 3L))
+      .map { case (id, day, u) => (id, ts(s"$day 10:00:00"), u, "e") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.survivalCurve(rows)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out === Map(
+      0L -> ((0L, 3L, 1.0)),
+      2L -> ((2L, 2L, 0.666666667))),
+      "rows only at observed lifespans; everyone survives to age 0")
+  }
+
+  test("bounceRate: single-event sessions flag; day from session start") {
+    // u1: a 2-event session then, an hour+ later, a 1-event session;
+    // u2: one 1-event session next day
+    val rows = Seq(
+      (1L, "2026-01-01 10:00:00", 1L), (2L, "2026-01-01 10:10:00", 1L),
+      (3L, "2026-01-01 12:00:00", 1L),
+      (4L, "2026-01-02 09:00:00", 2L))
+      .map { case (id, at, u) => (id, ts(at), u, "e", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.bounceRate(rows, gapMs = 3600000L)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val d1 = out.keys.min
+    assert(out(d1) === ((d1, 2L, 1L, 0.5)))
+    assert(out(d1 + 1) === ((d1 + 1, 1L, 1L, 1.0)))
+  }
+
+  test("peakConcurrency: overlaps stack, back-to-back don't, midnight " +
+       "spans count in both days") {
+    val us = 1000000L
+    def iv(s: Long, e: Long) = (s * us, e * us)
+    val day = 86400L
+    val rows = Seq(
+      iv(100, 200), iv(150, 250), iv(180, 190), // triple overlap at 180
+      iv(250, 300),                             // back-to-back with #2
+      iv(day - 50, day + 50))                   // spans midnight
+      .toDF("start_us", "end_us")
+    val out = EventOps.peakConcurrency(rows)
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) === 3L,
+      "three stacked at t=180; the end at 250 offsets the next start")
+    assert(out(1L) === 1L, "the midnight span opens day 1 alone")
+  }
+
   test("cohortLtv: first-period cohorts, exact cell revenue, cumulative " +
        "walk per cohort") {
     // week cohorts: u1 starts week w, spends 1.0 then 2.0 next week;
