@@ -347,5 +347,25 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(Profiling.reconcile(noP, "pk", "total", noC, "fk", "amount")
       .select("n_parents", "n_mismatched")
       .as[(Long, Long)].head() === ((0L, 0L)))
+    // wave 4/5: empty corpora flow through the curve/coverage ops
+    assert(EventOps.survivalCurve(emptyEv4).count() === 0)
+    assert(EventOps.bounceRate(
+      emptyEv4.withColumn("value", lit(1.0)), 1000L).count() === 0)
+    assert(EventOps.peakConcurrency(
+      Seq.empty[(Long, Long)].toDF("start_us", "end_us")).count() === 0)
+    // inverted/empty intervals drop rather than emit negative spans
+    assert(EventOps.peakConcurrency(
+      Seq((100L, 100L), (200L, 100L)).toDF("start_us", "end_us"))
+      .count() === 0)
+    assert(EventOps.cohortLtv(emptyEv4.withColumn("value", lit(1.0)))
+      .count() === 0)
+    val noW = Seq.empty[(String, Option[Long])].toDF("g", "w")
+    assert(Profiling.paretoCoverage(noW, "g", "w").count() === 0,
+      "no groups -> no coverage row (nothing to cover)")
+    // single-user survival: one row at age 0, rate 1
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      7L, "e")).toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventOps.survivalCurve(one)
+      .as[(Long, Long, Double)].head() === ((0L, 1L, 1.0)))
   }
 }

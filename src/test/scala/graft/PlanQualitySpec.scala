@@ -510,10 +510,20 @@ class PlanQualitySpec extends SparkTestBase {
         s"$q: rank<=k must push into the window sort:\n$p")
     }
     for (q <- Seq("q_jaro_winkler", "q_best_match", "q_streaks",
-                  "q_rolling_active", "q_ab_test", "q_reconcile")) {
+                  "q_rolling_active", "q_ab_test", "q_reconcile",
+                  "q_pareto", "q_cohort_ltv", "q_survival",
+                  "q_bounce_rate", "q_peak_concurrency")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
     }
+    // concurrency boundary walk: the running-sum window must be
+    // PARTITIONED (by day) — an unpartitioned corpus sort would be the
+    // single-task bottleneck the day clipping exists to avoid
+    val pc = plan("q_peak_concurrency")
+    assert(!pc.contains("Window [") ||
+      !pc.linesIterator.exists(l => l.contains("windowspecdefinition()") &&
+        l.contains("delta")),
+      s"boundary walk must partition by day:\n$pc")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipelines") {
