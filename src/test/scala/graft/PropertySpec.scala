@@ -384,4 +384,51 @@ class PropertySpec extends SparkTestBase {
       }
     }, samples = 10)
   }
+
+  test("property: interval coalescing covers exactly the brute-force " +
+       "union; peak concurrency equals the pointwise maximum") {
+    val ivGen = Gen.listOfN(25, for {
+      k <- Gen.choose(0, 2)
+      s <- Gen.choose(0L, 200L)
+      len <- Gen.choose(1L, 60L)
+    } yield (k.toLong, s, s + len))
+    check(Prop.forAll(ivGen) { ivs =>
+      ivs.isEmpty || {
+        val us = 1000000L
+        val df = ivs.map { case (k, s, e) =>
+          (k, new java.sql.Timestamp(s * 1000L),
+            new java.sql.Timestamp(e * 1000L)) }
+          .toDF("k", "s_ts", "e_ts")
+        val islands = operators.EventOps
+          .coalesceIntervals(df, "k", "s_ts", "e_ts")
+          .as[(Long, Long, Long, Long, Long)].collect()
+        // covered seconds per key == brute-force union of [s, e)
+        val coveredOk = ivs.groupBy(_._1).forall { case (k, rs) =>
+          val brute = rs.flatMap { case (_, s, e) => s until e }.toSet
+          val mine = islands.filter(_._1 == k)
+            .flatMap(r => (r._4 / 1000L / 1000L) until
+              (r._5 / 1000L / 1000L)).toSet
+          brute == mine
+        }
+        // islands never overlap nor touch within a key
+        val disjointOk = islands.groupBy(_._1).forall { case (_, rs) =>
+          rs.sortBy(_._4).sliding(2).forall {
+            case Array(a, b) => a._5 < b._4
+            case _ => true
+          }
+        }
+        // peak concurrency (all keys pooled) == pointwise max over the
+        // brute-force timeline (single-day fixture)
+        val peak = operators.EventOps.peakConcurrency(
+          df.select((org.apache.spark.sql.functions
+            .unix_micros(col("s_ts"))).as("start_us"),
+            (org.apache.spark.sql.functions
+              .unix_micros(col("e_ts"))).as("end_us")))
+          .as[(Long, Long)].collect().toMap
+        val brutePeak = (0L until 300L).map(t =>
+          ivs.count { case (_, s, e) => s <= t && t < e }).max
+        coveredOk && disjointOk && peak.getOrElse(0L, 0L) == brutePeak
+      }
+    }, samples = 10)
+  }
 }
