@@ -1190,6 +1190,17 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- E6 seasonality strength: R² of the hour-of-week
+    // fingerprint over hourly traffic (the alert-on-residuals gate) ----
+    "q_seasonality" -> ((s, d) =>
+      EventOps.seasonalityStrength(t(s, d, "events"))
+        .orderBy("event_type")),
+
+    // ---- E6 exact inter-event gap percentiles (dwell-time SLAs) ----
+    "q_gap_percentiles" -> ((s, d) =>
+      EventOps.gapPercentiles(t(s, d, "events"))
+        .orderBy("event_type")),
+
     // ---- E6 user-lifespan survival curve (sparse Kaplan–Meier) ----
     "q_survival" -> ((s, d) =>
       EventOps.survivalCurve(t(s, d, "events"))
@@ -5496,6 +5507,43 @@ object SparkEntry {
         |      FROM sym)
         |SELECT id_a, id_b, jw FROM r WHERE rn = 1
         |ORDER BY id_a""".stripMargin,
+
+    // the (dow, hour) key labels differ across engines but partition
+    // hours identically, which is all the ANOVA identity needs
+    "q_seasonality" ->
+      """WITH h AS (SELECT event_type AS t, date_trunc('hour', ts) AS h,
+        |        count(*) AS c
+        |      FROM events
+        |      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |      GROUP BY 1, 2),
+        |k AS (SELECT t, c, concat(strftime(h, '%w'), '#',
+        |        extract(hour FROM h)) AS how FROM h),
+        |cells AS (SELECT t, how, CAST(sum(c) AS BIGINT) AS sg,
+        |        count(*) AS ng FROM k GROUP BY 1, 2),
+        |pt AS (SELECT t, count(*) AS n_hours,
+        |        CAST(sum(c) AS BIGINT) AS s,
+        |        CAST(sum(c * c) AS BIGINT) AS q FROM k GROUP BY 1),
+        |bt AS (SELECT t, CAST(sum(CAST(round(
+        |        CAST(sg * sg AS DOUBLE) / ng, 9) AS DECIMAL(38,9)))
+        |        AS DOUBLE) AS sgq FROM cells GROUP BY 1)
+        |SELECT pt.t AS event_type, n_hours,
+        |  CASE WHEN CAST(q AS DOUBLE)
+        |      - CAST(s * s AS DOUBLE) / n_hours > 0.0 THEN
+        |    round(1.0 - (CAST(q AS DOUBLE) - sgq)
+        |      / (CAST(q AS DOUBLE) - CAST(s * s AS DOUBLE) / n_hours), 9)
+        |  END AS r2
+        |FROM pt JOIN bt ON bt.t = pt.t ORDER BY event_type""".stripMargin,
+
+    "q_gap_percentiles" ->
+      """WITH g AS (SELECT event_type,
+        |        lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) - epoch_us(ts) AS gap
+        |      FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5) / 1000000.0, 9) AS med_gap_s,
+        |  round(quantile_cont(gap, 0.9) / 1000000.0, 9) AS p90_gap_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_survival" ->
       """WITH d AS (SELECT user_id AS u,

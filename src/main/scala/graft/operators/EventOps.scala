@@ -344,6 +344,71 @@ object EventOps {
       .drop("__start")
   }
 
+  /** Seasonality strength per event type: the R² of the hour-of-week
+    * fingerprint over the hourly count series — the share of traffic
+    * variance the weekly cycle explains. ≈1 means the series IS its
+    * seasonal profile (alert on residuals, not levels — the
+    * justification gate for [[anomalousHours]]); ≈0 means the profile
+    * is noise. Computed from the ANOVA identity R² = 1 − SSE/SST with
+    * SST = Σc² − S²/n and SSE = Σc² − Σ_g S_g²/n_g — every ingredient
+    * an exact integer sum; the per-cell S_g²/n_g terms round to 9 and
+    * sum as DECIMAL(38,9), the repo's order-independent rule. Types
+    * with a constant series (SST = 0) report NULL.
+    *
+    * Two aggregates over one (type, hour) count table (cells bounded
+    * by types × 168), plus the types-sized close. */
+  def seasonalityStrength(events: DataFrame, typeCol: String = "event_type",
+                          tsCol: String = "ts"): DataFrame = {
+    val hourly = events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("__t"),
+        date_trunc("HOUR", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__t"), col("__c"),
+        concat_ws("#", dayofweek(col("__h")), hour(col("__h")))
+          .as("__how"))
+    val cells = hourly.groupBy(col("__t"), col("__how"))
+      .agg(sum(col("__c")).as("__sg"), count(lit(1)).as("__ng"))
+    val perType = hourly.groupBy(col("__t"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__q"))
+    val between = cells.groupBy(col("__t"))
+      .agg(sum(round((col("__sg") * col("__sg")).cast("double") /
+        col("__ng"), 9).cast(
+          org.apache.spark.sql.types.DecimalType(38, 9)))
+        .cast("double").as("__sgq"))
+    val sst = col("__q").cast("double") -
+      (col("__s") * col("__s")).cast("double") / col("n_hours")
+    val sse = col("__q").cast("double") - col("__sgq")
+    perType.join(between, "__t")
+      .select(col("__t").as(typeCol), col("n_hours"),
+        when(sst > 0.0, round(lit(1.0) - sse / sst, 9)).as("r2"))
+  }
+
+  /** Exact inter-event gap percentiles per type — the distributional
+    * refinement of [[gapStats]]'s min/sum/max: median and p90 dwell
+    * times in integer microseconds (interpolated exactly, so halves at
+    * worst), the numbers engagement SLAs and bot thresholds are
+    * actually set on. Same single user-keyed window as gapStats, then
+    * one grouped exact-percentile aggregate (state bounded by distinct
+    * gap values per type). */
+  def gapPercentiles(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts", typeCol: String = "event_type",
+                     idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(typeCol).as("event_type"),
+        (lead(unix_micros(col(tsCol)), 1).over(byUser) -
+          unix_micros(col(tsCol))).as("__gap"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("__gap"), lit(0.5)) / 1e6, 9)
+          .as("med_gap_s"),
+        round(percentile(col("__gap"), lit(0.9)) / 1e6, 9)
+          .as("p90_gap_s"))
+  }
+
   /** Kaplan–Meier-style survival curve over user lifespans: for every
     * OBSERVED lifespan L (days between a user's first and last
     * activity), how many users survive to at least age L and the

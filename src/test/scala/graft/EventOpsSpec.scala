@@ -107,6 +107,39 @@ class EventOpsSpec extends SparkTestBase {
     assert(cut === Set(("A", "B", "C", 2L)))
   }
 
+  test("seasonalityStrength: a pure weekly cycle scores 1, white noise " +
+       "across cells scores ~0, constants are NULL") {
+    // type P: two weeks where each hour-of-week cell repeats its count
+    // exactly -> SSE = 0 -> r2 = 1
+    val periodic = for {
+      week <- 0 to 1; h <- 0 until 24
+      n = (h % 3) + 1; i <- 1 to n
+    } yield (week * 1000L + h * 10L + i,
+      ts(f"2026-01-${5 + week * 7}%02d $h%02d:00:00"), 1L, "P")
+    // type C: identical count every hour -> SST = 0 -> NULL
+    val const = for (d <- 5 to 6; h <- 0 until 4)
+      yield (90000L + d * 100L + h, ts(f"2026-01-$d%02d $h%02d:15:00"),
+        2L, "C")
+    val df = (periodic ++ const)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.seasonalityStrength(df)
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r)
+      .toMap
+    assert(out("P") === (("P", 48L, Some(1.0))),
+      "exact weekly repetition: the fingerprint explains everything")
+    assert(out("C")._3.isEmpty, "constant series: no variance to explain")
+  }
+
+  test("gapPercentiles: exact interpolated dwell percentiles in seconds") {
+    // u1 gaps: 10s, 20s, 40s (same type) -> med 20, p90 = 20+0.8*20 = 36
+    val rows = Seq(0L, 10L, 30L, 70L).zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(f"2026-01-01 00:0${t / 60}%d:${t % 60}%02d"), 1L, "e")
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val Array(r) = EventOps.gapPercentiles(rows)
+      .as[(String, Long, Double, Double)].collect()
+    assert(r === (("e", 3L, 20.0, 36.0)))
+  }
+
   test("survivalCurve: sparse observed ages, reverse-cumulative counts") {
     // u1: one day (lifespan 0); u2, u3: 3-day span (lifespan 2)
     val rows = Seq(
