@@ -1190,6 +1190,13 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- E20 per-source quantile normalization of document length
+    // (rank-based feature scaling; ties normalize equally) ----
+    "q_quantile_norm" -> ((s, d) =>
+      operators.Profiling.quantileNormalize(t(s, d, "documents"),
+          "source", "doc_id", "n_chars")
+        .orderBy("doc_id")),
+
     // ---- E6 seasonality strength: R² of the hour-of-week
     // fingerprint over hourly traffic (the alert-on-residuals gate) ----
     "q_seasonality" -> ((s, d) =>
@@ -5507,6 +5514,16 @@ object SparkEntry {
         |      FROM sym)
         |SELECT id_a, id_b, jw FROM r WHERE rn = 1
         |ORDER BY id_a""".stripMargin,
+
+    "q_quantile_norm" ->
+      """SELECT source, doc_id, n_chars,
+        |  CASE WHEN count(*) OVER (PARTITION BY source) > 1 THEN
+        |    round(CAST(rank() OVER (PARTITION BY source
+        |        ORDER BY n_chars) - 1 AS DOUBLE)
+        |      / (count(*) OVER (PARTITION BY source) - 1), 9)
+        |  ELSE 0.0 END AS qnorm
+        |FROM documents WHERE n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // the (dow, hour) key labels differ across engines but partition
     // hours identically, which is all the ANOVA identity needs

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: per-column statistics in ONE pass over the
@@ -766,6 +767,32 @@ object Profiling {
           (col("n").cast("double") - col("__e_present")), 9).as("chi2"))
   }
 
+  /** Per-group quantile normalization: each row's value mapped to its
+    * exact percent-rank (rank−1)/(n−1) within the group — the
+    * rank-based feature scaling that makes scores comparable ACROSS
+    * sources with different scales before they feed a shared
+    * threshold or mixing weight (min-max scaling would let one
+    * outlier compress everyone else). Ties share the same rank (the
+    * `rank` function's gap semantics — equal values MUST normalize
+    * equally or the tie-break leaks into the feature); single-row
+    * groups normalize to 0.
+    *
+    * One grouped window (shuffle on the group key, sort within), the
+    * closing division rounded to 9. Output keeps the id so the
+    * normalized column joins back losslessly. */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(valueCol),
+        rank().over(w).cast("long").as("__r"),
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).as("__n"))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        when(col("__n") > 1L, round((col("__r") - 1L).cast("double") /
+          (col("__n") - 1L), 9)).otherwise(lit(0.0)).as("qnorm"))
+  }
+
   /** Pareto coverage point — the "80/20" answer [[gini]] compresses
     * away: how many of the heaviest groups cover `target` of the total
     * weight, and the exact share those groups hold. One row:
@@ -786,12 +813,10 @@ object Profiling {
       .filter(col(groupCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(col(groupCol).as("__g"))
       .agg(sum(col(weightCol).cast("long")).as("__s"))
-    val order = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").desc, col("__g"))
+    val order = Window.orderBy(col("__s").desc, col("__g"))
     val cum = sums.select(col("__s"),
       sum(col("__s")).over(order.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)).as("__cum"),
+        Window.unboundedPreceding, Window.currentRow)).as("__cum"),
       row_number().over(order).cast("long").as("__k"))
     val tot = sums.agg(count(lit(1)).as("n_groups"),
       sum(col("__s")).as("__tot"))

@@ -353,6 +353,20 @@ class ProfilingSpec extends SparkTestBase {
       "degenerate quartiles: fences collapse to the constant")
   }
 
+  test("quantileNormalize: rank-based scaling, ties share a value, " +
+       "single-row groups pin to 0") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L),
+      ("a", 4L, 40L), ("b", 5L, 99L)).toDF("g", "id", "v")
+    val out = Profiling.quantileNormalize(df, "g", "id", "v")
+      .as[(String, Long, Long, Double)].collect().map(r => r._2 -> r._4)
+      .toMap
+    assert(out(1L) === 0.0 && out(4L) === 1.0,
+      "group extremes map to 0 and 1")
+    assert(out(2L) === out(3L) && out(2L) === 0.333333333,
+      "tied values share rank (rank gap semantics): (2-1)/3")
+    assert(out(5L) === 0.0, "a lone row has no distribution: 0, not NaN")
+  }
+
   test("paretoCoverage: smallest head covering the target, exact share, " +
        "ties ordered by group") {
     // weights 50, 30, 15, 5 (total 100): 80% needs the top TWO (80)
