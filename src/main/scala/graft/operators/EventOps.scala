@@ -479,8 +479,8 @@ object EventOps {
     val frags = intervals
       .filter(s.isNotNull && e.isNotNull && e > s)
       .select(explode(sequence(expr(s"$startCol div $usDay"),
-        ((e - 1) / lit(usDay)).cast("long"))).as("day"), s.as("__s"),
-        e.as("__e"))
+        expr(s"(cast($endCol as long) - 1) div $usDay"))).as("day"),
+        s.as("__s"), e.as("__e"))
       .select(col("day"),
         greatest(col("__s"), col("day") * usDay).as("__fs"),
         least(col("__e"), (col("day") + 1) * usDay).as("__fe"))
@@ -790,7 +790,8 @@ object EventOps {
       .crossJoin(broadcast(
         firstTouch.agg(count(lit(1)).as("n_touched"))))
       .select(col("n_touched"), col("n_converted"),
-        round(col("n_converted").cast("double") / col("n_touched"), 9)
+        round(col("n_converted").cast("double") /
+            when(col("n_touched") > 0, col("n_touched").cast("double")), 9)
           .as("conv_rate"),
         round(col("__med"), 9).as("med_delay_us"),
         round(col("__p90"), 9).as("p90_delay_us"))

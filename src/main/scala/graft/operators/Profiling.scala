@@ -828,7 +828,8 @@ object Profiling {
         min_by(col("__cum"), col("__k")).as("__cumAt"))
       .select(col("n_groups"), col("n_top"),
         round(col("__cumAt").cast("double") /
-          col("__tot").cast("double"), 9).as("share"))
+          when(col("__tot") > 0, col("__tot").cast("double")), 9)
+          .as("share"))
   }
 
   /** Fact-to-header reconciliation: does the parent's stored total

@@ -265,8 +265,10 @@ class DegenerateInputSpec extends SparkTestBase {
       (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1L,
         "purchase")).toDF("event_id", "ts", "user_id", "event_type")
     val Array(ttc) = EventOps.timeToConvert(noTouch, "view", "purchase")
-      .select("n_touched", "n_converted").as[(Long, Long)].collect()
-    assert(ttc === ((0L, 0L)), "an untouched stream reports, not throws")
+      .select("n_touched", "n_converted", "conv_rate")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(ttc === ((0L, 0L, None)),
+      "an untouched stream reports (rate NULL), not throws")
     // chi2 on a single observed cell: dof 0, statistic 0
     val oneCell = Seq(("x", "p"), ("x", "p")).toDF("a", "b")
     assert(Profiling.chi2Independence(oneCell, "a", "b")
@@ -357,11 +359,26 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(EventOps.peakConcurrency(
       Seq((100L, 100L), (200L, 100L)).toDF("start_us", "end_us"))
       .count() === 0)
+    // an end EXACTLY on a late-epoch day boundary stays half-open:
+    // one fragment on its own day, no phantom (day+1, peak 0) row
+    // (IEEE double division of (e-1)/usDay would round up here)
+    val usDay = 86400000000L
+    val kDay = 20000L
+    assert(EventOps.peakConcurrency(
+      Seq((kDay * usDay + 100L, (kDay + 1L) * usDay))
+        .toDF("start_us", "end_us"))
+      .as[(Long, Long)].collect().toSeq === Seq((kDay, 1L)))
     assert(EventOps.cohortLtv(emptyEv4.withColumn("value", lit(1.0)))
       .count() === 0)
     val noW = Seq.empty[(String, Option[Long])].toDF("g", "w")
     assert(Profiling.paretoCoverage(noW, "g", "w").count() === 0,
       "no groups -> no coverage row (nothing to cover)")
+    // all-zero weights: nothing to cover -> share NULL, never a
+    // DIVIDE_BY_ZERO throw under ANSI mode
+    val zeroW = Seq(("a", 0L), ("b", 0L)).toDF("g", "w")
+    assert(Profiling.paretoCoverage(zeroW, "g", "w")
+      .select("share").as[Option[Double]].collect().forall(_.isEmpty),
+      "zero total weight reports NULL share, not a throw")
     // single-user survival: one row at age 0, rate 1
     val one = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
       7L, "e")).toDF("event_id", "ts", "user_id", "event_type")
