@@ -427,6 +427,12 @@ class PlanQualitySpec extends SparkTestBase {
     // bounded query subset
     val kg = plan("q_knn_graph")
     assert(!kg.contains("CartesianProduct"), s"knn graph cartesian:\n$kg")
+    // candidates are emitted once at their first shared band, straight
+    // out of the band join — no dropDuplicates aggregate (and its
+    // exchange) over the candidate pair set (VERDICT r10 item 3)
+    assert(!kg.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("keys=[src")),
+      s"knn graph must not dedup candidates via aggregate:\n$kg")
     // time profile / mutual info: single aggregate families, no windows
     assert(!plan("q_time_profile").contains("Window"))
     assert(!plan("q_mutual_info").contains("CartesianProduct"))

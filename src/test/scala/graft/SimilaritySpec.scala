@@ -287,6 +287,56 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.8, s"PQ recall@10 collapsed: $r")
   }
 
+  test("pqIndex write/read parity: probe of the read-back artifact equals " +
+      "in-memory pqTopK; append is O(batch) and idempotent") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val (cb, codes) = Similarity.pqIndex(e, m = 8, ksub = 8, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-spec").toString
+    Similarity.writePqIndex(dir, cb, codes)
+    val (rcb, rcodes) = Similarity.readPqIndex(spark, dir)
+    // the stored artifact round-trips byte-identically
+    assert(rendered(rcb.select("j", "code", "cent")) === rendered(cb))
+    assert(rendered(rcodes.select("vec_id", "codes")) === rendered(codes))
+    // probing the read-back index reproduces the in-memory plan exactly
+    // (same codebook → same codes → same ADC shortlist → same re-rank)
+    val fromIndex = Similarity.pqTopKFromIndex(rcb, rcodes, e, q, 5,
+      shortlist = 32)
+    val inMemory = Similarity.pqTopK(e, q, 5, m = 8, ksub = 8,
+      shortlist = 32, iters = 2, codebooks = cb)
+    assert(rendered(fromIndex) === rendered(inMemory))
+    // training again from the same corpus reproduces the codebook
+    // (decimal-exact means) — the stored index is not a one-off snapshot
+    val (cb2, _) = Similarity.pqIndex(e, m = 8, ksub = 8, iters = 2)
+    assert(rendered(cb2) === rendered(cb))
+    // append the odd half from a seed index over the even half: stored
+    // codebooks untouched, seed codes byte-identical, appended vectors
+    // findable, re-append a no-op
+    val seed = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    val (scb, scodes) = Similarity.pqIndex(seed, m = 8, ksub = 8, iters = 2)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-pq-append-spec").toString
+    Similarity.writePqIndex(dir2, scb, scodes)
+    Similarity.appendToPqIndex(spark, dir2, batch)
+    val (rcb2, rcodes2) = Similarity.readPqIndex(spark, dir2)
+    assert(rendered(rcb2.select("j", "code", "cent")) === rendered(scb))
+    assert(rcodes2.count() === e.count())
+    assert(rendered(rcodes2.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "codes")) === rendered(scodes))
+    val probe = e.filter(col("vec_id") === 1)
+      .select(lit(999999L).as("vec_id"), col("embedding"))
+    val top = Similarity.pqTopKFromIndex(rcb2, rcodes2, e, probe, 1,
+        shortlist = 8)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(top.length === 1 && top(0)._1 === 1L &&
+      math.abs(top(0)._2 - 1.0) < 1e-9,
+      s"appended vector must be its own nearest neighbor, got ${top.toSeq}")
+    Similarity.appendToPqIndex(spark, dir2, batch)
+    assert(Similarity.readPqIndex(spark, dir2)._2.count() === e.count())
+  }
+
   test("lshTopK returns ranked candidates from shared buckets") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1), 2)
       .select("neighbor_id", "rank", "sim").as[(Long, Int, Double)].collect()
