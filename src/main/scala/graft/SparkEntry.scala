@@ -1451,6 +1451,50 @@ object SparkEntry {
           maxHamming = 3)
         .orderBy("media_a", "media_b")
     }),
+    // E8+E2f incremental MEDIA dedup lifecycle (VERDICT r10 item 4) —
+    // the binary-payload twin of q_incremental_refresh: publish a
+    // standing media corpus and its perceptual-signature index as
+    // ManifestTables, ingest two batches, each probing the READ-BACK
+    // index and extending both tables. Closed-form fixture over div-4
+    // groups with 8-byte-periodic payloads (identical window sets ⇒
+    // identical SimHash, certain recall; cross-pattern signatures are
+    // independent 64-bit values, P(hamming≤3) ≈ 2e-15/pair): corpus
+    // (%4==0) = patT×4; batch1 (%4==1) = patU×3, no match → survives,
+    // signatures appended; batch2 (%4==2) = patU×2 for EVEN groups — a
+    // perceptual dup of batch1's survivor, dropped ONLY IF the index
+    // extension committed and round-tripped — and patV×3 for ODD
+    // groups (new → survives). Final membership is SQL-closed.
+    "q_media_refresh" -> ((s, d) => withScratchDir("graft-media-refresh") { tmp =>
+      import graft.sources.ManifestTable
+      val g = expr("doc_id div 4")
+      val base0 = t(s, d, "documents")
+      val idxPath = s"$tmp/media_sig"; val outPath = s"$tmp/media"
+      def pat(tag: String) = concat(
+        lpad(pmod(g, lit(10000000)).cast("string"), 7, "0"), lit(tag))
+      def mk(tag: String, reps: Int) = concat_ws("",
+        array_repeat(pat(tag), reps)).cast("binary")
+      val corpus = base0.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("media_id"), mk("T", 4).as("payload"))
+      val batch1 = base0.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("doc_id").as("media_id"), mk("U", 3).as("payload"))
+      val batch2 = base0.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .select(col("doc_id").as("media_id"),
+          when(pmod(g, lit(2)) === 0, mk("U", 2))
+            .otherwise(mk("V", 3)).as("payload"))
+      ManifestTable.upsertBatch(corpus, outPath, Seq("media_id"),
+        nBuckets = 8, batchId = 0L)
+      ManifestTable.upsertBatch(Multimodal.mediaSimhash(corpus),
+        idxPath, Seq("media_id"), nBuckets = 8, batchId = 0L)
+      Seq((batch1, 1L), (batch2, 2L)).foreach { case (b, bid) =>
+        val idx = ManifestTable.read(s, idxPath)
+        val surv = Multimodal.mediaDedupAgainstIndex(b, idx)
+        ManifestTable.upsertBatch(surv, outPath, Seq("media_id"),
+          nBuckets = 8, batchId = bid)
+        ManifestTable.upsertBatch(Multimodal.mediaSimhash(surv),
+          idxPath, Seq("media_id"), nBuckets = 8, batchId = bid)
+      }
+      ManifestTable.read(s, outPath).select("media_id").orderBy("media_id")
+    }),
 
     // ---- window analytics: lag / lead ----
     "q_window_lag_lead" -> ((s, d) => {
@@ -4866,6 +4910,16 @@ object SparkEntry {
         |FROM documents a JOIN documents b
         |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
         |ORDER BY media_a, media_b""".stripMargin,
+
+    // planted-duplicate media-ingest lifecycle: corpus + disjoint
+    // batch1 survive; batch2's even-group rows duplicate batch1's
+    // survivors perceptually (identical window sets) and die iff the
+    // index extension round-tripped; odd-group rows are new
+    "q_media_refresh" ->
+      """SELECT doc_id AS media_id FROM documents
+        |WHERE doc_id % 4 IN (0, 1)
+        |   OR (doc_id % 4 = 2 AND (doc_id // 4) % 2 = 1)
+        |ORDER BY media_id""".stripMargin,
 
     "q_window_lag_lead" ->
       """SELECT o_custkey, o_orderkey,

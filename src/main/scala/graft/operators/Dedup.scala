@@ -555,6 +555,41 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame =
     simhashPairs(simhashDf(df, idCol, textCol), maxHamming)
 
+  /** CROSS-table twin of [[simhashPairs]] — the ingest-time probe: every
+    * (left, right) pair whose signatures sit within `maxHamming` bits
+    * (`maxHamming` ≤ 3 is CERTAIN recall by the 16-bit-chunk pigeonhole
+    * — 4 chunks, ≤ 3 flipped bits, so at least one chunk is untouched).
+    * Both inputs are (id, simhash) tables; no id-order constraint (the
+    * sides are different tables). A qualifying pair exits the join
+    * exactly once, from its first shared chunk — no dedup exchange —
+    * and only ids+longs ever shuffle. Output: (id_l, id_r, hamming). */
+  def simhashCrossPairs(left0: DataFrame, right0: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    val left = left0.toDF("id_l", "sh_l")
+    val right = right0.toDF("id_r", "sh_r")
+    def chunk(sh: Column, c: Column): Column =
+      call_function("shiftrightunsigned", sh, (c * 16).cast("int"))
+        .bitwiseAND(0xFFFFL)
+    def chunked(df: DataFrame, sh: String): DataFrame =
+      df.select(col("*"),
+        explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("chunk_id"),
+            chunk(col(sh), c).as("chunk_val")))).as("ch"))
+        .select(col("*"), col("ch.chunk_id").as("cid"),
+          col("ch.chunk_val").as("cval")).drop("ch")
+    chunked(left, "sh_l").as("a")
+      .join(chunked(right, "sh_r").as("b"),
+        col("a.cid") === col("b.cid") &&
+        col("a.cval") === col("b.cval") &&
+        bit_count(col("a.sh_l").bitwiseXOR(col("b.sh_r"))) <= maxHamming &&
+        array_position(
+          transform(sequence(lit(0), lit(3)),
+            c => chunk(col("a.sh_l"), c) === chunk(col("b.sh_r"), c)),
+          true) === col("a.cid") + 1)
+      .select(col("a.id_l"), col("b.id_r"),
+        bit_count(col("a.sh_l").bitwiseXOR(col("b.sh_r"))).as("hamming"))
+  }
+
   /** Connected components over a near-duplicate pair list: labels every
     * id with the minimum id reachable through pairs — the transitive
     * closure the pairwise LSH output lacks (a≈b, b≈c ⇒ one cluster).

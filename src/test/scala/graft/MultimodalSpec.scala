@@ -110,4 +110,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(h(10L) ^ h(11L)) <= 16,
       "one corrupted byte must not rewrite the perceptual signature")
   }
+
+  test("mediaDedupAgainstIndex: batch rows matching the standing index " +
+       "die, new rows survive; extending the index catches re-ingests") {
+    val corpus = Seq((1L, "ABCDEFGH" * 4), (2L, "QRSTUVWX" * 3))
+      .toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    val index = Multimodal.mediaSimhash(corpus)
+    // batch: 10 duplicates corpus 1 (same window set, different repeat
+    // count), 11 is new, 12 duplicates corpus 2
+    val batch = Seq((10L, "ABCDEFGH" * 2), (11L, "13572468" * 3),
+        (12L, "QRSTUVWX" * 5))
+      .toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    val surv = Multimodal.mediaDedupAgainstIndex(batch, index)
+      .select("media_id").as[Long].collect().toSet
+    assert(surv === Set(11L), s"only the new payload survives, got $surv")
+    // extend the index with the survivor's signatures: a re-ingest of
+    // the survivor (different repeat count) is now caught too
+    val extended = index.unionByName(Multimodal.mediaSimhash(
+      batch.filter(col("media_id") === 11L)))
+    val reingest = Seq((20L, "13572468" * 6)).toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    assert(Multimodal.mediaDedupAgainstIndex(reingest, extended)
+      .count() === 0, "extended index must catch the re-ingest")
+  }
 }
