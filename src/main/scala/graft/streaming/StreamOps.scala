@@ -433,6 +433,48 @@ object StreamOps {
       }
       .start()
 
+  /** ANN-enrich a vector stream from a STORED IVF index — the online
+    * retrieval half every production embedding pipeline runs (VERDICT
+    * r10 item 6), [[classifyStream]]'s pattern applied to
+    * [[graft.operators.Similarity.ivfIndex]]: each micro-batch reads
+    * the committed (centroids, cells) ManifestTables and answers its
+    * queries with
+    * [[graft.operators.Similarity.ivfTopKFromIndex]] — the stored
+    * centroids (nlist rows of model state, the bounded collect) assign
+    * each incoming vector to its nprobe cells via the broadcast-bound
+    * TopCellsByCosine projection, and the stored corpus assignments
+    * stream into the cell-keyed equi-join; no retraining, no corpus
+    * re-scan, no all-pairs. Appends (query_id, neighbor_id, rank, sim)
+    * keyed by (query id, rank) under the recorded batch id, so a
+    * replayed batch is detected and skipped; a missing index fails the
+    * batch for the checkpoint to retry — batch/stream probe parity is
+    * spec-pinned. */
+  def annEnrichStream(vectors: DataFrame, indexPath: String,
+                      outPath: String, checkpoint: String, k: Int,
+                      nprobe: Int = 4, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                      nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val spark = batch.sparkSession
+          val (cents, cells) =
+            graft.operators.Similarity.readIvfIndex(spark, indexPath)
+          graft.sources.ManifestTable.upsertBatch(
+            graft.operators.Similarity.ivfTopKFromIndex(cents, cells,
+              batch.toDF(), k, nprobe, idCol, vecCol),
+            outPath, Seq("query_id", "rank"), nBuckets = nBuckets,
+            batchId = batchId)
+          ()
+      }
+      .start()
+
   // ---- sessionization via flatMapGroupsWithState ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

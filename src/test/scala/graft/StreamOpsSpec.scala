@@ -616,6 +616,58 @@ class StreamOpsSpec extends SparkTestBase {
     assert(ids() === Map(10L -> "2,1,3", 11L -> "2,3,0,0"))
   }
 
+  test("annEnrichStream: micro-batches probe the STORED IVF index; " +
+      "stream output equals the batch probe; replay is a no-op") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-stream").toString
+    val (idx, out, ckpt) = (s"$dir/ivf", s"$dir/nn", s"$dir/ckpt")
+    // build + commit the index once; the stream only ever reads it
+    val (cents, cells) = Similarity.ivfIndex(e, nlist = 8, iters = 2)
+    Similarity.writeIvfIndex(idx, cents, cells)
+    val in = MemoryStream[(Long, Array[Float])]
+    def run(): Unit = {
+      val q = StreamOps.annEnrichStream(
+        in.toDF().toDF("vec_id", "embedding"), idx, out, ckpt,
+        k = 5, nprobe = 4, nBuckets = 8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def got(): Set[(Long, Long, Int)] =
+      graft.sources.ManifestTable.read(spark, out)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val qvecs = e.filter(col("vec_id") < 4)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    in.addData(qvecs.toSeq)
+    run()
+    // batch/stream probe parity: the stream's appended rows are exactly
+    // the batch probe of the same stored index over the same queries
+    val (rc, ra) = Similarity.readIvfIndex(spark, idx)
+    val batchProbe = Similarity.ivfTopKFromIndex(rc, ra,
+        e.filter(col("vec_id") < 4), 5, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got() === batchProbe && batchProbe.nonEmpty)
+    // restart with no new data: recorded batch ids make replays no-ops
+    run()
+    assert(got() === batchProbe)
+    // a second query batch appends under a new batch id; (query, rank)-
+    // keyed upsert means a re-embedded query id REPLACES its neighbors:
+    // query 2 now carries vec 3's embedding, so its rank-1 neighbor is
+    // the indexed vec 3 itself at sim ~1
+    in.addData((2L, qvecs.find(_._1 == 3L).get._2))
+    run()
+    val q2 = graft.sources.ManifestTable.read(spark, out)
+      .filter(col("query_id") === 2L)
+      .select("rank", "neighbor_id", "sim")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(q2.length === 5, "all five old rank rows must be replaced")
+    assert(q2.head._2 === 3L && math.abs(q2.head._3 - 1.0) < 1e-9,
+      s"re-embedded query's top hit must be its source vector, got ${q2.head}")
+  }
+
   test("sessionize closes a session after the event-time gap and emits once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
