@@ -911,6 +911,24 @@ object SparkEntry {
       Similarity.dimVariance(t(s, d, "embeddings"))
         .orderBy("dim")),
 
+    // ---- E3 margin-based cross-corpus alignment mining (LASER ratio
+    // margin): label-0 vectors vs label-1 vectors, best match per
+    // source scored relative to both endpoints' k-NN neighborhood
+    // density — hub vectors demote, genuine alignments rise ----
+    "q_bitext_margin" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.marginMine(e.filter(col("label") === 0),
+          e.filter(col("label") === 1), k = 4)
+        .orderBy("src_id")
+    }),
+
+    // ---- E3 source-coherence audit: cosine-to-group-centroid stats
+    // per label — the mixed/mislabeled-source screen ----
+    "q_source_coherence" -> ((s, d) =>
+      Similarity.sourceCoherence(t(s, d, "embeddings"), "label",
+          floor = 0.0)
+        .orderBy("grp")),
+
     "q_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
@@ -1143,6 +1161,28 @@ object SparkEntry {
     "q_cms_counts" -> ((s, d) =>
       operators.Profiling.cmsCheckedCounts(t(s, d, "events"), "user_id")
         .orderBy("key")),
+
+    // ---- E23 join-cardinality pre-flight: CMS inner-product estimate
+    // of |orders ⋈ lineitem| with the structural overestimate verdict
+    // and the ε-bound sizing check — the planner probe that costs two
+    // d×w sketches instead of a key-space shuffle ----
+    "q_join_size_est" -> ((s, d) =>
+      operators.Profiling.cmsJoinSize(t(s, d, "orders"), "o_orderkey",
+        t(s, d, "lineitem"), "l_orderkey")),
+
+    // ---- E20 score calibration: the cheap per-doc quality score
+    // against the Gopher rule verdict — reliability table (n, mean
+    // predicted, observed pass rate, gap) per score decile ----
+    "q_calibration" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      operators.Profiling.calibration(
+        docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score"),
+          TextAnalysis.gopherPass(col("text"), minWords = 20)
+            .as("label")),
+        "score", "label", bins = 10)
+        .orderBy("bin")
+    }),
 
     // ---- E6 frequent length-3 journeys (sequential patterns one hop
     // deeper than the transition matrix) ----
@@ -4376,6 +4416,63 @@ object SparkEntry {
         |  min_v, max_v
         |FROM a ORDER BY dim""".stripMargin,
 
+    // LASER ratio margin unrolled: best pair per source, neighborhood
+    // sums as exact DECIMAL of 9-dec-rounded sims, one fixed-order
+    // double division at the end
+    "q_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |a AS (SELECT * FROM e WHERE label = 0),
+        |b AS (SELECT * FROM e WHERE label = 1),
+        |s AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+        |  FROM a CROSS JOIN b),
+        |tx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rx FROM s),
+        |sx AS (SELECT src_id,
+        |    CAST(SUM(CAST(sim AS DECIMAL(28,9))) AS DOUBLE) AS sumx
+        |  FROM tx WHERE rx <= 4 GROUP BY src_id),
+        |ty AS (SELECT *, row_number() OVER (
+        |    PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS ry FROM s),
+        |sy AS (SELECT tgt_id,
+        |    CAST(SUM(CAST(sim AS DECIMAL(28,9))) AS DOUBLE) AS sumy
+        |  FROM ty WHERE ry <= 4 GROUP BY tgt_id),
+        |best AS (SELECT src_id, tgt_id, sim FROM tx WHERE rx = 1)
+        |SELECT best.src_id, best.tgt_id, best.sim,
+        |  round(8 * best.sim / (sumx + sumy), 9) AS margin
+        |FROM best JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+        |ORDER BY best.src_id""".stripMargin,
+
+    // centroid = per-dim exact-DECIMAL SUM (same direction as the
+    // mean, no division → no decimal round-half ties) cast through
+    // REAL (the float the Spark centroid array carries)
+    "q_source_coherence" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, vec_id, unnest(v) AS val,
+        |             generate_subscripts(v, 1) AS dim FROM e),
+        |m AS (SELECT label, dim,
+        |    CAST(CAST(CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE)
+        |      AS REAL) AS DOUBLE) AS mv
+        |  FROM x GROUP BY label, dim),
+        |c AS (SELECT label, list(mv ORDER BY dim) AS cent
+        |      FROM m GROUP BY label),
+        |s AS (SELECT e.label, e.vec_id,
+        |    round(list_dot_product(e.v, c.cent)
+        |      / (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(c.cent, c.cent))), 9) AS cs
+        |  FROM e JOIN c USING (label))
+        |SELECT label AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(cs AS DECIMAL(28,9))) AS DOUBLE)
+        |    / COUNT(*), 9) AS mean_cos,
+        |  min(cs) AS min_cos,
+        |  CAST(SUM(CASE WHEN cs < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_below
+        |FROM s GROUP BY label ORDER BY grp""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 10),
@@ -5552,6 +5649,65 @@ object SparkEntry {
       """SELECT user_id AS key, count(*) AS cnt, TRUE AS cms_ok
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q_join_size_est" ->
+      """SELECT
+        |  CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NOT NULL)
+        |    AS BIGINT) AS n_a,
+        |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+        |    AS BIGINT) AS n_b,
+        |  CAST((SELECT COUNT(*) FROM orders JOIN lineitem
+        |        ON o_orderkey = l_orderkey) AS BIGINT) AS exact_join_rows,
+        |  TRUE AS overest_ok, TRUE AS bound_ok""".stripMargin,
+
+    // quality-score formula (q_quality) bucketed against the Gopher
+    // verdict (q_gopher, minWords 20): decimal-exact bucket means
+    "q_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |      AS DOUBLE) AS symbols,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS DOUBLE) AS numerals,
+        |    (LEAST(CAST(LENGTH(text) AS DOUBLE) / CAST(200.0 AS DOUBLE),
+        |           CAST(1.0 AS DOUBLE))
+        |     + CASE WHEN LENGTH(text) > 0
+        |            THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |                 / CAST(LENGTH(text) AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END
+        |     + CASE WHEN len(string_split(text, ' ')) > 0
+        |                 AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3
+        |                 AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10
+        |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+        |    ) / CAST(3.0 AS DOUBLE) AS score
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, score,
+        |    (n_words >= 20 AND n_words <= 100000
+        |     AND (CASE WHEN n_words > 0
+        |          THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END)
+        |         BETWEEN 3.0 AND 10.0
+        |     AND (CASE WHEN n_words > 0
+        |          THEN symbols / n_words ELSE 1.0 END) < 0.1
+        |     AND (CASE WHEN n_chars > 0
+        |          THEN numerals / n_chars ELSE 1.0 END) < 0.2) AS label
+        |  FROM t),
+        |b AS (
+        |  SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+        |    round(score, 9) AS s,
+        |    CASE WHEN label THEN 1 ELSE 0 END AS y
+        |  FROM g),
+        |agg AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(s AS DECIMAL(28,9))) AS DOUBLE)
+        |      / COUNT(*), 9) AS mean_score,
+        |    round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9) AS pos_rate
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n, mean_score, pos_rate,
+        |  round(mean_score - pos_rate, 9) AS gap
+        |FROM agg ORDER BY bin""".stripMargin,
 
     "q_seq_patterns" ->
       """WITH p AS (SELECT event_type AS e1,

@@ -726,6 +726,81 @@ object Profiling {
           .as("cms_ok"))
   }
 
+  /** Equi-join cardinality pre-flight from two CMS sketches — the AMS/
+    * CMS inner-product estimate (Cormode & Muthukrishnan 2005, §4.2):
+    * |A ⋈ B on k| = Σ_k cntA(k)·cntB(k), estimated WITHOUT touching the
+    * key space as min over the `depth` hash rows of
+    * Σ_b cA[i][b]·cB[i][b]. The planner's sizing probe before
+    * committing to a join strategy (broadcast? salt? bloom-prefilter?)
+    * on two 100 TB inputs: each side reduces to a ≤ d·w-row mergeable
+    * sketch (streamable, shard-unionable), and the estimate is a
+    * d·w-row join — no key-space shuffle. Collisions only ADD, so
+    * est ≥ exact structurally; the ε-bound verdict
+    * (est ≤ exact + ⌈(e/w)·Na·Nb⌉) failing is the width-sizing signal.
+    * Output (one row): n_a, n_b, exact_join_rows, overest_ok,
+    * bound_ok — the exact count makes the row engine-checkable; the
+    * hash-dependent estimate stays out of it, like
+    * [[cmsCheckedCounts]]. */
+  def cmsJoinSize(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+                  width: Int = 1024, depth: Int = 5): DataFrame = {
+    val ra = a.filter(col(keyA).isNotNull)
+    val rb = b.filter(col(keyB).isNotNull)
+    val sa = cmsSketch(ra, keyA, width, depth)
+      .withColumnRenamed("c", "ca")
+    val sb = cmsSketch(rb, keyB, width, depth)
+      .withColumnRenamed("c", "cb")
+    // min over ALL depth rows: a hash row with no shared buckets has
+    // inner product 0, so fewer than `depth` grouped rows ⇒ est = 0
+    val est = sa.join(sb, Seq("i", "b"))
+      .groupBy(col("i")).agg(sum(col("ca") * col("cb")).as("__ip"))
+      .agg(count(lit(1)).as("__rows"), min(col("__ip")).as("__min"))
+      .select(when(col("__rows") < depth, lit(0L))
+        .otherwise(col("__min")).as("est"))
+    val exact = ra.groupBy(col(keyA).as("__k"))
+      .agg(count(lit(1)).as("__na"))
+      .join(rb.groupBy(col(keyB).as("__k"))
+        .agg(count(lit(1)).as("__nb")), "__k")
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L))
+        .as("exact_join_rows"))
+    val tots = ra.agg(count(lit(1)).as("n_a"))
+      .crossJoin(rb.agg(count(lit(1)).as("n_b")))
+    tots.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("exact_join_rows"),
+        (col("est") >= col("exact_join_rows")).as("overest_ok"),
+        ((col("est") - col("exact_join_rows")).cast("double") <=
+          ceil(lit(math.E / width) * col("n_a").cast("double") *
+            col("n_b")).cast("double")).as("bound_ok"))
+  }
+
+  /** Reliability / calibration table for a [0, 1] score against a
+    * boolean outcome — the table behind a reliability diagram and ECE:
+    * rows bucket by ⌊score·bins⌋ (top-clamped), each bucket reports n,
+    * mean predicted score, observed positive rate, and the signed gap.
+    * A well-calibrated scorer keeps |gap| small in every populated
+    * bucket; systematic sign says over/under-confidence. The ML-ops
+    * check a quality/toxicity/language classifier gets before its
+    * threshold is trusted to gate a corpus. One scan, one |bins|-row
+    * aggregation; engine-exact (9-dec rounds, DECIMAL sums,
+    * fixed-order division). */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins > 0, s"need positive bins, got $bins")
+    val s = col(scoreCol).cast("double")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(s * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        round(s, 9).as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast(dec)).cast("double") / count(lit(1)), 9)
+          .as("mean_score"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 9)
+          .as("pos_rate"))
+      .withColumn("gap", round(col("mean_score") - col("pos_rate"), 9))
+  }
+
   /** Pearson χ² test of independence between two categorical columns —
     * the one-number sibling of [[mutualInformation]] (which localizes
     * dependence to cells; this says whether the table as a whole could

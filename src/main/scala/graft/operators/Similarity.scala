@@ -877,6 +877,120 @@ object Similarity {
       .select("src", "dst", "sim")
   }
 
+  /** Margin-based cross-corpus alignment mining (the LASER bitext-mining
+    * criterion — Artetxe & Schwenk, ACL 2019 §3: ratio margin): for each
+    * source vector, its best cosine match on the target side scored by
+    * `margin = 2k·cos(x,y) / (Σ top-k sims of x + Σ top-k sims of y)` —
+    * cos(x,y) relative to BOTH endpoints' neighborhood density, which
+    * demotes hub vectors that are "close to everything" (absolute-cosine
+    * thresholds can't separate translations from hubs). The workhorse
+    * for mining parallel text pairs across languages, aligned
+    * image/caption pairs, or doc/summary pairs from independently
+    * embedded corpora; consumers filter on `margin` (> ~1.05 keeps
+    * high-precision pairs).
+    *
+    * Engine-exact: sims round to 9 decimals, neighborhood sums ride
+    * DECIMAL(28,9) (order-independent), and the final margin is one
+    * fixed-order double division — the DuckDB oracle replays every
+    * value. Both sides must hold ≥ k vectors.
+    *
+    * Plan shape: the source side is the query sample by contract and
+    * broadcasts; the target corpus streams ONCE through the scored
+    * join, which is persisted and feeds all three consumers (per-source
+    * top-k sums, per-target top-k sums, best pair) — two rank windows
+    * on opposite keys, each riding its own exchange of (ids, sim)
+    * scalars; vectors never shuffle. At corpus×corpus scale swap the
+    * scored join for [[knnGraph]]-style banded candidates; the margin
+    * arithmetic is unchanged. */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val a = src.select(col(idCol).as("src_id"), col(vecCol).as("av"))
+    val b = Ops.spread(
+      tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("bv")),
+      col("tgt_id"))
+    val scored = OpCaches.register(b.crossJoin(broadcast(a))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("av"), col("bv")), 9).as("sim"))
+      .persist())
+    val wx = Window.partitionBy("src_id")
+      .orderBy(col("sim").desc, col("tgt_id"))
+    val wy = Window.partitionBy("tgt_id")
+      .orderBy(col("sim").desc, col("src_id"))
+    val topx = scored.withColumn("__r", row_number().over(wx))
+      .filter(col("__r") <= k)
+    val sx = topx.groupBy("src_id")
+      .agg(sum(col("sim").cast(dec)).cast("double").as("__sumx"))
+    val sy = scored.withColumn("__r", row_number().over(wy))
+      .filter(col("__r") <= k)
+      .groupBy("tgt_id")
+      .agg(sum(col("sim").cast(dec)).cast("double").as("__sumy"))
+    topx.filter(col("__r") === 1).select("src_id", "tgt_id", "sim")
+      .join(sx, "src_id")
+      .join(sy, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        round(lit(2.0 * k) * col("sim") /
+          (col("__sumx") + col("__sumy")), 9).as("margin"))
+  }
+
+  /** Per-group centroid DIRECTIONS: the per-dimension exact-DECIMAL SUM
+    * vector of every group (source, language, label, cluster),
+    * reassembled as a float array. The sum points exactly where the
+    * mean does — cosine is scale-invariant — and skipping the /n
+    * division matters for reproducibility: a 9-dp decimal sum divided
+    * by n can land EXACTLY on a round-half boundary (observed:
+    * 0.879152207/46 = 0.0191120045), where engines legitimately
+    * disagree (shortest-decimal-repr HALF_UP vs binary-value rounding).
+    * The sum itself is exact and order-independent; the only remaining
+    * conversions (decimal→double→float) are deterministic IEEE
+    * narrowings both engines share. Output is |groups|×dim model
+    * state, never corpus-sized: one posexplode + one (group, dim)
+    * aggregation + one |groups|-row reassembly. */
+  def groupCentroids(vecs: DataFrame, groupCol: String,
+                     vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+          .cast("double").cast("float").as("__mv"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("__mv")))),
+        x => x("__mv")).as("centroid"))
+
+  /** Source-coherence audit — "is this source one kind of thing?": each
+    * group's vectors score their cosine to the group [[groupCentroids]]
+    * centroid, reduced to (group, n, mean_cos, min_cos, n_below) with
+    * `n_below` counting rows under `floor`. A low mean or a fat below-
+    * floor tail flags mixed/mislabeled sources BEFORE they poison
+    * mixing weights or per-source quality cuts; the per-doc scores are
+    * the outlier shortlist a cleanup pass would drop. Centroids are
+    * |groups|×dim model state and broadcast into the scoring join; the
+    * corpus streams once, scalars-only aggregation after. Engine-exact
+    * (9-dec rounds, DECIMAL sums, fixed-order division). */
+  def sourceCoherence(vecs: DataFrame, groupCol: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      floor: Double = 0.0): DataFrame = {
+    val cents = groupCentroids(vecs, groupCol, vecCol)
+    val scored = Ops.spread(
+        vecs.select(col(groupCol).as("grp"), col(idCol),
+          col(vecCol).as("__v")), col(idCol))
+      .join(broadcast(cents), "grp")
+      .select(col("grp"),
+        round(cosine(col("__v"), col("centroid")), 9).as("__cos"))
+    scored.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__cos").cast(
+            org.apache.spark.sql.types.DecimalType(28, 9)))
+          .cast("double") / count(lit(1)), 9).as("mean_cos"),
+        min(col("__cos")).as("min_cos"),
+        sum(when(col("__cos") < floor, 1L).otherwise(0L)).as("n_below"))
+  }
+
   /** Per-dimension embedding health audit: count, mean, variance and
     * min/max for every vector dimension — the pre-index screen that
     * catches dead dimensions (variance 0 — wasted index bytes and a

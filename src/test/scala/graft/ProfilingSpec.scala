@@ -521,6 +521,47 @@ class ProfilingSpec extends SparkTestBase {
       "undersized width must surface as a failing verdict, not silence")
   }
 
+  test("cmsJoinSize: exact Σ cntA·cntB payload, structural overestimate, " +
+       "disjoint keys read zero") {
+    val a = Seq(1L, 1L, 2L, 3L).map(Tuple1(_)).toDF("ka")
+    val b = Seq(1L, 2L, 2L, 2L, 9L).map(Tuple1(_)).toDF("kb")
+    // exact = 2·1 (key 1) + 1·3 (key 2) = 5
+    val Array(r) = Profiling.cmsJoinSize(a, "ka", b, "kb",
+        width = 256, depth = 3)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+    assert(r === ((4L, 5L, 5L, true, true)))
+    // disjoint key sets: exact 0, est >= 0 still structural
+    val c = Seq(100L, 200L).map(Tuple1(_)).toDF("kc")
+    val Array(r2) = Profiling.cmsJoinSize(a, "ka", c, "kc",
+        width = 256, depth = 3)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+    assert(r2._3 === 0L && r2._4 && r2._5)
+  }
+
+  test("calibration: deciles clamp at the top, decimal-exact bucket " +
+       "means, gap signs read over/under-confidence") {
+    val df = Seq(
+      (0.05, false), (0.08, false),          // bin 0: rate 0
+      (0.55, true), (0.52, false),           // bin 5: rate 0.5
+      (1.0, true), (0.97, true)              // 1.0 clamps into bin 9
+    ).toDF("score", "label")
+    val out = Profiling.calibration(df, "score", "label", bins = 10)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(0L, 5L, 9L), "score 1.0 must top-clamp")
+    assert(out(0L)._2 === 2L && out(0L)._4 === 0.0)
+    assert(out(5L)._4 === 0.5)
+    assert(out(9L)._3 === 0.985 && out(9L)._4 === 1.0 &&
+      out(9L)._5 === -0.015, s"bin 9 decimal mean/gap, got ${out(9L)}")
+    // null scores/labels drop rather than poison a bucket
+    val withNulls = Seq((Some(0.5), Some(true)), (None, Some(true)),
+        (Some(0.5), None))
+      .toDF("score", "label")
+    assert(Profiling.calibration(withNulls, "score", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq ===
+      Seq((5L, 1L, 0.5, 1.0, -0.5)))
+  }
+
   test("equiWidthHistogram: floor-divide buckets, exact ranges, " +
        "negatives land below zero") {
     val df = Seq(-25.0, -1.0, 0.0, 9.9, 10.0, 19.5, 42.0)

@@ -363,6 +363,62 @@ class SimilaritySpec extends SparkTestBase {
     graft.operators.OpCaches.release()
   }
 
+  test("marginMine: genuine alignments outscore hub matches; best pair " +
+      "per source; margin arithmetic is the ratio criterion") {
+    // src x1 aligns with tgt y1; the hub is moderately close to BOTH
+    // sources, so absolute cosine ranks it high for x2 but the margin
+    // demotes it (its neighborhood sum is fat)
+    val src = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // y1 ≈ x1
+      (11L, Array(0.1f, 0.99f, 0.0f, 0.0f)),   // y2 ≈ x2
+      (12L, Array(0.6f, 0.6f, 0.4f, 0.4f))     // hub
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(src, tgt, k = 2)
+      .select("src_id", "tgt_id", "sim", "margin")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 10L && out(2L)._2 === 11L,
+      s"best cosine match per source, got $out")
+    // each genuine pair's sim must exceed its own neighborhood mean →
+    // margin > 1; and the margin formula is exactly 2k·sim/(Σx+Σy)
+    assert(out(1L)._4 > 1.0 && out(2L)._4 > 1.0)
+    val scored = tgt.as("b").crossJoin(broadcast(src.as("a")))
+      .select(col("a.vec_id").as("s"), col("b.vec_id").as("t"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 9)
+          .as("sim"))
+      .as[(Long, Long, Double)].collect()
+    def topk(byS: Boolean, id: Long) = scored
+      .filter(r => if (byS) r._1 == id else r._2 == id)
+      .sortBy(r => (-r._3, if (byS) r._2 else r._1)).take(2).map(_._3)
+    val sumx = topk(byS = true, 1L).map(BigDecimal(_)).sum.toDouble
+    val sumy = topk(byS = false, 10L).map(BigDecimal(_)).sum.toDouble
+    val expected = BigDecimal(4.0 * out(1L)._3 / (sumx + sumy))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._4 === expected)
+  }
+
+  test("sourceCoherence: a tight group reads mean_cos ~1, a mixed group " +
+      "reads lower with below-floor rows counted") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.98f, 0.05f, 0.0f, 0.0f)),
+      (3L, 0, Array(0.99f, -0.02f, 0.0f, 0.0f)),
+      (4L, 1, Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (5L, 1, Array(-1.0f, 0.1f, 0.0f, 0.0f)),
+      (6L, 1, Array(0.9f, 0.3f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.sourceCoherence(vecs, "label", floor = 0.0)
+      .select("grp", "n", "mean_cos", "n_below")
+      .as[(Int, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0)._2 === 3L && out(0)._3 > 0.99 && out(0)._4 === 0L,
+      s"tight group must cohere, got ${out(0)}")
+    assert(out(1)._3 < 0.9 && out(1)._4 === 1L,
+      s"the anti-aligned row must land below floor, got ${out(1)}")
+  }
+
   test("dimVariance: exact per-dimension moments; dead dims read 0") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f, 7.0f)),
