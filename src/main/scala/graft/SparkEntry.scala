@@ -3182,6 +3182,59 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- E20 PSI drift (the scorecard-industry standard): per-key
+    // (share_a - share_b)·ln(share_a/share_b) terms, always >= 0, so
+    // shifts can't cancel the way signed KL contributions can ----
+    "q_psi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Profiling.psi(
+          docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "source")
+        .orderBy("source")
+    }),
+
+    // ---- E20 exact weighted percentiles: the quantity-weighted price
+    // quartiles per return flag — "the price of the median unit", not
+    // the median row; all-integer threshold arithmetic ----
+    "q_weighted_percentile" -> ((s, d) =>
+      operators.Profiling.weightedPercentiles(t(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity",
+          pcts = Seq(25, 50, 75, 90))
+        .orderBy("grp", "pct")),
+
+    // ---- E20 l-diversity audit (k-anonymity's homogeneity-attack
+    // companion): nation/segment groups whose balance-band diversity
+    // collapses below l = 8 (70 of 125 groups violate at sf0.01; the
+    // filter bites in both directions across SFs) ----
+    "q_l_diversity" -> ((s, d) =>
+      operators.Profiling.lDiversityViolations(
+          t(s, d, "customer")
+            .withColumn("bal_bin",
+              floor(col("c_acctbal") / 1000).cast("int")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_bin", l = 8L)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // ---- E6 OHLC telemetry downsampling: per (type, hour) open/high/
+    // low/close with deterministic (ts, id) tie-breaks and the
+    // DECIMAL-exact value sum ----
+    "q_ohlc_bars" -> ((s, d) =>
+      EventOps.ohlcBars(t(s, d, "events"))
+        .orderBy("event_type", "bar_ts")),
+
+    // ---- E19 Heaps-law vocabulary-growth curve: cumulative (docs,
+    // tokens, types) at 20 ingest-order checkpoints — the β-slope
+    // corpus-QA screen and tokenizer-budget forecaster ----
+    "q_heaps_law" -> ((s, d) =>
+      Ngrams.heapsLaw(t(s, d, "documents"), checkpoints = 20)
+        .orderBy("ck")),
+
+    // ---- E3 embedding covariance matrix (upper triangle): the PCA /
+    // whitening / dimension-pruning model input; cells aggregate
+    // map-side, per-dim sums broadcast back ----
+    "q_embed_cov" -> ((s, d) =>
+      Similarity.embedCovariance(t(s, d, "embeddings"))
+        .orderBy("i", "j")),
+
     // ---- E20 constraint-suite validation in one scan (the pre-commit
     // expectation gate): violation counts + verdicts per rule; two
     // rules pass, two fail by construction so counts are exercised ----
@@ -7088,6 +7141,109 @@ object SparkEntry {
         |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
         |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS kl_contrib
         |FROM j, t ORDER BY source""".stripMargin,
+
+    "q_psi" ->
+      """WITH ca AS (SELECT source, count(*) AS cnt_a FROM documents
+        |            WHERE doc_id < 250 GROUP BY source),
+        |cb AS (SELECT source, count(*) AS cnt_b FROM documents
+        |       WHERE doc_id >= 250 GROUP BY source),
+        |j AS (SELECT COALESCE(ca.source, cb.source) AS source,
+        |        COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.source = cb.source),
+        |t AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb, count(*) AS k
+        |      FROM j)
+        |SELECT source, CAST(cnt_a AS BIGINT) AS cnt_a,
+        |  CAST(cnt_b AS BIGINT) AS cnt_b,
+        |  CAST(cnt_a + 1 AS DOUBLE) / (ta + k) AS share_a,
+        |  CAST(cnt_b + 1 AS DOUBLE) / (tb + k) AS share_b,
+        |  round((CAST(cnt_a + 1 AS DOUBLE) / (ta + k)
+        |         - CAST(cnt_b + 1 AS DOUBLE) / (tb + k))
+        |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
+        |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS psi_term
+        |FROM j, t ORDER BY source""".stripMargin,
+
+    "q_weighted_percentile" ->
+      """WITH bv AS (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS value,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, value,
+        |    SUM(w) OVER (PARTITION BY grp ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY grp) AS tot
+        |  FROM bv)
+        |SELECT grp, pct, MIN(value) AS value
+        |FROM c, (SELECT unnest([25, 50, 75, 90]) AS pct)
+        |WHERE cum * 100 >= pct * tot
+        |GROUP BY grp, pct ORDER BY grp, pct""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS INTEGER))
+        |    AS BIGINT) AS n_distinct_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS INTEGER)) < 8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_ohlc_bars" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+        |    + event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+        |    + event_id) AS close,
+        |  SUM(CAST(value AS DECIMAL(28,9))) AS sum_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_heaps_law" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |tk AS (SELECT CAST(doc_id * 20 // (m + 1) AS BIGINT) AS b, doc_id,
+        |         unnest(string_split(text, ' ')) AS tok
+        |       FROM documents, mx),
+        |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt,
+        |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        |       FROM tk GROUP BY b),
+        |fs AS (SELECT tok, MIN(b) AS b FROM tk GROUP BY tok),
+        |fv AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nv FROM fs GROUP BY b),
+        |cks AS (SELECT unnest(range(0, 20)) AS ck)
+        |SELECT ck,
+        |  CAST(SUM(COALESCE(nd, 0)) OVER (ORDER BY ck
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+        |  CAST(SUM(COALESCE(nt, 0)) OVER (ORDER BY ck
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY ck
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+        |FROM cks LEFT JOIN tc ON tc.b = cks.ck
+        |  LEFT JOIN fv ON fv.b = cks.ck
+        |ORDER BY ck""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH x AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings),
+        |cells AS (
+        |  SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS sxy
+        |  FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i
+        |  GROUP BY 1, 2),
+        |dims AS (SELECT i - 1 AS dim,
+        |           SUM(CAST(v AS DECIMAL(28,9))) AS sx
+        |         FROM x GROUP BY 1)
+        |SELECT CAST(cells.i AS BIGINT) AS i, CAST(cells.j AS BIGINT) AS j,
+        |  n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS cov
+        |FROM cells JOIN dims di ON di.dim = cells.i
+        |  JOIN dims dj ON dj.dim = cells.j
+        |ORDER BY i, j""".stripMargin,
 
     "q_validate" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows

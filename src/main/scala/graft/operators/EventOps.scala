@@ -59,6 +59,35 @@ object EventOps {
       .select(col("w.start").as("w_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** OHLC downsampling — the telemetry/metrics compaction every
+    * monitoring pipeline runs before long-term storage: per (series,
+    * hour) the opening value (first by (ts, id)), high, low, closing
+    * value (last by (ts, id)), event count, and the DECIMAL-exact value
+    * sum (the VWAP/mean numerator, kept as a sum so it stays
+    * order-independent). `min_by`/`max_by` on the exact DECIMAL key
+    * µs·2²⁰+id make open/close deterministic under same-timestamp
+    * events (the packed key overflows a long, and DuckDB's arg_min
+    * takes no struct keys — wide decimal is the portable total order).
+    * ONE grouped aggregation; group count is bounded by series×hours,
+    * never events. */
+  def ohlcBars(events: DataFrame, seriesCol: String = "event_type",
+               tsCol: String = "ts", valCol: String = "value",
+               idCol: String = "event_id"): DataFrame = {
+    val tie = unix_micros(col(tsCol))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(1048576L) + col(idCol)
+    events
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bar_ts"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valCol), tie).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), tie).as("close"),
+        sum(col(valCol).cast(
+          org.apache.spark.sql.types.DecimalType(28, 9))).as("sum_value"))
+  }
+
   /** Two-step conversion funnel: for each user with at least one `stepA`
     * event, the time of their first `stepA` and (when one exists) the
     * minimum delay to a `stepB` event at-or-after it within `withinUs`

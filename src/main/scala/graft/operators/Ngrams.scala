@@ -43,6 +43,51 @@ object Ngrams {
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc")).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Heaps-law vocabulary-growth curve — how fast the type count grows
+    * as the corpus grows (V ≈ K·Nᵝ): the corpus-QA screen that
+    * separates organic text (β ≈ 0.4–0.6) from template spam (β → 0:
+    * tokens grow, types don't) and OCR/noise floods (β → 1: every
+    * "word" is new), and the vocabulary-size forecaster a tokenizer
+    * budget reads. Ingest order = `idCol` order. Emits `checkpoints`
+    * rows: (ck, n_docs, n_tokens, vocab) — cumulative token mass and
+    * distinct-type count over the first ⌈(ck+1)/K⌉ of the id range;
+    * feed ln(vocab) vs ln(n_tokens) to [[Profiling.loglogFit]] for β.
+    *
+    * All-integer, engine-exact. Scale shape: tokens explode once; each
+    * type reduces to its FIRST id (min — one aggregation over the
+    * token table, the only corpus-sized shuffle); both curves then
+    * bucket into `checkpoints` cells and cumulate over a K-row window
+    * — the curve never materializes per-doc prefixes. */
+  def heapsLaw(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text",
+               checkpoints: Int = 20): DataFrame = {
+    require(checkpoints > 0)
+    val ids = docs.agg(max(col(idCol)).cast("long").as("__max"))
+    // bucket(doc) = ⌊id·K / (max+1)⌋ ∈ [0, K) — integer `div`, never
+    // IEEE double division (a boundary-exact product would round up)
+    val toksTbl = docs.crossJoin(broadcast(ids))
+      .select(expr(s"(cast($idCol as bigint) * $checkpoints)" +
+          " div (__max + 1)").as("__b"),
+        col(idCol).as("__id"),
+        explode(toks(col(textCol))).as("tok"))
+    val tokCum = toksTbl.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nt"), count_distinct(col("__id")).as("__nd"))
+    val firstSeen = toksTbl.groupBy(col("tok"))
+      .agg(min(col("__b")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__nv"))
+    val w = Window.orderBy(col("ck"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark(docs).range(checkpoints).select(col("id").as("ck"))
+      .join(tokCum.withColumnRenamed("__b", "ck"), Seq("ck"), "left")
+      .join(firstSeen.withColumnRenamed("__b", "ck"), Seq("ck"), "left")
+      .select(col("ck"),
+        sum(coalesce(col("__nd"), lit(0L))).over(w).as("n_docs"),
+        sum(coalesce(col("__nt"), lit(0L))).over(w).as("n_tokens"),
+        sum(coalesce(col("__nv"), lit(0L))).over(w).as("vocab"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+
   /** TF-IDF-style weights per (doc, token). The rarity factor is the
     * rational N/df rather than ln(N/df): exact in Double, so scores are
     * bit-reproducible across engines (the DuckDB oracle hash-compares

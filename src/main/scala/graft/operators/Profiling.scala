@@ -171,6 +171,56 @@ object Profiling {
         round(col("share_a") * log(col("share_a") / col("share_b")), 9))
   }
 
+  /** Population Stability Index — the model-monitoring industry's
+    * standard drift score, sitting next to [[distributionDrift]]'s KL
+    * and [[ksTwoSample]]'s KS: per key, (share_a − share_b)·ln(share_a
+    * / share_b) — always ≥ 0 per term, so contributions never cancel
+    * the way signed KL terms can (the property scorecard monitors want;
+    * rule of thumb: total < 0.1 stable, > 0.25 shifted). Same add-one
+    * smoothing over the union key set as the KL monitor, so one-sided
+    * keys contribute finite terms. Output per key: counts, smoothed
+    * shares, `psi_term` (9-dec rounded, engine-exact — shares divide
+    * exact longs, ln rounds once); the headline PSI is their sum. */
+  def psi(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    distributionDrift(a, b, keyCol)
+      .drop("kl_contrib")
+      .withColumn("psi_term",
+        round((col("share_a") - col("share_b")) *
+          log(col("share_a") / col("share_b")), 9))
+
+  /** Exact weighted percentiles per group — the lower weighted quantile
+    * (smallest value whose cumulative weight reaches p% of the group's
+    * total weight), all-integer until the output: the right statistic
+    * when rows carry mass (token counts, bytes, revenue) and "median
+    * document" should mean the median TOKEN's document, not the median
+    * row. Values collapse to (group, value, Σweight) first — grouped
+    * percentile state is bounded by distinct values — then ONE rank
+    * window per group over the collapsed table and one aggregate per
+    * requested percentile; the p·W threshold compares as 100·cum ≥
+    * pct·W in exact longs, so any engine reproduces the cut row.
+    * Null/non-positive weights drop. */
+  def weightedPercentiles(df: DataFrame, groupCol: String, valCol: String,
+                          weightCol: String,
+                          pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      s"percentiles must lie in (0, 100], got $pcts")
+    val byVal = df
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol).as("grp"), col(valCol).as("value"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal.select(col("grp"), col("value"),
+      sum(col("__w")).over(w).as("__cum"),
+      sum(col("__w")).over(Window.partitionBy(col("grp"))).as("__tot"))
+    cum.select(col("grp"), col("value"), col("__cum"), col("__tot"),
+        explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .filter(col("__cum") * 100 >= col("pct").cast("long") * col("__tot"))
+      .groupBy(col("grp"), col("pct"))
+      .agg(min(col("value")).as("value"))
+  }
+
   /** Key-skew report: the `k` heaviest values of `keyCol` with their row
     * counts and corpus share — the diagnostic that decides whether a
     * join on this key needs salting ([[Joins.saltedJoin]]) or AQE skew
@@ -358,6 +408,23 @@ object Profiling {
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") < k)
+  }
+
+  /** l-diversity audit — [[kAnonymityViolations]]' necessary companion:
+    * a k-anonymous group is still attackable when everyone in it shares
+    * the SAME sensitive value (homogeneity attack — group size says
+    * nothing about what the group reveals). Reports every
+    * quasi-identifier combination whose count of DISTINCT sensitive
+    * values falls below `l`, with group size and the diversity count.
+    * One hash aggregation (count + count_distinct on the quasi keys);
+    * output is violation-sized, empty = l-diverse. */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(sensitiveCol)).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") < l)
   }
 
   /** EXACT heavy hitters with sketch-bounded shuffle: every value of

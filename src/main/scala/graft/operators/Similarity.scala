@@ -877,6 +877,51 @@ object Similarity {
       .select("src", "dst", "sim")
   }
 
+  /** Upper-triangle covariance matrix of the embedding dimensions — the
+    * model-state input to PCA / whitening / Matryoshka-style dimension
+    * pruning and the redundancy audit [[dimVariance]] can't see (two
+    * perfectly correlated dimensions each look healthy alone): cell
+    * (i, j ≥ i) carries cov = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n². One flattened
+    * per-row pair array + one explode feeds a d(d+1)/2-cell aggregation
+    * (map-side partials collapse each task to ≤ d² cells — the shuffle
+    * carries cells, not rows); per-dim sums re-aggregate from the same
+    * explode and broadcast back onto the cells. Products are exact
+    * doubles summed as DECIMAL(38,12), dim sums ride DECIMAL(28,9)
+    * like [[dimVariance]], and the closing form evaluates in one fixed
+    * double order — engine-exact. Output: d(d+1)/2 rows, model-sized. */
+  def embedCovariance(vecs: DataFrame, vecCol: String = "embedding")
+      : DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val v = col(vecCol)
+    val d = size(v)
+    val cells = vecs.select(explode(flatten(
+        transform(sequence(lit(0), d - 1), i =>
+          transform(sequence(i, d - 1), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(v, i + 1).cast("double") *
+                element_at(v, j + 1).cast("double")).as("xy"))))))
+        .as("c"))
+      .groupBy(col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c.xy").cast(dec12)).as("__sxy"))
+    val dims = vecs
+      .select(posexplode(v).as(Seq("dim", "__x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(col("__x").cast(dec9)).as("__sx"))
+    cells
+      .join(broadcast(dims.select(col("dim").as("i"),
+        col("__sx").as("__si"))), "i")
+      .join(broadcast(dims.select(col("dim").as("j"),
+        col("__sx").as("__sj"))), "j")
+      .select(col("i"), col("j"), col("n"),
+        round((col("n").cast("double") * col("__sxy").cast("double") -
+          col("__si").cast("double") * col("__sj").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double")), 9)
+          .as("cov"))
+  }
+
   /** Margin-based cross-corpus alignment mining (the LASER bitext-mining
     * criterion — Artetxe & Schwenk, ACL 2019 §3: ratio margin): for each
     * source vector, its best cosine match on the target side scored by

@@ -11,6 +11,27 @@ class EventOpsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("ohlcBars: open/close by (ts, id) tie order, exact decimal sum, " +
+       "null values drop") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:05:00"), Some(5.0)),
+      (2L, ts("2024-01-01 10:05:00"), Some(1.0)),  // same ts: id breaks tie
+      (3L, ts("2024-01-01 10:50:00"), Some(9.0)),
+      (4L, ts("2024-01-01 10:55:00"), Some(2.0)),
+      (5L, ts("2024-01-01 10:59:00"), None),        // null: dropped
+      (6L, ts("2024-01-01 11:01:00"), Some(7.0)))
+      .toDF("event_id", "ts", "value")
+      .withColumn("event_type", lit("m"))
+    val out = EventOps.ohlcBars(ev)
+      .select("bar_ts", "n", "open", "high", "low", "close")
+      .as[(Timestamp, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1.getTime)
+    assert(out.length === 2)
+    assert(out(0) === ((ts("2024-01-01 10:00:00"), 4L, 5.0, 9.0, 1.0, 2.0)),
+      s"open = earliest (lowest id on tie), close = latest, got ${out(0)}")
+    assert(out(1)._2 === 1L && out(1)._3 === 7.0 && out(1)._6 === 7.0)
+  }
+
   test("cohortRetention: first-event cohorts, distinct users per offset") {
     // u1 first in Jan, active Jan+Feb+Apr (two Feb events count once);
     // u2 first in Jan, active Jan only; u3 first in Feb, active Feb+Mar

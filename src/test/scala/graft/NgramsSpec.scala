@@ -14,6 +14,24 @@ class NgramsSpec extends SparkTestBase {
     (4L, "solo")
   ).toDF("doc_id", "text")
 
+  test("heapsLaw: cumulative docs/tokens/types at ingest-order " +
+       "checkpoints, exact integers") {
+    // doc i carries tokens t0..ti → type t_j first appears in doc j;
+    // 5 checkpoints over ids 0..9 bucket docs {2b, 2b+1}
+    val growth = (0 until 10).map(i =>
+      (i.toLong, (0 to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Ngrams.heapsLaw(growth, checkpoints = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length === 5)
+    out.foreach { case (b, nDocs, nToks, vocab) =>
+      val hi = (2 * b + 1).toInt
+      assert(nDocs === 2 * b + 2)
+      assert(vocab === hi + 1, s"types at ck $b")
+      assert(nToks === (0 to hi).map(_ + 1).sum.toLong, s"tokens at ck $b")
+    }
+  }
+
   test("vocabulary counts tf and df with a min-df floor") {
     val v = Ngrams.vocabulary(docs, minDf = 1)
       .as[(String, Long, Long)].collect()

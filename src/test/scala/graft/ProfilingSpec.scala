@@ -562,6 +562,57 @@ class ProfilingSpec extends SparkTestBase {
       Seq((5L, 1L, 0.5, 1.0, -0.5)))
   }
 
+  test("psi: nonnegative terms, symmetric total, smoothing keeps " +
+       "one-sided keys finite") {
+    val a = (Seq.fill(8)("x") ++ Seq.fill(2)("y")).map(Tuple1(_)).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(8)("z")).map(Tuple1(_)).toDF("k")
+    val out = Profiling.psi(a, b, "k")
+      .select("k", "psi_term").as[(String, Double)].collect().toMap
+    assert(out.keySet === Set("x", "y", "z"),
+      "union keys, one-sided included")
+    assert(out.values.forall(_ >= 0.0), "PSI terms never go negative")
+    // swapping sides leaves every term unchanged (PSI is symmetric)
+    val swapped = Profiling.psi(b, a, "k")
+      .select("k", "psi_term").as[(String, Double)].collect().toMap
+    assert(out === swapped)
+    // identical corpora: every term 0
+    assert(Profiling.psi(a, a, "k").select("psi_term").as[Double]
+      .collect().forall(_ === 0.0))
+  }
+
+  test("weightedPercentiles: lower weighted quantile in exact integer " +
+       "arithmetic; zero/null weights drop") {
+    // group g: values 1(w=1), 2(w=7), 3(w=2) → W=10; p25 → cum≥2.5 → 2;
+    // p50 → cum≥5 → 2 (cum 8); p75 → 2; p90 → cum≥9 → 3
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 4L), ("g", 2.0, 3L),
+        ("g", 3.0, 2L), ("g", 4.0, 0L))
+      .toDF("grp", "v", "w")
+    val out = Profiling.weightedPercentiles(df, "grp", "v", "w")
+      .select("pct", "value").as[(Int, Double)].collect().toMap
+    assert(out === Map(25 -> 2.0, 50 -> 2.0, 75 -> 2.0, 90 -> 3.0))
+    // boundary exactness: W=4, p50 threshold 100·cum >= 50·4 → cum 2
+    // EXACTLY reaches it — the first value is the median, no rounding
+    val edge = Seq(("h", 1.0, 2L), ("h", 9.0, 2L)).toDF("grp", "v", "w")
+    assert(Profiling.weightedPercentiles(edge, "grp", "v", "w",
+        pcts = Seq(50))
+      .select("value").as[Double].head() === 1.0)
+  }
+
+  test("lDiversityViolations: homogeneous groups flag, diverse groups " +
+       "pass regardless of size") {
+    val df = Seq(
+      ("a", "s1"), ("a", "s1"), ("a", "s1"),     // big but homogeneous
+      ("b", "s1"), ("b", "s2"),                  // small but diverse
+      ("c", "s1"), ("c", "s1"), ("c", "s2"), ("c", "s3"))
+      .toDF("quasi", "sens")
+    val out = Profiling.lDiversityViolations(df, Seq("quasi"), "sens", 3L)
+      .select("quasi", "n_rows", "n_distinct_sensitive")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map("a" -> ((3L, 1L)), "b" -> ((2L, 2L))),
+      "a and b fall under l=3; c is 3-diverse")
+  }
+
   test("equiWidthHistogram: floor-divide buckets, exact ranges, " +
        "negatives land below zero") {
     val df = Seq(-25.0, -1.0, 0.0, 9.9, 10.0, 19.5, 42.0)

@@ -419,6 +419,24 @@ class SimilaritySpec extends SparkTestBase {
       s"the anti-aligned row must land below floor, got ${out(1)}")
   }
 
+  test("embedCovariance: upper-triangle cells match the closed form") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, Array(5.0f, 12.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embedCovariance(vecs)
+      .select("i", "j", "n", "cov")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // n=3; Σx=9, Σy=18; Σx²=35, Σxy=74, Σy²=164
+    assert(out.keySet === Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(out((0L, 0L)) === ((3L, BigDecimal(24.0 / 9)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out((0L, 1L))._2 === BigDecimal(60.0 / 9)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out((1L, 1L))._2 === BigDecimal(168.0 / 9)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("dimVariance: exact per-dimension moments; dead dims read 0") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f, 7.0f)),
