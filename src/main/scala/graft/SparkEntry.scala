@@ -897,6 +897,20 @@ object SparkEntry {
       Dedup.allPairsCosine(t(s, d, "documents"), "doc_id", "text", 0.6)
         .orderBy("doc_a", "doc_b")),
 
+    // ---- E2/E26 blocking-quality audit: SNM (lang block, length sort,
+    // window 3) candidates measured against the exhaustive PPJoin truth
+    // at the same 0.5 threshold — pair completeness (blocker recall) +
+    // reduction ratio (share of the n² space avoided) ----
+    "q_blocking_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val truth = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.5)
+        .select("doc_a", "doc_b")
+      val cand = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+          col("lang"), col("n_chars"), window = 3, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      Dedup.blockingQuality(truth, cand, docs.count())
+    }),
+
     // ---- E2 EXACT directional containment join (subsumed-document /
     // quote-containment primitive; prefix-filtered on the contained
     // side only — see Dedup.containmentJoin) ----
@@ -928,6 +942,13 @@ object SparkEntry {
       Similarity.sourceCoherence(t(s, d, "embeddings"), "label",
           floor = 0.0)
         .orderBy("grp")),
+
+    // ---- E3 label-separability audit: own-centroid cosine minus the
+    // best foreign-centroid cosine per vector (simplified centroid
+    // silhouette) — the classifier go/no-go over these labels ----
+    "q_label_separability" -> ((s, d) =>
+      Similarity.labelSeparability(t(s, d, "embeddings"), "label")
+        .orderBy("label")),
 
     "q_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -3235,6 +3256,42 @@ object SparkEntry {
       Similarity.embedCovariance(t(s, d, "embeddings"))
         .orderBy("i", "j")),
 
+    // ---- E15 Neyman-optimal stratified allocation: a 1000-row sample
+    // budget split across return-flag strata by N_h·sigma_h (big AND
+    // varied strata earn budget), largest-remainder integerization ----
+    "q_neyman_alloc" -> ((s, d) =>
+      Mixing.neymanAllocation(t(s, d, "lineitem"), "l_returnflag",
+          "l_extendedprice", totalN = 1000L)
+        .orderBy("stratum")),
+
+    // ---- E20 operating-point picker: lowest quality-score threshold
+    // whose kept set still meets 50% Gopher-pass precision — the cut a
+    // filter rollout deploys (calibration says trust; this says where)
+    "q_threshold_precision" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      operators.Profiling.thresholdForPrecision(
+        docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score"),
+          TextAnalysis.gopherPass(col("text"), minWords = 20)
+            .as("label")),
+        "score", "label", targetBp = 5000)
+    }),
+
+    // ---- E6 Markov next-event baseline: per-state argmax prediction
+    // + in-sample hit rate — the floor a sequence model must beat ----
+    "q_next_event_hitrate" -> ((s, d) =>
+      EventOps.nextEventHitRate(t(s, d, "events"))
+        .orderBy("from_type")),
+
+    // ---- E6 churn-label builder: point-in-time wall at Jan 20 of the
+    // one-month corpus, 7-day horizon — the leakage-safe label half of
+    // a churn training set (features compose from <= cutoff) ----
+    "q_churn_labels" -> ((s, d) =>
+      EventOps.churnLabels(t(s, d, "events"),
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          horizonDays = 7)
+        .orderBy("user_id")),
+
     // ---- E20 constraint-suite validation in one scan (the pre-commit
     // expectation gate): violation counts + verdicts per rule; two
     // rules pass, two fail by construction so counts are exercised ----
@@ -4256,6 +4313,64 @@ object SparkEntry {
         |            JOIN sh b ON b.doc_id = cand.doc_b)
         |WHERE jaccard >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // truth = brute-force Jaccard >= 0.5; candidates = the SNM window
+    // pair list; completeness + reduction from the same CTEs
+    "q_blocking_quality" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+        |tc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |    FROM tc JOIN sh x ON x.doc_id = tc.doc_a
+        |            JOIN sh y ON y.doc_id = tc.doc_b)
+        |  WHERE jaccard >= 0.5),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS rk
+        |  FROM documents),
+        |snm AS (
+        |  SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+        |  FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |    FROM (
+        |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM r a JOIN r b
+        |        ON a.lang = b.lang AND b.rk - a.rk BETWEEN 1 AND 3)
+        |    JOIN (SELECT doc_id, sh AS s FROM sh) x ON x.doc_id = doc_a
+        |    JOIN (SELECT doc_id, sh AS s FROM sh) y ON y.doc_id = doc_b)
+        |  WHERE jaccard >= 0.5
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |cnts AS (
+        |  SELECT
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM snm) AS n_cand,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM snm
+        |     WHERE EXISTS (SELECT 1 FROM truth
+        |       WHERE truth.a = snm.a AND truth.b = snm.b)) AS n_hit)
+        |SELECT n_truth, n_cand, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) /
+        |    (CASE WHEN n_truth > 0 THEN CAST(n_truth AS DOUBLE) END), 9)
+        |    AS pair_completeness,
+        |  round(1.0 - CAST(n_cand AS DOUBLE)
+        |    / (CAST(n.n * (n.n - 1) / 2 AS DOUBLE)), 9) AS reduction_ratio
+        |FROM cnts, (SELECT n FROM nn) n""".stripMargin,
 
     // brute-force pair list at threshold 0.5, endpoints' sources
     // canonicalized (least/greatest) and counted per cell
@@ -7244,6 +7359,151 @@ object SparkEntry {
         |FROM cells JOIN dims di ON di.dim = cells.i
         |  JOIN dims dj ON dj.dim = cells.j
         |ORDER BY i, j""".stripMargin,
+
+    // own-centroid cosine minus best foreign-centroid cosine, both
+    // 9-dec-rounded before the (re-rounded) difference, over the same
+    // exact-decimal SUM centroids as q_source_coherence
+    "q_label_separability" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, vec_id, unnest(v) AS val,
+        |             generate_subscripts(v, 1) AS dim FROM e),
+        |m AS (SELECT label, dim,
+        |    CAST(CAST(CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE)
+        |      AS REAL) AS DOUBLE) AS mv
+        |  FROM x GROUP BY label, dim),
+        |c AS (SELECT label AS clab, list(mv ORDER BY dim) AS cent
+        |      FROM m GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label, c.clab,
+        |    round(list_dot_product(e.v, c.cent)
+        |      / (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(c.cent, c.cent))), 9) AS cs
+        |  FROM e CROSS JOIN c),
+        |mg AS (SELECT vec_id, label,
+        |    round(MAX(CASE WHEN clab = label THEN cs END)
+        |      - MAX(CASE WHEN clab <> label THEN cs END), 9) AS m
+        |  FROM s GROUP BY vec_id, label)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(m AS DECIMAL(28,9))) AS DOUBLE)
+        |    / COUNT(*), 9) AS mean_margin,
+        |  CAST(SUM(CASE WHEN m < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative
+        |FROM mg GROUP BY label ORDER BY label""".stripMargin,
+
+    // the q_calibration score/label CTEs feeding the cumulative
+    // precision curve; integer 10000·pos >= bp·n comparison
+    "q_threshold_precision" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |      AS DOUBLE) AS symbols,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS DOUBLE) AS numerals,
+        |    (LEAST(CAST(LENGTH(text) AS DOUBLE) / CAST(200.0 AS DOUBLE),
+        |           CAST(1.0 AS DOUBLE))
+        |     + CASE WHEN LENGTH(text) > 0
+        |            THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |                 / CAST(LENGTH(text) AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END
+        |     + CASE WHEN len(string_split(text, ' ')) > 0
+        |                 AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3
+        |                 AND CAST(LENGTH(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10
+        |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+        |    ) / CAST(3.0 AS DOUBLE) AS score
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, score,
+        |    (n_words >= 20 AND n_words <= 100000
+        |     AND (CASE WHEN n_words > 0
+        |          THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END)
+        |         BETWEEN 3.0 AND 10.0
+        |     AND (CASE WHEN n_words > 0
+        |          THEN symbols / n_words ELSE 1.0 END) < 0.1
+        |     AND (CASE WHEN n_chars > 0
+        |          THEN numerals / n_chars ELSE 1.0 END) < 0.2) AS label
+        |  FROM t),
+        |b AS (SELECT round(score, 9) AS threshold, COUNT(*) AS n,
+        |        SUM(CASE WHEN label THEN 1 ELSE 0 END) AS p
+        |      FROM g GROUP BY 1),
+        |c AS (SELECT threshold,
+        |        SUM(n) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING) AS n_kept,
+        |        SUM(p) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING) AS n_pos_kept
+        |      FROM b)
+        |SELECT threshold, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_pos_kept AS BIGINT) AS n_pos_kept,
+        |  round(CAST(n_pos_kept AS DOUBLE) / n_kept, 9) AS kept_precision
+        |FROM c WHERE n_pos_kept * 10000 >= 5000 * n_kept
+        |ORDER BY n_kept DESC, threshold LIMIT 1""".stripMargin,
+
+    "q_neyman_alloc" ->
+      """WITH st AS (
+        |  SELECT l_returnflag AS stratum, COUNT(*) AS n_rows,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS sx,
+        |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,9)))
+        |      AS sxx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT stratum, n_rows,
+        |    round(sqrt(greatest(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |      / n_rows, 9) AS sd
+        |  FROM st),
+        |w AS (SELECT *, round(n_rows * sd, 9) AS wt FROM s2),
+        |t AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(38,9))) AS DOUBLE) AS tw
+        |      FROM w),
+        |sh AS (SELECT stratum, n_rows, sd,
+        |    CASE WHEN tw > 0 THEN 1000.0 * wt / tw ELSE 0.0 END AS share
+        |  FROM w, t),
+        |f AS (SELECT *, CAST(FLOOR(share) AS BIGINT) AS fl FROM sh),
+        |r AS (SELECT *, row_number() OVER (ORDER BY share - fl DESC,
+        |        stratum) AS rk,
+        |      SUM(fl) OVER () AS tf FROM f)
+        |SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows, sd,
+        |  CAST(fl + CASE WHEN rk <= 1000 - tf THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc,
+        |  CAST(LEAST(fl + CASE WHEN rk <= 1000 - tf THEN 1 ELSE 0 END,
+        |    n_rows) AS BIGINT) AS alloc_capped
+        |FROM r ORDER BY stratum""".stripMargin,
+
+    // cutoff wall at epoch-µs of 2024-01-20 UTC; horizon 7 days
+    "q_churn_labels" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN epoch_us(ts) <= 1705708800000000
+        |        THEN epoch_us(ts) END) AS last_seen_us,
+        |    SUM(CASE WHEN epoch_us(ts) <= 1705708800000000
+        |        THEN 1 ELSE 0 END) AS n_events_before,
+        |    max(CASE WHEN epoch_us(ts) > 1705708800000000
+        |             AND epoch_us(ts) <= 1705708800000000 + 604800000000
+        |        THEN 1 ELSE 0 END) AS active_after
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, last_seen_us,
+        |  CAST(n_events_before AS BIGINT) AS n_events_before,
+        |  (active_after = 0) AS churned
+        |FROM b WHERE n_events_before > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q_next_event_hitrate" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pp AS (SELECT * FROM p WHERE nxt IS NOT NULL),
+        |c AS (SELECT from_type, nxt, count(*) AS c FROM pp GROUP BY 1, 2),
+        |pr AS (SELECT from_type, nxt AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY from_type
+        |      ORDER BY c DESC, nxt) AS r FROM c) WHERE r = 1)
+        |SELECT pp.from_type, predicted,
+        |  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |  CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 9) AS hit_rate
+        |FROM pp JOIN pr USING (from_type)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_validate" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows

@@ -555,6 +555,44 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame =
     simhashPairs(simhashDf(df, idCol, textCol), maxHamming)
 
+  /** Blocking-quality audit (pair completeness + reduction ratio —
+    * Christen, "Data Matching" 2012 §7.4): given a TRUTH pair set (from
+    * an exhaustive pass like [[allPairsJaccard]] on a sample) and the
+    * pair set a cheaper blocking scheme produced ([[sortedNeighborhood]],
+    * LSH bands, …), report how much of the truth the blocker keeps
+    * (pair completeness = its recall) and how much of the n·(n−1)/2
+    * comparison space it avoided (reduction ratio). THE tuning readout
+    * for blocking keys/window sizes before a scheme is trusted at
+    * 100 TB — a blocker is exactly as good as this trade-off. Both
+    * inputs canonicalize (least, greatest) and de-dup, so orientation
+    * conventions don't skew counts; one semi join + three one-row
+    * aggregates. `pair_completeness` is NULL when the truth is empty
+    * (nothing to recall). */
+  def blockingQuality(truthPairs: DataFrame, candPairs: DataFrame,
+                      nRows: Long): DataFrame = {
+    require(nRows >= 2)
+    def canon(df: DataFrame): DataFrame = {
+      val c = df.columns
+      df.select(least(col(c(0)), col(c(1))).as("a"),
+          greatest(col(c(0)), col(c(1))).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    val t = canon(truthPairs)
+    val c = canon(candPairs)
+    val hits = c.join(t, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val space = nRows * (nRows - 1) / 2
+    t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hits))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          when(col("n_truth") > 0, col("n_truth").cast("double")), 9)
+          .as("pair_completeness"),
+        round(lit(1.0) - col("n_cand").cast("double") / lit(space.toDouble),
+          9).as("reduction_ratio"))
+  }
+
   /** CROSS-table twin of [[simhashPairs]] — the ingest-time probe: every
     * (left, right) pair whose signatures sit within `maxHamming` bits
     * (`maxHamming` ≤ 3 is CERTAIN recall by the 16-bit-chunk pigeonhole

@@ -88,6 +88,72 @@ object EventOps {
           org.apache.spark.sql.types.DecimalType(28, 9))).as("sum_value"))
   }
 
+  /** Churn-label builder — the leakage-safe label half of a churn
+    * model's training set: for every user ACTIVE in the observation
+    * window (any event at or before `cutoff`), churned = no event in
+    * (cutoff, cutoff + horizon]. The cutoff is the point-in-time wall:
+    * features must come from ≤ cutoff (compose an as-of join /
+    * pre-cutoff aggregate), the label only from the horizon — computed
+    * here in one pass so the two can't contaminate each other. Emits
+    * per user: last pre-cutoff activity (epoch-µs, engine-exact),
+    * pre-cutoff event count, and the boolean label. One user-keyed
+    * conditional aggregate; users first seen AFTER the cutoff are
+    * excluded (they have no observation window to learn from). */
+  def churnLabels(events: DataFrame, cutoff: java.sql.Timestamp,
+                  horizonDays: Int, userCol: String = "user_id",
+                  tsCol: String = "ts"): DataFrame = {
+    require(horizonDays > 0)
+    val cutUs = cutoff.getTime * 1000L
+    val horizonUs = horizonDays.toLong * 86400000000L
+    val us = unix_micros(col(tsCol))
+    events
+      .groupBy(col(userCol))
+      .agg(
+        max(when(us <= cutUs, us)).as("last_seen_us"),
+        sum(when(us <= cutUs, 1L).otherwise(0L)).as("n_events_before"),
+        max(when(us > cutUs && us <= cutUs + horizonUs, 1L)
+          .otherwise(0L)).as("__active_after"))
+      .filter(col("n_events_before") > 0)
+      .select(col(userCol), col("last_seen_us"), col("n_events_before"),
+        (col("__active_after") === 0L).as("churned"))
+  }
+
+  /** Markov next-event baseline — the floor every sequence model must
+    * beat, and the journey-predictability report by itself: for each
+    * state, the corpus-global most-likely next event (argmax over the
+    * transition counts, (cnt DESC, type ASC) deterministic) and the
+    * in-sample hit rate that constant prediction achieves. A state
+    * with a high hit rate is rail-like UI flow; low hit rates mark the
+    * branch points worth personalizing. One user-keyed lead window
+    * builds the transition pairs (the only corpus shuffle); the model
+    * is a |states|²-row aggregate, its argmax broadcasts back onto the
+    * |states|-row report. */
+  def nextEventHitRate(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("__to"))
+      .filter(col("__to").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("__to"))
+      .agg(count(lit(1)).as("__c"))
+    val rw = Window.partitionBy(col("from_type"))
+      .orderBy(col("__c").desc, col("__to"))
+    val pred = counts.withColumn("__r", row_number().over(rw))
+      .filter(col("__r") === 1)
+      .select(col("from_type"), col("__to").as("predicted"))
+    pairs.join(broadcast(pred), "from_type")
+      .groupBy(col("from_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("__to") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .withColumn("hit_rate",
+        round(col("n_hits").cast("double") / col("n_transitions"), 9))
+  }
+
   /** Two-step conversion funnel: for each user with at least one `stepA`
     * event, the time of their first `stepA` and (when one exists) the
     * minimum delay to a `stepB` event at-or-after it within `withinUs`

@@ -695,6 +695,58 @@ object Mixing {
     * engine- and layout-exact. One grouped window; the rank ≤ k cut
     * fuses into the sort via WindowGroupLimit, so no stratum ever
     * materializes fully. */
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): given a
+    * total budget of `totalN` sampled rows, allocate nₕ ∝ Nₕ·Sₕ — more
+    * budget to big AND internally-varied strata — the allocation that
+    * minimizes the stratified estimator's variance at fixed cost. The
+    * planning half of stratified sampling: feed `alloc` per stratum to
+    * [[hashSample]]/[[deterministicGroupSample]] to execute the draw.
+    *
+    * Engine-exact: population σ comes from exact-DECIMAL sums via the
+    * fixed-order closed form (9-dec rounded), weights Nₕ·σₕ round once
+    * more, and integerization is largest-remainder with a (fraction
+    * DESC, stratum) tie-break — any engine reproduces the same integer
+    * allocation. Zero-variance strata get 0 (one row tells you
+    * everything; the caller seeds certainty strata separately). `alloc`
+    * may exceed Nₕ for extreme σ — `alloc_capped` clamps; the freed
+    * budget cascade is [[allocateBudget]]'s job. One grouped aggregate
+    * + one strata-bounded window. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valCol: String,
+                       totalN: Long): DataFrame = {
+    require(totalN > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+    val x = col(valCol).cast("double")
+    val st = df.filter(x.isNotNull)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x.cast(dec)).as("__sx"),
+        sum((x * x).cast(dec)).as("__sxx"))
+      .select(col("stratum"), col("n_rows"),
+        round(sqrt(greatest(
+          col("n_rows").cast("double") * col("__sxx").cast("double") -
+            col("__sx").cast("double") * col("__sx").cast("double"),
+          lit(0.0))) / col("n_rows"), 9).as("sd"))
+    val wgt = st.withColumn("__w", round(col("n_rows") * col("sd"), 9))
+    val tot = wgt.agg(
+      sum(col("__w").cast(dec)).cast("double").as("__tw"))
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rw = Window.partitionBy(lit(1))
+      .orderBy((col("__share") - col("__floor")).desc, col("stratum"))
+    wgt.crossJoin(broadcast(tot))
+      .withColumn("__share", when(col("__tw") > 0,
+        lit(totalN.toDouble) * col("__w") / col("__tw"))
+        .otherwise(lit(0.0)))
+      .withColumn("__floor", floor(col("__share")).cast("long"))
+      .withColumn("__rank", row_number().over(rw))
+      .withColumn("__tf", sum(col("__floor")).over(whole))
+      .select(col("stratum"), col("n_rows"), col("sd"),
+        (col("__floor") + when(
+          col("__rank") <= lit(totalN) - col("__tf"), 1L).otherwise(0L))
+          .as("alloc"))
+      .withColumn("alloc_capped", least(col("alloc"), col("n_rows")))
+  }
+
   def weightedPrioritySample(df: DataFrame, strataCol: String,
                              idCol: String, weightCol: String,
                              k: Int): DataFrame = {

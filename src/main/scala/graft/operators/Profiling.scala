@@ -839,6 +839,44 @@ object Profiling {
             col("n_b")).cast("double")).as("bound_ok"))
   }
 
+  /** Operating-point picker for a score-gated filter: the LOWEST score
+    * threshold whose kept set still meets a target precision on a
+    * labeled sample — i.e. the most-coverage cut that satisfies the
+    * quality bar, the number a corpus-filter rollout actually deploys
+    * ([[calibration]] says whether to trust the score; this says where
+    * to cut it). Target arrives in basis points so the comparison is
+    * exact integers (10000·cum_pos ≥ bp·cum_n) — no float precision
+    * boundary. Rows collapse per distinct score (bounded state), ONE
+    * descending window computes the cumulative precision curve, and
+    * the answer is the max-coverage qualifying cut. Output: one row
+    * (threshold, n_kept, n_pos_kept, precision) — empty when no cut
+    * meets the bar. */
+  def thresholdForPrecision(df: DataFrame, scoreCol: String,
+                            labelCol: String,
+                            targetBp: Int): DataFrame = {
+    require(targetBp > 0 && targetBp <= 10000,
+      s"target is basis points in (0, 10000], got $targetBp")
+    val byScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(round(col(scoreCol).cast("double"), 9).as("threshold"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__p"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .select(col("threshold"),
+        sum(col("__n")).over(w).as("n_kept"),
+        sum(col("__p")).over(w).as("n_pos_kept"))
+      .filter(col("n_pos_kept") * 10000 >= lit(targetBp.toLong) *
+        col("n_kept"))
+      .orderBy(col("n_kept").desc, col("threshold"))
+      .limit(1)
+      .select(col("threshold"), col("n_kept"), col("n_pos_kept"),
+        round(col("n_pos_kept").cast("double") / col("n_kept"), 9)
+          .as("kept_precision"))
+  }
+
   /** Reliability / calibration table for a [0, 1] score against a
     * boolean outcome — the table behind a reliability diagram and ECE:
     * rows bucket by ⌊score·bins⌋ (top-clamped), each bucket reports n,

@@ -1036,6 +1036,47 @@ object Similarity {
         sum(when(col("__cos") < floor, 1L).otherwise(0L)).as("n_below"))
   }
 
+  /** Label-separability audit — "do my labels exist in embedding
+    * space?": every vector scores cosine to its OWN label's
+    * [[groupCentroids]] centroid minus its best cosine to any OTHER
+    * label's centroid (a simplified centroid silhouette). Per label:
+    * n, mean margin, and the count of negative-margin rows (vectors
+    * sitting closer to a foreign centroid — mislabeled or inseparable).
+    * The go/no-go a team runs before training a classifier on these
+    * labels, and the k-selection signal for coarse quantizers.
+    * Centroids are |labels|×dim model state bound in as one broadcast;
+    * the corpus streams once through a |labels|-wide scored projection
+    * (greatest over the foreign centroids — no explode, no per-label
+    * join); engine-exact (9-dec rounds, DECIMAL sums). */
+  def labelSeparability(vecs: DataFrame, labelCol: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val spark0 = vecs.sparkSession
+    import spark0.implicits._
+    // |labels|×dim model state — the bounded-collect contract
+    val cents = groupCentroids(vecs, labelCol, vecCol)
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    require(cents.length >= 2, "separability needs at least two labels")
+    val centArr = typedLit(cents.map(_._2))
+    val labArr = typedLit(cents.map(_._1))
+    val v = col("__v")
+    def cosTo(i: Column) = round(cosine(v, element_at(centArr, i + 1)), 9)
+    val ownIdx = array_position(labArr, col("__lab")).cast("int") - 1
+    val others = filter(sequence(lit(0), lit(cents.length - 1)),
+      i => i =!= ownIdx)
+    val scored = Ops.spread(vecs.select(col(labelCol).as("__lab"),
+        col(idCol), col(vecCol).as("__v")), col(idCol))
+      .select(col("__lab"),
+        round(cosTo(ownIdx) -
+          array_max(transform(others, i => cosTo(i))), 9).as("__m"))
+    scored.groupBy(col("__lab").as("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__m").cast(
+            org.apache.spark.sql.types.DecimalType(28, 9)))
+          .cast("double") / count(lit(1)), 9).as("mean_margin"),
+        sum(when(col("__m") < 0, 1L).otherwise(0L)).as("n_negative"))
+  }
+
   /** Per-dimension embedding health audit: count, mean, variance and
     * min/max for every vector dimension — the pre-index screen that
     * catches dead dimensions (variance 0 — wasted index bytes and a

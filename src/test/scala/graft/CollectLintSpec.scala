@@ -17,9 +17,10 @@ class CollectLintSpec extends AnyFunSuite {
 
   /** file → (allowed `.collect()` count, why each site is bounded). */
   private val registry: Map[String, (Int, String)] = Map(
-    "operators/Similarity.scala" -> (9,
-      "k-means seed/mean + IVF centroid tables (nlist×dim) and PQ " +
-      "codebooks (m×ksub×subdim) bound into native expressions"),
+    "operators/Similarity.scala" -> (10,
+      "k-means seed/mean + IVF centroid tables (nlist×dim), PQ " +
+      "codebooks (m×ksub×subdim), and labelSeparability's |labels|×dim " +
+      "centroid table, all bound into expressions as model state"),
     "operators/CorpusPipeline.scala" -> (1,
       "per-source keep-rate map (|sources| rows) for the quality cut"),
     "operators/Mixing.scala" -> (1,

@@ -558,6 +558,24 @@ class DedupSpec extends SparkTestBase {
       "canonical (s1,s2) cell; the unique doc appears nowhere")
   }
 
+  test("blockingQuality: completeness vs truth, reduction vs the pair " +
+       "space, orientation canonicalized") {
+    import graft.operators.Dedup
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // candidates arrive flipped + one dup + one extra pair
+    val cand = Seq((2L, 1L), (1L, 2L), (4L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val Array(r) = Dedup.blockingQuality(truth, cand, nRows = 6L)
+      .as[(Long, Long, Long, Option[Double], Double)].collect()
+    assert(r === ((2L, 3L, 2L, Some(1.0), 0.8)),
+      s"2/2 truth recalled, 3 of 15 pairs generated -> rr 0.8, got $r")
+    // empty truth: completeness NULL, never a divide error
+    val Array(r2) = Dedup.blockingQuality(
+        truth.limit(0), cand, nRows = 6L)
+      .as[(Long, Long, Long, Option[Double], Double)].collect()
+    assert(r2._1 === 0L && r2._4.isEmpty)
+  }
+
   test("softDedupWeights: 1/cluster-size weights, singletons keep 1.0") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (5L, "a b c d"),

@@ -11,6 +11,50 @@ class EventOpsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("churnLabels: active-before users label by horizon silence; " +
+       "post-cutoff arrivals excluded") {
+    val cutoff = ts("2024-01-20 00:00:00")
+    val ev = Seq(
+      // u1: active before, active in horizon → not churned
+      (1L, ts("2024-01-10 00:00:00"), 1L, "e"),
+      (2L, ts("2024-01-22 00:00:00"), 1L, "e"),
+      // u2: active before, silent in horizon, active after → churned
+      (3L, ts("2024-01-15 00:00:00"), 2L, "e"),
+      (4L, ts("2024-01-29 00:00:00"), 2L, "e"),
+      // u3: first seen after cutoff → excluded
+      (5L, ts("2024-01-21 00:00:00"), 3L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.churnLabels(ev, cutoff, horizonDays = 7)
+      .select("user_id", "n_events_before", "churned")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((1L, 1L, false)))
+    assert(out(2L) === ((2L, 1L, true)),
+      "an event AFTER the horizon must not rescue the label")
+  }
+
+  test("nextEventHitRate: per-state argmax prediction, deterministic " +
+       "tie, in-sample hit rate") {
+    // user 1: A→B, B→A, A→B ; user 2: A→C
+    // from A: B twice, C once → predict B; hits 2/3
+    // from B: A once → predict A; hits 1/1
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "B"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "A"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "B"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "A"),
+      (6L, ts("2024-01-01 10:05:00"), 2L, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.nextEventHitRate(ev)
+      .select("from_type", "predicted", "n_transitions", "n_hits")
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", "B", 3L, 2L)))
+    assert(out("B") === (("B", "A", 1L, 1L)))
+    // tie: from C nothing follows → C absent from the report
+    assert(!out.contains("C"))
+  }
+
   test("ohlcBars: open/close by (ts, id) tie order, exact decimal sum, " +
        "null values drop") {
     val ev = Seq(

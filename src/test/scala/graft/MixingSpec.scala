@@ -11,6 +11,28 @@ class MixingSpec extends SparkTestBase {
     (i, s"src${i % 4}", 100L + (i % 7) * 50L)
   }.toDF("doc_id", "source", "n_chars")
 
+  test("neymanAllocation: budget follows N_h*sigma_h, sums exactly to " +
+       "totalN, zero-variance strata get nothing") {
+    import graft.operators.Mixing
+    // a: 100 rows, sd 0 (constant); b: 100 rows spread 0..99;
+    // c: 50 rows spread 0..490 (bigger sigma, fewer rows)
+    val rows =
+      (0 until 100).map(i => ("a", 5.0)) ++
+      (0 until 100).map(i => ("b", i.toDouble)) ++
+      (0 until 50).map(i => ("c", i * 10.0))
+    val df = rows.toDF("s", "v")
+    val out = Mixing.neymanAllocation(df, "s", "v", totalN = 100L)
+      .select("stratum", "n_rows", "alloc", "alloc_capped")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a")._3 === 0L, "constant stratum needs no budget")
+    assert(out.values.map(_._3).sum === 100L,
+      "largest remainder must hit the budget exactly")
+    // b: N*sd = 100*28.86 ≈ 2886; c: 50*144.3 ≈ 7217 → c gets ~71%
+    assert(out("c")._3 > out("b")._3,
+      s"high-variance stratum earns more despite fewer rows: $out")
+    assert(out.values.forall(r => r._4 <= r._2), "cap respects N_h")
+  }
+
   test("systematicSampleByRates keeps exact per-stratum fractions") {
     val out = Mixing.systematicSampleByRates(docs, "source", "doc_id",
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))

@@ -562,6 +562,25 @@ class ProfilingSpec extends SparkTestBase {
       Seq((5L, 1L, 0.5, 1.0, -0.5)))
   }
 
+  test("thresholdForPrecision: max-coverage qualifying cut, exact " +
+       "basis-point comparison, empty when the bar is unreachable") {
+    // scores desc: 0.9(+), 0.8(+), 0.7(-), 0.6(+), 0.5(-)
+    // precision curve: 1/1, 2/2, 2/3, 3/4, 3/5 — target 75% keeps 0.6
+    val df = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, true),
+        (0.5, false)).toDF("score", "label")
+    val Array(r) = Profiling.thresholdForPrecision(df, "score", "label",
+        targetBp = 7500)
+      .as[(Double, Long, Long, Double)].collect()
+    assert(r === ((0.6, 4L, 3L, 0.75)),
+      s"75% exactly qualifies at the 0.6 cut (4 kept), got $r")
+    // an unreachable bar yields an empty report, not a throw
+    assert(Profiling.thresholdForPrecision(df, "score", "label",
+      targetBp = 9999).count() === 1) // 0.9 cut alone: 1/1 = 100%
+    val allNeg = Seq((0.9, false), (0.1, false)).toDF("score", "label")
+    assert(Profiling.thresholdForPrecision(allNeg, "score", "label",
+      targetBp = 5000).count() === 0)
+  }
+
   test("psi: nonnegative terms, symmetric total, smoothing keeps " +
        "one-sided keys finite") {
     val a = (Seq.fill(8)("x") ++ Seq.fill(2)("y")).map(Tuple1(_)).toDF("k")

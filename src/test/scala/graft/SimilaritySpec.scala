@@ -419,6 +419,23 @@ class SimilaritySpec extends SparkTestBase {
       s"the anti-aligned row must land below floor, got ${out(1)}")
   }
 
+  test("labelSeparability: separable labels read positive margins; a " +
+      "planted mislabel counts negative") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.98f, 0.05f, 0.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, 1, Array(0.05f, 0.98f, 0.0f, 0.0f)),
+      (5L, 1, Array(0.99f, 0.0f, 0.0f, 0.0f))  // mislabeled: sits in 0
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelSeparability(vecs, "label")
+      .select("label", "n", "mean_margin", "n_negative")
+      .as[(Int, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0)._2 === 2L && out(0)._3 > 0 && out(0)._4 === 0L)
+    assert(out(1)._2 === 3L && out(1)._4 === 1L,
+      s"the planted mislabel must read a negative margin, got ${out(1)}")
+  }
+
   test("embedCovariance: upper-triangle cells match the closed form") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)),
