@@ -3256,6 +3256,45 @@ object SparkEntry {
       Similarity.embedCovariance(t(s, d, "embeddings"))
         .orderBy("i", "j")),
 
+    // ---- E19 Dunning log-likelihood collocations: G² over the 2×2
+    // bigram contingency — evidence-mass-weighted multiword mining
+    // where PMI would crown rare-pair noise ----
+    "q_g2_colloc" -> ((s, d) =>
+      Ngrams.logLikelihoodCollocations(t(s, d, "documents"),
+          minCount = 5L)
+        .orderBy("w1", "w2")),
+
+    // ---- E15 deterministic negative sampling over the customer→part
+    // purchase graph: per customer, k hash-ranked never-bought parts
+    // from the customer's hash-picked catalog bucket — the implicit-
+    // feedback training-pair builder, engine-replayable ----
+    "q_negative_sample" -> ((s, d) => {
+      val inter = t(s, d, "orders")
+        .filter(col("o_custkey") < 200)
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      Mixing.negativeSample(inter, "cust", "part", k = 2, buckets = 8)
+        .orderBy("user", "rank", "item")
+    }),
+
+    // ---- E24 k-core decomposition: planted 6-clique + 99-chain over
+    // document ids; the 3-core peels the chain away and keeps exactly
+    // the clique at degree 5 (closed-form membership) ----
+    "q_kcore" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 100)
+      val chain = ids.filter(col("doc_id") > 0)
+        .select((col("doc_id") - 1).as("src"), col("doc_id").as("dst"))
+      val six = ids.filter(col("doc_id") <= 5)
+      val clique = six.as("x")
+        .join(six.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+      operators.Graphs.kCore(chain.unionByName(clique), "src", "dst",
+          k = 3)
+        .orderBy("node")
+    }),
+
     // ---- E15 Neyman-optimal stratified allocation: a 1000-row sample
     // budget split across return-flag strata by N_h·sigma_h (big AND
     // varied strata earn budget), largest-remainder integerization ----
@@ -7438,6 +7477,83 @@ object SparkEntry {
         |  round(CAST(n_pos_kept AS DOUBLE) / n_kept, 9) AS kept_precision
         |FROM c WHERE n_pos_kept * 10000 >= 5000 * n_kept
         |ORDER BY n_kept DESC, threshold LIMIT 1""".stripMargin,
+
+    // G² = 2·Σ O·ln(O/E) over the 2×2 bigram contingency, per-term
+    // 9-dec rounds in the same fixed order as the engine
+    "q_g2_colloc" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT w[i] AS w1, w[i + 1] AS w2
+        |      FROM t, unnest(range(1, len(w))) AS u(i)
+        |      WHERE len(w) >= 2),
+        |m AS (SELECT w1, w2, COUNT(*) AS c_ab FROM g GROUP BY 1, 2),
+        |l AS (SELECT w1, SUM(c_ab) AS c_left FROM m GROUP BY 1),
+        |r AS (SELECT w2, SUM(c_ab) AS c_right FROM m GROUP BY 1),
+        |n AS (SELECT SUM(c_ab) AS n_total FROM m),
+        |j AS (SELECT m.w1, m.w2, c_ab, c_left, c_right, n_total
+        |      FROM m JOIN l USING (w1) JOIN r USING (w2), n
+        |      WHERE c_ab >= 5)
+        |SELECT w1, w2, c_ab,
+        |  round(2.0 * (
+        |    (CASE WHEN c_ab > 0 THEN round(CAST(c_ab AS DOUBLE)
+        |      * ln(CAST(c_ab AS DOUBLE) / (CAST(c_left AS DOUBLE)
+        |        * CAST(c_right AS DOUBLE) / n_total)), 9)
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN c_left - c_ab > 0
+        |      THEN round(CAST(c_left - c_ab AS DOUBLE)
+        |      * ln(CAST(c_left - c_ab AS DOUBLE)
+        |        / (CAST(c_left AS DOUBLE)
+        |          * CAST(n_total - c_right AS DOUBLE) / n_total)), 9)
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN c_right - c_ab > 0
+        |      THEN round(CAST(c_right - c_ab AS DOUBLE)
+        |      * ln(CAST(c_right - c_ab AS DOUBLE)
+        |        / (CAST(n_total - c_left AS DOUBLE)
+        |          * CAST(c_right AS DOUBLE) / n_total)), 9)
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN n_total - c_left - c_right + c_ab > 0
+        |      THEN round(CAST(n_total - c_left - c_right + c_ab AS DOUBLE)
+        |      * ln(CAST(n_total - c_left - c_right + c_ab AS DOUBLE)
+        |        / (CAST(n_total - c_left AS DOUBLE)
+        |          * CAST(n_total - c_right AS DOUBLE) / n_total)), 9)
+        |      ELSE 0.0 END)), 9) AS g2
+        |FROM j ORDER BY w1, w2""".stripMargin,
+
+    // char-polynomial item hash + Knuth user hash replayed exactly;
+    // per-user bucket pick, anti-join of bought pairs, hash rank to k
+    "q_negative_sample" ->
+      """WITH inter AS (
+        |  SELECT o_custkey AS u, l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey < 200),
+        |it AS (SELECT DISTINCT item FROM inter),
+        |ih AS (SELECT item,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(item AS VARCHAR), ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM it),
+        |ib AS (SELECT item, h,
+        |    ((h * 2654435761) % 4294967296) % 8 AS bkt FROM ih),
+        |us AS (SELECT DISTINCT u FROM inter),
+        |ub AS (SELECT u,
+        |    ((u * 2654435761) % 4294967296) % 8 AS bkt FROM us),
+        |cand AS (SELECT u, item, h FROM ub JOIN ib USING (bkt)),
+        |neg AS (SELECT u, item, h FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM inter i
+        |    WHERE i.u = cand.u AND i.item = cand.item)),
+        |rk AS (SELECT u, item, row_number() OVER (PARTITION BY u
+        |    ORDER BY ((u * 31 + h) * 2654435761) % 4294967296, item)
+        |    AS rank FROM neg)
+        |SELECT u AS "user", item, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 2
+        |ORDER BY "user", rank, item""".stripMargin,
+
+    // the 3-core of clique(0..5) + chain(0..99) is the clique alone,
+    // every member at degree 5 — closed-form membership
+    "q_kcore" ->
+      """SELECT doc_id AS node, CAST(5 AS BIGINT) AS degree
+        |FROM documents WHERE doc_id <= 5
+        |ORDER BY node""".stripMargin,
 
     "q_neyman_alloc" ->
       """WITH st AS (

@@ -234,6 +234,52 @@ object Graphs {
     * dst), per-src count (src — map-side combined), then the
     * degree-sized histogram aggregate. Nothing global, nothing driver-
     * side; all integer arithmetic. */
+  /** k-core decomposition membership (Seidman 1983): the maximal
+    * subgraph where every node keeps ≥ k DISTINCT neighbors — the
+    * standard dense-cluster extractor (spam/link-farm detection in web
+    * graphs, engaged-community cores in interaction graphs; peripheral
+    * chains and stars peel away). Iterative peel: drop nodes with
+    * degree < k, recompute degrees on the surviving subgraph, repeat to
+    * fixpoint. Each round is one distinct-neighbor degree aggregate +
+    * two semi joins — ids only; the driver reads a one-row count per
+    * round (never data) and lineage cuts every 4 rounds like
+    * [[pageRank]]. Converges in ≤ |V| rounds, in practice a handful:
+    * each round either removes a node or terminates. Returns the
+    * surviving (node, degree) rows — empty when no k-core exists;
+    * `maxIters` bounds pathological chains, non-convergence throws
+    * (strict, like `connectedComponents(strict = true)`). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIters: Int = 50): DataFrame = {
+    require(k >= 1 && maxIters >= 1)
+    // undirected distinct neighbor pairs, self-loops dropped
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var adj = und.unionByName(
+        und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var dropped = 1L
+    var it = 0
+    while (dropped > 0 && it < maxIters) {
+      val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("a"))
+      val next = adj
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      val cp = next.localCheckpoint(it % 4 == 3)
+      dropped = adj.count() - cp.count()
+      adj = cp
+      it += 1
+    }
+    if (dropped > 0)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIters rounds")
+    adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   def degreeHistogram(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame =
     edges

@@ -695,6 +695,49 @@ object Mixing {
     * engine- and layout-exact. One grouped window; the rank ≤ k cut
     * fuses into the sort via WindowGroupLimit, so no stratum ever
     * materializes fully. */
+  /** Deterministic negative sampling for implicit-feedback training
+    * (the word2vec / recsys "sample k non-interacted items per user"
+    * step) — at catalog scale the naive per-user catalog scan is
+    * |users|·|items|, so candidates come from HASH BUCKETS: items split
+    * into `buckets` by their hashed id, each user draws from the ONE
+    * bucket its (user, round) hash picks (≈|items|/buckets candidates
+    * per user; successive `round` values rotate buckets for coverage
+    * across epochs), observed pairs anti-join out, and a per-user hash
+    * rank keeps `k`. Fully deterministic and engine-replayable — item
+    * ids hash through the char-polynomial [[TextAnalysis.fingerprint]]
+    * recurrence and users through the Knuth multiplicative hash, so an
+    * independent engine reproduces the exact sample (no rand()). A
+    * user whose bucket holds fewer than k unseen items yields fewer
+    * negatives that round — the standard trade, resolved by more
+    * rounds. Output: (user, item, rank). */
+  def negativeSample(interactions: DataFrame, userCol: String,
+                     itemCol: String, k: Int, buckets: Int = 16,
+                     round: Long = 0L): DataFrame = {
+    require(k > 0 && buckets > 0)
+    val m32 = lit(4294967296L)
+    val knuth = lit(2654435761L)
+    val items = interactions.select(col(itemCol).as("item")).distinct()
+      .select(col("item"),
+        graft.operators.TextAnalysis.fingerprint(
+          col("item").cast("string")).as("__h"))
+      .withColumn("__bkt",
+        pmod(pmod(col("__h") * knuth, m32), lit(buckets.toLong)))
+    val users = interactions.select(col(userCol).as("user")).distinct()
+      .withColumn("__bkt", pmod(
+        pmod((col("user") + lit(round)) * knuth, m32),
+        lit(buckets.toLong)))
+    val seen = interactions
+      .select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+    val w = Window.partitionBy(col("user")).orderBy(
+      pmod((col("user") * 31 + col("__h") + lit(round)) * knuth, m32),
+      col("item"))
+    users.join(items, "__bkt")
+      .join(seen, Seq("user", "item"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user"), col("item"), col("rank"))
+  }
+
   /** Neyman-optimal stratified sample allocation (Neyman 1934): given a
     * total budget of `totalN` sampled rows, allocate nₕ ∝ Nₕ·Sₕ — more
     * budget to big AND internally-varied strata — the allocation that

@@ -820,6 +820,54 @@ object Ngrams {
           quantizeDecimals).as("pmi"))
   }
 
+  /** Log-likelihood-ratio collocations (Dunning, CL 1993) — the
+    * significance-robust companion of [[collocations]]' PMI: PMI
+    * explodes for rare pairs (two hapaxes co-occurring once score
+    * maximal PMI), while G² = 2·Σ over the 2×2 contingency cells of
+    * O·ln(O/E) weighs evidence MASS, so "New York" outranks a
+    * once-seen typo pair. The standard multiword-unit miner when
+    * minCount must stay low. Same one-corpus-shuffle model as the PMI
+    * miner (bigram aggregate, marginals re-aggregated from it);
+    * engine-exact — all four observed cells are integers, each
+    * O·ln(O/E) term rounds to 9 decimals in a fixed order, zero cells
+    * contribute 0 (the O→0 limit). */
+  def logLikelihoodCollocations(docs: DataFrame, minCount: Long = 5L,
+                                textCol: String = "text"): DataFrame = {
+    val model = OpCaches.register(docs
+      .select(explode(ngramArray(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c_ab"))
+      .persist())
+    val left = model.groupBy("w1").agg(sum("c_ab").as("c_left"))
+    val right = model.groupBy("w2").agg(sum("c_ab").as("c_right"))
+    val total = model.agg(sum("c_ab").as("n_total"))
+    // 2×2 cells: k11 = c_ab, k12 = c_left−c_ab, k21 = c_right−c_ab,
+    // k22 = N − c_left − c_right + c_ab; E_ij from the margins
+    def term(o: Column, rowSum: Column, colSum: Column, n: Column) = {
+      val e = rowSum.cast("double") * colSum.cast("double") / n
+      when(o > 0, round(o.cast("double") * log(o.cast("double") / e), 9))
+        .otherwise(lit(0.0))
+    }
+    model.filter(col("c_ab") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(lit(2.0) * (
+          term(col("c_ab"), col("c_left"), col("c_right"),
+            col("n_total")) +
+          term(col("c_left") - col("c_ab"), col("c_left"),
+            col("n_total") - col("c_right"), col("n_total")) +
+          term(col("c_right") - col("c_ab"),
+            col("n_total") - col("c_left"), col("c_right"),
+            col("n_total")) +
+          term(col("n_total") - col("c_left") - col("c_right") +
+              col("c_ab"),
+            col("n_total") - col("c_left"),
+            col("n_total") - col("c_right"), col("n_total"))), 9)
+          .as("g2"))
+  }
+
   /** Gopher-style repetition statistics: per document, the number of
     * full word n-gram windows, the number of distinct ones, and the
     * duplicate fraction rep_ratio = 1 - distinct/total. Docs with fewer

@@ -124,6 +124,27 @@ class GraphsSpec extends SparkTestBase {
       "an open wedge center scores a true 0")
   }
 
+  test("kCore: iterative peel cascades through chains; clique survives; " +
+       "no-core graphs empty out") {
+    // triangle {1,2,3} + tail 3-4-5: 2-core peels 5 then 4, keeps the
+    // triangle at degree 2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graphs.kCore(g, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"the tail must cascade away, got $core")
+    // a pure chain has no 2-core
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graphs.kCore(chain, "src", "dst", k = 2).count() === 0)
+    // direction/dupes/self-loops don't inflate degrees
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L))
+      .toDF("src", "dst")
+    assert(Graphs.kCore(messy, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("degreeHistogram: distinct-neighbor degrees, parallel edges " +
        "collapse, NULL endpoints drop") {
     val e = Seq(

@@ -11,6 +11,32 @@ class MixingSpec extends SparkTestBase {
     (i, s"src${i % 4}", 100L + (i % 7) * 50L)
   }.toDF("doc_id", "source", "n_chars")
 
+  test("negativeSample: never emits a seen pair, respects k, and is " +
+       "bit-deterministic across runs; rounds rotate buckets") {
+    import graft.operators.Mixing
+    val inter = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L), (3L, 13L))
+      .toDF("u", "item")
+      .unionByName(Seq.tabulate(20)(i => (4L, 100L + i)).toDF("u", "item"))
+    val out = Mixing.negativeSample(inter, "u", "item", k = 3,
+        buckets = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val seen = inter.as[(Long, Long)].collect().toSet
+    assert(out.forall(r => !seen.contains((r._1, r._2))),
+      "a sampled negative must be unseen for that user")
+    assert(out.groupBy(_._1).values.forall(_.size <= 3))
+    // determinism: the same call reproduces the same set
+    val again = Mixing.negativeSample(inter, "u", "item", k = 3,
+        buckets = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === again)
+    // a different round may pick a different bucket, still no seen pairs
+    val r1 = Mixing.negativeSample(inter, "u", "item", k = 3,
+        buckets = 2, round = 1L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(r1.forall(r => !seen.contains((r._1, r._2))))
+  }
+
   test("neymanAllocation: budget follows N_h*sigma_h, sums exactly to " +
        "totalN, zero-variance strata get nothing") {
     import graft.operators.Mixing

@@ -14,6 +14,25 @@ class NgramsSpec extends SparkTestBase {
     (4L, "solo")
   ).toDF("doc_id", "text")
 
+  test("logLikelihoodCollocations: evidence mass outranks rare-pair " +
+       "PMI noise; cells with zero counts contribute zero") {
+    import graft.operators.Ngrams
+    // "new york" co-occurs 20× amid noise; "qq zz" once, exclusively —
+    // PMI would favor the hapax pair, G² must rank the mass higher
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "new york")) ++
+      (21 to 40).map(i => (i.toLong, s"new day${i}")) ++
+      (41 to 60).map(i => (i.toLong, s"old york")) ++
+      Seq((99L, "qq zz"))
+    ).toDF("doc_id", "text")
+    val g2 = Ngrams.logLikelihoodCollocations(docs, minCount = 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(g2(("new", "york")) > g2(("qq", "zz")),
+      s"mass must beat hapax: $g2")
+    assert(g2.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("heapsLaw: cumulative docs/tokens/types at ingest-order " +
        "checkpoints, exact integers") {
     // doc i carries tokens t0..ti → type t_j first appears in doc j;
