@@ -3249,6 +3249,13 @@ object SparkEntry {
       Ngrams.heapsLaw(t(s, d, "documents"), checkpoints = 20)
         .orderBy("ck")),
 
+    // ---- E19+E20 the Heaps exponent itself: ln(vocab) ~ β·ln(tokens)
+    // over the growth curve — organic text sits β ≈ 0.4–0.6 ----
+    "q_heaps_fit" -> ((s, d) =>
+      operators.Profiling.loglogFit(
+        Ngrams.heapsLaw(t(s, d, "documents"), checkpoints = 20),
+        "n_tokens", "vocab")),
+
     // ---- E3 embedding covariance matrix (upper triangle): the PCA /
     // whitening / dimension-pruning model input; cells aggregate
     // map-side, per-dim sums broadcast back ----
@@ -7377,6 +7384,41 @@ object SparkEntry {
         |FROM cks LEFT JOIN tc ON tc.b = cks.ck
         |  LEFT JOIN fv ON fv.b = cks.ck
         |ORDER BY ck""".stripMargin,
+
+    "q_heaps_fit" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |tk AS (SELECT CAST(doc_id * 20 // (m + 1) AS BIGINT) AS b, doc_id,
+        |         unnest(string_split(text, ' ')) AS tok
+        |       FROM documents, mx),
+        |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt
+        |       FROM tk GROUP BY b),
+        |fs AS (SELECT tok, MIN(b) AS b FROM tk GROUP BY tok),
+        |fv AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nv FROM fs GROUP BY b),
+        |cks AS (SELECT unnest(range(0, 20)) AS ck),
+        |curve AS (SELECT ck,
+        |    SUM(COALESCE(nt, 0)) OVER (ORDER BY ck
+        |      ROWS UNBOUNDED PRECEDING) AS n_tokens,
+        |    SUM(COALESCE(nv, 0)) OVER (ORDER BY ck
+        |      ROWS UNBOUNDED PRECEDING) AS vocab
+        |  FROM cks LEFT JOIN tc ON tc.b = cks.ck
+        |    LEFT JOIN fv ON fv.b = cks.ck),
+        |terms AS (SELECT round(ln(CAST(n_tokens AS DOUBLE)), 9) AS x,
+        |        round(ln(CAST(vocab AS DOUBLE)), 9) AS y
+        |      FROM curve WHERE n_tokens > 0 AND vocab > 0),
+        |s AS (SELECT count(*) AS n_points,
+        |        CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(x*x, 9) AS DECIMAL(38,9)))
+        |          AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(round(x*y, 9) AS DECIMAL(38,9)))
+        |          AS DOUBLE) AS sxy
+        |      FROM terms)
+        |SELECT n_points,
+        |  CASE WHEN n_points * sxx - sx * sx > 0.000001 THEN
+        |    round((n_points * sxy - sx * sy)
+        |      / (n_points * sxx - sx * sx), 9)
+        |  END AS slope
+        |FROM s""".stripMargin,
 
     "q_embed_cov" ->
       """WITH x AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
