@@ -728,6 +728,24 @@ object SparkEntry {
     // ---- E13 expectations on write: a clean batch commits, a poisoned
     // batch is REJECTED with the table left bit-identical; the output is
     // both audit reports + the surviving table state ----
+    // ---- E13 RESTORE lifecycle: commit, corrupt with a bad batch,
+    // roll back by committing the v1 file list forward (zero copy,
+    // linear history) — the read-back proves the undo round-trip ----
+    "q_restore" -> ((s, d) => withScratchDir("graft-restore") { tmp =>
+      import graft.sources.ManifestTable
+      val path = s"$tmp/tbl"
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"))
+      ManifestTable.upsertBatch(base, path, Seq("doc_id"),
+        nBuckets = 8, batchId = 0L)
+      ManifestTable.upsertBatch(
+        base.filter(col("doc_id") < 50)
+          .select(col("doc_id"), lit("CORRUPT").as("source")),
+        path, Seq("doc_id"), nBuckets = 8, batchId = 1L)
+      ManifestTable.restore(s, path, version = 1L)
+      ManifestTable.read(s, path).orderBy("doc_id")
+    }),
+
     "q_expectations" -> ((s, d) => withScratchDir("graft-expect") { tmp =>
       import graft.sources.ManifestTable
       import operators.Profiling.{InRange, NotNull}
@@ -4592,6 +4610,12 @@ object SparkEntry {
     // closed-form lifecycle: the clean batch (doc_id < 100) commits,
     // the negated-n_chars batch violates in_range on every row and is
     // rejected, so the table holds exactly the first batch
+    // restore(v1) makes the read-back the v1 snapshot verbatim — the
+    // bad batch's rows are gone iff the rollback round-tripped
+    "q_restore" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
     "q_expectations" ->
       """WITH c1 AS (SELECT count(*) AS n FROM documents
         |            WHERE doc_id < 100),

@@ -474,6 +474,35 @@ object ManifestTable {
   /** Publish a manifest atomically: write to a dot-temp (invisible to
     * the version listing), then rename to its final name — the one
     * atomic operation in the protocol. */
+  /** Restore the table to the CONTENTS of an earlier snapshot as a NEW
+    * commit — the production undo button (Delta/Iceberg RESTORE): a bad
+    * batch rolls back by committing the old version's file list forward,
+    * so history stays linear and append-only, no manifest is deleted,
+    * and readers flip atomically (old-or-new, never a mix). Zero data
+    * copy — data files are immutable, the restored manifest references
+    * the target version's files directly, stats and schema included.
+    * The CURRENT batch id carries forward, so streaming replay
+    * detection is NOT rolled back with the data (a replayed micro-batch
+    * after a restore is still recognized as replayed; re-ingesting the
+    * rolled-back rows takes a genuinely new batch id, which is what a
+    * recovery run has). Requires the target's data files to still
+    * exist: restoring past a [[vacuum]] horizon fails loudly before
+    * publishing anything. */
+  def restore(spark: SparkSession, table: String, version: Long): Unit = {
+    val fs = fsFor(spark, table)
+    val target = manifestAt(fs, table, version).getOrElse(
+      throw new NoSuchElementException(
+        s"$table has no manifest v$version (vacuumed or never committed)"))
+    target.files.foreach(f => require(fs.exists(new Path(f.path)),
+      s"data file ${f.path} of v$version no longer exists (vacuumed) — " +
+      "cannot restore"))
+    val cur = currentManifest(fs, table).getOrElse(
+      throw new IllegalStateException(s"$table has no current version"))
+    publish(fs, table,
+      Manifest(cur.version + 1, cur.batchId, target.files,
+        target.schemaJson))
+  }
+
   private def publish(fs: FileSystem, table: String, m: Manifest): Unit = {
     val dir = manifestDir(table)
     fs.mkdirs(dir)

@@ -141,6 +141,42 @@ class ManifestTableSpec extends SparkTestBase {
     assert(state(table).size === 4)
   }
 
+  test("restore: roll back a bad commit as a NEW version — linear " +
+       "history, zero copy, replay ids preserved") {
+    val table = tmpTable()
+    ManifestTable.upsertBatch(rows((1L, "a", 1L), (2L, "b", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 0L)
+    val good = state(table)
+    // the bad batch overwrites k=1 and adds junk
+    ManifestTable.upsertBatch(rows((1L, "CORRUPT", 9L), (7L, "junk", 9L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 1L)
+    assert(state(table) !== good)
+    ManifestTable.restore(spark, table, version = 1L)
+    // contents are the v1 snapshot again, under a NEW version id
+    assert(state(table) === good)
+    assert(ManifestTable.versions(spark, table) === Seq(1L, 2L, 3L))
+    // the bad version stays time-travelable (history append-only)
+    assert(ManifestTable.readVersion(spark, table, 2L)
+      .filter(org.apache.spark.sql.functions.col("v") === "CORRUPT")
+      .count() === 1L)
+    // replay protection survives the rollback: the bad batch's id is
+    // still recorded, so a REPLAY of batch 1 stays a no-op...
+    assert(!ManifestTable.upsertBatch(rows((1L, "CORRUPT", 9L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 1L))
+    // ...while a genuinely new batch id applies on top of the restore
+    assert(ManifestTable.upsertBatch(rows((3L, "c", 2L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 2L))
+    assert(state(table) === good + ((3L, "c", 2L)))
+    // restoring past the vacuum horizon fails loudly, before publishing
+    ManifestTable.vacuum(spark, table, keep = 2)
+    val e = intercept[Exception](
+      ManifestTable.restore(spark, table, version = 1L))
+    assert(e.getMessage.contains("v1") ||
+      e.getMessage.contains("vacuumed"))
+    assert(state(table) === good + ((3L, "c", 2L)),
+      "a failed restore must leave the table untouched")
+  }
+
   test("readVersion time-travels to any committed snapshot") {
     val table = tmpTable()
     ManifestTable.upsertBatch(rows((1L, "a", 1L)), table, Seq("k"),
