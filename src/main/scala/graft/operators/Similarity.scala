@@ -827,27 +827,34 @@ object Similarity {
     val cv = Ops.spread(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
       col("__id"))
-    // each row carries its full per-band value array so a pair colliding
-    // in k bands can be kept ONLY at its first shared band — each
-    // directed pair survives exactly once straight out of the join, no
-    // dropDuplicates exchange (the minhashNearDups/intervalJoin trick;
-    // VERDICT r10 item 3). array_position is 1-based, band_id 0-based.
+    // a pair colliding in k bands is kept ONLY at its first shared band
+    // — each directed pair survives exactly once straight out of the
+    // join, no dropDuplicates exchange (the minhashNearDups/intervalJoin
+    // trick; VERDICT r10 item 3). Each row carries its one-long sig, and
+    // "no band before mine is shared" evaluates as a bands-wide chain of
+    // codegen'd bit tests on sig XOR — no arrays cross the shuffle, no
+    // interpreted lambdas in the join condition (an earlier zip_with/
+    // array_position formulation measured 2.3× the query).
     val banded = cv
       .select(col("__id"), lshSignature(col("__v"), numPlanes).as("sig"))
-      .select(col("__id"),
-        transform(sequence(lit(0), lit(bands - 1)), bd =>
+      .select(col("__id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bd =>
           call_function("shiftrightunsigned", col("sig"),
-            (bd * r).cast("int")).bitwiseAND(mask)).as("barr"))
-      .select(col("__id"), col("barr"),
-        posexplode(col("barr")).as(Seq("band_id", "band_val")))
+            (bd * r).cast("int")).bitwiseAND(mask)))
+          .as(Seq("band_id", "band_val")))
+    val xor = col("a.sig").bitwiseXOR(col("b.sig"))
+    def chunkDiffers(j: Int) =
+      call_function("shiftrightunsigned", xor, lit(j * r))
+        .bitwiseAND(mask) =!= 0
+    val noEarlierShared = (0 until bands - 1).foldLeft(lit(true)) {
+      (acc, j) => acc && (col("a.band_id") <= j || chunkDiffers(j))
+    }
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.__id") =!= col("b.__id") &&
-        array_position(
-          zip_with(col("a.barr"), col("b.barr"), (x, y) => x === y),
-          true) === col("a.band_id") + 1)
+        noEarlierShared)
       .select(col("a.__id").as("src"), col("b.__id").as("dst"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
