@@ -104,6 +104,35 @@ object SparkEntry {
       dir
     }
 
+  /** Rebuild the standing MEDIA perceptual-signature index over the
+    * `q_media_refresh` fixture's corpus slice (doc_id %4 == 0, 8-byte-
+    * periodic patT×4 payloads) as a ManifestTable, from scratch. */
+  private def buildMediaSigCache(s: SparkSession, d: String): String =
+    this.synchronized {
+      val dir = cacheDirFor(d, "mediasig")
+      deleteTree(java.nio.file.Paths.get(dir))
+      val g = expr("doc_id div 4")
+      val corpus = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("media_id"),
+          concat_ws("", array_repeat(concat(
+            lpad(pmod(g, lit(10000000)).cast("string"), 7, "0"),
+            lit("T")), 4)).cast("binary").as("payload"))
+      graft.sources.ManifestTable.upsertBatch(
+        operators.Multimodal.mediaSimhash(corpus), dir, Seq("media_id"),
+        nBuckets = 8)
+      dir
+    }
+
+  private def ensureMediaSigCache(s: SparkSession, d: String): String =
+    this.synchronized {
+      val dir = cacheDirFor(d, "mediasig")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "_manifests")))
+        buildMediaSigCache(s, d)
+      dir
+    }
+
   /** Rebuild the PQ embedding index (same parameters as `q_ann_pq`) at
     * its cache path, from scratch — codebook training + corpus encode,
     * the amortizable half of the compressed-scan serve path. */
@@ -1573,6 +1602,43 @@ object SparkEntry {
           idxPath, Seq("media_id"), nBuckets = 8, batchId = bid)
       }
       ManifestTable.read(s, outPath).select("media_id").orderBy("media_id")
+    }),
+    // E8+E2f media lifecycle SPLIT, build half: hash + commit the
+    // standing corpus's perceptual-signature index from scratch —
+    // amortizable construction cost; the read-back's SQL-closed shape
+    // (one signature row per corpus doc) is the audit
+    "q_media_sig_build" -> ((s, d) => {
+      val dir = buildMediaSigCache(s, d)
+      graft.sources.ManifestTable.read(s, dir)
+        .agg(count(lit(1)).as("n_sigs"),
+          countDistinct(col("media_id")).as("n_media"))
+        .select(col("n_media"), col("n_sigs"))
+    }),
+    // E8+E2f media lifecycle SPLIT, probe half: dedup two ingest
+    // batches against the READ-BACK standing index without extending
+    // it — the recurring per-ingest cost (q_media_refresh keeps the
+    // full extend-and-round-trip proof). batch1 (%4==1) = patU×3, no
+    // corpus match → survives; batch2 (%4==2) = patT×2 for EVEN groups
+    // (perceptual dup of the group's corpus doc → dropped) and patV×3
+    // for ODD groups (new → survives)
+    "q_media_probe" -> ((s, d) => {
+      val dir = ensureMediaSigCache(s, d)
+      val idx = graft.sources.ManifestTable.read(s, dir)
+      val g = expr("doc_id div 4")
+      val base0 = t(s, d, "documents")
+      def pat(tag: String) = concat(
+        lpad(pmod(g, lit(10000000)).cast("string"), 7, "0"), lit(tag))
+      def mk(tag: String, reps: Int) = concat_ws("",
+        array_repeat(pat(tag), reps)).cast("binary")
+      val batch1 = base0.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("doc_id").as("media_id"), mk("U", 3).as("payload"))
+      val batch2 = base0.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .select(col("doc_id").as("media_id"),
+          when(pmod(g, lit(2)) === 0, mk("T", 2))
+            .otherwise(mk("V", 3)).as("payload"))
+      Multimodal.mediaDedupAgainstIndex(batch1, idx)
+        .unionByName(Multimodal.mediaDedupAgainstIndex(batch2, idx))
+        .select("media_id").orderBy("media_id")
     }),
 
     // ---- window analytics: lag / lead ----
@@ -5253,6 +5319,17 @@ object SparkEntry {
     "q_media_refresh" ->
       """SELECT doc_id AS media_id FROM documents
         |WHERE doc_id % 4 IN (0, 1)
+        |   OR (doc_id % 4 = 2 AND (doc_id // 4) % 2 = 1)
+        |ORDER BY media_id""".stripMargin,
+
+    "q_media_sig_build" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+        |CAST(COUNT(*) AS BIGINT) AS n_sigs
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
+
+    "q_media_probe" ->
+      """SELECT doc_id AS media_id FROM documents
+        |WHERE doc_id % 4 = 1
         |   OR (doc_id % 4 = 2 AND (doc_id // 4) % 2 = 1)
         |ORDER BY media_id""".stripMargin,
 

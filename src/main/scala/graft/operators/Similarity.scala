@@ -929,6 +929,43 @@ object Similarity {
           .as("cov"))
   }
 
+  /** Top principal component of an [[embedCovariance]] table — the
+    * PCA/whitening serve half: the dominant eigenpair via power
+    * iteration on the DRIVER over the d×d covariance matrix (d² doubles
+    * of model state — the registered bounded collect; the corpus-sized
+    * work already happened in the one covariance scan). Deterministic:
+    * fixed uniform start, fixed iteration count, fixed summation order
+    * — any run reproduces the same loadings. Returns (eigenvalue,
+    * loadings[d]); explained-variance share = eigenvalue / trace.
+    * Compose: project vectors onto the loadings with
+    * [[graft.functions]] dot products for 1-D compression, or deflate
+    * and re-run for more components. */
+  def pcaTopComponent(cov: DataFrame, iters: Int = 50)
+      : (Double, Array[Double]) = {
+    require(iters > 0)
+    val cells = cov.select(col("i").cast("int"), col("j").cast("int"),
+        col("cov").cast("double")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val d = cells.keysIterator.map(_._2).max + 1
+    val a = Array.tabulate(d, d)((i, j) =>
+      cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val av = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += a(i)(j) * v(j); j += 1 }
+        s
+      }
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      if (norm > 0) {
+        v = av.map(_ / norm)
+        lambda = norm
+      }
+    }
+    (lambda, v)
+  }
+
   /** Margin-based cross-corpus alignment mining (the LASER bitext-mining
     * criterion — Artetxe & Schwenk, ACL 2019 §3: ratio margin): for each
     * source vector, its best cosine match on the target side scored by

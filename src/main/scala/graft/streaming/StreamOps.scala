@@ -38,6 +38,40 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Streaming twin of [[graft.operators.EventOps.ohlcBars]] — the
+    * telemetry-compaction bars computed ONLINE: per (series, event-time
+    * hour) open/high/low/close/count plus the DECIMAL-exact value sum,
+    * emitted once the watermark closes the hour (append mode — each
+    * bar exactly once). The (µs·2²⁰ + id) DECIMAL tie key makes
+    * open/close deterministic under same-timestamp events, so the
+    * streamed bars are BIT-IDENTICAL to a batch [[EventOps.ohlcBars]]
+    * pass over the complete admitted data — spec-pinned parity.
+    * min_by/max_by are algebraic aggregates, so per-trigger partials
+    * merge in the state store; state per open window is one bar row per
+    * series, never the events. */
+  def ohlcStream(events: DataFrame, watermarkDelay: String = "2 hours",
+                 seriesCol: String = "event_type", tsCol: String = "ts",
+                 valCol: String = "value",
+                 idCol: String = "event_id"): DataFrame = {
+    val tie = unix_micros(col(tsCol))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(1048576L) + col(idCol)
+    events
+      .filter(col(valCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 hour").as("w"), col(seriesCol))
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valCol), tie).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), tie).as("close"),
+        sum(col(valCol).cast(
+          org.apache.spark.sql.types.DecimalType(28, 9))).as("sum_value"))
+      .select(col("w.start").as("bar_ts"), col(seriesCol), col("n"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("sum_value"))
+  }
+
   /** Streaming trending-keys monitor: a mergeable Misra–Gries summary
     * ([[graft.functions.MisraGriesAggregator]]) of `keyCol` per
     * event-time tumbling window. The sketch's mergeability is exactly

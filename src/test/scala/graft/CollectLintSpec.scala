@@ -17,10 +17,11 @@ class CollectLintSpec extends AnyFunSuite {
 
   /** file → (allowed `.collect()` count, why each site is bounded). */
   private val registry: Map[String, (Int, String)] = Map(
-    "operators/Similarity.scala" -> (10,
+    "operators/Similarity.scala" -> (11,
       "k-means seed/mean + IVF centroid tables (nlist×dim), PQ " +
-      "codebooks (m×ksub×subdim), and labelSeparability's |labels|×dim " +
-      "centroid table, all bound into expressions as model state"),
+      "codebooks (m×ksub×subdim), labelSeparability's |labels|×dim " +
+      "centroid table, and pcaTopComponent's d² covariance cells — " +
+      "all bounded model state bound into expressions or driver math"),
     "operators/CorpusPipeline.scala" -> (1,
       "per-source keep-rate map (|sources| rows) for the quality cut"),
     "operators/Mixing.scala" -> (1,

@@ -454,6 +454,26 @@ class SimilaritySpec extends SparkTestBase {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("pcaTopComponent: dominant eigenpair of the covariance table " +
+      "(A·v = lambda·v), explained share under the trace") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, Array(5.0f, 12.0f))).toDF("vec_id", "embedding")
+    val cov = Similarity.embedCovariance(vecs)
+    val (lambda, v) = Similarity.pcaTopComponent(cov)
+    // closed form: cov = [[24, 60], [60, 168]]/9; check A·v = λ·v
+    val a = Array(Array(24.0 / 9, 60.0 / 9), Array(60.0 / 9, 168.0 / 9))
+    val av = Array(a(0)(0) * v(0) + a(0)(1) * v(1),
+      a(1)(0) * v(0) + a(1)(1) * v(1))
+    assert(math.abs(av(0) - lambda * v(0)) < 1e-6 &&
+      math.abs(av(1) - lambda * v(1)) < 1e-6,
+      s"eigenpair residual too large: λ=$lambda v=${v.toSeq}")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "unit loadings")
+    val trace = a(0)(0) + a(1)(1)
+    assert(lambda > 0.9 * trace && lambda <= trace + 1e-9,
+      "dominant component carries most of this matrix's variance")
+  }
+
   test("dimVariance: exact per-dimension moments; dead dims read 0") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f, 7.0f)),

@@ -42,6 +42,47 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ohlcStream: closed hours emit once and match the batch bars " +
+       "bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = StreamOps.ohlcStream(in.toDF(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val batch = Seq(
+        Ev(2, ts("2024-01-01 10:05:00"), "m", 5.0),
+        Ev(1, ts("2024-01-01 10:05:00"), "m", 1.0), // same ts: id ties
+        Ev(3, ts("2024-01-01 10:50:00"), "m", 9.0),
+        Ev(4, ts("2024-01-01 10:55:00"), "m", 2.0))
+      in.addData(batch)
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 0, "hour still open")
+      // advance the watermark past 11:10 to close the 10:00 hour
+      in.addData(Ev(9, ts("2024-01-01 11:30:00"), "m", 7.0))
+      q.processAllAvailable()
+      in.addData(Ev(10, ts("2024-01-01 11:31:00"), "m", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .select("bar_ts", "event_type", "n", "open", "high", "low",
+          "close")
+        .as[(Timestamp, String, Long, Double, Double, Double, Double)]
+        .collect().toSet
+      val batchBars = graft.operators.EventOps.ohlcBars(
+          batch.map(e => (e.event_id, e.ts, e.event_type, e.value))
+            .toDF("event_id", "ts", "event_type", "value"))
+        .select("bar_ts", "event_type", "n", "open", "high", "low",
+          "close")
+        .as[(Timestamp, String, Long, Double, Double, Double, Double)]
+        .collect().toSet
+      assert(streamed === batchBars,
+        s"stream/batch parity: $streamed vs $batchBars")
+      assert(streamed.head._4 === 1.0 && streamed.head._7 === 2.0,
+        "open = lowest id at the tied opening ts, close = last event")
+    } finally q.stop()
+  }
+
   test("frequentItemsStream: per-window MG candidates contain every heavy key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
