@@ -2555,6 +2555,24 @@ object SparkEntry {
           "purchase")
         .orderBy("first_touch", "last_touch")),
 
+    // ---- E6 LINEAR multi-touch attribution: every conversion splits
+    // credit/revenue equally across its preceding touches — the
+    // mid-path channels first/last-touch models erase ----
+    "q_linear_attribution" -> ((s, d) =>
+      EventOps.linearAttribution(t(s, d, "events"),
+          Seq("click", "view"), "purchase")
+        .orderBy("touch_type")),
+
+    // ---- E15 balanced source interleave: strict round-robin epoch
+    // order across sources (no |sources| window single-source), ranks
+    // by the engine-independent Knuth hash ----
+    "q_interleave" -> ((s, d) =>
+      Mixing.interleaveSources(
+          t(s, d, "documents").select("doc_id", "source"),
+          "source", "doc_id")
+        .select("doc_id", "source", "ord")
+        .orderBy("ord")),
+
     // mergeable quantile sketch + in-plan rank-guarantee audit: checkable
     // output is (group, exact percentile, verdict) — the sketch value
     // itself is engine-specific
@@ -4928,6 +4946,59 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM w WHERE event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-conversion shares = windowed touch counts / path length,
+    // 9-dec rounded then DECIMAL-summed like the engine
+    "q_linear_attribution" ->
+      """WITH w AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS c_click,
+        |    COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS c_view
+        |  FROM events),
+        |conv AS (SELECT *, c_click + c_view AS n FROM w
+        |         WHERE event_type = 'purchase'),
+        |rows_ AS (
+        |  SELECT 'click' AS touch_type,
+        |    round(CAST(c_click AS DOUBLE) / n, 9) AS credit, v
+        |  FROM conv WHERE n > 0
+        |  UNION ALL
+        |  SELECT 'view', round(CAST(c_view AS DOUBLE) / n, 9), v
+        |  FROM conv WHERE n > 0
+        |  UNION ALL
+        |  SELECT '(none)', 1.0, v FROM conv WHERE n = 0),
+        |agg AS (
+        |  SELECT touch_type,
+        |    round(CAST(SUM(CAST(credit AS DECIMAL(28,9))) AS DOUBLE), 9)
+        |      AS credit,
+        |    round(CAST(SUM(CAST(round(credit * v, 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE), 6) AS revenue_credit
+        |  FROM rows_ GROUP BY 1)
+        |SELECT * FROM agg WHERE credit > 0
+        |ORDER BY touch_type""".stripMargin,
+
+    // within-source Knuth-hash rank, round-robin ord over the
+    // alphabetical source index
+    "q_interleave" ->
+      """WITH si AS (
+        |  SELECT source,
+        |    row_number() OVER (ORDER BY source) - 1 AS idx,
+        |    (SELECT COUNT(DISTINCT source) FROM documents) AS ns
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, r.source,
+        |  CAST((rk - 1) * ns + idx AS BIGINT) AS ord
+        |FROM r JOIN si ON si.source = r.source
+        |ORDER BY ord""".stripMargin,
 
     // the quantile-sketch value is engine-specific; the oracle reproduces
     // the exact percentile and asserts the rank-guarantee verdict

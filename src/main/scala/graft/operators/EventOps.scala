@@ -930,6 +930,66 @@ object EventOps {
           .as("revenue"))
   }
 
+  /** LINEAR multi-touch attribution — the equal-split companion of
+    * [[attribution]]'s first/last-touch endpoints: every conversion
+    * divides its credit (and revenue) equally across ALL its preceding
+    * touch events, so mid-path channels that first/last models erase
+    * become visible. Per touch type: Σ over conversions of
+    * (touches of this type in the path) / (path length), plus the
+    * "(none)" organic row carrying untouched conversions whole.
+    *
+    * Engine-exact: per-conversion shares are one double division
+    * rounded to 9 decimals, summed as DECIMAL(28,9); revenue credits
+    * round at 6. Plan: ONE user-keyed window computes a per-touch-type
+    * running count (|touchTypes| windowed sums sharing the exchange),
+    * conversions project |touchTypes| credit rows each (bounded
+    * explode), one |touchTypes|+1-row aggregate closes. */
+  def linearAttribution(events: DataFrame, touchTypes: Seq[String],
+                        conversionType: String,
+                        userCol: String = "user_id",
+                        tsCol: String = "ts",
+                        typeCol: String = "event_type",
+                        idCol: String = "event_id",
+                        valueCol: String = "value"): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCnts = touchTypes.foldLeft(
+        events.select(col(userCol), col(tsCol), col(idCol), col(typeCol),
+          col(valueCol).cast("double").as("__v"))) {
+      (df, tp) => df.withColumn(s"__c_$tp",
+        // an EMPTY preceding frame sums to NULL, not 0 — without the
+        // coalesce a user's first-event conversion vanishes from every
+        // branch (neither touched nor organic)
+        coalesce(sum(when(col(typeCol) === tp, 1L).otherwise(0L))
+          .over(byUser), lit(0L)))
+    }
+    val conv = withCnts.filter(col(typeCol) === conversionType)
+      .withColumn("__n",
+        touchTypes.map(tp => col(s"__c_$tp")).reduce(_ + _))
+    val dec = DecimalType(28, 9)
+    val perType = touchTypes.map { tp =>
+      conv.filter(col("__n") > 0)
+        .select(lit(tp).as("touch_type"),
+          round(col(s"__c_$tp").cast("double") / col("__n"), 9)
+            .as("__credit"),
+          col("__v"))
+    }.reduce(_ unionByName _)
+      .select(col("touch_type"), col("__credit"),
+        round(col("__credit") * col("__v"), 6).as("__rev"))
+    val organic = conv.filter(col("__n") === 0)
+      .select(lit("(none)").as("touch_type"),
+        lit(1.0).as("__credit"), round(col("__v"), 6).as("__rev"))
+    perType.unionByName(organic)
+      .groupBy(col("touch_type"))
+      .agg(round(sum(col("__credit").cast(dec)).cast("double"), 9)
+          .as("credit"),
+        round(sum(col("__rev").cast(DecimalType(28, 6))).cast("double"),
+          6).as("revenue_credit"))
+      .filter(col("credit") > 0)
+  }
+
   /** Cohort retention matrix: users grouped by the `granularity` period
     * of their FIRST event (the cohort), counted distinct in every later
     * period they remain active, keyed by the period offset from their

@@ -695,6 +695,38 @@ object Mixing {
     * engine- and layout-exact. One grouped window; the rank ≤ k cut
     * fuses into the sort via WindowGroupLimit, so no stratum ever
     * materializes fully. */
+  /** Balanced deterministic source interleave — the epoch ordering that
+    * guarantees ALTERNATION, not just shuffled mixing: row i of the
+    * output cycles source₀, source₁, … so no window of |sources|
+    * consecutive training rows is single-source (long same-source runs
+    * are the batch-composition failure [[epochShuffle]]'s global hash
+    * order only makes improbable, never impossible). Within each source
+    * rows order by the Knuth hash of their key (layout- and engine-
+    * independent); `ord` = (within-source rank − 1)·|sources| +
+    * source-index is a strict total order any engine reproduces.
+    * Smaller sources exhaust early and the tail cycles through the
+    * survivors (ord stays strictly increasing per source — consumers
+    * sort by ord). One source-keyed rank exchange + a |sources|-row
+    * broadcast; same non-negative-key-domain caveat as
+    * [[deterministicSplit]]. */
+  def interleaveSources(df: DataFrame, sourceCol: String,
+                        keyCol: String): DataFrame = {
+    val h = pmod(col(keyCol) * lit(2654435761L), lit(4294967296L))
+    val rw = Window.partitionBy(col(sourceCol)).orderBy(h, col(keyCol))
+    val idxW = Window.orderBy(col(sourceCol))
+    val srcIdx = df.select(col(sourceCol)).distinct()
+      .select(col(sourceCol),
+        (row_number().over(idxW) - 1).cast("long").as("__si"),
+        count(lit(1)).over(Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("__ns"))
+    df.join(broadcast(srcIdx), sourceCol)
+      .withColumn("ord",
+        (row_number().over(rw).cast("long") - 1) * col("__ns") +
+          col("__si"))
+      .drop("__si", "__ns")
+  }
+
   /** Deterministic negative sampling for implicit-feedback training
     * (the word2vec / recsys "sample k non-interacted items per user"
     * step) — at catalog scale the naive per-user catalog scan is

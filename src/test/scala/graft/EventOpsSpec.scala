@@ -11,6 +11,27 @@ class EventOpsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("linearAttribution: equal split over the path, credit mass " +
+       "conserved, organic conversions whole") {
+    // u1 path: click, view, view, PURCHASE(12) → click 1/3, view 2/3
+    // u2: PURCHASE(6) with no touches → (none) gets 1.0
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view", 0.0),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "purchase", 12.0),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "purchase", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.linearAttribution(ev, Seq("click", "view"),
+        "purchase")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("click")._2 === 0.333333333 && out("click")._3 === 4.0)
+    assert(out("view")._2 === 0.666666667 && out("view")._3 === 8.0)
+    assert(out("(none)")._2 === 1.0 && out("(none)")._3 === 6.0)
+    // credit mass ≈ number of conversions (rounding leaves ulps)
+    assert(math.abs(out.values.map(_._2).sum - 2.0) < 1e-6)
+  }
+
   test("churnLabels: active-before users label by horizon silence; " +
        "post-cutoff arrivals excluded") {
     val cutoff = ts("2024-01-20 00:00:00")

@@ -11,6 +11,26 @@ class MixingSpec extends SparkTestBase {
     (i, s"src${i % 4}", 100L + (i % 7) * 50L)
   }.toDF("doc_id", "source", "n_chars")
 
+  test("interleaveSources: equal-size sources alternate strictly; ord " +
+       "is a dense total order; small sources exhaust early") {
+    import graft.operators.Mixing
+    val df = (0L until 30L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val ordered = Mixing.interleaveSources(df, "source", "doc_id")
+      .orderBy("ord").select("source").as[String].collect()
+    // three equal sources: every consecutive window of 3 hits all three
+    ordered.grouped(3).foreach(w =>
+      assert(w.toSet.size === 3, s"non-alternating window: ${w.toSeq}"))
+    // unbalanced: s0 has 1 row, s1 has 4 — the tail is all s1, head mixes
+    val ub = Seq((1L, "s0"), (2L, "s1"), (3L, "s1"), (4L, "s1"),
+        (5L, "s1")).toDF("doc_id", "source")
+    val seq2 = Mixing.interleaveSources(ub, "source", "doc_id")
+      .orderBy("ord").select("source").as[String].collect()
+    assert(seq2.take(2).toSet === Set("s0", "s1"),
+      "both sources appear before either repeats")
+    assert(seq2.count(_ == "s0") === 1 && seq2.length === 5)
+  }
+
   test("negativeSample: never emits a seen pair, respects k, and is " +
        "bit-deterministic across runs; rounds rotate buckets") {
     import graft.operators.Mixing
