@@ -532,6 +532,38 @@ class PlanQualitySpec extends SparkTestBase {
       s"boundary walk must partition by day:\n$pc")
   }
 
+  test("r11 additions: single-pass aggregates, equi-join candidates, " +
+       "no corpus cartesians") {
+    // OHLC: ONE grouped aggregation, no window, no join
+    val ob = plan("q_ohlc_bars")
+    assert(!ob.contains("Window") && !ob.contains("Join"),
+      s"ohlc must be one aggregation:\n$ob")
+    // weighted percentiles: grouped state bounded by distinct values,
+    // no cartesian from the percentile explode
+    assert(!plan("q_weighted_percentile").contains("CartesianProduct"))
+    // negative sampling: bucket equi-join + anti join — the item
+    // catalog must never cross-join the user set
+    val ns = plan("q_negative_sample")
+    assert(!ns.contains("CartesianProduct") &&
+      !ns.contains("BroadcastNestedLoopJoin"),
+      s"negative sampling must stay equi-join shaped:\n$ns")
+    // bitext margin: the scored join broadcasts the declared query
+    // side; candidates/windows carry scalars
+    assert(plan("q_bitext_margin").contains("BroadcastNestedLoopJoin") ||
+      plan("q_bitext_margin").contains("BroadcastExchange"),
+      "margin mining must broadcast the bounded source side")
+    // source coherence / separability: centroids broadcast, one
+    // corpus-side aggregation family
+    assert(!plan("q_source_coherence").contains("CartesianProduct"))
+    assert(!plan("q_label_separability").contains("CartesianProduct"))
+    // embed covariance: cells aggregate with map-side partials
+    assert(plan("q_embed_cov").contains("partial"),
+      "covariance cells must combine map-side")
+    // churn labels / next-event: one aggregate / one window + broadcast
+    assert(!plan("q_churn_labels").contains("Join"))
+    assert(!plan("q_next_event_hitrate").contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
