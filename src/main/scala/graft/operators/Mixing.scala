@@ -816,7 +816,9 @@ object Mixing {
       .withColumn("__rank", row_number().over(rw))
       .withColumn("__tf", sum(col("__floor")).over(whole))
       .select(col("stratum"), col("n_rows"), col("sd"),
-        (col("__floor") + when(
+        // all-zero-variance corpus (tw = 0): Neyman has nothing to
+        // allocate — emit 0s rather than spraying remainder +1s
+        (col("__floor") + when(col("__tw") > 0 &&
           col("__rank") <= lit(totalN) - col("__tf"), 1L).otherwise(0L))
           .as("alloc"))
       .withColumn("alloc_capped", least(col("alloc"), col("n_rows")))

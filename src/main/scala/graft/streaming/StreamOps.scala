@@ -387,6 +387,59 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming MEDIA ingest dedup — [[dedupIngestStream]]'s binary-
+    * payload twin, completing the perceptual-index lifecycle
+    * ([[graft.operators.Multimodal.mediaDedupAgainstIndex]] is the
+    * batch probe; this is the online loop): each micro-batch probes the
+    * stored (media_id, simhash) index, commits its survivors' payload
+    * rows, then extends the index with the survivors' signatures —
+    * output-before-index order is load-bearing for replay, exactly as
+    * in the text twin (the reverse would collide a replayed batch with
+    * its own signatures). Payload bytes never shuffle in the probe —
+    * only (id, simhash) pairs move; the index is one long per corpus
+    * item. First batch on a not-yet-created index commits whole; any
+    * other read failure fails the batch for the checkpoint to retry. */
+  def mediaIngestStream(media: DataFrame, indexPath: String,
+                        outPath: String, checkpoint: String,
+                        idCol: String = "media_id",
+                        payloadCol: String = "payload",
+                        windowBytes: Int = 8, stride: Int = 4,
+                        maxHamming: Int = 3,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                        nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val spark = batch.sparkSession
+          val standing =
+            try Some(graft.sources.ManifestTable.read(spark, indexPath))
+            catch { case _: java.io.FileNotFoundException => None }
+          val survivors = (standing match {
+            case Some(idx) =>
+              graft.operators.Multimodal.mediaDedupAgainstIndex(
+                batch.toDF(), idx, idCol, payloadCol, windowBytes,
+                stride, maxHamming)
+            case None => batch.toDF()
+          }).persist()
+          try {
+            graft.sources.ManifestTable.upsertBatch(
+              survivors, outPath, Seq(idCol),
+              nBuckets = nBuckets, batchId = batchId)
+            graft.sources.ManifestTable.upsertBatch(
+              graft.operators.Multimodal.mediaSimhash(
+                survivors, idCol, payloadCol, windowBytes, stride),
+              indexPath, Seq(idCol),
+              nBuckets = nBuckets, batchId = batchId)
+          } finally survivors.unpersist()
+          ()
+      }
+      .start()
+
   /** Score a document stream against a STORED Naive Bayes model — the
     * online half of [[graft.operators.TextAnalysis.nbTrain]]: each
     * micro-batch reads the committed model/priors ManifestTables,

@@ -385,4 +385,51 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(EventOps.survivalCurve(one)
       .as[(Long, Long, Double)].head() === ((0L, 1L, 1.0)))
   }
+
+  test("round-11 operators: empty and degenerate inputs flow through") {
+    import graft.operators.{Mixing, Ngrams, Similarity}
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String,
+        Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventOps.ohlcBars(emptyEv).count() === 0)
+    assert(EventOps.nextEventHitRate(emptyEv).count() === 0)
+    assert(EventOps.linearAttribution(emptyEv, Seq("a"), "c")
+      .count() === 0)
+    assert(EventOps.churnLabels(emptyEv,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 7).count() === 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // heapsLaw on an empty corpus: the checkpoint spine survives a NULL
+    // max id — 20 all-zero rows, never a throw
+    val hl = Ngrams.heapsLaw(emptyDocs, checkpoints = 20)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(hl.length === 20 && hl.forall(r => r._2 == 0 && r._4 == 0))
+    assert(Ngrams.logLikelihoodCollocations(emptyDocs).count() === 0)
+    val emptySV = Seq.empty[(Double, Boolean)].toDF("score", "label")
+    assert(Profiling.calibration(emptySV, "score", "label").count() === 0)
+    assert(Profiling.thresholdForPrecision(emptySV, "score", "label",
+      5000).count() === 0)
+    val emptyGW = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Profiling.weightedPercentiles(emptyGW, "g", "v", "v")
+      .count() === 0)
+    // Neyman on an all-constant corpus: zero variance everywhere means
+    // nothing to allocate — all-zero allocs, never remainder spraying
+    val flat = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Mixing.neymanAllocation(flat, "g", "v", 10L)
+      .select("alloc").as[Long].collect().forall(_ === 0L))
+    assert(Mixing.neymanAllocation(emptyGW, "g", "v", 10L).count() === 0)
+    assert(Mixing.negativeSample(
+      Seq.empty[(Long, Long)].toDF("u", "i"), "u", "i", 2).count() === 0)
+    assert(Mixing.interleaveSources(
+      Seq.empty[(Long, String)].toDF("doc_id", "source"),
+      "source", "doc_id").count() === 0)
+    val emptyVec = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    assert(Similarity.embedCovariance(emptyVec).count() === 0)
+    assert(Similarity.dimVariance(emptyVec).count() === 0)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val Array(bq) = graft.operators.Dedup.blockingQuality(
+        emptyPairs, emptyPairs, nRows = 5L)
+      .as[(Long, Long, Long, Option[Double], Double)].collect()
+    assert(bq === ((0L, 0L, 0L, None, 1.0)))
+  }
 }

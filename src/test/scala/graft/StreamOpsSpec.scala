@@ -585,6 +585,41 @@ class StreamOpsSpec extends SparkTestBase {
     assert(kept() === Set(1L, 2L, 4L))
   }
 
+  test("mediaIngestStream: batches probe the growing perceptual index; " +
+       "near-dup payloads die, the extended index catches re-ingests") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-media-ingest").toString
+    val (idx, out, ckpt) = (s"$dir/sigidx", s"$dir/media", s"$dir/ckpt")
+    def run(): Unit = {
+      val q = StreamOps.mediaIngestStream(
+        in.toDF().toDF("media_id", "payload"), idx, out, ckpt,
+        nBuckets = 8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def kept(): Set[Long] =
+      graft.sources.ManifestTable.read(spark, out)
+        .select("media_id").as[Long].collect().toSet
+    def b(s: String) = s.getBytes("UTF-8")
+    // batch 1: two unrelated payloads seed the index
+    in.addData((1L, b("ABCDEFGH" * 4)), (2L, b("QRSTUVWX" * 3)))
+    run()
+    assert(kept() === Set(1L, 2L))
+    // batch 2: 3 perceptually duplicates 1 (same window set, different
+    // repeat count), 4 is new
+    in.addData((3L, b("ABCDEFGH" * 2)), (4L, b("13572468" * 3)))
+    run()
+    assert(kept() === Set(1L, 2L, 4L))
+    // the index holds survivors only — dead 3 can't contaminate later
+    assert(graft.sources.ManifestTable.read(spark, idx)
+      .select("media_id").as[Long].collect().toSet === Set(1L, 2L, 4L))
+    // batch 3: a dup of batch-2 survivor 4 — the EXTENDED index bites
+    in.addData((5L, b("13572468" * 6)))
+    run()
+    assert(kept() === Set(1L, 2L, 4L))
+  }
+
   test("classifyStream labels every doc from the stored model, " +
       "including all-OOV docs") {
     import graft.operators.TextAnalysis
