@@ -431,4 +431,75 @@ class PropertySpec extends SparkTestBase {
       }
     }, samples = 10)
   }
+
+  test("property: weighted percentile == unweighted percentile of the " +
+       "weight-replicated multiset") {
+    // the definitional reduction: a row of weight w behaves exactly
+    // like w copies of an unweighted row
+    val gen = Gen.listOfN(12, for {
+      v <- Gen.choose(0, 20); w <- Gen.choose(1, 5)
+    } yield (v.toDouble, w.toLong))
+    check(Prop.forAll(gen, Gen.oneOf(25, 50, 75, 90)) { (rows, pct) =>
+      rows.isEmpty || {
+        val df = rows.map { case (v, w) => ("g", v, w) }
+          .toDF("g", "v", "w")
+        val got = operators.Profiling
+          .weightedPercentiles(df, "g", "v", "w", pcts = Seq(pct))
+          .select("value").as[Double].head()
+        val expanded = rows.flatMap { case (v, w) =>
+          Seq.fill(w.toInt)(v) }.sorted
+        // lower quantile: smallest value with cum >= pct% of W
+        val total = expanded.size
+        val idx = math.max(
+          math.ceil(pct.toDouble * total / 100.0).toInt - 1, 0)
+        got == expanded(idx)
+      }
+    }, samples = 12)
+  }
+
+  test("property: negativeSample never emits a seen pair, bounds k, and " +
+       "ignores input layout") {
+    val gen = Gen.listOfN(30, for {
+      u <- Gen.choose(1L, 6L); i <- Gen.choose(100L, 115L)
+    } yield (u, i))
+    check(Prop.forAll(gen, Gen.choose(1, 4)) { (pairs, k) =>
+      pairs.isEmpty || {
+        val df = pairs.toDF("u", "i")
+        val out = operators.Mixing
+          .negativeSample(df, "u", "i", k, buckets = 3)
+          .as[(Long, Long, Int)].collect()
+        val seen = pairs.toSet
+        val unseenOk = out.forall(r => !seen.contains((r._1, r._2)))
+        val kOk = out.groupBy(_._1).values.forall(_.length <= k)
+        val relaid = operators.Mixing
+          .negativeSample(df.repartition(7), "u", "i", k, buckets = 3)
+          .as[(Long, Long, Int)].collect().toSet
+        unseenOk && kOk && relaid == out.toSet
+      }
+    }, samples = 10)
+  }
+
+  test("property: kCore output is a fixpoint — every surviving node " +
+       "keeps >= k surviving distinct neighbors") {
+    val gen = Gen.listOfN(25, for {
+      a <- Gen.choose(1L, 10L); b <- Gen.choose(1L, 10L)
+    } yield (a, b))
+    check(Prop.forAll(gen, Gen.choose(2, 4)) { (edges, k) =>
+      edges.isEmpty || {
+        val df = edges.toDF("src", "dst")
+        val core = operators.Graphs.kCore(df, "src", "dst", k)
+          .as[(Long, Long)].collect().toMap
+        val und = edges.filter(e => e._1 != e._2)
+          .flatMap(e => Seq(e, e.swap)).distinct
+        val inCore = core.keySet
+        // fixpoint: degrees within the surviving subgraph all >= k,
+        // and the reported degree matches
+        core.forall { case (n, d) =>
+          val nbrs = und.collect {
+            case (a, b) if a == n && inCore(b) => b }.distinct
+          nbrs.size >= k && nbrs.size == d
+        }
+      }
+    }, samples = 12)
+  }
 }
