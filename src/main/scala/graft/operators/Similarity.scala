@@ -966,6 +966,20 @@ object Similarity {
     (lambda, v)
   }
 
+  /** Project vectors onto a component (e.g. [[pcaTopComponent]]'s
+    * loadings): a zero-shuffle codegen'd dot-product projection — the
+    * PCA serve path (1-D compression, whitening steps, top-component
+    * stripping for the "all embeddings share a dominant direction"
+    * pathology common in LM embeddings). Loadings are model state bound
+    * into the expression as a float-array literal. */
+  def projectOnto(vecs: DataFrame, loadings: Array[Double],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val lit0 = typedLit(loadings.map(_.toFloat).toSeq)
+    vecs.select(col(idCol),
+      VectorExprs.floatDot(col(vecCol), lit0).as("projection"))
+  }
+
   /** Margin-based cross-corpus alignment mining (the LASER bitext-mining
     * criterion — Artetxe & Schwenk, ACL 2019 §3: ratio margin): for each
     * source vector, its best cosine match on the target side scored by

@@ -472,6 +472,14 @@ class SimilaritySpec extends SparkTestBase {
     val trace = a(0)(0) + a(1)(1)
     assert(lambda > 0.9 * trace && lambda <= trace + 1e-9,
       "dominant component carries most of this matrix's variance")
+    // serve half: the projection's sample variance equals λ (within
+    // float-loading quantization) — the defining PCA property
+    val proj = Similarity.projectOnto(vecs, v)
+      .select("projection").as[Double].collect()
+    val m = proj.sum / proj.length
+    val pvar = proj.map(p => (p - m) * (p - m)).sum / proj.length
+    assert(math.abs(pvar - lambda) / lambda < 1e-3,
+      s"projection variance $pvar must match the eigenvalue $lambda")
   }
 
   test("dimVariance: exact per-dimension moments; dead dims read 0") {
