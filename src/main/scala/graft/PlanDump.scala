@@ -96,7 +96,22 @@ object PlanDump {
        SparkEntry.queries("q_jaro_winkler")(spark, d)),
       ("q_rfm — RFM quintile segmentation",
        "The per-user aggregate persists across its two consumers (boundary aggregate + scoring join); quintile boundaries are a ONE-ROW broadcast, so scoring is a per-row projection — no global ntile sort anywhere.",
-       SparkEntry.queries("q_rfm")(spark, d)))
+       SparkEntry.queries("q_rfm")(spark, d)),
+      ("q_bitext_margin — LASER ratio-margin alignment mining",
+       "The bounded source side broadcasts into the scored join (cosine computed BEFORE any exchange, so only (ids, sim) scalars shuffle); the persisted score table feeds both rank windows and the best-pair pick; neighborhood sums ride DECIMAL for engine-exact margins.",
+       SparkEntry.queries("q_bitext_margin")(spark, d)),
+      ("q_knn_graph — corpus-wide kNN graph, first-shared-band",
+       "NOTHING broadcasts (both sides are the corpus): band-key equi-join candidates with the first-shared-band bit-test predicate in-join — no dropDuplicates exchange — then vectors re-attach via shuffled equi-joins and one rank window caps k per node.",
+       SparkEntry.queries("q_knn_graph")(spark, d)),
+      ("q_embed_cov — dimension covariance (PCA front half)",
+       "One flattened per-row pair array explodes into a d(d+1)/2-cell aggregation — map-side partials collapse each task to cells, the shuffle carries cells not rows; per-dim sums re-aggregate and broadcast back.",
+       SparkEntry.queries("q_embed_cov")(spark, d)),
+      ("q_ohlc_bars — OHLC telemetry compaction",
+       "ONE grouped aggregation: min_by/max_by on the DECIMAL (µs·2²⁰+id) tie key pick open/close inside the same hash aggregate as high/low/count/sum — no window, no join, no second pass.",
+       SparkEntry.queries("q_ohlc_bars")(spark, d)),
+      ("q_negative_sample — hash-bucketed negative sampling",
+       "The catalog never cross-joins the user set: users and items meet on their hash bucket (equi), observed pairs leave via anti-join, and the per-user top-k rank window pushes a map-side WindowGroupLimit.",
+       SparkEntry.queries("q_negative_sample")(spark, d)))
 
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of headline queries\n\n")
