@@ -3316,6 +3316,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- E20 numeric PSI: the scorecard-standard drift score over
+    // FIXED-WIDTH value bins (layout-stable across runs, unlike
+    // data-derived quantile bins) — early vs late order halves ----
+    "q_psi_numeric" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("bin",
+          floor(col("o_totalprice") / 50000).cast("long"))
+      operators.Profiling.psi(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1), "bin")
+        .orderBy("bin")
+    }),
+
     // ---- E20 exact weighted percentiles: the quantity-weighted price
     // quartiles per return flag — "the price of the median unit", not
     // the median row; all-integer threshold arithmetic ----
@@ -7494,6 +7507,29 @@ object SparkEntry {
         |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
         |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS psi_term
         |FROM j, t ORDER BY source""".stripMargin,
+
+    "q_psi_numeric" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin
+        |  FROM orders),
+        |ca AS (SELECT bin, count(*) AS cnt_a FROM b
+        |       WHERE o_orderkey % 2 = 0 GROUP BY bin),
+        |cb AS (SELECT bin, count(*) AS cnt_b FROM b
+        |       WHERE o_orderkey % 2 = 1 GROUP BY bin),
+        |j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin,
+        |        COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |t AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb, count(*) AS k
+        |      FROM j)
+        |SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a,
+        |  CAST(cnt_b AS BIGINT) AS cnt_b,
+        |  CAST(cnt_a + 1 AS DOUBLE) / (ta + k) AS share_a,
+        |  CAST(cnt_b + 1 AS DOUBLE) / (tb + k) AS share_b,
+        |  round((CAST(cnt_a + 1 AS DOUBLE) / (ta + k)
+        |         - CAST(cnt_b + 1 AS DOUBLE) / (tb + k))
+        |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
+        |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS psi_term
+        |FROM j, t ORDER BY bin""".stripMargin,
 
     "q_weighted_percentile" ->
       """WITH bv AS (
