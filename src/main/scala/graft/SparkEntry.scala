@@ -3446,10 +3446,14 @@ object SparkEntry {
 
     // ---- E6 churn-label builder: point-in-time wall at Jan 20 of the
     // one-month corpus, 7-day horizon — the leakage-safe label half of
-    // a churn training set (features compose from <= cutoff) ----
+    // a churn training set (features compose from <= cutoff). The
+    // cutoff is an ABSOLUTE instant (Instant.parse, 'Z'): Timestamp
+    // .valueOf would parse in the JVM default zone and shift the wall
+    // on any non-UTC host even though the session tz is pinned ----
     "q_churn_labels" -> ((s, d) =>
       EventOps.churnLabels(t(s, d, "events"),
-          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          java.sql.Timestamp.from(
+            java.time.Instant.parse("2024-01-20T00:00:00Z")),
           horizonDays = 7)
         .orderBy("user_id")),
 
@@ -7534,7 +7538,7 @@ object SparkEntry {
     "q_weighted_percentile" ->
       """WITH bv AS (
         |  SELECT l_returnflag AS grp, l_extendedprice AS value,
-        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |    SUM(CAST(round(l_quantity * 1000000000.0) AS HUGEINT)) AS w
         |  FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
         |    AND l_quantity > 0
@@ -7562,12 +7566,13 @@ object SparkEntry {
     "q_ohlc_bars" ->
       """SELECT event_type, date_trunc('hour', ts) AS bar_ts,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+        |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1099511627776
         |    + event_id) AS open,
         |  max(value) AS high, min(value) AS low,
-        |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+        |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1099511627776
         |    + event_id) AS close,
-        |  SUM(CAST(value AS DECIMAL(28,9))) AS sum_value
+        |  CAST(SUM(CAST(round(value * 1000000000.0) AS BIGINT))
+        |    AS BIGINT) AS sum_value_nanos
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -12,17 +12,49 @@ object Verify {
     }
     val spark = SparkSessionFactory.create(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Hash forensics: one canonical row-hash per query, computed from
+    // the dumped parquet ARTIFACT (not the live plan), so a driver-side
+    // `hash_match: false` has a local number to diff against — same
+    // code, same data, different hash ⇒ the divergence is in the
+    // driver environment / a mid-round snapshot, not HEAD. Canonical =
+    // columns sorted by name, every value cast to string (NULL gets a
+    // sentinel), rows folded order-independently (exact DECIMAL sum of
+    // per-row xxhash64, mod 2⁶⁴) — no sort, no collect, one extra
+    // small scan per query.
+    val rowHashes = scala.collection.mutable.LinkedHashMap[String, (Long, String)]()
+    def canonicalHash(path: String): (Long, String) = {
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(path)
+      val cols = df.columns.sorted.toIndexedSeq.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000NULL")))
+      val agg = df.select(xxhash64(concat_ws("\u0001", cols: _*)).as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("h").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+        .head()
+      val n = agg.getLong(0)
+      val s = Option(agg.getDecimal(1))
+        .map(_.toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(64)))
+        .getOrElse(java.math.BigInteger.ZERO)
+      (n, f"${s.longValue()}%016x")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          rowHashes(name) = canonicalHash(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         // per-query operator caches must not stack across ~200 queries
         graft.operators.OpCaches.release()
       }
+    Files.writeString(Paths.get(s"$outDir/row_hashes.json"),
+      rowHashes.map { case (k, (n, h)) =>
+        s""""$k": {"rows": $n, "hash": "$h"}"""
+      }.mkString("{\n", ",\n", "\n}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

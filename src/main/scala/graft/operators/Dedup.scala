@@ -581,7 +581,10 @@ object Dedup {
     val c = canon(candPairs)
     val hits = c.join(t, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
-    val space = nRows * (nRows - 1) / 2
+    // Double, not Long: n·(n−1)/2 overflows a long at n ≈ 4.3e9 —
+    // row counts a 100 TB corpus plausibly reaches; the ratio is a
+    // double anyway so no precision is lost that matters.
+    val space = nRows.toDouble * (nRows - 1) / 2
     t.agg(count(lit(1)).as("n_truth"))
       .crossJoin(broadcast(c.agg(count(lit(1)).as("n_cand"))))
       .crossJoin(broadcast(hits))

@@ -62,20 +62,26 @@ object EventOps {
   /** OHLC downsampling — the telemetry/metrics compaction every
     * monitoring pipeline runs before long-term storage: per (series,
     * hour) the opening value (first by (ts, id)), high, low, closing
-    * value (last by (ts, id)), event count, and the DECIMAL-exact value
-    * sum (the VWAP/mean numerator, kept as a sum so it stays
-    * order-independent). `min_by`/`max_by` on the exact DECIMAL key
-    * µs·2²⁰+id make open/close deterministic under same-timestamp
-    * events (the packed key overflows a long, and DuckDB's arg_min
-    * takes no struct keys — wide decimal is the portable total order).
-    * ONE grouped aggregation; group count is bounded by series×hours,
-    * never events. */
+    * value (last by (ts, id)), event count, and the value sum in
+    * integer NANO-UNITS (the VWAP/mean numerator, kept as a sum so it
+    * stays order-independent; per-row round(v·1e9)→long because
+    * rounding a double to an INTEGER is portable across engines — an
+    * exact .5 boundary is itself representable, so shortest-repr and
+    * binary-value rounding agree, unlike a double→DECIMAL(28,9) cast
+    * whose 9th-decimal ties each engine breaks from a different
+    * rendering). `min_by`/`max_by` on the exact DECIMAL key µs·2⁴⁰+id
+    * make open/close deterministic under same-timestamp events (the
+    * packed key overflows a long, and DuckDB's arg_min takes no struct
+    * keys — wide decimal is the portable total order; 2⁴⁰ leaves the
+    * id field wide enough that (ts, id) lexicographic order holds for
+    * any event_id < 2⁴⁰ ≈ 1.1e12). ONE grouped aggregation; group
+    * count is bounded by series×hours, never events. */
   def ohlcBars(events: DataFrame, seriesCol: String = "event_type",
                tsCol: String = "ts", valCol: String = "value",
                idCol: String = "event_id"): DataFrame = {
     val tie = unix_micros(col(tsCol))
       .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
-      lit(1048576L) + col(idCol)
+      lit(1099511627776L) + col(idCol)
     events
       .filter(col(valCol).isNotNull)
       .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bar_ts"))
@@ -84,8 +90,8 @@ object EventOps {
         max(col(valCol)).as("high"),
         min(col(valCol)).as("low"),
         max_by(col(valCol), tie).as("close"),
-        sum(col(valCol).cast(
-          org.apache.spark.sql.types.DecimalType(28, 9))).as("sum_value"))
+        sum(round(col(valCol) * lit(1e9)).cast("long"))
+          .as("sum_value_nanos"))
   }
 
   /** Churn-label builder — the leakage-safe label half of a churn

@@ -196,9 +196,14 @@ object Profiling {
     * row. Values collapse to (group, value, Σweight) first — grouped
     * percentile state is bounded by distinct values — then ONE rank
     * window per group over the collapsed table and one aggregate per
-    * requested percentile; the p·W threshold compares as 100·cum ≥
-    * pct·W in exact longs, so any engine reproduces the cut row.
-    * Null/non-positive weights drop. */
+    * requested percentile. Weights become integer NANO-UNIT mass per
+    * row (round(w·1e9)→long: double-to-INTEGER rounding is
+    * engine-portable, and fractional weights like revenue keep their
+    * mass instead of truncating to 0); the cumulative sums ride
+    * DECIMAL(38,0) so 100 TB-scale total mass cannot overflow, and the
+    * p·W threshold compares as 100·cum ≥ pct·W in exact integer
+    * decimals, so any engine reproduces the cut row. Null/non-positive
+    * weights drop. */
   def weightedPercentiles(df: DataFrame, groupCol: String, valCol: String,
                           weightCol: String,
                           pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
@@ -208,7 +213,8 @@ object Profiling {
       .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
       .groupBy(col(groupCol).as("grp"), col(valCol).as("value"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(round(col(weightCol) * lit(1e9)).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__w"))
     val w = Window.partitionBy(col("grp")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = byVal.select(col("grp"), col("value"),

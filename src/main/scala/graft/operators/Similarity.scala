@@ -1109,17 +1109,25 @@ object Similarity {
   def labelSeparability(vecs: DataFrame, labelCol: String,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    val spark0 = vecs.sparkSession
-    import spark0.implicits._
-    // |labels|×dim model state — the bounded-collect contract
-    val cents = groupCentroids(vecs, labelCol, vecCol)
-      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    // |labels|×dim model state — the bounded-collect contract. Rows
+    // collect generically (labels keep their native type — string
+    // labels are the common case, int/long work too); the sort is only
+    // for a deterministic literal layout, the per-label output never
+    // sees the index order.
+    val cents = groupCentroids(vecs, labelCol, vecCol).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1)))
+      .sortBy(_._1.toString)
     require(cents.length >= 2, "separability needs at least two labels")
     val centArr = typedLit(cents.map(_._2))
-    val labArr = typedLit(cents.map(_._1))
     val v = col("__v")
     def cosTo(i: Column) = round(cosine(v, element_at(centArr, i + 1)), 9)
-    val ownIdx = array_position(labArr, col("__lab")).cast("int") - 1
+    // own-centroid index via a label-equality chain: works for any
+    // atomic label type where array_position needed the array literal
+    // (and thus a single fixed element type) to match the column's
+    val ownIdx = cents.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, ((lab, _), i)) =>
+        when(col("__lab") === lit(lab), lit(i)).otherwise(acc)
+    }
     val others = filter(sequence(lit(0), lit(cents.length - 1)),
       i => i =!= ownIdx)
     val scored = Ops.spread(vecs.select(col(labelCol).as("__lab"),

@@ -40,9 +40,9 @@ object StreamOps {
 
   /** Streaming twin of [[graft.operators.EventOps.ohlcBars]] — the
     * telemetry-compaction bars computed ONLINE: per (series, event-time
-    * hour) open/high/low/close/count plus the DECIMAL-exact value sum,
-    * emitted once the watermark closes the hour (append mode — each
-    * bar exactly once). The (µs·2²⁰ + id) DECIMAL tie key makes
+    * hour) open/high/low/close/count plus the nano-unit integer value
+    * sum, emitted once the watermark closes the hour (append mode —
+    * each bar exactly once). The (µs·2⁴⁰ + id) DECIMAL tie key makes
     * open/close deterministic under same-timestamp events, so the
     * streamed bars are BIT-IDENTICAL to a batch [[EventOps.ohlcBars]]
     * pass over the complete admitted data — spec-pinned parity.
@@ -55,7 +55,7 @@ object StreamOps {
                  idCol: String = "event_id"): DataFrame = {
     val tie = unix_micros(col(tsCol))
       .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
-      lit(1048576L) + col(idCol)
+      lit(1099511627776L) + col(idCol)
     events
       .filter(col(valCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
@@ -65,11 +65,11 @@ object StreamOps {
         max(col(valCol)).as("high"),
         min(col(valCol)).as("low"),
         max_by(col(valCol), tie).as("close"),
-        sum(col(valCol).cast(
-          org.apache.spark.sql.types.DecimalType(28, 9))).as("sum_value"))
+        sum(round(col(valCol) * lit(1e9)).cast("long"))
+          .as("sum_value_nanos"))
       .select(col("w.start").as("bar_ts"), col(seriesCol), col("n"),
         col("open"), col("high"), col("low"), col("close"),
-        col("sum_value"))
+        col("sum_value_nanos"))
   }
 
   /** Streaming trending-keys monitor: a mergeable Misra–Gries summary
