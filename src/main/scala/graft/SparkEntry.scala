@@ -7633,13 +7633,17 @@ object SparkEntry {
         |  END AS slope
         |FROM s""".stripMargin,
 
+    // products accumulate as floor(x_i*x_j*1e12) integer picounits —
+    // floor of the identical IEEE double is portable across engines
+    // (no decimal-tie surface) and sums ride the integer fast path;
+    // mirrors Similarity.embedCovariance exactly
     "q_embed_cov" ->
       """WITH x AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
         |             generate_subscripts(embedding, 1) AS i
         |           FROM embeddings),
         |cells AS (
         |  SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS sxy
+        |    SUM(CAST(floor(a.v * b.v * 1e12) AS BIGINT)) AS sxy
         |  FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i
         |  GROUP BY 1, 2),
         |dims AS (SELECT i - 1 AS dim,
@@ -7647,7 +7651,7 @@ object SparkEntry {
         |         FROM x GROUP BY 1)
         |SELECT CAST(cells.i AS BIGINT) AS i, CAST(cells.j AS BIGINT) AS j,
         |  n,
-        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
         |    - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS cov
         |FROM cells JOIN dims di ON di.dim = cells.i

@@ -1091,6 +1091,108 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Block-pair outer products for the dimension covariance
+    * ([[graft.operators.Similarity.embedCovariance]]): for every ordered
+    * pair (bi ≤ bj) of b-wide dimension blocks, a struct (bi, bj,
+    * xy[b²]) where xy[pi·b+pj] = floor(x[bi·b+pi]·x[bj·b+pj]·1e12) —
+    * the outer product in integer picounits (floor of the identical
+    * IEEE double is engine-portable; the long sum rides the compact
+    * decimal fast path downstream). Positions past the row's dimension
+    * are NULL.
+    *
+    * One tight loop replaces a four-deep nested `transform` whose
+    * interpreted evaluation (expression-tree walk per product) was the
+    * dominant cost of the covariance scan — the d² multiplies per row
+    * are irreducible, the per-element interpretation was not. Full
+    * non-null blocks emit primitive long arrays (no boxing); only edge
+    * blocks and null-holding rows take the boxed path. */
+  case class CovBlockPairs(child: Expression, b: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(b >= 1 && b <= 64, s"block size in [1, 64], got $b")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    private val xyType = ArrayType(LongType, containsNull = true)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("bi", IntegerType, nullable = false),
+      StructField("bj", IntegerType, nullable = false),
+      StructField("xy", xyType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_cov_block_pairs"
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    def compute(input: Any): org.apache.spark.sql.catalyst.util.ArrayData = {
+      val v = input.asInstanceOf[ArrayData]
+      val d = v.numElements()
+      val nb = (d + b - 1) / b
+      // hoist the floats (and their null mask) out of the O(d²) loop
+      val xs = new Array[Double](d)
+      val nulls = new Array[Boolean](d)
+      var hasNull = false
+      var i = 0
+      while (i < d) {
+        if (v.isNullAt(i)) { nulls(i) = true; hasNull = true }
+        else xs(i) = v.getFloat(i).toDouble
+        i += 1
+      }
+      val out = new Array[Any](nb * (nb + 1) / 2)
+      var k = 0; var bi = 0
+      while (bi < nb) {
+        var bj = bi
+        while (bj < nb) {
+          val full = (bi + 1) * b <= d && (bj + 1) * b <= d
+          val xy: ArrayData =
+            if (full && !hasNull) {
+              val a = new Array[Long](b * b)
+              var pi = 0
+              while (pi < b) {
+                val x = xs(bi * b + pi); val base = pi * b
+                var pj = 0
+                while (pj < b) {
+                  a(base + pj) =
+                    math.floor(x * xs(bj * b + pj) * 1e12).toLong
+                  pj += 1
+                }
+                pi += 1
+              }
+              UnsafeArrayData.fromPrimitiveArray(a)
+            } else {
+              val a = new Array[Any](b * b)
+              var pi = 0
+              while (pi < b) {
+                val ii = bi * b + pi; val base = pi * b
+                var pj = 0
+                while (pj < b) {
+                  val jj = bj * b + pj
+                  if (ii < d && jj < d && !nulls(ii) && !nulls(jj))
+                    a(base + pj) = java.lang.Long.valueOf(
+                      math.floor(xs(ii) * xs(jj) * 1e12).toLong)
+                  pj += 1
+                }
+                pi += 1
+              }
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+            }
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(
+            bi, bj, xy)
+          k += 1; bj += 1
+        }
+        bi += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // the grid loop lives in compute(); generated code calls it once
+      // per row, keeping the stage's codegen span unbroken without
+      // inlining a struct-building loop into Janino source
+      val ref = ctx.addReferenceObj("covBlockPairs", this,
+        classOf[CovBlockPairs].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** ADC score of one encoded corpus row against one query table:
     * Σ_j table[j·ksub + codes[j]], summed j-ascending from 0.0 — the
     * same left fold as the `aggregate(zip_with(...))` HOF it replaces. */
@@ -1193,6 +1295,9 @@ object VectorExprs {
   def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
     ExprBridge.column(PqAdcScore(
       ExprBridge.expression(codes), ExprBridge.expression(table), ksub))
+
+  def covBlockPairs(vec: Column, blockSize: Int): Column =
+    ExprBridge.column(CovBlockPairs(ExprBridge.expression(vec), blockSize))
 
   def topCellsByCosine(vec: Column, cells: Seq[(Long, Seq[Float])],
                        keep: Int): Column =

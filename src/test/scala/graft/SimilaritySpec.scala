@@ -454,6 +454,43 @@ class SimilaritySpec extends SparkTestBase {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("embedCovariance: the generate fan-out is block pairs, not " +
+      "dimension pairs (nb(nb+1)/2 rows per input)") {
+    val d = 64
+    val vecs = Seq((1L, Array.tabulate(d)(_.toFloat)),
+      (2L, Array.tabulate(d)(i => (i * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val b = 8
+    val perRow = vecs
+      .select(explode(Similarity.covBlockPairs(col("embedding"), b)))
+      .count() / 2
+    val nb = (d + b - 1) / b
+    assert(perRow === nb * (nb + 1) / 2,
+      s"expected ${nb * (nb + 1) / 2} block pairs per row, got $perRow")
+    assert(perRow <= (d.toLong / b) * (d / b),
+      "fan-out must stay <= (d/b)^2 per input row")
+    // and the blocked plan still matches the unblocked closed form on
+    // a non-divisible dimension (d=5, b=8: one padded block)
+    val ragged = Seq((1L, Array(1f, 2f, 3f, 4f, 5f)),
+      (2L, Array(2f, 3f, 5f, 7f, 11f)),
+      (3L, Array(0f, 1f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embedCovariance(ragged)
+      .select("i", "j", "n", "cov")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size === 15, "5 dims -> 15 upper-triangle cells")
+    val xs = Array(Array(1d, 2, 3, 4, 5), Array(2d, 3, 5, 7, 11),
+      Array(0d, 1, 0, 1, 0))
+    for (((i, j), (n, cov)) <- out) {
+      val sxy = xs.map(x => x(i.toInt) * x(j.toInt)).sum
+      val si = xs.map(_(i.toInt)).sum
+      val sj = xs.map(_(j.toInt)).sum
+      val want = BigDecimal((3 * sxy - si * sj) / 9.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(n === 3L && cov === want, s"cell ($i,$j): got $cov, want $want")
+    }
+  }
+
   test("pcaTopComponent: dominant eigenpair of the covariance table " +
       "(A·v = lambda·v), explained share under the trace") {
     val vecs = Seq(
