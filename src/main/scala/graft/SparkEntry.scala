@@ -3378,6 +3378,40 @@ object SparkEntry {
       Similarity.embedCovariance(t(s, d, "embeddings"))
         .orderBy("i", "j")),
 
+    // ---- E3g PCA top-k via power iteration + Hotelling deflation,
+    // exercised on a closed-form fixture whose eigenstructure is known
+    // analytically (A = 9·q1q1' + 4·q2q2' + 1·q3q3' over the
+    // orthonormal basis (.6,.8,0)/(-.8,.6,0)/(0,0,1)) — the oracle is
+    // the closed form itself; eigengap ratios (4/9)^50 keep iteration
+    // residuals ~1e-18, twelve orders under the 9-dec rounding ----
+    "q_pca_topk" -> ((s, _) => {
+      import s.implicits._
+      val cov = Seq((0L, 0L, 5.8), (0L, 1L, 2.4), (0L, 2L, 0.0),
+        (1L, 1L, 7.2), (1L, 2L, 0.0), (2L, 2L, 1.0)).toDF("i", "j", "cov")
+      val trace = 5.8 + 7.2 + 1.0
+      def r9(x: Double) = {
+        val r = BigDecimal(x)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (r == 0.0) 0.0 else r // never emit -0.0 into a hashed column
+      }
+      Similarity.pcaTopK(cov, 3).zipWithIndex.map { case ((l, v), m) =>
+        (m, r9(l), r9(l / trace), r9(v(0)), r9(v(1)), r9(v(2)))
+      }.toSeq
+        .toDF("component", "eigenvalue", "explained", "l0", "l1", "l2")
+        .orderBy("component")
+    }),
+
+    // ---- E3g PCA whitening serve over the corpus embeddings: stored
+    // model state (two exact-float unit components, entries ±2⁻³, and
+    // their eigenvalues) bound in as literals; w_m = <x, q_m>/sqrt(λ_m)
+    // — one zero-shuffle codegen'd scan, the decorrelation step before
+    // distance-based dedup/clustering ----
+    "q_pca_whiten" -> ((s, d) =>
+      Similarity.whiten(t(s, d, "embeddings"), Seq(
+          (2.0, Array.fill(64)(0.125)),
+          (0.5, Array.tabulate(64)(i => if (i % 2 == 0) 0.125 else -0.125))))
+        .orderBy("vec_id")),
+
     // ---- E19 Dunning log-likelihood collocations: G² over the 2×2
     // bigram contingency — evidence-mass-weighted multiword mining
     // where PMI would crown rare-pair noise ----
@@ -7632,6 +7666,37 @@ object SparkEntry {
         |      / (n_points * sxx - sx * sx), 9)
         |  END AS slope
         |FROM s""".stripMargin,
+
+    // the fixture's eigenstructure is analytic (orthonormal basis with
+    // exact-at-9dp entries, eigengap ratios (4/9)^50 ~ 1e-18), so the
+    // oracle IS the closed form — no power-iteration replay needed
+    "q_pca_topk" ->
+      """SELECT * FROM (VALUES
+        |  (0, CAST(9.0 AS DOUBLE), CAST(0.642857143 AS DOUBLE),
+        |   CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |  (1, CAST(4.0 AS DOUBLE), CAST(0.285714286 AS DOUBLE),
+        |   CAST(0.8 AS DOUBLE), CAST(-0.6 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |  (2, CAST(1.0 AS DOUBLE), CAST(0.071428571 AS DOUBLE),
+        |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+        |  AS t(component, eigenvalue, explained, l0, l1, l2)
+        |ORDER BY component""".stripMargin,
+
+    // whitening serve replay: the same stored-literal components
+    // (exact-float ±2⁻³ entries), list_dot_product's sequential double
+    // fold matches graft_float_dot, one fixed-order division by the
+    // identical IEEE sqrt. `+ 0.0` normalizes a would-be -0.0 (DuckDB's
+    // double-space round can emit one near zero; Spark's
+    // BigDecimal-based round cannot)
+    "q_pca_whiten" ->
+      """SELECT vec_id,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    list_transform(range(64), i -> CAST(0.125 AS DOUBLE)))
+        |    / sqrt(2.0), 9) + 0.0 AS w_0,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    list_transform(range(64), i -> CAST(CASE WHEN i % 2 = 0
+        |      THEN 0.125 ELSE -0.125 END AS DOUBLE)))
+        |    / sqrt(0.5), 9) + 0.0 AS w_1
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // products accumulate as floor(x_i*x_j*1e12) integer picounits —
     // floor of the identical IEEE double is portable across engines

@@ -988,29 +988,69 @@ object Similarity {
     * [[graft.functions]] dot products for 1-D compression, or deflate
     * and re-run for more components. */
   def pcaTopComponent(cov: DataFrame, iters: Int = 50)
-      : (Double, Array[Double]) = {
-    require(iters > 0)
-    val cells = cov.select(col("i").cast("int"), col("j").cast("int"),
-        col("cov").cast("double")).collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    val d = cells.keysIterator.map(_._2).max + 1
-    val a = Array.tabulate(d, d)((i, j) =>
-      cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var lambda = 0.0
-    for (_ <- 1 to iters) {
-      val av = Array.tabulate(d) { i =>
-        var s = 0.0; var j = 0
-        while (j < d) { s += a(i)(j) * v(j); j += 1 }
-        s
-      }
-      val norm = math.sqrt(av.map(x => x * x).sum)
-      if (norm > 0) {
-        v = av.map(_ / norm)
-        lambda = norm
-      }
+      : (Double, Array[Double]) =
+    pcaTopK(cov, 1, iters).head
+
+  /** Top-k eigenpairs of an [[embedCovariance]] table via power
+    * iteration + Hotelling deflation on the DRIVER — the whitening /
+    * Matryoshka-compression model build: component m is the dominant
+    * eigenpair of A − Σ_{l<m} λ_l·q_l·q_lᵀ (exact for a symmetric PSD
+    * covariance). The d(d+1)/2 upper-triangle cells collect STRAIGHT
+    * into a dense d×d double array (the registered bounded collect —
+    * d² doubles of model state, no boxed intermediate Map), the
+    * corpus-sized work having already happened in the one covariance
+    * scan. Deterministic: fixed uniform start, fixed iteration count,
+    * fixed summation order, and a fixed sign convention (the
+    * largest-|loading| coordinate is made positive — power iteration's
+    * raw sign depends on the start vector's overlap, which is not a
+    * property of the data). Returns k (eigenvalue, loadings[d]) pairs,
+    * dominant first; explained-variance share = eigenvalue / trace. */
+  def pcaTopK(cov: DataFrame, k: Int, iters: Int = 50)
+      : Array[(Double, Array[Double])] = {
+    require(k >= 1 && iters > 0)
+    val rows = cov.select(col("i").cast("int"), col("j").cast("int"),
+      col("cov").cast("double")).collect()
+    require(rows.nonEmpty, "empty covariance table")
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    require(k <= d, s"asked for $k components of a $d-dim covariance")
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      if (!r.isNullAt(2)) { val c = r.getDouble(2); a(i)(j) = c; a(j)(i) = c }
     }
-    (lambda, v)
+    val out = new Array[(Double, Array[Double])](k)
+    var m = 0
+    while (m < k) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val av = Array.tabulate(d) { i =>
+          var s = 0.0; var j = 0
+          while (j < d) { s += a(i)(j) * v(j); j += 1 }
+          s
+        }
+        val norm = math.sqrt(av.map(x => x * x).sum)
+        if (norm > 0) {
+          v = av.map(_ / norm)
+          lambda = norm
+        }
+      }
+      // canonical sign: the largest-|loading| coordinate reads positive
+      var am = 0
+      var i = 1
+      while (i < d) { if (math.abs(v(i)) > math.abs(v(am))) am = i; i += 1 }
+      if (v(am) < 0) v = v.map(-_)
+      out(m) = (lambda, v)
+      // Hotelling deflation in place: A ← A − λ·v·vᵀ
+      var r = 0
+      while (r < d) {
+        val lvr = lambda * v(r); var c = 0
+        while (c < d) { a(r)(c) -= lvr * v(c); c += 1 }
+        r += 1
+      }
+      m += 1
+    }
+    out
   }
 
   /** Project vectors onto a component (e.g. [[pcaTopComponent]]'s
@@ -1025,6 +1065,44 @@ object Similarity {
     val lit0 = typedLit(loadings.map(_.toFloat).toSeq)
     vecs.select(col(idCol),
       VectorExprs.floatDot(col(vecCol), lit0).as("projection"))
+  }
+
+  /** k-component generalization of [[projectOnto]] — the PCA
+    * compression serve path: one zero-shuffle scan emitting k codegen'd
+    * dot-product columns `proj_0..proj_{k-1}` (scalar columns, not an
+    * array — k is model-sized, and scalars keep the output
+    * oracle-comparable and column-prunable downstream). Components are
+    * model state (e.g. [[pcaTopK]] output) bound in as float-array
+    * literals. */
+  def projectOntoK(vecs: DataFrame, components: Seq[Array[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(components.nonEmpty)
+    val cols = components.zipWithIndex.map { case (c, m) =>
+      VectorExprs.floatDot(col(vecCol),
+        typedLit(c.map(_.toFloat).toSeq)).as(s"proj_$m")
+    }
+    vecs.select(col(idCol) +: cols: _*)
+  }
+
+  /** PCA whitening serve — [[projectOntoK]] with each component scaled
+    * by 1/√λ so the output coordinates have unit variance under the
+    * model: w_m = ⟨x, q_m⟩ / √λ_m, 9-dec rounded (division in one fixed
+    * double order after the codegen'd dot — engine-exact given literal
+    * components). The standard decorrelation step before distance-based
+    * dedup or clustering when embedding dimensions are correlated;
+    * components/eigenvalues are stored model state from [[pcaTopK]]. */
+  def whiten(vecs: DataFrame, components: Seq[(Double, Array[Double])],
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(components.nonEmpty)
+    require(components.forall(_._1 > 0), "whitening needs positive eigenvalues")
+    val cols = components.zipWithIndex.map { case ((lambda, c), m) =>
+      round(VectorExprs.floatDot(col(vecCol),
+        typedLit(c.map(_.toFloat).toSeq)) / lit(math.sqrt(lambda)), 9)
+        .as(s"w_$m")
+    }
+    vecs.select(col(idCol) +: cols: _*)
   }
 
   /** Margin-based cross-corpus alignment mining (the LASER bitext-mining
