@@ -64,12 +64,19 @@ object EventOps {
     * hour) the opening value (first by (ts, id)), high, low, closing
     * value (last by (ts, id)), event count, and the value sum in
     * integer NANO-UNITS (the VWAP/mean numerator, kept as a sum so it
-    * stays order-independent; per-row round(v·1e9)→long because
-    * rounding a double to an INTEGER is portable across engines — an
-    * exact .5 boundary is itself representable, so shortest-repr and
+    * stays order-independent; per-row round(v·1e9) because rounding a
+    * double to an INTEGER is portable across engines — an exact .5
+    * boundary is itself representable, so shortest-repr and
     * binary-value rounding agree, unlike a double→DECIMAL(28,9) cast
     * whose 9th-decimal ties each engine breaks from a different
-    * rendering). `min_by`/`max_by` on the exact DECIMAL key µs·2⁴⁰+id
+    * rendering). The nano mass rides TWO 2³⁰-radix LONG limbs (exact
+    * IEEE splits — see [[graft.operators.Profiling.weightedPercentiles]])
+    * recombined into a DECIMAL(38,0) `sum_value_nanos`, so the sum has
+    * NO silent-overflow surface: a |value| past 9.2e9 no longer
+    * saturates a per-row long, and a hot bar's sum cannot wrap a long —
+    * exact to 2⁹³ nano-units (≈ 9.9e18 unit-mass) per bar while every
+    * aggregation buffer stays a codegen'd long.
+    * `min_by`/`max_by` on the exact DECIMAL key µs·2⁴⁰+id
     * make open/close deterministic under same-timestamp events (the
     * packed key overflows a long, and DuckDB's arg_min takes no struct
     * keys — wide decimal is the portable total order; 2⁴⁰ leaves the
@@ -82,6 +89,11 @@ object EventOps {
     val tie = unix_micros(col(tsCol))
       .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
       lit(1099511627776L) + col(idCol)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val radix = 1073741824L // 2³⁰ limb radix (see weightedPercentiles)
+    val mass = round(col(valCol) * lit(1e9))
+    val mhi = floor(mass / lit(radix.toDouble))
+    val mlo = (mass - mhi.cast("double") * lit(radix.toDouble)).cast("long")
     events
       .filter(col(valCol).isNotNull)
       .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bar_ts"))
@@ -90,7 +102,7 @@ object EventOps {
         max(col(valCol)).as("high"),
         min(col(valCol)).as("low"),
         max_by(col(valCol), tie).as("close"),
-        sum(round(col(valCol) * lit(1e9)).cast("long"))
+        (sum(mhi).cast(dec) * lit(radix) + sum(mlo).cast(dec))
           .as("sum_value_nanos"))
   }
 

@@ -196,35 +196,63 @@ object Profiling {
     * row. Values collapse to (group, value, Σweight) first — grouped
     * percentile state is bounded by distinct values — then ONE rank
     * window per group over the collapsed table and one aggregate per
-    * requested percentile. Weights become integer NANO-UNIT mass per
-    * row (round(w·1e9)→long: double-to-INTEGER rounding is
-    * engine-portable, and fractional weights like revenue keep their
-    * mass instead of truncating to 0); the cumulative sums ride
-    * DECIMAL(38,0) so 100 TB-scale total mass cannot overflow, and the
-    * p·W threshold compares as 100·cum ≥ pct·W in exact integer
-    * decimals, so any engine reproduces the cut row. Null/non-positive
-    * weights drop. */
+    * requested percentile.
+    *
+    * Weights become integer NANO-UNIT mass per row (round(w·1e9):
+    * double-to-INTEGER rounding is engine-portable, and fractional
+    * weights like revenue keep their mass instead of truncating to 0),
+    * carried as TWO 2³⁰-radix LONG limbs — hi = floor(mass/2³⁰),
+    * lo = mass − hi·2³⁰, both splits exact in IEEE doubles (the 2³⁰
+    * divide is a pure exponent shift; the subtraction is Sterbenz-
+    * exact) — so every sum in the plan (the per-value collapse AND both
+    * window frames) rides the codegen long fast path, yet the
+    * recombined DECIMAL(38,0) mass is exact to 2⁹³ nano-units per group
+    * (≈ 9.9e18 unit-mass — 100 TB byte-mass pipelines included), where
+    * a single per-row long hop would silently saturate past a
+    * 9.2e9-unit weight. Contract: per-row weight < 9.9e18 (beyond that
+    * the limb split itself saturates); above ~9e6 the double nano
+    * product quantizes sub-nano digits, as any 1e9-scaled double must.
+    * The cumulative and total sums share ONE window spec (same
+    * partition + order; the total is the unbounded-following frame), so
+    * the collapsed table sorts once; the p·W cut is a per-pct
+    * conditional MIN in one grouped aggregate (no |pcts|× row explode),
+    * comparing 100·cum ≥ pct·W in exact integer decimals so any engine
+    * reproduces the cut row. Null/non-positive weights drop. */
   def weightedPercentiles(df: DataFrame, groupCol: String, valCol: String,
                           weightCol: String,
                           pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
       s"percentiles must lie in (0, 100], got $pcts")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val radix = 1073741824L // 2³⁰
+    val mass = round(col(weightCol) * lit(1e9)) // integer-valued double
+    val hi = floor(mass / lit(radix.toDouble)) // long out; exact 2³⁰ divide
+    val lo = (mass - hi.cast("double") * lit(radix.toDouble)).cast("long")
     val byVal = df
       .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
       .groupBy(col(groupCol).as("grp"), col(valCol).as("value"))
-      .agg(sum(round(col(weightCol) * lit(1e9)).cast("long")
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__w"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .agg(sum(hi).as("__whi"), sum(lo).as("__wlo"))
+    val ord = Window.partitionBy(col("grp")).orderBy(col("value"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def mass38(h: org.apache.spark.sql.Column,
+               l: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      h.cast(dec) * lit(radix) + l.cast(dec)
     val cum = byVal.select(col("grp"), col("value"),
-      sum(col("__w")).over(w).as("__cum"),
-      sum(col("__w")).over(Window.partitionBy(col("grp"))).as("__tot"))
-    cum.select(col("grp"), col("value"), col("__cum"), col("__tot"),
-        explode(array(pcts.map(lit(_)): _*)).as("pct"))
-      .filter(col("__cum") * 100 >= col("pct").cast("long") * col("__tot"))
-      .groupBy(col("grp"), col("pct"))
-      .agg(min(col("value")).as("value"))
+      mass38(sum(col("__whi")).over(run), sum(col("__wlo")).over(run))
+        .as("__cum"),
+      mass38(sum(col("__whi")).over(all), sum(col("__wlo")).over(all))
+        .as("__tot"))
+    val minCols = pcts.map(p =>
+      min(when(col("__cum") * 100 >= lit(p) * col("__tot"), col("value")))
+        .as(s"__p$p"))
+    cum.groupBy(col("grp")).agg(minCols.head, minCols.tail: _*)
+      .select(col("grp"),
+        explode(array(pcts.map(p =>
+          struct(lit(p).as("pct"), col(s"__p$p").as("value"))): _*)).as("kv"))
+      .select(col("grp"), col("kv.pct").as("pct"), col("kv.value").as("value"))
   }
 
   /** Key-skew report: the `k` heaviest values of `keyCol` with their row

@@ -1004,7 +1004,13 @@ object Similarity {
     * largest-|loading| coordinate is made positive — power iteration's
     * raw sign depends on the start vector's overlap, which is not a
     * property of the data). Returns k (eigenvalue, loadings[d]) pairs,
-    * dominant first; explained-variance share = eigenvalue / trace. */
+    * dominant first; explained-variance share = eigenvalue / trace.
+    *
+    * Driver-collect bound: d(d+1)/2 cell Rows materialize on the driver
+    * before the dense pack — ~50 B/Row means d = 2048 collects ~100 MB
+    * and d = 4096 ~8.4M Rows (~400 MB). Guarded with a hard require at
+    * d ≤ 4096; past d ≈ 2048 prefer collecting the cells in column
+    * chunks (toLocalIterator over `i` ranges) before going dense. */
   def pcaTopK(cov: DataFrame, k: Int, iters: Int = 50)
       : Array[(Double, Array[Double])] = {
     require(k >= 1 && iters > 0)
@@ -1012,6 +1018,10 @@ object Similarity {
       col("cov").cast("double")).collect()
     require(rows.nonEmpty, "empty covariance table")
     val d = rows.iterator.map(_.getInt(1)).max + 1
+    require(d <= 4096,
+      s"pcaTopK collects d(d+1)/2 covariance cells on the driver; " +
+        s"d=$d exceeds the 4096 bound — chunk the collect " +
+        "(toLocalIterator over i ranges) for larger models")
     require(k <= d, s"asked for $k components of a $d-dim covariance")
     val a = Array.ofDim[Double](d, d)
     rows.foreach { r =>

@@ -1098,7 +1098,12 @@ object VectorExprs {
     * the outer product in integer picounits (floor of the identical
     * IEEE double is engine-portable; the long sum rides the compact
     * decimal fast path downstream). Positions past the row's dimension
-    * are NULL.
+    * are NULL. Picounit range is GUARDED, not silently saturated: a
+    * non-finite product (NaN/Inf input) or |x·y| ≥ ~9.2e6 (entries
+    * beyond ~3e3 on unit-scale embeddings) throws ArithmeticException,
+    * matching the oracle's CAST(floor(·) AS BIGINT) raising in DuckDB —
+    * the engines diverge loudly together instead of one returning a
+    * wrapped covariance.
     *
     * One tight loop replaces a four-deep nested `transform` whose
     * interpreted evaluation (expression-tree walk per product) was the
@@ -1118,6 +1123,18 @@ object VectorExprs {
     override def prettyName: String = "graft_cov_block_pairs"
 
     override def nullSafeEval(input: Any): Any = compute(input)
+
+    // picounit product with the long range guarded (throws like the
+    // DuckDB oracle's CAST instead of Scala toLong's silent saturation)
+    @inline private def pico(x: Double, y: Double): Long = {
+      val p = x * y * 1e12
+      if (!java.lang.Double.isFinite(p) ||
+          math.abs(p) >= 9.223372036854776e18)
+        throw new ArithmeticException(
+          s"graft_cov_block_pairs: picounit product $p exceeds long " +
+            "range — embedding entries must keep |x*y| < ~9.2e6")
+      math.floor(p).toLong
+    }
 
     def compute(input: Any): org.apache.spark.sql.catalyst.util.ArrayData = {
       val v = input.asInstanceOf[ArrayData]
@@ -1147,8 +1164,7 @@ object VectorExprs {
                 val x = xs(bi * b + pi); val base = pi * b
                 var pj = 0
                 while (pj < b) {
-                  a(base + pj) =
-                    math.floor(x * xs(bj * b + pj) * 1e12).toLong
+                  a(base + pj) = pico(x, xs(bj * b + pj))
                   pj += 1
                 }
                 pi += 1
@@ -1163,8 +1179,7 @@ object VectorExprs {
                 while (pj < b) {
                   val jj = bj * b + pj
                   if (ii < d && jj < d && !nulls(ii) && !nulls(jj))
-                    a(base + pj) = java.lang.Long.valueOf(
-                      math.floor(xs(ii) * xs(jj) * 1e12).toLong)
+                    a(base + pj) = java.lang.Long.valueOf(pico(xs(ii), xs(jj)))
                   pj += 1
                 }
                 pi += 1
