@@ -2687,6 +2687,57 @@ object SparkEntry {
         .orderBy("source", "example", "doc_id", "tok_start")
     }),
 
+    // ---- E28 unigram-LM (SentencePiece-style) tokenizer TRAIN: seed
+    // from high-frequency substrings, hard-EM (Viterbi) prune rounds —
+    // every selection integer micro-nats + lexicographic ties, so the
+    // learned vocabulary is engine-exact ----
+    "q_unigram_train" -> ((s, d) =>
+      Ngrams.unigramTrain(t(s, d, "documents"), vocabSize = uniVocabSize,
+          maxPieceLen = uniMaxPiece, rounds = uniRounds,
+          seedSize = uniSeedSize)
+        .orderBy("piece")),
+
+    // ---- E28 the segmentation the trained vocabulary induces over the
+    // corpus's distinct words — the artifact a tokenizer ships ----
+    "q_unigram_segment" -> ((s, d) =>
+      Ngrams.unigramSegmentWithVocab(t(s, d, "documents"),
+          Ngrams.unigramTrain(t(s, d, "documents"),
+            vocabSize = uniVocabSize, maxPieceLen = uniMaxPiece,
+            rounds = uniRounds, seedSize = uniSeedSize),
+          maxPieceLen = uniMaxPiece)
+        .orderBy("word")),
+
+    // ---- E28+E13 stored-tokenizer round trip: train, SHIP the
+    // (piece, cnt, logp_micro) vocabulary through a ManifestTable
+    // commit, read it back, and segment from the STORED artifact —
+    // zero training jobs at serve time. Oracle is the SAME SQL as
+    // q_unigram_segment: green only if the persisted model round-trips
+    // AND the serve path reproduces the train-side segmentation. ----
+    "q_unigram_stored" -> ((s, d) => withScratchDir("graft-uni-model") { tmp =>
+      import graft.sources.ManifestTable
+      ManifestTable.upsertBatch(
+        Ngrams.unigramTrain(t(s, d, "documents"), vocabSize = uniVocabSize,
+          maxPieceLen = uniMaxPiece, rounds = uniRounds,
+          seedSize = uniSeedSize),
+        s"$tmp/uni_vocab", Seq("piece"), nBuckets = 1, batchId = 0L)
+      Ngrams.unigramSegmentWithVocab(t(s, d, "documents"),
+          ManifestTable.read(s, s"$tmp/uni_vocab"),
+          maxPieceLen = uniMaxPiece)
+        .orderBy("word")
+    }),
+
+    // ---- E28 corpus → token-id sequences from the trained unigram
+    // vocabulary (ids dense-ranked by piece string), doc subset like
+    // q_bpe_encode ----
+    "q_unigram_encode" -> ((s, d) =>
+      Ngrams.unigramEncodeWithVocab(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          Ngrams.unigramTrain(t(s, d, "documents"),
+            vocabSize = uniVocabSize, maxPieceLen = uniMaxPiece,
+            rounds = uniRounds, seedSize = uniSeedSize),
+          maxPieceLen = uniMaxPiece)
+        .orderBy("doc_id")),
+
     // ---- E27+E15 materialized training rows: the span table joined
     // back to the encoded sequences, sliced and concatenated — every
     // example is EXACTLY 256 tokens of real ids (tail excepted); the
@@ -3668,6 +3719,156 @@ object SparkEntry {
     * number of replay iterations. */
   private val bpeOracleMerges = 6
 
+  /** Unigram-LM tokenizer hyperparameters the q_unigram_* family trains
+    * with; the oracle unrolls the same seed size / budget / rounds. */
+  private val uniSeedSize = 40
+  private val uniVocabSize = 16
+  private val uniRounds = 2
+  private val uniMaxPiece = 4
+
+  /** DuckDB replay of [[operators.Ngrams.unigramTrain]]: the substring
+    * seed and the hard-EM rounds UNROLLED into chained CTEs. The
+    * engine's Viterbi DP is replayed as exhaustive segmentation-path
+    * enumeration (one recursive CTE per round — bounded: compositions
+    * of ≤ max-word-length into parts ≤ maxPieceLen) ranked by the SAME
+    * total order (score DESC, fewer pieces, lexicographic piece
+    * sequence), so the argmax — and therefore usage counts, pruning,
+    * and the final vocabulary — is bit-identical. Scores are integer
+    * micro-nats on both sides (exact BIGINT sums; ln of the identical
+    * IEEE ratio rounds once). */
+  private def unigramStateCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE wc AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) >= 1 GROUP BY w),
+      |sub AS (
+      |  SELECT substr(w, CAST(st AS INTEGER), CAST(l AS INTEGER)) AS piece,
+      |         SUM(c) AS cnt
+      |  FROM wc,
+      |       unnest(range(1, len(w) + 1)) AS u(st),
+      |       unnest(range(1, LEAST($uniMaxPiece, len(w) - st + 1) + 1))
+      |         AS ul(l)
+      |  GROUP BY 1),
+      |vocab0 AS (
+      |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt,
+      |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+      |    FROM sub WHERE len(piece) > 1) WHERE rk <= $uniSeedSize)"""
+      .stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |sc$i AS (
+        |  SELECT piece, len(piece) AS pl,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS lp
+        |  FROM vocab$p, (SELECT SUM(cnt) AS t FROM vocab$p)),
+        |paths$i AS (
+        |  SELECT w, c, 0 AS pos, CAST(0 AS BIGINT) AS s, 0 AS k, '' AS p
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT t.w, t.c, t.pos + v.pl, t.s + v.lp, t.k + 1,
+        |    CASE WHEN t.k = 0 THEN v.piece
+        |         ELSE t.p || ' ' || v.piece END
+        |  FROM paths$i t JOIN sc$i v
+        |    ON t.pos < len(t.w)
+        |   AND substr(t.w, t.pos + 1, CAST(v.pl AS INTEGER)) = v.piece),
+        |best$i AS (
+        |  SELECT w, c, p FROM (
+        |    SELECT w, c, p, row_number() OVER (PARTITION BY w
+        |      ORDER BY s DESC, k, p) AS rn
+        |    FROM paths$i WHERE pos = len(w)) WHERE rn = 1),
+        |usage$i AS (
+        |  SELECT u.piece, SUM(c) AS u
+        |  FROM best$i, unnest(string_split(p, ' ')) AS u(piece)
+        |  GROUP BY 1),
+        |vocab$i AS (
+        |  SELECT v.piece, GREATEST(COALESCE(g.u, 0), 1) AS cnt
+        |  FROM vocab$p v LEFT JOIN usage$i g USING (piece)
+        |  WHERE len(v.piece) = 1
+        |  UNION ALL
+        |  SELECT piece, u AS cnt FROM (
+        |    SELECT piece, u, row_number() OVER (ORDER BY u DESC, piece)
+        |      AS rk
+        |    FROM usage$i WHERE len(piece) > 1) WHERE rk <= $uniVocabSize)"""
+        .stripMargin
+    }
+    sb.toString
+  }
+
+  private def unigramTrainOracle(rounds: Int): String =
+    unigramStateCtes(rounds) + s"""
+      |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000)
+      |    AS BIGINT) AS logp_micro
+      |FROM vocab$rounds, (SELECT SUM(cnt) AS t FROM vocab$rounds)
+      |ORDER BY piece""".stripMargin
+
+  /** Shared serve-side CTEs: the final vocabulary scored, segmentation
+    * paths over the full distinct-word table, the per-word winner
+    * carried with its piece count. */
+  private def unigramServeCtes(rounds: Int): String =
+    unigramStateCtes(rounds) + s""",
+      |scF AS (
+      |  SELECT piece, len(piece) AS pl,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE))
+      |      * 1000000) AS BIGINT) AS lp
+      |  FROM vocab$rounds, (SELECT SUM(cnt) AS t FROM vocab$rounds)),
+      |pathsF AS (
+      |  SELECT w, c, 0 AS pos, CAST(0 AS BIGINT) AS s, 0 AS k, '' AS p
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT t.w, t.c, t.pos + v.pl, t.s + v.lp, t.k + 1,
+      |    CASE WHEN t.k = 0 THEN v.piece
+      |         ELSE t.p || ' ' || v.piece END
+      |  FROM pathsF t JOIN scF v
+      |    ON t.pos < len(t.w)
+      |   AND substr(t.w, t.pos + 1, CAST(v.pl AS INTEGER)) = v.piece),
+      |bestF AS (
+      |  SELECT w, c, k, p FROM (
+      |    SELECT w, c, k, p, row_number() OVER (PARTITION BY w
+      |      ORDER BY s DESC, k, p) AS rn
+      |    FROM pathsF WHERE pos = len(w)) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of [[operators.Ngrams.unigramSegmentWithVocab]] on
+    * the trained vocabulary (shared by q_unigram_segment and
+    * q_unigram_stored — the stored-artifact serve must reproduce the
+    * train-side segmentation bit-for-bit). */
+  private def unigramSegmentOracle(rounds: Int): String =
+    unigramServeCtes(rounds) + s"""
+      |SELECT w AS word, CAST(c AS BIGINT) AS cnt,
+      |  CAST(k AS BIGINT) AS n_pieces, p AS pieces
+      |FROM bestF ORDER BY word""".stripMargin
+
+  /** DuckDB replay of [[operators.Ngrams.unigramEncodeWithVocab]]:
+    * per-doc id lists in (token position, piece position) order, ids
+    * dense-ranked by piece string. */
+  private def unigramEncodeOracle(rounds: Int): String =
+    unigramServeCtes(rounds) + s""",
+      |uids AS (SELECT piece, row_number() OVER (ORDER BY piece) AS id
+      |         FROM vocab$rounds),
+      |useg AS (SELECT w, string_split(p, ' ') AS a FROM bestF),
+      |utok AS (
+      |  SELECT doc_id, tp, w FROM (
+      |    SELECT doc_id, generate_subscripts(toks, 1) AS tp,
+      |           unnest(toks) AS w
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents WHERE doc_id < 200))
+      |  WHERE len(w) >= 1),
+      |upieces AS (
+      |  SELECT doc_id, tp, generate_subscripts(a, 1) AS sp,
+      |         unnest(a) AS piece
+      |  FROM utok JOIN useg USING (w)),
+      |uenc AS (SELECT doc_id, tp, sp, id
+      |         FROM upieces JOIN uids USING (piece))
+      |SELECT doc_id, CAST(COUNT(DISTINCT tp) AS BIGINT) AS n_toks,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |  array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
+      |FROM uenc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DuckDB replay of [[operators.Ngrams.bpeTrain]], the k training
     * rounds UNROLLED into a chained-CTE pipeline (SQL has no loops; the
     * round count is a compile-time constant, so the oracle is generated
@@ -3937,6 +4138,16 @@ object SparkEntry {
     "q_bpe_pack" -> bpePackOracle(bpeOracleMerges),
 
     "q_bpe_pack_contiguous" -> bpePackContiguousOracle(bpeOracleMerges),
+
+    "q_unigram_train" -> unigramTrainOracle(uniRounds),
+
+    "q_unigram_segment" -> unigramSegmentOracle(uniRounds),
+
+    // same oracle as q_unigram_segment on purpose: the stored-model
+    // serve path must reproduce the train-side segmentation exactly
+    "q_unigram_stored" -> unigramSegmentOracle(uniRounds),
+
+    "q_unigram_encode" -> unigramEncodeOracle(uniRounds),
 
     "q_bpe_examples" -> bpeExamplesOracle(bpeOracleMerges),
 

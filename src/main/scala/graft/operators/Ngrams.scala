@@ -676,6 +676,228 @@ object Ngrams {
     (words, merges.toSeq)
   }
 
+  // -------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — the second production
+  // tokenizer family beside BPE (Kudo 2018, ACL: "Subword
+  // Regularization"): seed a piece vocabulary from high-frequency
+  // substrings, then run hard-EM (Viterbi) rounds — segment every word
+  // with the current piece probabilities, re-estimate piece counts from
+  // the chosen segmentations, prune to the vocabulary budget — and ship
+  // the surviving (piece, cnt, logp) table as the tokenizer artifact.
+  // Deterministic end to end: scores are integer MICRO-NATS
+  // (round(ln(cnt/T)·1e6) as long — summed exactly; ties break by fewer
+  // pieces then lexicographic piece sequence), so the learned vocabulary
+  // and every segmentation are engine-exact, and a DuckDB oracle can
+  // replay the unrolled EM rounds (path enumeration + the same total
+  // order) bit-for-bit.
+  // -------------------------------------------------------------------
+
+  /** (w, c) word-frequency table — the corpus's ONLY appearance in the
+    * unigram trainer (everything after is vocabulary-sized). Persisted
+    * via [[OpCaches]]: every EM round's E-step re-reads it. */
+  private def unigramWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    OpCaches.register(
+      docs.select(explode(toks(col(textCol))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("c")))
+
+  /** Seed vocabulary: every single character (never pruned — they keep
+    * all words segmentable, SentencePiece's coverage set) plus the
+    * `seedSize` highest-frequency multi-char substrings of length ≤
+    * `maxPieceLen`, counted per OCCURRENCE weighted by word frequency
+    * ("aaa" contributes "aa" twice per occurrence). The rank window is
+    * vocabulary-sized (single ordered task over the substring table —
+    * bounded by |distinct words|·maxPieceLen·max word length, model
+    * state, never the corpus). */
+  private def unigramSeedFrom(wc: DataFrame, maxPieceLen: Int,
+                              seedSize: Int): DataFrame = {
+    val subs = wc.select(col("c"),
+        explode(flatten(transform(sequence(lit(1), length(col("w"))),
+          st => transform(
+            sequence(lit(1),
+              least(lit(maxPieceLen), length(col("w")) - st + 1)),
+            l => col("w").substr(st, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("c")).as("cnt"))
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multis = subs.filter(length(col("piece")) > 1)
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece"))))
+      .filter(col("__rk") <= seedSize).drop("__rk")
+    singles.unionByName(multis)
+  }
+
+  /** (piece, cnt) → (piece, cnt, logp_micro): integer micro-nat log
+    * probability round(ln(cnt/ΣT)·1e6) as LONG — quantized once per
+    * round so Viterbi scores sum exactly (no float accumulation order
+    * anywhere in the selection). */
+  private def unigramWithLogp(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("cnt")).as("__t"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("__t").cast("double")) *
+          lit(1e6)).cast("long").as("logp_micro"))
+  }
+
+  /** Unreachable-position sentinel for the Viterbi DP: far enough below
+    * any real score that additions cannot wrap, detectable with `>`. */
+  private val unigramSentinel: Long = Long.MinValue / 4
+
+  /** Viterbi best segmentation of each distinct word under a scored
+    * vocabulary — maximize Σ logp_micro; ties prefer FEWER pieces, then
+    * the lexicographically smallest piece sequence (a total order, so
+    * the winner is unique and any engine reproduces it; prefix paths at
+    * equal consumed-length and piece count are equal-length strings, so
+    * the lexicographic key decomposes over the DP).
+    *
+    * The DP is ONE codegen-planned projection: per word, an `aggregate`
+    * HOF folds positions 1..len(w), keeping per position the best
+    * (score, n_pieces, path) reachable state over the ≤ maxPieceLen
+    * candidate pieces ending there (vocabulary lookups against a
+    * broadcast piece→logp map — model state bound into the plan, no
+    * driver loop). Input is the DISTINCT-WORD table, so cost is
+    * vocabulary-sized: the corpus never flows through the lattice.
+    * Words containing a character outside the vocabulary come back with
+    * NULL pieces (the encode path maps them to one OOV id); on the
+    * training corpus itself every single char is in the seed, so all
+    * words segment. */
+  private def unigramViterbi(words: DataFrame, scored: DataFrame,
+                             maxPieceLen: Int): DataFrame = {
+    val vmap = scored.agg(map_from_entries(collect_list(
+      struct(col("piece"), col("logp_micro")))).as("__m"))
+    def st(s: Column, k: Column, p: Column): Column =
+      struct(s.as("s"), k.as("k"), p.as("p"))
+    val sent = lit(unigramSentinel)
+    val dp = aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(st(lit(0L), lit(0), lit(""))),
+      (acc: Column, i: Column) => concat(acc, array(
+        aggregate(
+          filter(
+            transform(sequence(lit(1), lit(maxPieceLen)), l => {
+              val piece = col("w").substr(i - l + lit(1), l)
+              val prev = element_at(acc, i - l + lit(1))
+              when(l <= i && element_at(col("__m"), piece).isNotNull &&
+                   prev("s") > sent,
+                st(prev("s") + element_at(col("__m"), piece),
+                   prev("k") + lit(1),
+                   when(prev("k") === 0, piece)
+                     .otherwise(concat(prev("p"), lit(" "), piece))))
+            }),
+            x => x.isNotNull),
+          st(sent, lit(0), lit("")),
+          (b: Column, c2: Column) => when(
+            c2("s") > b("s") ||
+              (c2("s") === b("s") && (c2("k") < b("k") ||
+                (c2("k") === b("k") && c2("p") < b("p")))), c2)
+            .otherwise(b)))))
+    words.crossJoin(broadcast(vmap))
+      .select(col("w"), col("c"),
+        element_at(dp, length(col("w")) + 1).as("__best"))
+      .select(col("w"), col("c"),
+        when(col("__best.s") > sent, col("__best.p")).as("pieces"),
+        when(col("__best.s") > sent, col("__best.k").cast("long"))
+          .as("n_pieces"),
+        when(col("__best.s") > sent, col("__best.s")).as("score_micro"))
+  }
+
+  /** Train the unigram tokenizer: seed → `rounds` hard-EM rounds →
+    * (piece, cnt, logp_micro), ordered by the caller. Each round:
+    * score the vocabulary (micro-nat logp), Viterbi-segment the
+    * distinct-word table, re-count piece usage weighted by word
+    * frequency (the M-step), prune — single chars always survive (usage
+    * floored at 1 so their next-round logp is finite: the coverage
+    * floor), multi-char pieces must be USED and rank in the top
+    * `vocabSize` by (usage desc, piece asc). All selections are integer
+    * + lexicographic, so the learned vocabulary is engine-exact.
+    *
+    * Scale shape: the corpus is touched exactly once (the word-count
+    * aggregate, persisted); every round is vocabulary-sized — the
+    * Viterbi projection over distinct words, a piece-count aggregate,
+    * and a model-sized rank window. Each round's vocabulary is
+    * persisted ([[OpCaches]]) because round r+1 reads it twice (score
+    * map + surviving-singles join). */
+  def unigramTrain(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 4,
+                   rounds: Int = 2, seedSize: Int = 40,
+                   textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && rounds >= 1 &&
+      seedSize >= 0)
+    val wc = unigramWordCounts(docs, textCol)
+    var vocab = OpCaches.register(unigramSeedFrom(wc, maxPieceLen, seedSize))
+    for (_ <- 1 to rounds) {
+      val seg = unigramViterbi(wc, unigramWithLogp(vocab), maxPieceLen)
+      val usage = seg.filter(col("pieces").isNotNull)
+        .select(col("c"), explode(split(col("pieces"), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("c")).as("u"))
+      val singles = vocab.filter(length(col("piece")) === 1)
+        .select("piece").join(usage, Seq("piece"), "left")
+        .select(col("piece"),
+          greatest(coalesce(col("u"), lit(0L)), lit(1L)).as("cnt"))
+      val multis = usage.filter(length(col("piece")) > 1 && col("u") >= 1)
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("u").desc, col("piece"))))
+        .filter(col("__rk") <= vocabSize)
+        .select(col("piece"), col("u").as("cnt"))
+      vocab = OpCaches.register(singles.unionByName(multis))
+    }
+    unigramWithLogp(vocab)
+  }
+
+  /** The word → piece segmentation a TRAINED unigram vocabulary
+    * induces, published as a vocabulary-sized table (word, cnt,
+    * n_pieces, pieces) — the unigram twin of [[bpeSegment]], and the
+    * serve path when the vocabulary comes back from storage (pass any
+    * (piece, cnt, logp_micro) frame, e.g. a ManifestTable read): zero
+    * training jobs, one Viterbi projection over the distinct words. */
+  def unigramSegmentWithVocab(docs: DataFrame, vocab: DataFrame,
+                              maxPieceLen: Int = 4,
+                              textCol: String = "text"): DataFrame = {
+    val wc = docs.select(explode(toks(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    unigramViterbi(wc, vocab, maxPieceLen)
+      .select(col("w").as("word"), col("c").as("cnt"),
+        col("n_pieces"), col("pieces"))
+  }
+
+  /** Corpus → token-id sequences from a stored unigram vocabulary — the
+    * unigram twin of [[bpeEncodeWithMerges]]: ids dense-ranked by piece
+    * string (engine-independent); each batch's DISTINCT words segment
+    * once (Viterbi projection), tokens join their segmentation, pieces
+    * join their ids in (token position, piece position) order. Words
+    * with a character outside the vocabulary are unsegmentable and
+    * encode as ONE `oovId`. Output schema matches [[bpeEncode]]:
+    * (idCol, n_toks, n_ids, token_ids). */
+  def unigramEncodeWithVocab(encodeDocs: DataFrame, vocab: DataFrame,
+                             maxPieceLen: Int = 4, idCol: String = "doc_id",
+                             textCol: String = "text",
+                             oovId: Long = 0L): DataFrame = {
+    val ids = vocab.select(col("piece"),
+      row_number().over(Window.orderBy(col("piece"))).cast("long").as("id"))
+    val tok = encodeDocs
+      .select(col(idCol), posexplode(toks(col(textCol))))
+      .withColumnRenamed("pos", "__tp").withColumnRenamed("col", "w")
+      .filter(length(col("w")) >= 1)
+    val seg = unigramViterbi(
+      tok.select("w").distinct().withColumn("c", lit(1L)), vocab,
+      maxPieceLen)
+    // unsegmentable word → one sentinel piece that matches no vocab id,
+    // so the left join below assigns it exactly one oovId
+    tok.join(seg.select(col("w"), col("pieces")), Seq("w"), "left")
+      .select(col(idCol), col("__tp"),
+        posexplode(coalesce(split(col("pieces"), " "),
+          array(lit(" OOV")))))
+      .withColumnRenamed("pos", "__sp").withColumnRenamed("col", "piece")
+      .join(ids, Seq("piece"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count_distinct(col("__tp")).as("n_toks"),
+        count(lit(1)).as("n_ids"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__tp"), col("__sp"),
+            coalesce(col("id"), lit(oovId)).as("id")))),
+          x => x("id").cast("string")), ",").as("token_ids"))
+  }
+
   /** Bigram language-model score per document: mean log-probability of
     * the document's token TRANSITIONS, log P(w_i | w_{i-1}) with MLE
     * counts from the corpus itself — the sequential-coherence twin of

@@ -555,4 +555,71 @@ class NgramsSpec extends SparkTestBase {
     val want = (3 * sxy - sx * sy) / (3 * sxx - sx * sx)
     assert(math.abs(s3.get - want) < 1e-6)
   }
+
+  test("unigramTrain: hand-checked seed + hard-EM rounds; singles " +
+       "survive with the coverage floor; Viterbi prefers the likelier " +
+       "whole piece") {
+    // words: ab(3), b(1) → substrings a:3, b:4, ab:3; Viterbi on "ab":
+    // [ab] ln(3/10) beats [a b] ln(3/10)+ln(4/10) → usage ab:3, b:1;
+    // 'a' is never used but survives at the floor cnt 1
+    val d = Seq((1L, "ab ab ab b")).toDF("doc_id", "text")
+    val v = Ngrams.unigramTrain(d, vocabSize = 8, maxPieceLen = 2,
+        rounds = 2, seedSize = 8)
+      .as[(String, Long, Long)].collect()
+      .map { case (p, c, lp) => p -> ((c, lp)) }.toMap
+    assert(v.keySet === Set("a", "b", "ab"))
+    assert(v("ab")._1 === 3L, "EM usage count")
+    assert(v("a")._1 === 1L, "unused single char floored at 1")
+    assert(v("b")._1 === 1L)
+    assert(v("ab")._2 ===
+      math.round(math.log(3.0 / 5.0) * 1e6), "micro-nat logp")
+  }
+
+  test("unigramViterbi tie-breaks: equal score prefers fewer pieces, " +
+       "then the lexicographically smaller piece sequence") {
+    val d = Seq((1L, "xy xyx")).toDF("doc_id", "text")
+    // scores constructed to tie exactly: [x y] = -300 = [xy];
+    // on "xyx" all three paths score -400: [x y x] loses on k=3,
+    // [xy x] and [x yx] tie at k=2 → "x yx" < "xy x" lexicographically
+    val vocab = Seq(("x", 1L, -100L), ("y", 1L, -200L),
+      ("xy", 1L, -300L), ("yx", 1L, -300L))
+      .toDF("piece", "cnt", "logp_micro")
+    val seg = Ngrams.unigramSegmentWithVocab(d, vocab, maxPieceLen = 2)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(seg("xy") === ((1L, "xy")), "fewer pieces wins the tie")
+    assert(seg("xyx") === ((2L, "x yx")),
+      "equal score+count ties break lexicographically")
+  }
+
+  test("unigramEncodeWithVocab: dense ids by piece string; a word with " +
+       "an out-of-vocabulary character encodes as ONE oovId") {
+    val vocab = Seq(("a", 2L, -100L), ("b", 2L, -100L),
+      ("ab", 2L, -150L)).toDF("piece", "cnt", "logp_micro")
+    val d = Seq((7L, "ab qa b")).toDF("doc_id", "text")
+    // ids by piece order: a=1, ab=2, b=3; "ab"→[ab]=2, "qa" has 'q'
+    // (unsegmentable) → one oov 0, "b"→3
+    val out = Ngrams.unigramEncodeWithVocab(d, vocab, maxPieceLen = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Array((7L, 3L, 3L, "2,0,3")))
+  }
+
+  test("unigram stored-artifact serve: a round-tripped vocabulary " +
+       "reproduces the train-side segmentation exactly") {
+    val d = Seq((1L, "ab ab ab b aba")).toDF("doc_id", "text")
+    val trained = Ngrams.unigramTrain(d, vocabSize = 4, maxPieceLen = 3,
+      rounds = 2, seedSize = 6)
+    val direct = Ngrams.unigramSegmentWithVocab(d, trained,
+      maxPieceLen = 3).orderBy("word")
+    val tmp = java.nio.file.Files.createTempDirectory("uni-rt").toString
+    try {
+      trained.write.mode("overwrite").parquet(s"$tmp/vocab")
+      val stored = spark.read.parquet(s"$tmp/vocab")
+      val served = Ngrams.unigramSegmentWithVocab(d, stored,
+        maxPieceLen = 3).orderBy("word")
+      assert(served.collect().toSeq === direct.collect().toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
