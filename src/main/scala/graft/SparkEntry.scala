@@ -104,6 +104,24 @@ object SparkEntry {
       dir
     }
 
+  /** Standing IVF index over the EVEN-id half of the corpus — the
+    * `q_ann_ivf_append_probe` fixture: the odd half plays the incoming
+    * ingest batch, so the append-probe row times only the recurring
+    * per-batch cost (assign against stored centroids + probe). */
+  private def ensureIvfHalfCache(s: SparkSession, d: String): String =
+    this.synchronized {
+      val dir = cacheDirFor(d, "ivfhalf")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "cells"))) {
+        deleteTree(java.nio.file.Paths.get(dir))
+        val e = t(s, d, "embeddings").filter(col("vec_id") % 2 === 0)
+        val (cents, cells) = operators.Similarity.ivfIndex(e, nlist = 16,
+          iters = 2)
+        operators.Similarity.writeIvfIndex(dir, cents, cells)
+      }
+      dir
+    }
+
   /** Rebuild the standing MEDIA perceptual-signature index over the
     * `q_media_refresh` fixture's corpus slice (doc_id %4 == 0, 8-byte-
     * periodic patT×4 payloads) as a ManifestTable, from scratch. */
@@ -2449,6 +2467,27 @@ object SparkEntry {
       val (rc, ra) = Similarity.readIvfIndex(s, dir)
       Similarity.recallAudit(e, q, 10,
         Similarity.ivfTopKFromIndex(rc, ra, q, 10, nprobe = 12),
+        floor = 0.8)
+    }),
+    // E3 append lifecycle SPLIT, recurring half (VERDICT r12 item 3):
+    // the standing index (trained + committed over the even-id half)
+    // comes from the per-corpus cache; this row times only what every
+    // ingest batch pays — assign the odd-id batch against the STORED
+    // centroids (O(batch·nlist), zero shuffles, no retraining) and
+    // probe the extended cell table over the full corpus. The atomic
+    // manifest commit + read-back of the append stays proven end to
+    // end by q_ann_ivf_append; splitting it out keeps this row
+    // idempotent (best-of-N must not grow the cached index).
+    "q_ann_ivf_append_probe" -> ((s, d) => {
+      val dir = ensureIvfHalfCache(s, d)
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val (rc, ra) = Similarity.readIvfIndex(s, dir)
+      val fresh = Similarity.assignToStoredCentroids(rc,
+        e.filter(col("vec_id") % 2 === 1))
+      Similarity.recallAudit(e, q, 10,
+        Similarity.ivfTopKFromIndex(rc, ra.unionByName(fresh), q, 10,
+          nprobe = 12),
         floor = 0.8)
     }),
     // E3 index lifecycle SPLIT, build half (VERDICT r9 item 2): train +
@@ -5368,6 +5407,13 @@ object SparkEntry {
         |TRUE AS recall_ok""".stripMargin,
 
     "q_ann_ivf_append" ->
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |  AS BIGINT) AS n_queries,
+        |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
+        |  AS BIGINT) AS truth,
+        |TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_ivf_append_probe" ->
       """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
         |  AS BIGINT) AS n_queries,
         |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10

@@ -255,16 +255,28 @@ object Similarity {
   def ivfIndex(corpus: DataFrame, nlist: Int, iters: Int = 2,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
-    val cellSeq = cents.as[(Long, Seq[Float])].collect().toSeq
-    val assigned = Ops.spread(corpus.select(col(idCol), col(vecCol)),
-        col(idCol))
+    (cents, assignToStoredCentroids(cents, corpus, idCol, vecCol))
+  }
+
+  /** Cell assignments for a vector batch against a STORED centroid
+    * table — the in-plan recurring half of the index-append lifecycle
+    * ([[appendToIvfIndex]] = this + the atomic manifest commit): the
+    * centroid table (nlist rows of model state, the only collect) binds
+    * into one native TopCellsByCosine projection, so assigning a batch
+    * costs O(batch·nlist) with zero shuffles and the standing index is
+    * never read. */
+  def assignToStoredCentroids(centroids: DataFrame, batch: DataFrame,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val cellSeq = centroids.select(col("cell"), col("cent_v"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    Ops.spread(batch.select(col(idCol), col(vecCol)), col(idCol))
       .select(col(idCol), col(vecCol),
         element_at(VectorExprs.topCellsByCosine(col(vecCol), cellSeq, 1), 1)
           .as("cell"))
-    (cents, assigned)
   }
 
   /** Persist an [[ivfIndex]] through [[graft.sources.ManifestTable]]:
@@ -306,15 +318,9 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        nBuckets: Int = 64): Unit = {
-    import spark.implicits._
-    val cellSeq = graft.sources.ManifestTable.read(spark, s"$dir/centroids")
-      .select(col("cell"), col("cent_v"))
-      .as[(Long, Seq[Float])].collect().toSeq
-    val assigned = Ops.spread(batch.select(col(idCol), col(vecCol)),
-        col(idCol))
-      .select(col(idCol), col(vecCol),
-        element_at(VectorExprs.topCellsByCosine(col(vecCol), cellSeq, 1), 1)
-          .as("cell"))
+    val assigned = assignToStoredCentroids(
+      graft.sources.ManifestTable.read(spark, s"$dir/centroids"),
+      batch, idCol, vecCol)
     graft.sources.ManifestTable.upsertBatch(assigned, s"$dir/cells",
       Seq(idCol), nBuckets = nBuckets)
   }

@@ -17,7 +17,7 @@ class CollectLintSpec extends AnyFunSuite {
 
   /** file → (allowed `.collect()` count, why each site is bounded). */
   private val registry: Map[String, (Int, String)] = Map(
-    "operators/Similarity.scala" -> (11,
+    "operators/Similarity.scala" -> (10,
       "k-means seed/mean + IVF centroid tables (nlist×dim), PQ " +
       "codebooks (m×ksub×subdim), labelSeparability's |labels|×dim " +
       "centroid table, and pcaTopComponent's d² covariance cells — " +
