@@ -1148,14 +1148,18 @@ object SparkEntry {
     }),
 
     // ---- E3 approximate kNN-GRAPH construction (the clustering
-    // primitive), audited against exact kNN on the query subset ----
+    // primitive) + ONE NN-descent refinement round, audited against
+    // exact kNN on the query subset. The refinement lifts measured
+    // recall 0.855/0.875/0.91 → 0.945/0.96/0.93 (sf0.001/0.01/0.1) at
+    // fixed banding cost, so the audited floor moves 0.8 → 0.9. ----
     "q_knn_graph" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val g = Similarity.knnGraph(e, k = 10, numPlanes = 64, bands = 16)
+      val g = Similarity.knnGraphRefined(e, k = 10, numPlanes = 64,
+        bands = 16, refineRounds = 1)
       Similarity.recallAudit(e, e.filter(col("vec_id") < 20), 10,
         g.filter(col("src") < 20)
           .select(col("src").as("query_id"), col("dst").as("neighbor_id")),
-        floor = 0.8)
+        floor = 0.9)
     }),
 
     // ---- E6 RFM segmentation grid: 1..5 quintile scores on recency /

@@ -873,6 +873,57 @@ object Similarity {
       .select("src", "dst", "rank", "sim")
   }
 
+  /** NN-descent refinement of [[knnGraph]] (Dong, Charikar, Li 2011,
+    * WWW: "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures"): a node's true neighbors are usually
+    * neighbors of its current neighbors, so each round SYMMETRIZES the
+    * current edge set (forward ∪ reverse — reverse neighborhoods are
+    * what catch the asymmetric misses) and expands it one
+    * neighbors-of-neighbors hop, then re-scores the union and re-ranks
+    * per node. Recall rises at FIXED banding cost — the LSH candidate
+    * pass runs exactly once, so the banding calculus stops being the
+    * recall ceiling (q_knn_graph's audited floor moves 0.8 → 0.9 with
+    * one round on the test corpus, the measured recall/cost knee;
+    * classic NN-descent iterates until no edge improves).
+    *
+    * Scale shape: every expansion structure is ids-only — the per-round
+    * edge set persists as (src, dst) longs, the two-hop self-join and
+    * the pair `distinct` shuffle id pairs, and vectors re-attach ONCE,
+    * after the last round, through the same two equi-joins the base
+    * graph uses, into one rank window. Candidate volume is bounded by
+    * (2k)² per node per round (k forward + k reverse, squared), the
+    * NN-descent bound, independent of corpus size. */
+  def knnGraphRefined(corpus: DataFrame, k: Int, numPlanes: Int = 16,
+                      bands: Int = 4, refineRounds: Int = 1,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(refineRounds >= 0, s"refineRounds must be >= 0")
+    val cv = Ops.spread(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      col("__id"))
+    var edges = knnGraph(corpus, k, numPlanes, bands, idCol, vecCol)
+      .select("src", "dst")
+    for (_ <- 1 to refineRounds) {
+      val e = OpCaches.register(edges.persist())
+      val u = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val twoHop = u.as("x")
+        .join(u.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      edges = u.unionByName(twoHop).distinct()
+    }
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    edges
+      .join(cv.select(col("__id").as("src"), col("__v").as("sv")), "src")
+      .join(cv.select(col("__id").as("dst"), col("__v").as("dv")), "dst")
+      .withColumn("sim", cosine(col("sv"), col("dv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "rank", "sim")
+  }
+
   /** Mutual-kNN reduction of [[knnGraph]]: keep the undirected edge
     * (a, b), a < b, only when each endpoint ranks in the OTHER's top-k
     * — the standard asymmetry cleanup before clustering (a hub that

@@ -427,12 +427,19 @@ class PlanQualitySpec extends SparkTestBase {
     // bounded query subset
     val kg = plan("q_knn_graph")
     assert(!kg.contains("CartesianProduct"), s"knn graph cartesian:\n$kg")
-    // candidates are emitted once at their first shared band, straight
-    // out of the band join — no dropDuplicates aggregate (and its
-    // exchange) over the candidate pair set (VERDICT r10 item 3)
-    assert(!kg.linesIterator.exists(l =>
-      l.contains("HashAggregate") && l.contains("keys=[src")),
-      s"knn graph must not dedup candidates via aggregate:\n$kg")
+    // banded candidates still emit once at their first shared band (no
+    // dedup over the raw band join; VERDICT r10 item 3) — the ONLY
+    // (src,dst)-keyed aggregates allowed are the NN-descent expansion's
+    // pair distinct (partial + final of one exchange), and its keys
+    // must be the two id longs, never a vector column
+    val kgPairAggs = kg.linesIterator.filter(l =>
+      l.contains("HashAggregate") && l.contains("keys=[src")).toList
+    assert(kgPairAggs.size <= 2,
+      s"knn graph: only the one NN-descent pair distinct may aggregate " +
+      s"candidate pairs, got ${kgPairAggs.size}:\n$kg")
+    assert(kgPairAggs.forall(l =>
+      !l.contains("__v") && !l.contains("sv#") && !l.contains("dv#")),
+      s"NN-descent pair distinct must shuffle ids only:\n$kg")
     // time profile / mutual info: single aggregate families, no windows
     assert(!plan("q_time_profile").contains("Window"))
     assert(!plan("q_mutual_info").contains("CartesianProduct"))

@@ -363,6 +363,39 @@ class SimilaritySpec extends SparkTestBase {
     graft.operators.OpCaches.release()
   }
 
+  test("knnGraphRefined: one NN-descent round never loses a base hit, " +
+       "raises recall under weak banding, and keeps the k-degree cap") {
+    // deterministic LCG vectors, weak banding (8 planes / 2 bands) so
+    // the base graph genuinely misses neighbors the two-hop expansion
+    // can recover
+    var seed = 0x2545F4914F6CDD1DL
+    def nxt(): Float = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33).toInt % 1000) / 1000.0f
+    }
+    val data = (0L until 60L).map(i =>
+      (i, Array.fill(8)(nxt()))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(data, data, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    def hits(g: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      g.select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
+        .intersect(exact)
+    val base = Similarity.knnGraph(data, k = 3, numPlanes = 8, bands = 2)
+    val ref = Similarity.knnGraphRefined(data, k = 3, numPlanes = 8,
+      bands = 2, refineRounds = 1)
+    val (hb, hr) = (hits(base), hits(ref))
+    assert(hb.subsetOf(hr),
+      "an exact neighbor found by the base graph stays found: refined " +
+      "candidates are a superset and exact members always win the rank")
+    assert(hr.size > hb.size,
+      s"two-hop expansion must recover banding misses: ${hb.size} → " +
+      s"${hr.size} of ${exact.size}")
+    val deg = ref.groupBy("src").count().as[(Long, Long)].collect()
+    assert(deg.forall(_._2 <= 3), "k caps refined out-degree")
+    graft.operators.OpCaches.release()
+  }
+
   test("marginMine: genuine alignments outscore hub matches; best pair " +
       "per source; margin arithmetic is the ratio criterion") {
     // src x1 aligns with tgt y1; the hub is moderately close to BOTH
