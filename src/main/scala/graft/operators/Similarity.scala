@@ -750,8 +750,7 @@ object Similarity {
                       vecCol: String = "embedding",
                       nBuckets: Int = 64): Unit = {
     val cb = graft.sources.ManifestTable.read(spark, s"$dir/codebooks")
-    val (m, ksub) = codebookShape(cb)
-    val flat = collectCodebook(cb, m, ksub)
+    val (m, ksub, flat) = codebookCached(cb)
     val codes = Ops.spread(batch.select(col(idCol), col(vecCol)),
         col(idCol))
       .select(col(idCol),
@@ -767,6 +766,38 @@ object Similarity {
     (r.getInt(0) + 1, r.getInt(1) + 1)
   }
 
+  /** Session-scoped stored-codebook memo (VERDICT r12 item 7): probing
+    * a persisted PQ index used to pay two driver jobs per query batch —
+    * the shape aggregate and the m×ksub codebook collect over the
+    * manifest read — a fixed cost that dominated the probe's bench row.
+    * The stored codebook is immutable model state, so it now collects
+    * ONCE per (session, canonicalized source plan): repeat probes (or
+    * appends) against the same stored table bind the memoized flat
+    * centroid table straight into the ADC/encode expressions. A
+    * drift-refreshed codebook commits new files, which changes the
+    * read's canonical plan — the memo misses and re-collects, so
+    * staleness is impossible. Bounded like the BPE memo (oldest entry
+    * evicted past the cap); entries are plain driver arrays (m×ksub
+    * floats), nothing persisted, so eviction is a map drop. */
+  private val codebookMemo = scala.collection.mutable.LinkedHashMap.empty[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    (Int, Int, Seq[Seq[Float]])]
+  private val codebookMemoCap = 4
+
+  private def codebookCached(cb: DataFrame): (Int, Int, Seq[Seq[Float]]) =
+    codebookMemo.synchronized {
+      val key = (cb.sparkSession, cb.queryExecution.analyzed.canonicalized)
+      codebookMemo.getOrElse(key, {
+        while (codebookMemo.size >= codebookMemoCap)
+          codebookMemo.remove(codebookMemo.head._1)
+        val (m, ksub) = codebookShape(cb)
+        val entry = (m, ksub, collectCodebook(cb, m, ksub))
+        codebookMemo.put(key, entry)
+        entry
+      })
+    }
+
   /** [[pqTopK]] against a pre-built (usually read-back) [[pqIndex]] —
     * the recurring per-query-batch PROBE a capacity planner sizes for:
     * per-query ADC tables from the broadcast stored codebook, a
@@ -779,8 +810,7 @@ object Similarity {
                       shortlist: Int = 64, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && shortlist >= k)
-    val (m, ksub) = codebookShape(codebooks)
-    val flat = collectCodebook(codebooks, m, ksub)
+    val (m, ksub, flat) = codebookCached(codebooks)
     val codeTbl = codes.select(col(idCol).as("neighbor_id"),
       col("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
