@@ -7867,7 +7867,7 @@ object SparkEntry {
         |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1099511627776
         |    + event_id) AS close,
         |  CAST(SUM(CAST(round(value * 1000000000.0) AS HUGEINT))
-        |    AS DECIMAL(38,0)) AS sum_value_nanos
+        |    AS BIGINT) AS sum_value_nanos
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

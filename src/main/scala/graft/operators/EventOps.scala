@@ -71,11 +71,17 @@ object EventOps {
     * whose 9th-decimal ties each engine breaks from a different
     * rendering). The nano mass rides TWO 2³⁰-radix LONG limbs (exact
     * IEEE splits — see [[graft.operators.Profiling.weightedPercentiles]])
-    * recombined into a DECIMAL(38,0) `sum_value_nanos`, so the sum has
-    * NO silent-overflow surface: a |value| past 9.2e9 no longer
-    * saturates a per-row long, and a hot bar's sum cannot wrap a long —
-    * exact to 2⁹³ nano-units (≈ 9.9e18 unit-mass) per bar while every
-    * aggregation buffer stays a codegen'd long.
+    * recombined exactly in DECIMAL(38,0) and published as BIGINT
+    * behind a LOUD range guard: a per-bar |sum| past 2⁶³−1 nano-units
+    * (≈ 9.2e9 unit-mass per one-hour bar — generous for telemetry)
+    * raises instead of wrapping, mirroring the oracle's HUGEINT→BIGINT
+    * overflow error, so the two engines diverge loudly together. The
+    * limb interior still removes the per-ROW saturation surface (a
+    * |value| past 9.2 raised nothing under a naive long round) while
+    * every aggregation buffer stays a codegen'd long; the residual
+    * unguarded surface is a single bar of > ~2⁴⁰ max-mass rows wrapping
+    * a limb sum before recombination — 10¹² events/series/hour,
+    * far past the documented contract.
     * `min_by`/`max_by` on the exact DECIMAL key µs·2⁴⁰+id
     * make open/close deterministic under same-timestamp events (the
     * packed key overflows a long, and DuckDB's arg_min takes no struct
@@ -94,6 +100,7 @@ object EventOps {
     val mass = round(col(valCol) * lit(1e9))
     val mhi = floor(mass / lit(radix.toDouble))
     val mlo = (mass - mhi.cast("double") * lit(radix.toDouble)).cast("long")
+    val nanos = sum(mhi).cast(dec) * lit(radix) + sum(mlo).cast(dec)
     events
       .filter(col(valCol).isNotNull)
       .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bar_ts"))
@@ -102,7 +109,11 @@ object EventOps {
         max(col(valCol)).as("high"),
         min(col(valCol)).as("low"),
         max_by(col(valCol), tie).as("close"),
-        (sum(mhi).cast(dec) * lit(radix) + sum(mlo).cast(dec))
+        when(abs(nanos) <= lit(Long.MaxValue).cast(dec),
+            nanos.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("ohlcBars: per-bar nano-unit mass overflows BIGINT: "),
+            nanos.cast("string"))).cast("long"))
           .as("sum_value_nanos"))
   }
 

@@ -56,14 +56,17 @@ object StreamOps {
     val tie = unix_micros(col(tsCol))
       .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
       lit(1099511627776L) + col(idCol)
-    // 2³⁰-radix long-limb nano mass, recombined to DECIMAL(38,0) — the
-    // exact batch-twin arithmetic (EventOps.ohlcBars): long state-store
-    // buffers, no per-row long saturation, no wrapping bar sums
+    // 2³⁰-radix long-limb nano mass, recombined exactly in
+    // DECIMAL(38,0) and published BIGINT behind the same loud range
+    // guard as the batch twin (EventOps.ohlcBars): long state-store
+    // buffers, no per-row long saturation, overflow raises — never
+    // wraps
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val radix = 1073741824L
     val mass = round(col(valCol) * lit(1e9))
     val mhi = floor(mass / lit(radix.toDouble))
     val mlo = (mass - mhi.cast("double") * lit(radix.toDouble)).cast("long")
+    val nanos = sum(mhi).cast(dec) * lit(radix) + sum(mlo).cast(dec)
     events
       .filter(col(valCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
@@ -73,7 +76,11 @@ object StreamOps {
         max(col(valCol)).as("high"),
         min(col(valCol)).as("low"),
         max_by(col(valCol), tie).as("close"),
-        (sum(mhi).cast(dec) * lit(radix) + sum(mlo).cast(dec))
+        when(abs(nanos) <= lit(Long.MaxValue).cast(dec),
+            nanos.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("ohlcStream: per-bar nano-unit mass overflows BIGINT: "),
+            nanos.cast("string"))).cast("long"))
           .as("sum_value_nanos"))
       .select(col("w.start").as("bar_ts"), col(seriesCol), col("n"),
         col("open"), col("high"), col("low"), col("close"),

@@ -97,6 +97,34 @@ class EventOpsSpec extends SparkTestBase {
     assert(out(1)._2 === 1L && out(1)._3 === 7.0 && out(1)._6 === 7.0)
   }
 
+  test("ohlcBars: sum_value_nanos is BIGINT, exact nano sum, and a " +
+       "bar past 2^63-1 nano-units raises instead of wrapping") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 0.1),
+      (2L, ts("2024-01-01 10:06:00"), 0.2))
+      .toDF("event_id", "ts", "value")
+      .withColumn("event_type", lit("m"))
+    val bars = EventOps.ohlcBars(ev)
+    assert(bars.schema("sum_value_nanos").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val nanos = bars.select("sum_value_nanos").as[Long].head()
+    assert(nanos === 300000000L, "0.1+0.2 sums exactly in nano-units")
+    // two rows of 5e9 unit-mass → 1e19 nano-units > Long.MaxValue:
+    // the guard must raise, not wrap
+    val hot = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 5.0e9),
+      (2L, ts("2024-01-01 10:06:00"), 5.0e9))
+      .toDF("event_id", "ts", "value")
+      .withColumn("event_type", lit("m"))
+    val e = intercept[Exception] {
+      EventOps.ohlcBars(hot).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows BIGINT")), s"got: $e")
+  }
+
   test("cohortRetention: first-event cohorts, distinct users per offset") {
     // u1 first in Jan, active Jan+Feb+Apr (two Feb events count once);
     // u2 first in Jan, active Jan only; u3 first in Feb, active Feb+Mar
