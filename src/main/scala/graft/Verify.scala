@@ -46,9 +46,13 @@ object Verify {
             .parquet(s"$outDir/$name")
           // hash failure ≠ query failure: the parquet artifact above was
           // written fine, so a transient read error here must not report
-          // the query as failed — it only loses this name's forensics row
+          // the query as failed — the forensics row becomes a visible
+          // ERROR sentinel (never silently absent, which would be
+          // indistinguishable from "query never ran"). NonFatal only:
+          // an OOM/interrupt must crash the run, not mask itself.
           try rowHashes(name) = canonicalHash(s"$outDir/$name")
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
+            rowHashes(name) = (-1L, "ERROR")
             System.err.println(s"[verify] $name hash failed " +
               s"(artifact written OK): ${e.getMessage}")
           }

@@ -744,10 +744,16 @@ object Ngrams {
 
   /** Viterbi best segmentation of each distinct word under a scored
     * vocabulary — maximize Σ logp_micro; ties prefer FEWER pieces, then
-    * the lexicographically smallest piece sequence (a total order, so
-    * the winner is unique and any engine reproduces it; prefix paths at
-    * equal consumed-length and piece count are equal-length strings, so
-    * the lexicographic key decomposes over the DP).
+    * the smallest SPACE-JOINED path string (a total order, so the
+    * winner is unique and any engine reproduces it — both the DP and
+    * the oracle compare the same joined strings). Joined-string order
+    * equals true piece-SEQUENCE lexicographic order exactly when the
+    * token alphabet is space-free and > 0x20 — which `toks()`'s
+    * single-space split guarantees for spaces, and every shipped corpus
+    * satisfies for sub-0x20 control characters; a corpus with tabs or
+    * newlines INSIDE tokens would keep engine-exactness (both sides
+    * compare joined strings) but could diverge from per-piece sequence
+    * order on ties.
     *
     * The DP is ONE codegen-planned projection: per word, an `aggregate`
     * HOF folds positions 1..len(w), keeping per position the best

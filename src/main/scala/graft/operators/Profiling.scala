@@ -209,9 +209,10 @@ object Profiling {
     * recombined DECIMAL(38,0) mass is exact to 2⁹³ nano-units per group
     * (≈ 9.9e18 unit-mass — 100 TB byte-mass pipelines included), where
     * a single per-row long hop would silently saturate past a
-    * 9.2e9-unit weight. Contract: per-row weight < 9.9e18 (beyond that
-    * the limb split itself saturates); above ~9e6 the double nano
-    * product quantizes sub-nano digits, as any 1e9-scaled double must.
+    * 9.2e9-unit weight. Contract: per-row weight < 9.9e18 — ENFORCED:
+    * a row past it (or +Inf) raises instead of silently saturating the
+    * limb split; above ~9e6 the double nano product quantizes sub-nano
+    * digits, as any 1e9-scaled double must.
     * The cumulative and total sums share ONE window spec (same
     * partition + order; the total is the unbounded-following frame), so
     * the collapsed table sorts once; the p·W cut is a per-pct
@@ -225,7 +226,18 @@ object Profiling {
       s"percentiles must lie in (0, 100], got $pcts")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val radix = 1073741824L // 2³⁰
-    val mass = round(col(weightCol) * lit(1e9)) // integer-valued double
+    // loud per-row guard on the documented contract: a weight at or
+    // past 2⁹³ nano-units (or +Inf) would saturate the limb split
+    // itself — raise instead of silently clipping (the "diverge loudly
+    // together" principle; the oracle's HUGEINT cast errors likewise).
+    // Residual unguarded surface: a single GROUP whose |mass| total
+    // exceeds 2⁹³ wraps the limb sums — ~2⁴⁰ max-mass rows per group,
+    // far past the documented per-group bound.
+    val rawMass = round(col(weightCol) * lit(1e9)) // integer-valued double
+    val mass = when(rawMass < lit(math.pow(2, 93)), rawMass)
+      .otherwise(raise_error(concat(
+        lit("weightedPercentiles: per-row weight mass saturates the " +
+          "2^93 limb split: "), rawMass.cast("string"))).cast("double"))
     val hi = floor(mass / lit(radix.toDouble)) // long out; exact 2³⁰ divide
     val lo = (mass - hi.cast("double") * lit(radix.toDouble)).cast("long")
     val byVal = df

@@ -775,28 +775,66 @@ object Similarity {
     * appends) against the same stored table bind the memoized flat
     * centroid table straight into the ADC/encode expressions. A
     * drift-refreshed codebook commits new files, which changes the
-    * read's canonical plan — the memo misses and re-collects, so
-    * staleness is impossible. Bounded like the BPE memo (oldest entry
-    * evicted past the cap); entries are plain driver arrays (m×ksub
-    * floats), nothing persisted, so eviction is a map drop. */
+    * read's canonical plan — the memo misses and re-collects. The
+    * canonical plan ALONE is not staleness-proof for every source: a
+    * directory-rooted `spark.read.parquet(dir)` whose files are
+    * overwritten IN PLACE canonicalizes identically (file-index
+    * equality compares root paths only), so the key also carries a
+    * (path, size, modtime) fingerprint of every file-based leaf — an
+    * in-place overwrite changes the fingerprint and misses. Frames
+    * with any leaf that is neither a file relation nor a local
+    * relation are never memoized (collected fresh each call), so no
+    * source shape can serve stale. Bounded like the BPE memo (oldest
+    * entry evicted past the cap); entries are plain driver arrays
+    * (m×ksub floats), nothing persisted, so eviction is a map drop. */
   private val codebookMemo = scala.collection.mutable.LinkedHashMap.empty[
     (org.apache.spark.sql.SparkSession,
-     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+     Seq[(String, Long, Long)]),
     (Int, Int, Seq[Seq[Float]])]
   private val codebookMemoCap = 4
 
-  private def codebookCached(cb: DataFrame): (Int, Int, Seq[Seq[Float]]) =
-    codebookMemo.synchronized {
-      val key = (cb.sparkSession, cb.queryExecution.analyzed.canonicalized)
-      codebookMemo.getOrElse(key, {
-        while (codebookMemo.size >= codebookMemoCap)
-          codebookMemo.remove(codebookMemo.head._1)
-        val (m, ksub) = codebookShape(cb)
-        val entry = (m, ksub, collectCodebook(cb, m, ksub))
-        codebookMemo.put(key, entry)
-        entry
-      })
+  /** (path, size, modtime) of every file behind the frame's leaves, or
+    * None when a leaf can't be fingerprinted (then: don't memoize).
+    * Driver-side only; InMemoryFileIndex has the listing cached. */
+  private[graft] def leafFilesFingerprint(
+      df: DataFrame): Option[Seq[(String, Long, Long)]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val perLeaf = df.queryExecution.analyzed.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => Some(
+          fs.location.listFiles(Nil, Nil).flatMap(_.files.map(f =>
+            (f.getPath.toString, f.getLen, f.getModificationTime))))
+        case _ => None
+      }
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(Seq.empty[(String, Long, Long)]) // immutable in-memory rows
+      case _ => None
     }
+    if (perLeaf.exists(_.isEmpty)) None
+    else Some(perLeaf.flatMap(_.get))
+  }
+
+  private def codebookCached(cb: DataFrame): (Int, Int, Seq[Seq[Float]]) = {
+    def compute(): (Int, Int, Seq[Seq[Float]]) = {
+      val (m, ksub) = codebookShape(cb)
+      (m, ksub, collectCodebook(cb, m, ksub))
+    }
+    leafFilesFingerprint(cb) match {
+      case None => compute() // unidentifiable source: never serve a memo
+      case Some(fp) => codebookMemo.synchronized {
+        val key =
+          (cb.sparkSession, cb.queryExecution.analyzed.canonicalized, fp)
+        codebookMemo.getOrElse(key, {
+          while (codebookMemo.size >= codebookMemoCap)
+            codebookMemo.remove(codebookMemo.head._1)
+          val entry = compute()
+          codebookMemo.put(key, entry)
+          entry
+        })
+      }
+    }
+  }
 
   /** [[pqTopK]] against a pre-built (usually read-back) [[pqIndex]] —
     * the recurring per-query-batch PROBE a capacity planner sizes for:

@@ -615,6 +615,17 @@ class ProfilingSpec extends SparkTestBase {
     assert(Profiling.weightedPercentiles(edge, "grp", "v", "w",
         pcts = Seq(50))
       .select("value").as[Double].head() === 1.0)
+    // a weight at the documented 2^93 nano-unit bound raises loudly
+    // instead of silently saturating the limb split
+    val hot = Seq(("g", 1.0, 1.0e19)).toDF("grp", "v", "w")
+    val e = intercept[Exception] {
+      Profiling.weightedPercentiles(hot, "grp", "v", "w").collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("saturates the 2^93 limb split")),
+      s"got: $e")
   }
 
   test("lDiversityViolations: homogeneous groups flag, diverse groups " +

@@ -287,6 +287,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.8, s"PQ recall@10 collapsed: $r")
   }
 
+  test("leafFilesFingerprint: stable across re-reads of an unchanged " +
+      "directory, changes on in-place overwrite, Some(empty) for " +
+      "in-memory frames") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fp-spec").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fp1 = Similarity.leafFilesFingerprint(spark.read.parquet(dir))
+    val fp1b = Similarity.leafFilesFingerprint(spark.read.parquet(dir))
+    assert(fp1.isDefined && fp1.get.nonEmpty)
+    assert(fp1 === fp1b, "unchanged directory must fingerprint equal")
+    Thread.sleep(1100) // ensure a modtime tick even at 1s fs resolution
+    Seq((3, "c"), (4, "d")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fp2 = Similarity.leafFilesFingerprint(spark.read.parquet(dir))
+    assert(fp1 !== fp2,
+      "in-place overwrite under the same root must change the key — " +
+      "canonicalized-plan equality alone would serve a stale codebook")
+    val local = Seq((0, "x")).toDF("j", "code")
+    assert(Similarity.leafFilesFingerprint(local) === Some(Seq.empty),
+      "immutable in-memory frames are memoizable with an empty listing")
+  }
+
   test("pqIndex write/read parity: probe of the read-back artifact equals " +
       "in-memory pqTopK; append is O(batch) and idempotent") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
