@@ -169,6 +169,7 @@ object Bench {
         // (memo hits are allowed only within one query's best-of-N).
         graft.operators.OpCaches.release(blocking = true)
         graft.operators.Ngrams.clearBpeCache()
+        graft.operators.Ngrams.clearUnigramCache()
         val okTimes = attempts.collect { case (t, None) => t }
         if (okTimes.isEmpty)
           // all runs threw: hard failure; times are time-to-exception
@@ -193,6 +194,7 @@ object Bench {
           .collect { case (t, None) => t }
         graft.operators.OpCaches.release(blocking = true)
         graft.operators.Ngrams.clearBpeCache()
+        graft.operators.Ngrams.clearUnigramCache()
         if (extra.isEmpty) r
         else r.copy(best = math.min(r.best, extra.min), rerun = true)
       }

@@ -3810,8 +3810,9 @@ object SparkEntry {
         |      * 1000000) AS BIGINT) AS lp
         |  FROM vocab$p, (SELECT SUM(cnt) AS t FROM vocab$p)),
         |paths$i AS (
+        |  -- mirror the engine's Viterbi word-length cap
         |  SELECT w, c, 0 AS pos, CAST(0 AS BIGINT) AS s, 0 AS k, '' AS p
-        |  FROM wc
+        |  FROM wc WHERE len(w) <= 256
         |  UNION ALL
         |  SELECT t.w, t.c, t.pos + v.pl, t.s + v.lp, t.k + 1,
         |    CASE WHEN t.k = 0 THEN v.piece
@@ -3861,8 +3862,10 @@ object SparkEntry {
       |      * 1000000) AS BIGINT) AS lp
       |  FROM vocab$rounds, (SELECT SUM(cnt) AS t FROM vocab$rounds)),
       |pathsF AS (
+      |  -- mirror the engine's Viterbi word-length cap (words past it
+      |  -- are unsegmentable by contract; no shipped word approaches it)
       |  SELECT w, c, 0 AS pos, CAST(0 AS BIGINT) AS s, 0 AS k, '' AS p
-      |  FROM wc
+      |  FROM wc WHERE len(w) <= 256
       |  UNION ALL
       |  SELECT t.w, t.c, t.pos + v.pl, t.s + v.lp, t.k + 1,
       |    CASE WHEN t.k = 0 THEN v.piece

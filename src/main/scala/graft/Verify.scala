@@ -85,6 +85,7 @@ object Verify {
     // the BPE training memo is session-scoped (the q_bpe_* family rides
     // one trained tokenizer); release it at end of run
     graft.operators.Ngrams.clearBpeCache()
+    graft.operators.Ngrams.clearUnigramCache()
     spark.stop()
   }
 }

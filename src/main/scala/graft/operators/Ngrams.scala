@@ -742,6 +742,17 @@ object Ngrams {
     * any real score that additions cannot wrap, detectable with `>`. */
   private val unigramSentinel: Long = Long.MinValue / 4
 
+  /** Hard cap on the word length admitted to the Viterbi lattice. The
+    * DP carries, per position, a path string that grows with the word —
+    * O(len²) bytes of per-row fold state — so one whitespace-free blob
+    * (minified JS, a base64 dump, a URL wall) of 100 kB would allocate
+    * ~10 GB inside a single projection. SentencePiece caps input length
+    * for the same reason. Words past the cap BYPASS the lattice (the
+    * guard keeps the fold expression unevaluated) and come back
+    * unsegmentable — NULL pieces from segment, one OOV id from encode —
+    * the same contract as a word with an out-of-vocabulary character. */
+  private[graft] val unigramMaxWordLen = 256
+
   /** Viterbi best segmentation of each distinct word under a scored
     * vocabulary — maximize Σ logp_micro; ties prefer FEWER pieces, then
     * the smallest SPACE-JOINED path string (a total order, so the
@@ -798,7 +809,12 @@ object Ngrams {
             .otherwise(b)))))
     words.crossJoin(broadcast(vmap))
       .select(col("w"), col("c"),
-        element_at(dp, length(col("w")) + 1).as("__best"))
+        // the length gate must wrap the WHOLE fold: If/CaseWhen
+        // evaluates branches lazily, so a past-cap word never allocates
+        // the O(len²) lattice state (see unigramMaxWordLen)
+        when(length(col("w")) <= lit(unigramMaxWordLen),
+            element_at(dp, length(col("w")) + 1))
+          .otherwise(st(sent, lit(0), lit(""))).as("__best"))
       .select(col("w"), col("c"),
         when(col("__best.s") > sent, col("__best.p")).as("pieces"),
         when(col("__best.s") > sent, col("__best.k").cast("long"))
@@ -827,6 +843,56 @@ object Ngrams {
                    textCol: String = "text"): DataFrame = {
     require(vocabSize >= 1 && maxPieceLen >= 1 && rounds >= 1 &&
       seedSize >= 0)
+    uniMemo.synchronized {
+      val key = (docs.sparkSession,
+        docs.queryExecution.analyzed.canonicalized,
+        vocabSize, maxPieceLen, rounds, seedSize, textCol)
+      uniMemo.getOrElse(key, {
+        while (uniMemo.size >= uniMemoCap) {
+          val (oldKey, oldModel) = uniMemo.head
+          OpCaches.deregisterSession(oldModel)
+          uniMemo.remove(oldKey)
+        }
+        val model = unigramTrainModel(docs, vocabSize, maxPieceLen,
+          rounds, seedSize, textCol).persist()
+        OpCaches.registerSession(model)
+        uniMemo.put(key, model)
+        model
+      })
+    }
+  }
+
+  /** Session-scoped memo over [[unigramTrainModel]] — the r9 BPE memo
+    * pattern ([[bpeMemo]]) applied to the unigram family: the four
+    * published artifacts (vocabulary, segmentation, stored round trip,
+    * encoded corpus) all ride the SAME trained model, and a production
+    * tokenizer trains once. Keyed by (session, canonicalized corpus
+    * plan, vocabSize, maxPieceLen, rounds, seedSize, textCol);
+    * canonicalization normalizes expression ids, so two reads of the
+    * same corpus path hit, while any corpus/hyperparameter change
+    * misses. The memoized frame is the PERSISTED model-sized
+    * (piece, cnt, logp_micro) table, [[OpCaches.registerSession]]-
+    * tracked so accounting is uniform while per-query release leaves
+    * it alone; BOUNDED at [[uniMemoCap]] entries with oldest-first
+    * eviction. Released in full by [[clearUnigramCache]] — called
+    * between bench queries (each q_unigram_* row measures its own
+    * training), at the end of a Verify run, and in spec teardown. */
+  private val uniMemo = scala.collection.mutable.LinkedHashMap.empty[
+    (SparkSession, LogicalPlan, Int, Int, Int, Int, String), DataFrame]
+
+  /** Max distinct training configs retained; one entry is model-sized. */
+  private val uniMemoCap = 4
+
+  /** Unpersist and drop every memoized unigram model. */
+  private[graft] def clearUnigramCache(): Unit = uniMemo.synchronized {
+    uniMemo.values.foreach(OpCaches.deregisterSession)
+    uniMemo.clear()
+  }
+
+  private def unigramTrainModel(docs: DataFrame, vocabSize: Int,
+                                maxPieceLen: Int, rounds: Int,
+                                seedSize: Int,
+                                textCol: String): DataFrame = {
     val wc = unigramWordCounts(docs, textCol)
     var vocab = OpCaches.register(unigramSeedFrom(wc, maxPieceLen, seedSize))
     for (_ <- 1 to rounds) {

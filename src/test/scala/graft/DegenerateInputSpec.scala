@@ -432,4 +432,33 @@ class DegenerateInputSpec extends SparkTestBase {
       .as[(Long, Long, Long, Option[Double], Double)].collect()
     assert(bq === ((0L, 0L, 0L, None, 1.0)))
   }
+
+  test("unigram Viterbi word-length cap: a single 100kB whitespace-free " +
+       "blob trains/segments/encodes without building the lattice") {
+    import graft.operators.Ngrams
+    // one normal doc + one document that is a single 100,000-char word
+    // (a minified-JS/base64-style blob): without the cap the DP would
+    // allocate O(len^2) ≈ 10 GB of path state inside one projection —
+    // completing at all IS the assertion; the blob must come back
+    // unsegmentable (NULL pieces / one OOV id), same as an OOV word
+    val blob = "ab" * 50000
+    val docs = Seq((1L, "alpha beta alpha"), (2L, blob))
+      .toDF("doc_id", "text")
+    Ngrams.clearUnigramCache()
+    val vocab = Ngrams.unigramTrain(docs, vocabSize = 8, maxPieceLen = 2,
+      rounds = 1, seedSize = 4)
+    assert(vocab.count() > 0, "training survives the blob")
+    val seg = Ngrams.unigramSegmentWithVocab(docs, vocab,
+      maxPieceLen = 2)
+    val segRows = seg.collect().map(r =>
+      r.getString(0) -> Option(r.get(3))).toMap
+    assert(segRows(blob).isEmpty, "past-cap word segments to NULL pieces")
+    assert(segRows("alpha").nonEmpty, "normal words still segment")
+    val enc = Ngrams.unigramEncodeWithVocab(docs, vocab, maxPieceLen = 2,
+      oovId = 0L)
+    val blobIds = enc.filter(col("doc_id") === 2)
+      .select("token_ids").as[String].head()
+    assert(blobIds === "0", "past-cap word encodes as ONE OOV id")
+    Ngrams.clearUnigramCache()
+  }
 }

@@ -17,6 +17,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     try {
       graft.operators.OpCaches.release()
       graft.operators.Ngrams.clearBpeCache()
+    graft.operators.Ngrams.clearUnigramCache()
     } finally super.afterAll()
   }
 
