@@ -386,7 +386,13 @@ object Ngrams {
     * vocabulary-sized table (at 32k merges the expression chain is
     * deep but still one pass; a driver-side loop or per-merge job
     * would be 32k passes). The merge list itself is model-sized
-    * (k rows), the only thing a serving cluster needs to load. */
+    * (k rows), the only thing a serving cluster needs to load.
+    * Pathological-length audit (the unigram-lattice exposure does NOT
+    * recur here): each replace scans the bracketed string once and
+    * allocates one O(len) successor — O(k·len) time, O(len) live state
+    * per word, no per-position path accumulation — so a 100 kB
+    * single-token blob degrades linearly instead of quadratically
+    * (spec-pinned in DegenerateInputSpec). */
   def bpeSegmentWithMerges(docs: DataFrame, merges: Seq[(String, String)],
                            textCol: String = "text"): DataFrame = {
     val symsN = merges.foldLeft(

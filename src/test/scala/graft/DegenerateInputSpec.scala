@@ -460,5 +460,17 @@ class DegenerateInputSpec extends SparkTestBase {
       .select("token_ids").as[String].head()
     assert(blobIds === "0", "past-cap word encodes as ONE OOV id")
     Ngrams.clearUnigramCache()
+    // BPE replay chain on the same blob: O(k·len) with O(len) live
+    // state — no lattice, so no cap needed; it must complete and
+    // segment the blob fully (25k 'abab' symbols here)
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val bseg = Ngrams.bpeSegmentWithMerges(docs, merges)
+      .filter(col("word") === blob)
+      .select("n_syms").as[Long].head()
+    assert(bseg === 25000L, "chained replace replays linearly on a blob")
+    val bvocab = Seq(("abab", 1L)).toDF("sym", "id")
+    val benc = Ngrams.bpeEncodeWithMerges(docs.filter(col("doc_id") === 2),
+      merges, bvocab)
+    assert(benc.select("n_ids").as[Long].head() === 25000L)
   }
 }
