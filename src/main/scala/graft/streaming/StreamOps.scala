@@ -535,6 +535,48 @@ object StreamOps {
       }
       .start()
 
+  /** Online encode from a STORED unigram vocabulary — the serve half
+    * the r9 stored-tokenizer pattern was missing for the unigram
+    * family ([[encodeStream]] covers stored-BPE, [[classifyStream]]
+    * stored-NB): each micro-batch reads the committed
+    * (piece, cnt, logp_micro) ManifestTable and encodes its documents
+    * with [[graft.operators.Ngrams.unigramEncodeWithVocab]] — the
+    * batch's DISTINCT words Viterbi-segment once against the broadcast
+    * model map (no training jobs, model-sized state), words with an
+    * out-of-vocabulary character or past the lattice length cap encode
+    * as one `oovId`. Appends (idCol, n_toks, n_ids, token_ids) keyed
+    * by idCol under the recorded batch id, so a replayed batch is
+    * detected and skipped; a missing vocabulary fails the batch for
+    * the checkpoint to retry. Spec-pinned parity with a direct
+    * [[graft.operators.Ngrams.unigramEncodeWithVocab]] call on the
+    * same batch. */
+  def unigramEncodeStream(docs: DataFrame, vocabPath: String,
+                          outPath: String, checkpoint: String,
+                          maxPieceLen: Int = 4,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          oovId: Long = 0L,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger
+                              .AvailableNow(),
+                          nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val spark = batch.sparkSession
+          graft.sources.ManifestTable.upsertBatch(
+            graft.operators.Ngrams.unigramEncodeWithVocab(batch.toDF(),
+              graft.sources.ManifestTable.read(spark, vocabPath),
+              maxPieceLen, idCol, textCol, oovId),
+            outPath, Seq(idCol), nBuckets = nBuckets, batchId = batchId)
+          ()
+      }
+      .start()
+
   /** ANN-enrich a vector stream from a STORED IVF index — the online
     * retrieval half every production embedding pipeline runs (VERDICT
     * r10 item 6), [[classifyStream]]'s pattern applied to

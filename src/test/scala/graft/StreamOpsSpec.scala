@@ -692,6 +692,56 @@ class StreamOpsSpec extends SparkTestBase {
     assert(ids() === Map(10L -> "2,1,3", 11L -> "2,3,0,0"))
   }
 
+  test("unigramEncodeStream encodes each batch from the stored " +
+      "vocabulary; stream output equals the direct encode; replay " +
+      "is a no-op") {
+    import graft.operators.Ngrams
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-uni-stream").toString
+    val (vp, out, ckpt) = (s"$dir/vocab", s"$dir/ids", s"$dir/ckpt")
+    val train = Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    Ngrams.clearUnigramCache()
+    graft.sources.ManifestTable.upsertBatch(
+      Ngrams.unigramTrain(train, vocabSize = 8, maxPieceLen = 3,
+        rounds = 1, seedSize = 4),
+      vp, Seq("piece"), nBuckets = 1, batchId = 0L)
+    def run(): Unit = {
+      val q = StreamOps.unigramEncodeStream(
+        in.toDF().toDF("doc_id", "text"), vp, out, ckpt,
+        maxPieceLen = 3, nBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def got(): Map[Long, (Long, Long, String)] =
+      graft.sources.ManifestTable.read(spark, out)
+        .select("doc_id", "n_toks", "n_ids", "token_ids")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val batch1 = Seq((10L, "alpha gamma"), (11L, "beta zz9"))
+      .toDF("doc_id", "text")
+    in.addData((10L, "alpha gamma"), (11L, "beta zz9"))
+    run()
+    // stream output == the direct serve-path call on the same batch
+    val direct = Ngrams.unigramEncodeWithVocab(batch1,
+        graft.sources.ManifestTable.read(spark, vp), maxPieceLen = 3)
+      .select("doc_id", "n_toks", "n_ids", "token_ids")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got() === direct, "stream/batch encode parity")
+    assert(direct(11L)._3.split(",").last === "0",
+      "word with out-of-vocab char encodes as OOV through the stream")
+    // replay: wiping the checkpoint and re-processing the same data
+    // must not duplicate rows (batch-id keyed upsert detects it)
+    val before = got()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(ckpt))
+    in.addData((10L, "alpha gamma"), (11L, "beta zz9"))
+    run()
+    assert(got() === before, "replayed batch is a no-op")
+    Ngrams.clearUnigramCache()
+  }
+
   test("annEnrichStream: micro-batches probe the STORED IVF index; " +
       "stream output equals the batch probe; replay is a no-op") {
     import graft.operators.Similarity
