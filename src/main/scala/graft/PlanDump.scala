@@ -107,11 +107,23 @@ object PlanDump {
        "One flattened per-row pair array explodes into a d(d+1)/2-cell aggregation — map-side partials collapse each task to cells, the shuffle carries cells not rows; per-dim sums re-aggregate and broadcast back.",
        SparkEntry.queries("q_embed_cov")(spark, d)),
       ("q_ohlc_bars — OHLC telemetry compaction",
-       "ONE grouped aggregation: min_by/max_by on the DECIMAL (µs·2²⁰+id) tie key pick open/close inside the same hash aggregate as high/low/count/sum — no window, no join, no second pass.",
+       "ONE grouped aggregation: min_by/max_by on the DECIMAL (µs·2⁴⁰+id) tie key pick open/close inside the same hash aggregate as high/low/count; the nano-unit mass rides two codegen'd LONG limb sums recombined exactly and published BIGINT behind a loud overflow guard — no window, no join, no second pass.",
        SparkEntry.queries("q_ohlc_bars")(spark, d)),
       ("q_negative_sample — hash-bucketed negative sampling",
        "The catalog never cross-joins the user set: users and items meet on their hash bucket (equi), observed pairs leave via anti-join, and the per-user top-k rank window pushes a map-side WindowGroupLimit.",
-       SparkEntry.queries("q_negative_sample")(spark, d)))
+       SparkEntry.queries("q_negative_sample")(spark, d)),
+      ("q_pca_whiten — stored-component whitening serve",
+       "Model state (unit components + eigenvalues) bound in as LITERALS: w_m = <x, q_m>/sqrt(lambda_m) is one zero-shuffle codegen'd scan over the corpus — no model join, no collect, no exchange anywhere.",
+       SparkEntry.queries("q_pca_whiten")(spark, d)),
+      ("q_unigram_train — unigram-LM (SentencePiece) hard-EM training",
+       "The corpus is touched EXACTLY once (the word-count aggregate, persisted); every EM round is vocabulary-sized — the Viterbi DP is one aggregate-HOF projection over DISTINCT words with the scored model broadcast as a map (no driver loop, no corpus re-scan), then a piece-usage aggregate and a model-sized rank window.",
+       SparkEntry.queries("q_unigram_train")(spark, d)),
+      ("q_unigram_stored — stored-vocabulary segmentation serve",
+       "The serve half reads the committed (piece, cnt, logp_micro) ManifestTable (explicit per-commit file list — no directory listing), broadcasts it as the Viterbi score map, and segments the distinct-word table in ONE projection: zero training jobs at serve time.",
+       SparkEntry.queries("q_unigram_stored")(spark, d)),
+      ("q_ann_ivf_append_probe — IVF append lifecycle, recurring half",
+       "The batch assigns against STORED centroids via the codegen'd top-cells projection (O(batch*nlist), zero shuffles, no retraining); the union'd cell table probe-joins equi on cell id — the only corpus-sized exchange — and the recall audit rides the shortlist.",
+       SparkEntry.queries("q_ann_ivf_append_probe")(spark, d)))
 
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of headline queries\n\n")

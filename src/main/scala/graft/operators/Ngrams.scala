@@ -725,10 +725,16 @@ object Ngrams {
             l => col("w").substr(st, l))))).as("piece"))
       .groupBy("piece").agg(sum(col("c")).as("cnt"))
     val singles = subs.filter(length(col("piece")) === 1)
+    // the distinct-substring table is the one CORPUS-shaped input in
+    // the seed (distinct words × positions × piece lengths) — an
+    // unpartitioned rank window here would drag it through a single
+    // partition. orderBy+limit plans TakeOrderedAndProject instead:
+    // each task keeps its own top seedSize, the driver merges
+    // seedSize-sized heaps — same deterministic (cnt desc, piece asc)
+    // selection, no global sort, no single-partition stage.
     val multis = subs.filter(length(col("piece")) > 1)
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("piece"))))
-      .filter(col("__rk") <= seedSize).drop("__rk")
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(seedSize)
     singles.unionByName(multis)
   }
 
@@ -841,9 +847,10 @@ object Ngrams {
     * Scale shape: the corpus is touched exactly once (the word-count
     * aggregate, persisted); every round is vocabulary-sized — the
     * Viterbi projection over distinct words, a piece-count aggregate,
-    * and a model-sized rank window. Each round's vocabulary is
-    * persisted ([[OpCaches]]) because round r+1 reads it twice (score
-    * map + surviving-singles join). */
+    * and a model-sized TakeOrdered prune (per-task top-k heaps, no
+    * single-partition window stage anywhere in seed or prune). Each
+    * round's vocabulary is persisted ([[OpCaches]]) because round r+1
+    * reads it twice (score map + surviving-singles join). */
   def unigramTrain(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 4,
                    rounds: Int = 2, seedSize: Int = 40,
                    textCol: String = "text"): DataFrame = {
@@ -910,10 +917,12 @@ object Ngrams {
         .select("piece").join(usage, Seq("piece"), "left")
         .select(col("piece"),
           greatest(coalesce(col("u"), lit(0L)), lit(1L)).as("cnt"))
+      // model-sized input (usage pieces ⊆ current vocab), but the same
+      // TakeOrderedAndProject shape as the seed keeps even the prune
+      // free of single-partition window stages
       val multis = usage.filter(length(col("piece")) > 1 && col("u") >= 1)
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(col("u").desc, col("piece"))))
-        .filter(col("__rk") <= vocabSize)
+        .orderBy(col("u").desc, col("piece"))
+        .limit(vocabSize)
         .select(col("piece"), col("u").as("cnt"))
       vocab = OpCaches.register(singles.unionByName(multis))
     }
