@@ -3451,6 +3451,14 @@ object SparkEntry {
       EventOps.ohlcBars(t(s, d, "events"))
         .orderBy("event_type", "bar_ts")),
 
+    // ---- E6 CUSUM changepoint per event series: all-integer
+    // Dₖ = n·Sₖ − k·Sₙ over the hourly count series, argmax |D| with
+    // smallest-k ties — the level-shift locator; means either side are
+    // single exact-integer divisions ----
+    "q_changepoint" -> ((s, d) =>
+      EventOps.changepoint(t(s, d, "events"))
+        .orderBy("event_type")),
+
     // ---- E19 Heaps-law vocabulary-growth curve: cumulative (docs,
     // tokens, types) at 20 ingest-order checkpoints — the β-slope
     // corpus-QA screen and tokenizer-budget forecaster ----
@@ -7873,6 +7881,32 @@ object SparkEntry {
         |    AS BIGINT) AS sum_value_nanos
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // integer CUSUM replay: HUGEINT products, argmax via QUALIFY with
+    // the same (|D| desc, k asc) total order
+    "q_changepoint" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+        |            CAST(COUNT(*) AS BIGINT) AS x
+        |          FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket_ts, x,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY bucket_ts) AS BIGINT) AS k,
+        |        SUM(x) OVER (PARTITION BY event_type ORDER BY bucket_ts
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(x) OVER (PARTITION BY event_type) AS tot,
+        |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM c),
+        |s AS (SELECT *, CAST(n AS HUGEINT) * cum - CAST(k AS HUGEINT) * tot
+        |        AS d
+        |      FROM w WHERE k < n)
+        |SELECT event_type, k, bucket_ts, n AS n_buckets,
+        |  CAST(d AS BIGINT) AS d,
+        |  round(CAST(cum AS DOUBLE) / k, 9) AS mean_before,
+        |  round(CAST(tot - cum AS DOUBLE) / (n - k), 9) AS mean_after
+        |FROM s
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |  ORDER BY abs(d) DESC, k) = 1
+        |ORDER BY event_type""".stripMargin,
 
     "q_heaps_law" ->
       """WITH mx AS (SELECT max(doc_id) AS m FROM documents),

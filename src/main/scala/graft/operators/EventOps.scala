@@ -1095,6 +1095,72 @@ object EventOps {
         .otherwise(lit(null).cast("double")).as(s"r$lag"))
   }
 
+  /** CUSUM changepoint detection per series — the level-shift locator a
+    * telemetry pipeline runs when [[anomalousHours]] says "something
+    * moved" and the question becomes WHEN: over the hourly count series
+    * x₁..xₙ of each `typeCol`, the classic cumulative-deviation
+    * statistic Dₖ = n·Sₖ − k·Sₙ (Sₖ = Σ_{i≤k} xᵢ — n·Dₖ is the
+    * mean-shift CUSUM n·(Sₖ − k·x̄) kept in INTEGERS by multiplying
+    * through by n, so no float mean enters the argmax), and the split
+    * k* = argmax |Dₖ| over k < n with smallest-k ties — binary
+    * segmentation's first (and in practice decisive) cut. Emits per
+    * series: k*, its bucket timestamp (the last bucket BEFORE the
+    * shift), n_buckets, the signed Dₖ*, and the mean rates either side
+    * (one IEEE division of exact integers each, 9-dec rounded). Series
+    * with a single bucket have no interior split and drop out.
+    *
+    * All-integer until the two published means, so the located split is
+    * bit-reproducible across engines and layouts. Dₖ is computed in
+    * DECIMAL(38,0) and published as BIGINT behind the loud range guard
+    * (the [[ohlcBars]] contract): |D| ≥ 2⁶³ raises instead of wrapping
+    * — n·Sₙ crosses long range only past ~10⁹ buckets × 10⁹ total
+    * events, but a monitoring statistic must not wrap silently there.
+    *
+    * Scale shape (100 TB): the raw event table collapses map-side to
+    * (series, hour) counts — the only corpus-sized pass; the window
+    * runs per series over bucket rows (series × hours, bounded by the
+    * calendar, not by events), and cum/total/n/k share ONE window
+    * partitioning so the collapsed table sorts once per series. The
+    * argmax is a single max_by aggregate — no second sort, no driver
+    * state. */
+  def changepoint(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("__x"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket_ts"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withStat = hourly
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__x")).over(cum))
+      .withColumn("__tot", sum(col("__x")).over(full))
+      .withColumn("__n", count(lit(1)).over(full))
+      .filter(col("__k") < col("__n"))
+      .withColumn("__d", col("__n").cast(dec) * col("__cum") -
+        col("__k").cast(dec) * col("__tot"))
+    withStat
+      .groupBy(col(typeCol))
+      .agg(max_by(
+        struct(col("__k"), col("bucket_ts"), col("__n"), col("__d"),
+               col("__cum"), col("__tot")),
+        struct(abs(col("__d")).as("a"), (-col("__k")).as("nk"))).as("__b"))
+      .select(col(typeCol), col("__b.__k").as("k"),
+        col("__b.bucket_ts").as("bucket_ts"),
+        col("__b.__n").as("n_buckets"),
+        when(abs(col("__b.__d")) <= lit(Long.MaxValue).cast(dec),
+            col("__b.__d").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("changepoint: |D| overflows BIGINT: "),
+            col("__b.__d").cast("string"))).cast("long")).as("d"),
+        round(col("__b.__cum").cast("double") / col("__b.__k"), 9)
+          .as("mean_before"),
+        round((col("__b.__tot") - col("__b.__cum")).cast("double") /
+          (col("__b.__n") - col("__b.__k")), 9).as("mean_after"))
+  }
+
   /** Hour-level anomaly report against the hour-of-week baseline: for
     * every concrete hour, the z-score of its event count within its
     * (type, day-of-week, hour-of-day) cell across the history — the

@@ -730,6 +730,32 @@ class EventOpsSpec extends SparkTestBase {
     assert(!out.contains("solo"), "series shorter than lag+1 vanish")
   }
 
+  test("changepoint: integer CUSUM locates the level shift; |D| ties " +
+       "break to the smallest k; single-bucket series vanish") {
+    def burst(tp: String, hour: Int, n: Int) = (1 to n).map(i =>
+      (tp, ts(f"2024-01-01 $hour%02d:0${i % 6}:00")))
+    // shift: 1,1,1,5,5 → S=(1,2,3,8,13), D_k = 5·S_k − k·13 =
+    //   (-8,-16,-24,-12) → k*=3, D=-24, means 1.0 / 5.0
+    // sym: 2,1,1,2 → D_k = 4·S_k − k·6 = (2,0,-2): |D| ties at k=1
+    //   and k=3 → smallest k wins (k*=1, D=+2)
+    // solo: one bucket → no interior split → absent
+    val events = (
+      burst("shift", 0, 1) ++ burst("shift", 1, 1) ++ burst("shift", 2, 1) ++
+      burst("shift", 3, 5) ++ burst("shift", 4, 5) ++
+      burst("sym", 0, 2) ++ burst("sym", 1, 1) ++ burst("sym", 2, 1) ++
+      burst("sym", 3, 2) ++
+      burst("solo", 0, 4)
+    ).toDF("event_type", "ts")
+    val out = EventOps.changepoint(events)
+      .as[(String, Long, java.sql.Timestamp, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("shift") === (("shift", 3L, ts("2024-01-01 02:00:00"), 5L,
+      -24L, 1.0, 5.0)))
+    assert(out("sym") === (("sym", 1L, ts("2024-01-01 00:00:00"), 4L,
+      2L, 2.0, 1.333333333)))
+    assert(!out.contains("solo"), "no interior split on a 1-bucket series")
+  }
+
   test("anomalousHours: spike against its hour-of-week cell flags at " +
        "exactly the z threshold") {
     // five Sundays 09h with counts 2,2,2,2,12: mean 4, std 4 -> the
