@@ -3157,6 +3157,13 @@ object SparkEntry {
       Ngrams.collocations(docsSpread(s, d), minCount = 5)
         .orderBy("w1", "w2")),
 
+    // ---- E19×E24 TextRank keyword extraction: weighted PageRank over
+    // the symmetrized adjacent-word co-occurrence graph; integer
+    // fixed-point ranks make the top-50 cut engine-exact ----
+    "q_textrank" -> ((s, d) =>
+      Ngrams.textRank(docsSpread(s, d), iterations = 3, topK = 50)
+        .orderBy(col("rank_fp").desc, col("tok"))),
+
     // ---- E19 DSIR importance weights (domain-targeted selection:
     // log-likelihood ratio of target vs raw unigram models) ----
     "q_dsir_weights" -> ((s, d) =>
@@ -8637,6 +8644,59 @@ object SparkEntry {
         |    / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE))), 9) AS pmi
         |FROM m JOIN l USING (w1) JOIN r USING (w2), n
         |WHERE c_ab >= 5 ORDER BY w1, w2""".stripMargin,
+
+    // weighted-PageRank replay over the symmetrized bigram graph: the
+    // co-occurrence collapse makes every contribution (rank // deg)·wt,
+    // bit-identical to exploded multi-edges; the graph is symmetric so
+    // every node has out-weight and the dangling-mass term is exactly 0
+    // on both sides (omitted here, computed-as-zero in the engine)
+    "q_textrank" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT w[i] AS w1, w[i + 1] AS w2
+        |      FROM t, unnest(range(1, len(w))) AS u(i)
+        |      WHERE len(w) >= 2),
+        |e AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS wt
+        |      FROM (SELECT w1, w2 FROM g
+        |            UNION ALL SELECT w2, w1 FROM g)
+        |      GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT w1 AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT w1 AS src, SUM(wt) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.w2 AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
+        |       FROM e JOIN r0 r ON r.node = e.w1
+        |         JOIN deg d ON d.src = e.w1
+        |       GROUP BY 1),
+        |r1 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn
+        |       LEFT JOIN c1 c ON c.node = n2.node),
+        |c2 AS (SELECT e.w2 AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
+        |       FROM e JOIN r1 r ON r.node = e.w1
+        |         JOIN deg d ON d.src = e.w1
+        |       GROUP BY 1),
+        |r2 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn
+        |       LEFT JOIN c2 c ON c.node = n2.node),
+        |c3 AS (SELECT e.w2 AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
+        |       FROM e JOIN r2 r ON r.node = e.w1
+        |         JOIN deg d ON d.src = e.w1
+        |       GROUP BY 1),
+        |r3 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn
+        |       LEFT JOIN c3 c ON c.node = n2.node)
+        |SELECT node AS tok, CAST(rank AS BIGINT) AS rank_fp,
+        |       CAST(rank AS DOUBLE) / 1000000000000 AS rank
+        |FROM r3 ORDER BY rank_fp DESC, tok LIMIT 50""".stripMargin,
 
     "q_funnel" ->
       """WITH a AS (

@@ -47,15 +47,47 @@ object Graphs {
     * double rendering rank_fp/Scale.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 3, dampingPct: Int = 85): DataFrame = {
+               iterations: Int = 3, dampingPct: Int = 85): DataFrame =
+    pageRankKeyed(edges.select(col(srcCol).cast("long").as(srcCol),
+        col(dstCol).cast("long").as(dstCol)),
+      srcCol, dstCol, iterations, dampingPct)
+
+  /** [[pageRank]] over nodes of ANY orderable key type (string tokens,
+    * composite-hash ids, …) — the rank arithmetic never touches the
+    * node key, so the long cast in [[pageRank]] is a convenience, not a
+    * requirement. Same fixed-point semantics, same multi-edge
+    * weighting, same dangling correction. Internally the edge list
+    * collapses to (src, dst, multiplicity) first and delegates to
+    * [[pageRankWeighted]]: every instance of a multi-edge carries the
+    * same integer share, so share·m is BIT-IDENTICAL to summing the
+    * exploded instances — but the per-iteration joins now run over the
+    * collapsed table (bounded by the distinct-pair vocabulary, not the
+    * corpus). */
+  def pageRankKeyed(edges: DataFrame, srcCol: String, dstCol: String,
+                    iterations: Int = 3, dampingPct: Int = 85): DataFrame =
+    pageRankWeighted(
+      edges.groupBy(col(srcCol), col(dstCol))
+        .agg(count(lit(1)).as("__w")),
+      srcCol, dstCol, "__w", iterations, dampingPct)
+
+  /** Weighted PageRank in the same exact fixed-point arithmetic: an
+    * edge of integer weight w carries w shares of its source's
+    * per-outweight share (share = rank div Σw_out; contribution =
+    * share·w — exactly the multi-edge semantics of [[pageRank]], with
+    * the weight made explicit so a pre-aggregated co-occurrence graph
+    * never explodes back to instances). Overflow headroom: share·w ≤
+    * rank_src ≤ total mass = Scale « 2⁶³. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int = 3,
+                       dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       "dampingPct must be a percent")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy("src").agg(sum(col("w")).as("deg"))
     val nDf = nodes.agg(count(lit(1)).as("__n"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .selectExpr("node", s"${Scale}L div __n as rank", "__n")
@@ -65,7 +97,7 @@ object Graphs {
         .selectExpr("src as u", "rank div deg as share")
       val contrib = e.join(share, col("src") === col("u"))
         .groupBy(col("dst").as("node"))
-        .agg(sum("share").as("contrib"))
+        .agg(sum(col("share") * col("w")).as("contrib"))
       val dang = ranks.select("node", "rank")
         .join(deg, col("node") === col("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0L)).as("__mass"))

@@ -1177,6 +1177,36 @@ object Ngrams {
           .as("g2"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): rank
+    * every corpus token by PageRank over the word co-occurrence graph
+    * (adjacent-token pairs, symmetrized; co-occurrence count = edge
+    * weight) and emit the top `topK` — the unsupervised keyword/
+    * keyphrase-seed extractor, here at corpus scope so the graph is
+    * built once for the whole collection.
+    *
+    * Rides [[Graphs.pageRankWeighted]]'s exact fixed-point arithmetic:
+    * the bigram explode collapses map-side to the (w1, w2, count)
+    * co-occurrence model — the ONLY corpus-sized pass — and the three
+    * rank iterations then join vocabulary-sized tables only (the same
+    * "model-sized after one corpus pass" shape as [[collocations]]).
+    * Ranks are integer fixed-point, so the top-k cut (rank desc, token
+    * asc) is engine-exact — no float argsort ambiguity — and plans as
+    * TakeOrderedAndProject (per-task heaps), never a global sort. */
+  def textRank(docs: DataFrame, iterations: Int = 3, topK: Int = 50,
+               textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .select(explode(ngramArray(col(textCol), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+              split(col("bg"), " ").getItem(1).as("w2"))
+    val edges = pairs.unionByName(
+        pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("wt"))
+    Graphs.pageRankWeighted(edges, "w1", "w2", "wt", iterations)
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(topK)
+      .select(col("node").as("tok"), col("rank_fp"), col("rank"))
+  }
+
   /** Gopher-style repetition statistics: per document, the number of
     * full word n-gram windows, the number of distinct ones, and the
     * duplicate fraction rep_ratio = 1 - distinct/total. Docs with fewer

@@ -76,6 +76,32 @@ class GraphsSpec extends SparkTestBase {
     assert(out.values.forall(_._2 === 3L), "both communities have 3 members")
   }
 
+  test("pageRankWeighted: unit-weight instances and the collapsed " +
+       "(src, dst, count) multigraph are bit-identical") {
+    // multi-edges: 1->2 twice, plus a dangling sink (5) to exercise the
+    // mass term under weights
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L),
+      (1L, 5L)).toDF("src", "dst")
+    val perInstance = Graphs.pageRankWeighted(
+      edges.withColumn("w", lit(1L)), "src", "dst", "w", iterations = 4)
+    val collapsed = Graphs.pageRankKeyed(edges, "src", "dst",
+      iterations = 4)
+    assert(rendered(perInstance) === rendered(collapsed),
+      "share·m must equal m summed unit shares, per iteration, exactly")
+  }
+
+  test("pageRankKeyed: string-keyed nodes rank like their long-keyed " +
+       "isomorph") {
+    val named = Seq(("a", "b"), ("c", "b"), ("d", "e")).toDF("src", "dst")
+    val r = Graphs.pageRankKeyed(named, "src", "dst", iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val longs = Graphs.pageRank(star, "src", "dst", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val iso = Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L, "e" -> 5L)
+    assert(r.map { case (k, v) => iso(k) -> v } === longs,
+      "rank arithmetic must not depend on the node key type")
+  }
+
   test("labelPropagation is deterministic across layouts and ignores " +
        "direction/duplicates") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (4L, 3L))

@@ -556,6 +556,21 @@ class NgramsSpec extends SparkTestBase {
     assert(math.abs(s3.get - want) < 1e-6)
   }
 
+  test("textRank: the co-occurrence hub out-ranks its spokes; top-k " +
+       "cut is deterministic and bounded") {
+    // "a" is adjacent to every other token; spokes only touch "a"
+    val d = Seq((1L, "a b a c a d a e"),
+                (2L, "a b a c a")).toDF("doc_id", "text")
+    val out = Ngrams.textRank(d, iterations = 3, topK = 3)
+      .as[(String, Long, Double)].collect()
+    // spokes b,c (co-occurrence weight 2 each) tie exactly and beat
+    // d,e (weight 1); the cut at topK=3 keeps both tied spokes in
+    // (rank desc, tok asc) order
+    assert(out.map(_._1).toSeq === Seq("a", "b", "c"))
+    assert(out(0)._2 > out(1)._2, "the hub strictly dominates")
+    assert(out(1)._2 === out(2)._2, "symmetric spokes tie bit-exactly")
+  }
+
   test("unigramTrain: hand-checked seed + hard-EM rounds; singles " +
        "survive with the coverage floor; Viterbi prefers the likelier " +
        "whole piece") {
