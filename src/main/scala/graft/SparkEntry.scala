@@ -2390,6 +2390,19 @@ object SparkEntry {
       Similarity.cosineNearDups(e.union(copies), threshold = 0.99)
         .orderBy("vec_a", "vec_b")
     }),
+    // E3d SemDeDup cluster-then-dedup (Abbas et al. 2023): the engine
+    // runs the full kmeans → assign → within-cell keep-first pipeline;
+    // the oracle brute-forces all pairs, which agrees because every
+    // ≥ 0.99 pair is a planted exact copy (identical vectors co-assign
+    // by construction — assignment is a pure function of the vector —
+    // and the organic corpus maxes out near cosine 0.51)
+    "q_semdedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val copies = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.semDedup(e.union(copies), threshold = 0.99, nlist = 32)
+        .orderBy("vec_id")
+    }),
     // E3 semantic decontamination (embedding-space train-vs-eval
     // anti-join): eval = exact copies of vec_id < 100 (re-keyed), so
     // copies share every LSH band (certain recall) and at threshold
@@ -5474,6 +5487,26 @@ object SparkEntry {
         |CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 20) * 10
         |  AS BIGINT) AS truth,
         |TRUE AS recall_ok""".stripMargin,
+
+    // brute-force all-pairs twin of the cluster-bounded keep-first:
+    // agreement argued in the queries entry (planted exact copies only
+    // at >= 0.99; identical vectors always co-cluster)
+    "q_semdedup" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 100),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM c),
+        |d AS (SELECT a.vec_id,
+        |        CAST(COUNT(b.vec_id) AS BIGINT) AS n_dups_smaller
+        |      FROM n a LEFT JOIN n b
+        |        ON b.vec_id < a.vec_id
+        |       AND list_dot_product(a.v, b.v) >= 0.99 * a.nrm * b.nrm
+        |      GROUP BY 1)
+        |SELECT vec_id, n_dups_smaller, n_dups_smaller = 0 AS kept
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     // brute-force NOT EXISTS twin of the LSH-banded semantic anti-join
     "q_semantic_decontam" ->

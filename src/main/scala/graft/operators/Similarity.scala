@@ -485,6 +485,45 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the k-means coarse
+    * quantizer, then dedup WITHIN each cluster — a vector is a
+    * duplicate when some smaller-id vector in its cell has cosine ≥
+    * `threshold` (keep-first, the deterministic tie rule every dedup
+    * family here uses). Output per vector: (idCol, n_dups_smaller,
+    * kept). The clustering is the scale move: the quadratic verify is
+    * bounded by cell size (≈ n/nlist per cell), never by the corpus —
+    * size nlist ~ √n so per-cell work stays ~n overall (the paper's
+    * own k scaling); [[kmeansCentroids]]' exact-decimal means keep the
+    * cell partition layout-reproducible, so the kept set is
+    * deterministic across engines and reruns.
+    *
+    * Same contract as the paper: a near-dup pair SPLIT across cells is
+    * not examined (that miss probability falls with cluster quality —
+    * identical vectors always co-assign, since cell assignment is a
+    * pure function of the vector). Plan: one corpus pass to assign
+    * (broadcast-bound TopCellsByCosine projection, zero shuffles), one
+    * cell-keyed self-join over the persisted assignment (vectors ride
+    * one shuffle each side), one grouped count + left join back. */
+  def semDedup(corpus: DataFrame, threshold: Double, nlist: Int = 16,
+               iters: Int = 1, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
+    val assigned = OpCaches.register(
+      assignToStoredCentroids(cents, corpus, idCol, vecCol).persist())
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+        col(s"b.$idCol") < col(s"a.$idCol") &&
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
+      .groupBy(col(s"a.$idCol").as(idCol))
+      .agg(count(lit(1)).as("n_dups_smaller"))
+    assigned.select(col(idCol))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        (coalesce(col("n_dups_smaller"), lit(0L)) === 0L).as("kept"))
+  }
+
   /** Semantic (embedding-space) decontamination: drop from `train` every
     * row whose embedding has cosine ≥ `threshold` with ANY `evalSet`
     * row — the embedding counterpart of `Ngrams.decontaminate`'s

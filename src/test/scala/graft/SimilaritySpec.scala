@@ -96,6 +96,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("semDedup: keep-first within clusters — a triple of identical " +
+       "vectors keeps only its smallest id; singletons all survive") {
+    // ids 1,2 near-parallel (cos ≈ 0.99995) but below the threshold;
+    // ids 10,11,12 identical (certain co-assignment: the cell is a pure
+    // function of the vector)
+    val corpus = vecs.union(Seq(
+      (10L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (11L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (12L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding"))
+    val out = Similarity.semDedup(corpus, threshold = 0.9999999, nlist = 2)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L))
+    assert(out(10L) === ((10L, 0L, true)), "smallest id of the clique kept")
+    assert(out(11L) === ((11L, 1L, false)), "one smaller duplicate")
+    assert(out(12L) === ((12L, 2L, false)), "two smaller duplicates")
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(out(_)._3),
+      "sub-threshold neighbors all survive")
+    graft.operators.OpCaches.release()
+  }
+
   test("semanticDecontaminate drops near-eval rows, keeps the rest") {
     // eval holds a copy of v1's direction: v1 AND v2 (cos ≈ 0.99995) are
     // contaminated at 0.99; v3/v4/v5 survive untouched with full schema
