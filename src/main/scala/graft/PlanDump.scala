@@ -123,7 +123,19 @@ object PlanDump {
        SparkEntry.queries("q_unigram_stored")(spark, d)),
       ("q_ann_ivf_append_probe — IVF append lifecycle, recurring half",
        "The batch assigns against STORED centroids via the codegen'd top-cells projection (O(batch*nlist), zero shuffles, no retraining); the union'd cell table probe-joins equi on cell id — the only corpus-sized exchange — and the recall audit rides the shortlist.",
-       SparkEntry.queries("q_ann_ivf_append_probe")(spark, d)))
+       SparkEntry.queries("q_ann_ivf_append_probe")(spark, d)),
+      ("q_changepoint — integer CUSUM level-shift locator",
+       "The raw event table collapses map-side to (series, hour) counts — the only corpus-sized pass; k/cum/tot/n share ONE per-series window sort; the argmax over |D| is a single max_by hash aggregate — no second sort, no driver state, all-integer until the two published means.",
+       SparkEntry.queries("q_changepoint")(spark, d)),
+      ("q_textrank — TextRank keywords over the co-occurrence graph",
+       "One map-side-combined bigram pass collapses the corpus to the weighted (w1, w2, count) model; each rank iteration joins vocabulary-sized tables only (integer share*weight contributions); the top-k cut plans TakeOrderedAndProject — per-task heaps, never a global sort.",
+       SparkEntry.queries("q_textrank")(spark, d)),
+      ("q_semdedup — SemDeDup cluster-bounded semantic dedup",
+       "Cell assignment is a zero-shuffle codegen'd projection (centroids bound in); the quadratic verify is a CELL-keyed equi self-join — bounded by cell size, never the corpus — then one grouped count and a left join back.",
+       SparkEntry.queries("q_semdedup")(spark, d)),
+      ("q_pagerank_weighted — weighted PageRank, integer fixed-point",
+       "Edges collapse once to (src, dst, weight); per iteration one equi-join to the rank table, one (share*w) sum-by-dst with map-side partials, one broadcast dangling-mass scalar — ids and longs only on every exchange.",
+       SparkEntry.queries("q_pagerank_weighted")(spark, d)))
 
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of headline queries\n\n")

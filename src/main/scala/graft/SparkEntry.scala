@@ -2794,6 +2794,29 @@ object SparkEntry {
           maxPieceLen = uniMaxPiece)
         .orderBy("doc_id")),
 
+    // ---- E28 occurrence-weighted pieces-per-word by language from the
+    // trained unigram segmentation — the tokenizer-efficiency report
+    // q_bpe_fertility publishes for BPE, closing the two tokenizer
+    // families' report symmetry (both ride the session training memo)
+    "q_unigram_fertility" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val seg = Ngrams.unigramSegmentWithVocab(t(s, d, "documents"),
+          Ngrams.unigramTrain(t(s, d, "documents"),
+            vocabSize = uniVocabSize, maxPieceLen = uniMaxPiece,
+            rounds = uniRounds, seedSize = uniSeedSize),
+          maxPieceLen = uniMaxPiece)
+        .select(col("word").as("w"), col("n_pieces"))
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .join(seg, Seq("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("n_pieces")).as("n_subwords"),
+             round(sum(col("n_pieces")).cast("double") /
+                   count(lit(1)).cast("double"), 9).as("fertility"))
+        .orderBy("lang")
+    }),
+
     // ---- E27+E15 materialized training rows: the span table joined
     // back to the encoded sequences, sliced and concatenated — every
     // example is EXACTLY 256 tokens of real ids (tail excepted); the
@@ -3737,6 +3760,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- E22/E24 WEIGHTED PageRank over the same purchase graph,
+    // quantity-weighted edges: (rank div Σw)·w integer shares — the
+    // volume-aware importance signal; parts stay dangling so the mass
+    // term is exercised under weights too ----
+    "q_pagerank_weighted" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .groupBy((col("l_orderkey") * 2).as("src"),
+                 (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+      graft.operators.Graphs.pageRankWeighted(edges, "src", "dst", "wt",
+          iterations = 3)
+        .orderBy("node")
+    }),
+
     // ---- E24 deterministic synchronous label propagation (community
     // detection over the order-part bipartite graph; min-label ties,
     // full 3-iteration loop CTE-unrolled in the oracle) ----
@@ -3916,6 +3953,21 @@ object SparkEntry {
       |SELECT w AS word, CAST(c AS BIGINT) AS cnt,
       |  CAST(k AS BIGINT) AS n_pieces, p AS pieces
       |FROM bestF ORDER BY word""".stripMargin
+
+  /** DuckDB replay of the unigram fertility report: the bestF winners'
+    * piece counts joined onto the per-language token stream — the
+    * [[bpeFertilityOracle]] shape on the unigram serve CTEs. */
+  private def unigramFertilityOracle(rounds: Int): String =
+    unigramServeCtes(rounds) + s""",
+      |tok AS (SELECT lang, u.w
+      |        FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      |        WHERE len(u.w) >= 1)
+      |SELECT lang, COUNT(*) AS n_words,
+      |  CAST(SUM(k) AS BIGINT) AS n_subwords,
+      |  round(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+      |    AS fertility
+      |FROM tok JOIN bestF ON bestF.w = tok.w
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** DuckDB replay of [[operators.Ngrams.unigramEncodeWithVocab]]:
     * per-doc id lists in (token position, piece position) order, ids
@@ -4222,6 +4274,7 @@ object SparkEntry {
     "q_unigram_stored" -> unigramSegmentOracle(uniRounds),
 
     "q_unigram_encode" -> unigramEncodeOracle(uniRounds),
+    "q_unigram_fertility" -> unigramFertilityOracle(uniRounds),
 
     "q_bpe_examples" -> bpeExamplesOracle(bpeOracleMerges),
 
@@ -8501,6 +8554,55 @@ object SparkEntry {
         |m3 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r2
         |       WHERE node NOT IN (SELECT src FROM deg)),
         |c3 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS contrib
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * (COALESCE(c.contrib, 0) + m.mass // nn.n)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn CROSS JOIN m3 m
+        |       LEFT JOIN c3 c ON c.node = n2.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
+        |       CAST(rank AS DOUBLE) / 1000000000000 AS rank
+        |FROM r3 ORDER BY node""".stripMargin,
+
+    // the q_pagerank replay with integer edge weights: deg = Σw per
+    // source, each contribution (rank // deg)·w
+    "q_pagerank_weighted" ->
+      """WITH e AS (SELECT CAST(l_orderkey*2 AS BIGINT) AS src,
+        |                  CAST(l_partkey*2+1 AS BIGINT) AS dst,
+        |                  SUM(CAST(l_quantity AS BIGINT)) AS wt
+        |           FROM lineitem GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, SUM(wt) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |m1 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r0
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c1 AS (SELECT e.dst AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * (COALESCE(c.contrib, 0) + m.mass // nn.n)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn CROSS JOIN m1 m
+        |       LEFT JOIN c1 c ON c.node = n2.node),
+        |m2 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r1
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c2 AS (SELECT e.dst AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n2.node,
+        |         (15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * (COALESCE(c.contrib, 0) + m.mass // nn.n)) // 100 AS rank
+        |       FROM nodes n2 CROSS JOIN nn CROSS JOIN m2 m
+        |       LEFT JOIN c2 c ON c.node = n2.node),
+        |m3 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r2
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c3 AS (SELECT e.dst AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
         |       FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
         |       GROUP BY e.dst),
         |r3 AS (SELECT n2.node,
