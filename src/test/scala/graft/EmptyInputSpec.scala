@@ -124,4 +124,21 @@ class EmptyInputSpec extends SparkTestBase {
     assertEmpty(Profiling.kAnonymityViolations(noDocs, Seq("text"), 2L))
     assertEmpty(TextAnalysis.piiStats(noDocs))
   }
+
+  test("round-14 operators handle empty and degenerate input") {
+    assertEmpty(EventOps.changepoint(noEvents))
+    // one bucket per series: no interior split, empty — not a crash
+    assertEmpty(EventOps.changepoint(
+      Seq((1L, new Timestamp(0L), 10L, "A", 1.0),
+          (2L, new Timestamp(1L), 11L, "A", 2.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")))
+    assertEmpty(Ngrams.textRank(noDocs))
+    // single-token docs have no adjacent pair: empty graph, empty ranks
+    assertEmpty(Ngrams.textRank(
+      Seq((1L, "solo"), (2L, "alone")).toDF("doc_id", "text")))
+    assertEmpty(Graphs.pageRankWeighted(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"),
+      "src", "dst", "w"))
+    graft.operators.OpCaches.release()
+  }
 }

@@ -571,6 +571,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan("q_next_event_hitrate").contains("CartesianProduct"))
   }
 
+  test("r14 additions: one window sort for the CUSUM argmax; top-k " +
+       "heaps for textrank; cell-bounded equi self-join for semdedup") {
+    // changepoint: exactly one Sort feeds the per-series window AND the
+    // max_by SortAggregate (same partitioning+ordering — no re-sort,
+    // no join), plus the display orderBy
+    val cp = plan("q_changepoint")
+    assert(!cp.contains("Join"), s"changepoint must be join-free:\n$cp")
+    assert(cp.sliding("Window".length).count(_ == "Window") === 1,
+      "one shared window family")
+    // textrank: the top-k cut must plan per-task heaps, not a global
+    // sort of the vocabulary
+    assert(plan("q_textrank").contains("TakeOrderedAndProject"),
+      "integer top-k must plan TakeOrderedAndProject")
+    // semdedup: the quadratic verify must be the cell-keyed equi
+    // self-join, never a cartesian/nested-loop over the corpus
+    val sd = plan("q_semdedup")
+    assert(!sd.contains("CartesianProduct") &&
+      !sd.contains("BroadcastNestedLoopJoin"),
+      s"semdedup verify must stay cell-equi shaped:\n$sd")
+    // weighted pagerank: per-iteration shuffles carry ids+longs via
+    // equi joins only
+    assert(!plan("q_pagerank_weighted").contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
