@@ -3774,6 +3774,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- E24 personalized (seed-biased) PageRank — the TrustRank
+    // spam-demotion signal: teleport + dangling mass restart at the
+    // seed orders (every-10th customer's), rank measures proximity to
+    // the trusted set; same integer fixed-point replay ----
+    "q_ppr" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+        .withColumn("wt", lit(1L))
+      val seeds = t(s, d, "orders")
+        .filter(col("o_custkey") % 10 === 0)
+        .select((col("o_orderkey") * 2).as("node"))
+      graft.operators.Graphs.personalizedPageRank(edges, "src", "dst",
+          "wt", seeds, "node", iterations = 3)
+        .orderBy("node")
+    }),
+
     // ---- E24 deterministic synchronous label propagation (community
     // detection over the order-part bipartite graph; min-label ties,
     // full 3-iteration loop CTE-unrolled in the oracle) ----
@@ -8563,6 +8581,71 @@ object SparkEntry {
         |       LEFT JOIN c3 c ON c.node = n2.node)
         |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
         |       CAST(rank AS DOUBLE) / 1000000000000 AS rank
+        |FROM r3 ORDER BY node""".stripMargin,
+
+    // seed-biased replay: teleport and dangling mass go to seeds only;
+    // non-seeds keep the pure 85%-contribution term
+    "q_ppr" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_orderkey*2 AS BIGINT) AS src,
+        |                           CAST(l_partkey*2+1 AS BIGINT) AS dst,
+        |                           CAST(1 AS BIGINT) AS wt
+        |           FROM lineitem),
+        |sd AS (SELECT DISTINCT CAST(o_orderkey*2 AS BIGINT) AS node
+        |       FROM orders WHERE o_custkey % 10 = 0),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+        |          UNION SELECT node FROM sd),
+        |ns AS (SELECT COUNT(*) AS s FROM sd),
+        |deg AS (SELECT src, SUM(wt) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT n.node,
+        |         CASE WHEN sd.node IS NOT NULL
+        |              THEN 1000000000000 // ns.s ELSE 0 END AS rank,
+        |         sd.node IS NOT NULL AS isseed
+        |       FROM nodes n LEFT JOIN sd ON sd.node = n.node CROSS JOIN ns),
+        |m1 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r0
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c1 AS (SELECT e.dst AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT r.node,
+        |         CASE WHEN r.isseed
+        |           THEN (15 * 1000000000000) // (100 * ns.s)
+        |              + (85 * (COALESCE(c.contrib, 0) + m.mass // ns.s)) // 100
+        |           ELSE (85 * COALESCE(c.contrib, 0)) // 100 END AS rank,
+        |         r.isseed
+        |       FROM r0 r CROSS JOIN ns CROSS JOIN m1 m
+        |       LEFT JOIN c1 c ON c.node = r.node),
+        |m2 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r1
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c2 AS (SELECT e.dst AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT r.node,
+        |         CASE WHEN r.isseed
+        |           THEN (15 * 1000000000000) // (100 * ns.s)
+        |              + (85 * (COALESCE(c.contrib, 0) + m.mass // ns.s)) // 100
+        |           ELSE (85 * COALESCE(c.contrib, 0)) // 100 END AS rank,
+        |         r.isseed
+        |       FROM r1 r CROSS JOIN ns CROSS JOIN m2 m
+        |       LEFT JOIN c2 c ON c.node = r.node),
+        |m3 AS (SELECT CAST(COALESCE(SUM(rank),0) AS BIGINT) AS mass FROM r2
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |c3 AS (SELECT e.dst AS node,
+        |         CAST(SUM((r.rank // d.deg) * e.wt) AS BIGINT) AS contrib
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT r.node,
+        |         CASE WHEN r.isseed
+        |           THEN (15 * 1000000000000) // (100 * ns.s)
+        |              + (85 * (COALESCE(c.contrib, 0) + m.mass // ns.s)) // 100
+        |           ELSE (85 * COALESCE(c.contrib, 0)) // 100 END AS rank,
+        |         r.isseed
+        |       FROM r2 r CROSS JOIN ns CROSS JOIN m3 m
+        |       LEFT JOIN c3 c ON c.node = r.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
+        |       CAST(rank AS DOUBLE) / 1000000000000 AS rank,
+        |       isseed AS is_seed
         |FROM r3 ORDER BY node""".stripMargin,
 
     // the q_pagerank replay with integer edge weights: deg = Σw per

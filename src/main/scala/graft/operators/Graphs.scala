@@ -125,6 +125,76 @@ object Graphs {
       (col("rank").cast("double") / Scale.toDouble).as("rank"))
   }
 
+  /** Personalized (seed-biased) PageRank — the TrustRank curation
+    * signal (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the
+    * teleport mass restarts at a SEED set instead of uniformly, so
+    * rank concentrates near trusted (or suspect) nodes — "how close is
+    * this page to the hand-audited good set" is the standard
+    * spam-demotion signal a web-corpus curation pipeline runs next to
+    * plain [[pageRank]]. Same exact fixed-point arithmetic: init
+    * Scale div |S| on seeds (0 elsewhere); per iteration the (1−d)
+    * teleport AND the dangling mass redistribute over the seeds only,
+    * non-seeds keep the pure d·contrib term. Seeds need not appear in
+    * the edge list (an isolated seed still holds teleport mass — it is
+    * dangling, so its mass recycles to the seed set). Output: (node,
+    * rank_fp, rank, is_seed). |S| is read once up front (one count
+    * job) and bound in as a literal; seeds must be non-empty.
+    *
+    * Scale shape: identical to [[pageRankWeighted]] (two ids+longs
+    * shuffles + one broadcast scalar per iteration) plus one
+    * node-keyed seed-flag join at init — the flag then rides the rank
+    * table, so no per-iteration seed join. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, weightCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int = 3,
+                           dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      "dampingPct must be a percent")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .localCheckpoint(eager = true)
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint(eager = true)
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd.select(col("node"))).distinct()
+    val deg = e.groupBy("src").agg(sum(col("w")).as("deg"))
+    var ranks = nodes
+      .join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
+      .selectExpr("node", "coalesce(__s, false) as __seed",
+        s"case when coalesce(__s, false) then ${Scale}L div ${nSeeds}L" +
+          " else 0L end as rank")
+    for (i <- 1 to iterations) {
+      val share = ranks.select("node", "rank")
+        .join(deg, col("node") === col("src"))
+        .selectExpr("src as u", "rank div deg as share")
+      val contrib = e.join(share, col("src") === col("u"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share") * col("w")).as("contrib"))
+      val dang = ranks.select("node", "rank")
+        .join(deg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("__mass"))
+      ranks = ranks.select("node", "__seed").crossJoin(broadcast(dang))
+        .join(contrib, Seq("node"), "left")
+        .selectExpr("node", "__seed",
+          "case when __seed then " +
+            s"(${100L - dampingPct}L * ${Scale}L) div (100L * ${nSeeds}L)" +
+            s" + (${dampingPct}L * (coalesce(contrib, 0L)" +
+            s" + __mass div ${nSeeds}L)) div 100L" +
+            s" else (${dampingPct}L * coalesce(contrib, 0L)) div 100L" +
+            " end as rank")
+      if (i % 4 == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), col("rank").as("rank_fp"),
+      (col("rank").cast("double") / Scale.toDouble).as("rank"),
+      col("__seed").as("is_seed"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007), DETERMINISTIC variant: init label(v) = v; each iteration
     * every node adopts its neighbors' most frequent label, ties broken

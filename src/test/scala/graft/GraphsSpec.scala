@@ -102,6 +102,30 @@ class GraphsSpec extends SparkTestBase {
       "rank arithmetic must not depend on the node key type")
   }
 
+  test("personalizedPageRank: hand-computed seed-restart recurrence on " +
+       "a 2-cycle; isolated seeds recycle their dangling mass") {
+    val cyc = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val seed1 = Seq(Tuple1(1L)).toDF("node")
+    val r = Graphs.personalizedPageRank(cyc, "src", "dst", "w",
+        seed1, "node", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0 = (S, 0); r_k(seed) = 0.15S + 0.85·contrib, r_k(other) =
+    // 0.85·contrib: r1 = (0.15S, 0.85S), r2 = (0.8725S, 0.1275S),
+    // r3 = (0.258375S, 0.741625S)
+    assert(r(1L) === 258375000000L && r(2L) === 741625000000L)
+    // seed 9 has no edges: dangling, teleport + its own recycled mass
+    // keep it ranked; non-seed 2 still receives only contribution mass
+    val r2 = Graphs.personalizedPageRank(cyc, "src", "dst", "w",
+        Seq(Tuple1(9L)).toDF("node"), "node", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2.keySet === Set(1L, 2L, 9L))
+    assert(r2(9L) === Graphs.Scale,
+      "an isolated seed is a fixpoint: teleport + its own recycled " +
+        "dangling mass = the whole Scale")
+    assert(r2(1L) === 0L && r2(2L) === 0L,
+      "no path from the seed: the cycle holds zero mass")
+  }
+
   test("labelPropagation is deterministic across layouts and ignores " +
        "direction/duplicates") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (4L, 3L))
