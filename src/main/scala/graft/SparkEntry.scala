@@ -3774,6 +3774,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- E24 HITS hubs & authorities over the purchase graph
+    // (orders = hubs, parts = authorities): per round auth = Σ in-hub,
+    // hub = Σ out-auth, each side L1-normalized to Scale in exact
+    // integral division — the two-sided signal PageRank conflates ----
+    "q_hits" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst"))
+      graft.operators.Graphs.hits(edges, "src", "dst", rounds = 2)
+        .orderBy("node")
+    }),
+
     // ---- E24 personalized (seed-biased) PageRank — the TrustRank
     // spam-demotion signal: teleport + dangling mass restart at the
     // seed orders (every-10th customer's), rank measures proximity to
@@ -8582,6 +8594,52 @@ object SparkEntry {
         |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
         |       CAST(rank AS DOUBLE) / 1000000000000 AS rank
         |FROM r3 ORDER BY node""".stripMargin,
+
+    // two unrolled HITS rounds: HUGEINT sums, (raw·Scale) // total
+    // exact L1 normalization per side
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_orderkey*2 AS BIGINT) AS src,
+        |                           CAST(l_partkey*2+1 AS BIGINT) AS dst
+        |           FROM lineitem),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |h0 AS (SELECT node, CAST(1000000000000 // nn.n AS HUGEINT) AS h
+        |       FROM nodes CROSS JOIN nn),
+        |a1r AS (SELECT e.dst AS node, SUM(h.h) AS ar
+        |        FROM e JOIN h0 h ON h.node = e.src GROUP BY 1),
+        |a1t AS (SELECT SUM(ar) AS t FROM a1r),
+        |a1 AS (SELECT node,
+        |         (CAST(ar AS HUGEINT) * 1000000000000) // CAST(t AS HUGEINT)
+        |           AS a
+        |       FROM a1r, a1t),
+        |h1r AS (SELECT e.src AS node, SUM(a.a) AS hr
+        |        FROM e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+        |h1t AS (SELECT SUM(hr) AS t FROM h1r),
+        |h1 AS (SELECT node,
+        |         (CAST(hr AS HUGEINT) * 1000000000000) // CAST(t AS HUGEINT)
+        |           AS h
+        |       FROM h1r, h1t),
+        |a2r AS (SELECT e.dst AS node, SUM(h.h) AS ar
+        |        FROM e JOIN h1 h ON h.node = e.src GROUP BY 1),
+        |a2t AS (SELECT SUM(ar) AS t FROM a2r),
+        |a2 AS (SELECT node,
+        |         (CAST(ar AS HUGEINT) * 1000000000000) // CAST(t AS HUGEINT)
+        |           AS a
+        |       FROM a2r, a2t),
+        |h2r AS (SELECT e.src AS node, SUM(a.a) AS hr
+        |        FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+        |h2t AS (SELECT SUM(hr) AS t FROM h2r),
+        |h2 AS (SELECT node,
+        |         (CAST(hr AS HUGEINT) * 1000000000000) // CAST(t AS HUGEINT)
+        |           AS h
+        |       FROM h2r, h2t)
+        |SELECT n.node, CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_fp,
+        |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_fp,
+        |  CAST(COALESCE(h2.h, 0) AS DOUBLE) / 1000000000000 AS hub,
+        |  CAST(COALESCE(a2.a, 0) AS DOUBLE) / 1000000000000 AS auth
+        |FROM nodes n LEFT JOIN h2 ON h2.node = n.node
+        |  LEFT JOIN a2 ON a2.node = n.node
+        |ORDER BY n.node""".stripMargin,
 
     // seed-biased replay: teleport and dangling mass go to seeds only;
     // non-seeds keep the pure 85%-contribution term

@@ -249,6 +249,66 @@ object Graphs {
       .select("node", "label", "n_members")
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the two-sided
+    * importance signal for BIPARTITE-ish graphs where PageRank's single
+    * score conflates "links to good things" (hub) with "is a good
+    * thing" (authority): per round, auth(v) = Σ_{u→v} hub(u) and
+    * hub(u) = Σ_{u→v} auth(v), each side L1-NORMALIZED to
+    * [[Scale]] fixed-point mass (the classic L2 norm needs a square
+    * root — not expressible in exact integer arithmetic; L1 yields the
+    * same ranking order and keeps every step engine-exact). Raw sums
+    * ride DECIMAL(38,0) (a hub of 10M in-edges would overflow a LONG
+    * sum of Scale-sized scores); the normalization
+    * (raw·Scale) div total is one exact integral division — DuckDB
+    * replays it as HUGEINT `//`. Nodes with no out-edges hold hub 0,
+    * no in-edges auth 0 (they drop from the respective side and
+    * re-attach as zeros at the end).
+    *
+    * Scale shape: per round two edge-to-score equi-joins + two
+    * map-side-combined aggregates (ids and decimals only on every
+    * exchange) and two one-row broadcast totals; the distinct edge
+    * list materializes once (eager localCheckpoint, the
+    * [[pageRankWeighted]] lesson). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("__n"))
+    var hub = nodes.crossJoin(broadcast(nDf))
+      .selectExpr("node",
+        s"cast(${Scale}L div __n as decimal(38,0)) as h")
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val araw = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h")).as("ar"))
+      val atot = araw.agg(sum(col("ar")).as("__ta"))
+      auth = araw.crossJoin(broadcast(atot))
+        .selectExpr("node", s"(ar * ${Scale}L) div __ta as a")
+      val hraw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a").cast(dec)).as("hr"))
+      val htot = hraw.agg(sum(col("hr")).as("__th"))
+      hub = hraw.crossJoin(broadcast(htot))
+        .selectExpr("node",
+          s"cast((hr * ${Scale}L) div __th as decimal(38,0)) as h")
+    }
+    nodes
+      .join(hub.select(col("node"), col("h").cast("long").as("hub_fp")),
+        Seq("node"), "left")
+      .join(auth.select(col("node"), col("a").as("auth_fp")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+        coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+      .withColumn("hub", col("hub_fp").cast("double") / Scale.toDouble)
+      .withColumn("auth", col("auth_fp").cast("double") / Scale.toDouble)
+  }
+
   /** Exact per-node triangle counts over an undirected graph given as an
     * edge list (direction and duplicates ignored; self-loops dropped) —
     * the clustering-coefficient numerator, and the standard structure

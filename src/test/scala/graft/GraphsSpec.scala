@@ -102,6 +102,23 @@ class GraphsSpec extends SparkTestBase {
       "rank arithmetic must not depend on the node key type")
   }
 
+  test("hits: hand-computed two-round L1-normalized hubs/authorities " +
+       "on a 2x2 bipartite graph") {
+    // hubs 1,2 -> auths 10,11: 1->{10,11}, 2->{10}; n=4, h0 = S/4
+    // round 1: ar = (S/2, S/4), ta = 3S/4 -> a = (2S/3, S/3) floored;
+    //   hr = (a10+a11, a10), th -> h1 = (0.6S, 0.4S) exactly
+    // round 2: ar = (S, 0.6S), ta = 1.6S -> a2 = (0.625S, 0.375S);
+    //   hr = (S, 0.625S), th = 1.625S -> h2 = (S/1.625, 0.625S/1.625)
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val out = Graphs.hits(e, "src", "dst", rounds = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((615384615384L, 0L)))
+    assert(out(2L) === ((384615384615L, 0L)))
+    assert(out(10L) === ((0L, 625000000000L)))
+    assert(out(11L) === ((0L, 375000000000L)))
+  }
+
   test("personalizedPageRank: hand-computed seed-restart recurrence on " +
        "a 2-cycle; isolated seeds recycle their dangling mass") {
     val cyc = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
