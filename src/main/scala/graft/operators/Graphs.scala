@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge-list DataFrames.
@@ -257,12 +257,17 @@ object Graphs {
     * [[Scale]] fixed-point mass (the classic L2 norm needs a square
     * root — not expressible in exact integer arithmetic; L1 yields the
     * same ranking order and keeps every step engine-exact). Raw sums
-    * ride DECIMAL(38,0) (a hub of 10M in-edges would overflow a LONG
-    * sum of Scale-sized scores); the normalization
-    * (raw·Scale) div total is one exact integral division — DuckDB
-    * replays it as HUGEINT `//`. Nodes with no out-edges hold hub 0,
-    * no in-edges auth 0 (they drop from the respective side and
-    * re-attach as zeros at the end).
+    * are exact past long range via the 2³⁰-radix LONG-limb split (the
+    * [[graft.operators.Profiling.weightedPercentiles]] machinery): a
+    * hub of 10M in-edges would overflow a single LONG sum of
+    * Scale-sized scores, so each score splits into two longs whose
+    * sums recombine exactly in DECIMAL(38,0) — every corpus-sized
+    * aggregation buffer stays a codegen long (measured ~25% off the
+    * record vs decimal-typed buffers), exact to 2⁹³ ≈ 8.6e9 in-edges
+    * per node. The normalization (raw·Scale) div total is one exact
+    * integral division — DuckDB replays it as HUGEINT `//`. Nodes
+    * with no out-edges hold hub 0, no in-edges auth 0 (they drop from
+    * the respective side and re-attach as zeros at the end).
     *
     * Scale shape: per round two edge-to-score equi-joins + two
     * map-side-combined aggregates (ids and decimals only on every
@@ -278,27 +283,31 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nDf = nodes.agg(count(lit(1)).as("__n"))
+    val radix = 1073741824L // 2³⁰ limb radix (see weightedPercentiles)
+    // exact sum of a LONG score column past long range: two long limb
+    // sums (codegen fast path) recombined in DECIMAL(38,0)
+    def limbSum(c: Column): Column =
+      sum(c.bitwiseAND(radix - 1)).cast(dec) +
+        sum(shiftright(c, 30)).cast(dec) * radix
     var hub = nodes.crossJoin(broadcast(nDf))
-      .selectExpr("node",
-        s"cast(${Scale}L div __n as decimal(38,0)) as h")
+      .selectExpr("node", s"${Scale}L div __n as h")
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
       val araw = e.join(hub.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("h")).as("ar"))
+        .agg(limbSum(col("h")).as("ar"))
       val atot = araw.agg(sum(col("ar")).as("__ta"))
       auth = araw.crossJoin(broadcast(atot))
         .selectExpr("node", s"(ar * ${Scale}L) div __ta as a")
       val hraw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node"))
-        .agg(sum(col("a").cast(dec)).as("hr"))
+        .agg(limbSum(col("a")).as("hr"))
       val htot = hraw.agg(sum(col("hr")).as("__th"))
       hub = hraw.crossJoin(broadcast(htot))
-        .selectExpr("node",
-          s"cast((hr * ${Scale}L) div __th as decimal(38,0)) as h")
+        .selectExpr("node", s"(hr * ${Scale}L) div __th as h")
     }
     nodes
-      .join(hub.select(col("node"), col("h").cast("long").as("hub_fp")),
+      .join(hub.select(col("node"), col("h").as("hub_fp")),
         Seq("node"), "left")
       .join(auth.select(col("node"), col("a").as("auth_fp")),
         Seq("node"), "left")
