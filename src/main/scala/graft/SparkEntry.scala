@@ -3466,6 +3466,18 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ---- E20 exact Wasserstein-1 drift: how far the price
+    // distribution moved in dollars (per priority, even vs odd orders)
+    // — integer-cent ECDF terms, engine-exact ----
+    "q_wasserstein" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      operators.Profiling.wasserstein1(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          "o_orderpriority", "o_totalprice", scale = 100L)
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- E20 exact weighted percentiles: the quantity-weighted price
     // quartiles per return flag — "the price of the median unit", not
     // the median row; all-integer threshold arithmetic ----
@@ -7963,6 +7975,37 @@ object SparkEntry {
         |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
         |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS psi_term
         |FROM j, t ORDER BY bin""".stripMargin,
+
+    // integer-cent ECDF replay: |cum_a·n_b − cum_b·n_a|·gap summed in
+    // HUGEINT, one closing division
+    "q_wasserstein" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS sa,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS sb
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |pv AS (SELECT g, v, SUM(sa) AS ca, SUM(sb) AS cb
+        |       FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, v, ca, cb,
+        |        SUM(ca) OVER (PARTITION BY g ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS cuma,
+        |        SUM(cb) OVER (PARTITION BY g ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS cumb,
+        |        SUM(ca) OVER (PARTITION BY g) AS na,
+        |        SUM(cb) OVER (PARTITION BY g) AS nb,
+        |        LEAD(v) OVER (PARTITION BY g ORDER BY v) - v AS gap
+        |      FROM pv)
+        |SELECT g AS o_orderpriority,
+        |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+        |    round(CAST(SUM(CASE WHEN gap IS NOT NULL
+        |        THEN abs(CAST(cuma AS HUGEINT) * nb
+        |                 - CAST(cumb AS HUGEINT) * na) * gap
+        |        ELSE 0 END) AS DOUBLE)
+        |      / CAST(CAST(MAX(na) AS HUGEINT) * MAX(nb) * 100 AS DOUBLE), 9)
+        |  ELSE 0.0 END AS w1
+        |FROM w GROUP BY g ORDER BY g""".stripMargin,
 
     "q_weighted_percentile" ->
       """WITH bv AS (

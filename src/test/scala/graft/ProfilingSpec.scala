@@ -249,6 +249,22 @@ class ProfilingSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].head() === ((0L, 0L, 0L, 0.0)))
   }
 
+  test("wasserstein1: exact earth-mover distance per group; identical " +
+       "and one-sided groups read 0") {
+    // g: a = {1.00, 2.00} → b = {3.00}: transport cost
+    // (|1−3| + |2−3|)/2 = 1.5. h: only side a → 0.0 by contract.
+    // k: identical distributions → 0.0
+    val a = Seq(("g", 1.0), ("g", 2.0), ("h", 5.0), ("k", 7.0))
+      .toDF("grp", "v")
+    val b = Seq(("g", 3.0), ("k", 7.0)).toDF("grp", "v")
+    val out = Profiling.wasserstein1(a, b, "grp", "v", scale = 100L)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("g") === (("g", 2L, 1L, 1.5)))
+    assert(out("h") === (("h", 1L, 0L, 0.0)))
+    assert(out("k") === (("k", 1L, 1L, 0.0)))
+  }
+
   test("kAnonymityViolations flags sub-k quasi-identifier groups; " +
       "NULLs group as values") {
     val df = Seq(
