@@ -3478,6 +3478,18 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- E20 exact Mann–Whitney U (rank-biserial effect) per
+    // priority: the non-parametric twin of q_ab_test's z — do even-key
+    // orders price-dominate odd-key ones? ----
+    "q_mannwhitney" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      operators.Profiling.mannWhitney(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- E20 exact weighted percentiles: the quantity-weighted price
     // quartiles per return flag — "the price of the median unit", not
     // the median row; all-integer threshold arithmetic ----
@@ -7975,6 +7987,33 @@ object SparkEntry {
         |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
         |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS psi_term
         |FROM j, t ORDER BY bin""".stripMargin,
+
+    // exact 2U = Σ 2·cA·cumB_prev + cA·cB in HUGEINT, cast BIGINT
+    // (errors on overflow like the engine's guard)
+    "q_mannwhitney" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS sa,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS sb
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |pv AS (SELECT g, v, SUM(sa) AS ca, SUM(sb) AS cb
+        |       FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, ca, cb,
+        |        COALESCE(SUM(cb) OVER (PARTITION BY g ORDER BY v
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |          AS cumbp
+        |      FROM pv)
+        |SELECT g AS o_orderpriority,
+        |  CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |  CAST(SUM(2 * CAST(ca AS HUGEINT) * cumbp
+        |           + CAST(ca AS HUGEINT) * cb) AS BIGINT) AS u2,
+        |  CASE WHEN SUM(ca) > 0 AND SUM(cb) > 0 THEN
+        |    round(CAST(SUM(2 * CAST(ca AS HUGEINT) * cumbp
+        |             + CAST(ca AS HUGEINT) * cb) AS DOUBLE)
+        |      / CAST(CAST(SUM(ca) AS HUGEINT) * SUM(cb) AS DOUBLE)
+        |      - 1.0, 9)
+        |  ELSE NULL END AS rank_biserial
+        |FROM w GROUP BY g ORDER BY g""".stripMargin,
 
     // integer-cent ECDF replay: |cum_a·n_b − cum_b·n_a|·gap summed in
     // HUGEINT, one closing division

@@ -425,6 +425,57 @@ object Profiling {
           .otherwise(lit(0.0)).as("w1"))
   }
 
+  /** Exact Mann–Whitney U per group — the NON-PARAMETRIC two-sample
+    * test statistic beside [[graft.operators.EventOps.abTest]]'s
+    * pooled z (medians/ranks, no normality assumption; the standard
+    * check when value distributions are skewed, as latencies and
+    * prices are): U counts (a, b) pairs with a < b, ties half. To stay
+    * in integers, the published `u2` = 2U = Σ_v 2·cA_v·cumB_{>v} +
+    * cA_v·cB_v — exact DECIMAL(38,0) interior (pair counts pass long
+    * range once both sides exceed ~2e9 rows), published BIGINT behind
+    * the loud [[graft.operators.EventOps.ohlcBars]]-style range guard.
+    * `rank_biserial` = u2/(n_a·n_b) − 1 ∈ [−1, 1] is the effect size
+    * (+1: every a below every b), one 9-dec-rounded IEEE division of
+    * exact integers.
+    *
+    * Same collapsed-value plan as [[wasserstein1]]: map-side collapse
+    * to (group, value) counts, ONE grouped window for the running
+    * B-count, one closing aggregate. One-sided groups read NULL
+    * effect (undefined, unlike the "no drift evidence" 0 of the
+    * drift monitors — a test with an empty arm has no verdict). */
+  def mannWhitney(a: DataFrame, b: DataFrame, groupCol: String,
+                  valCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(df: DataFrame, tag: Int) =
+      df.filter(col(valCol).isNotNull)
+        .select(col(groupCol).as("__g"), col(valCol).as("__v"),
+          lit(tag).as("__side"))
+    val perVal = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+           sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    val wOrd = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wAbove = wOrd.rowsBetween(1, Window.unboundedFollowing)
+    val terms = perVal
+      .withColumn("__cbAbove",
+        coalesce(sum(col("__cb")).over(wAbove), lit(0L)))
+    val u2 = sum(lit(2L).cast(dec) * col("__ca") * col("__cbAbove") +
+      col("__ca").cast(dec) * col("__cb"))
+    terms.groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        u2.as("__u2"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(abs(col("__u2")) <= lit(Long.MaxValue).cast(dec),
+            col("__u2").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("mannWhitney: 2U overflows BIGINT: "),
+            col("__u2").cast("string"))).cast("long")).as("u2"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__u2").cast("double") /
+            (col("n_a").cast(dec) * col("n_b")).cast("double") - 1.0, 9))
+          .otherwise(lit(null).cast("double")).as("rank_biserial"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     require(k > 0)
     val total = df.select(count(lit(1)).as("__total"))

@@ -265,6 +265,25 @@ class ProfilingSpec extends SparkTestBase {
     assert(out("k") === (("k", 1L, 1L, 0.0)))
   }
 
+  test("mannWhitney: exact 2U with tie halves; dominance reads ±1, " +
+       "pure ties read 0, one-sided arms read NULL") {
+    // g: a={1,2} all below b={3} → 2U = 4, r = 4/2−1 = +1
+    // h: a={3} above b={1,2} → 2U = 0, r = −1
+    // t: a={5}, b={5} pure tie → 2U = 1, r = 0
+    // o: a only → NULL effect
+    val a = Seq(("g", 1.0), ("g", 2.0), ("h", 3.0), ("t", 5.0), ("o", 9.0))
+      .toDF("grp", "v")
+    val b = Seq(("g", 3.0), ("h", 1.0), ("h", 2.0), ("t", 5.0))
+      .toDF("grp", "v")
+    val out = Profiling.mannWhitney(a, b, "grp", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("g") === (("g", 2L, 1L, 4L, Some(1.0))))
+    assert(out("h") === (("h", 1L, 2L, 0L, Some(-1.0))))
+    assert(out("t") === (("t", 1L, 1L, 1L, Some(0.0))))
+    assert(out("o") === (("o", 1L, 0L, 0L, None)))
+  }
+
   test("kAnonymityViolations flags sub-k quasi-identifier groups; " +
       "NULLs group as values") {
     val df = Seq(
