@@ -135,7 +135,13 @@ object PlanDump {
        SparkEntry.queries("q_semdedup")(spark, d)),
       ("q_pagerank_weighted — weighted PageRank, integer fixed-point",
        "Edges collapse once to (src, dst, weight); per iteration one equi-join to the rank table, one (share*w) sum-by-dst with map-side partials, one broadcast dangling-mass scalar — ids and longs only on every exchange.",
-       SparkEntry.queries("q_pagerank_weighted")(spark, d)))
+       SparkEntry.queries("q_pagerank_weighted")(spark, d)),
+      ("q_hits — hubs & authorities, L1-normalized fixed point",
+       "Per round two edge-to-score equi-joins and two limb-sum aggregates (corpus-sized buffers stay codegen longs, recombined DECIMAL at the aggregate boundary); each normalization total is a one-row broadcast; the checkpointed edge table feeds every consumer without recompute.",
+       SparkEntry.queries("q_hits")(spark, d)),
+      ("q_wasserstein — exact earth-mover drift per group",
+       "Both sides collapse map-side to (group, cent-quantized value) counts — the only corpus-sized pass; cum/total/gap share ONE grouped window sort over the collapsed table; the exact DECIMAL interval terms close in a single grouped aggregate.",
+       SparkEntry.queries("q_wasserstein")(spark, d)))
 
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of headline queries\n\n")

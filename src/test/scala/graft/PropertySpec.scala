@@ -479,6 +479,41 @@ class PropertySpec extends SparkTestBase {
     }, samples = 10)
   }
 
+  test("property: wasserstein1 is a symmetric metric that reads pure " +
+       "shifts exactly; mannWhitney arms are complementary") {
+    val gen = Gen.listOfN(20, for {
+      g <- Gen.choose(0, 1); v <- Gen.choose(0, 20)
+    } yield (s"g$g", v * 0.25))
+    check(Prop.forAll(gen, gen, Gen.choose(1, 8)) { (ra, rb, shift) =>
+      (ra.isEmpty || rb.isEmpty) || {
+        val a = ra.toDF("grp", "v"); val b = rb.toDF("grp", "v")
+        def w1(x: org.apache.spark.sql.DataFrame,
+               y: org.apache.spark.sql.DataFrame) =
+          operators.Profiling.wasserstein1(x, y, "grp", "v", scale = 100L)
+            .as[(String, Long, Long, Double)].collect()
+            .map(r => r._1 -> r._4).toMap
+        // identity of indiscernibles + symmetry
+        val self = w1(a, a).values.forall(_ == 0.0)
+        val sym = w1(a, b) == w1(b, a).map(identity)
+        // a pure +shift moves every group's W1 by exactly the shift
+        val shifted = w1(a, a.withColumn("v", col("v") + shift))
+        val shiftExact = shifted.values.forall(_ == shift.toDouble)
+        // Mann-Whitney complementarity: 2U_ab + 2U_ba = 2·n_a·n_b
+        val uab = operators.Profiling.mannWhitney(a, b, "grp", "v")
+          .as[(String, Long, Long, Long, Option[Double])].collect()
+          .map(r => r._1 -> r).toMap
+        val uba = operators.Profiling.mannWhitney(b, a, "grp", "v")
+          .as[(String, Long, Long, Long, Option[Double])].collect()
+          .map(r => r._1 -> r).toMap
+        val comp = uab.forall { case (g, (_, na, nb, u2, _)) =>
+          uba.get(g).forall { case (_, nb2, na2, u2b, _) =>
+            na == na2 && nb == nb2 && u2 + u2b == 2L * na * nb }
+        }
+        self && sym && shiftExact && comp
+      }
+    }, samples = 10)
+  }
+
   test("property: kCore output is a fixpoint — every surviving node " +
        "keeps >= k surviving distinct neighbors") {
     val gen = Gen.listOfN(25, for {
