@@ -139,6 +139,11 @@ class EmptyInputSpec extends SparkTestBase {
     assertEmpty(Graphs.pageRankWeighted(
       Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"),
       "src", "dst", "w"))
+    assertEmpty(Graphs.hits(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst"))
+    val noVals = Seq.empty[(String, Double)].toDF("grp", "v")
+    assertEmpty(Profiling.wasserstein1(noVals, noVals, "grp", "v"))
+    assertEmpty(Profiling.mannWhitney(noVals, noVals, "grp", "v"))
     graft.operators.OpCaches.release()
   }
 }
