@@ -3478,6 +3478,14 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- E20 exact Spearman rank correlation per return flag:
+    // monotonic quantity↔price association, robust to price outliers
+    // (integer doubled-average-ranks, exact moments) ----
+    "q_spearman" -> ((s, d) =>
+      operators.Profiling.spearman(t(s, d, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     // ---- E20 exact Mann–Whitney U (rank-biserial effect) per
     // priority: the non-parametric twin of q_ab_test's z — do even-key
     // orders price-dominate odd-key ones? ----
@@ -7987,6 +7995,45 @@ object SparkEntry {
         |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (ta + k))
         |          / (CAST(cnt_b + 1 AS DOUBLE) / (tb + k))), 9) AS psi_term
         |FROM j, t ORDER BY bin""".stripMargin,
+
+    // doubled-average-rank replay: 2r = 2·cum_before + cnt + 1 per tie
+    // block, HUGEINT moments, the autocorrelation closing formula
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT g, x, COUNT(*) AS c FROM r GROUP BY 1, 2),
+        |rx AS (SELECT g, x,
+        |         2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + c + 1 AS rx2
+        |       FROM cx),
+        |cy AS (SELECT g, y, COUNT(*) AS c FROM r GROUP BY 1, 2),
+        |ry AS (SELECT g, y,
+        |         2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + c + 1 AS ry2
+        |       FROM cy),
+        |j AS (SELECT r.g, rx.rx2, ry.ry2
+        |      FROM r JOIN rx ON rx.g = r.g AND rx.x = r.x
+        |        JOIN ry ON ry.g = r.g AND ry.y = r.y),
+        |a AS (SELECT g, COUNT(*) AS n,
+        |        SUM(CAST(rx2 AS HUGEINT)) AS sx,
+        |        SUM(CAST(ry2 AS HUGEINT)) AS sy,
+        |        SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+        |        SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+        |        SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy
+        |      FROM j GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) > 0
+        |        AND (CAST(n AS HUGEINT) * syy - sy * sy) > 0 THEN
+        |    round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |             * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+        |      9)
+        |  ELSE NULL END AS spearman
+        |FROM a ORDER BY 1""".stripMargin,
 
     // exact 2U = Σ 2·cA·cumB_prev + cA·cB in HUGEINT, cast BIGINT
     // (errors on overflow like the engine's guard)

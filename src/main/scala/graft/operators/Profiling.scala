@@ -476,6 +476,58 @@ object Profiling {
           .otherwise(lit(null).cast("double")).as("rank_biserial"))
   }
 
+  /** Exact per-group Spearman rank correlation — the robust
+    * monotonic-association screen beside the Pearson family
+    * ([[covarianceExact]], [[graft.operators.EventOps.autocorrelation]]):
+    * Pearson on AVERAGE ranks, which outlier-heavy columns (prices,
+    * latencies, counts) need. Exact in integers: the doubled average
+    * rank of a tie block is 2·cum_before + cnt + 1 — an integer — so
+    * every moment sum rides DECIMAL(38,0) (bound: Σ(2r)² products stay
+    * in 38 digits to ~10⁹ rows per group) and the closing Pearson is
+    * the one fixed-order IEEE formula the autocorrelation uses, 9-dec
+    * rounded. Degenerate groups (constant x or y → zero rank variance)
+    * read NULL, not NaN.
+    *
+    * Plan shape: per variable one map-side-combined (group, value)
+    * collapse + ONE grouped window over the collapsed table (the
+    * [[wasserstein1]] shape), then two equi-joins attach the rank of
+    * each row's value and one grouped aggregate closes — the rank
+    * tables are distinct-value-sized, never row-sized. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+    def ranks(vCol: String, out: String) = {
+      val w = Window.partitionBy(col("__g")).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(col("__g"), col(vCol)).agg(count(lit(1)).as("__c"))
+        .select(col("__g"), col(vCol),
+          (lit(2L) * coalesce(sum(col("__c")).over(w), lit(0L)) +
+            col("__c") + lit(1L)).as(out))
+    }
+    val withR = rows
+      .join(ranks("__x", "__rx"), Seq("__g", "__x"))
+      .join(ranks("__y", "__ry"), Seq("__g", "__y"))
+    val agg = withR.groupBy(col("__g").as(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx").cast(dec)).as("__sx"),
+      sum(col("__ry").cast(dec)).as("__sy"),
+      sum(col("__rx").cast(dec) * col("__ry")).as("__sxy"),
+      sum(col("__rx").cast(dec) * col("__rx")).as("__sxx"),
+      sum(col("__ry").cast(dec) * col("__ry")).as("__syy"))
+    val num = (col("n").cast(dec) * col("__sxy") -
+      col("__sx") * col("__sy")).cast("double")
+    val vx = (col("n").cast(dec) * col("__sxx") -
+      col("__sx") * col("__sx")).cast("double")
+    val vy = (col("n").cast(dec) * col("__syy") -
+      col("__sy") * col("__sy")).cast("double")
+    agg.select(col(groupCol), col("n"),
+      when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 9))
+        .otherwise(lit(null).cast("double")).as("spearman"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     require(k > 0)
     val total = df.select(count(lit(1)).as("__total"))

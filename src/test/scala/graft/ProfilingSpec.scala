@@ -284,6 +284,29 @@ class ProfilingSpec extends SparkTestBase {
     assert(out("o") === (("o", 1L, 0L, 0L, None)))
   }
 
+  test("spearman: ±1 on monotone maps regardless of shape; exact " +
+       "tie-averaged mid-case; constant columns read NULL") {
+    // m: y = exp-ish of x (monotone, non-linear) → exactly +1
+    // i: inverse order → −1
+    // t: x = (1,2,2,3) vs y strictly increasing → ranks (1,2.5,2.5,4)
+    //    vs (1,2,3,4): ρ = 3/√10 = 0.948683298 (9-dec)
+    // c: constant y → zero rank variance → NULL
+    val df = Seq(
+      ("m", 1.0, 10.0), ("m", 2.0, 100.0), ("m", 3.0, 1e6),
+      ("i", 1.0, 9.0), ("i", 2.0, 5.0), ("i", 3.0, 1.0),
+      ("t", 1.0, 10.0), ("t", 2.0, 20.0), ("t", 2.0, 30.0),
+      ("t", 3.0, 40.0),
+      ("c", 1.0, 7.0), ("c", 2.0, 7.0))
+      .toDF("grp", "x", "y")
+    val out = Profiling.spearman(df, "grp", "x", "y")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("m") === (("m", 3L, Some(1.0))))
+    assert(out("i") === (("i", 3L, Some(-1.0))))
+    assert(out("t") === (("t", 4L, Some(0.948683298))))
+    assert(out("c") === (("c", 2L, None)))
+  }
+
   test("kAnonymityViolations flags sub-k quasi-identifier groups; " +
       "NULLs group as values") {
     val df = Seq(
