@@ -3534,6 +3534,15 @@ object SparkEntry {
       EventOps.changepoint(t(s, d, "events"))
         .orderBy("event_type")),
 
+    // ---- E6 SAX symbolization: each value series reduces to 8 PAA
+    // segment means mapped onto fixed breakpoints — the string form of
+    // the series for motif/anomaly grep; third member of the
+    // telemetry-compaction family (bars, changepoint, SAX) ----
+    "q_sax" -> ((s, d) =>
+      EventOps.saxWords(t(s, d, "events"),
+          breaks = Seq(50.0, 150.0, 300.0), segments = 8)
+        .orderBy("event_type", "segment")),
+
     // ---- E19 Heaps-law vocabulary-growth curve: cumulative (docs,
     // tokens, types) at 20 ingest-order checkpoints — the β-slope
     // corpus-QA screen and tokenizer-budget forecaster ----
@@ -8159,6 +8168,31 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |  ORDER BY abs(d) DESC, k) = 1
         |ORDER BY event_type""".stripMargin,
+
+    // PAA replay: position by the (ts, id) total order, integer frame
+    // boundaries, one exact-decimal mean division, fixed-break CASE
+    "q_sax" ->
+      """WITH s AS (SELECT event_type, ts, event_id, value FROM events
+        |           WHERE value IS NOT NULL),
+        |w AS (SELECT event_type, ts, value,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id) AS k,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM s),
+        |g AS (SELECT event_type, CAST((k - 1) * 8 // n AS BIGINT)
+        |        AS segment, ts, value
+        |      FROM w),
+        |a AS (SELECT event_type, segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |        MIN(ts) AS seg_start,
+        |        round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 9) AS mean_value
+        |      FROM g GROUP BY 1, 2)
+        |SELECT event_type, segment, n, seg_start, mean_value,
+        |  CAST(1 + CASE WHEN mean_value > 50.0 THEN 1 ELSE 0 END
+        |         + CASE WHEN mean_value > 150.0 THEN 1 ELSE 0 END
+        |         + CASE WHEN mean_value > 300.0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS symbol
+        |FROM a ORDER BY event_type, segment""".stripMargin,
 
     "q_heaps_law" ->
       """WITH mx AS (SELECT max(doc_id) AS m FROM documents),

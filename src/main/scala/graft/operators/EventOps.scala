@@ -1161,6 +1161,62 @@ object EventOps {
           (col("__b.__n") - col("__b.__k")), 9).as("mean_after"))
   }
 
+  /** SAX symbolization (Lin, Keogh, Lonardi & Chiu, DMKD 2003) — the
+    * third member of the telemetry-compaction family beside
+    * [[ohlcBars]] (per-hour bars) and [[changepoint]] (level-shift
+    * locator): each series' value sequence reduces to `segments`
+    * PAA means, and each mean maps to a symbol via FIXED caller-chosen
+    * breakpoints — the string form that makes motif search, series
+    * clustering and anomaly grep cheap. The classic formulation
+    * z-normalizes first and uses Gaussian breakpoints; data-derived
+    * normalization is layout-fragile across snapshots, so this is the
+    * fixed-breakpoint variant (the [[graft.operators.Profiling.psi]]
+    * fixed-bin argument): callers pick absolute breakpoints once and
+    * symbols stay comparable across corpus versions.
+    *
+    * Exactness: rows take their in-series position by the (ts, id)
+    * total order; segment = (k−1)·segments div n (integer — the PAA
+    * frame boundaries are engine-exact); the segment mean divides an
+    * exact DECIMAL(18,6) value sum by the segment count ONCE, 9-dec
+    * rounded; symbol = 1 + #breaks strictly below the mean. Output per
+    * (series, segment): n rows, the mean, the symbol, and the
+    * segment's first bucket timestamp; a series shorter than
+    * `segments` emits one singleton segment per row (indices spread
+    * over the frame, none empty).
+    *
+    * Scale shape: ONE row_number window per series (series-partitioned
+    * sort — series × rows, the [[sessionizeBatch]] shape) feeding a
+    * (series, segment) aggregate with map-side partials; breakpoints
+    * are a per-row CASE, no join, no driver state. */
+  def saxWords(events: DataFrame, breaks: Seq[Double], segments: Int = 8,
+               typeCol: String = "event_type", tsCol: String = "ts",
+               valCol: String = "value",
+               idCol: String = "event_id"): DataFrame = {
+    require(segments >= 1, "segments must be >= 1")
+    require(breaks.nonEmpty && breaks == breaks.sorted,
+      "breakpoints must be a non-empty ascending sequence")
+    val w = Window.partitionBy(col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    val seg = events
+      .filter(col(valCol).isNotNull)
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(full))
+      .withColumn("segment",
+        expr(s"(__k - 1) * $segments div __n"))
+    val mean = (sum(col(valCol).cast(DecimalType(18, 6))).cast("double") /
+      count(lit(1))).as("__m")
+    val symbol = breaks.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(col("mean_value") > b, 1L).otherwise(0L)
+    }
+    seg.groupBy(col(typeCol), col("segment"))
+      .agg(count(lit(1)).as("n"), min(col(tsCol)).as("seg_start"), mean)
+      .withColumn("mean_value", round(col("__m"), 9))
+      .drop("__m")
+      .withColumn("symbol", symbol)
+  }
+
   /** Hour-level anomaly report against the hour-of-week baseline: for
     * every concrete hour, the z-score of its event count within its
     * (type, day-of-week, hour-of-day) cell across the history — the

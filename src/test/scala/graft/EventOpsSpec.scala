@@ -756,6 +756,35 @@ class EventOpsSpec extends SparkTestBase {
     assert(!out.contains("solo"), "no interior split on a 1-bucket series")
   }
 
+  test("saxWords: PAA frame boundaries are integer-exact, symbols " +
+       "count breaks strictly below the mean, short series spread") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 10.0),
+      (2L, ts("2024-01-01 01:00:00"), "a", 20.0),
+      (3L, ts("2024-01-01 02:00:00"), "a", 30.0),
+      (4L, ts("2024-01-01 03:00:00"), "a", 40.0),
+      (5L, ts("2024-01-01 00:00:00"), "solo", 99.0),
+      (6L, ts("2024-01-01 01:00:00"), "solo", 99.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    // a: n=4, 2 segments → means 15, 35; breaks (15, 35) are NOT
+    // counted at equality → symbols 1, 2
+    val out = EventOps.saxWords(ev, breaks = Seq(15.0, 35.0),
+        segments = 2)
+      .as[(String, Long, Long, java.sql.Timestamp, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out(("a", 0L)) ===
+      (("a", 0L, 2L, ts("2024-01-01 00:00:00"), 15.0, 1L)))
+    assert(out(("a", 1L)) ===
+      (("a", 1L, 2L, ts("2024-01-01 02:00:00"), 35.0, 2L)))
+    // solo: n=2 < segments=2? use segments=4 → indices spread (0, 2),
+    // singletons, none empty
+    val spread = EventOps.saxWords(ev.filter(col("event_type") === "solo"),
+        breaks = Seq(15.0), segments = 4)
+      .as[(String, Long, Long, java.sql.Timestamp, Double, Long)]
+      .collect().map(r => r._2).sorted
+    assert(spread.toSeq === Seq(0L, 2L))
+  }
+
   test("anomalousHours: spike against its hour-of-week cell flags at " +
        "exactly the z threshold") {
     // five Sundays 09h with counts 2,2,2,2,12: mean 4, std 4 -> the
