@@ -71,29 +71,37 @@ object Bench {
       try src.mkString.trim finally src.close()
     } catch { case _: Throwable => "unavailable" }
 
-  /** 1-minute loadavg as a number; NaN when /proc is unavailable. */
-  private def load1m(): Double =
-    loadavg().split("\\s+").headOption
+  /** nth loadavg field (0 = 1-min, 1 = 5-min) as a number; NaN when
+    * /proc is unavailable. */
+  private def loadField(i: Int): Double =
+    loadavg().split("\\s+").lift(i)
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .getOrElse(Double.NaN)
 
-  /** Gate, don't just indict (VERDICT r10 item 1): two consecutive
-    * official records were taken on a loaded machine and only the
-    * telemetry could say so after the fact. Before the query loop,
-    * poll the 1-minute loadavg until it falls under `maxLoad` (our own
-    * idle JVM contributes ~0) or `maxWaitSec` elapses — a record taken
-    * after a bounded quiet-wait is prevention; the `contaminated`
-    * stamp below is the fallback verdict when the wait times out.
-    * Returns (secondsWaited, loadAtStart). */
-  private def waitForQuiet(maxLoad: Double, maxWaitSec: Int): (Long, Double) = {
+  /** Gate, don't just indict (VERDICT r10 item 1, hardened per r14
+    * item 2): two consecutive official records were taken on a loaded
+    * machine and only the telemetry could say so after the fact; the
+    * r14 driver record then slipped past the 1-MIN-only gate — a host
+    * busy until minutes before the sweep reads quiet on the 1-min
+    * average while its competing work is still draining (r14:
+    * loadavg "1.00 6.10 4.86" passed, 46 queries needed re-runs).
+    * Before the query loop, poll until BOTH the 1-min loadavg falls
+    * under `maxLoad` (our own idle JVM contributes ~0) AND the 5-min
+    * average falls under `maxLoad5` (decay from a busy spell takes
+    * minutes — that is the point), or `maxWaitSec` elapses — a record
+    * taken after the two-average quiet-wait is prevention; the
+    * `contaminated` stamp below is the fallback verdict when the wait
+    * times out. Returns (secondsWaited, load1mAtStart, load5mAtStart). */
+  private def waitForQuiet(maxLoad: Double, maxLoad5: Double,
+                           maxWaitSec: Int): (Long, Double, Double) = {
     val t0 = System.nanoTime()
-    var l = load1m()
-    while (!(l.isNaN || l <= maxLoad) &&
-           (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+    var l1 = loadField(0); var l5 = loadField(1)
+    def quiet = (l1.isNaN || l1 <= maxLoad) && (l5.isNaN || l5 <= maxLoad5)
+    while (!quiet && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
       Thread.sleep(5000)
-      l = load1m()
+      l1 = loadField(0); l5 = loadField(1)
     }
-    (((System.nanoTime() - t0) / 1e9).round, l)
+    (((System.nanoTime() - t0) / 1e9).round, l1, l5)
   }
 
   /** Per-query reference times from the committed quiet record. The
@@ -118,9 +126,18 @@ object Bench {
     val refs = referenceTimes(refPath)
     val maxLoad =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
-    val maxWaitSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT", "600").toInt
-    val (waitedSec, loadAtStart) = waitForQuiet(maxLoad, maxWaitSec)
+    // the 5-min bar sits higher than the 1-min bar: it only exists to
+    // catch a just-finished busy spell (r14 failure mode), not to
+    // demand five full idle minutes before every sweep
+    val maxLoad5 =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD5", "2.0").toDouble
+    // floor the wait cap at 600s even when the caller passes less: the
+    // r14 driver run waited its 170s cap out on a loaded host and then
+    // measured anyway — a short cap converts the gate back to telemetry
+    val maxWaitSec = math.max(600,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT", "600").toInt)
+    val (waitedSec, loadAtStart, load5AtStart) =
+      waitForQuiet(maxLoad, maxLoad5, maxWaitSec)
     val loadBefore = loadavg()
     val sentinelBefore = cpuSentinel()
     val spark = SparkSessionFactory.create(appName = "graft-bench")
@@ -215,21 +232,27 @@ object Bench {
     val coldTotal = ok.map(_.cold).sum
     val nFlaky = results.count(r => r.error.isEmpty && r.flaky > 0)
     // the explicit contamination verdict the judge can trust without
-    // forensics: still loaded when the loop started despite the quiet
-    // wait, or the CPU sentinel drifted >10% across the loop (something
-    // started competing mid-record)
+    // forensics: still loaded (either average) when the loop started
+    // despite the quiet wait, the CPU sentinel drifted >10% across the
+    // loop (something started competing mid-record), or the outlier
+    // pass had to re-run more than 5% of the queries — 46 reruns
+    // (r14) is not a quiet sweep no matter what the gate said
     val sentinelDrift =
       if (sentinelBefore > 0)
         math.abs(sentinelAfter - sentinelBefore) / sentinelBefore
       else 0.0
+    val rerunCap = math.max(3, results.size / 20)
     val contaminated =
-      (!loadAtStart.isNaN && loadAtStart > maxLoad) || sentinelDrift > 0.10
+      (!loadAtStart.isNaN && loadAtStart > maxLoad) ||
+        (!load5AtStart.isNaN && load5AtStart > maxLoad5) ||
+        sentinelDrift > 0.10 || nRerun > rerunCap
     val sentinelJson =
       s""""sentinel_before_sec":$sentinelBefore,""" +
         s""""sentinel_after_sec":$sentinelAfter,""" +
         s""""loadavg_before":"${esc(loadBefore)}",""" +
         s""""loadavg_after":"${esc(loadAfter)}",""" +
         s""""quiet_wait_sec":$waitedSec,"max_load":$maxLoad,""" +
+        s""""max_load5":$maxLoad5,"rerun_cap":$rerunCap,""" +
         s""""contaminated":$contaminated,""" +
         s""""n_rerun":$nRerun,"n_ref":${refs.size}"""
     val line =

@@ -2817,6 +2817,47 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- E28+E15 the unigram family's corpus→tensors seam, closing
+    // the tokenizer-chain symmetry with q_bpe_pack_contiguous: the
+    // TRAINED SentencePiece-style tokenizer's token counts → contiguous
+    // fixed-length example spans (rides the session training memo) ----
+    "q_unigram_pack_contiguous" -> ((s, d) => {
+      val enc = Ngrams.unigramEncodeWithVocab(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          Ngrams.unigramTrain(t(s, d, "documents"),
+            vocabSize = uniVocabSize, maxPieceLen = uniMaxPiece,
+            rounds = uniRounds, seedSize = uniSeedSize),
+          maxPieceLen = uniMaxPiece)
+      val keyed = enc.join(
+          docsSpread(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      Mixing.packContiguous(keyed, "source", "doc_id", "n_ids",
+          budget = 256L)
+        .orderBy("source", "example", "doc_id", "tok_start")
+    }),
+
+    // ---- E28+E15 materialized unigram training rows — the
+    // q_bpe_examples composition on the unigram encode artifact ----
+    "q_unigram_examples" -> ((s, d) => {
+      // enc feeds BOTH the span construction and the materialize join —
+      // persist it (registered for release) or the encode pipeline
+      // runs twice
+      val enc = operators.OpCaches.register(
+        Ngrams.unigramEncodeWithVocab(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          Ngrams.unigramTrain(t(s, d, "documents"),
+            vocabSize = uniVocabSize, maxPieceLen = uniMaxPiece,
+            rounds = uniRounds, seedSize = uniSeedSize),
+          maxPieceLen = uniMaxPiece).persist())
+      val keyed = enc.join(
+          docsSpread(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      val spans = Mixing.packContiguous(keyed, "source", "doc_id",
+          "n_ids", budget = 256L)
+      Mixing.materializeExamples(spans, enc, "doc_id", "source")
+        .orderBy("source", "example")
+    }),
+
     // ---- E27+E15 materialized training rows: the span table joined
     // back to the encoded sequences, sliced and concatenated — every
     // example is EXACTLY 256 tokens of real ids (tail excepted); the
@@ -4040,10 +4081,12 @@ object SparkEntry {
       |FROM tok JOIN bestF ON bestF.w = tok.w
       |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** DuckDB replay of [[operators.Ngrams.unigramEncodeWithVocab]]:
-    * per-doc id lists in (token position, piece position) order, ids
-    * dense-ranked by piece string. */
-  private def unigramEncodeOracle(rounds: Int): String =
+  /** Shared unigram encode-side CTEs through per-(doc, token, piece)
+    * id rows `enc` — the unigram twin of [[bpeEncCtes]], and the same
+    * terminal CTE NAME so the contiguous-pack / materialize tails
+    * ([[packContiguousTail]] / [[examplesTail]]) splice onto either
+    * family's encode prefix verbatim. */
+  private def uniEncCtes(rounds: Int): String =
     unigramServeCtes(rounds) + s""",
       |uids AS (SELECT piece, row_number() OVER (ORDER BY piece) AS id
       |         FROM vocab$rounds),
@@ -4059,12 +4102,18 @@ object SparkEntry {
       |  SELECT doc_id, tp, generate_subscripts(a, 1) AS sp,
       |         unnest(a) AS piece
       |  FROM utok JOIN useg USING (w)),
-      |uenc AS (SELECT doc_id, tp, sp, id
-      |         FROM upieces JOIN uids USING (piece))
+      |enc AS (SELECT doc_id, tp, sp, id
+      |        FROM upieces JOIN uids USING (piece))""".stripMargin
+
+  /** DuckDB replay of [[operators.Ngrams.unigramEncodeWithVocab]]:
+    * per-doc id lists in (token position, piece position) order, ids
+    * dense-ranked by piece string. */
+  private def unigramEncodeOracle(rounds: Int): String =
+    uniEncCtes(rounds) + s"""
       |SELECT doc_id, CAST(COUNT(DISTINCT tp) AS BIGINT) AS n_toks,
       |  CAST(COUNT(*) AS BIGINT) AS n_ids,
       |  array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
-      |FROM uenc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of [[operators.Ngrams.bpeTrain]], the k training
     * rounds UNROLLED into a chained-CTE pipeline (SQL has no loops; the
@@ -4152,11 +4201,12 @@ object SparkEntry {
       |  array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** DuckDB replay of the q_bpe_pack_contiguous composition: encoded
-    * per-doc token counts keyed by source, then the exact fixed-length
-    * span construction (prefix sum + range unnest). */
-  private def bpePackContiguousOracle(k: Int): String =
-    bpeEncCtes(k) + s""",
+  /** The contiguous-span construction spliced onto ANY encode prefix
+    * defining `enc(doc_id, tp, sp, id)` ([[bpeEncCtes]] or
+    * [[uniEncCtes]]): encoded per-doc token counts keyed by source,
+    * then the exact fixed-length span math (prefix sum + range
+    * unnest). */
+  private val packContiguousTail: String = s""",
       |encdoc AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids
       |  FROM enc GROUP BY doc_id),
@@ -4174,12 +4224,12 @@ object SparkEntry {
       |FROM src, unnest(range(s // 256, (s + w - 1) // 256 + 1)) AS u(e)
       |ORDER BY source, example, doc_id, tok_start""".stripMargin
 
-  /** DuckDB replay of the q_bpe_examples composition: the contiguous
-    * span construction carrying each doc's id LIST, sliced 1-based
+  /** The materialized-examples construction spliced onto ANY encode
+    * prefix defining `enc(doc_id, tp, sp, id)`: the contiguous span
+    * construction carrying each doc's id LIST, sliced 1-based
     * inclusive (ids[ts+1..te] = the engine's half-open [ts, te)) and
     * flattened per example in document order. */
-  private def bpeExamplesOracle(k: Int): String =
-    bpeEncCtes(k) + s""",
+  private val examplesTail: String = s""",
       |encdoc AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
       |    list(id ORDER BY tp, sp) AS ids
@@ -4204,6 +4254,23 @@ object SparkEntry {
       |    AS token_ids
       |FROM sp GROUP BY source, example
       |ORDER BY source, example""".stripMargin
+
+  /** DuckDB replay of the q_bpe_pack_contiguous composition. */
+  private def bpePackContiguousOracle(k: Int): String =
+    bpeEncCtes(k) + packContiguousTail
+
+  /** DuckDB replay of the q_bpe_examples composition. */
+  private def bpeExamplesOracle(k: Int): String =
+    bpeEncCtes(k) + examplesTail
+
+  /** DuckDB replay of the q_unigram_pack_contiguous composition: the
+    * unigram encode CTEs feeding the same span tail as BPE. */
+  private def unigramPackContiguousOracle(rounds: Int): String =
+    uniEncCtes(rounds) + packContiguousTail
+
+  /** DuckDB replay of the q_unigram_examples composition. */
+  private def unigramExamplesOracle(rounds: Int): String =
+    uniEncCtes(rounds) + examplesTail
 
   /** DuckDB replay of the q_bpe_pack composition: the encoded per-doc
     * id sequences keyed by source, then the packByBudget recurrence
@@ -4346,6 +4413,8 @@ object SparkEntry {
 
     "q_unigram_encode" -> unigramEncodeOracle(uniRounds),
     "q_unigram_fertility" -> unigramFertilityOracle(uniRounds),
+    "q_unigram_pack_contiguous" -> unigramPackContiguousOracle(uniRounds),
+    "q_unigram_examples" -> unigramExamplesOracle(uniRounds),
 
     "q_bpe_examples" -> bpeExamplesOracle(bpeOracleMerges),
 

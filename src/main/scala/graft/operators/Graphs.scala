@@ -34,6 +34,16 @@ object Graphs {
   /** Fixed-point unit: ranks are longs in units of 1/Scale. */
   val Scale = 1000000000000L
 
+  /** Loud weight guard (the changepoint/mannWhitney convention): a zero
+    * or negative edge weight would make a source's Σw ≤ 0, so its
+    * `rank div deg` turns NULL/negative and its mass silently vanishes
+    * from the recurrence instead of failing. Raise at the edge scan —
+    * one codegen branch on a column already being read, no extra pass. */
+  private def positiveWeight(w: Column, op: String): Column =
+    when(w.isNull || w <= 0, raise_error(concat(
+        lit(s"$op: edge weights must be positive, got "), w.cast("string"))))
+      .otherwise(w.cast("long"))
+
   /** Fixed-iteration PageRank over a directed edge list.
     *
     * Multi-edges contribute multiply (an edge listed twice carries twice
@@ -93,7 +103,7 @@ object Graphs {
     // broadcast/AQE planning of the per-iteration joins, while the
     // checkpointed blocks keep accurate sizes
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(weightCol).cast("long").as("w"))
+        positiveWeight(col(weightCol), "pageRankWeighted").as("w"))
       .localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -153,7 +163,7 @@ object Graphs {
     require(dampingPct >= 0 && dampingPct <= 100,
       "dampingPct must be a percent")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(weightCol).cast("long").as("w"))
+        positiveWeight(col(weightCol), "personalizedPageRank").as("w"))
       .localCheckpoint(eager = true)
     val sd = seeds.select(col(seedCol).as("node")).distinct()
       .localCheckpoint(eager = true)
@@ -263,11 +273,24 @@ object Graphs {
     * Scale-sized scores, so each score splits into two longs whose
     * sums recombine exactly in DECIMAL(38,0) — every corpus-sized
     * aggregation buffer stays a codegen long (measured ~25% off the
-    * record vs decimal-typed buffers), exact to 2⁹³ ≈ 8.6e9 in-edges
-    * per node. The normalization (raw·Scale) div total is one exact
-    * integral division — DuckDB replays it as HUGEINT `//`. Nodes
-    * with no out-edges hold hub 0, no in-edges auth 0 (they drop from
-    * the respective side and re-attach as zeros at the end).
+    * record vs decimal-typed buffers), exact to 2³³ ≈ 8.6e9 in-edges
+    * per node (the LOW limb binds: scores < 2⁴⁰ leave the high-limb
+    * sum headroom to 2⁵³ terms, but the low limb's < 2³⁰ terms hit
+    * 2⁶³ at 2³³ of them). Past that the recombine RAISES — a loud
+    * per-node in-degree guard rides the same aggregate as one extra
+    * long count, so the limb sum can never wrap silently (the
+    * [[EventOps.ohlcBars]] overflow contract). The normalization
+    * (raw·Scale) div total is one exact integral division — DuckDB
+    * replays it as HUGEINT `//`. Nodes with no out-edges hold hub 0,
+    * no in-edges auth 0 (they drop from the respective side and
+    * re-attach as zeros at the end).
+    *
+    * Node keys are NEVER touched by the score arithmetic, so any
+    * orderable key type (string hosts, composite ids) works as-is —
+    * no caller-side re-keying; [[hitsWeighted]] adds integer edge
+    * weights. Parallel duplicate edges collapse first (`distinct`),
+    * the classic unweighted HITS contract — feed multiplicities to
+    * [[hitsWeighted]] when they should count.
     *
     * Scale shape: per round two edge-to-score equi-joins + two
     * map-side-combined aggregates (ids and decimals only on every
@@ -275,33 +298,78 @@ object Graphs {
     * list materializes once (eager localCheckpoint, the
     * [[pageRankWeighted]] lesson). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           rounds: Int = 2): DataFrame = {
+           rounds: Int = 2): DataFrame =
+    hitsLoop(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().withColumn("w", lit(1L)),
+      rounds, weighted = false)
+
+  /** Weighted HITS: auth(v) = Σ_{u→v} w·hub(u), hub(u) = Σ_{u→v}
+    * w·auth(v), same L1 normalization and exact integer arithmetic as
+    * [[hits]]. Edge weights must be POSITIVE integers (loud guard, the
+    * [[pageRankWeighted]] convention) and < 2²³ ≈ 8.4M so the w·score
+    * product (score ≤ [[Scale]] < 2⁴⁰ after every normalization) stays
+    * inside long range; the per-term product then sums directly in
+    * DECIMAL(38,0) — the limb fast path doesn't survive the
+    * multiplication, so the weighted variant pays the decimal-buffer
+    * aggregate the unweighted path avoids. Parallel edges are NOT
+    * collapsed here: pre-aggregate to (src, dst, w) — e.g. the
+    * [[pageRankKeyed]] count collapse — which is exactly equivalent
+    * and keeps the per-round joins vocabulary-sized. */
+  def hitsWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                   weightCol: String, rounds: Int = 2): DataFrame =
+    hitsLoop(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        positiveWeight(col(weightCol), "hitsWeighted").as("w")),
+      rounds, weighted = true)
+
+  private def hitsLoop(edgesW: DataFrame, rounds: Int,
+                       weighted: Boolean): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(eager = true)
+    val maxW = 1L << 23
+    val e0 =
+      if (!weighted) edgesW
+      else edgesW.select(col("src"), col("dst"),
+        when(col("w") >= maxW, raise_error(concat(
+            lit("hitsWeighted: edge weight must be < 2^23 to keep w*score"
+              + " in long range, got "), col("w").cast("string"))))
+          .otherwise(col("w")).as("w"))
+    val e = e0.localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nDf = nodes.agg(count(lit(1)).as("__n"))
     val radix = 1073741824L // 2³⁰ limb radix (see weightedPercentiles)
+    val maxTerms = 1L << 33 // low-limb long sum wraps past 2³³ terms
     // exact sum of a LONG score column past long range: two long limb
-    // sums (codegen fast path) recombined in DECIMAL(38,0)
-    def limbSum(c: Column): Column =
-      sum(c.bitwiseAND(radix - 1)).cast(dec) +
-        sum(shiftright(c, 30)).cast(dec) * radix
+    // sums (codegen fast path) recombined in DECIMAL(38,0); the term
+    // count rides the same aggregate and RAISES past the wrap point.
+    // Weighted scores sum the guarded w·score product in decimal.
+    def exactSum(score: Column): Column =
+      if (weighted) sum((score * col("w")).cast(dec))
+      else sum(score.bitwiseAND(radix - 1)).cast(dec) +
+        sum(shiftright(score, 30)).cast(dec) * radix
+    def guarded(raw: Column, cnt: Column, side: String): Column =
+      if (weighted) raw
+      else when(cnt >= maxTerms, raise_error(lit(
+          s"hits: > 2^33 in-edges on one $side node — the long limb sum"
+            + " would wrap; use hitsWeighted on a collapsed edge table")))
+        .otherwise(raw)
     var hub = nodes.crossJoin(broadcast(nDf))
       .selectExpr("node", s"${Scale}L div __n as h")
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
       val araw = e.join(hub.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(limbSum(col("h")).as("ar"))
+        .agg(exactSum(col("h")).as("ar0"), count(lit(1)).as("__c"))
+        .select(col("node"), guarded(col("ar0"), col("__c"), "auth").as("ar"))
       val atot = araw.agg(sum(col("ar")).as("__ta"))
       auth = araw.crossJoin(broadcast(atot))
         .selectExpr("node", s"(ar * ${Scale}L) div __ta as a")
       val hraw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node"))
-        .agg(limbSum(col("a")).as("hr"))
+        .agg(exactSum(col("a")).as("hr0"), count(lit(1)).as("__c"))
+        .select(col("node"), guarded(col("hr0"), col("__c"), "hub").as("hr"))
       val htot = hraw.agg(sum(col("hr")).as("__th"))
       hub = hraw.crossJoin(broadcast(htot))
         .selectExpr("node", s"(hr * ${Scale}L) div __th as h")

@@ -509,8 +509,13 @@ object Similarity {
                iters: Int = 1, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val cents = kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
-    val assigned = OpCaches.register(
-      assignToStoredCentroids(cents, corpus, idCol, vecCol).persist())
+    // eager localCheckpoint, NOT .persist(): the assignment feeds a
+    // cell-keyed self-join, and a columnar-cache InMemoryRelation's
+    // unknown size defeats broadcast/AQE planning of that join — the
+    // measured-10x lesson recorded at Graphs.pageRankWeighted
+    val assigned =
+      assignToStoredCentroids(cents, corpus, idCol, vecCol)
+        .localCheckpoint(eager = true)
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") &&
         col(s"b.$idCol") < col(s"a.$idCol") &&

@@ -224,4 +224,76 @@ class GraphsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("hits: string-keyed run is the long-keyed run under the key map " +
+       "(no caller-side re-keying needed)") {
+    val names = Map(1L -> "alpha", 2L -> "beta", 10L -> "gamma",
+      11L -> "delta")
+    val eL = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val eS = Seq(("alpha", "gamma"), ("alpha", "delta"), ("beta", "gamma"))
+      .toDF("src", "dst")
+    val long = Graphs.hits(eL, "src", "dst", rounds = 2)
+      .select("node", "hub_fp", "auth_fp")
+      .as[(Long, Long, Long)].collect()
+      .map(r => names(r._1) -> ((r._2, r._3))).toSet
+    val str = Graphs.hits(eS, "src", "dst", rounds = 2)
+      .select("node", "hub_fp", "auth_fp")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toSet
+    assert(long === str)
+  }
+
+  test("hitsWeighted: collapsed (src, dst, multiplicity) is bit-identical " +
+       "to unit-weight exploded instances; weight 1 reproduces hits") {
+    val inst = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 10L),
+      (2L, 10L)).toDF("src", "dst")
+    val collapsed = inst.groupBy("src", "dst")
+      .agg(count(lit(1)).as("m"))
+    val unit = inst.withColumn("w", lit(1L))
+    val a = Graphs.hitsWeighted(collapsed, "src", "dst", "m", rounds = 2)
+      .select("node", "hub_fp", "auth_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Graphs.hitsWeighted(unit, "src", "dst", "w", rounds = 2)
+      .select("node", "hub_fp", "auth_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b, "share·w must equal summing exploded instances")
+    // all-weight-1 on a simple graph = the unweighted operator exactly
+    val simple = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val w1 = Graphs.hitsWeighted(simple.withColumn("w", lit(1L)),
+        "src", "dst", "w", rounds = 2)
+      .select("node", "hub_fp", "auth_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = Graphs.hits(simple, "src", "dst", rounds = 2)
+      .select("node", "hub_fp", "auth_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w1 === plain)
+  }
+
+  test("weight guards raise loudly: nonpositive weights in " +
+       "pageRankWeighted/personalizedPageRank/hitsWeighted, oversized " +
+       "weight in hitsWeighted") {
+    val bad = Seq((1L, 2L, 0L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      Graphs.pageRankWeighted(bad, "src", "dst", "w", iterations = 1)
+        .collect()
+    }
+    intercept[Exception] {
+      Graphs.personalizedPageRank(bad, "src", "dst", "w",
+        Seq(Tuple1(1L)).toDF("node"), "node", iterations = 1).collect()
+    }
+    intercept[Exception] {
+      Graphs.hitsWeighted(bad, "src", "dst", "w", rounds = 1).collect()
+    }
+    val huge = Seq((1L, 2L, 1L << 23), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    intercept[Exception] {
+      Graphs.hitsWeighted(huge, "src", "dst", "w", rounds = 1).collect()
+    }
+    // negative weights raise too (not just zero)
+    val neg = Seq((1L, 2L, -3L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      Graphs.pageRankWeighted(neg, "src", "dst", "w", iterations = 1)
+        .collect()
+    }
+  }
 }
