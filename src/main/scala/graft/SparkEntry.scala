@@ -2403,6 +2403,26 @@ object SparkEntry {
       Similarity.semDedup(e.union(copies), threshold = 0.99, nlist = 32)
         .orderBy("vec_id")
     }),
+    // E3d SemDeDup recall audit — the one recall-dependent path that
+    // had no audit twin (r14 missing #3): planted PERTURBED copies
+    // (deterministic per-coordinate factors 0.7–1.3, float-rounded so
+    // DuckDB reproduces them bit-exactly; cosine ≈ 0.98 vs original,
+    // organic max ~0.51) sit above threshold 0.95 but are NOT
+    // identical vectors, so co-assignment is a genuine cell-quality
+    // outcome, not a tautology. truth = 100 exactly (each copy's only
+    // ≥0.95 partner is its original); measured recall at nlist 32:
+    // 0.97 / 0.97 / 0.93 at sf0.001/0.01/0.1 — floor 0.8 has margin
+    // while a mis-sized nlist (cells ≈ 1–2 vectors) fails loudly.
+    "q_semdedup_audit" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val copies = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr("cast(transform(embedding, (x, i) -> cast(x as double) * "
+            + "(1.0d + (cast((vec_id + i) % 7 as double) - 3.0d) / 10.0d))"
+            + " as array<float>)").as("embedding"))
+      Similarity.semDedupRecallAudit(e.union(copies), threshold = 0.95,
+        nlist = 32, floor = 0.8)
+    }),
     // E3 semantic decontamination (embedding-space train-vs-eval
     // anti-join): eval = exact copies of vec_id < 100 (re-keyed), so
     // copies share every LSH band (certain recall) and at threshold
@@ -5700,6 +5720,30 @@ object SparkEntry {
         |      GROUP BY 1)
         |SELECT vec_id, n_dups_smaller, n_dups_smaller = 0 AS kept
         |FROM d ORDER BY vec_id""".stripMargin,
+
+    // brute-force truth for the cell-bounded audit: the same perturbed
+    // copies reconstructed bit-exactly (double multiply, FLOAT-rounded
+    // like the engine's array<float> cast; DuckDB's list_transform
+    // index is 1-based, hence i - 1), truth counted by exhaustive
+    // cosine; the recall verdict is asserted TRUE like the ANN audits
+    "q_semdedup_audit" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    CAST(CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x * (1.0 + (CAST((vec_id + i - 1) % 7 AS DOUBLE)
+        |        - 3.0) / 10.0)) AS FLOAT[]) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 100),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM c),
+        |tr AS (
+        |  SELECT COUNT(DISTINCT a.vec_id) AS truth
+        |  FROM n a JOIN n b
+        |    ON b.vec_id < a.vec_id
+        |   AND list_dot_product(a.v, b.v) >= 0.95 * a.nrm * b.nrm)
+        |SELECT CAST(truth AS BIGINT) AS truth, TRUE AS recall_ok
+        |FROM tr""".stripMargin,
 
     // brute-force NOT EXISTS twin of the LSH-banded semantic anti-join
     "q_semantic_decontam" ->

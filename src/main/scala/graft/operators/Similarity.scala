@@ -529,6 +529,48 @@ object Similarity {
         (coalesce(col("n_dups_smaller"), lit(0L)) === 0L).as("kept"))
   }
 
+  /** In-plan recall audit of [[semDedup]]'s cell-bounded duplicate
+    * detection against the EXACT all-pairs truth — the
+    * [[graft.operators.Dedup.minhashRecallAudit]] counterpart for the
+    * one recall-dependent path that had no audit twin: a near-dup pair
+    * SPLIT across k-means cells is never examined, so a bad `nlist`
+    * (too many cells for the corpus density) silently keeps documents
+    * an exact pass would drop. One row (truth, recall_ok): truth = the
+    * number of vectors a brute-force keep-first would mark duplicate
+    * (some smaller-id vector anywhere has cosine ≥ threshold), hits =
+    * how many of those [[semDedup]] also marked (in-cell pairs are a
+    * subset of all pairs, so hits ≤ truth by construction; the
+    * semi-join keeps the count honest anyway), recall_ok = hits ≥
+    * floor·truth. An engine-independent oracle recomputes truth by
+    * brute force and asserts the verdict without reproducing the
+    * k-means internals — exactly the LSH/IVF/PQ audit bridge.
+    *
+    * The truth side is deliberately QUADRATIC (that is what makes it
+    * truth): run it on a bounded audit sample, not the corpus — the
+    * [[graft.operators.Joins]] blocking-quality convention. The
+    * pipeline side is the production plan unchanged. */
+  def semDedupRecallAudit(corpus: DataFrame, threshold: Double,
+                          nlist: Int = 16, iters: Int = 1,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          floor: Double = 0.9): DataFrame = {
+    val flagged = semDedup(corpus, threshold, nlist, iters, idCol, vecCol)
+      .filter(col("n_dups_smaller") > 0)
+      .select(col(idCol))
+    val v = Ops.spread(corpus.select(col(idCol), col(vecCol)), col(idCol))
+    val a = v.select(col(idCol).as("__ia"), col(vecCol).as("__va"))
+    val b = v.select(col(idCol).as("__ib"), col(vecCol).as("__vb"))
+    val truthIds = a.join(b, col("__ib") < col("__ia") &&
+        cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__ia").as(idCol)).distinct()
+    val truth = truthIds.agg(count(lit(1)).as("truth"))
+    val hits = truthIds.join(flagged, Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    truth.crossJoin(hits)
+      .select(col("truth"),
+        (col("__hits") >= col("truth") * floor).as("recall_ok"))
+  }
+
   /** Semantic (embedding-space) decontamination: drop from `train` every
     * row whose embedding has cosine ≥ `threshold` with ANY `evalSet`
     * row — the embedding counterpart of `Ngrams.decontaminate`'s
