@@ -3604,6 +3604,16 @@ object SparkEntry {
           breaks = Seq(50.0, 150.0, 300.0), segments = 8)
         .orderBy("event_type", "segment")),
 
+    // ---- E6 SAX motif/discord report — what the symbolization is FOR:
+    // 64-segment SAX strings, 4-symbol sliding words, per series the
+    // most repeated word (motif) and the rarest (discord/anomaly),
+    // smallest-word ties; everything past the one corpus pass is
+    // series×segments-sized ----
+    "q_sax_motifs" -> ((s, d) =>
+      EventOps.saxMotifs(t(s, d, "events"),
+          breaks = Seq(50.0, 150.0, 300.0), segments = 64, wordLen = 4)
+        .orderBy("event_type")),
+
     // ---- E19 Heaps-law vocabulary-growth curve: cumulative (docs,
     // tokens, types) at 20 ingest-order checkpoints — the β-slope
     // corpus-QA screen and tokenizer-budget forecaster ----
@@ -8306,6 +8316,56 @@ object SparkEntry {
         |         + CASE WHEN mean_value > 300.0 THEN 1 ELSE 0 END
         |    AS BIGINT) AS symbol
         |FROM a ORDER BY event_type, segment""".stripMargin,
+
+    // the q_sax window construction at 64 segments, then the sliding
+    // 4-symbol words (complete windows only — trailing leads NULL out)
+    // and the per-series (cnt, word)-ordered motif/discord argmins
+    "q_sax_motifs" ->
+      """WITH s AS (SELECT event_type, ts, event_id, value FROM events
+        |           WHERE value IS NOT NULL),
+        |w AS (SELECT event_type, ts, value,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id) AS k,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM s),
+        |g AS (SELECT event_type, CAST((k - 1) * 64 // n AS BIGINT)
+        |        AS segment, value
+        |      FROM w),
+        |a AS (SELECT event_type, segment,
+        |        round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 9) AS mean_value
+        |      FROM g GROUP BY 1, 2),
+        |sym AS (SELECT event_type, segment,
+        |        CAST(1 + CASE WHEN mean_value > 50.0 THEN 1 ELSE 0 END
+        |               + CASE WHEN mean_value > 150.0 THEN 1 ELSE 0 END
+        |               + CASE WHEN mean_value > 300.0 THEN 1 ELSE 0 END
+        |          AS BIGINT) AS symbol
+        |      FROM a),
+        |words AS (
+        |  SELECT event_type,
+        |    CAST(symbol AS VARCHAR)
+        |      || lead(CAST(symbol AS VARCHAR), 1) OVER sw
+        |      || lead(CAST(symbol AS VARCHAR), 2) OVER sw
+        |      || lead(CAST(symbol AS VARCHAR), 3) OVER sw AS word
+        |  FROM sym
+        |  WINDOW sw AS (PARTITION BY event_type ORDER BY segment)),
+        |cnts AS (SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM words WHERE word IS NOT NULL GROUP BY 1, 2),
+        |pick AS (SELECT event_type, word, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, word) AS rm,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cnt, word) AS rd
+        |  FROM cnts),
+        |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_words
+        |        FROM cnts GROUP BY 1)
+        |SELECT t.event_type, t.n_words,
+        |  m.word AS motif_word, m.cnt AS motif_cnt,
+        |  d.word AS discord_word, d.cnt AS discord_cnt
+        |FROM tot t
+        |JOIN pick m ON m.event_type = t.event_type AND m.rm = 1
+        |JOIN pick d ON d.event_type = t.event_type AND d.rd = 1
+        |ORDER BY t.event_type""".stripMargin,
 
     "q_heaps_law" ->
       """WITH mx AS (SELECT max(doc_id) AS m FROM documents),

@@ -1217,6 +1217,57 @@ object EventOps {
       .withColumn("symbol", symbol)
   }
 
+  /** SAX motif/discord report — the consumer [[saxWords]] exists for
+    * (Lin et al., DMKD 2003 §4; Keogh, Lin & Fu, ICDM 2005 discords):
+    * slide a `wordLen`-symbol window along each series' SAX string and
+    * report, per series, the most repeated word (the MOTIF — a
+    * recurring shape) and the rarest (the DISCORD — the anomaly a
+    * grep-for-weird-shapes monitor flags). Ties break to the
+    * lexicographically smallest word, so the report is engine-exact.
+    *
+    * Words are digit-strings of the 1-based symbols (breaks.size < 9
+    * keeps one char per symbol); a series with fewer segments than
+    * `wordLen` has no complete window and drops out. Output per
+    * series: (typeCol, n_words, motif_word, motif_cnt, discord_word,
+    * discord_cnt).
+    *
+    * Scale shape: everything downstream of [[saxWords]] is
+    * MODEL-sized (series × segments rows): one lead()-window per
+    * series over segment rows builds the word table with no extra
+    * corpus pass, one (series, word) count aggregate, one min_by/
+    * max_by closing aggregate — the corpus is touched exactly once,
+    * inside [[saxWords]]. */
+  def saxMotifs(events: DataFrame, breaks: Seq[Double], segments: Int = 64,
+                wordLen: Int = 4, typeCol: String = "event_type",
+                tsCol: String = "ts", valCol: String = "value",
+                idCol: String = "event_id"): DataFrame = {
+    require(wordLen >= 1, "wordLen must be >= 1")
+    require(breaks.size < 9, "digit words need < 9 breakpoints")
+    val sax = saxWords(events, breaks, segments, typeCol, tsCol, valCol,
+      idCol)
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("segment"))
+    // incomplete tail windows carry a NULL lead -> concat yields NULL
+    // -> filtered: exactly the complete sliding windows survive
+    val word = concat((0 until wordLen).map(i =>
+      (if (i == 0) col("symbol") else lead(col("symbol"), i).over(w))
+        .cast("string")): _*)
+    val counts = sax
+      .select(col(typeCol), word.as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy(col(typeCol), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(typeCol))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        min_by(struct(col("word"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("word"))).as("__m"),
+        min_by(struct(col("word"), col("cnt")),
+          struct(col("cnt"), col("word"))).as("__d"))
+      .select(col(typeCol), col("n_words"),
+        col("__m.word").as("motif_word"), col("__m.cnt").as("motif_cnt"),
+        col("__d.word").as("discord_word"), col("__d.cnt").as("discord_cnt"))
+  }
+
   /** Hour-level anomaly report against the hour-of-week baseline: for
     * every concrete hour, the z-score of its event count within its
     * (type, day-of-week, hour-of-day) cell across the history — the
