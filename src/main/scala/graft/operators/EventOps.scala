@@ -1124,16 +1124,35 @@ object EventOps {
     * argmax is a single max_by aggregate — no second sort, no driver
     * state. */
   def changepoint(events: DataFrame, typeCol: String = "event_type",
-                  tsCol: String = "ts"): DataFrame = {
+                  tsCol: String = "ts"): DataFrame =
+    changepointFromHourly(
+      events.groupBy(col(typeCol),
+          date_trunc("hour", col(tsCol)).as("bucket_ts"))
+        .agg(count(lit(1)).as("cnt")),
+      typeCol)
+
+  /** The CUSUM argmax half of [[changepoint]], taking an ALREADY
+    * bucketED (series, bucket_ts, cnt) table — the seam the streaming
+    * monitor composes with: [[graft.streaming.StreamOps.changepointStream]]
+    * maintains the watermarked hourly counts online (mergeable long
+    * partials in the state store) and lands them as exactly this
+    * table, so the monitor replays the identical integer recurrence
+    * over the COMPACTED hours (series × hours rows — trivial at any
+    * corpus scale) instead of the event stream. Batch
+    * [[changepoint]] over the same admitted events is bit-identical
+    * by construction (spec-pinned). */
+  def changepointFromHourly(hourly: DataFrame,
+                            typeCol: String = "event_type",
+                            bucketCol: String = "bucket_ts",
+                            cntCol: String = "cnt"): DataFrame = {
     val dec = DecimalType(38, 0)
-    val hourly = events
-      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("bucket_ts"))
-      .agg(count(lit(1)).as("__x"))
+    val base = hourly.select(col(typeCol), col(bucketCol).as("bucket_ts"),
+      col(cntCol).cast("long").as("__x"))
     val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket_ts"))
     val full = w.rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing)
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withStat = hourly
+    val withStat = base
       .withColumn("__k", row_number().over(w).cast("long"))
       .withColumn("__cum", sum(col("__x")).over(cum))
       .withColumn("__tot", sum(col("__x")).over(full))

@@ -116,6 +116,31 @@ object StreamOps {
       .select(col("w_start"), col("key"), col("value").as("weight"))
   }
 
+  /** Streaming half of the CUSUM changepoint monitor — the watermarked
+    * per-(series, event-time hour) count table maintained ONLINE: the
+    * state per open hour is one long per series (count partials are
+    * the mergeable aggregate — per-trigger partial sums fold in the
+    * state store), and each hour emits exactly once at watermark close
+    * (append mode). The CUSUM argmax itself is a GLOBAL recurrence
+    * over the whole series history — not a streaming aggregate — so
+    * the monitor lands these rows (parquet/[[upsertStream]]) and
+    * replays [[graft.operators.EventOps.changepointFromHourly]] over
+    * the compacted table per scan: series × hours rows, trivial at any
+    * corpus scale, and BIT-IDENTICAL to batch
+    * [[graft.operators.EventOps.changepoint]] over the same admitted
+    * events (spec-pinned — the [[ohlcStream]] parity contract).
+    * Output: (typeCol, bucket_ts, cnt) — exactly
+    * [[graft.operators.EventOps.changepointFromHourly]]'s input. */
+  def changepointStream(events: DataFrame,
+                        watermarkDelay: String = "2 hours",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 hour").as("w"), col(typeCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(typeCol), col("w.start").as("bucket_ts"), col("cnt"))
+
   /** Streaming per-window quantile monitor — the latency/size-percentile
     * dashboard feed: `percentile_approx`'s mergeable rank sketch as a
     * windowed streaming aggregate, so state per (window, group) is ONE

@@ -83,6 +83,63 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("changepointStream: watermark-closed hourly counts replay through " +
+       "changepointFromHourly bit-identical to batch changepoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sink = nextSink()
+    val q = StreamOps.changepointStream(in.toDF(),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // a level shift: hours 10 and 11 hold one event, hour 12 holds
+      // four — D_k peaks at the 11->12 boundary
+      val closed = Seq(
+        Ev(1, ts("2024-01-01 10:05:00"), "m", 1.0),
+        Ev(2, ts("2024-01-01 11:05:00"), "m", 1.0),
+        Ev(3, ts("2024-01-01 12:05:00"), "m", 1.0),
+        Ev(4, ts("2024-01-01 12:10:00"), "m", 1.0),
+        Ev(5, ts("2024-01-01 12:15:00"), "m", 1.0),
+        Ev(6, ts("2024-01-01 12:20:00"), "m", 1.0))
+      // hour 12 splits across two triggers, forcing a state-store merge
+      // of the stored count with the second trigger's partial; the
+      // watermark after both (12:20 − 10min) has closed hours 10 and 11
+      // but hour 12 is still open
+      in.addData(closed.take(4))
+      q.processAllAvailable()
+      in.addData(closed.drop(4))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() <= 2, "hour 12 still open")
+      // advance the watermark far past 13:10 to close hours 10..12
+      in.addData(Ev(9, ts("2024-01-01 14:30:00"), "m", 7.0))
+      q.processAllAvailable()
+      in.addData(Ev(10, ts("2024-01-01 14:31:00"), "m", 0.0))
+      q.processAllAvailable()
+      val hourly = spark.table(sink)
+      assert(hourly.count() === 3, "exactly the three closed hours emit")
+      val monitor = graft.operators.EventOps
+        .changepointFromHourly(hourly)
+        .select("event_type", "k", "bucket_ts", "n_buckets", "d",
+          "mean_before", "mean_after")
+        .as[(String, Long, Timestamp, Long, Long, Double, Double)]
+        .collect().toSet
+      val batchCp = graft.operators.EventOps.changepoint(
+          closed.map(e => (e.event_id, e.ts, e.event_type, e.value))
+            .toDF("event_id", "ts", "event_type", "value"))
+        .select("event_type", "k", "bucket_ts", "n_buckets", "d",
+          "mean_before", "mean_after")
+        .as[(String, Long, Timestamp, Long, Long, Double, Double)]
+        .collect().toSet
+      assert(monitor === batchCp,
+        s"stream/batch parity: $monitor vs $batchCp")
+      // and the located shift is the 11->12 boundary (k = 2, the
+      // last bucket of the low regime)
+      assert(monitor.head._2 === 2L &&
+        monitor.head._3 === ts("2024-01-01 11:00:00"))
+    } finally q.stop()
+  }
+
   test("frequentItemsStream: per-window MG candidates contain every heavy key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
