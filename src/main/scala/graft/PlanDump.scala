@@ -141,7 +141,28 @@ object PlanDump {
        SparkEntry.queries("q_hits")(spark, d)),
       ("q_wasserstein — exact earth-mover drift per group",
        "Both sides collapse map-side to (group, cent-quantized value) counts — the only corpus-sized pass; cum/total/gap share ONE grouped window sort over the collapsed table; the exact DECIMAL interval terms close in a single grouped aggregate.",
-       SparkEntry.queries("q_wasserstein")(spark, d)))
+       SparkEntry.queries("q_wasserstein")(spark, d)),
+      ("q_ppr — personalized PageRank (TrustRank), seed-biased teleport",
+       "Identical exchange structure to q_pagerank_weighted (one rank join + one map-side-combined contribution sum + one broadcast dangling scalar per iteration); the seed flag joins ONCE at init and rides the rank table — no per-iteration seed join.",
+       SparkEntry.queries("q_ppr")(spark, d)),
+      ("q_mannwhitney — exact Mann–Whitney U per group pair",
+       "The corpus collapses map-side to (group, value) counts; ranks come from ONE grouped window over the distinct-value table (never the rows); 2U closes in exact integers with the loud BIGINT guard, rank-biserial is the single closing division.",
+       SparkEntry.queries("q_mannwhitney")(spark, d)),
+      ("q_spearman — exact Spearman rank correlation",
+       "Doubled average ranks stay integers over the collapsed distinct-value tables; the DECIMAL(38,0) moment sums close in one aggregate — no per-row rank window over the raw corpus, no float accumulation anywhere.",
+       SparkEntry.queries("q_spearman")(spark, d)),
+      ("q_sax — fixed-breakpoint SAX symbolization",
+       "ONE per-series row_number window (the only corpus-sized sort) feeds a (series, segment) aggregate with map-side partials; integer PAA frame boundaries, one exact-decimal mean division per segment, breakpoints as a per-row CASE — no join, no driver state.",
+       SparkEntry.queries("q_sax")(spark, d)),
+      ("q_sax_motifs — SAX motif/discord report",
+       "Everything past the single corpus pass (inside saxWords) is series×segments-sized: one lead() window builds the sliding words, one (series, word) count, one min_by/max_by closing aggregate picks motif and discord with smallest-word ties.",
+       SparkEntry.queries("q_sax_motifs")(spark, d)),
+      ("q_semdedup_audit — SemDeDup recall audit vs brute-force truth",
+       "The pipeline side is the production semDedup plan unchanged (cell-keyed self-join over the checkpointed assignment); the truth side is the deliberately-quadratic exact pair join on the bounded audit sample; the verdict is two one-row aggregates crossed.",
+       SparkEntry.queries("q_semdedup_audit")(spark, d)),
+      ("q_unigram_examples — unigram corpus→training-rows seam",
+       "The encode artifact persists once and feeds BOTH the distributed two-level prefix-sum span construction and the final materialize join — token payloads move only in that last regroup; all upstream packing math is ids+offsets.",
+       SparkEntry.queries("q_unigram_examples")(spark, d)))
 
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of headline queries\n\n")
