@@ -2837,6 +2837,30 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- E28+E15 unigram tokenize→pack (q_bpe_pack's twin): the
+    // trained SentencePiece-style tokenizer's id sequences packed into
+    // fixed token-budget training rows with boundary arrays, id-0 EOS ----
+    "q_unigram_pack" -> ((s, d) => {
+      val enc = Ngrams.unigramEncodeWithVocab(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          Ngrams.unigramTrain(t(s, d, "documents"),
+            vocabSize = uniVocabSize, maxPieceLen = uniMaxPiece,
+            rounds = uniRounds, seedSize = uniSeedSize),
+          maxPieceLen = uniMaxPiece)
+      val keyed = enc.join(
+          docsSpread(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      Mixing.packWithBoundaries(keyed, "source", "doc_id",
+          "n_ids", "token_ids", budget = 512L, sep = ",0,")
+        .withColumn("doc_ids",
+          array_join(col("doc_ids").cast("array<string>"), ","))
+        .withColumn("doc_lens",
+          array_join(col("doc_lens").cast("array<string>"), ","))
+        .withColumn("doc_starts",
+          array_join(col("doc_starts").cast("array<string>"), ","))
+        .orderBy("source", "shard")
+    }),
+
     // ---- E28+E15 the unigram family's corpus→tensors seam, closing
     // the tokenizer-chain symmetry with q_bpe_pack_contiguous: the
     // TRAINED SentencePiece-style tokenizer's token counts → contiguous
@@ -3898,6 +3922,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- E24 WEIGHTED HITS over the quantity-weighted purchase graph:
+    // auth = Σ w·hub, hub = Σ w·auth, same L1-normalized exact-integer
+    // fixed point — the volume-aware two-sided signal, closing the
+    // keyed/weighted parity with the PageRank family ----
+    "q_hits_weighted" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .groupBy((col("l_orderkey") * 2).as("src"),
+                 (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+      graft.operators.Graphs.hitsWeighted(edges, "src", "dst", "wt",
+          rounds = 2)
+        .orderBy("node")
+    }),
+
     // ---- E24 personalized (seed-biased) PageRank — the TrustRank
     // spam-demotion signal: teleport + dangling mass restart at the
     // seed orders (every-10th customer's), rank measures proximity to
@@ -4302,13 +4340,12 @@ object SparkEntry {
   private def unigramExamplesOracle(rounds: Int): String =
     uniEncCtes(rounds) + examplesTail
 
-  /** DuckDB replay of the q_bpe_pack composition: the encoded per-doc
-    * id sequences keyed by source, then the packByBudget recurrence
-    * (exclusive running token sum div budget) and the boundary-array
-    * rendering — the q_pack_boundaries oracle with token-count weights
-    * and the id-0 EOS separator. */
-  private def bpePackOracle(k: Int): String =
-    bpeEncCtes(k) + s""",
+  /** The packByBudget + boundary-array construction spliced onto ANY
+    * encode prefix defining `enc(doc_id, tp, sp, id)`: exclusive
+    * running token sum div budget shards, string_agg with the id-0
+    * EOS separator, boundary arrays rendered — the q_pack_boundaries
+    * oracle with token-count weights. */
+  private val packBudgetTail: String = s""",
       |encdoc AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
       |    array_to_string(list(id ORDER BY tp, sp), ',') AS token_ids
@@ -4337,6 +4374,14 @@ object SparkEntry {
       |      i -> CAST(COALESCE(list_sum(doc_lens[1:i-1]), 0) AS BIGINT)),
       |    ','), '') AS doc_starts
       |FROM g ORDER BY source, shard""".stripMargin
+
+  /** DuckDB replay of the q_bpe_pack composition. */
+  private def bpePackOracle(k: Int): String =
+    bpeEncCtes(k) + packBudgetTail
+
+  /** DuckDB replay of the q_unigram_pack composition. */
+  private def unigramPackOracle(rounds: Int): String =
+    uniEncCtes(rounds) + packBudgetTail
 
   /** DuckDB replay of the q_bpe_fertility composition: the same
     * unrolled training rounds' final segmentation, occurrence-weighted
@@ -4443,6 +4488,7 @@ object SparkEntry {
 
     "q_unigram_encode" -> unigramEncodeOracle(uniRounds),
     "q_unigram_fertility" -> unigramFertilityOracle(uniRounds),
+    "q_unigram_pack" -> unigramPackOracle(uniRounds),
     "q_unigram_pack_contiguous" -> unigramPackContiguousOracle(uniRounds),
     "q_unigram_examples" -> unigramExamplesOracle(uniRounds),
 
@@ -8963,6 +9009,58 @@ object SparkEntry {
         |           AS a
         |       FROM a2r, a2t),
         |h2r AS (SELECT e.src AS node, SUM(a.a) AS hr
+        |        FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+        |h2t AS (SELECT SUM(hr) AS t FROM h2r),
+        |h2 AS (SELECT node,
+        |         (CAST(hr AS HUGEINT) * 1000000000000) // CAST(t AS HUGEINT)
+        |           AS h
+        |       FROM h2r, h2t)
+        |SELECT n.node, CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_fp,
+        |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_fp,
+        |  CAST(COALESCE(h2.h, 0) AS DOUBLE) / 1000000000000 AS hub,
+        |  CAST(COALESCE(a2.a, 0) AS DOUBLE) / 1000000000000 AS auth
+        |FROM nodes n LEFT JOIN h2 ON h2.node = n.node
+        |  LEFT JOIN a2 ON a2.node = n.node
+        |ORDER BY n.node""".stripMargin,
+
+    // the q_hits replay with w-weighted sums: the collapsed quantity
+    // weights multiply each score term inside the HUGEINT aggregates,
+    // normalization chain unchanged
+    "q_hits_weighted" ->
+      """WITH e AS (SELECT CAST(l_orderkey*2 AS BIGINT) AS src,
+        |                  CAST(l_partkey*2+1 AS BIGINT) AS dst,
+        |                  SUM(CAST(l_quantity AS BIGINT)) AS wt
+        |           FROM lineitem GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |h0 AS (SELECT node, CAST(1000000000000 // nn.n AS HUGEINT) AS h
+        |       FROM nodes CROSS JOIN nn),
+        |a1r AS (SELECT e.dst AS node,
+        |          SUM(CAST(h.h AS HUGEINT) * CAST(e.wt AS HUGEINT)) AS ar
+        |        FROM e JOIN h0 h ON h.node = e.src GROUP BY 1),
+        |a1t AS (SELECT SUM(ar) AS t FROM a1r),
+        |a1 AS (SELECT node,
+        |         (CAST(ar AS HUGEINT) * 1000000000000) // CAST(t AS HUGEINT)
+        |           AS a
+        |       FROM a1r, a1t),
+        |h1r AS (SELECT e.src AS node,
+        |          SUM(CAST(a.a AS HUGEINT) * CAST(e.wt AS HUGEINT)) AS hr
+        |        FROM e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+        |h1t AS (SELECT SUM(hr) AS t FROM h1r),
+        |h1 AS (SELECT node,
+        |         (CAST(hr AS HUGEINT) * 1000000000000) // CAST(t AS HUGEINT)
+        |           AS h
+        |       FROM h1r, h1t),
+        |a2r AS (SELECT e.dst AS node,
+        |          SUM(CAST(h.h AS HUGEINT) * CAST(e.wt AS HUGEINT)) AS ar
+        |        FROM e JOIN h1 h ON h.node = e.src GROUP BY 1),
+        |a2t AS (SELECT SUM(ar) AS t FROM a2r),
+        |a2 AS (SELECT node,
+        |         (CAST(ar AS HUGEINT) * 1000000000000) // CAST(t AS HUGEINT)
+        |           AS a
+        |       FROM a2r, a2t),
+        |h2r AS (SELECT e.src AS node,
+        |          SUM(CAST(a.a AS HUGEINT) * CAST(e.wt AS HUGEINT)) AS hr
         |        FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1),
         |h2t AS (SELECT SUM(hr) AS t FROM h2r),
         |h2 AS (SELECT node,
