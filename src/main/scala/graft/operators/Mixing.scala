@@ -495,8 +495,16 @@ object Mixing {
     sys.props.get("graft.mixing.singleWindowMaxBytes").map(_.toLong)
       .getOrElse(256L << 20))
 
+  /** Leaf sizes from the ANALYZED plan, not the optimized one: file
+    * relations resolve (and carry their scan-size stats) at analysis,
+    * and probing `optimizedPlan` here ran a FULL extra Catalyst
+    * optimization of the whole upstream tree during frame
+    * CONSTRUCTION — measured ~1s of driver time per pack call on the
+    * tokenizer-encode plans (r15), for a decision the analyzed leaves
+    * answer identically. Un-pruned self-join leaves can only
+    * over-count, which errs toward the scale-safe two-level branch. */
   private def leafInputBytes(df: DataFrame): BigInt =
-    df.queryExecution.optimizedPlan.collectLeaves()
+    df.queryExecution.analyzed.collectLeaves()
       .map(_.stats.sizeInBytes).sum
 
   /** General form of the two-level prefix sum: `bucket` must be
