@@ -163,6 +163,13 @@ object Similarity {
     var cents: Seq[(Long, Seq[Float])] =
       seedCentroids(corpus, nlist, idCol, vecCol)
         .as[(Long, Seq[Float])].collect().toSeq
+    // an empty corpus seeds zero centroids: nothing to refine, and the
+    // assignment expression requires a non-empty centroid list — return
+    // the empty model (downstream assign/semDedup flow through empty)
+    if (cents.isEmpty)
+      return cents.toDF("cell", "cent_v")
+        .select(col("cell"),
+          transform(col("cent_v"), x => x.cast("float")).as("cent_v"))
     for (_ <- 1 to iters) {
       // assignment via the native TopCellsByCosine expression (centroids
       // bound in, one codegen'd loop per vector) — no broadcast join, no
@@ -273,10 +280,18 @@ object Similarity {
     import spark.implicits._
     val cellSeq = centroids.select(col("cell"), col("cent_v"))
       .as[(Long, Seq[Float])].collect().toSeq
-    Ops.spread(batch.select(col(idCol), col(vecCol)), col(idCol))
-      .select(col(idCol), col(vecCol),
-        element_at(VectorExprs.topCellsByCosine(col(vecCol), cellSeq, 1), 1)
-          .as("cell"))
+    // zero stored centroids means the index was built from an EMPTY
+    // corpus (an upstream filter chain can legitimately drain one) —
+    // the batch has no cell to land in, so the assignment is empty,
+    // not a topCellsByCosine require failure
+    if (cellSeq.isEmpty)
+      batch.select(col(idCol), col(vecCol)).withColumn("cell", lit(0L))
+        .filter(lit(false))
+    else
+      Ops.spread(batch.select(col(idCol), col(vecCol)), col(idCol))
+        .select(col(idCol), col(vecCol),
+          element_at(VectorExprs.topCellsByCosine(col(vecCol), cellSeq, 1), 1)
+            .as("cell"))
   }
 
   /** Persist an [[ivfIndex]] through [[graft.sources.ManifestTable]]:

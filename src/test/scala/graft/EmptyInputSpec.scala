@@ -146,4 +146,34 @@ class EmptyInputSpec extends SparkTestBase {
     assertEmpty(Profiling.mannWhitney(noVals, noVals, "grp", "v"))
     graft.operators.OpCaches.release()
   }
+
+  test("round-15 operators handle empty and degenerate input") {
+    assertEmpty(EventOps.saxMotifs(noEvents, breaks = Seq(1.0)))
+    // a series shorter than wordLen has no complete sliding window:
+    // it drops from the report instead of emitting a padded word
+    assertEmpty(EventOps.saxMotifs(
+      Seq((1L, new Timestamp(0L), 10L, "A", 1.0),
+          (2L, new Timestamp(1L), 11L, "A", 2.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      breaks = Seq(1.5), segments = 64, wordLen = 4))
+    assertEmpty(Graphs.hitsWeighted(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"),
+      "src", "dst", "w"))
+    assertEmpty(EventOps.changepointFromHourly(
+      Seq.empty[(String, Timestamp, Long)]
+        .toDF("event_type", "bucket_ts", "cnt")))
+    // streaming monitor parity seam on a one-bucket series: no interior
+    // split point, empty — the batch changepoint contract
+    assertEmpty(EventOps.changepointFromHourly(
+      Seq(("A", new Timestamp(0L), 5L))
+        .toDF("event_type", "bucket_ts", "cnt")))
+    // an empty corpus seeds zero k-means centroids: semDedup flows
+    // through empty, and the recall audit reports the vacuous pass
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assertEmpty(Similarity.semDedup(noVecs, 0.9, nlist = 4))
+    val (t15, ok15) = Similarity.semDedupRecallAudit(noVecs, 0.9, nlist = 4)
+      .as[(Long, Boolean)].head()
+    assert(t15 === 0L && ok15)
+    graft.operators.OpCaches.release()
+  }
 }
