@@ -162,7 +162,10 @@ object PlanDump {
        SparkEntry.queries("q_semdedup_audit")(spark, d)),
       ("q_unigram_examples — unigram corpus→training-rows seam",
        "The encode artifact persists once and feeds BOTH the distributed two-level prefix-sum span construction and the final materialize join — token payloads move only in that last regroup; all upstream packing math is ids+offsets.",
-       SparkEntry.queries("q_unigram_examples")(spark, d)))
+       SparkEntry.queries("q_unigram_examples")(spark, d)),
+      ("q_kendall — exact Kendall τ-b per group",
+       "The corpus collapses once to the (x, y) CELL table (checkpointed — it feeds the marginals AND the pair join); C−D is an equi-join on the group key with the lower-x predicate in-join, quadratic in domain-sized cells, never rows; tie terms ride two marginal aggregates.",
+       SparkEntry.queries("q_kendall")(spark, d)))
 
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -3571,6 +3571,18 @@ object SparkEntry {
           "l_returnflag", "l_quantity", "l_extendedprice")
         .orderBy("l_returnflag")),
 
+    // ---- E20 exact Kendall τ-b per return flag: pairwise quantity↔
+    // price-band concordance with the tie-adjusted denominator — the
+    // third rank-statistic beside Spearman (rank Pearson) and
+    // Mann–Whitney (dominance); price quantized to 10k bands so the
+    // cell-pair join stays domain-sized (the fixed-bin PSI contract) ----
+    "q_kendall" -> ((s, d) =>
+      operators.Profiling.kendallTau(
+          t(s, d, "lineitem").withColumn("price_band",
+            floor(col("l_extendedprice") / 10000).cast("long")),
+          "l_returnflag", "l_quantity", "price_band")
+        .orderBy("l_returnflag")),
+
     // ---- E20 exact Mann–Whitney U (rank-biserial effect) per
     // priority: the non-parametric twin of q_ab_test's z — do even-key
     // orders price-dominate odd-key ones? ----
@@ -8212,6 +8224,44 @@ object SparkEntry {
         |      9)
         |  ELSE NULL END AS spearman
         |FROM a ORDER BY 1""".stripMargin,
+
+    // the same cell-collapse replay: C−D from the lower-x cell-pair
+    // join, tie terms from the marginals, one rounded IEEE close
+    "q_kendall" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x,
+        |    CAST(floor(l_extendedprice / 10000) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT g, x, y, COUNT(*) AS c FROM r GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.g,
+        |    SUM(CAST(a.c AS HUGEINT) * b.c *
+        |        CASE WHEN b.y > a.y THEN 1
+        |             WHEN b.y < a.y THEN -1 ELSE 0 END) AS cd
+        |  FROM cells a JOIN cells b ON b.g = a.g AND a.x < b.x
+        |  GROUP BY a.g),
+        |tx AS (SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS tx
+        |       FROM (SELECT g, x, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        |       GROUP BY g),
+        |ty AS (SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS ty
+        |       FROM (SELECT g, y, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        |       GROUP BY g),
+        |marg AS (SELECT g, SUM(c) AS n, COUNT(*) AS ncells
+        |         FROM cells GROUP BY g)
+        |SELECT m.g AS l_returnflag, CAST(m.n AS BIGINT) AS n,
+        |  CAST(m.ncells AS BIGINT) AS n_cells,
+        |  CASE WHEN (CAST(m.n AS HUGEINT) * (m.n - 1) // 2 - tx.tx) > 0
+        |        AND (CAST(m.n AS HUGEINT) * (m.n - 1) // 2 - ty.ty) > 0
+        |  THEN round(CAST(COALESCE(cd.cd, 0) AS DOUBLE) /
+        |    sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) // 2 - tx.tx
+        |           AS DOUBLE)
+        |       * CAST(CAST(m.n AS HUGEINT) * (m.n - 1) // 2 - ty.ty
+        |           AS DOUBLE)), 9)
+        |  ELSE NULL END AS tau_b
+        |FROM marg m JOIN tx ON tx.g = m.g JOIN ty ON ty.g = m.g
+        |LEFT JOIN cd ON cd.g = m.g
+        |ORDER BY 1""".stripMargin,
 
     // exact 2U = Σ 2·cA·cumB_prev + cA·cB in HUGEINT, cast BIGINT
     // (errors on overflow like the engine's guard)

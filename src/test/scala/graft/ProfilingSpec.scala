@@ -307,6 +307,32 @@ class ProfilingSpec extends SparkTestBase {
     assert(out("c") === (("c", 2L, None)))
   }
 
+  test("kendallTau: ±1 on monotone/inverse maps; hand-computed tie-" +
+       "adjusted mid-case; all-tied x reads NULL") {
+    // m: strictly concordant → +1;  i: strictly discordant → −1
+    // t: (1,1),(2,2),(2,3),(3,4): n=4, n0=6, tx=1 (x=2 pair), ty=0,
+    //    C−D=5 → τb = 5/√((6−1)·6) = 5/√30 = 0.912870929 (9-dec)
+    // c: x constant → n0−tx = 0 → NULL
+    val df = Seq(
+      ("m", 1.0, 10L), ("m", 2.0, 20L), ("m", 3.0, 30L),
+      ("i", 1.0, 9L), ("i", 2.0, 5L), ("i", 3.0, 1L),
+      ("t", 1.0, 1L), ("t", 2.0, 2L), ("t", 2.0, 3L), ("t", 3.0, 4L),
+      ("c", 1.0, 7L), ("c", 1.0, 8L))
+      .toDF("grp", "x", "y")
+    val out = Profiling.kendallTau(df, "grp", "x", "y")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("m") === (("m", 3L, 3L, Some(1.0))))
+    assert(out("i") === (("i", 3L, 3L, Some(-1.0))))
+    assert(out("t") === (("t", 4L, 4L, Some(0.912870929))))
+    assert(out("c") === (("c", 2L, 2L, None)))
+    // duplicate rows collapse into cell counts, same result
+    val dup = df.union(df.filter($"grp" === "t"))
+    assert(Profiling.kendallTau(dup, "grp", "x", "y")
+      .filter($"grp" === "t").as[(String, Long, Long, Option[Double])]
+      .head()._2 === 8L)
+  }
+
   test("kAnonymityViolations flags sub-k quasi-identifier groups; " +
       "NULLs group as values") {
     val df = Seq(
