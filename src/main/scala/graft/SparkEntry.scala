@@ -2409,18 +2409,32 @@ object SparkEntry {
     // DuckDB reproduces them bit-exactly; cosine ≈ 0.98 vs original,
     // organic max ~0.51) sit above threshold 0.95 but are NOT
     // identical vectors, so co-assignment is a genuine cell-quality
-    // outcome, not a tautology. truth = 100 exactly (each copy's only
-    // ≥0.95 partner is its original); measured recall at nlist 32:
-    // 0.97 / 0.97 / 0.93 at sf0.001/0.01/0.1 — floor 0.8 has margin
-    // while a mis-sized nlist (cells ≈ 1–2 vectors) fails loudly.
+    // outcome, not a tautology. The audit runs on a BOUNDED sample —
+    // the operator's own contract ("run it on a bounded audit sample,
+    // not the corpus"): all 100 planted originals, force-included so
+    // each copy's partner is present, plus the 1000 organic rows that
+    // rank first by the Knuth multiplicative hash of vec_id (the
+    // engine-portable deterministic sampler every split/fold op here
+    // uses) — so the deliberately-quadratic truth join is O(1100²)
+    // whatever the corpus size, while the pipeline side is the
+    // production semDedup plan unchanged at sample scale. truth = 100
+    // exactly (each copy's only ≥0.95 partner is its force-included
+    // original; sampling the organic background cannot change that).
+    // Floor 0.8; a mis-sized nlist (cells ≈ 1–2 vectors) fails loudly.
     "q_semdedup_audit" -> ((s, d) => {
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
-      val copies = e.filter(col("vec_id") < 100)
+      val planted = e.filter(col("vec_id") < 100)
+      val bg = e.filter(col("vec_id") >= 100)
+        .orderBy(pmod(col("vec_id") * lit(2654435761L),
+            lit(4294967296L)), col("vec_id"))
+        .limit(1000)
+      val copies = planted
         .select((col("vec_id") + 1000000).as("vec_id"),
           expr("cast(transform(embedding, (x, i) -> cast(x as double) * "
             + "(1.0d + (cast((vec_id + i) % 7 as double) - 3.0d) / 10.0d))"
             + " as array<float>)").as("embedding"))
-      Similarity.semDedupRecallAudit(e.union(copies), threshold = 0.95,
+      Similarity.semDedupRecallAudit(
+        planted.unionAll(bg).unionAll(copies), threshold = 0.95,
         nlist = 32, floor = 0.8)
     }),
     // E3 semantic decontamination (embedding-space train-vs-eval
@@ -2884,15 +2898,17 @@ object SparkEntry {
     // q_bpe_examples composition on the unigram encode artifact ----
     "q_unigram_examples" -> ((s, d) => {
       // enc feeds BOTH the span construction and the materialize join —
-      // persist it (registered for release) or the encode pipeline
-      // runs twice
-      val enc = operators.OpCaches.register(
-        Ngrams.unigramEncodeWithVocab(
+      // eager localCheckpoint, NOT .persist(): it must materialize once
+      // (or the encode pipeline runs twice), and it feeds the
+      // materializeExamples JOIN, where a columnar-cache
+      // InMemoryRelation's unknown size defeats broadcast/AQE planning
+      // (the Similarity.semDedup lesson)
+      val enc = Ngrams.unigramEncodeWithVocab(
           t(s, d, "documents").filter(col("doc_id") < 200),
           Ngrams.unigramTrain(t(s, d, "documents"),
             vocabSize = uniVocabSize, maxPieceLen = uniMaxPiece,
             rounds = uniRounds, seedSize = uniSeedSize),
-          maxPieceLen = uniMaxPiece).persist())
+          maxPieceLen = uniMaxPiece).localCheckpoint(eager = true)
       val keyed = enc.join(
           docsSpread(s, d).select(col("doc_id"), col("source")),
           Seq("doc_id"))
@@ -2910,11 +2926,11 @@ object SparkEntry {
     "q_bpe_examples" -> ((s, d) => {
       val docs = docsSpread(s, d)
       // enc feeds BOTH the span construction and the materialize join —
-      // persist it (registered for release) or the encode pipeline
-      // runs twice
-      val enc = operators.OpCaches.register(
-        Ngrams.bpeEncode(docs, docs.filter(col("doc_id") < 200),
-          numMerges = bpeOracleMerges).persist())
+      // eager localCheckpoint, NOT .persist() (same argument as
+      // q_unigram_examples: materialize once, keep the downstream join
+      // AQE/broadcast-plannable)
+      val enc = Ngrams.bpeEncode(docs, docs.filter(col("doc_id") < 200),
+          numMerges = bpeOracleMerges).localCheckpoint(eager = true)
       val keyed = enc.join(docs.select(col("doc_id"), col("source")),
           Seq("doc_id"))
       val spans = Mixing.packContiguous(keyed, "source", "doc_id",
@@ -5789,7 +5805,9 @@ object SparkEntry {
         |SELECT vec_id, n_dups_smaller, n_dups_smaller = 0 AS kept
         |FROM d ORDER BY vec_id""".stripMargin,
 
-    // brute-force truth for the cell-bounded audit: the same perturbed
+    // brute-force truth for the cell-bounded audit over the SAME
+    // bounded sample the engine audits (forced planted originals +
+    // Knuth-hash-rank top-1000 organic background): the perturbed
     // copies reconstructed bit-exactly (double multiply, FLOAT-rounded
     // like the engine's array<float> cast; DuckDB's list_transform
     // index is 1-based, hence i - 1), truth counted by exhaustive
@@ -5797,6 +5815,13 @@ object SparkEntry {
     "q_semdedup_audit" ->
       """WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 100
+        |  UNION ALL
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id >= 100
+        |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |        LIMIT 1000)
         |  UNION ALL
         |  SELECT vec_id + 1000000,
         |    CAST(CAST(list_transform(CAST(embedding AS DOUBLE[]),

@@ -38,11 +38,24 @@ object Graphs {
     * or negative edge weight would make a source's Σw ≤ 0, so its
     * `rank div deg` turns NULL/negative and its mass silently vanishes
     * from the recurrence instead of failing. Raise at the edge scan —
-    * one codegen branch on a column already being read, no extra pass. */
-  private def positiveWeight(w: Column, op: String): Column =
-    when(w.isNull || w <= 0, raise_error(concat(
-        lit(s"$op: edge weights must be positive, got "), w.cast("string"))))
-      .otherwise(w.cast("long"))
+    * one codegen branch on a column already being read, no extra pass.
+    *
+    * Validated AFTER the long cast, plus a loud non-integral check:
+    * the documented contract is integer weights (the fixed-point
+    * arithmetic carries no fraction), and a raw-column-only guard
+    * would let 0.7 pass `w <= 0` and then truncate to 0 — recreating
+    * the exact mass-vanish failure the guard exists to prevent — while
+    * 1.7 would silently become 1. Both now raise at the scan. */
+  private def positiveWeight(w: Column, op: String): Column = {
+    val wl = w.cast("long")
+    // w =!= wl compares in the COERCED common type (double/decimal for
+    // fractional inputs), so 0.7 and 1.7 both fail loudly instead of
+    // truncating; long inputs compare equal and pass untouched
+    when(w.isNull || wl.isNull || wl <= 0 || w =!= wl, raise_error(concat(
+        lit(s"$op: edge weights must be positive integers, got "),
+        w.cast("string"))))
+      .otherwise(wl)
+  }
 
   /** Fixed-iteration PageRank over a directed edge list.
     *

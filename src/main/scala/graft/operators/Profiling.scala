@@ -551,10 +551,17 @@ object Profiling {
     * fixed price bands, …); τ on quantized values is τ of the
     * quantized ordering, stated in the output by construction. A 50×20
     * cell grid costs ~0.5M cheap pair rows per group; raw
-    * double-precision values would cost rows² — don't. Output:
-    * (groupCol, n, n_cells, tau_b). */
+    * double-precision values would cost rows² — don't. That contract
+    * is now LOUD, not documentation-only: any group whose distinct
+    * (x, y) cell count exceeds `maxCells` raises at the pair-join scan
+    * (the positiveWeight / hits limb-wrap convention) instead of
+    * silently running a rows²-shaped join — the default 10k cells caps
+    * a group's pair join at ~50M cheap integer rows; callers with a
+    * deliberately wide quantized grid raise `maxCells` explicitly.
+    * Output: (groupCol, n, n_cells, tau_b). */
   def kendallTau(df: DataFrame, groupCol: String, xCol: String,
-                 yCol: String): DataFrame = {
+                 yCol: String, maxCells: Int = 10000): DataFrame = {
+    require(maxCells > 0, s"maxCells must be positive, got $maxCells")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(groupCol).as("__g"), col(xCol).as("__x"),
@@ -562,16 +569,30 @@ object Profiling {
       .groupBy(col("__g"), col("__x"), col("__y"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(eager = true) // feeds marginals AND the pair join
-    val a = cells.select(col("__g"), col("__x").as("__xa"),
-      col("__y").as("__ya"), col("__c").as("__ca"))
+    // loud cells-cap guard: count cells per group (group-count-sized,
+    // broadcast onto the checkpointed cell table) and raise BEFORE the
+    // quadratic pair join sees an over-cap group — the guard rides the
+    // __ca projection, so it evaluates at the join's scan side
+    val ncg = cells.groupBy(col("__g")).agg(count(lit(1)).as("__ncg"))
+    val a = cells.join(broadcast(ncg), Seq("__g")).select(
+      col("__g"), col("__x").as("__xa"), col("__y").as("__ya"),
+      when(col("__ncg") > maxCells, raise_error(concat(
+          lit("kendallTau: group "), col("__g").cast("string"),
+          lit(" has "), col("__ncg").cast("string"),
+          lit(s" distinct (x, y) cells > maxCells=$maxCells — quantize" +
+            " wide domains first, or raise maxCells deliberately"))))
+        .otherwise(col("__c")).as("__ca"))
     val b = cells.select(col("__g").as("__gb"), col("__x").as("__xb"),
       col("__y").as("__yb"), col("__c").as("__cb"))
     // x-tied pairs contribute neither C nor D: only xa < xb pairs join
     // (each unordered distinct-x pair exits once, from its lower-x side)
+    // __ca casts to DECIMAL(38,0) BEFORE the product (the oracle's
+    // HUGEINT-first convention) — a long·long product of huge cell
+    // counts could wrap silently, violating the loud-overflow rule
     val cd = a.join(b, col("__g") === col("__gb") &&
         col("__xa") < col("__xb"))
       .groupBy(col("__g"))
-      .agg(sum((col("__ca") * col("__cb")).cast(dec) *
+      .agg(sum((col("__ca").cast(dec) * col("__cb")) *
           signum(col("__yb") - col("__ya")).cast("long")).as("__cd"))
     def tiePairs(vCol: String, out: String) = cells
       .groupBy(col("__g"), col(vCol)).agg(sum(col("__c")).as("__t"))

@@ -296,4 +296,33 @@ class GraphsSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  test("weight guard rejects NON-INTEGRAL weights loudly: 0.7 must not " +
+       "truncate to 0 (the mass-vanish failure) and 1.7 must not " +
+       "silently become 1; integral doubles pass and equal the long run") {
+    // sub-1 fractional: passes a raw-column w <= 0 check but truncates
+    // to 0 — exactly the failure the guard exists to prevent
+    val sub1 = Seq((1L, 2L, 0.7), (2L, 1L, 1.0)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      Graphs.pageRankWeighted(sub1, "src", "dst", "w", iterations = 1)
+        .collect()
+    }
+    // super-1 fractional: would silently truncate 1.7 → 1
+    val frac = Seq((1L, 2L, 1.7), (2L, 1L, 1.0)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      Graphs.hitsWeighted(frac, "src", "dst", "w", rounds = 1).collect()
+    }
+    intercept[Exception] {
+      Graphs.personalizedPageRank(frac, "src", "dst", "w",
+        Seq(Tuple1(1L)).toDF("node"), "node", iterations = 1).collect()
+    }
+    // integral doubles are inside the contract: bit-identical to longs
+    val dbl = Seq((1L, 2L, 2.0), (2L, 1L, 3.0)).toDF("src", "dst", "w")
+    val lng = Seq((1L, 2L, 2L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    val a = Graphs.pageRankWeighted(dbl, "src", "dst", "w", iterations = 2)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toSet
+    val b = Graphs.pageRankWeighted(lng, "src", "dst", "w", iterations = 2)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }

@@ -333,6 +333,32 @@ class ProfilingSpec extends SparkTestBase {
       .head()._2 === 8L)
   }
 
+  test("kendallTau cells-cap guard: a group whose distinct (x, y) cell " +
+       "count exceeds maxCells raises loudly instead of running a " +
+       "rows²-shaped pair join; at-cap groups pass unchanged") {
+    // 6 distinct cells in one group: over a cap of 5, at a cap of 6
+    val wide = (1 to 6).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "x", "y")
+    val e = intercept[Exception] {
+      Profiling.kendallTau(wide, "grp", "x", "y", maxCells = 5).collect()
+    }
+    assert(e.getMessage.contains("kendallTau") ||
+      Option(e.getCause).exists(_.getMessage.contains("kendallTau")))
+    assert(Profiling.kendallTau(wide, "grp", "x", "y", maxCells = 6)
+      .as[(String, Long, Long, Option[Double])].head() ===
+      (("g", 6L, 6L, Some(1.0))))
+    // the guard is per-group: an over-cap group poisons the run even
+    // when other groups are small (loud, never silently partial)
+    val mixed = wide.union(Seq(("h", 1.0, 1L), ("h", 2.0, 2L))
+      .toDF("grp", "x", "y"))
+    intercept[Exception] {
+      Profiling.kendallTau(mixed, "grp", "x", "y", maxCells = 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.kendallTau(wide, "grp", "x", "y", maxCells = 0)
+    }
+  }
+
   test("kAnonymityViolations flags sub-k quasi-identifier groups; " +
       "NULLs group as values") {
     val df = Seq(
