@@ -880,4 +880,80 @@ class StreamOpsSpec extends SparkTestBase {
         ts("2024-01-01 10:02:00"), 2L, 4.0)))
     } finally q.stop()
   }
+
+  test("changepoint monitor closed end-to-end: changepointStream → " +
+       "upsertStream manifest landing → changepointFromHourly replay " +
+       "is bit-identical to batch changepoint over the ADMITTED events " +
+       "across restarts — a late-but-admitted row merges into its hour, " +
+       "a too-late row drops on both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpmon").toString
+    val table = s"$dir/hourly"; val ckpt = s"$dir/ckpt"
+    // one query instance per trigger batch (the upsertStream spec's
+    // restart pattern): the watermark survives via the checkpoint, so
+    // trigger 2's late-row admission decision replays batch semantics
+    def run(): Unit = {
+      val q = StreamOps.upsertStream(
+        StreamOps.changepointStream(in.toDF(),
+          watermarkDelay = "30 minutes"),
+        table, ckpt, keys = Seq("event_type", "bucket_ts"), nBuckets = 8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // trigger 1: a level shift — hours 10 and 11 hold one event each,
+    // hour 12 holds two; watermark after this batch = 12:10 − 30min
+    // = 11:40
+    val t1 = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), "m", 1.0),
+      Ev(2, ts("2024-01-01 11:05:00"), "m", 1.0),
+      Ev(3, ts("2024-01-01 12:05:00"), "m", 1.0),
+      Ev(4, ts("2024-01-01 12:10:00"), "m", 1.0))
+    in.addData(t1)
+    run()
+    // trigger 2: one LATE row inside the watermark (11:50 ≥ 11:40 —
+    // admitted, merges into hour 11), one TOO-LATE row behind it
+    // (10:45 < 11:40 — dropped), one on-time row growing hour 12
+    val lateAdmitted = Ev(5, ts("2024-01-01 11:50:00"), "m", 1.0)
+    val tooLate = Ev(6, ts("2024-01-01 10:45:00"), "m", 1.0)
+    val onTime = Ev(7, ts("2024-01-01 12:20:00"), "m", 1.0)
+    in.addData(Seq(lateAdmitted, tooLate, onTime))
+    run()
+    // the landed hourly table is the upsert-converged count per hour:
+    // the admitted late row LIFTED hour 11 to 2 (update-mode re-emit +
+    // SCD-1 merge), the dropped row left hour 10 at 1
+    val hourly = graft.sources.ManifestTable.read(spark, table)
+    val counts = hourly.select("bucket_ts", "cnt")
+      .as[(Timestamp, Long)].collect().toMap
+    assert(counts === Map(
+      ts("2024-01-01 10:00:00") -> 1L,
+      ts("2024-01-01 11:00:00") -> 2L,
+      ts("2024-01-01 12:00:00") -> 3L))
+    // replay the CUSUM argmax over the landed table; batch twin runs
+    // over exactly the admitted events (everything but the dropped row)
+    val cols = Seq("event_type", "k", "bucket_ts", "n_buckets", "d",
+      "mean_before", "mean_after")
+    val monitor = graft.operators.EventOps.changepointFromHourly(hourly)
+      .select(cols.head, cols.tail: _*)
+      .as[(String, Long, Timestamp, Long, Long, Double, Double)]
+      .collect().toSet
+    val admitted = t1 :+ lateAdmitted :+ onTime
+    val batchCp = graft.operators.EventOps.changepoint(
+        admitted.map(e => (e.event_id, e.ts, e.event_type, e.value))
+          .toDF("event_id", "ts", "event_type", "value"))
+      .select(cols.head, cols.tail: _*)
+      .as[(String, Long, Timestamp, Long, Long, Double, Double)]
+      .collect().toSet
+    assert(monitor === batchCp,
+      s"landed-replay/batch parity: $monitor vs $batchCp")
+    // and including the dropped row on the batch side BREAKS parity —
+    // the admitted-events qualifier is load-bearing, not vacuous
+    val batchAll = graft.operators.EventOps.changepoint(
+        (admitted :+ tooLate).map(e => (e.event_id, e.ts, e.event_type,
+          e.value)).toDF("event_id", "ts", "event_type", "value"))
+      .select(cols.head, cols.tail: _*)
+      .as[(String, Long, Timestamp, Long, Long, Double, Double)]
+      .collect().toSet
+    assert(batchAll !== monitor,
+      "a changepoint over ALL events must differ once a row was dropped")
+  }
 }
