@@ -161,8 +161,17 @@ object PlanDump {
        "The pipeline side is the production semDedup plan unchanged (cell-keyed self-join over the checkpointed assignment); the truth side is the deliberately-quadratic exact pair join on the bounded audit sample; the verdict is two one-row aggregates crossed.",
        SparkEntry.queries("q_semdedup_audit")(spark, d)),
       ("q_unigram_examples — unigram corpus→training-rows seam",
-       "The encode artifact persists once and feeds BOTH the distributed two-level prefix-sum span construction and the final materialize join — token payloads move only in that last regroup; all upstream packing math is ids+offsets.",
+       "The encode artifact checkpoints eagerly once (localCheckpoint, not a columnar cache — the downstream materialize join stays broadcast/AQE-plannable) and feeds BOTH the distributed two-level prefix-sum span construction and the final materialize join — token payloads move only in that last regroup; all upstream packing math is ids+offsets.",
        SparkEntry.queries("q_unigram_examples")(spark, d)),
+      ("q_hits_weighted — weighted hubs & authorities fixed point",
+       "Per round the same two edge-to-score equi-joins as q_hits; the w·score products sum in a DECIMAL(38,0) buffer (the limb fast path does not survive the product — documented tax) behind the loud 2³³-term wrap guard; weights long-validated at the edge scan (positive AND integral); normalization totals broadcast one-row.",
+       SparkEntry.queries("q_hits_weighted")(spark, d)),
+      ("q_unigram_pack — unigram ids packed into budget shards",
+       "The trained tokenizer's id sequences shard-pack via the Knuth-hash greedy pass: one |sources|-broadcast, one source-keyed rank exchange, token-id arrays concatenated only in the final per-shard regroup — the packing math upstream is ids+lengths.",
+       SparkEntry.queries("q_unigram_pack")(spark, d)),
+      ("q_unigram_pack_contiguous — unigram contiguous example spans",
+       "Span construction is the distributed two-level prefix sum over (doc, n_ids) offsets — no whole-corpus serial window; examples are integer index arithmetic (budget 256) and the output is span METADATA only (doc_id, tok_start, tok_len) — token payloads never move.",
+       SparkEntry.queries("q_unigram_pack_contiguous")(spark, d)),
       ("q_kendall — exact Kendall τ-b per group",
        "The corpus collapses once to the (x, y) CELL table (checkpointed — it feeds the marginals AND the pair join); C−D is an equi-join on the group key with the lower-x predicate in-join, quadratic in domain-sized cells, never rows; tie terms ride two marginal aggregates.",
        SparkEntry.queries("q_kendall")(spark, d)))
