@@ -3455,6 +3455,15 @@ object SparkEntry {
           col("g.pass"))
         .orderBy("doc_id")),
 
+    // ---- E4 Gopher repetition signals (the other half of the quality
+    // rule): top-bigram char share + duplicated-trigram char mass +
+    // duplicated-line share, all exact integer masses over len(text)
+    // with one rounded close — the template-flood cut ----
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(t(s, d, "documents"),
+          topN = 2, dupN = 3)
+        .orderBy("doc_id")),
+
     // per-source top-30% quality cut; id tie-break makes the kept set
     // deterministic
     "q_quality_prune" -> ((s, d) =>
@@ -3610,6 +3619,17 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice")
         .orderBy("o_orderpriority")
     }),
+
+    // ---- E20 exact ROC AUC per priority (the Mann–Whitney identity
+    // U/(n⁺·n⁻) riding the same exact u2): does price "score" rank
+    // even-key orders above odd-key ones? ≈0.5 by construction — the
+    // null-model calibration point a filter model must beat ----
+    "q_auc" -> ((s, d) =>
+      operators.Profiling.auc(
+          t(s, d, "orders").withColumn("is_even",
+            col("o_orderkey") % 2 === 0),
+          "o_orderpriority", "o_totalprice", "is_even")
+        .orderBy("o_orderpriority")),
 
     // ---- E20 exact weighted percentiles: the quantity-weighted price
     // quartiles per return flag — "the price of the median unit", not
@@ -7993,6 +8013,61 @@ object SparkEntry {
         |        THEN numerals / n_chars ELSE 1.0 END) < 0.2) AS pass
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Gopher repetition replay: n-grams via 1-based inclusive list
+    // slices (range is end-exclusive, so range(1, nw - n + 2) emits
+    // exactly the nw-n+1 gram starts and [] below n words, matching
+    // the engine's guarded sequence); top gram = (count desc, length
+    // desc) row_number 1 = the engine's max(struct(c, l)); masses sum
+    // plain (BIGINT c*l stays tiny) and close with the same
+    // least(mass/cb, 1.0) rounded 9
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS cb,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    string_split(text, ' ') AS ws, text
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, CAST(nw AS INT)),
+        |      i -> array_to_string(ws[i : i + 1], ' '))) AS g
+        |  FROM w),
+        |g3 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, CAST(nw - 1 AS INT)),
+        |      i -> array_to_string(ws[i : i + 2], ' '))) AS g
+        |  FROM w),
+        |c2 AS (SELECT doc_id, COUNT(*) AS c, length(g) AS l
+        |       FROM g2 GROUP BY doc_id, g),
+        |c3 AS (SELECT doc_id, COUNT(*) AS c, length(g) AS l
+        |       FROM g3 GROUP BY doc_id, g),
+        |top AS (
+        |  SELECT doc_id, c * l AS mass FROM (
+        |    SELECT doc_id, c, l, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY c DESC, l DESC) AS rn
+        |    FROM c2) WHERE rn = 1),
+        |dup AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c * l END) AS mass
+        |        FROM c3 GROUP BY doc_id),
+        |ln AS (
+        |  SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c * l END) AS mass
+        |  FROM (SELECT doc_id, COUNT(*) AS c, length(lx) AS l
+        |        FROM (SELECT doc_id,
+        |                unnest(string_split(text, chr(10))) AS lx
+        |              FROM w)
+        |        GROUP BY doc_id, lx)
+        |  GROUP BY doc_id)
+        |SELECT w.doc_id, nw AS n_words,
+        |  CASE WHEN cb > 0 THEN round(least(
+        |    CAST(COALESCE(top.mass, 0) AS DOUBLE) / CAST(cb AS DOUBLE),
+        |    1.0), 9) ELSE 0.0 END AS top_ngram_chars_frac,
+        |  CASE WHEN cb > 0 THEN round(least(
+        |    CAST(COALESCE(dup.mass, 0) AS DOUBLE) / CAST(cb AS DOUBLE),
+        |    1.0), 9) ELSE 0.0 END AS dup_ngram_chars_frac,
+        |  CASE WHEN cb > 0 THEN round(least(
+        |    CAST(COALESCE(ln.mass, 0) AS DOUBLE) / CAST(cb AS DOUBLE),
+        |    1.0), 9) ELSE 0.0 END AS dup_line_chars_frac
+        |FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+        |LEFT JOIN dup ON w.doc_id = dup.doc_id
+        |LEFT JOIN ln ON w.doc_id = ln.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
     "q_quality_prune" ->
       """WITH q AS (
         |  SELECT doc_id, source,
@@ -8313,6 +8388,32 @@ object SparkEntry {
         |      / CAST(CAST(SUM(ca) AS HUGEINT) * SUM(cb) AS DOUBLE)
         |      - 1.0, 9)
         |  ELSE NULL END AS rank_biserial
+        |FROM w GROUP BY g ORDER BY g""".stripMargin,
+
+    // the Mann–Whitney identity with negatives as side a / positives
+    // as side b: AUC = u2 / (2·n_neg·n_pos), same exact HUGEINT u2
+    "q_auc" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS sa,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS sb
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |pv AS (SELECT g, v, SUM(sa) AS ca, SUM(sb) AS cb
+        |       FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, ca, cb,
+        |        COALESCE(SUM(cb) OVER (PARTITION BY g ORDER BY v
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |          AS cumbp
+        |      FROM pv)
+        |SELECT g AS o_orderpriority,
+        |  CAST(SUM(ca) AS BIGINT) AS n_neg,
+        |  CAST(SUM(cb) AS BIGINT) AS n_pos,
+        |  CASE WHEN SUM(ca) > 0 AND SUM(cb) > 0 THEN
+        |    round(CAST(SUM(2 * CAST(ca AS HUGEINT) * cumbp
+        |             + CAST(ca AS HUGEINT) * cb) AS DOUBLE)
+        |      / CAST(2 * CAST(SUM(ca) AS HUGEINT) * SUM(cb) AS DOUBLE),
+        |      9)
+        |  ELSE NULL END AS auc
         |FROM w GROUP BY g ORDER BY g""".stripMargin,
 
     // integer-cent ECDF replay: |cum_a·n_b − cum_b·n_a|·gap summed in

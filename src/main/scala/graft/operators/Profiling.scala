@@ -476,6 +476,33 @@ object Profiling {
           .otherwise(lit(null).cast("double")).as("rank_biserial"))
   }
 
+  /** Exact ROC AUC of a score against a boolean label, per group — THE
+    * evaluation number for a corpus-filter model ([[calibration]] says
+    * whether to trust the score's magnitude, [[thresholdForPrecision]]
+    * where to cut it; this says whether it ranks at all): AUC =
+    * P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), which is exactly the
+    * Mann–Whitney identity U/(n₊·n₋) — so it RIDES [[mannWhitney]]'s
+    * exact integer u2 = 2U verbatim (negatives as side a, positives as
+    * side b; same collapsed-value plan, same loud BIGINT guard, no new
+    * machinery) and closes with the one 9-dec-rounded IEEE division
+    * u2/(2·n₋·n₊) of exact integers. NULL labels drop; NULL scores
+    * follow [[mannWhitney]] (dropped). One-sided groups (no positives
+    * or no negatives) read NULL — an AUC with an empty class has no
+    * verdict. Output: (groupCol, n_neg, n_pos, auc). */
+  def auc(df: DataFrame, groupCol: String, scoreCol: String,
+          labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lbl = col(labelCol).cast("boolean")
+    mannWhitney(df.filter(!lbl), df.filter(lbl), groupCol, scoreCol)
+      .select(col(groupCol),
+        col("n_a").as("n_neg"), col("n_b").as("n_pos"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("u2").cast("double") /
+            (lit(2L).cast(dec) * col("n_a") * col("n_b")).cast("double"),
+            9))
+          .otherwise(lit(null).cast("double")).as("auc"))
+  }
+
   /** Exact per-group Spearman rank correlation — the robust
     * monotonic-association screen beside the Pearson family
     * ([[covarianceExact]], [[graft.operators.EventOps.autocorrelation]]):

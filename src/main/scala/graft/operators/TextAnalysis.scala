@@ -452,4 +452,90 @@ object TextAnalysis {
         round(col("n_long_tokens").cast("double") * 100.0 /
           col("n_tokens"), 9).as("long_pct"))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 — the
+    * second half of the quality rule [[gopherStats]] covers): per
+    * document, what share of its characters sits in repeated content.
+    * Three fractions, each an exact integer char mass over
+    * `length(text)`, one 9-dec-rounded IEEE division at the close:
+    *
+    *   - `top_ngram_chars_frac`: mass of the most frequent word
+    *     `topN`-gram = cnt·chars(g) for the (highest-count, then
+    *     longest) gram — deterministic argmax, no hash, no RNG;
+    *   - `dup_ngram_chars_frac`: Σ cnt·chars(g) over `dupN`-grams seen
+    *     ≥ 2×, capped at 1.0 — the OVERLAPPING-mass formulation
+    *     (duplicated grams sharing characters double-count; the cap
+    *     absorbs it), stated here because Gopher's non-overlapping
+    *     character cover is not expressible as one aggregate — this is
+    *     the deterministic re-expression both engines replay exactly;
+    *   - `dup_line_chars_frac`: Σ cnt·length over '\n'-lines seen ≥ 2×.
+    *
+    * Words are the house `split(text, " ")` (empties kept — the
+    * [[graft.operators.Ngrams.vocabulary]] convention), an n-gram is
+    * `concat_ws(" ", slice(words, i, n))` so chars(g) counts its n−1
+    * separators; a doc with fewer than n words has no n-grams and
+    * reads 0.0. Template-flood docs read near 1.0; organic text sits
+    * low — the standard LLM-curation cut is dup_ngram ≳ 0.15-ish at
+    * n = 5…10 (the caller's threshold, not baked in).
+    *
+    * Plan shape at 100 TB: gram construction is scan-side HOF
+    * projection (one codegen span, no explode of doc payloads beyond
+    * the gram strings); counting is ONE map-side-combinable
+    * (doc, gram) aggregate + ONE doc-keyed aggregate per signal — all
+    * exchanges linear in token count, no windows, no driver state. */
+  def repetitionStats(df: DataFrame, topN: Int = 2, dupN: Int = 5,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(dupN >= 1, s"dupN must be >= 1, got $dupN")
+    def gramCounts(n: Int): DataFrame = {
+      val words = split(col(textCol), " ")
+      // sequence(1, 0) would generate DESCENDING [1, 0] — guard the
+      // fewer-than-n-words case to an empty gram array explicitly
+      val grams = when(size(words) >= n,
+          transform(sequence(lit(1), size(words) - (n - 1)),
+            i => concat_ws(" ", slice(words, i, lit(n)))))
+        .otherwise(array())
+      df.select(col(idCol).as("__id"), explode(grams).as("__g"))
+        .groupBy(col("__id"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+        .select(col("__id"), col("__c"),
+          length(col("__g")).cast("long").as("__l"))
+    }
+    val top = gramCounts(topN)
+      .groupBy(col("__id"))
+      .agg(max(struct(col("__c"), col("__l"))).as("__m"))
+      .select(col("__id"),
+        (col("__m.__c") * col("__m.__l")).as("__top_mass"))
+    val dup = gramCounts(dupN)
+      .groupBy(col("__id"))
+      .agg(coalesce(sum(when(col("__c") >= 2, col("__c") * col("__l"))),
+        lit(0L)).as("__dup_mass"))
+    val lines = df
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("__ln"))
+      .groupBy(col("__id"), col("__ln"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(coalesce(sum(when(col("__c") >= 2,
+          col("__c") * length(col("__ln")).cast("long"))),
+        lit(0L)).as("__line_mass"))
+    def frac(mass: Column): Column =
+      when(col("__cb") > 0, round(least(
+          mass.cast("double") / col("__cb").cast("double"), lit(1.0)), 9))
+        .otherwise(lit(0.0))
+    df.select(col(idCol).as("__id"),
+        size(split(col(textCol), " ")).cast("long").as("n_words"),
+        length(col(textCol)).cast("long").as("__cb"))
+      .join(top, Seq("__id"), "left")
+      .join(dup, Seq("__id"), "left")
+      .join(lines, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_words"),
+        frac(coalesce(col("__top_mass"), lit(0L)))
+          .as("top_ngram_chars_frac"),
+        frac(coalesce(col("__dup_mass"), lit(0L)))
+          .as("dup_ngram_chars_frac"),
+        frac(coalesce(col("__line_mass"), lit(0L)))
+          .as("dup_line_chars_frac"))
+  }
 }

@@ -359,6 +359,37 @@ class ProfilingSpec extends SparkTestBase {
     }
   }
 
+  test("auc: perfect separation reads 1.0, inverted 0.0, all-tied 0.5 " +
+       "(the Mann-Whitney tie-half), hand-computed mid-case; one-sided " +
+       "groups read NULL") {
+    val df = Seq(
+      // p: positives strictly above negatives → 1.0
+      ("p", 1.0, false), ("p", 2.0, false), ("p", 3.0, true), ("p", 4.0, true),
+      // i: inverted → 0.0
+      ("i", 9.0, false), ("i", 1.0, true),
+      // t: every score tied → U = n·m/2 → 0.5
+      ("t", 5.0, true), ("t", 5.0, false), ("t", 5.0, true),
+      // m: neg {1, 3}, pos {2, 4}: pairs (1<2),(1<4),(3<4) → U=3 of 4 → 0.75
+      ("m", 1.0, false), ("m", 3.0, false), ("m", 2.0, true), ("m", 4.0, true),
+      // o: one-sided (positives only) → NULL
+      ("o", 1.0, true), ("o", 2.0, true))
+      .toDF("grp", "score", "label")
+    val out = Profiling.auc(df, "grp", "score", "label")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("p") === (("p", 2L, 2L, Some(1.0))))
+    assert(out("i") === (("i", 1L, 1L, Some(0.0))))
+    assert(out("t") === (("t", 1L, 2L, Some(0.5))))
+    assert(out("m") === (("m", 2L, 2L, Some(0.75))))
+    assert(out("o") === (("o", 0L, 2L, None)))
+    // NULL labels drop entirely (neither side)
+    val nullRow = Seq(("m", 100.0, Option.empty[Boolean]))
+      .toDF("grp", "score", "label")
+    assert(Profiling.auc(df.union(nullRow), "grp", "score", "label")
+      .filter($"grp" === "m").as[(String, Long, Long, Option[Double])]
+      .head() === (("m", 2L, 2L, Some(0.75))))
+  }
+
   test("kAnonymityViolations flags sub-k quasi-identifier groups; " +
       "NULLs group as values") {
     val df = Seq(

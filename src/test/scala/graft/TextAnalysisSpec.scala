@@ -240,4 +240,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out("b") === (("b", 1L, 2L, 0L, 1.0, 0.0)),
       "NULL text drops before the group count")
   }
+
+  test("repetitionStats: hand-computed bigram/trigram masses, the " +
+       "1.0 cap, duplicated lines, and the fewer-than-n-words zero") {
+    val df = Seq(
+      // "a b a b a b": cb=11, bigrams = [a b, b a, a b, b a, a b] →
+      // top (c=3, l=3) mass 9 → 9/11; trigrams = "a b a"×2 + "b a b"×2
+      // (l=5 each) → dup mass 20 > cb → capped 1.0; one line, no dup
+      (1L, "a b a b a b"),
+      // "x x x x": cb=7, top bigram "x x" c=3 l=3 mass 9 → capped 1.0;
+      // trigram "x x x" c=2 l=5 mass 10 → capped 1.0
+      (2L, "x x x x"),
+      // two words: no trigrams → dup 0.0; top bigram c=1 → 3/3? cb=3,
+      // top mass = 1·3 = 3 → 1.0 (a doc that IS one bigram)
+      (3L, "p q"),
+      // duplicated lines: "ab\ncd\nab" cb=8, lines ab×2 (l=2 each) →
+      // mass 4 → 0.5; bigrams within... words: ["ab\ncd\nab"] single
+      // word → no bigrams → top 0.0
+      (4L, "ab\ncd\nab"),
+      // single word, no repetition anywhere
+      (5L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, topN = 2, dupN = 3)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 6L, 0.818181818, 1.0, 0.0)))
+    assert(out(2L) === ((2L, 4L, 1.0, 1.0, 0.0)))
+    assert(out(3L) === ((3L, 2L, 1.0, 0.0, 0.0)))
+    assert(out(4L) === ((4L, 1L, 0.0, 0.0, 0.5)))
+    assert(out(5L) === ((5L, 1L, 0.0, 0.0, 0.0)))
+  }
 }
