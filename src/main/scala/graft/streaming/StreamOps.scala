@@ -287,6 +287,90 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming incremental near-dup ingest — the PRODUCTION shape of a
+    * continuously-growing corpus, composing the stored-artifact batch
+    * pieces verbatim so stream and batch semantics cannot drift: per
+    * micro-batch, (1) probe the batch against the standing
+    * [[graft.operators.Dedup.signatureIndex]] ManifestTable
+    * ([[graft.operators.Dedup.dedupAgainstIndex]] — banded candidates,
+    * ids-only shuffles, bucketCap against template mega-buckets),
+    * (2) keep-first WITHIN the batch (drop any doc with a smaller-id
+    * near-dup in the same micro-batch — the
+    * [[graft.operators.Dedup.dedupKeepFirst]] tie rule, via the
+    * banded pair join), (3) land the survivors as one parquet
+    * directory per ingest batch, and (4) extend the index by
+    * upserting the survivors' OWN signatures keyed (doc, band) — the
+    * corpus text is never re-read, the classic amortized-index shape
+    * priced by `q_ann_ivf_append`/`q_refresh_probe`'s build/probe
+    * convention.
+    *
+    * Exactly-once across restarts, and the ORDER of the two writes is
+    * load-bearing: survivors land BEFORE the index commit records the
+    * batch id, and a replayed batch id (manifest `batchId` ≥ current)
+    * skips the whole body — otherwise a replay after the index commit
+    * would re-probe the batch against an index already CONTAINING its
+    * own signatures, drop every doc as a self-duplicate, and overwrite
+    * the survivors directory empty (spec-pinned). The survivors write
+    * itself is a per-batch-directory overwrite, idempotent under
+    * replays before the commit. The index table is owned by this
+    * stream — external commits to it break the replay bookkeeping.
+    *
+    * State: NONE in the streaming engine (every probe reads the
+    * manifest snapshot; dedup state lives in the table, where a batch
+    * restart can see it) — the stream stays a stateless foreachBatch,
+    * so watermarks/late-data semantics don't apply: every arriving doc
+    * is checked against everything committed before it, arrival order
+    * IS precedence, the honest contract for ingest dedup. */
+  def nearDupIngestStream(docs: DataFrame, survivorsPath: String,
+                  indexTable: String, checkpoint: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                  threshold: Double = 0.8, bucketCap: Int = 500,
+                  nBuckets: Int = 64,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          import graft.operators.Dedup
+          import graft.sources.ManifestTable
+          val spark = batch.sparkSession
+          val replayed = ManifestTable
+            .currentVersionAndBatch(spark, indexTable)
+            .exists(_._2 >= batchId)
+          if (!replayed) {
+            val vsIndex =
+              try Dedup.dedupAgainstIndex(batch.toDF(),
+                ManifestTable.read(spark, indexTable), idCol, textCol,
+                shingleN, numHashes, bands, threshold, bucketCap)
+              catch { case _: java.io.FileNotFoundException =>
+                batch.toDF() } // first batch: no index yet
+            val laterDup = Dedup.minhashNearDups(vsIndex, idCol, textCol,
+                shingleN, numHashes, bands, threshold, bucketCap)
+              .select(col("doc_b").as(idCol)).distinct()
+            // eager localCheckpoint: survivors feed BOTH writes below,
+            // and the signature upsert joins against manifest buckets
+            val survivors = vsIndex.join(laterDup, Seq(idCol), "left_anti")
+              .localCheckpoint(eager = true)
+            survivors.write.mode("overwrite")
+              .parquet(s"$survivorsPath/ingest_batch=$batchId")
+            ManifestTable.upsertBatch(
+              Dedup.signatureIndex(survivors, idCol, textCol,
+                shingleN, numHashes, bands),
+              indexTable, Seq(idCol, "band_id"), None, nBuckets, batchId)
+            // the pair join registered its per-batch signature cache;
+            // foreachBatch bodies run serially, so releasing here frees
+            // it before the next micro-batch stacks another
+            graft.operators.OpCaches.release(blocking = true)
+          }
+          ()
+      }
+      .start()
+
   /** Streaming traffic-mix drift monitor: per event-time window and
     * key, the log-ratio of the observed count against a static
     * baseline expectation (events-per-window from a reference period)

@@ -956,4 +956,51 @@ class StreamOpsSpec extends SparkTestBase {
     assert(batchAll !== monitor,
       "a changepoint over ALL events must differ once a row was dropped")
   }
+
+  test("nearDupIngestStream: incremental near-dup ingest — within-batch " +
+       "keep-first, probe against the growing signature index, " +
+       "survivors land per batch, and a replayed batch id skips the " +
+       "body instead of self-deduping the corpus empty") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupstr").toString
+    val surv = s"$dir/survivors"; val idx = s"$dir/index"
+    def run(ckpt: String): Unit = {
+      val q = StreamOps.nearDupIngestStream(in.toDF().toDF("doc_id", "text"),
+        surv, idx, ckpt, nBuckets = 8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six seven"
+    val tC = "red green blue cyan magenta yellow"
+    // batch 0: doc 2 duplicates doc 1 within the batch → keep-first
+    in.addData((1L, tA), (2L, tA), (3L, tB))
+    run(s"$dir/ckpt")
+    def survivorsOf(b: Long): Set[Long] =
+      spark.read.parquet(s"$surv/ingest_batch=$b")
+        .select("doc_id").as[Long].collect().toSet
+    assert(survivorsOf(0L) === Set(1L, 3L))
+    // batch 1: doc 4 duplicates the STANDING corpus (doc 1), doc 5 novel
+    in.addData((4L, tA), (5L, tC))
+    run(s"$dir/ckpt")
+    assert(survivorsOf(1L) === Set(5L))
+    // the index holds exactly the survivors' signatures
+    assert(graft.sources.ManifestTable.read(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().toSet ===
+      Set(1L, 3L, 5L))
+    // replay pin: a FRESH checkpoint restarts batch ids at 0 — the
+    // manifest already records batch 1, so the guarded body must skip
+    // (an unguarded replay would probe batch-0 docs against an index
+    // CONTAINING their own signatures and overwrite survivors empty)
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((1L, tA), (2L, tA), (3L, tB))
+    val q2 = StreamOps.nearDupIngestStream(in2.toDF().toDF("doc_id", "text"),
+      surv, idx, s"$dir/ckpt_replay", nBuckets = 8)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(survivorsOf(0L) === Set(1L, 3L),
+      "replayed batch id must not rewrite the landed survivors")
+    val Some((_, lastBatch)) =
+      graft.sources.ManifestTable.currentVersionAndBatch(spark, idx)
+    assert(lastBatch === 1L, "replay must not advance the index")
+  }
 }
