@@ -3631,6 +3631,18 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", "is_even")
         .orderBy("o_orderpriority")),
 
+    // ---- E20 full precision–recall operating curve per priority over
+    // 10k-price-band thresholds (the quantize-first curve-length
+    // contract): the whole curve q_auc/q_threshold project from ----
+    "q_pr_curve" -> ((s, d) =>
+      operators.Profiling.prCurve(
+          t(s, d, "orders")
+            .withColumn("band",
+              floor(col("o_totalprice") / 10000).cast("long"))
+            .withColumn("is_even", col("o_orderkey") % 2 === 0),
+          "o_orderpriority", "band", "is_even")
+        .orderBy(col("o_orderpriority"), col("threshold").desc)),
+
     // ---- E20 exact weighted percentiles: the quantity-weighted price
     // quartiles per return flag — "the price of the median unit", not
     // the median row; all-integer threshold arithmetic ----
@@ -8415,6 +8427,31 @@ object SparkEntry {
         |      9)
         |  ELSE NULL END AS auc
         |FROM w GROUP BY g ORDER BY g""".stripMargin,
+
+    // cumulative curve replay: per-band collapse, one descending
+    // group window (RANGE default == ROWS here: thresholds are
+    // distinct per group), two rounded closes
+    "q_pr_curve" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS g,
+        |    round(CAST(floor(o_totalprice / 10000) AS DOUBLE), 9) AS t,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS p
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT g, t, COUNT(*) AS n, SUM(p) AS pos
+        |      FROM s GROUP BY 1, 2),
+        |c AS (SELECT g, t,
+        |        SUM(n) OVER (PARTITION BY g ORDER BY t DESC) AS n_kept,
+        |        SUM(pos) OVER (PARTITION BY g ORDER BY t DESC) AS pos_kept,
+        |        SUM(pos) OVER (PARTITION BY g) AS tp
+        |      FROM b)
+        |SELECT g AS o_orderpriority, t AS threshold,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(pos_kept AS BIGINT) AS n_pos_kept,
+        |  round(CAST(pos_kept AS DOUBLE) / n_kept, 9) AS "precision",
+        |  CASE WHEN tp > 0
+        |    THEN round(CAST(pos_kept AS DOUBLE) / tp, 9)
+        |  END AS recall
+        |FROM c ORDER BY 1, 2 DESC""".stripMargin,
 
     // integer-cent ECDF replay: |cum_a·n_b − cum_b·n_a|·gap summed in
     // HUGEINT, one closing division

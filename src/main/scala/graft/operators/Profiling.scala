@@ -1200,6 +1200,51 @@ object Profiling {
           .as("kept_precision"))
   }
 
+  /** Full precision–recall operating curve of a score against a boolean
+    * label, PER GROUP — the artifact the point tools project from:
+    * [[auc]] says whether the score ranks at all,
+    * [[thresholdForPrecision]] picks ONE deployable cut,
+    * [[calibration]] says whether to trust the magnitude; this is the
+    * whole curve those are views of, one row per distinct (group,
+    * rounded score): keeping everything scored ≥ that threshold,
+    * (n_kept, n_pos_kept, precision, recall). Rows collapse per
+    * distinct 9-dec-rounded score first (the
+    * [[thresholdForPrecision]] bounded-state contract — curve length
+    * is score-DOMAIN-sized, quantize a raw continuous score before
+    * calling), ONE descending group-partitioned window walks the
+    * cumulative counts, and the two fractions are 9-dec-rounded IEEE
+    * divisions of exact integers. Groups with zero positives read
+    * NULL recall (no denominator), precision still defined. NULL
+    * scores/labels drop. Output: (groupCol, threshold, n_kept,
+    * n_pos_kept, precision, recall), descending thresholds. */
+  def prCurve(df: DataFrame, groupCol: String, scoreCol: String,
+              labelCol: String): DataFrame = {
+    val byScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        round(col(scoreCol).cast("double"), 9).as("threshold"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__p"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byScore
+      .select(col("__g").as(groupCol), col("threshold"),
+        sum(col("__n")).over(w).as("n_kept"),
+        sum(col("__p")).over(w).as("n_pos_kept"),
+        sum(col("__p")).over(tot).as("__tp"))
+      .select(col(groupCol), col("threshold"), col("n_kept"),
+        col("n_pos_kept"),
+        round(col("n_pos_kept").cast("double") / col("n_kept"), 9)
+          .as("precision"),
+        when(col("__tp") > 0,
+          round(col("n_pos_kept").cast("double") / col("__tp"), 9))
+          .otherwise(lit(null).cast("double")).as("recall"))
+  }
+
   /** Reliability / calibration table for a [0, 1] score against a
     * boolean outcome — the table behind a reliability diagram and ECE:
     * rows bucket by ⌊score·bins⌋ (top-clamped), each bucket reports n,

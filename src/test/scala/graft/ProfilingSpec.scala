@@ -390,6 +390,28 @@ class ProfilingSpec extends SparkTestBase {
       .head() === (("m", 2L, 2L, Some(0.75))))
   }
 
+  test("prCurve: hand-computed cumulative curve — distinct scores " +
+       "collapse, precision and recall walk the descending thresholds, " +
+       "zero-positive groups read NULL recall") {
+    val df = Seq(
+      // g: scores 3 (pos), 2 (pos + neg), 1 (neg): curve at t=3 →
+      // (1, 1, 1.0, 0.5); t=2 → (3, 2, 2/3, 1.0); t=1 → (4, 2, .5, 1.0)
+      ("g", 3.0, true), ("g", 2.0, true), ("g", 2.0, false),
+      ("g", 1.0, false),
+      // z: no positives → recall NULL at every threshold
+      ("z", 5.0, false), ("z", 4.0, false))
+      .toDF("grp", "score", "label")
+    val out = Profiling.prCurve(df, "grp", "score", "label")
+      .as[(String, Double, Long, Long, Double, Option[Double])]
+      .collect().toSet
+    assert(out === Set(
+      ("g", 3.0, 1L, 1L, 1.0, Some(0.5)),
+      ("g", 2.0, 3L, 2L, 0.666666667, Some(1.0)),
+      ("g", 1.0, 4L, 2L, 0.5, Some(1.0)),
+      ("z", 5.0, 1L, 0L, 0.0, None),
+      ("z", 4.0, 2L, 0L, 0.0, None)))
+  }
+
   test("kAnonymityViolations flags sub-k quasi-identifier groups; " +
       "NULLs group as values") {
     val df = Seq(
