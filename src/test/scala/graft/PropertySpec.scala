@@ -537,4 +537,87 @@ class PropertySpec extends SparkTestBase {
       }
     }, samples = 12)
   }
+
+  test("property: repetitionStats fractions are bounded, word counts " +
+       "exact, and the result is layout-independent") {
+    val docGen = Gen.listOfN(8, for {
+      id <- Gen.choose(1L, 1000L)
+      words <- Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "d"))
+    } yield (id, words.mkString(" ")))
+    check(Prop.forAll(docGen, Gen.choose(1, 5)) { (docs0, parts) =>
+      val docs = docs0.distinctBy(_._1)
+      docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        val out = operators.TextAnalysis.repetitionStats(df, 2, 3)
+          .as[(Long, Long, Double, Double, Double)].collect()
+        val byId = docs.toMap
+        out.forall { case (id, nw, top, dup, ln) =>
+          nw == byId(id).split(" ", -1).length &&
+          top >= 0.0 && top <= 1.0 && dup >= 0.0 && dup <= 1.0 &&
+          ln >= 0.0 && ln <= 1.0
+        } && {
+          val again = operators.TextAnalysis
+            .repetitionStats(df.repartition(parts), 2, 3)
+            .as[(Long, Long, Double, Double, Double)].collect()
+          out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq
+        }
+      }
+    }, samples = 8)
+  }
+
+  test("property: auc is bounded in [0, 1] and negating the score " +
+       "reflects it exactly (the tie-half keeps 1 - auc exact)") {
+    val gen = Gen.listOfN(30, for {
+      g <- Gen.oneOf("a", "b"); s <- Gen.choose(0, 6)
+      l <- Gen.oneOf(true, false)
+    } yield (g, s.toDouble, l))
+    check(Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("grp", "score", "label")
+        val fwd = operators.Profiling.auc(df, "grp", "score", "label")
+          .as[(String, Long, Long, Option[Double])].collect()
+          .map(r => r._1 -> r._4).toMap
+        val rev = operators.Profiling.auc(
+            df.withColumn("score", -col("score")), "grp", "score", "label")
+          .as[(String, Long, Long, Option[Double])].collect()
+          .map(r => r._1 -> r._4).toMap
+        fwd.forall { case (g, a) => (a, rev(g)) match {
+          case (Some(x), Some(y)) =>
+            x >= 0.0 && x <= 1.0 &&
+            math.abs((1.0 - x) - y) < 1e-9
+          case (None, None) => true // one-sided both ways
+          case _ => false
+        }}
+      }
+    }, samples = 10)
+  }
+
+  test("property: prCurve is internally consistent — kept counts walk " +
+       "monotonically as thresholds descend, pos_kept <= n_kept, the " +
+       "lowest threshold keeps everything, recall ends at 1.0 when " +
+       "positives exist") {
+    val gen = Gen.listOfN(25, for {
+      g <- Gen.oneOf("a", "b"); s <- Gen.choose(0, 5)
+      l <- Gen.oneOf(true, false)
+    } yield (g, s.toDouble, l))
+    check(Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("grp", "score", "label")
+        val curve = operators.Profiling.prCurve(df, "grp", "score", "label")
+          .as[(String, Double, Long, Long, Double, Option[Double])]
+          .collect().groupBy(_._1)
+        curve.forall { case (g, pts0) =>
+          val pts = pts0.sortBy(-_._2) // descending thresholds
+          val grp = rows.filter(_._1 == g)
+          val nPos = grp.count(_._3)
+          pts.forall(p => p._4 <= p._3 && p._5 >= 0.0 && p._5 <= 1.0) &&
+          pts.zip(pts.tail).forall { case (hi, lo) =>
+            hi._3 <= lo._3 && hi._4 <= lo._4 } &&
+          pts.last._3 == grp.size &&
+          (if (nPos > 0) pts.last._6.contains(1.0) && pts.last._4 == nPos
+           else pts.forall(_._6.isEmpty))
+        }
+      }
+    }, samples = 10)
+  }
 }
