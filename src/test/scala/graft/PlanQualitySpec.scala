@@ -595,6 +595,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan("q_pagerank_weighted").contains("CartesianProduct"))
   }
 
+  test("r16 evaluation/repetition queries keep their scale shapes") {
+    // repetition: gram counting is aggregate-shaped (no window over
+    // corpus rows, no cartesian), scans pruned to id+text
+    val rep = plan("q_repetition")
+    assert(!rep.contains("CartesianProduct") &&
+      !rep.contains("BroadcastNestedLoopJoin"),
+      s"repetition must stay aggregate/equi shaped:\n$rep")
+    assert(rep.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"repetition scans must prune to (doc_id, text):\n$rep")
+    assert(!rep.contains("Window"),
+      s"repetition has no window — signals close in aggregates:\n$rep")
+    // auc rides the collapsed-value plan: the only window partitions by
+    // group, and the raw corpus never sorts per row
+    val a = plan("q_auc")
+    assert(!a.contains("CartesianProduct") && !a.contains("NestedLoop"),
+      s"auc must stay collapsed-value shaped:\n$a")
+    // pr curve: group-partitioned cumulative windows over the
+    // band-collapsed table only
+    val pr = plan("q_pr_curve")
+    assert(!pr.contains("CartesianProduct") && !pr.contains("Join"),
+      s"prCurve is join-free:\n$pr")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
