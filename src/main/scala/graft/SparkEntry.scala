@@ -3631,6 +3631,21 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", "is_even")
         .orderBy("o_orderpriority")),
 
+    // ---- E20 doc-level snapshot diff (the crawl-regression audit):
+    // after = documents minus every 7th id (removed), every 5th
+    // surviving text appended-to (changed), ids < 40 re-keyed +1M
+    // (added) — fingerprint compare, ids+longs on the only exchange ----
+    "q_snapshot_diff" -> ((s, d) => {
+      val before = t(s, d, "documents").select("doc_id", "text")
+      val after = before.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" x")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(before.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      operators.Profiling.snapshotDiff(before, after).orderBy("doc_id")
+    }),
+
     // ---- E20 full precision–recall operating curve per priority over
     // 10k-price-band thresholds (the quantize-first curve-length
     // contract): the whole curve q_auc/q_threshold project from ----
@@ -8427,6 +8442,39 @@ object SparkEntry {
         |      9)
         |  ELSE NULL END AS auc
         |FROM w GROUP BY g ORDER BY g""".stripMargin,
+
+    // snapshot-diff replay: the same polynomial fingerprint (q_fingerprint's
+    // list_reduce recurrence) computed once over the tagged union of both
+    // sides, then the full-outer verdict — a hash collision reads
+    // 'unchanged' on both engines by construction
+    "q_snapshot_diff" ->
+      """WITH af AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' x' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 40),
+        |sides AS (
+        |  SELECT 0 AS side, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 1 AS side, doc_id, text FROM af),
+        |fp AS (
+        |  SELECT side, doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |  FROM sides),
+        |b AS (SELECT doc_id, f FROM fp WHERE side = 0),
+        |a AS (SELECT doc_id, f FROM fp WHERE side = 1)
+        |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN a.f IS DISTINCT FROM b.f THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // cumulative curve replay: per-band collapse, one descending
     // group window (RANGE default == ROWS here: thresholds are

@@ -1245,6 +1245,36 @@ object Profiling {
           .otherwise(lit(null).cast("double")).as("recall"))
   }
 
+  /** Doc-level diff between two corpus SNAPSHOTS — the crawl-regression
+    * audit ([[graft.sources.ManifestTable.diff]] answers "which FILES
+    * changed between versions"; this answers "which DOCUMENTS", for any
+    * two corpora regardless of storage): per id, `added` (after only),
+    * `removed` (before only), `changed` (both, content fingerprint
+    * differs), `unchanged`. Content compares by the engine-portable
+    * [[graft.operators.TextAnalysis.fingerprint]] polynomial hash, so
+    * (a) the full-outer join shuffles (id, one long) — text never
+    * rides the exchange, the 100 TB shape — and (b) a DuckDB oracle
+    * replays the verdict bit-for-bit (a hash collision reads
+    * `unchanged` on BOTH engines; at mod 1e9+7 that risk is the
+    * documented price of the narrow shuffle). NULL texts fingerprint
+    * NULL and compare via null-safe equality, so two NULL-text
+    * snapshots of a doc read `unchanged`. Output: (idCol, status). */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    def side(df: DataFrame, id: String, fp: String) =
+      df.select(col(idCol).as(id),
+        TextAnalysis.fingerprint(col(textCol)).as(fp))
+    side(before, "__ib", "__fb")
+      .join(side(after, "__ia", "__fa"),
+        col("__ib") === col("__ia"), "full_outer")
+      .select(coalesce(col("__ib"), col("__ia")).as(idCol),
+        when(col("__ib").isNull, lit("added"))
+          .when(col("__ia").isNull, lit("removed"))
+          .when(!(col("__fa") <=> col("__fb")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Reliability / calibration table for a [0, 1] score against a
     * boolean outcome — the table behind a reliability diagram and ECE:
     * rows bucket by ⌊score·bins⌋ (top-clamped), each bucket reports n,

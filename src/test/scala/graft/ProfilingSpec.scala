@@ -390,6 +390,23 @@ class ProfilingSpec extends SparkTestBase {
       .head() === (("m", 2L, 2L, Some(0.75))))
   }
 
+  test("snapshotDiff: all four statuses, NULL-text pairs read " +
+       "unchanged, NULL-vs-text reads changed") {
+    val before = Seq(
+      (1L, "same text"), (2L, "old text"), (3L, "drops out"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val after = Seq(
+      (1L, "same text"), (2L, "new text"), (6L, "brand new"),
+      (4L, null.asInstanceOf[String]), (5L, "materialized"))
+      .toDF("doc_id", "text")
+    val out = Profiling.snapshotDiff(before, after)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"))
+  }
+
   test("prCurve: hand-computed cumulative curve — distinct scores " +
        "collapse, precision and recall walk the descending thresholds, " +
        "zero-positive groups read NULL recall") {
