@@ -749,6 +749,39 @@ object SparkEntry {
         .orderBy("actual", "predicted")
     }),
 
+    // ---- E4 logistic-style quality classifier, TRAIN trajectory: 3
+    // GD iterations on fp(1e6)-quantized scan-side features with the
+    // rational squashing link (no libm anywhere) — every iteration's
+    // weight vector is integer-exact, so the oracle replays the whole
+    // trajectory with the iterations unrolled as CTEs ----
+    "q_logreg" -> ((s, d) =>
+      TextAnalysis.logregTrain(docsSpread(s, d),
+          label = col("n_chars") >= 300, textCol = "text",
+          iters = 3, lr = 4.0)
+        .orderBy("iter")),
+
+    // ---- E4 logistic classifier SERVE: score the corpus with the
+    // trained weights (train composes in — the collect is the final
+    // 4-long weight row, bounded model state), then the per-source
+    // quality report: n, mean score, and the n_chars>=300 agreement
+    // count at the 0.5 threshold ----
+    "q_logreg_score" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val last = TextAnalysis.logregTrain(docs,
+          label = col("n_chars") >= 300, textCol = "text",
+          iters = 3, lr = 4.0)
+        .orderBy(col("iter").desc).limit(1).collect()(0)
+      val w = (2 to 5).map(last.getLong(_))
+      TextAnalysis.logregScore(docs, w, textCol = "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("score").cast(DecimalType(28, 9))).cast("double") /
+            count(lit(1)), 9).as("mean_score"),
+          sum(when((col("score") >= 0.5) === (col("n_chars") >= 300), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .orderBy("source")
+    }),
+
     // ---- E4+E13 stored-classifier round trip: train once, COMMIT the
     // (token, label, logp) model and (label, prior) tables through
     // ManifestTable, read both back, score the whole corpus from the
@@ -3631,6 +3664,16 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", "is_even")
         .orderBy("o_orderpriority")),
 
+    // ---- E20 deterministic Poisson-bootstrap CI for the mean event
+    // value per type: the cluster-scale resampling design (per-row
+    // Poisson(1) weights off the Knuth coin, integer-threshold CDF
+    // inversion — no RNG, no row numbering), percentile interval over
+    // 48 replicate means ----
+    "q_bootstrap" -> ((s, d) =>
+      operators.Profiling.bootstrapCI(t(s, d, "events"),
+          "event_type", "event_id", "value", reps = 48, alpha = 0.05)
+        .orderBy("event_type")),
+
     // ---- E20 doc-level snapshot diff (the crawl-regression audit):
     // after = documents minus every 7th id (removed), every 5th
     // surviving text appended-to (changed), ids < 40 re-keyed +1M
@@ -3968,6 +4011,22 @@ object SparkEntry {
                 (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
       graft.operators.Graphs.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
+    // ---- E24 multi-source BFS distances over the undirected purchase
+    // graph: min hops from the seed orders (every 512th key) — the
+    // reachability/distance primitive beside PageRank's ranks; level-
+    // synchronous frontier expansion, ids only on every exchange ----
+    "q_bfs" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst"))
+      val seeds = t(s, d, "orders")
+        .filter(col("o_orderkey") % 512 === 0)
+        .select((col("o_orderkey") * 2).as("seed"))
+      graft.operators.Graphs.bfsDistances(edges, "src", "dst",
+          seeds, "seed", maxHops = 3)
         .orderBy("node")
     }),
 
@@ -4482,6 +4541,84 @@ object SparkEntry {
     * smoothed per-(label, token) log-probs rounded to 9 decimals and
     * summed as DECIMAL(28,9), every doc × label scaffolded so all-OOV
     * docs keep the prior-only argmax. */
+  /** Shared unrolled-GD training CTEs for the q_logreg pair: the
+    * fp(1e6)-quantized feature table, then each of the 3 iterations as
+    * (margin+link, gradient-sum, weight-update) CTE triples — the SQL
+    * replay of TextAnalysis.logregTrain's loop, exact by the same
+    * argument (integer features, long-exact gradient sums, one IEEE
+    * division per doc, round-half-away weight updates). */
+  private val logregTrainCtes: String =
+    """WITH f AS (
+      |  SELECT source, n_chars,
+      |    CASE WHEN n_chars >= 300 THEN CAST(1.0 AS DOUBLE)
+      |         ELSE CAST(0.0 AS DOUBLE) END AS y,
+      |    CAST(1000000 AS BIGINT) AS a0,
+      |    CAST(round(least(len(string_split(text, ' ')), 256)
+      |      * 3906.25, 0) AS BIGINT) AS a1,
+      |    CAST(round(len(list_filter(string_split(text, ' '),
+      |        t -> t = 'the')) * 1000000.0
+      |      / len(string_split(text, ' ')), 0) AS BIGINT) AS a2,
+      |    CAST(round(least(length(text) * 1.0
+      |        / len(string_split(text, ' ')), 16.0) * 62500.0, 0)
+      |      AS BIGINT) AS a3
+      |  FROM documents WHERE text IS NOT NULL),
+      |g1 AS (SELECT COUNT(*) AS n,
+      |  SUM(CAST(round((0.5 - y) * a0, 0) AS BIGINT)) AS g0,
+      |  SUM(CAST(round((0.5 - y) * a1, 0) AS BIGINT)) AS g1,
+      |  SUM(CAST(round((0.5 - y) * a2, 0) AS BIGINT)) AS g2,
+      |  SUM(CAST(round((0.5 - y) * a3, 0) AS BIGINT)) AS g3
+      |  FROM f),
+      |ws1 AS (SELECT n,
+      |  0 - CAST(round(4.0 * (CAST(g0 AS DOUBLE) / n), 0) AS BIGINT) AS w0,
+      |  0 - CAST(round(4.0 * (CAST(g1 AS DOUBLE) / n), 0) AS BIGINT) AS w1,
+      |  0 - CAST(round(4.0 * (CAST(g2 AS DOUBLE) / n), 0) AS BIGINT) AS w2,
+      |  0 - CAST(round(4.0 * (CAST(g3 AS DOUBLE) / n), 0) AS BIGINT) AS w3
+      |  FROM g1),
+      |p2 AS (SELECT y, a0, a1, a2, a3,
+      |    0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+      |  FROM (SELECT y, a0, a1, a2, a3,
+      |    CAST(ws1.w0*a0 + ws1.w1*a1 + ws1.w2*a2 + ws1.w3*a3 AS DOUBLE)
+      |      / 1000000000000.0 AS z
+      |  FROM f CROSS JOIN ws1) t),
+      |g2c AS (SELECT COUNT(*) AS n,
+      |  SUM(CAST(round((p - y) * a0, 0) AS BIGINT)) AS g0,
+      |  SUM(CAST(round((p - y) * a1, 0) AS BIGINT)) AS g1,
+      |  SUM(CAST(round((p - y) * a2, 0) AS BIGINT)) AS g2,
+      |  SUM(CAST(round((p - y) * a3, 0) AS BIGINT)) AS g3
+      |  FROM p2),
+      |ws2 AS (SELECT g2c.n,
+      |  ws1.w0 - CAST(round(4.0 * (CAST(g2c.g0 AS DOUBLE) / g2c.n), 0)
+      |    AS BIGINT) AS w0,
+      |  ws1.w1 - CAST(round(4.0 * (CAST(g2c.g1 AS DOUBLE) / g2c.n), 0)
+      |    AS BIGINT) AS w1,
+      |  ws1.w2 - CAST(round(4.0 * (CAST(g2c.g2 AS DOUBLE) / g2c.n), 0)
+      |    AS BIGINT) AS w2,
+      |  ws1.w3 - CAST(round(4.0 * (CAST(g2c.g3 AS DOUBLE) / g2c.n), 0)
+      |    AS BIGINT) AS w3
+      |  FROM g2c CROSS JOIN ws1),
+      |p3 AS (SELECT y, a0, a1, a2, a3,
+      |    0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+      |  FROM (SELECT y, a0, a1, a2, a3,
+      |    CAST(ws2.w0*a0 + ws2.w1*a1 + ws2.w2*a2 + ws2.w3*a3 AS DOUBLE)
+      |      / 1000000000000.0 AS z
+      |  FROM f CROSS JOIN ws2) t),
+      |g3c AS (SELECT COUNT(*) AS n,
+      |  SUM(CAST(round((p - y) * a0, 0) AS BIGINT)) AS g0,
+      |  SUM(CAST(round((p - y) * a1, 0) AS BIGINT)) AS g1,
+      |  SUM(CAST(round((p - y) * a2, 0) AS BIGINT)) AS g2,
+      |  SUM(CAST(round((p - y) * a3, 0) AS BIGINT)) AS g3
+      |  FROM p3),
+      |ws3 AS (SELECT g3c.n,
+      |  ws2.w0 - CAST(round(4.0 * (CAST(g3c.g0 AS DOUBLE) / g3c.n), 0)
+      |    AS BIGINT) AS w0,
+      |  ws2.w1 - CAST(round(4.0 * (CAST(g3c.g1 AS DOUBLE) / g3c.n), 0)
+      |    AS BIGINT) AS w1,
+      |  ws2.w2 - CAST(round(4.0 * (CAST(g3c.g2 AS DOUBLE) / g3c.n), 0)
+      |    AS BIGINT) AS w2,
+      |  ws2.w3 - CAST(round(4.0 * (CAST(g3c.g3 AS DOUBLE) / g3c.n), 0)
+      |    AS BIGINT) AS w3
+      |  FROM g3c CROSS JOIN ws2)""".stripMargin
+
   private val nbConfusionOracle: String =
     """WITH tr AS (
       |  SELECT lang AS label, u.w
@@ -4951,6 +5088,31 @@ object SparkEntry {
     // same oracle on purpose: scoring from the STORED model tables
     // must reproduce the train-and-score confusion matrix exactly
     "q_nb_stored" -> nbConfusionOracle,
+
+    "q_logreg" -> (logregTrainCtes + "\n" +
+      """SELECT CAST(1 AS BIGINT) AS iter, n, w0, w1, w2, w3 FROM ws1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n, w0, w1, w2, w3 FROM ws2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), n, w0, w1, w2, w3 FROM ws3
+        |ORDER BY iter""".stripMargin),
+
+    // the serve twin replays the full train unroll, then scores every
+    // doc with ws3 and folds the per-source quality report
+    "q_logreg_score" -> (logregTrainCtes + ",\n" +
+      """sc AS (SELECT source, n_chars,
+        |    round(0.5 + z / (2.0 * (1.0 + abs(z))), 9) AS score
+        |  FROM (SELECT source, n_chars,
+        |    CAST(ws3.w0*a0 + ws3.w1*a1 + ws3.w2*a2 + ws3.w3*a3 AS DOUBLE)
+        |      / 1000000000000.0 AS z
+        |  FROM f CROSS JOIN ws3) t)
+        |SELECT source, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(score AS DECIMAL(28,9))) AS DOUBLE)
+        |    / COUNT(*), 9) AS mean_score,
+        |  CAST(SUM(CASE WHEN (score >= 0.5) = (n_chars >= 300)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |FROM sc GROUP BY source
+        |ORDER BY source""".stripMargin),
 
     // seed 3 → odd multiplier 7; rank is 0-based (exclusive count)
     "q_epoch_shuffle" ->
@@ -8418,6 +8580,52 @@ object SparkEntry {
         |FROM w GROUP BY g ORDER BY g""".stripMargin,
 
     // the Mann–Whitney identity with negatives as side a / positives
+    // Poisson-bootstrap replay: same Knuth coin, same ⌊CDF·2³²⌋ integer
+    // thresholds, same percentile-rank selection — pure integer/decimal
+    // arithmetic end-to-end, so the interval reproduces bit-for-bit
+    "q_bootstrap" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, event_id AS k, round(value, 9) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pt AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+        |      / COUNT(*), 9) AS mean
+        |  FROM base GROUP BY g),
+        |expl AS (
+        |  SELECT g, r.b AS b,
+        |    ((k * 48 + r.b) * 2654435761) % 4294967296 AS u, v
+        |  FROM base CROSS JOIN (SELECT UNNEST(range(1, 49)) AS b) r),
+        |wts AS (SELECT g, b, v,
+        |    CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+        |         WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+        |         WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7
+        |         WHEN u < 4294962463 THEN 8 ELSE 9 END AS wt
+        |  FROM expl),
+        |rep AS (
+        |  SELECT g, b, SUM(wt) AS sw,
+        |    SUM(CAST(round(wt * v, 9) AS DECIMAL(38,9))) AS swx
+        |  FROM wts GROUP BY g, b HAVING SUM(wt) > 0),
+        |m AS (
+        |  SELECT g, b, round(CAST(swx AS DOUBLE) / sw, 9) AS m,
+        |    ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY round(CAST(swx AS DOUBLE) / sw, 9), b) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS nb
+        |  FROM rep),
+        |ci AS (
+        |  SELECT g, MAX(nb) AS n_boot,
+        |    MIN(CASE WHEN rn = CAST(ceil(0.025 * nb) AS BIGINT)
+        |        THEN m END) AS ci_lo,
+        |    MIN(CASE WHEN rn = nb + 1 - CAST(ceil(0.025 * nb) AS BIGINT)
+        |        THEN m END) AS ci_hi
+        |  FROM m GROUP BY g)
+        |SELECT pt.g AS event_type, pt.n, pt.mean,
+        |  CAST(COALESCE(ci.n_boot, 0) AS BIGINT) AS n_boot,
+        |  ci.ci_lo, ci.ci_hi
+        |FROM pt LEFT JOIN ci ON ci.g = pt.g
+        |ORDER BY 1""".stripMargin,
+
     // as side b: AUC = u2 / (2·n_neg·n_pos), same exact HUGEINT u2
     "q_auc" ->
       """WITH s AS (
@@ -9193,6 +9401,27 @@ object SparkEntry {
         |         FROM c3) WHERE rn = 1),
         |sz AS (SELECT label, COUNT(*) AS n_members FROM l3 GROUP BY 1)
         |SELECT node, label, n_members FROM l3 JOIN sz USING (label)
+        |ORDER BY node""".stripMargin,
+
+    // level-synchronous BFS replayed as a depth-bounded recursive CTE:
+    // UNION dedups (node, dist) pairs per level, MIN collapses
+    // multi-path arrivals to the shortest hop count
+    "q_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT CAST(l_orderkey*2 AS BIGINT) AS s,
+        |                  CAST(l_partkey*2+1 AS BIGINT) AS d
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+        |seeds AS (SELECT DISTINCT CAST(o_orderkey*2 AS BIGINT) AS node
+        |          FROM orders WHERE o_orderkey % 512 = 0),
+        |r(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT sym.d, r.dist + 1
+        |  FROM r JOIN sym ON sym.s = r.node WHERE r.dist < 3)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM r GROUP BY node
         |ORDER BY node""".stripMargin,
 
     "q_pagerank" ->

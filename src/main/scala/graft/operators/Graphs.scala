@@ -563,4 +563,61 @@ object Graphs {
       .distinct()
       .groupBy(col("__s")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Multi-source BFS shortest-hop distances — the reachability/
+    * distance primitive the rest of the graph family lacks (PageRank
+    * ranks, HITS scores, k-core filters; nothing says "how FAR is
+    * everything from this seed set"). Frontier expansion, level-
+    * synchronous: dist 0 = the seeds; each round joins the current
+    * frontier to the edge table, anti-joins the already-visited set,
+    * and min-collapses multi-path arrivals — exactly the textbook
+    * distributed BFS (Pregel's SSSP specialized to unit weights).
+    * Distances are exact within `maxHops`; nodes unreached in that
+    * horizon are absent (callers wanting ∞ left-join the node set).
+    *
+    * Ids only on every exchange: (node: long, dist: long). The visited
+    * set localCheckpoints each round, so the plan never re-derives
+    * round i−1 inside round i (the [[kCore]]/[[pageRank]] lineage-cut
+    * convention); the symmetrized edge table checkpoints once and is
+    * reused by all rounds. `maxHops` is the loud bound (≤ 64): BFS
+    * frontiers on real graphs saturate in a few hops, and an unbounded
+    * hop loop on a long path graph would schedule |V| joins. No
+    * per-round driver reads at all — rounds past frontier exhaustion
+    * are empty-input no-op jobs, cheaper than the count() that would
+    * detect them.
+    *
+    * At scale each round is one shuffle on node ids (the frontier-edge
+    * join co-partitions with the visited anti-join under AQE), bounded
+    * by the frontier size, never the corpus. Output: (node, dist),
+    * dist = min hops from any seed. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int,
+                   directed: Boolean = false): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1, 64], got $maxHops")
+    val fwd = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"))
+    val adj = (if (directed) fwd
+               else fwd.unionByName(
+                 fwd.select(col("__d").as("__s"), col("__s").as("__d"))))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds
+      .select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = frontier
+        .join(adj, col("node") === col("__s"))
+        .select(col("__d").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = visited.filter(col("dist") === h)
+    }
+    visited
+  }
 }

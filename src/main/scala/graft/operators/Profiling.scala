@@ -1612,4 +1612,98 @@ object Profiling {
       .agg(count(lit(1)).as("n_rows"),
            min(v).as("min_value"), max(v).as("max_value"))
   }
+
+  /** Deterministic Poisson-bootstrap percentile confidence interval for
+    * a per-group mean — the cluster-scale resampling design: instead of
+    * multinomial resampling (which needs the group size n and a
+    * row-numbering pass before any replicate can draw), each row draws
+    * an INDEPENDENT Poisson(1) replication weight per replicate, so the
+    * whole bootstrap is one stateless map over the data. The classic
+    * large-scale approximation: a multinomial(n, 1/n) marginal is
+    * Binomial(n, 1/n) → Poisson(1) as n grows.
+    *
+    * Seedless and engine-exact: replicate b of row key k draws its
+    * uniform from the Knuth multiplicative hash pmod((k·reps + b) ·
+    * 2654435761, 2³²) — the repo's shared coin ([[graft.operators.Mixing.hashSample]]
+    * family) — and inverts the Poisson(1) CDF by comparing that 32-bit
+    * integer against PRECOMPUTED integer thresholds ⌊CDF(w)·2³²⌋ (the
+    * tail mass beyond w = 8, ≈1.1·10⁻⁶, collapses onto w = 9). Pure
+    * integer comparisons: no floating-point RNG, no libm, bit-identical
+    * in any engine. Keys must be non-negative and small enough that
+    * (k·reps + reps)·2654435761 < 2⁶³ — violations RAISE at the scan
+    * (the positiveWeight convention) instead of silently wrapping into
+    * a correlated stream.
+    *
+    * Replicate means use the house exact arithmetic (terms rounded to
+    * 9 places, DECIMAL(38,9) sums, one IEEE division rounded to 9);
+    * the interval is the percentile method on the replicate means:
+    * ci_lo = the ⌈(α/2)·n_boot⌉-th smallest, ci_hi its symmetric twin
+    * (n_boot + 1 − that rank), replicate index breaking ties so the
+    * selection is total. Replicates whose total weight is 0 (possible
+    * only for tiny groups) drop out of the order statistics; n_boot
+    * reports the survivors.
+    *
+    * Scale: one explode (reps× rows, map-side — no shuffle carries the
+    * blow-up: the (group, replicate) aggregate partial-combines before
+    * its exchange), then a reps-bounded window per group. At 100 TB the
+    * data is touched once; everything downstream is groups×reps-sized.
+    * Output: (groupCol, n, mean, n_boot, ci_lo, ci_hi). */
+  def bootstrapCI(df: DataFrame, groupCol: String, keyCol: String,
+                  valueCol: String, reps: Int = 48,
+                  alpha: Double = 0.05): DataFrame = {
+    require(reps >= 8 && reps <= 4096,
+      s"reps must be in [8, 4096], got $reps")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+    // largest key whose every replicate product stays inside a long
+    val maxKey = (Long.MaxValue / 2654435761L - reps - 1) / reps
+    val key = when(col(keyCol).isNull || col(keyCol) < 0 ||
+        col(keyCol) > maxKey,
+      raise_error(concat(
+        lit(s"bootstrapCI: resampling key must be in [0, $maxKey], got "),
+        col(keyCol).cast("string"))))
+      .otherwise(col(keyCol).cast("long"))
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), key.as("__k"),
+        round(col(valueCol).cast("double"), 9).as("__v"))
+    val pt = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__v").cast(dec)).cast("double") / count(lit(1)), 9)
+          .as("mean"))
+    // ⌊CDF(w)·2³²⌋ for Poisson(1), w = 0..8; u ≥ last ⇒ w = 9
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L,
+      4294962463L)
+    val u = pmod((col("__k") * reps + col("__b")) * lit(2654435761L),
+      lit(4294967296L))
+    val wgt = thresholds.zipWithIndex.foldRight(
+        lit(9L): org.apache.spark.sql.Column) {
+      case ((t, i), rest) => when(u < lit(t), lit(i.toLong)).otherwise(rest)
+    }
+    val rep = base
+      .withColumn("__b", explode(sequence(lit(1), lit(reps))))
+      .select(col("__g"), col("__b"), wgt.as("__w"), col("__v"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(round(col("__w") * col("__v"), 9).cast(dec)).as("__swx"))
+      .filter(col("__sw") > 0)
+      .select(col("__g"), col("__b"),
+        round(col("__swx").cast("double") / col("__sw"), 9).as("__m"))
+    val wOrd = Window.partitionBy(col("__g"))
+      .orderBy(col("__m").asc, col("__b").asc)
+    val wAll = Window.partitionBy(col("__g"))
+    val loRank = ceil(lit(alpha / 2) * col("__nb")).cast("long")
+    val ci = rep
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__nb", count(lit(1)).over(wAll))
+      .groupBy(col("__g"))
+      .agg(max(col("__nb")).as("n_boot"),
+        min(when(col("__rn") === loRank, col("__m"))).as("ci_lo"),
+        min(when(col("__rn") === col("__nb") + 1 - loRank, col("__m")))
+          .as("ci_hi"))
+    pt.join(ci, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("mean"),
+        coalesce(col("n_boot"), lit(0L)).as("n_boot"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -538,4 +538,113 @@ object TextAnalysis {
         frac(coalesce(col("__line_mass"), lit(0L)))
           .as("dup_line_chars_frac"))
   }
+
+  /** The fixed fp(10⁶) feature vector shared by [[logregTrain]] and
+    * [[logregScore]]: [bias, capped word count, "the"-rate, capped mean
+    * word length] — cheap scan-side signals in the [[qualityScore]]
+    * family. Each feature is one exact-integer-derived IEEE expression
+    * quantized to a 10⁶-scaled long, so training arithmetic downstream
+    * is integer-exact and any engine reproduces the quantized vector
+    * bit-for-bit (the multipliers 3906.25 = 10⁶/256 and 62500 = 10⁶/16
+    * are exact binary fractions; each feature does at most one
+    * division). */
+  private def lrFeaturesFp(textCol: Column): Seq[Column] = {
+    val toks = split(textCol, " ")
+    val words = size(toks).cast("long")
+    val theCount = size(filter(toks, t => t === lit("the"))).cast("long")
+    val chars = length(textCol).cast("long")
+    Seq(
+      lit(1000000L),
+      round(least(words, lit(256L)).cast("double") * lit(3906.25), 0)
+        .cast("long"),
+      round(theCount.cast("double") * lit(1000000.0) /
+        words.cast("double"), 0).cast("long"),
+      round(least(chars.cast("double") / words.cast("double"),
+        lit(16.0)) * lit(62500.0), 0).cast("long"))
+  }
+
+  /** Rational squashing link σ̂(z) = ½ + z / (2(1+|z|)) — sigmoid-shaped
+    * (monotone, σ̂(0)=½, → 0/1 at ∓∞) but built from IEEE +,·,/,|·| ONLY,
+    * so two engines replaying the same quantized inputs agree to the
+    * bit; exp() would hand the model to libm's last-ulp differences. */
+  private def squash(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Distributed logistic-style quality classifier, trained by
+    * fixed-iteration batch gradient descent — the fastText-shaped
+    * model-based filter (train a tiny linear model on a labeled slice,
+    * score the whole corpus) that sits between the closed-form
+    * heuristics ([[qualityScore]], [[gopherStats]]) and the token-space
+    * [[nbTrain]] Naive Bayes. Engine-exact by construction: features
+    * quantize to fp(10⁶) longs ([[lrFeaturesFp]]), the margin
+    * z = w·x/10¹² is one long sum + one IEEE division, the link is the
+    * rational [[squash]] (no libm), per-doc gradient terms round to
+    * integers and sum EXACTLY in long (order-independent), and the
+    * weight update rounds lr·G/n half-away-from-zero — so the full
+    * trajectory (iter, n, w₀..w₃) is replayable bit-for-bit by any
+    * engine, which is exactly what the registered DuckDB oracle does
+    * with the three iterations unrolled as CTEs.
+    *
+    * Scale: the feature table (one double + four longs per row)
+    * localCheckpoints once; each iteration is ONE map-side-combined
+    * aggregate whose result — n plus four gradient sums — is a single
+    * driver row (the bounded-model-state collect, registered in
+    * CollectLintSpec). Nothing else leaves the executors; iteration
+    * count is the loud bound. Output: one (iter, n, w0, w1, w2, w3)
+    * row per iteration, weights in fp(10⁶). */
+  def logregTrain(docs: DataFrame, label: Column, textCol: String = "text",
+                  iters: Int = 3, lr: Double = 4.0): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"iters must be in [1, 16], got $iters")
+    require(lr > 0 && lr <= 64, s"lr must be in (0, 64], got $lr")
+    val spark = docs.sparkSession
+    val fs = lrFeaturesFp(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select((when(label, 1.0).otherwise(0.0)).as("__y") +:
+        fs.zipWithIndex.map { case (f, j) => f.as(s"__a$j") }: _*)
+      .localCheckpoint(true)
+    val w = Array(0L, 0L, 0L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    for (it <- 1 to iters) {
+      val zfp = (0 to 3).map(j => lit(w(j)) * col(s"__a$j"))
+        .reduce(_ + _)
+      val p = squash(zfp.cast("double") / lit(1.0e12))
+      val gradCols = (0 to 3).map(j =>
+        sum(round((p - col("__y")) * col(s"__a$j"), 0).cast("long"))
+          .as(s"g$j"))
+      // ONE driver row per iteration: n + 4 gradient sums (model state)
+      val row = base.agg(count(lit(1)).as("n"), gradCols: _*).collect()(0)
+      val n = row.getLong(0)
+      require(n > 0, "logregTrain: no documents to train on")
+      for (j <- 0 to 3) {
+        val g = row.getLong(1 + j)
+        // half-away-from-zero, matching SQL round() on negatives
+        val delta = BigDecimal(lr * (g.toDouble / n.toDouble))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        w(j) -= delta
+      }
+      out += ((it.toLong, n, w(0), w(1), w(2), w(3)))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("iter", "n", "w0", "w1", "w2", "w3")
+  }
+
+  /** Serve side of [[logregTrain]]: score every document with a stored
+    * weight vector (fp(10⁶) longs, straight off the trainer's last
+    * row or read back from a committed artifact). Appends `score` =
+    * σ̂(w·x/10¹²) rounded to 9 — the same quantized features, the same
+    * libm-free link, so serve ≡ train arithmetic exactly. Pure
+    * scan-side map: no shuffle, no state; threshold at 0.5 for the
+    * keep/drop decision. */
+  def logregScore(docs: DataFrame, weights: Seq[Long],
+                  textCol: String = "text"): DataFrame = {
+    require(weights.length == 4,
+      s"expected 4 fp(1e6) weights, got ${weights.length}")
+    val fs = lrFeaturesFp(col(textCol))
+    val zfp = fs.zip(weights).map { case (f, wj) => lit(wj) * f }
+      .reduce(_ + _)
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("score", round(squash(zfp.cast("double") / lit(1.0e12)), 9))
+  }
 }

@@ -29,14 +29,19 @@ class CollectLintSpec extends AnyFunSuite {
       "allocator's driver loop"),
     "operators/Ngrams.scala" -> (1,
       "BPE per-round argmax — limit(1), ONE row per merge round"),
+    "operators/TextAnalysis.scala" -> (1,
+      "logistic trainer's per-iteration gradient row — ONE row of " +
+      "model state (n + 4 fp-gradient sums) per GD iteration"),
     "operators/OpCaches.scala" -> (0, ""),
     "streaming/StreamOps.scala" -> (1,
       "stored BPE merge list (k rows of model state) for encodeStream"),
     "sources/ManifestTable.scala" -> (3,
       "manifest entries (≈ nBuckets rows), recorded batch ids, and the " +
       "|rules|-row expectations audit"),
-    "SparkEntry.scala" -> (2,
-      "stored BPE merge lists (k rows) for the bpe-stored serve queries"),
+    "SparkEntry.scala" -> (3,
+      "stored BPE merge lists (k rows) for the bpe-stored serve " +
+      "queries, plus the logistic trainer's final 4-long weight row " +
+      "for the q_logreg_score serve composition"),
     // harness mains, not library surface — but linted anyway so a row
     // collection cannot hide in the entry points either
     "Bench.scala" -> (2,

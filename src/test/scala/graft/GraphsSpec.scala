@@ -325,4 +325,49 @@ class GraphsSpec extends SparkTestBase {
       .select("node", "rank_fp").as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("bfsDistances: exact hop counts on a path, horizon truncates, " +
+       "unreached nodes absent") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val out = Graphs.bfsDistances(path, "src", "dst", seeds, "seed",
+        maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      "node 5 is 4 hops out — beyond the horizon, so absent")
+  }
+
+  test("bfsDistances: multi-source takes the MIN over seeds; directed " +
+       "mode respects edge direction") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val multi = Graphs.bfsDistances(path, "src", "dst",
+        Seq(1L, 5L).toDF("seed"), "seed", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(multi === Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 1L, 5L -> 0L))
+    val directed = Graphs.bfsDistances(path, "src", "dst",
+        Seq(3L).toDF("seed"), "seed", maxHops = 3, directed = true)
+      .as[(Long, Long)].collect().toMap
+    assert(directed === Map(3L -> 0L, 4L -> 1L, 5L -> 2L),
+      "directed BFS from 3 must not walk backwards to 2")
+    intercept[IllegalArgumentException] {
+      Graphs.bfsDistances(path, "src", "dst", Seq(1L).toDF("seed"),
+        "seed", maxHops = 0)
+    }
+  }
+
+  test("bfsDistances: a seed outside the edge set still reports dist 0; " +
+       "layout-independent") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graphs.bfsDistances(e, "src", "dst",
+        Seq(99L, 1L).toDF("seed"), "seed", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(99L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val again = Graphs.bfsDistances(e.repartition(5), "src", "dst",
+        Seq(99L, 1L).toDF("seed"), "seed", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again === out)
+  }
 }

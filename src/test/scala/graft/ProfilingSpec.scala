@@ -846,4 +846,57 @@ class ProfilingSpec extends SparkTestBase {
     assert(r === (("g", 20L, 1L, 2L, 10.5, 10.4075)),
       "clip {1} low, {19,20} high; after-sum = 1.95 + Σ(2..18) + 2·18.1")
   }
+
+  test("bootstrapCI: interval brackets the point mean, survivors " +
+       "bounded by reps, layout-independent") {
+    val df = (0 until 200).map(i => ("g", i.toLong, (i % 50).toDouble))
+      .toDF("grp", "id", "v")
+    val out = Profiling.bootstrapCI(df, "grp", "id", "v", reps = 48)
+      .as[(String, Long, Double, Long, Option[Double], Option[Double])]
+      .head()
+    assert(out._2 === 200L)
+    assert(out._3 === 24.5, "point mean is the exact decimal mean")
+    assert(out._4 > 0L && out._4 <= 48L)
+    assert(out._5.get < out._3 && out._6.get > out._3,
+      "percentile CI must bracket the mean on a symmetric 200-row group")
+    assert(out._6.get - out._5.get < 10.0,
+      "CI of a 200-row mean is a few standard errors wide, not the range")
+    // deterministic under layout: the hash coin draws from ids only
+    val again = Profiling.bootstrapCI(df.repartition(7), "grp", "id", "v",
+        reps = 48)
+      .as[(String, Long, Double, Long, Option[Double], Option[Double])]
+      .head()
+    assert(again === out)
+  }
+
+  test("bootstrapCI: key guard raises on negative and oversized keys; " +
+       "parameter requires are loud") {
+    val bad = Seq(("g", -1L, 1.0)).toDF("grp", "id", "v")
+    val e = intercept[Exception] {
+      Profiling.bootstrapCI(bad, "grp", "id", "v").collect()
+    }
+    assert(e.getMessage.contains("bootstrapCI") ||
+      Option(e.getCause).exists(_.getMessage.contains("bootstrapCI")))
+    val big = Seq(("g", Long.MaxValue / 4, 1.0)).toDF("grp", "id", "v")
+    intercept[Exception] {
+      Profiling.bootstrapCI(big, "grp", "id", "v").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.bootstrapCI(bad, "grp", "id", "v", reps = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.bootstrapCI(bad, "grp", "id", "v", alpha = 0.0)
+    }
+  }
+
+  test("bootstrapCI: single-row group degenerates gracefully — every " +
+       "surviving replicate mean is the row's value") {
+    val df = Seq(("g", 7L, 3.25)).toDF("grp", "id", "v")
+    val out = Profiling.bootstrapCI(df, "grp", "id", "v", reps = 48)
+      .as[(String, Long, Double, Long, Option[Double], Option[Double])]
+      .head()
+    assert(out._2 === 1L && out._3 === 3.25)
+    assert(out._4 < 48L, "some Poisson(1) draws are 0 — replicates drop")
+    assert(out._5 === Some(3.25) && out._6 === Some(3.25))
+  }
 }

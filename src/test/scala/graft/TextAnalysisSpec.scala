@@ -270,4 +270,57 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4L) === ((4L, 1L, 0.0, 0.0, 0.5)))
     assert(out(5L) === ((5L, 1L, 0.0, 0.0, 0.0)))
   }
+
+  test("logregTrain: learns the separable length signal — the word-count " +
+       "weight turns positive and the served scores separate the classes") {
+    import spark.implicits._
+    val long = (1 to 10).map(i =>
+      (i.toLong, ("w" + i + " ") * 40 + "tail of the long doc", true))
+    val short = (11 to 20).map(i => (i.toLong, "tiny doc " + i, false))
+    val docs = (long ++ short).toDF("doc_id", "text", "is_long")
+    val traj = TextAnalysis.logregTrain(docs, label = col("is_long"),
+      iters = 3, lr = 4.0)
+    val rows = traj.orderBy("iter")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 3 && rows.forall(_._2 === 20L))
+    val w = Seq(rows.last._3, rows.last._4, rows.last._5, rows.last._6)
+    assert(w(1) > 0L,
+      "long docs are the positive class — the capped-word-count weight " +
+      "must move positive")
+    val scored = TextAnalysis.logregScore(docs, w)
+      .select(col("is_long"), col("score"))
+      .as[(Boolean, Double)].collect()
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    assert(pos.min > neg.max,
+      "3 GD rounds on a separable length signal must rank every long " +
+      "doc above every short one")
+    assert(scored.forall(s => s._2 >= 0.0 && s._2 <= 1.0))
+  }
+
+  test("logregTrain: layout-independent (exact integer gradient sums) " +
+       "and loud on bad parameters / empty corpus") {
+    import spark.implicits._
+    val docs = (1 to 30).map(i =>
+      (i.toLong, ("tok " * (i % 7 + 1)) + "end", i % 3 == 0))
+      .toDF("doc_id", "text", "y")
+    val a = TextAnalysis.logregTrain(docs, col("y"), iters = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val b = TextAnalysis.logregTrain(docs.repartition(7), col("y"),
+        iters = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logregTrain(docs, col("y"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logregTrain(docs, col("y"), lr = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logregTrain(docs.filter(col("doc_id") < 0), col("y"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logregScore(docs, Seq(1L, 2L))
+    }
+  }
 }
