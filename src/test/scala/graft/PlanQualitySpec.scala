@@ -618,6 +618,33 @@ class PlanQualitySpec extends SparkTestBase {
       s"prCurve is join-free:\n$pr")
   }
 
+  test("bootstrap CI: replicate blow-up stays map-side, weights are " +
+       "codegen comparisons, the only join is the broadcast CI attach") {
+    val p = plan("q_bootstrap")
+    assert(p.contains("PushedFilters: [IsNotNull(value)"),
+      s"value filter must reach the scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bootstrap must never plan a nested loop:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the (group, replicate) aggregate must combine map-side " +
+      s"(the explode never rides an exchange raw):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the groups-sized CI table broadcasts onto the point " +
+      s"estimate:\n$p")
+  }
+
+  test("logreg serve: weights bind in as literals — no model join, one " +
+       "codegen'd scoring scan, map-side-combined report") {
+    val p = plan("q_logreg_score")
+    assert(!p.contains("Join"),
+      s"serve must be join-free (weights are literals):\n$p")
+    assert(p.contains("partial_count"),
+      s"the per-source report combines map-side:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"serve reads the corpus exactly once:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
