@@ -1180,6 +1180,22 @@ object SparkEntry {
       operators.Search.ndcgAt(ranked, rels, k = 10).orderBy("query_id")
     }),
 
+    // ---- E22 binary-relevance retrieval scorecard beside q_ndcg's
+    // graded gain: MRR + P@10 + R@10 + AP@10 per query over the same
+    // ranked lists, relevance = every 4th doc id ----
+    "q_rank_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = docs.select(col("lang").as("query_id"), col("doc_id"),
+        row_number().over(w).as("rank")).filter(col("rank") <= 10)
+      val rels = docs.select(col("lang").as("query_id"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0, 1L).otherwise(0L)
+          .as("rel"))
+      operators.Search.rankEval(ranked, rels, k = 10).orderBy("query_id")
+    }),
+
     // ---- E3 approximate kNN-GRAPH construction (the clustering
     // primitive) + ONE NN-descent refinement round, audited against
     // exact kNN on the query subset. The refinement lifts measured
@@ -3674,6 +3690,33 @@ object SparkEntry {
           "event_type", "event_id", "value", reps = 48, alpha = 0.05)
         .orderBy("event_type")),
 
+    // ---- E20 Fleiss' κ over three heuristic "judges" of document
+    // quality (length ≥ 300 chars / ≥ 55 words / ≥ 250 chars — two
+    // strongly agree, one is a looser rubric): the multi-annotator
+    // agreement statistic every labeling pipeline reports ----
+    "q_fleiss" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def judge(id: Long, cat: Column) = docs.select(
+        col("doc_id"), lit(id).as("rater"), cat.cast("long").as("cat"))
+      val ratings = judge(1L, col("n_chars") >= 300)
+        .unionAll(judge(2L, size(split(col("text"), " ")) >= 55))
+        .unionAll(judge(3L, col("n_chars") >= 250))
+      operators.Profiling.fleissKappa(ratings, "doc_id", "rater", "cat")
+        .orderBy("n_items")
+    }),
+
+    // ---- E6/E20 lag-truncated EWMA smoother over hourly event counts
+    // per type: dyadic weights make every term and both chain sums
+    // EXACT doubles — the one renormalizing division rounds to 9 ----
+    "q_ewma" -> ((s, d) => {
+      val hourly = operators.EventOps.hourlyRollup(t(s, d, "events"))
+        .select(col("event_type"), col("w_start"),
+          col("n_events").cast("double").as("x"))
+      operators.EventOps.ewmaSmooth(hourly, "event_type", "w_start", "x",
+          lags = 16)
+        .orderBy("event_type", "w_start")
+    }),
+
     // ---- E20 doc-level snapshot diff (the crawl-regression audit):
     // after = documents minus every 7th id (removed), every 5th
     // surviving text appended-to (changed), ids < 40 re-keyed +1M
@@ -4541,6 +4584,35 @@ object SparkEntry {
     * smoothed per-(label, token) log-probs rounded to 9 decimals and
     * summed as DECIMAL(28,9), every doc × label scaffolded so all-OOV
     * docs keep the prior-only argmax. */
+  /** q_ewma oracle, generated: 15 lag() columns over the hourly window
+    * plus the dyadic-weight chain sums (every weight literal is the
+    * EXACT decimal rendering of 2^-(i+1), so both engines sum the same
+    * exact values in the same left-assoc order). */
+  private val ewmaOracle: String = {
+    val lagDefs = (1 to 15).map(i => s"lag(x, $i) OVER w AS l$i")
+      .mkString(",\n        ")
+    def wt(i: Int) =
+      BigDecimal(math.pow(2.0, -(i + 1))).underlying.toPlainString
+    val num = (s"COALESCE(x * ${wt(0)}, 0)" +:
+      (1 to 15).map(i => s"COALESCE(l$i * ${wt(i)}, 0)")).mkString(" + ")
+    val den = (s"(CASE WHEN x IS NOT NULL THEN ${wt(0)} ELSE 0 END)" +:
+      (1 to 15).map(i =>
+        s"(CASE WHEN l$i IS NOT NULL THEN ${wt(i)} ELSE 0 END)"))
+      .mkString(" + ")
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS w_start,
+       |             CAST(COUNT(*) AS DOUBLE) AS x
+       |           FROM events GROUP BY 1, 2),
+       |l AS (SELECT event_type, w_start, x,
+       |        $lagDefs
+       |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY w_start))
+       |SELECT event_type, w_start, x,
+       |  CASE WHEN CAST($den AS DOUBLE) > 0
+       |    THEN round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 9)
+       |  END AS ewma
+       |FROM l
+       |ORDER BY event_type, w_start""".stripMargin
+  }
+
   /** Shared unrolled-GD training CTEs for the q_logreg pair: the
     * fp(1e6)-quantized feature table, then each of the 3 iterations as
     * (margin+link, gradient-sum, weight-update) CTE triples — the SQL
@@ -6630,6 +6702,44 @@ object SparkEntry {
 
     // same integer-ratio ln(9-dec) arithmetic as the other association
     // ops; NULL cells excluded on both sides
+    "q_rank_eval" ->
+      """WITH ranked AS (
+        |  SELECT lang AS query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents),
+        |rel AS (SELECT lang AS query_id, doc_id FROM documents
+        |        WHERE doc_id % 4 = 0),
+        |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+        |j AS (SELECT r.query_id, r.rnk,
+        |        CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM ranked r LEFT JOIN rel l
+        |        ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+        |      WHERE r.rnk <= 10),
+        |t AS (SELECT query_id, rnk, hit,
+        |        SUM(hit) OVER (PARTITION BY query_id ORDER BY rnk) AS cum
+        |      FROM j),
+        |a AS (SELECT query_id, SUM(hit) AS hits,
+        |        MIN(CASE WHEN hit = 1 THEN rnk END) AS first_rel,
+        |        SUM(CASE WHEN hit = 1 THEN
+        |          CAST(round(CAST(cum AS DOUBLE) / rnk, 9)
+        |            AS DECIMAL(28,9)) END) AS ap_sum
+        |      FROM t GROUP BY query_id)
+        |SELECT a.query_id,
+        |  CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(a.hits AS BIGINT) AS hits_at_k,
+        |  COALESCE(round(CAST(1.0 AS DOUBLE) / first_rel, 9), 0.0) AS mrr,
+        |  round(CAST(a.hits AS DOUBLE) / 10, 9) AS precision_at_k,
+        |  CASE WHEN n.n_rel > 0
+        |    THEN round(CAST(a.hits AS DOUBLE) / n.n_rel, 9)
+        |  END AS recall_at_k,
+        |  CASE WHEN n.n_rel > 0 THEN
+        |    round(CAST(COALESCE(ap_sum, 0) AS DOUBLE)
+        |      / least(n.n_rel, 10), 9)
+        |  END AS ap_at_k
+        |FROM a LEFT JOIN nrel n ON n.query_id = a.query_id
+        |ORDER BY a.query_id""".stripMargin,
+
     "q_ndcg" ->
       """WITH r AS (SELECT lang AS query_id, doc_id,
         |        row_number() OVER (PARTITION BY lang
@@ -8580,6 +8690,50 @@ object SparkEntry {
         |FROM w GROUP BY g ORDER BY g""".stripMargin,
 
     // the Mann–Whitney identity with negatives as side a / positives
+    // generalized Fleiss: per-item pair agreement over the cell table,
+    // chance marginals over the SAME n_i >= 2 item set
+    "q_fleiss" ->
+      """WITH r AS (
+        |  SELECT doc_id AS i, 1 AS rater,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS c
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, 3,
+        |    CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cells AS (SELECT i, c, COUNT(*) AS n FROM r GROUP BY 1, 2),
+        |items AS (SELECT i, SUM(n) AS ni, SUM(n * (n - 1)) AS agree
+        |          FROM cells GROUP BY i HAVING SUM(n) >= 2),
+        |pb AS (SELECT COUNT(*) AS n_items, SUM(ni) AS n_ratings,
+        |         SUM(CAST(round(CAST(agree AS DOUBLE) /
+        |           CAST(ni * (ni - 1) AS DOUBLE), 9) AS DECIMAL(38,9)))
+        |           AS pisum
+        |       FROM items),
+        |kept AS (SELECT c.c, c.n FROM cells c JOIN items it ON it.i = c.i),
+        |tot AS (SELECT SUM(n) AS tot FROM kept),
+        |cj AS (SELECT c, SUM(n) AS cj FROM kept GROUP BY c),
+        |pe AS (SELECT SUM(CAST(round(pj * pj, 9) AS DECIMAL(38,9)))
+        |         AS pesum
+        |       FROM (SELECT round(CAST(cj.cj AS DOUBLE) /
+        |               CAST(t.tot AS DOUBLE), 9) AS pj
+        |             FROM cj CROSS JOIN tot t))
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n_ratings AS BIGINT) AS n_ratings,
+        |  round(CAST(pisum AS DOUBLE) / n_items, 9) AS p_bar,
+        |  CAST(pesum AS DOUBLE) AS p_e,
+        |  CASE WHEN 1.0 - CAST(pesum AS DOUBLE) > 0 THEN
+        |    round((round(CAST(pisum AS DOUBLE) / n_items, 9)
+        |      - CAST(pesum AS DOUBLE)) / (1.0 - CAST(pesum AS DOUBLE)), 9)
+        |  END AS kappa
+        |FROM pb CROSS JOIN pe
+        |ORDER BY n_items""".stripMargin,
+
+    "q_ewma" -> ewmaOracle,
+
     // Poisson-bootstrap replay: same Knuth coin, same ⌊CDF·2³²⌋ integer
     // thresholds, same percentile-rank selection — pure integer/decimal
     // arithmetic end-to-end, so the interval reproduces bit-for-bit

@@ -1416,4 +1416,41 @@ object EventOps {
         round(sum(col("__m").cast(DecimalType(18, 6))).cast("double") /
           count(lit(1)), 9).as("avg_monetary"))
   }
+
+  /** Exponentially-weighted moving average per series — the monitoring
+    * smoother the time-series family lacked (beside [[seasonalityStrength]]'s
+    * decomposition, [[changepoint]]'s level-shift locator and
+    * [[saxWords]]' symbolization): recent rows weigh geometrically more,
+    * the classic α = ½ recency profile. Deliberately the LAG-TRUNCATED
+    * form: row t smooths over its last `lags` rows with weights
+    * 2⁻¹, 2⁻², …, renormalized by the weight actually present (so early
+    * rows and short series are unbiased means of what exists, not
+    * damped toward zero). Truncation at 2⁻¹⁶ ≈ 1.5·10⁻⁵ is part of the
+    * CONTRACT, not an approximation error — it is what makes the
+    * smoother a bounded-memory window op any engine replays exactly.
+    *
+    * Engine-exact by dyadic arithmetic: every weight is a power of two,
+    * so each lagged term and both chain sums are EXACT doubles (no
+    * accumulated rounding at all for integer-valued series below 2³⁶);
+    * the single renormalizing division rounds to 9. One per-series
+    * window sort, `lags` lag() columns riding it, no joins, no state.
+    * Ordering ties would make lag() nondeterministic — `ordCol` must be
+    * unique per series (hours of a rollup are). Gaps in `ordCol` are
+    * ROWS, not time: a missing hour is simply absent from the window
+    * (callers wanting time-decay densify first). */
+  def ewmaSmooth(df: DataFrame, seriesCol: String, ordCol: String,
+                 valueCol: String, lags: Int = 16): DataFrame = {
+    require(lags >= 1 && lags <= 48, s"lags must be in [1, 48], got $lags")
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col(ordCol))
+    val v = col(valueCol).cast("double")
+    val terms = (0 until lags).map { i =>
+      val li = if (i == 0) v else lag(v, i).over(w)
+      val wt = math.pow(2.0, -(i + 1)) // exact dyadic constant
+      (coalesce(li * lit(wt), lit(0.0)),
+       when(li.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma", when(den > 0, round(num / den, 9)))
+  }
 }

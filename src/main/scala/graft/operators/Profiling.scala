@@ -1706,4 +1706,62 @@ object Profiling {
         coalesce(col("n_boot"), lit(0L)).as("n_boot"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Fleiss' κ — chance-corrected agreement among MANY raters (the
+    * multi-annotator generalization of [[cohenKappa]]'s two-rater
+    * matrix): the number a labeling pipeline reports when several
+    * annotators — or several LLM judges — categorize the same items,
+    * answering "do they agree more than chance would?". Input is the
+    * long (item, rater, category) table; raters-per-item may vary (the
+    * generalized form: per-item agreement is the fraction of
+    * concordant PAIRS, n_ij(n_ij−1)/(n_i(n_i−1))); items with fewer
+    * than 2 ratings carry no pair and drop out (of both P̄ and the
+    * chance marginals — the two sides must see the same item set or κ
+    * is biased).
+    *
+    * Engine-exact: everything reduces to the (item, category) CELL
+    * table (one map-side-combined aggregate, checkpointed — it feeds
+    * the item sums AND the category marginals); pair counts are exact
+    * integers; P_i, the category shares and their squares each round
+    * to 9 and sum in DECIMAL; the closing κ division is one IEEE op
+    * rounded to 9. Output: ONE row — (n_items, n_ratings, p_bar, p_e,
+    * kappa); κ is NULL when P_e = 1 (a single category — agreement is
+    * undefined, not perfect). */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  catCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = true)
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__ni"),
+        sum(col("__n") * (col("__n") - 1)).as("__agree"))
+      .filter(col("__ni") >= 2)
+    val pbar = items
+      .select(col("__i"), col("__ni"),
+        round(col("__agree").cast("double") /
+          (col("__ni") * (col("__ni") - 1)).cast("double"), 9).as("__pi"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ratings"),
+        sum(col("__pi").cast(dec)).as("__pisum"))
+    val kept = cells.join(items.select(col("__i")), Seq("__i"), "left_semi")
+    val tot = kept.agg(sum(col("__n")).as("__tot"))
+    val pe = kept.groupBy(col("__c")).agg(sum(col("__n")).as("__cj"))
+      .crossJoin(broadcast(tot))
+      .select(round(col("__cj").cast("double") /
+        col("__tot").cast("double"), 9).as("__pj"))
+      .select(round(col("__pj") * col("__pj"), 9).as("__pj2"))
+      .agg(sum(col("__pj2").cast(dec)).as("__pesum"))
+    pbar.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_ratings"),
+        round(col("__pisum").cast("double") / col("n_items"), 9)
+          .as("p_bar"), col("__pesum").cast("double").as("p_e"),
+        when(lit(1.0) - col("__pesum").cast("double") > 0, round(
+          (round(col("__pisum").cast("double") / col("n_items"), 9) -
+            col("__pesum").cast("double")) /
+          (lit(1.0) - col("__pesum").cast("double")), 9))
+          .as("kappa"))
+  }
 }

@@ -177,4 +177,61 @@ object Search {
         when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 9))
           .as("ndcg"))
   }
+
+  /** The binary-relevance retrieval scorecard beside [[ndcgAt]]'s
+    * graded gain: per query, MRR, precision@k, recall@k and AP@k (the
+    * MAP summand) from a ranked list and a relevance table — the four
+    * numbers every retrieval regression suite tracks together (MRR for
+    * first-hit latency, P/R for set quality, AP for full-list order).
+    * Standard conventions: a query with no relevant doc in the top k
+    * scores MRR 0; recall/AP are NULL (undefined) when the query has
+    * no labeled-relevant docs at all; AP normalizes by min(n_rel, k).
+    *
+    * Engine-exact: hits and cumulative hits are integers off ONE
+    * per-query rank window (the input is already ≤ k rows per query,
+    * so the window sorts k-bounded partitions, never a corpus); AP
+    * terms round to 9 and sum in DECIMAL; the three closing divisions
+    * are single IEEE ops rounded to 9. Output: (queryCol, n_rel,
+    * hits_at_k, mrr, precision_at_k, recall_at_k, ap_at_k). */
+  def rankEval(ranked: DataFrame, rels: DataFrame, k: Int,
+               queryCol: String = "query_id", idCol: String = "doc_id",
+               rankCol: String = "rank", relCol: String = "rel")
+      : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val relevant = rels.filter(col(relCol) > 0)
+      .select(col(queryCol), col(idCol))
+    val nrel = relevant.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel"))
+    val joined = ranked.filter(col(rankCol) <= k)
+      .join(relevant.withColumn("__hit1", lit(1L)),
+        Seq(queryCol, idCol), "left")
+      .select(col(queryCol), col(rankCol).cast("long").as("__rank"),
+        coalesce(col("__hit1"), lit(0L)).as("__hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("__rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val terms = joined
+      .withColumn("__cum", sum(col("__hit")).over(w))
+      .withColumn("__ap_term", when(col("__hit") === 1,
+        round(col("__cum").cast("double") / col("__rank"), 9)))
+    val agg = terms.groupBy(col(queryCol)).agg(
+      sum(col("__hit")).as("hits_at_k"),
+      min(when(col("__hit") === 1, col("__rank"))).as("__first"),
+      sum(col("__ap_term").cast(DecimalType(28, 9))).as("__ap_sum"))
+    agg.join(nrel, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits_at_k"),
+        coalesce(round(lit(1.0) / col("__first"), 9), lit(0.0)).as("mrr"),
+        round(col("hits_at_k").cast("double") / lit(k), 9)
+          .as("precision_at_k"),
+        when(col("n_rel") > 0,
+          round(col("hits_at_k").cast("double") / col("n_rel"), 9))
+          .as("recall_at_k"),
+        when(col("n_rel") > 0, round(
+          coalesce(col("__ap_sum"), lit(0).cast(DecimalType(28, 9)))
+            .cast("double") / least(col("n_rel"), lit(k.toLong)), 9))
+          .as("ap_at_k"))
+  }
 }

@@ -828,4 +828,29 @@ class EventOpsSpec extends SparkTestBase {
     assert(out === (1 to 5).map(i =>
       (i.toLong, i.toLong, i.toLong, 1L, (i * i).toDouble)).toSet)
   }
+
+  test("ewmaSmooth: hand-computed dyadic smoother — short prefixes " +
+       "renormalize, series stay independent, layout-independent") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 4.0),
+      ("b", 1L, 10.0)).toDF("s", "t", "x")
+    val out = EventOps.ewmaSmooth(df, "s", "t", "x", lags = 16)
+      .select(col("s"), col("t"), col("ewma"))
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", 1L)) === 1.0, "first row is its own mean")
+    // (2*.5 + 1*.25)/(.75) = 1.666666667
+    assert(out(("a", 2L)) === 1.666666667)
+    // (4*.5 + 2*.25 + 1*.125)/.875 = 3.0 exactly
+    assert(out(("a", 3L)) === 3.0)
+    assert(out(("b", 1L)) === 10.0, "series b never sees series a")
+    val again = EventOps.ewmaSmooth(df.repartition(5), "s", "t", "x")
+      .select(col("s"), col("t"), col("ewma"))
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException] {
+      EventOps.ewmaSmooth(df, "s", "t", "x", lags = 0)
+    }
+  }
 }

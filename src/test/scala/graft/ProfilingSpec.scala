@@ -889,6 +889,32 @@ class ProfilingSpec extends SparkTestBase {
     }
   }
 
+  test("fleissKappa: perfect agreement reads 1, near-chance reads ~0, " +
+       "single-category reads NULL; sub-2-rating items drop") {
+    // perfect: every item unanimous, categories split — P_bar 1, P_e .5
+    val perfect = Seq((1L, 1L, 0L), (1L, 2L, 0L), (2L, 1L, 1L),
+      (2L, 2L, 1L)).toDF("item", "rater", "cat")
+    val p = Profiling.fleissKappa(perfect, "item", "rater", "cat")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(p === ((2L, 4L, 1.0, 0.5, Some(1.0))))
+    // mixed: A unanimous, B/C 2-1 splits — P_bar 5/9, P_e ~ 5/9
+    val mixed = Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (2L, 2L, 1L), (2L, 3L, 0L),
+      (3L, 1L, 0L), (3L, 2L, 0L), (3L, 3L, 1L))
+      .toDF("item", "rater", "cat")
+    val m = Profiling.fleissKappa(mixed, "item", "rater", "cat")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(m._1 === 3L && m._2 === 9L)
+    assert(m._3 === 0.555555555 && math.abs(m._5.get) < 1e-7,
+      "balanced 2-1 splits sit at chance: kappa ~ 0")
+    // all one category: P_e = 1 -> undefined, and a 1-rating item drops
+    val one = Seq((1L, 1L, 7L), (1L, 2L, 7L), (9L, 1L, 7L))
+      .toDF("item", "rater", "cat")
+    val o = Profiling.fleissKappa(one, "item", "rater", "cat")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(o === ((1L, 2L, 1.0, 1.0, None)))
+  }
+
   test("bootstrapCI: single-row group degenerates gracefully — every " +
        "surviving replicate mean is the row's value") {
     val df = Seq(("g", 7L, 3.25)).toDF("grp", "id", "v")

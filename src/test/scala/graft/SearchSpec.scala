@@ -112,4 +112,25 @@ class SearchSpec extends SparkTestBase {
     assert(out("q") === Some(r9(dcg / idcg)))
     assert(out("z") === None, "all-zero labels: NDCG undefined, NULL")
   }
+
+  test("rankEval: hand-computed MRR/P@k/R@k/AP@k; no-relevant query " +
+       "reads MRR 0 with NULL recall/AP") {
+    val ranked = (1 to 5).flatMap(r => Seq(("q1", r.toLong, r),
+      ("q2", (10 + r).toLong, r))).toDF("query_id", "doc_id", "rank")
+    // q1 relevant: docs 2, 4 (in top-5) and 9 (outside); q2: none
+    val rels = Seq(("q1", 2L, 1L), ("q1", 4L, 1L), ("q1", 9L, 1L),
+      ("q1", 1L, 0L)).toDF("query_id", "doc_id", "rel")
+    val out = Search.rankEval(ranked, rels, k = 5)
+      .as[(String, Long, Long, Double, Double, Option[Double],
+           Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // q1: hits {2,4}; first=2 -> MRR .5; P=2/5; R=2/3;
+    // AP = (1/2 + 2/4)/min(3,5) = 1/3
+    assert(out("q1") === (("q1", 3L, 2L, 0.5, 0.4,
+      Some(0.666666667), Some(0.333333333))))
+    assert(out("q2") === (("q2", 0L, 0L, 0.0, 0.0, None, None)))
+    intercept[IllegalArgumentException] {
+      Search.rankEval(ranked, rels, k = 0)
+    }
+  }
 }
