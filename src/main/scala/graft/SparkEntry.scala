@@ -1113,6 +1113,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- E25 Hilbert-curve layout beside q_zorder's Morton key, same
+    // dims/bits/bucketing: consecutive indices are grid NEIGHBORS, so
+    // the per-bucket extents profile tighter than Z-order's quadrant
+    // jumps — compare the two queries' min/max spans directly ----
+    "q_hilbert" -> ((s, d) => {
+      val h = operators.Layout.hilbertValue(
+        operators.Layout.quantize(col("user_id"), 0L, 256L, 8),
+        operators.Layout.quantize(col("event_id"), 0L, 16384L, 8), 8)
+      t(s, d, "events")
+        .withColumn("hv", h)
+        .groupBy(shiftright(col("hv"), 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("min_u"), max("user_id").as("max_u"),
+          min("event_id").as("min_e"), max("event_id").as("max_e"))
+        .orderBy("bucket")
+    }),
+
     // ---- batch sessionization (gap-based, twin of StreamOps.sessionize) ----
     "q_sessionize" -> ((s, d) =>
       EventOps.sessionizeBatch(t(s, d, "events"), gapMs = 3600 * 1000L)
@@ -4584,6 +4601,41 @@ object SparkEntry {
     * smoothed per-(label, token) log-probs rounded to 9 decimals and
     * summed as DECIMAL(28,9), every doc × label scaffolded so all-OOV
     * docs keep the prior-only argmax. */
+  /** q_hilbert oracle, generated: the xy2d walk unrolled as one CTE per
+    * level with level-indexed column names (x0/y0/d0 → x8/y8/d8), so no
+    * SELECT ever references an alias it also defines — immune to
+    * lateral-alias precedence differences between engines. Quantization
+    * is the q_zorder oracle's integer formula verbatim. */
+  private val hilbertOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH qd AS (SELECT user_id, event_id,
+      |  ((least(greatest(CAST(user_id AS BIGINT), 0), 256) - 0) * 255) // 256 AS u,
+      |  ((least(greatest(CAST(event_id AS BIGINT), 0), 16384) - 0) * 255) // 16384 AS e
+      |  FROM events),
+      |lvl0 AS (SELECT user_id, event_id, u AS x0, e AS y0, 0 AS d0 FROM qd)""".stripMargin
+    for (k <- 1 to 8) {
+      val s = 1L << (8 - k)
+      val (x, y, dd) = (s"x${k - 1}", s"y${k - 1}", s"d${k - 1}")
+      sb ++= s""",
+        |lvl$k AS (SELECT user_id, event_id,
+        |  CASE WHEN ($y & $s) > 0 THEN $x
+        |       WHEN ($x & $s) > 0 THEN ${s - 1} - $y ELSE $y END AS x$k,
+        |  CASE WHEN ($y & $s) > 0 THEN $y
+        |       WHEN ($x & $s) > 0 THEN ${s - 1} - $x ELSE $x END AS y$k,
+        |  $dd + ${s * s} * (CASE
+        |    WHEN ($x & $s) > 0 AND ($y & $s) > 0 THEN 2
+        |    WHEN ($x & $s) > 0 THEN 3
+        |    WHEN ($y & $s) > 0 THEN 1 ELSE 0 END) AS d$k
+        |  FROM lvl${k - 1})""".stripMargin
+    }
+    sb ++= """
+      |SELECT CAST(d8 >> 8 AS BIGINT) AS bucket, COUNT(*) AS n,
+      |  MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+      |  MIN(event_id) AS min_e, MAX(event_id) AS max_e
+      |FROM lvl8 GROUP BY 1 ORDER BY 1""".stripMargin
+    sb.toString
+  }
+
   /** q_ewma oracle, generated: 15 lag() columns over the hourly window
     * plus the dyadic-weight chain sums (every weight literal is the
     * EXACT decimal rendering of 2^-(i+1), so both engines sum the same
@@ -8733,6 +8785,8 @@ object SparkEntry {
         |ORDER BY n_items""".stripMargin,
 
     "q_ewma" -> ewmaOracle,
+
+    "q_hilbert" -> hilbertOracle,
 
     // Poisson-bootstrap replay: same Knuth coin, same ⌊CDF·2³²⌋ integer
     // thresholds, same percentile-rank selection — pure integer/decimal

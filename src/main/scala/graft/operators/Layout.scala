@@ -79,4 +79,38 @@ object Layout {
       .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)
   }
+
+  /** 2-D Hilbert-curve index of two quantized dimensions — the
+    * stronger space-filling curve beside [[zvalue]]: consecutive
+    * Hilbert indices are ALWAYS grid neighbors (Manhattan distance 1),
+    * where consecutive Morton codes jump across quadrant boundaries,
+    * so equal-size Hilbert runs cover more-compact rectangles and the
+    * per-file zone maps come out tighter on both dimensions (the
+    * measured q_hilbert-vs-q_zorder bucket extents make the difference
+    * concrete). Native codegen'd expression — the per-level frame
+    * rotation is sequential state a column formula can't carry without
+    * a ~3×-per-level expression blow-up. Inputs must be in
+    * [0, 2^bits) — compose with [[quantize]]. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    org.apache.spark.sql.graft.VectorExprs.hilbertD2(
+      x.cast("long"), y.cast("long"), bits)
+  }
+
+  /** [[clusterBy]] with the Hilbert key: range-partition into
+    * `numPartitions` Hilbert runs and sort each run. Exactly two
+    * dimensions (the d=2 curve; for 3+ dims use [[clusterBy]]'s
+    * Morton key, whose interleave generalizes). */
+  def clusterByHilbert(df: DataFrame, dims: Seq[(Column, Long, Long)],
+                       numPartitions: Int, bits: Int = 16,
+                       hCol: String = "__h"): DataFrame = {
+    require(numPartitions >= 1)
+    require(dims.size == 2, s"Hilbert layout is 2-D, got ${dims.size} dims")
+    val Seq((cx, lox, hix), (cy, loy, hiy)) = dims
+    val h = hilbertValue(quantize(cx, lox, hix, bits),
+      quantize(cy, loy, hiy, bits), bits)
+    df.withColumn(hCol, h)
+      .repartitionByRange(numPartitions, col(hCol))
+      .sortWithinPartitions(hCol)
+  }
 }

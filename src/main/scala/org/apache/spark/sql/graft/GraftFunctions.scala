@@ -85,6 +85,11 @@ object GraftFunctions {
       need(2, "graft_interleave")(args)
       VectorExprs.Interleave64(args(0), args(1))
     },
+    "graft_hilbert" -> { args =>
+      need(3, "graft_hilbert")(args)
+      VectorExprs.HilbertD2(args(0), args(1),
+        intLit(args(2), "graft_hilbert", "bits"))
+    },
     "graft_jaro_winkler" -> { args =>
       need(2, "graft_jaro_winkler")(args)
       VectorExprs.JaroWinkler(args(0), args(1))

@@ -105,4 +105,50 @@ class LayoutSpec extends SparkTestBase {
     assert(!p.toLowerCase.contains("batchevalpython") &&
       !p.contains("UDF"), s"no UDFs in the layout path:\n$p")
   }
+
+  test("hilbertValue: bijective on the grid and every consecutive pair " +
+       "of indices is a grid NEIGHBOR — the property Morton lacks") {
+    import spark.implicits._
+    val bits = 4
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val out = grid.select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits).as("h"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._3).toSet === (0L until 256L).toSet,
+      "16x16 grid must map bijectively onto [0, 256)")
+    val byH = out.map(r => r._3 -> (r._1, r._2)).toMap
+    (0L until 255L).foreach { h =>
+      val (x1, y1) = byH(h); val (x2, y2) = byH(h + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"consecutive Hilbert indices $h,${h + 1} must be grid neighbors")
+    }
+    // Morton, by contrast, jumps: count the non-adjacent consecutive
+    // pairs to pin WHY the Hilbert variant exists
+    val mor = grid.select(col("x"), col("y"),
+        Layout.zvalue(Seq(col("x"), col("y")), bits).as("z"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._3 -> (r._1, r._2)).toMap
+    val jumps = (0L until 255L).count { z =>
+      val (x1, y1) = mor(z); val (x2, y2) = mor(z + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    }
+    assert(jumps > 0, "Morton must show quadrant jumps on the same grid")
+  }
+
+  test("clusterByHilbert: range runs sort by the curve; guards are loud") {
+    import spark.implicits._
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x, y)).toDF("a", "b")
+    val out = Layout.clusterByHilbert(df,
+      Seq((col("a"), 0L, 32L), (col("b"), 0L, 32L)),
+      numPartitions = 4, bits = 5)
+    assert(out.count() === 1024L)
+    intercept[IllegalArgumentException] {
+      Layout.clusterByHilbert(df, Seq((col("a"), 0L, 32L)), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue(col("a"), col("b"), 0)
+    }
+  }
 }

@@ -133,7 +133,8 @@ class VectorExprsSpec extends SparkTestBase {
       VectorExprs.shingleStrings(split(col("text"), " "), 3),
       VectorExprs.polyHash(col("text")),
       VectorExprs.jaroWinkler(col("text"), reverse(col("text"))),
-      VectorExprs.interleave64(col("id") * 12345L, col("id") * 67L), {
+      VectorExprs.interleave64(col("id") * 12345L, col("id") * 67L),
+      VectorExprs.hilbertD2(col("id") * 173L, col("id") * 41L, 8), {
         val cents = Seq(Seq(0.5f, 0.25f, -1.0f), Seq(1f, -2f, 3.5f),
           Seq(0f, 0f, 1f), Seq(-1f, 1f, 0f))
         VectorExprs.pqAdcScore(
