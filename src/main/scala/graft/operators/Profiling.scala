@@ -1645,9 +1645,12 @@ object Profiling {
     *
     * Scale: one explode (reps× rows, map-side — no shuffle carries the
     * blow-up: the (group, replicate) aggregate partial-combines before
-    * its exchange), then a reps-bounded window per group. At 100 TB the
-    * data is touched once; everything downstream is groups×reps-sized.
-    * Output: (groupCol, n, mean, n_boot, ci_lo, ci_hi). */
+    * its exchange), then a reps-bounded window per group. The data is
+    * scanned twice (the point-estimate aggregate and the replicate
+    * pass — fusing them would thread every raw row through the explode
+    * for no shuffle saving); everything downstream of the two scans is
+    * groups×reps-sized. Output: (groupCol, n, mean, n_boot, ci_lo,
+    * ci_hi). */
   def bootstrapCI(df: DataFrame, groupCol: String, keyCol: String,
                   valueCol: String, reps: Int = 48,
                   alpha: Double = 0.05): DataFrame = {

@@ -620,4 +620,89 @@ class PropertySpec extends SparkTestBase {
       }
     }, samples = 10)
   }
+
+  test("property: bootstrap CI stays inside the data range and brackets " +
+       "nothing outside it; replicate count never exceeds reps") {
+    val gen: Gen[List[(Long, Double)]] = Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 9999L); v <- Gen.choose(-50, 50)
+    } yield (k, v.toDouble))
+    check(Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("key", "v").dropDuplicates("key")
+          .withColumn("g", lit("g"))
+        val r = operators.Profiling.bootstrapCI(df, "g", "key", "v",
+            reps = 16)
+          .as[(String, Long, Double, Long, Option[Double], Option[Double])]
+          .head()
+        val vs = rows.map(_._2)
+        r._4 <= 16L &&
+        r._5.forall(lo => lo >= vs.min && lo <= vs.max) &&
+        r._6.forall(hi => hi >= vs.min && hi <= vs.max) &&
+        (for (lo <- r._5; hi <- r._6) yield lo <= hi).getOrElse(true)
+      }
+    }, samples = 8)
+  }
+
+  test("property: ewma lies within the window's min/max and equals the " +
+       "value on constant series") {
+    val gen: Gen[List[(Long, Double)]] = Gen.listOfN(12, for {
+      t <- Gen.choose(0L, 999L); v <- Gen.choose(0, 100)
+    } yield (t, v.toDouble))
+    check(Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("t", "v").dropDuplicates("t")
+          .withColumn("s", lit("s"))
+        val out = operators.EventOps.ewmaSmooth(df, "s", "t", "v")
+          .select(col("t"), col("v"), col("ewma"))
+          .as[(Long, Double, Double)].collect().sortBy(_._1)
+        val inRange = out.indices.forall { i =>
+          val window = out.slice(math.max(0, i - 15), i + 1).map(_._2)
+          out(i)._3 >= window.min - 1e-9 && out(i)._3 <= window.max + 1e-9
+        }
+        val const = operators.EventOps.ewmaSmooth(
+            rows.map(r => (r._1, 7.25)).toDF("t", "v")
+              .dropDuplicates("t").withColumn("s", lit("s")),
+            "s", "t", "v")
+          .select(col("ewma")).as[Double].collect()
+        inRange && const.forall(_ === 7.25)
+      }
+    }, samples = 8)
+  }
+
+  test("property: hilbert curve is bijective and unit-step at random " +
+       "bit widths; rankEval precision*k always equals hits") {
+    check(Prop.forAll(Gen.choose(2, 6)) { bits =>
+      val side = 1 << bits
+      val grid = (for (x <- 0 until side; y <- 0 until side)
+        yield (x.toLong, y.toLong)).toDF("x", "y")
+      val out = grid.select(col("x"), col("y"),
+          operators.Layout.hilbertValue(col("x"), col("y"), bits).as("h"))
+        .as[(Long, Long, Long)].collect()
+      val byH = out.map(r => r._3 -> (r._1, r._2)).toMap
+      out.map(_._3).toSet == (0L until (side.toLong * side)).toSet &&
+      (0L until (side.toLong * side - 1)).forall { h =>
+        val (x1, y1) = byH(h); val (x2, y2) = byH(h + 1)
+        math.abs(x1 - x2) + math.abs(y1 - y2) == 1L
+      }
+    }, samples = 5)
+    val rankedGen: Gen[List[(Long, Int)]] = Gen.listOfN(8, for {
+      id <- Gen.choose(0L, 99L)
+    } yield (id, 0)).map(_.map(_._1).distinct.zipWithIndex
+      .map { case (id, i) => (id, i + 1) })
+    check(Prop.forAll(rankedGen, Gen.choose(1, 8)) { (docs, k) =>
+      docs.isEmpty || {
+        val ranked = docs.map { case (id, r) => ("q", id, r) }
+          .toDF("query_id", "doc_id", "rank")
+        val rels = docs.map { case (id, _) => ("q", id, id % 3 == 0) }
+          .toDF("query_id", "doc_id", "rel")
+          .withColumn("rel", col("rel").cast("long"))
+        val r = operators.Search.rankEval(ranked, rels, k)
+          .as[(String, Long, Long, Double, Double, Option[Double],
+               Option[Double])].head()
+        math.abs(r._5 * k - r._3) < 1e-6 &&
+        r._6.forall(rec => rec >= 0.0 && rec <= 1.0) &&
+        r._7.forall(ap => ap >= 0.0 && ap <= 1.0)
+      }
+    }, samples = 8)
+  }
 }
