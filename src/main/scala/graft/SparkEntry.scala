@@ -3145,6 +3145,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- E19/E15 T5-style span corruption over the encoded corpus:
+    // blocked deterministic masking (one Knuth-hashed span per 20-token
+    // block), sentinel-in-input / content-behind-sentinel targets —
+    // the denoising-objective data op; arrays cross as canonical
+    // comma-joined strings (the driver-gate scalar rule) ----
+    "q_span_corrupt" -> ((s, d) => {
+      val docs = docsSpread(s, d).filter(col("doc_id") < 200)
+      val vw = Window.orderBy(col("df").desc, col("tok"))
+      val vocab = Ngrams.vocabulary(docs, minDf = 5)
+        .select(col("tok"), row_number().over(vw).cast("long").as("id"))
+      val enc = Ngrams.encodeTokens(docs, vocab, oovId = 0L)
+      Ngrams.spanCorrupt(enc)
+        .withColumn("input_ids",
+          array_join(col("input_ids").cast("array<string>"), ","))
+        .withColumn("target_ids",
+          array_join(col("target_ids").cast("array<string>"), ","))
+        .orderBy("doc_id")
+    }),
+
     // ---- E21 dimensional modeling: SCD-1 upsert, SCD-2 history ----
     "q_upsert" -> ((s, d) => {
       val target = t(s, d, "orders")
@@ -8026,6 +8045,46 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same vocab/encode CTEs as q_encode_tokens; positions 0-based
+    // (generate_subscripts is 1-based — block boundaries depend on it)
+    "q_span_corrupt" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+        |               unnest(toks) AS tok FROM d),
+        |vocab AS (
+        |  SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS id
+        |  FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM tok
+        |        GROUP BY tok HAVING count(DISTINCT doc_id) >= 5)),
+        |enc AS (
+        |  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+        |  FROM tok t LEFT JOIN vocab v USING (tok)),
+        |mk AS (SELECT doc_id, pos, id, pos // 20 AS blk, pos % 20 AS pib,
+        |         ((doc_id * 31 + pos // 20) * 2654435761)
+        |           % 4294967296 % 18 AS off
+        |       FROM enc),
+        |mm AS (SELECT *, (pib >= off AND pib < off + 3) AS masked FROM mk),
+        |inp AS (SELECT doc_id,
+        |          array_to_string(list(CASE WHEN masked THEN blk + 1000000
+        |            ELSE id END ORDER BY pos), ',') AS input_ids
+        |        FROM mm WHERE NOT masked OR pib = off GROUP BY doc_id),
+        |tg AS (SELECT doc_id, pos * 2 AS tp, id AS outv FROM mm
+        |       WHERE masked
+        |       UNION ALL
+        |       SELECT doc_id, MIN(pos) * 2 - 1, blk + 1000000 FROM mm
+        |       WHERE masked GROUP BY doc_id, blk),
+        |tga AS (SELECT doc_id,
+        |          array_to_string(list(outv ORDER BY tp), ',') AS target_ids
+        |        FROM tg GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        |         FROM d)
+        |SELECT b.doc_id, b.n_tokens,
+        |  COALESCE(i.input_ids, '') AS input_ids,
+        |  COALESCE(t.target_ids, '') AS target_ids
+        |FROM base b LEFT JOIN inp i USING (doc_id)
+        |LEFT JOIN tga t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_ntile" ->
       """SELECT o_custkey, o_orderkey,

@@ -1536,4 +1536,86 @@ object Ngrams {
         (nD * col("__sxy") - col("__sx") * col("__sy")) / det, 9))
         .as("slope"))
   }
+
+  /** T5-style span corruption over encoded token-id sequences — the
+    * denoising pretraining objective's data op: mask contiguous spans,
+    * replace each with a per-doc-sequential SENTINEL id in the input,
+    * and emit the masked content behind its sentinel as the target
+    * (Raffel et al. 2020's ~15% noise / mean-span-3 shape at the
+    * defaults spanLen=3, blockSize=20).
+    *
+    * Deterministic blocked formulation (replayable in SQL, no RNG, no
+    * sequential scan state): positions partition into fixed blocks of
+    * `blockSize`; each block masks ONE span of `spanLen` starting at a
+    * Knuth-hashed offset of (doc, block) — spans can't overlap by
+    * construction, coverage is spanLen/blockSize exactly on full
+    * blocks, and the (doc, block) coin makes the corruption stable
+    * under any layout or re-run (the curriculum/replay property).
+    * Sentinel for block b is `sentinelBase + b` — per-doc sequential,
+    * like <extra_id_k>; callers pick sentinelBase above their vocab.
+    * Tail blocks shorter than the drawn offset mask nothing (the
+    * documented edge; a partial overlap truncates at the doc end).
+    *
+    * Scale: one posexplode, two thin grouped reassemblies
+    * (sort_array-of-struct — layout-independent order), everything
+    * keyed by doc id; ids and positions only on every exchange. The
+    * doc-id domain guard raises at the scan (the bootstrapCI
+    * convention) instead of letting the hash wrap. Output: (idCol,
+    * n_tokens, input_ids, target_ids). */
+  def spanCorrupt(enc: DataFrame, blockSize: Int = 20, spanLen: Int = 3,
+                  sentinelBase: Long = 1000000L,
+                  idCol: String = "doc_id",
+                  idsCol: String = "token_ids"): DataFrame = {
+    require(blockSize >= 2 && spanLen >= 1 && spanLen < blockSize,
+      s"need 1 <= spanLen < blockSize, got spanLen=$spanLen blockSize=$blockSize")
+    require(sentinelBase > 0, "sentinelBase must be positive")
+    val m = (blockSize - spanLen + 1).toLong
+    val maxKey = Long.MaxValue / 2654435761L - 1
+    val doc = when(col(idCol).isNull || col(idCol) < 0 ||
+        col(idCol) > maxKey / 31 - 1,
+      raise_error(concat(
+        lit(s"spanCorrupt: doc id must be in [0, ${maxKey / 31 - 1}], got "),
+        col(idCol).cast("string"))))
+      .otherwise(col(idCol).cast("long"))
+    val ex = enc.select(doc.as("__doc"), posexplode(col(idsCol)))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__id")
+      .withColumn("__pos", col("__p").cast("long"))
+      .withColumn("__blk",
+        call_function("div", col("__pos"), lit(blockSize.toLong)))
+      .withColumn("__pib", col("__pos") - col("__blk") * blockSize)
+      .withColumn("__off", pmod(pmod(
+        (col("__doc") * 31 + col("__blk")) * lit(2654435761L),
+        lit(4294967296L)), lit(m)))
+      .withColumn("__masked", col("__pib") >= col("__off") &&
+        col("__pib") < col("__off") + spanLen)
+    val inputs = ex
+      .filter(!col("__masked") || col("__pib") === col("__off"))
+      .select(col("__doc"),
+        struct(col("__pos"),
+          when(col("__masked"), col("__blk") + sentinelBase)
+            .otherwise(col("__id")).as("__out")).as("__s"))
+      .groupBy(col("__doc"))
+      .agg(transform(array_sort(collect_list(col("__s"))),
+        x => x("__out")).as("input_ids"))
+    val maskedRows = ex.filter(col("__masked"))
+    val tgt = maskedRows
+      .select(col("__doc"), (col("__pos") * 2).as("__tp"),
+        col("__id").as("__out"))
+      .unionByName(maskedRows.groupBy(col("__doc"), col("__blk"))
+        .agg(min(col("__pos")).as("__p0"))
+        .select(col("__doc"), (col("__p0") * 2 - 1).as("__tp"),
+          (col("__blk") + sentinelBase).as("__out")))
+      .groupBy(col("__doc"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("__tp"), col("__out")))), x => x("__out"))
+        .as("target_ids"))
+    enc.select(col(idCol), size(col(idsCol)).cast("long").as("n_tokens"))
+      .join(inputs.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .join(tgt.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("input_ids"), array().cast("array<bigint>"))
+          .as("input_ids"),
+        coalesce(col("target_ids"), array().cast("array<bigint>"))
+          .as("target_ids"))
+  }
 }

@@ -637,4 +637,49 @@ class NgramsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("spanCorrupt: hand-computed masking — sentinel replaces the span " +
+       "in the input, content follows its sentinel in the target, tail " +
+       "blocks shorter than the drawn offset mask nothing") {
+    import spark.implicits._
+    // doc 0: block 0 offset = 0 (Knuth hash of (0,0)), so pos 0..2 mask;
+    // block 1 offset = 2654435761 % 18 = 7, but the doc ends at pib 4 —
+    // nothing masks in the tail block
+    val enc = Seq((0L, (1L to 25L).toArray)).toDF("doc_id", "token_ids")
+    val out = Ngrams.spanCorrupt(enc)
+      .as[(Long, Long, Seq[Long], Seq[Long])].head()
+    assert(out._2 === 25L)
+    assert(out._3 === (1000000L +: (4L to 25L)),
+      "input = sentinel for block 0, then the unmasked tail")
+    assert(out._4 === Seq(1000000L, 1L, 2L, 3L),
+      "target = sentinel then the masked span content")
+    // short doc entirely inside the masked span: input is ONLY the
+    // sentinel, target carries the whole doc
+    val tiny = Seq((0L, Array(9L, 8L))).toDF("doc_id", "token_ids")
+    val t = Ngrams.spanCorrupt(tiny)
+      .as[(Long, Long, Seq[Long], Seq[Long])].head()
+    assert(t._3 === Seq(1000000L) && t._4 === Seq(1000000L, 9L, 8L))
+    // layout independence + guards
+    val many = (0L until 40L).map(i =>
+      (i, (0L until 37L).map(j => i * 100 + j).toArray))
+      .toDF("doc_id", "token_ids")
+    val a = Ngrams.spanCorrupt(many)
+      .as[(Long, Long, Seq[Long], Seq[Long])].collect().toSet
+    val b = Ngrams.spanCorrupt(many.repartition(7))
+      .as[(Long, Long, Seq[Long], Seq[Long])].collect().toSet
+    assert(a === b)
+    // masked fraction on full blocks is exactly spanLen/blockSize
+    val full = Seq((3L, (1L to 200L).toArray)).toDF("doc_id", "token_ids")
+    val f = Ngrams.spanCorrupt(full)
+      .as[(Long, Long, Seq[Long], Seq[Long])].head()
+    assert(f._4.count(_ < 1000000L) === 30,
+      "200 tokens = 10 full blocks x 3 masked each")
+    intercept[IllegalArgumentException] {
+      Ngrams.spanCorrupt(enc, blockSize = 3, spanLen = 3)
+    }
+    intercept[Exception] {
+      Ngrams.spanCorrupt(Seq((-1L, Array(1L))).toDF("doc_id", "token_ids"))
+        .collect()
+    }
+  }
 }
