@@ -50,10 +50,11 @@ class WindowLintSpec extends AnyFunSuite {
       "unigramEncodeWithVocab piece-id ranking over the |vocab|-row " +
       "trained vocabulary; zipfSlope's higher-count walk over the " +
       "tf-HISTOGRAM (distinct tf values, not tokens)"),
-    "SparkEntry.scala" -> (1,
-      "q_encode_tokens vocab ranking over the post-minDf vocabulary — " +
-      "model-vocabulary-sized (Heaps-sublinear in the corpus), stated " +
-      "in the registration comment")
+    "SparkEntry.scala" -> (2,
+      "q_encode_tokens and q_span_corrupt vocab rankings, both over " +
+      "the post-minDf vocabulary — model-vocabulary-sized " +
+      "(Heaps-sublinear in the corpus), stated in the registration " +
+      "comments")
   )
 
   test("every unpartitioned Window.orderBy call site in the library is " +
