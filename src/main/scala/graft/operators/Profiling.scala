@@ -1747,7 +1747,8 @@ object Profiling {
       .select(col("__i"), col("__ni"),
         round(col("__agree").cast("double") /
           (col("__ni") * (col("__ni") - 1)).cast("double"), 9).as("__pi"))
-      .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ratings"),
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("__ni")), lit(0L)).as("n_ratings"),
         sum(col("__pi").cast(dec)).as("__pisum"))
     val kept = cells.join(items.select(col("__i")), Seq("__i"), "left_semi")
     val tot = kept.agg(sum(col("__n")).as("__tot"))

@@ -176,4 +176,41 @@ class EmptyInputSpec extends SparkTestBase {
     assert(t15 === 0L && ok15)
     graft.operators.OpCaches.release()
   }
+
+  test("the r16 batch handles empty input: bootstrap/fleiss/rank-eval/" +
+       "ewma/bfs/span-corrupt return empty; logreg raises its " +
+       "documented empty-corpus require") {
+    assertEmpty(Profiling.bootstrapCI(
+      Seq.empty[(String, Long, Double)].toDF("g", "k", "v"), "g", "k", "v"))
+    // fleissKappa is a GLOBAL one-row report: empty input yields the
+    // zero row with the undefined statistics NULL, like q_auc's shape
+    val fk = Profiling.fleissKappa(
+        Seq.empty[(Long, Long, Long)].toDF("i", "r", "c"), "i", "r", "c")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(fk === ((0L, 0L, None, None, None)))
+    assertEmpty(Search.rankEval(
+      Seq.empty[(String, Long, Int)].toDF("query_id", "doc_id", "rank"),
+      Seq.empty[(String, Long, Long)].toDF("query_id", "doc_id", "rel"),
+      k = 10))
+    assertEmpty(EventOps.ewmaSmooth(
+      Seq.empty[(String, Long, Double)].toDF("s", "t", "v"), "s", "t", "v"))
+    assertEmpty(Graphs.bfsDistances(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst",
+      Seq.empty[Long].toDF("seed"), "seed", maxHops = 2))
+    // empty edges but non-empty seeds: the seeds still report dist 0
+    assert(Graphs.bfsDistances(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst",
+      Seq(5L).toDF("seed"), "seed", maxHops = 2).count() === 1)
+    assertEmpty(Ngrams.spanCorrupt(
+      Seq.empty[(Long, Array[Long])].toDF("doc_id", "token_ids")))
+    assertEmpty(TextAnalysis.logregScore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(0L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logregTrain(
+        Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "y"),
+        col("y"))
+    }
+  }
 }
