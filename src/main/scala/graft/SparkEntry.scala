@@ -3753,6 +3753,18 @@ object SparkEntry {
         .orderBy("event_type", "w_start")
     }),
 
+    // ---- E6/E20 Holt level+trend smoother over the same hourly
+    // series as q_ewma: the recurrence folds sequentially per series
+    // (aggregate HOF over the sorted array — a window can't express
+    // it), replayed bit-for-bit by a recursive-CTE oracle ----
+    "q_holt" -> ((s, d) => {
+      val hourly = operators.EventOps.hourlyRollup(t(s, d, "events"))
+        .select(col("event_type"), col("w_start"),
+          col("n_events").cast("double").as("x"))
+      operators.EventOps.holtSmooth(hourly, "event_type", "w_start", "x")
+        .orderBy("event_type", "w_start")
+    }),
+
     // ---- E20 doc-level snapshot diff (the crawl-regression audit):
     // after = documents minus every 7th id (removed), every 5th
     // surviving text appended-to (changed), ids < 40 re-keyed +1M
@@ -8846,6 +8858,30 @@ object SparkEntry {
     "q_ewma" -> ewmaOracle,
 
     "q_hilbert" -> hilbertOracle,
+
+    // the fold order IS the definition: the recursive CTE steps one
+    // row per series per iteration, recomputing the identical IEEE
+    // expression tree (dyadic coefficients, no libm)
+    "q_holt" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT event_type AS s, date_trunc('hour', ts) AS o,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT s, o, x,
+        |        ROW_NUMBER() OVER (PARTITION BY s ORDER BY o) AS rn
+        |      FROM h),
+        |hw(s, o, x, rn, l, b) AS (
+        |  SELECT s, o, x, rn, x, CAST(0.0 AS DOUBLE) FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.s, r.o, r.x, r.rn,
+        |    0.5 * r.x + 0.5 * (hw.l + hw.b),
+        |    0.5 * ((0.5 * r.x + 0.5 * (hw.l + hw.b)) - hw.l) + 0.5 * hw.b
+        |  FROM hw JOIN r ON r.s = hw.s AND r.rn = hw.rn + 1)
+        |SELECT s AS event_type, o AS w_start, x,
+        |  round(l, 9) AS level, round(b, 9) AS trend,
+        |  round(l + b, 9) AS forecast_next
+        |FROM hw
+        |ORDER BY event_type, w_start""".stripMargin,
 
     // Poisson-bootstrap replay: same Knuth coin, same ⌊CDF·2³²⌋ integer
     // thresholds, same percentile-rank selection — pure integer/decimal

@@ -1438,6 +1438,61 @@ object EventOps {
     * unique per series (hours of a rollup are). Gaps in `ordCol` are
     * ROWS, not time: a missing hour is simply absent from the window
     * (callers wanting time-decay densify first). */
+  /** Holt double exponential smoothing (level + trend), α = β = ½ —
+    * the trend-aware sibling of [[ewmaSmooth]]: where EWMA lags a
+    * drifting series by construction, Holt carries an explicit trend
+    * state, so `forecast_next = level + trend` tracks ramps (the
+    * capacity-planning readout of a rate series). Recurrence:
+    * l_t = ½·x_t + ½·(l+b), b_t = ½·(l_t − l) + ½·b, seeded
+    * l₁ = x₁, b₁ = 0.
+    *
+    * A RECURRENCE is inherently serial per series — no window frame
+    * expresses it — so each series folds SEQUENTIALLY inside one
+    * `aggregate` HOF over its sorted (ord, value) array: one grouped
+    * collect + one codegen'd left fold, deterministic in any layout.
+    * The whole series therefore materializes in one task — the
+    * documented bound (fine for rollup series: hours×types, never raw
+    * events; the same boundedness class as the grouped-histogram
+    * walks in WindowLintSpec's registry). All coefficients are dyadic
+    * and the fold order is THE definition, so the DuckDB oracle
+    * replays it bit-for-bit as a depth-per-row recursive CTE.
+    * Output: (seriesCol, ordCol, valueCol, level, trend,
+    * forecast_next), the statistics rounded to 9. */
+  def holtSmooth(df: DataFrame, seriesCol: String, ordCol: String,
+                 valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val packed = df.filter(v.isNotNull && col(ordCol).isNotNull)
+      .groupBy(col(seriesCol))
+      .agg(array_sort(collect_list(
+        struct(col(ordCol).as("__ord"), v.as("__x")))).as("__a"))
+    def outRow(ord: Column, x: Column, l: Column, b: Column) =
+      struct(ord.as("__ord"), x.as("__x"), l.as("__l"), b.as("__b"))
+    val emptyOut = filter(
+      transform(col("__a"),
+        e => outRow(e("__ord"), e("__x"), lit(0.0), lit(0.0))),
+      _ => lit(false))
+    val zero = struct(lit(0.0).as("__l"), lit(0.0).as("__b"),
+      emptyOut.as("__out"))
+    val folded = packed.select(col(seriesCol),
+      explode(aggregate(col("__a"), zero, (acc, e) => {
+        val first = size(acc("__out")) === 0
+        val l1 = when(first, e("__x"))
+          .otherwise(lit(0.5) * e("__x") +
+            lit(0.5) * (acc("__l") + acc("__b")))
+        val b1 = when(first, lit(0.0))
+          .otherwise(lit(0.5) * (l1 - acc("__l")) +
+            lit(0.5) * acc("__b"))
+        struct(l1.as("__l"), b1.as("__b"),
+          concat(acc("__out"),
+            array(outRow(e("__ord"), e("__x"), l1, b1))).as("__out"))
+      }, acc => acc("__out"))).as("__r"))
+    folded.select(col(seriesCol), col("__r")("__ord").as(ordCol),
+      col("__r")("__x").as(valueCol),
+      round(col("__r")("__l"), 9).as("level"),
+      round(col("__r")("__b"), 9).as("trend"),
+      round(col("__r")("__l") + col("__r")("__b"), 9).as("forecast_next"))
+  }
+
   def ewmaSmooth(df: DataFrame, seriesCol: String, ordCol: String,
                  valueCol: String, lags: Int = 16): DataFrame = {
     require(lags >= 1 && lags <= 48, s"lags must be in [1, 48], got $lags")

@@ -853,4 +853,29 @@ class EventOpsSpec extends SparkTestBase {
       EventOps.ewmaSmooth(df, "s", "t", "x", lags = 0)
     }
   }
+
+  test("holtSmooth: hand-computed level/trend recurrence, independent " +
+       "series, layout independence") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 14.0), ("a", 3L, 16.0),
+      ("b", 1L, 5.0)).toDF("s", "t", "x")
+    val out = EventOps.holtSmooth(df, "s", "t", "x")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // a: l1=10 b1=0; l2=.5*14+.5*10=12, b2=.5*(12-10)=1, f=13;
+    //    l3=.5*16+.5*13=14.5, b3=.5*2.5+.5*1=1.75, f=16.25
+    assert(out(("a", 1L)) === (("a", 1L, 10.0, 10.0, 0.0, 10.0)))
+    assert(out(("a", 2L)) === (("a", 2L, 14.0, 12.0, 1.0, 13.0)))
+    assert(out(("a", 3L)) === (("a", 3L, 16.0, 14.5, 1.75, 16.25)))
+    assert(out(("b", 1L)) === (("b", 1L, 5.0, 5.0, 0.0, 5.0)))
+    val again = EventOps.holtSmooth(df.repartition(5), "s", "t", "x")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    assert(again === out.values.toSet)
+    // a constant series is a fixed point with zero trend
+    val const = EventOps.holtSmooth(
+        (1L to 20L).map(i => ("c", i, 4.5)).toDF("s", "t", "x"),
+        "s", "t", "x")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(const.forall(r => r._4 === 4.5 && r._5 === 0.0))
+  }
 }
