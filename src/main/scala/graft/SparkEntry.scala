@@ -3716,6 +3716,23 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice", "is_even")
         .orderBy("o_orderpriority")),
 
+    // ---- E20 Benjamini–Hochberg FDR step-up over the Mann–Whitney
+    // battery (one test per priority; p-like = 1 − |rank_biserial|, a
+    // monotone evidence score — the even/odd split is null by
+    // construction, so the battery exercises the selection machinery
+    // on near-1 scores with total tie-breaking) ----
+    "q_bh" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val mw = operators.Profiling.mannWhitney(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1),
+        "o_orderpriority", "o_totalprice")
+      val tests = mw.select(col("o_orderpriority").as("test"),
+        round(lit(1.0) - abs(col("rank_biserial")), 9).as("p"))
+      operators.Profiling.benjaminiHochberg(tests, "test", "p", q = 0.25)
+        .orderBy("rank")
+    }),
+
     // ---- E20 deterministic Poisson-bootstrap CI for the mean event
     // value per type: the cluster-scale resampling design (per-row
     // Poisson(1) weights off the Knuth coin, integer-threshold CDF
@@ -8813,6 +8830,51 @@ object SparkEntry {
         |FROM w GROUP BY g ORDER BY g""".stripMargin,
 
     // the Mann–Whitney identity with negatives as side a / positives
+    // the Mann–Whitney battery CTEs verbatim, then the BH step-up:
+    // global rank, suffix-min adjusted p, k* scalar crossed back
+    "q_bh" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS sa,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS sb
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |pv AS (SELECT g, v, SUM(sa) AS ca, SUM(sb) AS cb
+        |       FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, ca, cb,
+        |        COALESCE(SUM(cb) OVER (PARTITION BY g ORDER BY v
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |          AS cumbp
+        |      FROM pv),
+        |mw AS (SELECT g AS test,
+        |  CASE WHEN SUM(ca) > 0 AND SUM(cb) > 0 THEN
+        |    round(CAST(SUM(2 * CAST(ca AS HUGEINT) * cumbp
+        |             + CAST(ca AS HUGEINT) * cb) AS DOUBLE)
+        |      / CAST(CAST(SUM(ca) AS HUGEINT) * SUM(cb) AS DOUBLE)
+        |      - 1.0, 9)
+        |  ELSE NULL END AS rb
+        |  FROM w GROUP BY g),
+        |tests AS (SELECT test, round(1.0 - abs(rb), 9) AS p FROM mw),
+        |base AS (SELECT test AS t, CAST(p AS DOUBLE) AS p FROM tests
+        |         WHERE p IS NOT NULL AND p > 0 AND p <= 1),
+        |rk AS (SELECT t, p,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY p ASC, t ASC)
+        |           AS BIGINT) AS i,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |       FROM base),
+        |adj AS (SELECT t, p, i, m,
+        |          round(least(1.0, MIN(p * m / i) OVER (
+        |            ORDER BY p DESC, t DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |            9) AS padj
+        |        FROM rk),
+        |ks AS (SELECT COALESCE(MAX(CASE
+        |         WHEN p <= i * CAST(0.25 AS DOUBLE) / m THEN i END), 0)
+        |         AS k FROM rk)
+        |SELECT t AS test, p, i AS rank, padj AS p_adj,
+        |  (i <= k) AS significant
+        |FROM adj CROSS JOIN ks
+        |ORDER BY rank""".stripMargin,
+
     // generalized Fleiss: per-item pair agreement over the cell table,
     // chance marginals over the SAME n_i >= 2 item set
     "q_fleiss" ->

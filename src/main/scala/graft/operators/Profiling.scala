@@ -454,16 +454,26 @@ object Profiling {
       .groupBy(col("__g"), col("__v"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
            sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
-    val wOrd = Window.partitionBy(col("__g")).orderBy(col("__v"))
-    val wAbove = wOrd.rowsBetween(1, Window.unboundedFollowing)
+    // 2U = Σ_v 2·ca_v·cbAbove_v + ca_v·cb_v with cbAbove = n_b − cbCum
+    // folds to 2·n_a·n_b − 2·Σ(ca·cbCum) + Σ(ca·cb): ONE incremental
+    // running-sum frame and one grouped aggregate — never the
+    // (1 FOLLOWING, UNBOUNDED FOLLOWING) shape, whose sliding lower
+    // bound Spark re-aggregates from scratch per row (O(n²) in
+    // distinct values per group; and if a downstream single-partition
+    // requirement is pushed below the window, all groups serialize
+    // onto one core and the quadratic goes global — the q_bh lesson,
+    // SURVEY §6.6e). Exact integers, same values, same oracle.
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val terms = perVal
-      .withColumn("__cbAbove",
-        coalesce(sum(col("__cb")).over(wAbove), lit(0L)))
-    val u2 = sum(lit(2L).cast(dec) * col("__ca") * col("__cbAbove") +
-      col("__ca").cast(dec) * col("__cb"))
+      .withColumn("__cbCum", sum(col("__cb")).over(wCum))
     terms.groupBy(col("__g").as(groupCol))
       .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
-        u2.as("__u2"))
+        sum(col("__ca").cast(dec) * col("__cbCum")).as("__sCaCum"),
+        sum(col("__ca").cast(dec) * col("__cb")).as("__sCaCb"))
+      .withColumn("__u2",
+        lit(2L).cast(dec) * col("n_a") * col("n_b") -
+          lit(2L).cast(dec) * col("__sCaCum") + col("__sCaCb"))
       .select(col(groupCol), col("n_a"), col("n_b"),
         when(abs(col("__u2")) <= lit(Long.MaxValue).cast(dec),
             col("__u2").cast("long"))
@@ -1708,6 +1718,55 @@ object Profiling {
       .select(col("__g").as(groupCol), col("n"), col("mean"),
         coalesce(col("n_boot"), lit(0L)).as("n_boot"),
         col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Benjamini–Hochberg FDR correction — the multiple-testing step
+    * every experiment/metric platform runs after computing a BATCH of
+    * p-values: rank the m tests by p, find the largest k with
+    * p₍ₖ₎ ≤ k·q/m, declare tests 1..k significant, and report the
+    * step-up adjusted p (the reverse running min of m·p/rank, capped
+    * at 1 — monotone by construction). Works on any p-LIKE score in
+    * (0, 1] whose ordering matches evidence strength; ties break by
+    * test id so the selection is total.
+    *
+    * The two windows are UNPARTITIONED by nature (the procedure is a
+    * global rank over the test battery) and run over the TESTS table —
+    * m rows, the number of hypotheses, never data rows
+    * (WindowLintSpec-registered boundedness). The k* scalar broadcasts
+    * back. All comparisons are single IEEE expressions both engines
+    * evaluate identically; adjusted p rounds to 9. Output: (testCol,
+    * p, rank, p_adj, significant). */
+  def benjaminiHochberg(df: DataFrame, testCol: String, pCol: String,
+                        q: Double = 0.05): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
+    val p = col(pCol).cast("double")
+    // the battery materializes ONCE (m rows — the number of hypotheses,
+    // bounded by definition): the rank table and the k* scalar both
+    // consume it, and WITHOUT the cut Catalyst may satisfy the BH
+    // windows' single-partition requirement with ONE low exchange that
+    // also serializes the (possibly heavy) upstream p-value
+    // computation onto one core — measured 135 s vs 0.7 s on the
+    // q_bh registration (SURVEY §6.6e)
+    val base = df.filter(p.isNotNull && p > 0 && p <= 1)
+      .select(col(testCol).as("__t"), p.as("__p"))
+      .localCheckpoint(true)
+    val wUp = Window.orderBy(col("__p").asc, col("__t").asc)
+    val wDown = Window.orderBy(col("__p").desc, col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base
+      .withColumn("__i", row_number().over(wUp).cast("long"))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("__padj", round(least(lit(1.0),
+        min(col("__p") * col("__m") / col("__i")).over(wDown)), 9))
+    val kstar = ranked
+      .agg(coalesce(max(when(
+        col("__p") <= col("__i") * lit(q) / col("__m"), col("__i"))),
+        lit(0L)).as("__k"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("__t").as(testCol), col("__p").as("p"),
+        col("__i").as("rank"), col("__padj").as("p_adj"),
+        (col("__i") <= col("__k")).as("significant"))
   }
 
   /** Fleiss' κ — chance-corrected agreement among MANY raters (the

@@ -915,6 +915,29 @@ class ProfilingSpec extends SparkTestBase {
     assert(o === ((1L, 2L, 1.0, 1.0, None)))
   }
 
+  test("benjaminiHochberg: textbook step-up selection, monotone capped " +
+       "adjusted p, loud q guard") {
+    val tests = Seq(("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.5))
+      .toDF("test", "p")
+    val out = Profiling.benjaminiHochberg(tests, "test", "p", q = 0.1)
+      .as[(String, Double, Long, Double, Boolean)].collect()
+      .sortBy(_._3)
+    // thresholds i*q/m = .025 .05 .075 .1 -> k*=3
+    assert(out.map(_._1).toSeq === Seq("a", "b", "c", "d"))
+    assert(out.map(_._5).toSeq === Seq(true, true, true, false))
+    // adjusted p: suffix-min of m*p/i (= .04, .04, .0533…, .5)
+    assert(out.map(_._4).toSeq ===
+      Seq(0.04, 0.04, 0.053333333, 0.5))
+    // all-null battery: nothing selected, every adjusted p is 1
+    val nul = Profiling.benjaminiHochberg(
+      Seq(("x", 1.0), ("y", 0.99)).toDF("test", "p"), "test", "p")
+      .as[(String, Double, Long, Double, Boolean)].collect()
+    assert(nul.forall(r => !r._5))
+    intercept[IllegalArgumentException] {
+      Profiling.benjaminiHochberg(tests, "test", "p", q = 0.0)
+    }
+  }
+
   test("bootstrapCI: single-row group degenerates gracefully — every " +
        "surviving replicate mean is the row's value") {
     val df = Seq(("g", 7L, 3.25)).toDF("grp", "id", "v")

@@ -34,12 +34,15 @@ class WindowLintSpec extends AnyFunSuite {
     "operators/Mixing.scala" -> (1,
       "interleaveSources' source-index rank over distinct(sourceCol) — " +
       "|sources| rows; the per-row rank beside it is partitioned"),
-    "operators/Profiling.scala" -> (3,
+    "operators/Profiling.scala" -> (5,
       "ECDF walk over the fixed PSI/KS bin table (bounded by bin " +
       "count); thresholdForPrecision's cumulative precision curve over " +
       "DISTINCT rounded scores of a labeled calibration sample (the " +
       "operator's documented bounded-state contract); paretoCoverage's " +
-      "cumulative share over per-GROUP sums (|groups| rows)"),
+      "cumulative share over per-GROUP sums (|groups| rows); " +
+      "benjaminiHochberg's two global ranks over the TESTS table — m " +
+      "hypotheses, never data rows (the procedure is a global rank by " +
+      "definition)"),
     "operators/Ops.scala" -> (1,
       "skyline cross-bucket max over the nBuckets-row per-bucket-max " +
       "table (buckets from percentile_approx cutpoints)"),
