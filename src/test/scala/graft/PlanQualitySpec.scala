@@ -645,6 +645,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(scans === 1, s"serve reads the corpus exactly once:\n$p")
   }
 
+  test("benjamini-hochberg: the battery is plan-cut before the global " +
+       "rank windows — no parquet scan survives into the BH subtree") {
+    // the 135s lesson (SURVEY 6.6e): without the localCheckpoint cut,
+    // the BH windows' SinglePartition requirement can be satisfied by
+    // ONE low exchange that serializes the whole upstream battery
+    val p = plan("q_bh")
+    assert(!p.contains("Scan parquet"),
+      s"BH must rank over the checkpointed m-row battery, never a live " +
+      s"corpus subtree:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected the checkpoint scan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
