@@ -8079,7 +8079,8 @@ object SparkEntry {
     // (generate_subscripts is 1-based — block boundaries depend on it)
     "q_span_corrupt" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |           FROM documents WHERE doc_id < 200),
+        |           FROM documents
+        |           WHERE doc_id < 200 AND text IS NOT NULL),
         |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
         |               unnest(toks) AS tok FROM d),
         |vocab AS (

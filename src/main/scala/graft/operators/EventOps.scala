@@ -1417,27 +1417,6 @@ object EventOps {
           count(lit(1)), 9).as("avg_monetary"))
   }
 
-  /** Exponentially-weighted moving average per series — the monitoring
-    * smoother the time-series family lacked (beside [[seasonalityStrength]]'s
-    * decomposition, [[changepoint]]'s level-shift locator and
-    * [[saxWords]]' symbolization): recent rows weigh geometrically more,
-    * the classic α = ½ recency profile. Deliberately the LAG-TRUNCATED
-    * form: row t smooths over its last `lags` rows with weights
-    * 2⁻¹, 2⁻², …, renormalized by the weight actually present (so early
-    * rows and short series are unbiased means of what exists, not
-    * damped toward zero). Truncation at 2⁻¹⁶ ≈ 1.5·10⁻⁵ is part of the
-    * CONTRACT, not an approximation error — it is what makes the
-    * smoother a bounded-memory window op any engine replays exactly.
-    *
-    * Engine-exact by dyadic arithmetic: every weight is a power of two,
-    * so each lagged term and both chain sums are EXACT doubles (no
-    * accumulated rounding at all for integer-valued series below 2³⁶);
-    * the single renormalizing division rounds to 9. One per-series
-    * window sort, `lags` lag() columns riding it, no joins, no state.
-    * Ordering ties would make lag() nondeterministic — `ordCol` must be
-    * unique per series (hours of a rollup are). Gaps in `ordCol` are
-    * ROWS, not time: a missing hour is simply absent from the window
-    * (callers wanting time-decay densify first). */
   /** Holt double exponential smoothing (level + trend), α = β = ½ —
     * the trend-aware sibling of [[ewmaSmooth]]: where EWMA lags a
     * drifting series by construction, Holt carries an explicit trend
@@ -1493,6 +1472,27 @@ object EventOps {
       round(col("__r")("__l") + col("__r")("__b"), 9).as("forecast_next"))
   }
 
+  /** Exponentially-weighted moving average per series — the monitoring
+    * smoother the time-series family lacked (beside [[seasonalityStrength]]'s
+    * decomposition, [[changepoint]]'s level-shift locator and
+    * [[saxWords]]' symbolization): recent rows weigh geometrically more,
+    * the classic α = ½ recency profile. Deliberately the LAG-TRUNCATED
+    * form: row t smooths over its last `lags` rows with weights
+    * 2⁻¹, 2⁻², …, renormalized by the weight actually present (so early
+    * rows and short series are unbiased means of what exists, not
+    * damped toward zero). Truncation at 2⁻¹⁶ ≈ 1.5·10⁻⁵ is part of the
+    * CONTRACT, not an approximation error — it is what makes the
+    * smoother a bounded-memory window op any engine replays exactly.
+    *
+    * Engine-exact by dyadic arithmetic: every weight is a power of two,
+    * so each lagged term and both chain sums are EXACT doubles (no
+    * accumulated rounding at all for integer-valued series below 2³⁶);
+    * the single renormalizing division rounds to 9. One per-series
+    * window sort, `lags` lag() columns riding it, no joins, no state.
+    * Ordering ties would make lag() nondeterministic — `ordCol` must be
+    * unique per series (hours of a rollup are). Gaps in `ordCol` are
+    * ROWS, not time: a missing hour is simply absent from the window
+    * (callers wanting time-decay densify first). */
   def ewmaSmooth(df: DataFrame, seriesCol: String, ordCol: String,
                  valueCol: String, lags: Int = 16): DataFrame = {
     require(lags >= 1 && lags <= 48, s"lags must be in [1, 48], got $lags")

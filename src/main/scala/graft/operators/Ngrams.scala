@@ -1570,13 +1570,20 @@ object Ngrams {
       s"need 1 <= spanLen < blockSize, got spanLen=$spanLen blockSize=$blockSize")
     require(sentinelBase > 0, "sentinelBase must be positive")
     val m = (blockSize - spanLen + 1).toLong
+    // guard the ACTUAL hash key doc·31 + block per row (not a doc-id
+    // bound alone — a long document's block index contributes too, so
+    // an id-only bound would let the product wrap for blk > ~30)
     val maxKey = Long.MaxValue / 2654435761L - 1
-    val doc = when(col(idCol).isNull || col(idCol) < 0 ||
-        col(idCol) > maxKey / 31 - 1,
+    val doc = when(col(idCol).isNull || col(idCol) < 0,
       raise_error(concat(
-        lit(s"spanCorrupt: doc id must be in [0, ${maxKey / 31 - 1}], got "),
+        lit("spanCorrupt: doc id must be a non-negative long, got "),
         col(idCol).cast("string"))))
       .otherwise(col(idCol).cast("long"))
+    val rawKey = col("__doc") * 31 + col("__blk")
+    val key = when(rawKey > maxKey, raise_error(concat(
+        lit(s"spanCorrupt: hash key doc*31+block exceeds $maxKey for doc "),
+        col("__doc").cast("string"))))
+      .otherwise(rawKey)
     val ex = enc.select(doc.as("__doc"), posexplode(col(idsCol)))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__id")
       .withColumn("__pos", col("__p").cast("long"))
@@ -1584,8 +1591,7 @@ object Ngrams {
         call_function("div", col("__pos"), lit(blockSize.toLong)))
       .withColumn("__pib", col("__pos") - col("__blk") * blockSize)
       .withColumn("__off", pmod(pmod(
-        (col("__doc") * 31 + col("__blk")) * lit(2654435761L),
-        lit(4294967296L)), lit(m)))
+        key * lit(2654435761L), lit(4294967296L)), lit(m)))
       .withColumn("__masked", col("__pib") >= col("__off") &&
         col("__pib") < col("__off") + spanLen)
     val inputs = ex

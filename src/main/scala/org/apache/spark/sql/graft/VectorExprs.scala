@@ -812,6 +812,11 @@ object VectorExprs {
     * 32) — compose with `Layout.quantize`, which guarantees the domain. */
   case class HilbertD2(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression with ExpectsInputTypes {
+    // validated HERE, not only in Layout.hilbertValue: the SQL surface
+    // (graft_hilbert) constructs the expression directly, and bits = 0
+    // would silently shift by -1 (Java shift masking) while bits > 31
+    // would overflow s*s in the raw codegen loop
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hilbert"

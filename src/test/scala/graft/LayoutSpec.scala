@@ -150,5 +150,15 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Layout.hilbertValue(col("a"), col("b"), 0)
     }
+    // the EXPRESSION validates bits too — the SQL surface constructs
+    // it directly, where bits=0 would silently shift by -1
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.VectorExprs.hilbertD2(
+        col("a"), col("b"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.VectorExprs.hilbertD2(
+        col("a"), col("b"), 32)
+    }
   }
 }

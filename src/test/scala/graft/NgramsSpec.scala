@@ -681,5 +681,12 @@ class NgramsSpec extends SparkTestBase {
       Ngrams.spanCorrupt(Seq((-1L, Array(1L))).toDF("doc_id", "token_ids"))
         .collect()
     }
+    // the hash-key guard covers doc*31 + BLOCK, not the id alone: an
+    // id whose product would wrap raises loudly at the scan
+    intercept[Exception] {
+      Ngrams.spanCorrupt(
+        Seq((400000000L, Array(1L, 2L))).toDF("doc_id", "token_ids"))
+        .collect()
+    }
   }
 }
