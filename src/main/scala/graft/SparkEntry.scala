@@ -3749,10 +3749,13 @@ object SparkEntry {
     // agreement statistic every labeling pipeline reports ----
     "q_fleiss" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      def judge(id: Long, cat: Column) = docs.select(
+      def judge(id: Long, cat: Column, in: DataFrame = docs) = in.select(
         col("doc_id"), lit(id).as("rater"), cat.cast("long").as("cat"))
+      // Rater 2 inspects text: filter nulls explicitly rather than
+      // relying on ANSI size(null)=NULL being dropped downstream.
       val ratings = judge(1L, col("n_chars") >= 300)
-        .unionAll(judge(2L, size(split(col("text"), " ")) >= 55))
+        .unionAll(judge(2L, size(split(col("text"), " ")) >= 55,
+          docs.filter(col("text").isNotNull)))
         .unionAll(judge(3L, col("n_chars") >= 250))
       operators.Profiling.fleissKappa(ratings, "doc_id", "rater", "cat")
         .orderBy("n_items")

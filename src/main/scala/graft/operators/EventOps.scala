@@ -1435,15 +1435,33 @@ object EventOps {
     * walks in WindowLintSpec's registry). All coefficients are dyadic
     * and the fold order is THE definition, so the DuckDB oracle
     * replays it bit-for-bit as a depth-per-row recursive CTE.
+    *
+    * The fold's `concat` accumulator rebuilds the output array each
+    * step — O(n²) copying inside ONE task for an n-row series — so
+    * the rollup-series bound is LOUD, not documentation-only: any
+    * series longer than `maxLen` raises before the fold (the
+    * kendallTau maxCells convention). The default 16384 caps a
+    * series' fold at ~134M struct copies; callers smoothing
+    * deliberately long series raise `maxLen` explicitly (and accept
+    * the single-task quadratic they are asking for).
     * Output: (seriesCol, ordCol, valueCol, level, trend,
     * forecast_next), the statistics rounded to 9. */
   def holtSmooth(df: DataFrame, seriesCol: String, ordCol: String,
-                 valueCol: String): DataFrame = {
+                 valueCol: String, maxLen: Int = 16384): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
     val v = col(valueCol).cast("double")
     val packed = df.filter(v.isNotNull && col(ordCol).isNotNull)
       .groupBy(col(seriesCol))
       .agg(array_sort(collect_list(
         struct(col(ordCol).as("__ord"), v.as("__x")))).as("__a"))
+      .select(col(seriesCol),
+        when(size(col("__a")) > maxLen, raise_error(concat(
+            lit("holtSmooth: series "), col(seriesCol).cast("string"),
+            lit(" has "), size(col("__a")).cast("string"),
+            lit(s" rows > maxLen=$maxLen — smooth a bounded rollup" +
+              " (hours x types), not raw events, or raise maxLen" +
+              " deliberately"))))
+          .otherwise(col("__a")).as("__a"))
     def outRow(ord: Column, x: Column, l: Column, b: Column) =
       struct(ord.as("__ord"), x.as("__x"), l.as("__l"), b.as("__b"))
     val emptyOut = filter(

@@ -605,6 +605,7 @@ object Graphs {
       .distinct()
       .localCheckpoint(true)
     var visited = seeds
+      .filter(col(seedCol).isNotNull)
       .select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)

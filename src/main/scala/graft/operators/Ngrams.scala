@@ -972,7 +972,7 @@ object Ngrams {
     tok.join(seg.select(col("w"), col("pieces")), Seq("w"), "left")
       .select(col(idCol), col("__tp"),
         posexplode(coalesce(split(col("pieces"), " "),
-          array(lit(" OOV")))))
+          array(lit("\u0000OOV")))))
       .withColumnRenamed("pos", "__sp").withColumnRenamed("col", "piece")
       .join(ids, Seq("piece"), "left")
       .groupBy(col(idCol))

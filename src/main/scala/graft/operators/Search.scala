@@ -198,8 +198,11 @@ object Search {
                rankCol: String = "rank", relCol: String = "rel")
       : DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // Labels are a SET: duplicate (query, doc) relevance rows would
+    // fan out the left join and double-count a rank position.
     val relevant = rels.filter(col(relCol) > 0)
       .select(col(queryCol), col(idCol))
+      .distinct()
     val nrel = relevant.groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_rel"))
     val joined = ranked.filter(col(rankCol) <= k)

@@ -878,4 +878,27 @@ class EventOpsSpec extends SparkTestBase {
       .as[(String, Long, Double, Double, Double, Double)].collect()
     assert(const.forall(r => r._4 === 4.5 && r._5 === 0.0))
   }
+
+  test("holtSmooth series-length guard: a series longer than maxLen " +
+       "raises loudly instead of running a single-task quadratic fold; " +
+       "at-cap series pass unchanged") {
+    import spark.implicits._
+    val series = (1L to 6L).map(i => ("g", i, i.toDouble)).toDF("s", "t", "x")
+    val e = intercept[Exception] {
+      EventOps.holtSmooth(series, "s", "t", "x", maxLen = 5).collect()
+    }
+    assert(e.getMessage.contains("holtSmooth") ||
+      Option(e.getCause).exists(_.getMessage.contains("holtSmooth")))
+    assert(EventOps.holtSmooth(series, "s", "t", "x", maxLen = 6)
+      .count() === 6L)
+    // per-series: one over-cap series poisons the run even when other
+    // series are short (loud, never silently partial)
+    val mixed = series.union(Seq(("h", 1L, 1.0)).toDF("s", "t", "x"))
+    intercept[Exception] {
+      EventOps.holtSmooth(mixed, "s", "t", "x", maxLen = 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.holtSmooth(series, "s", "t", "x", maxLen = 0)
+    }
+  }
 }

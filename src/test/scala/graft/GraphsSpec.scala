@@ -369,5 +369,10 @@ class GraphsSpec extends SparkTestBase {
         Seq(99L, 1L).toDF("seed"), "seed", maxHops = 2)
       .as[(Long, Long)].collect().toMap
     assert(again === out)
+    // a NULL seed is noise, not a node: no spurious (null, 0) row
+    val withNull = Graphs.bfsDistances(e, "src", "dst",
+        Seq(Some(1L), None).toDF("seed"), "seed", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(withNull === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 }

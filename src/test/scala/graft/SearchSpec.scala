@@ -132,5 +132,14 @@ class SearchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Search.rankEval(ranked, rels, k = 0)
     }
+    // duplicate relevance labels are a SET: repeating (q1, 2) must not
+    // fan out the join (double-counting rank 2) or inflate n_rel
+    val dupRels = rels.union(Seq(("q1", 2L, 2L)).toDF("query_id",
+      "doc_id", "rel"))
+    val dedup = Search.rankEval(ranked, dupRels, k = 5)
+      .as[(String, Long, Long, Double, Double, Option[Double],
+           Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(dedup("q1") === out("q1"), "duplicate labels change nothing")
   }
 }
