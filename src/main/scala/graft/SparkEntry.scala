@@ -3239,6 +3239,23 @@ object SparkEntry {
           "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
+    // ---- E2 cross-doc duplicated-SPAN report (Lee et al. ExactSubstr
+    // readout): maximal >= 8-token runs shared across documents, as
+    // (doc, start, end) cut-spans off the stride-1 window table + an
+    // interval merge — the suffix-array pass, relationally ----
+    "q_substring_spans" -> ((s, d) =>
+      Dedup.substringDupSpans(docsSpread(s, d).select("doc_id", "text"),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id", "start_tok")),
+
+    // ---- E2 ExactSubstr CUT: every occurrence of every cross-doc
+    // duplicated >= 8-token run removed (the released tool's
+    // self-similar mode; keep-first is q_substring_dedup) ----
+    "q_substring_cut" -> ((s, d) =>
+      Dedup.removeSubstringDups(docsSpread(s, d).select("doc_id", "text"),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
     // ---- E2 WITHIN-document repeated-chunk trim: zero-shuffle per-row
     // keep-first over each doc's own chunks (the in-doc repetition
     // stage; cross-doc repetition is q_para_dedup / q_boilerplate).
@@ -8232,6 +8249,60 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(kept.text_dedup, '') AS text_dedup,
         |  CAST(len(w) AS BIGINT) AS n_tokens,
         |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_substring_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |occ AS (SELECT doc_id, i - 1 AS wpos,
+        |          array_to_string(w[i:i+7], ' ') AS win
+        |        FROM d, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |xdoc AS (SELECT win FROM occ
+        |         GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (SELECT DISTINCT o.doc_id, o.wpos
+        |           FROM occ o JOIN xdoc USING (win)),
+        |brk AS (SELECT doc_id, wpos,
+        |          CASE WHEN lag(wpos) OVER dw IS NULL
+        |                 OR wpos - lag(wpos) OVER dw > 8
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM marked
+        |        WINDOW dw AS (PARTITION BY doc_id ORDER BY wpos)),
+        |isl AS (SELECT doc_id, wpos,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY wpos) AS g
+        |        FROM brk)
+        |SELECT doc_id, CAST(min(wpos) AS BIGINT) AS start_tok,
+        |  CAST(max(wpos) + 7 AS BIGINT) AS end_tok,
+        |  CAST(max(wpos) + 7 - min(wpos) + 1 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, start_tok""".stripMargin,
+
+    "q_substring_cut" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |tokens AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        |           FROM d, unnest(range(1, len(w) + 1)) AS u(i)),
+        |occ AS (SELECT doc_id, i - 1 AS wpos,
+        |          array_to_string(w[i:i+7], ' ') AS win
+        |        FROM d, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |xdoc AS (SELECT win FROM occ
+        |         GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (SELECT DISTINCT o.doc_id, o.wpos
+        |           FROM occ o JOIN xdoc USING (win)),
+        |covered AS (SELECT DISTINCT doc_id, wpos + j AS pos
+        |            FROM marked, unnest(range(0, 8)) AS v(j)),
+        |kept AS (SELECT t.doc_id,
+        |           array_to_string(list(t.tok ORDER BY t.pos), ' ')
+        |             AS text_cut,
+        |           COUNT(*) AS n_kept
+        |         FROM tokens t ANTI JOIN covered c
+        |           ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |         GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(kept.text_cut, '') AS text_cut,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut
         |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * composed the way a production pipeline runs them.
   *
   *   0. (optional) canonical normalization, within-document repetition
-  *      trim, cross-document boilerplate kill, corpus-level chunk dedup
-  *      — the C4/RefinedWeb text-surgery ladder, each stage off by
-  *      default,
+  *      trim, cross-document boilerplate kill, corpus-level chunk
+  *      dedup, cross-document duplicated-span cut (Lee et al.
+  *      ExactSubstr) — the C4/RefinedWeb text-surgery ladder, each
+  *      stage off by default,
   *   1. exact dedup (smallest id per identical text wins),
   *   2. MinHash-LSH near-dup removal (for each surviving near-dup pair,
   *      the larger id is dropped),
@@ -33,6 +34,7 @@ object CorpusPipeline {
             boilerplateMinDocs: Option[Int] = None,
             boilerplateChunkTokens: Int = 10,
             chunkDedupTokens: Option[Int] = None,
+            substringCutTokens: Option[Int] = None,
             gopherMinWords: Option[Long] = None): DataFrame = {
     val id = col(idCol); val text = col(textCol)
 
@@ -59,13 +61,22 @@ object CorpusPipeline {
       case Some(n) => Dedup.dedupChunksGlobal(deBoiled, idCol, textCol, n)
       case None => deBoiled
     }
+    // finest-grain cross-doc surgery last in the ladder: cut every
+    // occurrence of any cross-document duplicated >= n-token run at any
+    // alignment (Lee et al. ExactSubstr) before whole-doc comparison
+    val spanCut = substringCutTokens match {
+      case Some(n) => Dedup.removeSubstringDups(preDeduped, idCol,
+          textCol, n)
+        .select(id, col("text_cut").as(textCol))
+      case None => preDeduped
+    }
 
     // 1. exact: keep the smallest id per identical text. groupBy + min
     //    rather than the window formulation: with only (id, text) in
     //    flight they are equivalent, and the aggregate combines map-side
     //    (duplicate texts collapse before the shuffle — the window form
     //    ships every row and sorts per group).
-    val exact = preDeduped
+    val exact = spanCut
       .groupBy(text).agg(min(id).as(idCol))
       .select(id, text)
 

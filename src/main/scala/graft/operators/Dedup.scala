@@ -160,6 +160,112 @@ object Dedup {
           lit(null).cast("long").as("n_dropped")))
   }
 
+  /** Cross-document duplicated-SPAN detection — the span-emitting
+    * complement of [[dedupSubstrings]]: where that operator masks
+    * repeat occurrences inline, this one REPORTS the maximal duplicated
+    * regions as (doc, start, end) cut-spans, the suffix-array readout
+    * of Lee et al. 2021's ExactSubstr pass (reference implementation:
+    * google-research/deduplicate-text-datasets). A token position is
+    * inside a cross-doc duplicated run of ≥ `n` tokens iff some
+    * length-`n` window covering it also occurs in ANOTHER document —
+    * so the stride-1 window table plus an interval merge recovers
+    * exactly the maximal shared spans, at any alignment, without ever
+    * materializing a suffix array: a shared m-token span (m ≥ n) is
+    * the union of its m−n+1 constituent windows, each of which matches
+    * the other document.
+    *
+    * Cross-doc ONLY (count of DISTINCT docs per window ≥ 2, via
+    * min≠max over the window's hash partition — no second shuffle):
+    * a run repeated within one document is content, the same run
+    * appearing in another document is a training-set duplicate; the
+    * within-doc case is [[dedupChunksWithinDoc]].
+    *
+    * Plan shape: one posexplode to (doc, wpos, 128-bit window hash
+    * pair) — the n-token window string is projected away BEFORE the
+    * exchange, so the shuffle carries three longs per position (the
+    * [[dedupSubstrings]] narrowing; at 100 TB, ~0.16 PB instead of
+    * ~0.8 PB); one partition-only window marks cross-doc positions;
+    * then a per-DOC ordered window merges marked starts into maximal
+    * spans (two window starts merge when their coverage overlaps or
+    * abuts: gap ≤ n). Every exchange is linear in token count, nothing
+    * driver-side. Collision odds at 128 bits are negligible and a
+    * collision only widens one span; the DuckDB oracle replays the
+    * same rule on raw window strings — identical output because the
+    * hash pair is injective in practice.
+    *
+    * Output: (idCol, start_tok, end_tok, span_tokens), start/end
+    * inclusive 0-based token positions, one row per maximal span;
+    * docs with no cross-doc duplicated window emit nothing. */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8): DataFrame = {
+    require(n > 0)
+    val occ = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(graft.operators.Ngrams.ngramArray(col(textCol), n)))
+      .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__w")
+      .select(col(idCol), col("__wpos"),
+        xxhash64(col("__w")).as("__wh1"),
+        xxhash64(lit("graft-substr-s2"), col("__w")).as("__wh2"))
+    val gw = Window.partitionBy(col("__wh1"), col("__wh2"))
+    val marked = occ
+      .withColumn("__xdoc",
+        min(col(idCol)).over(gw) =!= max(col(idCol)).over(gw))
+      .filter(col("__xdoc"))
+      .select(col(idCol), col("__wpos").cast("long").as("__wpos"))
+    val dw = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
+    val prev = lag(col("__wpos"), 1).over(dw)
+    // positions sorted ascending per doc, so lag IS the running max:
+    // a new span starts when this window's coverage [pos, pos+n-1]
+    // neither overlaps nor abuts the previous one (gap > n)
+    val isl = marked
+      .withColumn("__brk",
+        when(prev.isNull || col("__wpos") - prev > n, 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__brk")).over(
+        dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col(idCol), col("__g"))
+      .agg(min(col("__wpos")).as("start_tok"),
+        (max(col("__wpos")) + lit(n.toLong - 1)).as("end_tok"))
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
+  }
+
+  /** Cut every occurrence of every cross-document duplicated ≥ n-token
+    * run — [[substringDupSpans]]'s spans applied back to the text, the
+    * frequency-kill flavor of Lee et al.'s ExactSubstr (their released
+    * tool's self-similar mode removes EVERY copy, first included;
+    * keep-first is [[dedupSubstrings]]). Spans arrive as a per-doc
+    * array off one id-keyed left join (few spans per doc however long
+    * the corpus), and the cut itself is a per-row indexed `filter` over
+    * the token array — no token-level join, no second explode of the
+    * corpus. Docs shorter than `n` tokens or with no cross-doc span
+    * pass through whole; NULL text passes through with NULL stats.
+    * Output: (idCol, text_cut, n_tokens, n_cut), every doc present. */
+  def removeSubstringDups(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    require(n > 0)
+    val spans = substringDupSpans(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("__spans"))
+    val toksC = split(col(textCol), " ")
+    df.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(
+            filter(toksC, (_, i) => coalesce(!exists(col("__spans"),
+              s => i >= s("start_tok") && i <= s("end_tok")),
+              lit(true))),
+            " ")).as("text_cut"),
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(size(toksC).cast("long")).as("n_tokens"),
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(coalesce(
+            aggregate(col("__spans"), lit(0L),
+              (acc, s) => acc + s("end_tok") - s("start_tok") + 1),
+            lit(0L))).as("n_cut"))
+  }
+
   /** WITHIN-document repeated-chunk removal (the in-doc repetition trim
     * of SlimPajama/Gopher-style cleaning): each document is cut into
     * consecutive `chunkTokens`-token chunks and every chunk that already

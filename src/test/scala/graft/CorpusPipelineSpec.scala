@@ -81,6 +81,28 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.keySet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("clean with substringCutTokens cuts cross-doc duplicated runs " +
+       "before whole-doc dedup") {
+    val docs = Seq(
+      // two otherwise-distinct docs share an 8-token quoted passage at
+      // different offsets: the ExactSubstr stage cuts it from BOTH
+      (1L, "unique river narrative one two three four five six seven " +
+        "eight closing thoughts about water"),
+      (2L, "different mountain story begins here one two three four " +
+        "five six seven eight and then trails onward")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, minQuality = 0.0,
+        jaccardThreshold = 0.99, substringCutTokens = Some(8))
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(!out(1L).contains("one two three four five six seven eight") &&
+      !out(2L).contains("one two three four five six seven eight"),
+      s"the shared passage must die in both docs: $out")
+    assert(out(1L).contains("unique river narrative") &&
+      out(2L).contains("different mountain story"),
+      "each doc's own content survives the cut")
+  }
+
   test("clean with gopherMinWords gates on the rule verdict too") {
     val good = (1 to 30).map(i => if (i % 3 == 0) "gamma" else "delta")
       .mkString(" ")

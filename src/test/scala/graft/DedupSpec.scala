@@ -383,6 +383,55 @@ class DedupSpec extends SparkTestBase {
     assert(n5.isNullAt(1) && n5.isNullAt(2) && n5.isNullAt(3))
   }
 
+  test("substringDupSpans: maximal cross-doc spans at any alignment; " +
+       "within-doc repeats are NOT spans; overlapping windows merge") {
+    val df = Seq(
+      // docs 1/2 share the 6-token run "a b c d e f" at offsets 0 and 2:
+      // three marked 4-windows each, merging to ONE maximal span
+      (1L, "a b c d e f x y"),
+      (2L, "p q a b c d e f"),
+      // doc 3 repeats "u v w z" within itself only → cross-doc ⇒ no span
+      (3L, "u v w z u v w z"),
+      (4L, "a b c")                       // shorter than n → no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(df, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 5L, 6L), (2L, 2L, 7L, 6L)),
+      "one merged maximal span per doc, at each doc's own offset")
+    val again = Dedup.substringDupSpans(df.repartition(5), "doc_id",
+      "text", n = 4).as[(Long, Long, Long, Long)].collect().toSet
+    assert(again === out, "layout-independent")
+    // two shared runs separated by a gap > n stay SEPARATE spans
+    val gapped = Seq(
+      (1L, "a b c d 1 2 3 4 5 w x y z"),
+      (2L, "a b c d 6 7 8 9 0 w x y z first-run-elsewhere")
+    ).toDF("doc_id", "text")
+    val spans2 = Dedup.substringDupSpans(gapped, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans2 === Set((1L, 0L, 3L, 4L), (1L, 9L, 12L, 4L),
+      (2L, 0L, 3L, 4L), (2L, 9L, 12L, 4L)),
+      "a run of exactly n at two non-abutting offsets → two spans")
+  }
+
+  test("removeSubstringDups cuts EVERY occurrence (first included); " +
+       "untouched docs and NULL text pass through") {
+    val df = Seq(
+      (1L, "a b c d e f x y"),
+      (2L, "p q a b c d e f"),
+      (3L, "u v w z u v w z"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSubstringDups(df, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "x y" && out(1L).getLong(3) === 6L,
+      "the FIRST copy of a shared run dies too (frequency-kill)")
+    assert(out(2L).getString(1) === "p q" && out(2L).getLong(3) === 6L)
+    assert(out(3L).getString(1) === "u v w z u v w z" &&
+      out(3L).getLong(3) === 0L, "within-doc repetition is content")
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2) && out(4L).isNullAt(3))
+    assert(out(1L).getLong(2) === 8L, "n_tokens is the pre-cut count")
+  }
+
   test("OpCaches releases operator-internal persists; result still correct after") {
     spark.catalog.clearCache() // suites before us leak entries by design
     graft.operators.OpCaches.release(blocking = true)

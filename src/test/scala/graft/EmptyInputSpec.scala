@@ -66,6 +66,8 @@ class EmptyInputSpec extends SparkTestBase {
     assertEmpty(Ngrams.bpeSegment(noDocs, numMerges = 3))
     assertEmpty(Ngrams.bpePairStats(noDocs))
     assertEmpty(Dedup.dedupSubstrings(noDocs, "doc_id", "text"))
+    assertEmpty(Dedup.substringDupSpans(noDocs, "doc_id", "text"))
+    assertEmpty(Dedup.removeSubstringDups(noDocs, "doc_id", "text"))
     graft.operators.OpCaches.release()
     // ksTwoSample keeps its one-row shape with zero totals
     val ks = Profiling.ksTwoSample(
