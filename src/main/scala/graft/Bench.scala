@@ -290,6 +290,16 @@ object Bench {
       java.nio.file.Paths.get("target/bench.json"), line + "\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_detail.json"), detail + "\n")
+    // the official round artifact keeps only that bounded stdout tail,
+    // so its per-query map is truncated and official >2x rows can't be
+    // adjudicated from it (VERDICT r16 item 4). Full sweeps also write
+    // the COMPLETE line to a repo-root file that the round commit
+    // picks up — the committed twin of the official record. Targeted
+    // sweeps (BENCH_ONLY) skip it: a partial map must never shadow a
+    // full one.
+    if (onlySet.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), line + "\n")
     spark.stop()
   }
 }

@@ -658,6 +658,59 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the checkpoint scan:\n$p")
   }
 
+  test("no registered query funnels an unreduced file scan into a " +
+       "SinglePartition exchange (the q_bh 135s pathology, walk-all-plans)") {
+    // The generic form of the BH lesson: a ShuffleExchange to ONE
+    // partition is only sound when every file-scan path below it passes
+    // through a reducing operator (aggregate / limit / top-k / window
+    // group limit) — otherwise Catalyst has serialized a corpus-sized
+    // pipeline onto one core. Checkpoint seams (Scan ExistingRDD) are
+    // the library's audited boundedness cuts and terminate the walk.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def unreduced(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        false
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        false
+      case _: org.apache.spark.sql.execution.CollectLimitExec => false
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => false
+      case _: org.apache.spark.sql.execution.LocalLimitExec => false
+      case p if p.nodeName.contains("WindowGroupLimit") => false
+      case other => other.children.exists(unreduced)
+    }
+    // queries whose single-partition input is bounded for a reason the
+    // walk can't see; each entry needs the argument
+    val allow: Map[String, String] = Map(
+      "q_epoch_shuffle" -> ("withExclusivePrefixSumOrdered's SIZE-GATED " +
+        "fast path: at sf0.001 the scan sits under singleWindowMaxBytes " +
+        "(256 MB — one comfortable window task), so the direct global " +
+        "window plans; above the gate the two-level distributed prefix " +
+        "sum engages instead (MixingSpec pins both branches " +
+        "bit-identical, and the gate errs toward two-level)"))
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+        val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+        val bad = plan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning == SinglePartition &&
+                 unreduced(e.child) => e
+        }
+        if (bad.nonEmpty && !allow.contains(q)) Some(q -> bad.size) else None
+      }
+      assert(offenders.isEmpty,
+        s"SinglePartition exchange over an unreduced file scan in: " +
+        s"$offenders — cut the pipeline (localCheckpoint the bounded " +
+        "table) or reduce before the exchange; if the input is bounded " +
+        "for an invisible reason, register it in the allowlist with " +
+        "the argument.")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     // codegen spans only appear in the FINAL adaptive plan — execute first
     val df = SparkEntry.queries("q_filter_eq")(spark, d)
