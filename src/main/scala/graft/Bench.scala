@@ -4,7 +4,9 @@ package graft
   * SPARK_GRAFT_SF_DIR and emits ONE JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Honesty rules (VERDICT r5 §4, refined r6/r8):
+  * Honesty rules (VERDICT r5 §4, refined r6/r8; pricing fixed r17 —
+  * full-plan execution instead of the Catalyst-prunable `count()`,
+  * see `timeOne`; floors re-minted at the boundary):
   *   - a query is "failed" only when ALL N runs throw (last exception
   *     reported, excluded from `value`); a query with ≥1 successful run
   *     reports best-of-successful-runs and is counted in `n_flaky` /
@@ -159,12 +161,25 @@ object Bench {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ")
+    // Price the REGISTERED plan, not the count-rewrite (r17 honesty
+    // fix): `df.count()` lets Catalyst prune everything the count
+    // doesn't need — non-expanding left joins are eliminated whole
+    // (q_substring_cut's entire span pipeline vanished), grouped
+    // aggregates drop their aggregate expressions, and per-row
+    // projection work (q_repetition 17x, q_intradoc_dedup 13x) never
+    // runs. Executing the compiled physical plan and counting its
+    // InternalRows evaluates every registered column (final sorts
+    // included) without billing a driver-side decode/collect. Floors
+    // were re-minted under this pricing in r17 — pre-r17 totals are
+    // NOT comparable.
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
-        catch {
+        try {
+          fn(spark, sfDir).queryExecution.executedPlan.execute().count()
+          None
+        } catch {
           case e: Throwable =>
             Some(e.getClass.getName + ": " +
               String.valueOf(e.getMessage).take(160))

@@ -1,0 +1,67 @@
+package graft
+
+/** One-order-up stress probe (VERDICT r16 item 7): run named registered
+  * queries against an arbitrary (usually synthetic, scaled) table
+  * directory and report, per run, wall seconds plus the RESOURCE
+  * telemetry a wall clock hides — total shuffle bytes read/written and
+  * the max stage-summed peak execution memory — via a SparkListener
+  * over stage completions. Bytes-shuffled ratios across scales are the
+  * evidence that an operator's exchanges are linear (or better) in the
+  * data, independent of host noise; peak execution memory says which
+  * resource ceiling the path hits first.
+  *
+  * Usage: `sbt "runMain graft.StressProbe <dir> <q1,q2,...> [runs]"` —
+  * prints one JSON line per query with all runs (first run is cold:
+  * codegen + any build-if-missing index caches; take mins for steady
+  * state). A ~500 ms listener-drain pause follows each run so stage
+  * events land before counters are read (coarse by design — byte
+  * RATIOS across scales are the signal, not the third digit).
+  */
+object StressProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: StressProbe <sfDir> <q1,q2,...> [runs]")
+    val dir = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSessionFactory.create(appName = "graft-stress")
+    val sc = spark.sparkContext
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) {
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+        }
+      }
+    })
+    def mb(l: Long): Double = math.round(l / 1048.576) / 1000.0
+    for (name <- names) {
+      val rows = (1 to runs).map { _ =>
+        read.set(0); written.set(0); peak.set(0)
+        val t0 = System.nanoTime()
+        // full-plan execution, not count() — Catalyst's count-rewrite
+        // prunes real work (see the Bench.timeOne note)
+        SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.execute().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener drain
+        graft.operators.OpCaches.release(blocking = true)
+        graft.operators.Ngrams.clearBpeCache()
+        graft.operators.Ngrams.clearUnigramCache()
+        f"""{"sec":$sec%.3f,"shuffle_read_mb":${mb(read.get)},""" +
+          s""""shuffle_write_mb":${mb(written.get)},""" +
+          s""""peak_exec_mem_mb":${mb(peak.get)}}"""
+      }
+      println(s"""{"query":"$name","dir":"$dir",""" +
+        s""""runs":[${rows.mkString(",")}]}""")
+    }
+    spark.stop()
+  }
+}
