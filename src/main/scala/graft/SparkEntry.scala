@@ -3256,6 +3256,27 @@ object SparkEntry {
           "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
+    // ---- E2/E19 SPAN-level decontamination: maximal train runs that
+    // appear verbatim in the eval split (doc_id < 100, the q_decontam
+    // convention) — the span-granular refinement of the doc-level
+    // gate: a long doc quoting one benchmark item loses the QUOTE,
+    // not the document ----
+    "q_contam_spans" -> ((s, d) => {
+      val docs = docsSpread(s, d).select("doc_id", "text")
+      Dedup.substringContamSpans(docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "start_tok")
+    }),
+
+    // ---- E2/E19 the scrub mode: cut every eval-contaminated run out
+    // of the train text, keep the documents ----
+    "q_contam_scrub" -> ((s, d) => {
+      val docs = docsSpread(s, d).select("doc_id", "text")
+      Dedup.scrubContamSpans(docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- E2 WITHIN-document repeated-chunk trim: zero-shuffle per-row
     // keep-first over each doc's own chunks (the in-doc repetition
     // stage; cross-doc repetition is q_para_dedup / q_boilerplate).
@@ -8305,6 +8326,66 @@ object SparkEntry {
         |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut
         |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_contam_spans" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id >= 100),
+        |ev AS (SELECT string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id < 100),
+        |evw AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS win
+        |        FROM ev, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |occ AS (SELECT doc_id, i - 1 AS wpos,
+        |          array_to_string(w[i:i+7], ' ') AS win
+        |        FROM tr, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |marked AS (SELECT DISTINCT o.doc_id, o.wpos
+        |           FROM occ o JOIN evw USING (win)),
+        |brk AS (SELECT doc_id, wpos,
+        |          CASE WHEN lag(wpos) OVER dw IS NULL
+        |                 OR wpos - lag(wpos) OVER dw > 8
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM marked
+        |        WINDOW dw AS (PARTITION BY doc_id ORDER BY wpos)),
+        |isl AS (SELECT doc_id, wpos,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY wpos) AS g
+        |        FROM brk)
+        |SELECT doc_id, CAST(min(wpos) AS BIGINT) AS start_tok,
+        |  CAST(max(wpos) + 7 AS BIGINT) AS end_tok,
+        |  CAST(max(wpos) + 7 - min(wpos) + 1 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, start_tok""".stripMargin,
+
+    "q_contam_scrub" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id >= 100),
+        |ev AS (SELECT string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id < 100),
+        |evw AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS win
+        |        FROM ev, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |tokens AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        |           FROM tr, unnest(range(1, len(w) + 1)) AS u(i)),
+        |occ AS (SELECT doc_id, i - 1 AS wpos,
+        |          array_to_string(w[i:i+7], ' ') AS win
+        |        FROM tr, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |marked AS (SELECT DISTINCT o.doc_id, o.wpos
+        |           FROM occ o JOIN evw USING (win)),
+        |covered AS (SELECT DISTINCT doc_id, wpos + j AS pos
+        |            FROM marked, unnest(range(0, 8)) AS v(j)),
+        |kept AS (SELECT t.doc_id,
+        |           array_to_string(list(t.tok ORDER BY t.pos), ' ')
+        |             AS text_cut,
+        |           COUNT(*) AS n_kept
+        |         FROM tokens t ANTI JOIN covered c
+        |           ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |         GROUP BY t.doc_id)
+        |SELECT tr.doc_id, COALESCE(kept.text_cut, '') AS text_cut,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut
+        |FROM tr LEFT JOIN kept ON tr.doc_id = kept.doc_id
+        |ORDER BY tr.doc_id""".stripMargin,
 
     // window twin (partition by doc, chunk) of the zero-shuffle per-row
     // keep-first scan

@@ -196,37 +196,51 @@ object Dedup {
     * Output: (idCol, start_tok, end_tok, span_tokens), start/end
     * inclusive 0-based token positions, one row per maximal span;
     * docs with no cross-doc duplicated window emit nothing. */
-  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 8): DataFrame = {
-    require(n > 0)
-    val occ = df.filter(col(textCol).isNotNull)
+  /** (id, __wpos: long, __wh1, __wh2) stride-1 window-hash table — the
+    * shared front half of the span operators: the n-token window string
+    * is hashed to a 128-bit pair and projected away IN THE SCAN, so
+    * downstream exchanges carry three longs per position. */
+  private def windowHashOcc(df: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(graft.operators.Ngrams.ngramArray(col(textCol), n)))
       .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__w")
-      .select(col(idCol), col("__wpos"),
+      .select(col(idCol), col("__wpos").cast("long").as("__wpos"),
         xxhash64(col("__w")).as("__wh1"),
         xxhash64(lit("graft-substr-s2"), col("__w")).as("__wh2"))
+
+  /** Merge marked window starts (id, __wpos) into maximal covered
+    * spans: positions sorted ascending per doc, so lag IS the running
+    * max — a new span starts when this window's coverage [pos, pos+n-1]
+    * neither overlaps nor abuts the previous one (gap > n). */
+  private def mergeMarkedSpans(marked: DataFrame, idCol: String,
+                               n: Int): DataFrame = {
+    val dw = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
+    val prev = lag(col("__wpos"), 1).over(dw)
+    marked
+      .withColumn("__brk",
+        when(prev.isNull || col("__wpos") - prev > n, 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__brk")).over(
+        dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__wpos")).as("start_tok"),
+        (max(col("__wpos")) + lit(n.toLong - 1)).as("end_tok"))
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
+  }
+
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8): DataFrame = {
+    require(n > 0)
+    val occ = windowHashOcc(df, idCol, textCol, n)
     val gw = Window.partitionBy(col("__wh1"), col("__wh2"))
     val marked = occ
       .withColumn("__xdoc",
         min(col(idCol)).over(gw) =!= max(col(idCol)).over(gw))
       .filter(col("__xdoc"))
-      .select(col(idCol), col("__wpos").cast("long").as("__wpos"))
-    val dw = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
-    val prev = lag(col("__wpos"), 1).over(dw)
-    // positions sorted ascending per doc, so lag IS the running max:
-    // a new span starts when this window's coverage [pos, pos+n-1]
-    // neither overlaps nor abuts the previous one (gap > n)
-    val isl = marked
-      .withColumn("__brk",
-        when(prev.isNull || col("__wpos") - prev > n, 1L).otherwise(0L))
-      .withColumn("__g", sum(col("__brk")).over(
-        dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    isl.groupBy(col(idCol), col("__g"))
-      .agg(min(col("__wpos")).as("start_tok"),
-        (max(col("__wpos")) + lit(n.toLong - 1)).as("end_tok"))
-      .select(col(idCol), col("start_tok"), col("end_tok"),
-        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
+      .select(col(idCol), col("__wpos"))
+    mergeMarkedSpans(marked, idCol, n)
   }
 
   /** Cut every occurrence of every cross-document duplicated ≥ n-token
@@ -243,13 +257,65 @@ object Dedup {
   def removeSubstringDups(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
     require(n > 0)
-    val spans = substringDupSpans(df, idCol, textCol, n)
-      .groupBy(col(idCol))
+    applySpanCut(df, substringDupSpans(df, idCol, textCol, n),
+      idCol, textCol)
+  }
+
+  /** SPAN-level decontamination detection — [[substringDupSpans]]'s
+    * cross-CORPUS sibling, and the span-granular refinement of the
+    * n-gram doc-level decontamination (`Ngrams.decontaminate`): report
+    * every maximal run of ≥ `n` train tokens that appears VERBATIM
+    * anywhere in the eval corpus as a (train doc, start, end) span
+    * (Lee et al. 2021 §5 run exact-substring between train and test;
+    * the doc-level gate drops whole documents on one shared n-gram —
+    * at span granularity a long document with one quoted benchmark
+    * item loses the QUOTE, not the document).
+    *
+    * Plan: both corpora reduce to 128-bit window-hash tables in their
+    * scans (ids+longs only on every exchange); the eval side keeps
+    * DISTINCT hashes (benchmark corpora are small — AQE broadcasts it
+    * at gate SF; at scale it is a shuffle semi-join on the hash pair);
+    * marked train positions left-semi-join against it and merge into
+    * maximal spans per train doc. Output: (idCol, start_tok, end_tok,
+    * span_tokens) over the TRAIN corpus. */
+  def substringContamSpans(train: DataFrame, eval: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 8): DataFrame = {
+    require(n > 0)
+    val evalHashes = windowHashOcc(eval, idCol, textCol, n)
+      .select(col("__wh1"), col("__wh2")).distinct()
+    val marked = windowHashOcc(train, idCol, textCol, n)
+      .join(evalHashes, Seq("__wh1", "__wh2"), "left_semi")
+      .select(col(idCol), col("__wpos"))
+    mergeMarkedSpans(marked, idCol, n)
+  }
+
+  /** Cut every eval-contaminated ≥ `n`-token run out of the train
+    * corpus — [[substringContamSpans]] applied back to the text, the
+    * scrub mode of span-level decontamination (keep the document, lose
+    * the quote; the drop-the-document mode is `Ngrams.decontaminate`).
+    * Same per-doc span-array indexed-lambda cut as
+    * [[removeSubstringDups]]; untouched docs and NULL text pass
+    * through. Output: (idCol, text_cut, n_tokens, n_cut). */
+  def scrubContamSpans(train: DataFrame, eval: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 8): DataFrame =
+    applySpanCut(train,
+      substringContamSpans(train, eval, idCol, textCol, n), idCol, textCol)
+
+  /** Apply a (id, start_tok, end_tok) span table back to the text:
+    * spans collect per doc (few per doc however large the corpus) off
+    * one id-keyed left join, and the cut is a per-row indexed `filter`
+    * over the token array — no token-level join, no second corpus
+    * explode. */
+  private def applySpanCut(df: DataFrame, spans: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("start_tok"), col("end_tok")))
         .as("__spans"))
     val toksC = split(col(textCol), " ")
     df.select(col(idCol), col(textCol))
-      .join(spans, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(array_join(

@@ -413,6 +413,40 @@ class DedupSpec extends SparkTestBase {
       "a run of exactly n at two non-abutting offsets → two spans")
   }
 
+  test("substringContamSpans/scrubContamSpans: train runs verbatim in " +
+       "eval are reported and cut; train-train repeats are NOT") {
+    val eval = Seq(
+      (1L, "what is the capital of france paris obviously")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // quotes the eval item's first 7 tokens at offset 2 → one span
+      (101L, "intro text what is the capital of france paris and more"),
+      // shares a run with doc 101 but NOT with eval → no span
+      (102L, "intro text something entirely different here now ok yes"),
+      (103L, "clean document about rivers and mountains flowing east")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringContamSpans(train, eval, "doc_id", "text",
+        n = 7).as[(Long, Long, Long, Long)].collect().toSet
+    // doc 101 tokens: intro(0) text(1) what(2) ... paris(8) and(9)
+    // more(10); eval 7-windows: [what..paris](0), [is..obviously](1);
+    // only train wpos 2 matches → span [2, 8], 7 tokens
+    assert(spans === Set((101L, 2L, 8L, 7L)),
+      s"one contamination span, train side only: $spans")
+    val scrub = Dedup.scrubContamSpans(train, eval, "doc_id", "text",
+        n = 7).collect().map(r => r.getLong(0) -> r).toMap
+    assert(scrub(101L).getString(1) === "intro text and more" &&
+      scrub(101L).getLong(3) === 7L,
+      "the quote dies, the document survives")
+    assert(scrub(102L).getLong(3) === 0L && scrub(103L).getLong(3) === 0L,
+      "train-train repetition is not contamination")
+    assert(scrub.keySet === Set(101L, 102L, 103L),
+      "eval docs never appear in the output")
+    val again = Dedup.substringContamSpans(train.repartition(5),
+        eval.repartition(3), "doc_id", "text", n = 7)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again === spans, "layout-independent")
+  }
+
   test("removeSubstringDups cuts EVERY occurrence (first included); " +
        "untouched docs and NULL text pass through") {
     val df = Seq(

@@ -68,6 +68,9 @@ class EmptyInputSpec extends SparkTestBase {
     assertEmpty(Dedup.dedupSubstrings(noDocs, "doc_id", "text"))
     assertEmpty(Dedup.substringDupSpans(noDocs, "doc_id", "text"))
     assertEmpty(Dedup.removeSubstringDups(noDocs, "doc_id", "text"))
+    assertEmpty(Dedup.substringContamSpans(noDocs, noDocs,
+      "doc_id", "text"))
+    assertEmpty(Dedup.scrubContamSpans(noDocs, noDocs, "doc_id", "text"))
     graft.operators.OpCaches.release()
     // ksTwoSample keeps its one-row shape with zero totals
     val ks = Profiling.ksTwoSample(
