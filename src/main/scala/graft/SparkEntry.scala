@@ -8267,7 +8267,8 @@ object SparkEntry {
         |         FROM tokens t ANTI JOIN covered c
         |           ON t.doc_id = c.doc_id AND t.pos = c.pos
         |         GROUP BY t.doc_id)
-        |SELECT d.doc_id, COALESCE(kept.text_dedup, '') AS text_dedup,
+        |SELECT d.doc_id, CASE WHEN w IS NULL THEN NULL
+        |    ELSE COALESCE(kept.text_dedup, '') END AS text_dedup,
         |  CAST(len(w) AS BIGINT) AS n_tokens,
         |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped
         |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
@@ -8321,7 +8322,8 @@ object SparkEntry {
         |         FROM tokens t ANTI JOIN covered c
         |           ON t.doc_id = c.doc_id AND t.pos = c.pos
         |         GROUP BY t.doc_id)
-        |SELECT d.doc_id, COALESCE(kept.text_cut, '') AS text_cut,
+        |SELECT d.doc_id, CASE WHEN w IS NULL THEN NULL
+        |    ELSE COALESCE(kept.text_cut, '') END AS text_cut,
         |  CAST(len(w) AS BIGINT) AS n_tokens,
         |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut
         |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
@@ -8381,7 +8383,8 @@ object SparkEntry {
         |         FROM tokens t ANTI JOIN covered c
         |           ON t.doc_id = c.doc_id AND t.pos = c.pos
         |         GROUP BY t.doc_id)
-        |SELECT tr.doc_id, COALESCE(kept.text_cut, '') AS text_cut,
+        |SELECT tr.doc_id, CASE WHEN w IS NULL THEN NULL
+        |    ELSE COALESCE(kept.text_cut, '') END AS text_cut,
         |  CAST(len(w) AS BIGINT) AS n_tokens,
         |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut
         |FROM tr LEFT JOIN kept ON tr.doc_id = kept.doc_id

@@ -11,9 +11,12 @@ package graft
   * resource ceiling the path hits first.
   *
   * Usage: `sbt "runMain graft.StressProbe <dir> <q1,q2,...> [runs]"` —
-  * prints one JSON line per query with all runs (first run is cold:
-  * codegen + any build-if-missing index caches; take mins for steady
-  * state). A ~500 ms listener-drain pause follows each run so stage
+  * prints one JSON line per query with all runs. Operator-internal
+  * caches are released after EVERY run so each run's shuffle counters
+  * are comparable; min-of-runs therefore measures the codegen-warm
+  * (not cache-warm) steady state, with run 1 additionally paying any
+  * build-if-missing index cost. A ~500 ms listener-drain pause
+  * follows each run so stage
   * events land before counters are read (coarse by design — byte
   * RATIOS across scales are the signal, not the third digit).
   */

@@ -63,11 +63,16 @@ object CorpusPipeline {
     }
     // finest-grain cross-doc surgery last in the ladder: cut every
     // occurrence of any cross-document duplicated >= n-token run at any
-    // alignment (Lee et al. ExactSubstr) before whole-doc comparison
+    // alignment (Lee et al. ExactSubstr) before whole-doc comparison.
+    // The span pass consumes its input TWICE (window-marking side +
+    // cut side), so the surgery-ladder lineage above is checkpointed
+    // once instead of recomputing the trim/boilerplate/chunk shuffle
+    // chains per consumer (the multi-consumer-seam convention).
     val spanCut = substringCutTokens match {
-      case Some(n) => Dedup.removeSubstringDups(preDeduped, idCol,
-          textCol, n)
-        .select(id, col("text_cut").as(textCol))
+      case Some(n) =>
+        Dedup.removeSubstringDups(preDeduped.localCheckpoint(true),
+            idCol, textCol, n)
+          .select(id, col("text_cut").as(textCol))
       case None => preDeduped
     }
 

@@ -127,12 +127,7 @@ object Dedup {
     val base = df.select(col(idCol), col(textCol)).filter(col(textCol).isNotNull)
     val tokens = base.select(col(idCol), posexplode(toksC))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__tok")
-    val occ = base.select(col(idCol),
-        posexplode(graft.operators.Ngrams.ngramArray(col(textCol), n)))
-      .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__w")
-      .select(col(idCol), col("__wpos"),
-        xxhash64(col("__w")).as("__wh1"),
-        xxhash64(lit("graft-substr-s2"), col("__w")).as("__wh2"))
+    val occ = windowHashOcc(base, idCol, textCol, n)
     val rw = Window.partitionBy(col("__wh1"), col("__wh2"))
       .orderBy(col(idCol), col("__wpos"))
     val covered = occ
@@ -158,6 +153,40 @@ object Dedup {
         .select(col(idCol), lit(null).cast("string").as("text_dedup"),
           lit(null).cast("long").as("n_tokens"),
           lit(null).cast("long").as("n_dropped")))
+  }
+
+  /** (id, __wpos: long, __wh1, __wh2) stride-1 window-hash table — the
+    * shared front half of the span operators: the n-token window string
+    * is hashed to a 128-bit pair and projected away IN THE SCAN, so
+    * downstream exchanges carry three longs per position. */
+  private def windowHashOcc(df: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(graft.operators.Ngrams.ngramArray(col(textCol), n)))
+      .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__w")
+      .select(col(idCol), col("__wpos").cast("long").as("__wpos"),
+        xxhash64(col("__w")).as("__wh1"),
+        xxhash64(lit("graft-substr-s2"), col("__w")).as("__wh2"))
+
+  /** Merge marked window starts (id, __wpos) into maximal covered
+    * spans: positions sorted ascending per doc, so lag IS the running
+    * max — a new span starts when this window's coverage [pos, pos+n-1]
+    * neither overlaps nor abuts the previous one (gap > n). */
+  private def mergeMarkedSpans(marked: DataFrame, idCol: String,
+                               n: Int): DataFrame = {
+    val dw = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
+    val prev = lag(col("__wpos"), 1).over(dw)
+    marked
+      .withColumn("__brk",
+        when(prev.isNull || col("__wpos") - prev > n, 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__brk")).over(
+        dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__wpos")).as("start_tok"),
+        (max(col("__wpos")) + lit(n.toLong - 1)).as("end_tok"))
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
   }
 
   /** Cross-document duplicated-SPAN detection — the span-emitting
@@ -196,40 +225,6 @@ object Dedup {
     * Output: (idCol, start_tok, end_tok, span_tokens), start/end
     * inclusive 0-based token positions, one row per maximal span;
     * docs with no cross-doc duplicated window emit nothing. */
-  /** (id, __wpos: long, __wh1, __wh2) stride-1 window-hash table — the
-    * shared front half of the span operators: the n-token window string
-    * is hashed to a 128-bit pair and projected away IN THE SCAN, so
-    * downstream exchanges carry three longs per position. */
-  private def windowHashOcc(df: DataFrame, idCol: String, textCol: String,
-                            n: Int): DataFrame =
-    df.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        posexplode(graft.operators.Ngrams.ngramArray(col(textCol), n)))
-      .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__w")
-      .select(col(idCol), col("__wpos").cast("long").as("__wpos"),
-        xxhash64(col("__w")).as("__wh1"),
-        xxhash64(lit("graft-substr-s2"), col("__w")).as("__wh2"))
-
-  /** Merge marked window starts (id, __wpos) into maximal covered
-    * spans: positions sorted ascending per doc, so lag IS the running
-    * max — a new span starts when this window's coverage [pos, pos+n-1]
-    * neither overlaps nor abuts the previous one (gap > n). */
-  private def mergeMarkedSpans(marked: DataFrame, idCol: String,
-                               n: Int): DataFrame = {
-    val dw = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
-    val prev = lag(col("__wpos"), 1).over(dw)
-    marked
-      .withColumn("__brk",
-        when(prev.isNull || col("__wpos") - prev > n, 1L).otherwise(0L))
-      .withColumn("__g", sum(col("__brk")).over(
-        dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("__g"))
-      .agg(min(col("__wpos")).as("start_tok"),
-        (max(col("__wpos")) + lit(n.toLong - 1)).as("end_tok"))
-      .select(col(idCol), col("start_tok"), col("end_tok"),
-        (col("end_tok") - col("start_tok") + 1).as("span_tokens"))
-  }
-
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 8): DataFrame = {
     require(n > 0)

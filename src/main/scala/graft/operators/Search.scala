@@ -158,8 +158,14 @@ object Search {
       round((pow(lit(2.0), rel) - 1.0) /
         (log(rank.cast("double") + 1.0) / log(lit(2.0))), 9)
     def decSum(c: Column) = sum(c.cast(DecimalType(28, 9))).cast("double")
+    // Labels are a SET (the rankEval rule): duplicate (query, doc)
+    // rows would double-count a rank position in dcg AND take two
+    // ideal slots in idcg — collapse to one row per pair, strongest
+    // grade wins.
+    val rels1 = rels.groupBy(col(queryCol), col(idCol))
+      .agg(max(col(relCol)).as(relCol))
     val dcg = ranked.filter(col(rankCol) <= k)
-      .join(rels.select(col(queryCol), col(idCol), col(relCol)),
+      .join(rels1.select(col(queryCol), col(idCol), col(relCol)),
         Seq(queryCol, idCol), "left")
       .withColumn("__g",
         gain(coalesce(col(relCol), lit(0L)).cast("double"), col(rankCol)))
@@ -167,7 +173,7 @@ object Search {
     val iw = org.apache.spark.sql.expressions.Window
       .partitionBy(col(queryCol))
       .orderBy(col(relCol).desc, col(idCol))
-    val idcg = rels
+    val idcg = rels1
       .withColumn("__r", row_number().over(iw))
       .filter(col("__r") <= k)
       .withColumn("__g", gain(col(relCol).cast("double"), col("__r")))

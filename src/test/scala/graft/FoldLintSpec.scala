@@ -26,8 +26,8 @@ class FoldLintSpec extends AnyFunSuite {
       "holtSmooth's recurrence fold over a grouped collect_list — the " +
       "one genuinely-grouped site, LOUD-guarded: series longer than " +
       "maxLen (default 16384) raise at the fold's input instead of " +
-      "running a silent single-task quadratic (DegenerateInputSpec " +
-      "pins the raise)"),
+      "running a silent single-task quadratic (EventOpsSpec pins the " +
+      "raise)"),
     "operators/Mixing.scala" -> (1,
       "packWithBoundaries' doc_starts prefix sum over ONE shard's " +
       "docs — shard membership is budget-capped upstream by " +

@@ -111,6 +111,13 @@ class SearchSpec extends SparkTestBase {
     val idcg = gain(3, 1) + gain(2, 2) + gain(1, 3) + gain(0, 4)
     assert(out("q") === Some(r9(dcg / idcg)))
     assert(out("z") === None, "all-zero labels: NDCG undefined, NULL")
+    // duplicate labels are a SET (strongest grade wins): repeating
+    // (q, 2) with a weaker grade changes neither dcg nor idcg
+    val dup = Search.ndcgAt(ranked,
+        rels.union(Seq(("q", 2L, 1L)).toDF("query_id", "doc_id", "rel")),
+        k = 10)
+      .as[(String, Option[Double])].collect().toMap
+    assert(dup === out, "duplicate labels change nothing")
   }
 
   test("rankEval: hand-computed MRR/P@k/R@k/AP@k; no-relevant query " +
