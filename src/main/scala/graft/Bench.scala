@@ -135,11 +135,18 @@ object Bench {
     // demand five full idle minutes before every sweep
     val maxLoad5 =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD5", "2.0").toDouble
-    // floor the wait cap at 600s even when the caller passes less: the
+    // floor the wait cap at 1500s even when the caller passes less: the
     // r14 driver run waited its 170s cap out on a loaded host and then
-    // measured anyway — a short cap converts the gate back to telemetry
-    val maxWaitSec = math.max(600,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT", "600").toInt)
+    // measured anyway — a short cap converts the gate back to telemetry.
+    // 600s proved too short for the OTHER failure mode (r17): an
+    // official sweep launched right after a full-load dress rehearsal
+    // needs the 5-MIN average to decay below maxLoad5, and from a
+    // 32-core-busy spell that takes ~5·ln(load/2) ≈ 10–13 minutes —
+    // the r17 record waited its 600s out and stamped contaminated.
+    // 1500s covers the decay from any plausible prior load on this
+    // host; a genuinely quiet start still proceeds immediately.
+    val maxWaitSec = math.max(1500,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT", "1500").toInt)
     val (waitedSec, loadAtStart, load5AtStart) =
       waitForQuiet(maxLoad, maxLoad5, maxWaitSec)
     val loadBefore = loadavg()
@@ -172,12 +179,23 @@ object Bench {
     // included) without billing a driver-side decode/collect. Floors
     // were re-minted under this pricing in r17 — pre-r17 totals are
     // NOT comparable.
+    // ... and run it through the STANDARD execution path (ADVICE r17):
+    // `executedPlan.execute()` outside SQLExecution.withNewExecutionId
+    // materializes AQE with no execution id — no SQL UI/metrics events,
+    // and version-dependent divergence (subquery reuse, plan-change
+    // logging) from what a normal action runs. `qe.toRdd` is the same
+    // compiled plan wrapped in SQLExecutionRDD (conf propagation only);
+    // withNewExecutionId supplies the execution id a Dataset action
+    // would. Measured delta vs the bare r17 form: within run-to-run
+    // noise (<2%), so r17 floors remain comparable.
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try {
-          fn(spark, sfDir).queryExecution.executedPlan.execute().count()
+          val qe = fn(spark, sfDir).queryExecution
+          org.apache.spark.sql.execution.SQLExecution
+            .withNewExecutionId(qe) { qe.toRdd.count() }
           None
         } catch {
           case e: Throwable =>

@@ -2206,6 +2206,12 @@ object SparkEntry {
     // exact duplicate, 3g+2 shares the identical one-shingle set →
     // near_dup with certain recall; outcomes are SQL-derivable from
     // doc_id alone ----
+    // ... extended r18 (VERDICT item 6) with the span-scrub stage: the
+    // eval corpus is the 4-rep doc of every g%5==0 group (re-keyed
+    // +1e6), scrubTokens=3 — every train window in a covered group is
+    // 'tokG tokG tokG', verbatim in eval, so all three docs scrub to
+    // EMPTY and report `contam_scrubbed`; uncovered groups keep the
+    // original closed-form outcomes. Still SQL-derivable from doc_id.
     "q_clean_report" -> ((s, d) => {
       val g = expr("doc_id div 3")
       val reps = when(pmod(col("doc_id"), lit(3)) === 1, lit(4))
@@ -2215,7 +2221,12 @@ object SparkEntry {
           concat_ws(" ", array_repeat(
             concat(lit("tok"), g.cast("string")), reps.cast("int")))
             .as("text"))
-      operators.CorpusPipeline.cleanReport(docs, minQuality = 0.0)
+      val evalDocs = docs
+        .filter(pmod(col("doc_id"), lit(3)) === 0 &&
+          pmod(expr("doc_id div 3"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      operators.CorpusPipeline.cleanReport(docs, minQuality = 0.0,
+          scrubEval = Some(evalDocs), scrubTokens = 3)
         .orderBy("doc_id")
     }),
 
@@ -2234,17 +2245,22 @@ object SparkEntry {
           floor = 0.9)
     }),
     // E2 REAL-TEXT MinHash recall audit, oracle-checked: truth = exact
-    // PPJoin all-pairs count (DuckDB recomputes it by brute force),
-    // verdict = LSH pipeline surfaced >= 90% of the exact pairs
-    // (measured 1.0 at sf0.001/0.01/0.1 — the corpus near-dups sit well
-    // above the 0.8 threshold where band-collision probability is
-    // ~0.985+ per pair). Same silent-recall-collapse guard as the ANN
-    // audits, bridging the hash-dependent LSH path to a DuckDB oracle
-    // on organic text.
+    // PPJoin count over the 400 documents ranking first by the Knuth
+    // hash of doc_id (VERDICT r17 item 1 — the full-corpus truth join
+    // was the registry's one measured superlinear exchange, 187× bytes
+    // at 100× data; the sampled truth is O(400²)-bounded whatever the
+    // corpus size, and 400 < the 500-doc gate corpora so BOTH gate SFs
+    // exercise genuine subsetting, DuckDB replaying the identical
+    // ORDER BY hash LIMIT sample). The LSH side stays the production
+    // pipeline over the FULL corpus; verdict = it surfaced >= 90% of
+    // the sampled exact pairs (sampled truth 17/15/4 at sf0.001/0.01/
+    // 0.1, measured recall 1.0 at all three). Same silent-recall-
+    // collapse guard as the ANN audits, bridging the hash-dependent
+    // LSH path to a DuckDB oracle on organic text.
     "q_minhash_audit" -> ((s, d) =>
       Dedup.minhashRecallAudit(docsSpread(s, d), "doc_id", "text",
         shingleN = 3, numHashes = 32, bands = 8, threshold = 0.8,
-        floor = 0.9)),
+        floor = 0.9, truthSample = 400)),
     // E2 transitive near-dup clustering (LSH pairs → connected components),
     // closed-form fixture oracle: per group g = doc_id div 4, texts are
     // 't<g>' repeated 4 + doc_id%4 times — distinct strings, IDENTICAL
@@ -3276,6 +3292,39 @@ object SparkEntry {
           docs.filter(col("doc_id") < 100), "doc_id", "text", n = 8)
         .orderBy("doc_id")
     }),
+
+    // ---- E2 INCREMENTAL ExactSubstr (VERDICT r17 item 4): the span
+    // twin of the signatureIndex lifecycle — commit the standing
+    // corpus's distinct window-hash table through ManifestTable
+    // (docs < 100 as batch 0), EXTEND it by union-upsert with a second
+    // corpus increment (docs 100..199 as batch 1), read the artifact
+    // back, and probe the new batch (docs >= 200) against it: maximal
+    // batch spans covered by stored-corpus windows, the corpus text
+    // never re-read. The DuckDB oracle replays the SEMANTICS (spans of
+    // docs >= 200 covered by windows of docs < 200 on raw strings) —
+    // identical output because the 128-bit hash pair is injective in
+    // practice, so the lifecycle (two commits, atomic manifest swaps,
+    // read-back, probe) is pinned by a real-text oracle ----
+    "q_substring_incremental" -> ((s, d) =>
+      withScratchDir("graft-substr-idx") { tmp =>
+        import graft.sources.ManifestTable
+        val docs = docsSpread(s, d).select("doc_id", "text")
+        val idxPath = s"$tmp/substr_index"
+        ManifestTable.upsertBatch(
+          Dedup.substrIndex(docs.filter(col("doc_id") < 100),
+            "doc_id", "text", n = 8),
+          idxPath, Seq("wh1", "wh2"), nBuckets = 8, batchId = 0L)
+        ManifestTable.upsertBatch(
+          Dedup.substrIndex(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+            "doc_id", "text", n = 8),
+          idxPath, Seq("wh1", "wh2"), nBuckets = 8, batchId = 1L)
+        val idx = ManifestTable.read(s, idxPath)
+        Dedup.substringSpansAgainstIndex(
+            docs.filter(col("doc_id") >= 200), idx, "doc_id", "text",
+            n = 8)
+          .orderBy("doc_id", "start_tok")
+      }),
 
     // ---- E2 WITHIN-document repeated-chunk trim: zero-shuffle per-row
     // keep-first over each doc's own chunks (the in-doc repetition
@@ -5346,44 +5395,56 @@ object SparkEntry {
         |    AS BIGINT) AS n_long_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // exact-integer moment form (r18): values scale to unscaled BIGINTs,
+    // numerators stay exact in HUGEINT, and the ONLY float ops are the
+    // final int->double conversion + one division by the power of ten —
+    // the identical two-step the engine performs, so both sides agree
+    // bit-for-bit (the old DECIMAL(38,4)-sum form rounded the
+    // decimal->double conversion through different scales per engine).
+    // The int->double hop goes VIA VARCHAR because DuckDB's direct
+    // HUGEINT->DOUBLE converts the two 64-bit halves separately (two
+    // roundings, off by one ulp on some values — measured at sf0.01);
+    // string->double is correctly rounded, matching Spark's
+    // BigDecimal.doubleValue exactly
     "q_covariance" ->
-      """WITH m AS (
-        |  SELECT COUNT(*) AS n,
-        |    SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sx,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sy,
-        |    SUM(CAST(l_quantity AS DECIMAL(38,4)) *
-        |        CAST(l_extendedprice AS DECIMAL(38,4))) AS sxy,
-        |    SUM(CAST(l_quantity AS DECIMAL(38,4)) *
-        |        CAST(l_quantity AS DECIMAL(38,4))) AS sxx,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(38,4)) *
-        |        CAST(l_extendedprice AS DECIMAL(38,4))) AS syy
+      """WITH i AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xi,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yi
         |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
-        |SELECT n, CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
-        |  CAST(n * sxx - sx * sx AS DOUBLE) AS var_num_x,
-        |  CAST(n * syy - sy * sy AS DOUBLE) AS var_num_y
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT COUNT(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy,
+        |    SUM(CAST(xi AS HUGEINT) * yi) AS sxy,
+        |    SUM(CAST(xi AS HUGEINT) * xi) AS sxx,
+        |    SUM(CAST(yi AS HUGEINT) * yi) AS syy
+        |  FROM i)
+        |SELECT n,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 1e4 AS sum_x,
+        |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e4 AS sum_y,
+        |  CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) / 1e8 AS cov_num,
+        |  CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) / 1e8 AS var_num_x,
+        |  CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) / 1e8 AS var_num_y
         |FROM m""".stripMargin,
 
     "q_covariance_by_flag" ->
-      """WITH m AS (
-        |  SELECT l_returnflag, COUNT(*) AS n,
-        |    SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sx,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sy,
-        |    SUM(CAST(l_quantity AS DECIMAL(38,4)) *
-        |        CAST(l_extendedprice AS DECIMAL(38,4))) AS sxy,
-        |    SUM(CAST(l_quantity AS DECIMAL(38,4)) *
-        |        CAST(l_quantity AS DECIMAL(38,4))) AS sxx,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(38,4)) *
-        |        CAST(l_extendedprice AS DECIMAL(38,4))) AS syy
+      """WITH i AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xi,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yi
         |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |  GROUP BY l_returnflag)
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy,
+        |    SUM(CAST(xi AS HUGEINT) * yi) AS sxy,
+        |    SUM(CAST(xi AS HUGEINT) * xi) AS sxx,
+        |    SUM(CAST(yi AS HUGEINT) * yi) AS syy
+        |  FROM i GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
-        |  CAST(n * sxx - sx * sx AS DOUBLE) AS var_num_x,
-        |  CAST(n * syy - sy * sy AS DOUBLE) AS var_num_y
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 1e4 AS sum_x,
+        |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e4 AS sum_y,
+        |  CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) / 1e8 AS cov_num,
+        |  CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) / 1e8 AS var_num_x,
+        |  CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) / 1e8 AS var_num_y
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_k_anonymity" ->
@@ -5672,15 +5733,22 @@ object SparkEntry {
         |WHERE containment >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // brute-force truth count for the LSH recall audit: pairs with exact
-    // 3-gram-shingle Jaccard >= 0.8; the verdict is asserted TRUE
+    // brute-force truth count for the LSH recall audit over the SAME
+    // Knuth-hash-rank-400 doc sample the engine uses (the sampled-truth
+    // contract: truth join O(400²)-bounded whatever the corpus size);
+    // pairs with exact 3-gram-shingle Jaccard >= 0.8; verdict asserted
+    // TRUE
     "q_minhash_audit" ->
-      """WITH sh AS (
+      """WITH samp AS (
+        |  SELECT doc_id, text FROM documents
+        |  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        |  LIMIT 400),
+        |sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
         |      range(1, greatest(len(toks) - 2, 1) + 1),
         |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM samp)),
         |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -6402,9 +6470,12 @@ object SparkEntry {
         |FROM g2 ORDER BY source, shard""".stripMargin,
 
     // closed-form attrition outcomes of the q_corpus_clean fixture
+    // covered groups ((doc_id//3)%5=0) scrub to empty against the eval
+    // fixture and die first; the rest keep the original ladder outcomes
     "q_clean_report" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 1 THEN 'exact_dup'
+        |  CASE WHEN (doc_id // 3) % 5 = 0 THEN 'contam_scrubbed'
+        |       WHEN doc_id % 3 = 1 THEN 'exact_dup'
         |       WHEN doc_id % 3 = 2 THEN 'near_dup'
         |       ELSE 'kept' END AS outcome
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -8334,6 +8405,39 @@ object SparkEntry {
         |            FROM documents WHERE doc_id >= 100),
         |ev AS (SELECT string_split(text, ' ') AS w
         |       FROM documents WHERE doc_id < 100),
+        |evw AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS win
+        |        FROM ev, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |occ AS (SELECT doc_id, i - 1 AS wpos,
+        |          array_to_string(w[i:i+7], ' ') AS win
+        |        FROM tr, unnest(range(1, len(w) - 6)) AS u(i)
+        |        WHERE len(w) >= 8),
+        |marked AS (SELECT DISTINCT o.doc_id, o.wpos
+        |           FROM occ o JOIN evw USING (win)),
+        |brk AS (SELECT doc_id, wpos,
+        |          CASE WHEN lag(wpos) OVER dw IS NULL
+        |                 OR wpos - lag(wpos) OVER dw > 8
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM marked
+        |        WINDOW dw AS (PARTITION BY doc_id ORDER BY wpos)),
+        |isl AS (SELECT doc_id, wpos,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY wpos) AS g
+        |        FROM brk)
+        |SELECT doc_id, CAST(min(wpos) AS BIGINT) AS start_tok,
+        |  CAST(max(wpos) + 7 AS BIGINT) AS end_tok,
+        |  CAST(max(wpos) + 7 - min(wpos) + 1 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, start_tok""".stripMargin,
+
+    // the incremental-index lifecycle's probe, replayed semantically:
+    // spans of docs >= 200 covered by >= 8-token windows of docs < 200
+    // (the two committed corpus increments) — same island-merge readout
+    // as q_contam_spans
+    "q_substring_incremental" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id >= 200),
+        |ev AS (SELECT string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id < 200),
         |evw AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS win
         |        FROM ev, unnest(range(1, len(w) - 6)) AS u(i)
         |        WHERE len(w) >= 8),

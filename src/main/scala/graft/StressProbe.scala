@@ -15,10 +15,10 @@ package graft
   * caches are released after EVERY run so each run's shuffle counters
   * are comparable; min-of-runs therefore measures the codegen-warm
   * (not cache-warm) steady state, with run 1 additionally paying any
-  * build-if-missing index cost. A ~500 ms listener-drain pause
-  * follows each run so stage
-  * events land before counters are read (coarse by design — byte
-  * RATIOS across scales are the signal, not the third digit).
+  * build-if-missing index cost. After each run the listener bus is
+  * drained to EMPTY (`ListenerDrain`, the private[spark]
+  * `waitUntilEmpty` shim) so every stage event lands before counters
+  * are read — exact isolation between runs, not a fixed-sleep bound.
   */
 object StressProbe {
   def main(args: Array[String]): Unit = {
@@ -54,7 +54,10 @@ object StressProbe {
         SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.execute().count()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(500) // listener drain
+        // exact listener drain (ADVICE r17): block until the bus queues
+        // are empty so run N's stage events can't bleed into run N+1's
+        // counters — a fixed sleep only bounds the lag probabilistically
+        org.apache.spark.graft.ListenerDrain.drain(sc)
         graft.operators.OpCaches.release(blocking = true)
         graft.operators.Ngrams.clearBpeCache()
         graft.operators.Ngrams.clearUnigramCache()

@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   *   0. (optional) canonical normalization, within-document repetition
   *      trim, cross-document boilerplate kill, corpus-level chunk
   *      dedup, cross-document duplicated-span cut (Lee et al.
-  *      ExactSubstr) — the C4/RefinedWeb text-surgery ladder, each
-  *      stage off by default,
+  *      ExactSubstr), eval-corpus span scrub (span-level
+  *      decontamination — keep the document, lose the quote) — the
+  *      C4/RefinedWeb text-surgery ladder, each stage off by default;
+  *      documents the surgery reduces to EMPTY text are dropped (an
+  *      empty string can't train and would otherwise collapse into one
+  *      ghost survivor at the exact-dedup stage),
   *   1. exact dedup (smallest id per identical text wins),
   *   2. MinHash-LSH near-dup removal (for each surviving near-dup pair,
   *      the larger id is dropped),
@@ -35,6 +39,8 @@ object CorpusPipeline {
             boilerplateChunkTokens: Int = 10,
             chunkDedupTokens: Option[Int] = None,
             substringCutTokens: Option[Int] = None,
+            scrubEval: Option[DataFrame] = None,
+            scrubTokens: Int = 8,
             gopherMinWords: Option[Long] = None): DataFrame = {
     val id = col(idCol); val text = col(textCol)
 
@@ -75,13 +81,36 @@ object CorpusPipeline {
           .select(id, col("text_cut").as(textCol))
       case None => preDeduped
     }
+    // eval-corpus span scrub LAST in the surgery ladder (VERDICT r17
+    // item 6): cut every >= scrubTokens-token run covered by eval-
+    // verbatim windows out of the surviving text — span-level
+    // decontamination riding the same pipeline pass as the self-
+    // similar cut, instead of a separate standalone scrub job.
+    val scrubbed = scrubEval match {
+      case Some(ev) =>
+        Dedup.scrubContamSpans(spanCut, ev, idCol, textCol, scrubTokens)
+          .select(id, col("text_cut").as(textCol))
+      case None => spanCut
+    }
+    // a cross-doc cut stage can reduce a fully-duplicated / fully-
+    // contaminated document to the empty string; all such ghosts would
+    // collapse in the exact-dedup groupBy and ONE empty-text document
+    // would survive the whole pipeline (and feed MinHash shingling).
+    // Drop them here — only when a cut stage actually ran, so the
+    // no-surgery pipeline's behavior (and its committed oracles) is
+    // byte-identical to before.
+    val surgeryRan = boilerplateMinDocs.isDefined ||
+      chunkDedupTokens.isDefined || substringCutTokens.isDefined ||
+      scrubEval.isDefined
+    val nonEmpty =
+      if (surgeryRan) scrubbed.filter(length(text) > 0) else scrubbed
 
     // 1. exact: keep the smallest id per identical text. groupBy + min
     //    rather than the window formulation: with only (id, text) in
     //    flight they are equivalent, and the aggregate combines map-side
     //    (duplicate texts collapse before the shuffle — the window form
     //    ships every row and sorts per group).
-    val exact = spanCut
+    val exact = nonEmpty
       .groupBy(text).agg(min(id).as(idCol))
       .select(id, text)
 
@@ -207,15 +236,21 @@ object CorpusPipeline {
   }
 
   /** Per-document outcome report of [[clean]] (pairwise mode): one row
-    * per input document with the stage that removed it — `exact_dup`
-    * (not the smallest id of its identical-text group), `near_dup`
-    * (dropped side of a verified MinHash pair), `low_quality`,
-    * `gopher_fail`, or `kept` — the attrition audit a production corpus
-    * pipeline publishes next to its output (what fraction died where,
-    * per source, per snapshot). Outcomes follow the pipeline's stage
-    * order, so a document failing several gates reports the FIRST one,
-    * exactly as [[clean]] would have removed it; the `kept` set equals
-    * `clean(...)`'s surviving ids by construction (spec-pinned).
+    * per input document with the stage that removed it —
+    * `contam_scrubbed` (the eval-corpus span scrub left NO text: a
+    * fully-contaminated document, dropped by the empty-survivor gate),
+    * `exact_dup` (not the smallest id of its identical-text group),
+    * `near_dup` (dropped side of a verified MinHash pair),
+    * `low_quality`, `gopher_fail`, or `kept` — the attrition audit a
+    * production corpus pipeline publishes next to its output (what
+    * fraction died where, per source, per snapshot). Outcomes follow
+    * the pipeline's stage order, so a document failing several gates
+    * reports the FIRST one, exactly as [[clean]] would have removed
+    * it; with `scrubEval` set, every downstream gate evaluates on the
+    * SCRUBBED text (a partially-scrubbed doc that then fails the
+    * quality floor reports `low_quality`, exactly as [[clean]]
+    * removes it). The `kept` set equals `clean(...)`'s surviving ids
+    * by construction (spec-pinned, scrub mode included).
     *
     * Same plan shapes as the pipeline itself — the two drop sets arrive
     * as id-keyed left joins, the quality/Gopher gates are per-row
@@ -226,13 +261,27 @@ object CorpusPipeline {
                   shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                   jaccardThreshold: Double = 0.8,
                   normalize: Boolean = false,
+                  scrubEval: Option[DataFrame] = None,
+                  scrubTokens: Int = 8,
                   gopherMinWords: Option[Long] = None): DataFrame = {
     val id = col(idCol); val text = col(textCol)
     val normalized =
       if (normalize)
         docs.select(id, TextAnalysis.normalizeText(text).as(textCol))
       else docs.select(id, text)
-    val exactKeep = normalized
+    // eval-corpus span scrub first, mirroring [[clean]]'s ladder order
+    // for the stages this report models: downstream gates see the
+    // scrubbed text, and a doc scrubbed to EMPTY is the stage's kill.
+    val scrubbed = scrubEval match {
+      case Some(ev) =>
+        Dedup.scrubContamSpans(normalized, ev, idCol, textCol, scrubTokens)
+          .select(id, col("text_cut").as(textCol))
+      case None => normalized
+    }
+    val survivors =
+      if (scrubEval.isDefined) scrubbed.filter(length(text) > 0)
+      else scrubbed
+    val exactKeep = survivors
       .groupBy(text).agg(min(id).as(idCol))
       .select(id, text)
     val nearDrop = Dedup.minhashNearDups(exactKeep, idCol, textCol,
@@ -242,11 +291,13 @@ object CorpusPipeline {
       case Some(mw) => TextAnalysis.gopherPass(text, mw)
       case None => lit(true)
     }
-    normalized
+    scrubbed
       .join(exactKeep.select(id, lit(1).as("__keep")), Seq(idCol), "left")
       .join(nearDrop.select(id, lit(1).as("__nd")), Seq(idCol), "left")
       .select(id,
-        when(col("__keep").isNull, "exact_dup")
+        when(lit(scrubEval.isDefined) && length(text) === 0,
+          "contam_scrubbed")
+          .when(col("__keep").isNull, "exact_dup")
           .when(col("__nd").isNotNull, "near_dup")
           .when(TextAnalysis.qualityScore(text) < minQuality, "low_quality")
           .when(!gopherOk, "gopher_fail")

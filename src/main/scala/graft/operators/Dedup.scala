@@ -198,10 +198,16 @@ object Dedup {
     * inside a cross-doc duplicated run of ≥ `n` tokens iff some
     * length-`n` window covering it also occurs in ANOTHER document —
     * so the stride-1 window table plus an interval merge recovers
-    * exactly the maximal shared spans, at any alignment, without ever
-    * materializing a suffix array: a shared m-token span (m ≥ n) is
-    * the union of its m−n+1 constituent windows, each of which matches
-    * the other document.
+    * the maximal COVERED regions, at any alignment, without ever
+    * materializing a suffix array. Coverage semantics, precisely:
+    * every position of a reported span lies under some n-token window
+    * duplicated in another document, but ADJACENT windows may match
+    * DIFFERENT partner documents/locations — the merged span as a
+    * whole need not occur contiguously anywhere else. This is exactly
+    * the cut-position readout Lee et al.'s pass feeds its cutter (any
+    * true shared m-token run, m ≥ n, IS fully covered by its m−n+1
+    * windows, so nothing real is missed; chained coverage can only
+    * widen a span, never split one).
     *
     * Cross-doc ONLY (count of DISTINCT docs per window ≥ 2, via
     * min≠max over the window's hash partition — no second shuffle):
@@ -259,8 +265,12 @@ object Dedup {
   /** SPAN-level decontamination detection — [[substringDupSpans]]'s
     * cross-CORPUS sibling, and the span-granular refinement of the
     * n-gram doc-level decontamination (`Ngrams.decontaminate`): report
-    * every maximal run of ≥ `n` train tokens that appears VERBATIM
-    * anywhere in the eval corpus as a (train doc, start, end) span
+    * every maximal train-doc region whose every position is covered by
+    * some ≥ `n`-token window appearing VERBATIM in the eval corpus, as
+    * a (train doc, start, end) span (adjacent windows may match
+    * different eval docs, so the merged span as a whole need not occur
+    * contiguously in any single eval doc — the same coverage semantics
+    * as [[substringDupSpans]], and the right cut-position readout)
     * (Lee et al. 2021 §5 run exact-substring between train and test;
     * the doc-level gate drops whole documents on one shared n-gram —
     * at span granularity a long document with one quoted benchmark
@@ -297,6 +307,74 @@ object Dedup {
                        n: Int = 8): DataFrame =
     applySpanCut(train,
       substringContamSpans(train, eval, idCol, textCol, n), idCol, textCol)
+
+  /** The corpus's DISTINCT window-hash table as a STORABLE artifact —
+    * `(wh1, wh2)`, one row per distinct n-token window (128-bit hash
+    * pair, the [[dedupSubstrings]] narrowing) — the span twin of
+    * [[signatureIndex]] (VERDICT r17 item 4): [[substringDupSpans]] /
+    * [[dedupSubstrings]] are whole-corpus batch passes, and at 100 TB
+    * an ingest must not re-tokenize and re-shuffle the standing corpus
+    * per batch. A production pipeline builds this once, commits it
+    * ([[graft.sources.ManifestTable.upsertBatch]] with
+    * `keys = Seq("wh1", "wh2")` — the bucket hash co-locates repeat
+    * commits of the same window and makes extension a pure
+    * union-by-upsert), probes each new batch against the read-back
+    * artifact ([[substringSpansAgainstIndex]] /
+    * [[scrubAgainstSubstrIndex]]), and EXTENDS it by committing the
+    * batch's own `substrIndex` — the corpus text is never re-read,
+    * the amortized-index shape of [[dedupAgainstIndex]] at span
+    * granularity. `n` must match between index build and probe (it
+    * defines the window family). Size: one 16-byte row per distinct
+    * n-gram — ~linear in corpus tokens but text-free, and duplicate
+    * windows collapse map-side in the distinct. */
+  def substrIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  n: Int = 8): DataFrame =
+    windowHashOcc(corpus, idCol, textCol, n)
+      .select(col("__wh1").as("wh1"), col("__wh2").as("wh2"))
+      .distinct()
+
+  /** Maximal spans of `batch` covered by windows of a stored
+    * [[substrIndex]] — [[substringContamSpans]] semantics with the
+    * standing corpus pre-reduced to its hash table (the per-ingest
+    * probe that never touches corpus text). Output: (idCol, start_tok,
+    * end_tok, span_tokens) over the BATCH.
+    *
+    * Plan shape — sized for a SMALL batch against a LARGE index (the
+    * ingest asymmetry, opposite of [[substringContamSpans]]'s
+    * small-eval case): probing the full occurrence table against the
+    * index directly would shuffle the whole index per ingest. Instead
+    * the batch's DISTINCT hash set (batch-sized) semi-joins the index
+    * first — AQE broadcasts the small batch side, so the index is
+    * SCANNED, never exchanged — and the surviving `hot` hashes
+    * (≤ batch hashes) semi-join back against the batch occurrences,
+    * broadcast again. Per-ingest exchange volume is O(batch), the
+    * index cost is one scan; with a very large batch AQE degrades both
+    * steps to shuffle semi-joins, which is the honest fallback. */
+  def substringSpansAgainstIndex(batch: DataFrame, index: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int = 8): DataFrame = {
+    require(n > 0)
+    val occ = windowHashOcc(batch, idCol, textCol, n)
+    val batchHashes = occ.select(col("__wh1"), col("__wh2")).distinct()
+    val hot = index
+      .select(col("wh1").as("__wh1"), col("wh2").as("__wh2"))
+      .join(batchHashes, Seq("__wh1", "__wh2"), "left_semi")
+    val marked = occ.join(hot, Seq("__wh1", "__wh2"), "left_semi")
+      .select(col(idCol), col("__wpos"))
+    mergeMarkedSpans(marked, idCol, n)
+  }
+
+  /** Cut every stored-corpus-duplicated ≥ `n`-token run out of `batch`
+    * — [[substringSpansAgainstIndex]] applied back to the text, the
+    * ingest-time twin of [[removeSubstringDups]] (probe the artifact,
+    * never rescan the corpus). Untouched docs and NULL text pass
+    * through. Output: (idCol, text_cut, n_tokens, n_cut). */
+  def scrubAgainstSubstrIndex(batch: DataFrame, index: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 8): DataFrame =
+    applySpanCut(batch,
+      substringSpansAgainstIndex(batch, index, idCol, textCol, n),
+      idCol, textCol)
 
   /** Apply a (id, start_tok, end_tok) span table back to the text:
     * spans collect per doc (few per doc however large the corpus) off
@@ -910,15 +988,42 @@ object Dedup {
     * engine-independent oracle recomputes truth by brute force and
     * asserts the verdict, without reproducing MinHash internals. Hits
     * are counted as |LSH ∩ exact| (a semi-join on the pair identity), so
-    * 64-bit shingle-hash collisions can never inflate recall. */
+    * 64-bit shingle-hash collisions can never inflate recall.
+    *
+    * `truthSample` (VERDICT r17 item 1 — the registry's one measured
+    * superlinear exchange, 187× bytes at 100× data): the truth side is
+    * deliberately EXACT (that is what makes it truth), so over the
+    * whole corpus its PPJoin candidate volume grows with pair density —
+    * at 100 TB the full truth join does not run. With `truthSample` =
+    * k > 0 the truth is computed over the k documents that rank first
+    * by the Knuth multiplicative hash of `idCol` (pmod(id·2654435761,
+    * 2³²) — the engine-portable deterministic sampler every split/fold
+    * op here uses, trivially replayed by the oracle), i.e. a uniform
+    * pseudorandom doc subset fixed across engines and runs; recall is
+    * then measured on truth pairs with BOTH endpoints in the sample —
+    * an unbiased recall estimate whose truth join is O(k²)-bounded
+    * whatever the corpus size. The LSH side is the production pipeline
+    * over the FULL corpus, unchanged. k ≥ the corpus leaves the audit
+    * exact (the sample is the corpus). `idCol` must be integral and
+    * small enough that id·2654435761 fits a long (id < ~3.5e9) — the
+    * shared contract of the Knuth-coin convention. */
   def minhashRecallAudit(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, numHashes: Int = 32,
                          bands: Int = 8, threshold: Double = 0.8,
-                         floor: Double = 0.9): DataFrame = {
+                         floor: Double = 0.9,
+                         truthSample: Int = 0): DataFrame = {
     val lsh = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
         bands, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val exact = allPairsJaccard(df, idCol, textCol, threshold, shingleN)
+    val truthDocs =
+      if (truthSample > 0)
+        df.select(col(idCol), col(textCol))
+          .orderBy(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)),
+            col(idCol))
+          .limit(truthSample)
+      else df
+    val exact = allPairsJaccard(truthDocs, idCol, textCol, threshold,
+        shingleN)
       .select(col("doc_a"), col("doc_b"))
     val truth = exact.agg(count(lit(1)).as("truth"))
     val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")

@@ -663,41 +663,81 @@ object Profiling {
       .limit(k)
   }
 
+  /** Shared exact-integer moment machinery of [[covarianceExact]] /
+    * [[covarianceExactBy]]: inputs scale to UNSCALED integers
+    * xi = x·10^scale (one decimal cast — exact whenever x carries
+    * ≤ `scale` fractional digits, and never at a rounding tie for
+    * binary-double inputs), every sum and numerator is then pure
+    * integer arithmetic in DECIMAL widths chosen so neither Spark's
+    * precision-loss scale reduction nor DuckDB's width-38 cap can
+    * round anything, and the ONLY float operations are the final
+    * int→double conversion plus one division by the exact power of
+    * ten — the identical two-step both engines perform, so outputs
+    * agree bit-for-bit (the r18 fix: the former DECIMAL(38,4)-sum
+    * form was exact in value but Spark and DuckDB rounded the
+    * decimal→double conversion through different intermediate scales,
+    * diverging by one ulp on some corpora).
+    *
+    * Integer-width bounds (documented contract, loud in the widths):
+    * |x|·10^scale < 1e14, Σ|x|·10^scale < 1e18, Σ(x·y)·10^2scale
+    * < 1e25, n < 1e12 — comfortable for profiling scans at 100 TB
+    * with sane scales; beyond them Spark nulls the aggregate rather
+    * than silently wrapping. */
+  private def covarianceMoments(df: DataFrame, groupCols: Seq[String],
+                                xCol: String, yCol: String,
+                                scale: Int): DataFrame = {
+    require(scale >= 0 && scale <= 11, "scale must be in [0, 11]")
+    val one = "1" + "0" * scale
+    def toInt(c: String) =
+      expr(s"CAST(CAST($c AS DECIMAL(${14 + scale},$scale)) * " +
+        s"CAST($one AS DECIMAL(${scale + 1},0)) AS DECIMAL(18,0))")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) :+ toInt(xCol).as("__xi") :+
+        toInt(yCol).as("__yi"): _*)
+    val grouped =
+      if (groupCols.isEmpty) base.groupBy()
+      else base.groupBy(groupCols.map(col): _*)
+    // per-row products are (18,0)×(18,0)=(37,0), sums cap at (38,0) —
+    // all exact; the n·Σ products cast through (12,0)×(25,0)=(38,0)
+    val agg = grouped.agg(
+      count(lit(1)).as("n"),
+      sum(col("__xi")).as("__sx"), sum(col("__yi")).as("__sy"),
+      sum(col("__xi") * col("__yi")).as("__sxy"),
+      sum(col("__xi") * col("__xi")).as("__sxx"),
+      sum(col("__yi") * col("__yi")).as("__syy"))
+    import org.apache.spark.sql.types.DecimalType
+    val nD = col("n").cast(DecimalType(12, 0))
+    def s18(c: String) = col(c).cast(DecimalType(18, 0))
+    def s25(c: String) = col(c).cast(DecimalType(25, 0))
+    val p1 = math.pow(10, scale)      // exact doubles for scale <= 11
+    val p2 = math.pow(10, 2 * scale)
+    agg.select(groupCols.map(col) ++ Seq(col("n"),
+      (col("__sx").cast("double") / p1).as("sum_x"),
+      (col("__sy").cast("double") / p1).as("sum_y"),
+      ((nD * s25("__sxy") - s18("__sx") * s18("__sy")).cast("double") / p2)
+        .as("cov_num"),
+      ((nD * s25("__sxx") - s18("__sx") * s18("__sx")).cast("double") / p2)
+        .as("var_num_x"),
+      ((nD * s25("__syy") - s18("__sy") * s18("__sy")).cast("double") / p2)
+        .as("var_num_y")): _*)
+  }
+
   /** Engine-exact pairwise linear-relationship report between two
-    * numeric columns: n, the DECIMAL-exact moment sums, and the
-    * covariance/variance NUMERATORS n·Σxy − Σx·Σy (and the per-column
-    * variance twins) — every value exact integer/decimal arithmetic,
-    * no IEEE accumulation order anywhere, so two engines (or two
-    * partitionings) agree bit-for-bit. Pearson's r is one driver-side
+    * numeric columns: n, the moment sums, and the covariance/variance
+    * NUMERATORS n·Σxy − Σx·Σy (and the per-column variance twins) —
+    * every intermediate exact integer arithmetic, no IEEE accumulation
+    * order anywhere, so two engines (or two partitionings) agree
+    * bit-for-bit (see [[covarianceMoments]] for the exact-integer
+    * contract and width bounds). Pearson's r is one driver-side
     * `covNum / sqrt(varNumX·varNumY)` away; published in exact
     * numerator form because THAT is the part a distributed engine can
     * get wrong (float sums drift with partition order) — the final
     * sqrt is a local scalar. One aggregation pass, no shuffle beyond
     * the single global aggregate. NULL rows (either side) drop. */
   def covarianceExact(df: DataFrame, xCol: String, yCol: String,
-                      scale: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, scale)
-    val x = col(xCol).cast(dec); val y = col(yCol).cast(dec)
-    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .agg(
-        count(lit(1)).as("n"),
-        sum(x).as("sum_x"), sum(y).as("sum_y"),
-        sum(x * y).as("sum_xy"),
-        sum(x * x).as("sum_xx"), sum(y * y).as("sum_yy"))
-      // exact DECIMAL arithmetic throughout; the final DOUBLE cast is
-      // one deterministic rounding of an exact value (the driver-gate
-      // scalar form — both engines round the same exact decimal)
-      .select(col("n"),
-        col("sum_x").cast("double").as("sum_x"),
-        col("sum_y").cast("double").as("sum_y"),
-        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
-          .cast("double").as("cov_num"),
-        (col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
-          .cast("double").as("var_num_x"),
-        (col("n") * col("sum_yy") - col("sum_y") * col("sum_y"))
-          .cast("double").as("var_num_y"))
-  }
+                      scale: Int = 4): DataFrame =
+    covarianceMoments(df, Nil, xCol, yCol, scale)
 
   /** [[covarianceExact]] per group — "does the x→y relationship hold
     * in every segment, or is one source driving it" (the grouped
@@ -706,25 +746,8 @@ object Profiling {
   def covarianceExactBy(df: DataFrame, groupCols: Seq[String],
                         xCol: String, yCol: String,
                         scale: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, scale)
-    val x = col(xCol).cast(dec); val y = col(yCol).cast(dec)
-    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n"),
-        sum(x).as("__sx"), sum(y).as("__sy"),
-        sum(x * y).as("__sxy"),
-        sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
-      .select(groupCols.map(col) ++ Seq(col("n"),
-        col("__sx").cast("double").as("sum_x"),
-        col("__sy").cast("double").as("sum_y"),
-        (col("n") * col("__sxy") - col("__sx") * col("__sy"))
-          .cast("double").as("cov_num"),
-        (col("n") * col("__sxx") - col("__sx") * col("__sx"))
-          .cast("double").as("var_num_x"),
-        (col("n") * col("__syy") - col("__sy") * col("__sy"))
-          .cast("double").as("var_num_y")): _*)
+    require(groupCols.nonEmpty)
+    covarianceMoments(df, groupCols, xCol, yCol, scale)
   }
 
   /** k-anonymity audit over quasi-identifier columns: every

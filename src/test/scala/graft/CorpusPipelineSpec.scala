@@ -103,6 +103,57 @@ class CorpusPipelineSpec extends SparkTestBase {
       "each doc's own content survives the cut")
   }
 
+  test("clean with scrubEval cuts eval-verbatim runs; fully-scrubbed " +
+       "docs drop instead of surviving as one empty ghost") {
+    val quote = "which of the following best describes the water cycle"
+    val train = Seq(
+      // doc 1: a long doc quoting one benchmark item — loses the QUOTE
+      (1L, s"interesting original essay about rivers $quote and then " +
+        "further novel discussion of rainfall patterns"),
+      // docs 2+3: nothing BUT eval text — scrub to empty; without the
+      // empty-survivor gate they'd collapse to one ghost doc in exact
+      // dedup and doc 2 would survive the whole pipeline
+      (2L, quote),
+      (3L, quote),
+      (4L, "a fully unrelated clean document about mountain trails here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, quote)).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(train, minQuality = 0.0,
+        jaccardThreshold = 0.99, scrubEval = Some(eval_), scrubTokens = 5)
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 4L),
+      s"fully-contaminated docs 2 and 3 must DROP, not ghost-survive: $out")
+    assert(!out(1L).contains("water cycle") && !out(1L).contains("best"),
+      s"the quoted benchmark item must be scrubbed from doc 1: $out")
+    assert(out(1L).contains("interesting original essay") &&
+      out(1L).contains("rainfall patterns"),
+      "doc 1's own content must survive the scrub")
+  }
+
+  test("cleanReport with scrubEval: contam_scrubbed outcome, kept set " +
+       "still equals clean's survivors") {
+    val quote = "which of the following best describes the water cycle"
+    val train = Seq(
+      (1L, s"interesting original essay about rivers $quote and then " +
+        "further novel discussion of rainfall patterns"),
+      (2L, quote),
+      (3L, quote),
+      (4L, "a fully unrelated clean document about mountain trails here"),
+      (5L, "a fully unrelated clean document about mountain trails here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, quote)).toDF("doc_id", "text")
+    val report = CorpusPipeline.cleanReport(train, minQuality = 0.0,
+        jaccardThreshold = 0.99, scrubEval = Some(eval_), scrubTokens = 5)
+      .as[(Long, String)].collect().toMap
+    assert(report === Map(1L -> "kept", 2L -> "contam_scrubbed",
+      3L -> "contam_scrubbed", 4L -> "kept", 5L -> "exact_dup"))
+    val cleanIds = CorpusPipeline.clean(train, minQuality = 0.0,
+        jaccardThreshold = 0.99, scrubEval = Some(eval_), scrubTokens = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(report.filter(_._2 == "kept").keySet === cleanIds,
+      "report's kept set must equal clean's output in scrub mode too")
+  }
+
   test("clean with gopherMinWords gates on the rule verdict too") {
     val good = (1 to 30).map(i => if (i % 3 == 0) "gamma" else "delta")
       .mkString(" ")

@@ -447,6 +447,78 @@ class DedupSpec extends SparkTestBase {
     assert(again === spans, "layout-independent")
   }
 
+  test("substrIndex: ManifestTable commit/read-back parity; probe against " +
+       "the extended index equals the direct cross-corpus pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr-spec")
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    try {
+      import graft.sources.ManifestTable
+      val tbl = dir.toString + "/idx"
+      val corpusA = Seq(
+        (1L, "what is the capital of france paris obviously")
+      ).toDF("doc_id", "text")
+      val corpusB = Seq(
+        (2L, "the quick brown fox jumps over the lazy dog")
+      ).toDF("doc_id", "text")
+      val batch = Seq(
+        // quotes corpusA's first 7 tokens at offset 2
+        (101L, "intro text what is the capital of france paris and more"),
+        // quotes ALL of corpusB at offset 2 — indexed only after extension
+        (102L, "prefix words the quick brown fox jumps over the lazy dog"),
+        (103L, "clean document about rivers and mountains flowing east")
+      ).toDF("doc_id", "text")
+      assert(ManifestTable.upsertBatch(
+        Dedup.substrIndex(corpusA, "doc_id", "text", n = 7),
+        tbl, Seq("wh1", "wh2"), nBuckets = 4, batchId = 0L))
+      // write/read-back parity: the committed artifact IS the hash table
+      val back1 = ManifestTable.read(spark, tbl).select("wh1", "wh2")
+      assert(rendered(back1) ===
+        rendered(Dedup.substrIndex(corpusA, "doc_id", "text", n = 7)))
+      // probe before extension: doc 102's quote of corpusB is unknown
+      val spans1 = Dedup.substringSpansAgainstIndex(batch, back1,
+          "doc_id", "text", n = 7)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(spans1 === Set((101L, 2L, 8L, 7L)))
+      // extend by union-upsert (corpus text never re-read), re-probe
+      assert(ManifestTable.upsertBatch(
+        Dedup.substrIndex(corpusB, "doc_id", "text", n = 7),
+        tbl, Seq("wh1", "wh2"), nBuckets = 4, batchId = 1L))
+      val back2 = ManifestTable.read(spark, tbl).select("wh1", "wh2")
+      assert(rendered(back2) === rendered(
+        Dedup.substrIndex(corpusA.unionAll(corpusB), "doc_id", "text",
+          n = 7)),
+        "extension is union semantics — repeat windows collapse")
+      val spans2 = Dedup.substringSpansAgainstIndex(batch, back2,
+          "doc_id", "text", n = 7)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val direct = Dedup.substringContamSpans(batch,
+          corpusA.unionAll(corpusB), "doc_id", "text", n = 7)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(spans2 === direct,
+        "stored-index probe must equal the direct cross-corpus pass")
+      assert(spans2 === Set((101L, 2L, 8L, 7L), (102L, 2L, 10L, 9L)))
+      // cut mode rides the same spans
+      val cut = Dedup.scrubAgainstSubstrIndex(batch, back2,
+          "doc_id", "text", n = 7)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(cut(101L).getString(1) === "intro text and more" &&
+        cut(101L).getLong(3) === 7L)
+      assert(cut(102L).getString(1) === "prefix words" &&
+        cut(102L).getLong(3) === 9L)
+      assert(cut(103L).getLong(3) === 0L, "clean doc untouched")
+      // layout independence of the probe
+      val again = Dedup.substringSpansAgainstIndex(batch.repartition(5),
+          back2.repartition(3), "doc_id", "text", n = 7)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(again === spans2)
+    } finally deleteTree(dir)
+  }
+
   test("removeSubstringDups cuts EVERY occurrence (first included); " +
        "untouched docs and NULL text pass through") {
     val df = Seq(
@@ -515,6 +587,41 @@ class DedupSpec extends SparkTestBase {
         floor = 1.5)
       .as[(Long, Boolean)].collect()(0)
     assert(!notOk)
+  }
+
+  test("minhashRecallAudit truthSample: truth restricted to the Knuth-" +
+       "rank sample, LSH side still the full corpus") {
+    // three identical pairs; the Knuth hash pmod(id*2654435761, 2^32)
+    // ranks ids 1..6 as: 5(.090) < 2(.236) < 4(.472) < 1(.618) <
+    // 6(.708) < 3(.854) in units of 2^32 — so a k=4 sample keeps
+    // {5,2,4,1}: pair (1,2) fully inside, (3,4) and (5,6) lose one
+    // endpoint each → sampled truth = 1 of the 3 full-truth pairs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten here"),
+      (4L, "one two three four five six seven eight nine ten here"),
+      (5L, "red orange yellow green blue indigo violet pink brown black"),
+      (6L, "red orange yellow green blue indigo violet pink brown black")
+    ).toDF("doc_id", "text")
+    val full = Dedup.minhashRecallAudit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.9,
+        floor = 1.0)
+      .as[(Long, Boolean)].head()
+    assert(full === ((3L, true)))
+    val sampled = Dedup.minhashRecallAudit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.9,
+        floor = 1.0, truthSample = 4)
+      .as[(Long, Boolean)].head()
+    assert(sampled === ((1L, true)),
+      "k=4 Knuth sample keeps {5,2,4,1}: only the (1,2) pair survives " +
+        "with both endpoints, and certain recall passes the 1.0 floor")
+    // k >= corpus leaves the audit exact
+    val kBig = Dedup.minhashRecallAudit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.9,
+        floor = 1.0, truthSample = 100)
+      .as[(Long, Boolean)].head()
+    assert(kBig === full)
   }
 
   test("dedupAgainstCorpus drops batch near-dups of the corpus, keeps the rest") {
