@@ -3310,10 +3310,14 @@ object SparkEntry {
         import graft.sources.ManifestTable
         val docs = docsSpread(s, d).select("doc_id", "text")
         val idxPath = s"$tmp/substr_index"
+        // pageBuckets: the index commits through the PAGED manifest
+        // (r18) — the second commit rewrites only the pages its new
+        // window hashes touch, the 100 TB ingest shape
         ManifestTable.upsertBatch(
           Dedup.substrIndex(docs.filter(col("doc_id") < 100),
             "doc_id", "text", n = 8),
-          idxPath, Seq("wh1", "wh2"), nBuckets = 8, batchId = 0L)
+          idxPath, Seq("wh1", "wh2"), nBuckets = 8, batchId = 0L,
+          pageBuckets = 4)
         ManifestTable.upsertBatch(
           Dedup.substrIndex(
             docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),

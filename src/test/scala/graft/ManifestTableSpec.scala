@@ -232,6 +232,148 @@ class ManifestTableSpec extends SparkTestBase {
     assert(ManifestTable.diff(spark, table, 1L, 2L, Seq("k")).count() === 0L)
   }
 
+  private def fsOf(table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (pageId → pagePath) of the CURRENT root manifest. */
+  private def rootPages(table: String): Map[Int, String] = {
+    val fs = fsOf(table)
+    val dir = new Path(table, "_manifests")
+    val v = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toLong).max
+    val in = fs.open(new Path(dir, s"v$v.txt"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    lines.filter(_.startsWith("page\t")).map { l =>
+      val a = l.split('\t'); a(1).toInt -> a(2)
+    }.toMap
+  }
+
+  test("paged manifest: reads equal the inline layout; a one-key commit " +
+       "rewrites exactly one PAGE file, the rest carry by path") {
+    val table = tmpTable()
+    val base = (0L until 200L).map(k => (k, s"v$k", 1L))
+    assert(ManifestTable.upsertBatch(rows(base: _*), table, Seq("k"),
+      Some("ver"), nBuckets = 32, batchId = 0L, pageBuckets = 8))
+    assert(state(table) === base.toSet, "paged read equals the data")
+    val p1 = rootPages(table)
+    assert(p1.nonEmpty && p1.size <= 4,
+      s"32 buckets at 8 per page is at most 4 pages: ${p1.keySet}")
+    // one-key update, pageBuckets INHERITED (callers don't re-pass it)
+    assert(ManifestTable.upsertBatch(rows((7L, "updated", 2L)), table,
+      Seq("k"), Some("ver"), nBuckets = 32, batchId = 1L))
+    val p2 = rootPages(table)
+    assert(p2.size === p1.size)
+    val changed = p2.filter { case (id, p) => p1.get(id) != Some(p) }
+    assert(changed.size === 1,
+      s"exactly one page rewritten — commit manifest I/O is bounded by " +
+        s"touched buckets, got ${changed.keySet}")
+    assert(p2.count { case (id, p) => p1.get(id) == Some(p) }
+      === p1.size - 1, "every untouched page is the SAME file, by path")
+    val s = state(table)
+    assert(s.size === 200 && s.contains((7L, "updated", 2L)) &&
+      s.contains((8L, "v8", 1L)))
+  }
+
+  test("paged manifest: crash before the root rename is invisible; " +
+       "old-or-new-never-nothing holds verbatim") {
+    val table = tmpTable()
+    assert(ManifestTable.upsertBatch(rows((1L, "a", 1L), (2L, "b", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 0L,
+      pageBuckets = 4))
+    val v1 = state(table)
+    val fs = fsOf(table)
+    // a writer that died after writing data files AND page files but
+    // before the root rename: orphan pages + dot-temp root + data are
+    // all unreferenced — readers keep resolving v1
+    rows((9L, "junk", 9L))
+      .write.parquet(s"$table/data/c2/${ManifestTable.BucketCol}=0")
+    val pg = fs.create(new Path(s"$table/_manifests/pages/p0-v2.txt"), true)
+    pg.write("0\tgarbage-path".getBytes("UTF-8")); pg.close()
+    val tmp = fs.create(new Path(s"$table/_manifests/.tmp-v2"), true)
+    tmp.write("batchId=1\npagesz=4\npage\t0\tgarbage".getBytes("UTF-8"))
+    tmp.close()
+    assert(state(table) === v1,
+      "half-committed paged attempt is invisible — reader still sees v1")
+    // the recovering writer retries the same version: leftover page and
+    // data files are overwritten/cleared, the commit lands atomically
+    assert(ManifestTable.upsertBatch(rows((2L, "b2", 2L)), table,
+      Seq("k"), Some("ver"), nBuckets = 8, batchId = 1L))
+    assert(state(table) === Set((1L, "a", 1L), (2L, "b2", 2L)))
+  }
+
+  test("paged manifest: readPruned never OPENS an excluded page — " +
+       "proved by deleting it out-of-band") {
+    import org.apache.spark.sql.functions.col
+    val table = tmpTable()
+    // batches land in buckets of DIFFERENT pages with disjoint ver
+    // ranges, so page-level zone maps separate them: nBuckets=16,
+    // pageBuckets=4 → page(b) = b/4
+    val byBucket = spark.range(1, 400)
+      .select(col("id"), ManifestTable.bucketExpr(Seq("id"), 16).as("b"))
+      .as[(Long, Long)].collect().groupBy(_._2)
+    def keysInPage(p: Int, n: Int): Seq[Long] = byBucket
+      .filter { case (b, _) => b / 4 == p }.values.flatten
+      .map(_._1).toSeq.sorted.take(n)
+    val gA = keysInPage(0, 3); val gB = keysInPage(2, 3)
+    assert(gA.size === 3 && gB.size === 3, "fixture has keys in both pages")
+    def batch(keys: Seq[Long], lo: Long) =
+      rows(keys.zipWithIndex.map { case (k, i) => (k, s"v$k", lo + i) }: _*)
+    ManifestTable.upsertBatch(batch(gA, 0L), table, Seq("k"), None,
+      nBuckets = 16, batchId = 0L, statsCol = Some("ver"), pageBuckets = 4)
+    ManifestTable.upsertBatch(batch(gB, 200L), table, Seq("k"), None,
+      nBuckets = 16, batchId = 1L, statsCol = Some("ver"))
+    // delete page 0's file OUT OF BAND: a pruned read of the [200, 300]
+    // range must not notice (it never opens the page); the full read
+    // must fail loudly — proving the pruned path's I/O really is
+    // bounded by matching pages
+    val p = rootPages(table)
+    fsOf(table).delete(new Path(p(0)), false)
+    val pruned = ManifestTable.readPruned(spark, table, 200L, 300L)
+      .select("k").as[Long].collect().toSet
+    assert(pruned === gB.toSet)
+    intercept[Exception] {
+      ManifestTable.read(spark, table).count()
+    }
+  }
+
+  test("paged manifest: time travel, zero-copy restore, and vacuum of " +
+       "unreferenced page files") {
+    val table = tmpTable()
+    assert(ManifestTable.upsertBatch(rows((1L, "a", 1L), (2L, "b", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 0L,
+      pageBuckets = 4))
+    val pagesV1 = rootPages(table)
+    assert(ManifestTable.upsertBatch(rows((1L, "a2", 2L)), table,
+      Seq("k"), Some("ver"), nBuckets = 8, batchId = 1L))
+    assert(ManifestTable.readVersion(spark, table, 1L)
+      .select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
+      === Set((1L, "a", 1L), (2L, "b", 1L)), "time travel resolves pages")
+    // restore v1: the new root must reference v1's page files BY PATH —
+    // zero page writes, zero data copy
+    ManifestTable.restore(spark, table, 1L)
+    assert(rootPages(table) === pagesV1,
+      "restore root references the target's pages directly")
+    assert(state(table) === Set((1L, "a", 1L), (2L, "b", 1L)))
+    // vacuum to the latest snapshot only: page files referenced by NO
+    // live root must be deleted, referenced ones survive
+    val fs = fsOf(table)
+    val allPagesBefore = fs.listStatus(
+      new Path(s"$table/_manifests/pages")).map(_.getPath.toString).toSet
+    ManifestTable.vacuum(spark, table, keep = 1)
+    val live = rootPages(table).values
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+    val allPagesAfter = fs.listStatus(
+      new Path(s"$table/_manifests/pages")).map(_.getPath.toString).toSet
+    assert(allPagesAfter === live,
+      s"only live pages survive vacuum: $allPagesAfter vs $live")
+    assert(allPagesBefore.size > live.size,
+      "precondition: vacuum had orphan pages to drop")
+    assert(state(table) === Set((1L, "a", 1L), (2L, "b", 1L)),
+      "table reads intact after vacuum")
+  }
+
   test("zone-map stats prune files by range, conservatively") {
     import org.apache.spark.sql.functions.col
     val table = tmpTable()
