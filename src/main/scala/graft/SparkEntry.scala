@@ -2235,14 +2235,18 @@ object SparkEntry {
     // item 7 — the former rows-only raw-pair probe, now oracle-checked):
     // the same doubled-corpus LSH workload runs in full, and the audit
     // compares it against the exact PPJoin truth the DuckDB oracle
-    // recomputes by brute force. Floor 0.9: measured recall 1.0 at
-    // sf0.01 and 0.9995 at sf0.1 (perturbed pairs sit near J≈0.82 where
-    // per-pair band-collision probability is ~0.99).
+    // recomputes by brute force — truth SAMPLE-BOUNDED at k=400 like
+    // q_minhash_audit (r18; §6.7h row 1 was measured on THIS query:
+    // 187x bytes at 100x came from the doubled-corpus full truth join).
+    // The Knuth-rank sample draws from the doubled id space (originals
+    // + copies at +1e6), so sampled truth keeps both organic and
+    // planted pairs. Floor 0.9: perturbed pairs sit near J≈0.82 where
+    // per-pair band-collision probability is ~0.99.
     "q_minhash_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       Dedup.minhashRecallAudit(withPerturbedCopies(docs), "doc_id", "text",
           shingleN = 3, numHashes = 32, bands = 8, threshold = 0.8,
-          floor = 0.9)
+          floor = 0.9, truthSample = 400)
     }),
     // E2 REAL-TEXT MinHash recall audit, oracle-checked: truth = exact
     // PPJoin count over the 400 documents ranking first by the Knuth
@@ -5766,12 +5770,17 @@ object SparkEntry {
         |WHERE jaccard >= 0.8""".stripMargin,
 
     // the perturbed-copy corpus (withPerturbedCopies) rebuilt in SQL:
-    // ids shifted by 1e6, last two tokens dropped (keeping >= 1)
+    // ids shifted by 1e6, last two tokens dropped (keeping >= 1); truth
+    // over the SAME Knuth-rank-400 sample of the doubled id space the
+    // engine uses
     "q_minhash_neardup" ->
       """WITH toks0 AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |d AS (SELECT doc_id, toks FROM toks0
+        |d0 AS (SELECT doc_id, toks FROM toks0
         |      UNION ALL
         |      SELECT doc_id + 1000000, toks[1:greatest(len(toks)-2,1)] FROM toks0),
+        |d AS (SELECT doc_id, toks FROM d0
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        |      LIMIT 400),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         range(1, greatest(len(toks) - 2, 1) + 1),
         |         i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM d),
