@@ -179,23 +179,26 @@ object Bench {
     // included) without billing a driver-side decode/collect. Floors
     // were re-minted under this pricing in r17 — pre-r17 totals are
     // NOT comparable.
-    // ... and run it through the STANDARD execution path (ADVICE r17):
-    // `executedPlan.execute()` outside SQLExecution.withNewExecutionId
-    // materializes AQE with no execution id — no SQL UI/metrics events,
-    // and version-dependent divergence (subquery reuse, plan-change
-    // logging) from what a normal action runs. `qe.toRdd` is the same
-    // compiled plan wrapped in SQLExecutionRDD (conf propagation only);
-    // withNewExecutionId supplies the execution id a Dataset action
-    // would. Measured delta vs the bare r17 form: within run-to-run
-    // noise (<2%), so r17 floors remain comparable.
+    // ADVICE r17 suggested wrapping this in SQLExecution.
+    // withNewExecutionId + qe.toRdd (the standard-action path, so AQE
+    // gets an execution id and SQL metrics events fire). MEASURED AND
+    // REJECTED (r18 A/B, quiet host, best-of-5/6): the wrapper is free
+    // on small plans (q1_agg/q_ab_test within noise) but costs
+    // 1.3-1.6x on the large-AQE-plan unigram family (q_unigram_train
+    // 0.277 -> 0.451 s, q_unigram_segment 0.483 -> 0.729 s,
+    // q_unigram_encode 1.495 -> 2.007 s) — execution-id-scoped AQE
+    // update events serialize the full plan graph per re-plan, which
+    // is pure harness overhead billed to the query. The bare form
+    // executes the identical compiled plan, keeps floors comparable
+    // across rounds, and prices only the work the plan does; the
+    // tradeoff (no SQL-UI events during bench runs) is accepted and
+    // recorded here.
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try {
-          val qe = fn(spark, sfDir).queryExecution
-          org.apache.spark.sql.execution.SQLExecution
-            .withNewExecutionId(qe) { qe.toRdd.count() }
+          fn(spark, sfDir).queryExecution.executedPlan.execute().count()
           None
         } catch {
           case e: Throwable =>

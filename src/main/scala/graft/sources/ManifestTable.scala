@@ -276,9 +276,16 @@ object ManifestTable {
       else root.pages.filter(p => hits(p.stats))
         .sortBy(_.id).flatMap(p => loadPage(fs, p))
     val keep = candidates.filter(f => hits(f.stats))
-    if (keep.isEmpty)
-      readManifest(spark, table,
+    if (keep.isEmpty) recordedSchema(root) match {
+      // schema-recording manifests build the empty frame from the root
+      // alone — no page or footer read (the paged bound must hold in
+      // the nothing-matches case too); pre-schema manifests fall back
+      // to resolving the snapshot
+      case Some(st) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => readManifest(spark, table,
         manifestAt(fs, table, root.version).get).limit(0)
+    }
     else recordedSchema(root) match {
       case Some(st) => spark.read.schema(st).parquet(keep.map(_.path): _*)
       case None     => spark.read.parquet(keep.map(_.path): _*)

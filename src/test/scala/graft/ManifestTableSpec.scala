@@ -336,6 +336,13 @@ class ManifestTableSpec extends SparkTestBase {
     intercept[Exception] {
       ManifestTable.read(spark, table).count()
     }
+    // nothing-matches: the empty frame comes from the ROOT's recorded
+    // schema alone — delete every page file; the pruned read of an
+    // impossible range must still answer (zero rows, correct schema)
+    p.values.foreach(path => fsOf(table).delete(new Path(path), false))
+    val none = ManifestTable.readPruned(spark, table, 5000L, 6000L)
+    assert(none.count() === 0L &&
+      none.columns.toSeq === Seq("k", "v", "ver"))
   }
 
   test("paged manifest: time travel, zero-copy restore, and vacuum of " +
