@@ -44,6 +44,40 @@ class DegenerateInputSpec extends SparkTestBase {
       chunkTokens = 2)) === rendered(oneDoc))
   }
 
+  test("incremental substring index: empty corpus, empty batch, empty index") {
+    // empty corpus -> empty (but well-formed) index
+    val emptyIdx = Dedup.substrIndex(emptyDocs, "doc_id", "text")
+    assert(emptyIdx.count() === 0 &&
+      emptyIdx.columns.toSeq === Seq("wh1", "wh2"))
+    // a doc shorter than n tokens contributes no windows
+    assert(Dedup.substrIndex(oneDoc, "doc_id", "text", n = 8).count() === 0)
+    val idx = Dedup.substrIndex(oneDoc, "doc_id", "text", n = 3)
+    assert(idx.count() === 3, "5 tokens at n=3 -> 3 stride-1 windows")
+    // probing an empty batch / against an empty index: no spans, cut
+    // passes the batch through whole
+    assert(Dedup.substringSpansAgainstIndex(emptyDocs, idx,
+      "doc_id", "text", n = 3).count() === 0)
+    assert(Dedup.substringSpansAgainstIndex(oneDoc, emptyIdx,
+      "doc_id", "text", n = 3).count() === 0)
+    val cut = Dedup.scrubAgainstSubstrIndex(oneDoc, emptyIdx,
+      "doc_id", "text", n = 3).collect()(0)
+    assert(cut.getString(1) === "alpha beta gamma delta epsilon" &&
+      cut.getLong(3) === 0L, "empty index cuts nothing")
+    // self-probe: every window of the doc is indexed -> fully covered
+    val self = Dedup.scrubAgainstSubstrIndex(oneDoc, idx,
+      "doc_id", "text", n = 3).collect()(0)
+    assert(self.getString(1) === "" && self.getLong(3) === 5L)
+  }
+
+  test("clean with scrubEval: empty eval corpus scrubs nothing") {
+    val out = CorpusPipeline.clean(oneDoc, minQuality = 0.0,
+      scrubEval = Some(emptyDocs), scrubTokens = 3)
+    assert(out.count() === 1)
+    assert(CorpusPipeline.cleanReport(oneDoc, minQuality = 0.0,
+        scrubEval = Some(emptyDocs), scrubTokens = 3)
+      .select("outcome").as[String].collect().toSeq === Seq("kept"))
+  }
+
   test("pipeline and mixing: empty corpus flows through whole") {
     assert(CorpusPipeline.clean(emptyDocs).count() === 0)
     assert(CorpusPipeline.cleanReport(emptyDocs).count() === 0)
