@@ -23,11 +23,19 @@ package graft
 object StressProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StressProbe <sfDir> <q1,q2,...> [runs]")
+      "usage: StressProbe <sfDir> <q1,q2,...> [runs] [shufflePartitions]")
     val dir = args(0)
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val runs = args.lift(2).map(_.toInt).getOrElse(3)
-    val spark = SparkSessionFactory.create(appName = "graft-stress")
+    // optional shuffle-partition override (VERDICT r18 item 1): the
+    // per-partition aggregate/join state of an iterative at 100× data
+    // is bounded by the reduce-side partition count — the knob a real
+    // cluster sets anyway; measuring at 32 vs 256 separates "the
+    // exchange volume grew" from "the per-task state ceiling bit"
+    val shuffleParts = args.lift(3).map(_.toInt)
+      .getOrElse(SparkSessionFactory.cpus)
+    val spark = SparkSessionFactory.create(appName = "graft-stress",
+      shufflePartitions = shuffleParts)
     val sc = spark.sparkContext
     val read = new java.util.concurrent.atomic.AtomicLong
     val written = new java.util.concurrent.atomic.AtomicLong
@@ -56,16 +64,22 @@ object StressProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         // exact listener drain (ADVICE r17): block until the bus queues
         // are empty so run N's stage events can't bleed into run N+1's
-        // counters — a fixed sleep only bounds the lag probabilistically
-        org.apache.spark.graft.ListenerDrain.drain(sc)
+        // counters — a fixed sleep only bounds the lag probabilistically.
+        // On a 2-minute timeout the run is RECORDED as drain-timed-out
+        // (counters possibly under-read) instead of aborting the sweep
+        // (r18 ADVICE — the old zero-arg call threw at Spark's 10 s
+        // internal default, exactly under the backlog the drain is for).
+        val drained = org.apache.spark.graft.ListenerDrain.drain(sc)
         graft.operators.OpCaches.release(blocking = true)
         graft.operators.Ngrams.clearBpeCache()
         graft.operators.Ngrams.clearUnigramCache()
         f"""{"sec":$sec%.3f,"shuffle_read_mb":${mb(read.get)},""" +
           s""""shuffle_write_mb":${mb(written.get)},""" +
-          s""""peak_exec_mem_mb":${mb(peak.get)}}"""
+          s""""peak_exec_mem_mb":${mb(peak.get)},""" +
+          s""""drain_timed_out":${!drained}}"""
       }
       println(s"""{"query":"$name","dir":"$dir",""" +
+        s""""shuffle_partitions":$shuffleParts,""" +
         s""""runs":[${rows.mkString(",")}]}""")
     }
     spark.stop()

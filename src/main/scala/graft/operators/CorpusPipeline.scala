@@ -98,12 +98,19 @@ object CorpusPipeline {
     // would survive the whole pipeline (and feed MinHash shingling).
     // Drop them here — only when a cut stage actually ran, so the
     // no-surgery pipeline's behavior (and its committed oracles) is
-    // byte-identical to before.
+    // byte-identical to before. NULL text is NOT a surgery ghost: every
+    // cut stage passes NULL through untouched (the applySpanCut
+    // contract), and the no-surgery path lets NULL-text docs reach
+    // exact dedup (where SQL GROUP BY collapses them to one
+    // representative) — so the gate explicitly preserves that
+    // pass-through instead of letting the NULL predicate silently drop
+    // them (r18 ADVICE).
     val surgeryRan = boilerplateMinDocs.isDefined ||
       chunkDedupTokens.isDefined || substringCutTokens.isDefined ||
       scrubEval.isDefined
     val nonEmpty =
-      if (surgeryRan) scrubbed.filter(length(text) > 0) else scrubbed
+      if (surgeryRan) scrubbed.filter(text.isNull || length(text) > 0)
+      else scrubbed
 
     // 1. exact: keep the smallest id per identical text. groupBy + min
     //    rather than the window formulation: with only (id, text) in
@@ -237,8 +244,12 @@ object CorpusPipeline {
 
   /** Per-document outcome report of [[clean]] (pairwise mode): one row
     * per input document with the stage that removed it —
-    * `contam_scrubbed` (the eval-corpus span scrub left NO text: a
-    * fully-contaminated document, dropped by the empty-survivor gate),
+    * `contam_scrubbed` (the eval-corpus span scrub actually CUT spans
+    * and left NO text: a fully-contaminated document, dropped by the
+    * empty-survivor gate), `born_empty` (scrub mode only: the input
+    * text was already empty — the same gate kills it, but the scrub
+    * did not; NULL text is neither — it passes the gate untouched and
+    * reports like any other doc),
     * `exact_dup` (not the smallest id of its identical-text group),
     * `near_dup` (dropped side of a verified MinHash pair),
     * `low_quality`, `gopher_fail`, or `kept` — the attrition audit a
@@ -272,14 +283,21 @@ object CorpusPipeline {
     // eval-corpus span scrub first, mirroring [[clean]]'s ladder order
     // for the stages this report models: downstream gates see the
     // scrubbed text, and a doc scrubbed to EMPTY is the stage's kill.
+    // n_cut rides along so the attrition label can tell a SCRUB-emptied
+    // doc (something was actually cut) from a born-empty one (r18
+    // ADVICE — length===0 alone can't distinguish the two).
     val scrubbed = scrubEval match {
       case Some(ev) =>
         Dedup.scrubContamSpans(normalized, ev, idCol, textCol, scrubTokens)
-          .select(id, col("text_cut").as(textCol))
-      case None => normalized
+          .select(id, col("text_cut").as(textCol),
+            col("n_cut").as("__ncut"))
+      case None => normalized.withColumn("__ncut", lit(null).cast("long"))
     }
+    // the [[clean]] empty-survivor gate verbatim, NULL pass-through
+    // included — kept-set parity requires the identical predicate
     val survivors =
-      if (scrubEval.isDefined) scrubbed.filter(length(text) > 0)
+      if (scrubEval.isDefined)
+        scrubbed.filter(text.isNull || length(text) > 0)
       else scrubbed
     val exactKeep = survivors
       .groupBy(text).agg(min(id).as(idCol))
@@ -295,8 +313,13 @@ object CorpusPipeline {
       .join(exactKeep.select(id, lit(1).as("__keep")), Seq(idCol), "left")
       .join(nearDrop.select(id, lit(1).as("__nd")), Seq(idCol), "left")
       .select(id,
-        when(lit(scrubEval.isDefined) && length(text) === 0,
-          "contam_scrubbed")
+        when(lit(scrubEval.isDefined) && length(text) === 0 &&
+          col("__ncut") > 0, "contam_scrubbed")
+          // empty BEFORE the scrub touched it (n_cut = 0): the same
+          // empty-survivor gate kills it, but attributing it to the
+          // scrub would misstate the kill stage (r18 ADVICE)
+          .when(lit(scrubEval.isDefined) && length(text) === 0,
+            "born_empty")
           .when(col("__keep").isNull, "exact_dup")
           .when(col("__nd").isNotNull, "near_dup")
           .when(TextAnalysis.qualityScore(text) < minQuality, "low_quality")

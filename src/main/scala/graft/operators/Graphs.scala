@@ -311,11 +311,11 @@ object Graphs {
     * list materializes once (eager localCheckpoint, the
     * [[pageRankWeighted]] lesson). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           rounds: Int = 2): DataFrame =
+           rounds: Int = 2, saltShards: Int = 1): DataFrame =
     hitsLoop(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct().withColumn("w", lit(1L)),
-      rounds, weighted = false)
+      rounds, weighted = false, saltShards)
 
   /** Weighted HITS: auth(v) = Σ_{u→v} w·hub(u), hub(u) = Σ_{u→v}
     * w·auth(v), same L1 normalization and exact integer arithmetic as
@@ -335,15 +335,37 @@ object Graphs {
     * collapse — which is exactly equivalent and keeps the per-round
     * joins vocabulary-sized. */
   def hitsWeighted(edges: DataFrame, srcCol: String, dstCol: String,
-                   weightCol: String, rounds: Int = 2): DataFrame =
+                   weightCol: String, rounds: Int = 2,
+                   saltShards: Int = 1): DataFrame =
     hitsLoop(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         positiveWeight(col(weightCol), "hitsWeighted").as("w")),
-      rounds, weighted = true)
+      rounds, weighted = true, saltShards)
 
-  private def hitsLoop(edgesW: DataFrame, rounds: Int,
-                       weighted: Boolean): DataFrame = {
+  /** `saltShards > 1` switches both sides' per-round sums to the SALTED
+    * TWO-LEVEL exact sum (VERDICT r18 item 5 — the documented
+    * escalation for graphs whose largest hub exceeds the single-level
+    * limb guard, i.e. > 2³¹/2³³ distinct (weighted/unweighted)
+    * in-neighbors on one node, ~web-hub scale): level 1 groups by
+    * (node, hash(other-endpoint) % saltShards) and long-sums the two
+    * limbs per shard — each shard's term count now only needs to stay
+    * under the wrap point, so the per-node capacity scales by
+    * saltShards — level 2 recombines each shard's limbs in
+    * DECIMAL(38,0) and decimal-sums the per-shard partials per node.
+    * Same integer arithmetic term-for-term (summation is order-free
+    * and the shard assignment cancels in the total), so results are
+    * BIT-IDENTICAL to the single-level form wherever both run; the
+    * cost is one extra vocabulary-sized exchange per round (the
+    * (node, shard) pre-aggregate). The per-shard guard still rides the
+    * aggregate and raises pointing at the parameter. `maxTermsOverride`
+    * exists for the spec only — the real wrap point needs billions of
+    * rows; lowering it lets a test drive the guard and the salted
+    * escape hatch at table scale. */
+  private[graft] def hitsLoop(edgesW: DataFrame, rounds: Int,
+                       weighted: Boolean, saltShards: Int = 1,
+                       maxTermsOverride: Option[Long] = None): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    require(saltShards >= 1, "saltShards must be >= 1")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val maxW = 1L << 23
     val e0 =
@@ -361,41 +383,64 @@ object Graphs {
     val radixW = 4294967296L // 2³² product-limb radix (weighted path)
     // low-limb wrap points: unweighted terms < 2³⁰ wrap past 2³³ of
     // them; weighted PRODUCT low limbs < 2³² wrap past 2³¹
-    val maxTerms = if (weighted) 1L << 31 else 1L << 33
+    val maxTerms =
+      maxTermsOverride.getOrElse(if (weighted) 1L << 31 else 1L << 33)
+    val capName =
+      if (maxTermsOverride.isDefined) maxTerms.toString
+      else if (weighted) "2^31" else "2^33"
+    val (rdx, shiftBits) = if (weighted) (radixW, 32) else (radix, 30)
     // exact sum of a LONG score column past long range: two long limb
     // sums (codegen fast path) recombined in DECIMAL(38,0); the term
     // count rides the same aggregate and RAISES past the wrap point.
     // Weighted scores split the w·score PRODUCT (< 2⁶³ by the maxW +
     // Scale bounds, nonnegative) the same way — no decimal-typed
     // aggregation buffer on either path.
-    def exactSum(score: Column): Column =
-      if (weighted) {
-        val p = score * col("w")
-        sum(p.bitwiseAND(radixW - 1)).cast(dec) +
-          sum(shiftright(p, 32)).cast(dec) * radixW
-      } else sum(score.bitwiseAND(radix - 1)).cast(dec) +
-        sum(shiftright(score, 30)).cast(dec) * radix
-    val capName = if (weighted) "2^31" else "2^33"
-    def guarded(raw: Column, cnt: Column, side: String): Column =
-      when(cnt >= maxTerms, raise_error(lit(
-          s"hits: > $capName in-edges on one $side node — the long limb"
-            + " sum would wrap; collapse the edge table first")))
-        .otherwise(raw)
+    def term(score: Column): Column =
+      if (weighted) score * col("w") else score
+    // exact per-node sum of the joined score rows — single-level
+    // (default), or the salted two-level form when saltShards > 1 (see
+    // the [[hitsLoop]] doc); `grp` is the aggregation endpoint, `salt`
+    // the other one. Output: (node, <out>).
+    def sumSide(joined: DataFrame, score: String, grp: String,
+                salt: String, side: String, out: String): DataFrame =
+      if (saltShards == 1)
+        joined.groupBy(col(grp).as("node"))
+          .agg((sum(term(col(score)).bitwiseAND(rdx - 1)).cast(dec) +
+              sum(shiftright(term(col(score)), shiftBits)).cast(dec) * rdx)
+            .as("__r0"), count(lit(1)).as("__c"))
+          .select(col("node"),
+            when(col("__c") >= maxTerms, raise_error(lit(
+                s"hits: > $capName in-edges on one $side node — the long"
+                  + " limb sum would wrap; collapse the edge table first"
+                  + " or set saltShards > 1 (the salted two-level exact"
+                  + " sum)")))
+              .otherwise(col("__r0")).as(out))
+      else
+        joined.groupBy(col(grp).as("node"),
+            pmod(hash(col(salt)), lit(saltShards)).as("__shard"))
+          .agg(sum(term(col(score)).bitwiseAND(rdx - 1)).as("__lo"),
+            sum(shiftright(term(col(score)), shiftBits)).as("__hi"),
+            count(lit(1)).as("__c"))
+          .select(col("node"),
+            when(col("__c") >= maxTerms, raise_error(lit(
+                s"hits: > $capName in-edges on one $side-node salt shard"
+                  + " — the long limb sum would wrap; raise saltShards")))
+              .otherwise(col("__lo").cast(dec) + col("__hi").cast(dec) * rdx)
+              .as("__p"))
+          .groupBy("node").agg(sum(col("__p")).as(out))
     var hub = nodes.crossJoin(broadcast(nDf))
       .selectExpr("node", s"${Scale}L div __n as h")
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
-      val araw = e.join(hub.select(col("node").as("src"), col("h")), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(exactSum(col("h")).as("ar0"), count(lit(1)).as("__c"))
-        .select(col("node"), guarded(col("ar0"), col("__c"), "auth").as("ar"))
+      val araw = sumSide(
+        e.join(hub.select(col("node").as("src"), col("h")), "src"),
+        "h", "dst", "src", "auth", "ar")
       val atot = araw.agg(sum(col("ar")).as("__ta"))
       auth = araw.crossJoin(broadcast(atot))
         .selectExpr("node", s"(ar * ${Scale}L) div __ta as a")
-      val hraw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(exactSum(col("a")).as("hr0"), count(lit(1)).as("__c"))
-        .select(col("node"), guarded(col("hr0"), col("__c"), "hub").as("hr"))
+      val hraw = sumSide(
+        e.join(auth.select(col("node").as("dst"), col("a")), "dst"),
+        "a", "src", "dst", "hub", "hr")
       val htot = hraw.agg(sum(col("hr")).as("__th"))
       hub = hraw.crossJoin(broadcast(htot))
         .selectExpr("node", s"(hr * ${Scale}L) div __th as h")

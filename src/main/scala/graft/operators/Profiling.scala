@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -681,8 +681,13 @@ object Profiling {
     * Integer-width bounds (documented contract, loud in the widths):
     * |x|·10^scale < 1e14, Σ|x|·10^scale < 1e18, Σ(x·y)·10^2scale
     * < 1e25, n < 1e12 — comfortable for profiling scans at 100 TB
-    * with sane scales; beyond them Spark nulls the aggregate rather
-    * than silently wrapping. */
+    * with sane scales; beyond them the computation goes LOUD, never
+    * silently wrong: under ANSI mode (the Spark 4 default) the per-row
+    * decimal cast RAISES on overflow; with ANSI off it NULLs just that
+    * row's xi and sum() would silently SKIP it while n still counts it
+    * (r18 ADVICE) — so the aggregate also counts the surviving xi/yi
+    * rows and NULLs every output whenever either count disagrees
+    * with n. */
   private def covarianceMoments(df: DataFrame, groupCols: Seq[String],
                                 xCol: String, yCol: String,
                                 scale: Int): DataFrame = {
@@ -702,6 +707,11 @@ object Profiling {
     // all exact; the n·Σ products cast through (12,0)×(25,0)=(38,0)
     val agg = grouped.agg(
       count(lit(1)).as("n"),
+      // NULL inputs were filtered above, so a NULL __xi/__yi can ONLY
+      // be a per-row decimal-cast overflow — these counts disagreeing
+      // with n is the exact (and cheap, same aggregation pass)
+      // overflow detector.
+      count(col("__xi")).as("__nx"), count(col("__yi")).as("__ny"),
       sum(col("__xi")).as("__sx"), sum(col("__yi")).as("__sy"),
       sum(col("__xi") * col("__yi")).as("__sxy"),
       sum(col("__xi") * col("__xi")).as("__sxx"),
@@ -712,14 +722,16 @@ object Profiling {
     def s25(c: String) = col(c).cast(DecimalType(25, 0))
     val p1 = math.pow(10, scale)      // exact doubles for scale <= 11
     val p2 = math.pow(10, 2 * scale)
+    val ok = col("__nx") === col("n") && col("__ny") === col("n")
+    def loud(c: Column) = when(ok, c)  // overflow anywhere -> all NULL
     agg.select(groupCols.map(col) ++ Seq(col("n"),
-      (col("__sx").cast("double") / p1).as("sum_x"),
-      (col("__sy").cast("double") / p1).as("sum_y"),
-      ((nD * s25("__sxy") - s18("__sx") * s18("__sy")).cast("double") / p2)
+      loud(col("__sx").cast("double") / p1).as("sum_x"),
+      loud(col("__sy").cast("double") / p1).as("sum_y"),
+      loud((nD * s25("__sxy") - s18("__sx") * s18("__sy")).cast("double") / p2)
         .as("cov_num"),
-      ((nD * s25("__sxx") - s18("__sx") * s18("__sx")).cast("double") / p2)
+      loud((nD * s25("__sxx") - s18("__sx") * s18("__sx")).cast("double") / p2)
         .as("var_num_x"),
-      ((nD * s25("__syy") - s18("__sy") * s18("__sy")).cast("double") / p2)
+      loud((nD * s25("__syy") - s18("__sy") * s18("__sy")).cast("double") / p2)
         .as("var_num_y")): _*)
   }
 

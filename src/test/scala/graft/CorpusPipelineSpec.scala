@@ -154,6 +154,54 @@ class CorpusPipelineSpec extends SparkTestBase {
       "report's kept set must equal clean's output in scrub mode too")
   }
 
+  test("scrub mode: born_empty vs contam_scrubbed labels, NULL text " +
+       "passes the empty-survivor gate, kept sets stay in parity") {
+    val quote = "which of the following best describes the water cycle"
+    val train = Seq[(Long, String)](
+      (1L, s"interesting original essay about rivers $quote and then " +
+        "further novel discussion of rainfall patterns"),
+      (2L, quote),  // scrub cuts EVERYTHING → contam_scrubbed
+      (3L, ""),     // empty BEFORE the scrub — same gate, different stage
+      (4L, null),   // NULL text: applySpanCut pass-through, survives gate
+      (5L, null),   // second NULL: exact-dup group of the NULLs
+      (6L, "a fully unrelated clean document about mountain trails here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, quote)).toDF("doc_id", "text")
+    val report = CorpusPipeline.cleanReport(train, minQuality = 0.0,
+        jaccardThreshold = 0.99, scrubEval = Some(eval_), scrubTokens = 5)
+      .as[(Long, String)].collect().toMap
+    assert(report === Map(1L -> "kept", 2L -> "contam_scrubbed",
+      3L -> "born_empty", 4L -> "kept", 5L -> "exact_dup",
+      6L -> "kept"),
+      s"scrub-emptied vs born-empty must attribute to different stages, " +
+      s"NULL text must not be silently dropped: $report")
+    val cleanIds = CorpusPipeline.clean(train, minQuality = 0.0,
+        jaccardThreshold = 0.99, scrubEval = Some(eval_), scrubTokens = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(report.filter(_._2 == "kept").keySet === cleanIds,
+      "kept-set parity must hold with empty and NULL docs in play")
+  }
+
+  test("surgery stages keep the no-surgery NULL-text semantics: the " +
+       "empty-survivor gate passes NULL through (r18 ADVICE)") {
+    val docs = Seq[(Long, String)](
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, null),
+      (3L, null)
+    ).toDF("doc_id", "text")
+    // without surgery NULL-text docs reach exact dedup and collapse to
+    // the min id — with a cut stage enabled the gate must not change that
+    val noSurgery = CorpusPipeline.clean(docs, minQuality = 0.0,
+        jaccardThreshold = 0.99)
+      .select("doc_id").as[Long].collect().toSet
+    val withSurgery = CorpusPipeline.clean(docs, minQuality = 0.0,
+        jaccardThreshold = 0.99, chunkDedupTokens = Some(10))
+      .select("doc_id").as[Long].collect().toSet
+    assert(noSurgery === Set(1L, 2L))
+    assert(withSurgery === noSurgery,
+      "enabling a cut stage must not silently drop NULL-text docs")
+  }
+
   test("clean with gopherMinWords gates on the rule verdict too") {
     val good = (1 to 30).map(i => if (i % 3 == 0) "gamma" else "delta")
       .mkString(" ")

@@ -243,6 +243,65 @@ class GraphsSpec extends SparkTestBase {
     assert(long === str)
   }
 
+  test("hits saltShards: salted two-level exact sum is bit-identical to " +
+       "the single-level form and a BigInt reference; the guard raises " +
+       "unsalted past the cap and salting escapes it (VERDICT r18 i5)") {
+    // star hub: 12 distinct in-neighbors on auth 100, plus side edges
+    val pairs = (1L to 12L).map(u => (u, 100L)) ++
+      Seq((1L, 101L), (2L, 101L), (3L, 102L), (11L, 103L))
+    val e = pairs.toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("node", "hub_fp", "auth_fp").orderBy("node")
+        .as[(Long, Long, Long)].collect().toSeq
+    val plain = run(Graphs.hits(e, "src", "dst", rounds = 2))
+    val salted = run(Graphs.hits(e, "src", "dst", rounds = 2,
+      saltShards = 5))
+    assert(salted === plain,
+      "the shard assignment must cancel in the total — bit-identical")
+    // exact-integer reference formulation (BigInt = unbounded decimal):
+    // the same L1-normalized recurrence with every sum and the
+    // (raw·Scale) div total step in exact integer arithmetic
+    val S = BigInt(Graphs.Scale)
+    val eDd = pairs.distinct
+    val nodesR = (eDd.map(_._1) ++ eDd.map(_._2)).distinct.sorted
+    var hubR = nodesR.map(_ -> S / nodesR.size).toMap
+    var authR = Map.empty[Long, BigInt]
+    for (_ <- 1 to 2) {
+      val ar = eDd.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(x => hubR.getOrElse(x._1, BigInt(0))).sum }
+      val ta = ar.values.sum
+      authR = ar.map { case (v, r) => v -> r * S / ta }
+      val hr = eDd.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(x => authR.getOrElse(x._2, BigInt(0))).sum }
+      val th = hr.values.sum
+      hubR = hr.map { case (u, r) => u -> r * S / th }
+    }
+    val ref = nodesR.map(v => (v, hubR.getOrElse(v, BigInt(0)).toLong,
+      authR.getOrElse(v, BigInt(0)).toLong))
+    assert(plain === ref, "engine output must equal the exact reference")
+    // guard: cap 8 — node 100's 12 in-neighbors exceed it unsalted
+    val eW = e.distinct().withColumn("w", lit(1L))
+    val ex = intercept[Exception] {
+      Graphs.hitsLoop(eW, rounds = 2, weighted = false,
+        maxTermsOverride = Some(8L)).collect()
+    }
+    assert(ex.getMessage != null && ex.toString.contains("saltShards"),
+      s"the guard must point at the escape-hatch parameter: $ex")
+    // salted across 5 shards the per-shard counts stay under the cap
+    // and the values are still the single-level ones
+    val escaped = run(Graphs.hitsLoop(eW, rounds = 2, weighted = false,
+      saltShards = 5, maxTermsOverride = Some(8L)))
+    assert(escaped === plain,
+      "the salted form must ESCAPE the per-node cap with exact results")
+    // weighted path: same identity through the product-limb machinery
+    val wDf = pairs.toDF("src", "dst").withColumn("w",
+      (col("src") % 3 + 1).cast("long"))
+    val pw = run(Graphs.hitsWeighted(wDf, "src", "dst", "w", rounds = 2))
+    val sw = run(Graphs.hitsWeighted(wDf, "src", "dst", "w", rounds = 2,
+      saltShards = 4))
+    assert(sw === pw, "weighted salted sum must be bit-identical too")
+  }
+
   test("hitsWeighted: collapsed (src, dst, multiplicity) is bit-identical " +
        "to unit-weight exploded instances; weight 1 reproduces hits") {
     val inst = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 10L),

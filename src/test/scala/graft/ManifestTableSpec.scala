@@ -345,6 +345,33 @@ class ManifestTableSpec extends SparkTestBase {
       none.columns.toSeq === Seq("k", "v", "ver"))
   }
 
+  test("restore to a PRE-paging (inline) snapshot keeps the paged " +
+       "layout — re-paged under the current pagesz (r18 ADVICE)") {
+    val table = tmpTable()
+    // v1: inline layout
+    assert(ManifestTable.upsertBatch(rows((1L, "a", 1L), (2L, "b", 1L)),
+      table, Seq("k"), Some("ver"), nBuckets = 8, batchId = 0L))
+    assert(rootPages(table).isEmpty, "precondition: v1 is inline")
+    // v2: paging migration + new data
+    assert(ManifestTable.upsertBatch(rows((3L, "c", 1L)), table,
+      Seq("k"), Some("ver"), nBuckets = 8, batchId = 1L, pageBuckets = 4))
+    assert(rootPages(table).nonEmpty, "precondition: v2 is paged")
+    // restore to the inline v1: contents roll back, layout must NOT —
+    // "once paged, a table stays paged" has to survive restore or every
+    // later commit silently loses the bounded-commit-I/O property
+    ManifestTable.restore(spark, table, 1L)
+    assert(state(table) === Set((1L, "a", 1L), (2L, "b", 1L)),
+      "restored contents are v1's")
+    assert(rootPages(table).nonEmpty,
+      "the restored root must be re-paged, not reverted to inline")
+    // and the next upsert inherits the paged layout
+    assert(ManifestTable.upsertBatch(rows((4L, "d", 1L)), table,
+      Seq("k"), Some("ver"), nBuckets = 8, batchId = 2L))
+    assert(rootPages(table).nonEmpty, "subsequent commits stay paged")
+    assert(state(table) ===
+      Set((1L, "a", 1L), (2L, "b", 1L), (4L, "d", 1L)))
+  }
+
   test("paged manifest: time travel, zero-copy restore, and vacuum of " +
        "unreferenced page files") {
     val table = tmpTable()

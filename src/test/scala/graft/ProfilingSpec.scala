@@ -938,6 +938,43 @@ class ProfilingSpec extends SparkTestBase {
     }
   }
 
+  test("covarianceExact: a per-row scaled-integer overflow NULLs every " +
+       "output instead of silently skipping the row (r18 ADVICE)") {
+    // |x| >= 1e14 overflows the DECIMAL(18,4) per-row cast at the
+    // default scale=4. Under ANSI mode (the Spark 4 default) the cast
+    // itself RAISES — already loud; with ANSI off it NULLs the row and
+    // sum() would silently SKIP it while n still counts it — the
+    // aggregate must go loud-NULL there instead
+    val bad = Seq((2.0e14, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Profiling.covarianceExact(bad, "x", "y").collect()
+    }
+    assert(ex.toString.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      s"ANSI mode must raise the decimal overflow, got: $ex")
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val row = Profiling.covarianceExact(bad, "x", "y").collect()(0)
+      assert(row.getAs[Long]("n") === 3L)
+      for (c <- Seq("sum_x", "sum_y", "cov_num", "var_num_x", "var_num_y"))
+        assert(row.isNullAt(row.fieldIndex(c)),
+          s"$c must be NULL when any row overflowed the scaled-int cast")
+      // grouped variant: only the group containing the overflow NULLs
+      val grouped = Seq(("a", 2.0e14, 1.0), ("a", 1.0, 2.0),
+        ("b", 1.0, 2.0), ("b", 2.0, 3.0)).toDF("g", "x", "y")
+      val byG = Profiling.covarianceExactBy(grouped, Seq("g"), "x", "y")
+        .collect().map(r => r.getAs[String]("g") -> r).toMap
+      assert(byG("a").isNullAt(byG("a").fieldIndex("cov_num")))
+      assert(byG("b").getAs[Double]("cov_num") === 1.0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+    // the same data without the overflowing row stays fully defined
+    val good = Seq((1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val ok = Profiling.covarianceExact(good, "x", "y").collect()(0)
+    assert(ok.getAs[Long]("n") === 2L)
+    assert(ok.getAs[Double]("cov_num") === 1.0) // 2*(2+6) - 3*5
+    assert(ok.getAs[Double]("var_num_x") === 1.0)
+  }
+
   test("bootstrapCI: single-row group degenerates gracefully — every " +
        "surviving replicate mean is the row's value") {
     val df = Seq(("g", 7L, 3.25)).toDF("grp", "id", "v")
