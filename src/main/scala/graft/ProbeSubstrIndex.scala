@@ -21,14 +21,19 @@ import org.apache.spark.sql.functions._
 object ProbeSubstrIndex {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ProbeSubstrIndex <corpusDocs> <batchDocs> [workDir] [n]" +
-        " [nBuckets] [pageBuckets]")
+      "usage: ProbeSubstrIndex <corpusDocs> <batchDocs> [extendDocs]" +
+        " [workDir] [n] [nBuckets] [pageBuckets]")
     val corpusPath = args(0)
     val batchPath = args(1)
-    val work = args.lift(2).getOrElse("/tmp/graft-substrprobe")
-    val n = args.lift(3).map(_.toInt).getOrElse(8)
-    val nBuckets = args.lift(4).map(_.toInt).getOrElse(4096)
-    val pageB = args.lift(5).map(_.toInt).getOrElse(64)
+    // the EXTEND commit models "ingest a handful of documents": its
+    // windows hash uniformly, so page-rewrite locality only shows when
+    // the batch's window count sits well under the bucket count —
+    // default to the probe batch when no separate small batch is given
+    val extendPath = args.lift(2).filter(_ != "-").getOrElse(batchPath)
+    val work = args.lift(3).getOrElse("/tmp/graft-substrprobe")
+    val n = args.lift(4).map(_.toInt).getOrElse(8)
+    val nBuckets = args.lift(5).map(_.toInt).getOrElse(4096)
+    val pageB = args.lift(6).map(_.toInt).getOrElse(64)
     val spark = SparkSessionFactory.create(appName = "graft-substr")
     val sc = spark.sparkContext
     import graft.sources.ManifestTable
@@ -69,10 +74,11 @@ object ProbeSubstrIndex {
         pageBuckets = pageB)
     }
     val idxRows = ManifestTable.read(spark, idxPath).count()
-    // 2. EXTEND with the batch's own windows (the per-ingest commit)
+    // 2. EXTEND with a small ingest's windows (the per-ingest commit)
+    val extend = spark.read.parquet(extendPath).select("doc_id", "text")
     val (_, extSec, extRd, extWr) = phase {
       ManifestTable.upsertBatch(
-        Dedup.substrIndex(batch, "doc_id", "text", n = n),
+        Dedup.substrIndex(extend, "doc_id", "text", n = n),
         idxPath, Seq("wh1", "wh2"), batchId = 1L, nBuckets = nBuckets)
     }
     val pdir = new org.apache.hadoop.fs.Path(s"$idxPath/_manifests/pages")

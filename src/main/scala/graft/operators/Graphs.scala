@@ -234,7 +234,19 @@ object Graphs {
     * (node, label) count aggregate with map-side partial combine, and a
     * per-node WindowGroupLimit rank — ids and counts only, nothing
     * quadratic, no driver state; lineage cut every 4 iterations.
-    * Output: (node, label, n_members). */
+    * Output: (node, label, n_members).
+    *
+    * Memory ceiling (SURVEY §6.7j, the r19 re-probe): exchange bytes
+    * are measured linear in edges (10.3× at 10× data) and time tracks
+    * them (3.9×), but the per-round (node, label, count) aggregate
+    * holds the widest state of the graph family — ~43 GB stage-summed
+    * peak at 60M edges on one JVM. The mitigation is the standard
+    * partition knob, measured: per-task aggregate state shrinks
+    * proportionally to `spark.sql.shuffle.partitions` (256 vs 32 →
+    * 8× smaller per-task state for ~10% wall/byte overhead), which is
+    * exactly how a cluster bounds per-executor footprint — no
+    * operator-side change needed, and no label-candidate cap that
+    * would trade exactness for memory. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
