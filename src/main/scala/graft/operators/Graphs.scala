@@ -118,21 +118,34 @@ object Graphs {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         positiveWeight(col(weightCol), "pageRankWeighted").as("w"))
       .localCheckpoint(eager = true)
-    val nodes = e.select(col("src").as("node"))
+    // Static tables and EVERY iteration's rank table materialize as
+    // lazy localCheckpoints (r19, guide §2.4/§5): `ranks` is consumed
+    // THREE times per iteration (share join, dangling anti-join, the
+    // teleport projection) and `deg` twice, so the inline formulation
+    // compounded 3^i duplicated subtrees into the final physical plan
+    // (791 operators / 222 ExistingRDD scans at 3 iterations — see
+    // plans/r19/q_pagerank_before.txt). Exchange reuse hid some of the
+    // recompute but none of the planning/codegen tax. A lazy local
+    // checkpoint is a plan leaf: each iteration now plans ~a dozen
+    // operators and executes exactly once; blocks are (node, long)
+    // rows — O(|V|) memory/disk, the standard Pregel superstep shape.
+    val degCp = e.groupBy("src").agg(sum(col("w")).as("deg"))
+      .localCheckpoint(eager = false)
+    val nodesCp = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy("src").agg(sum(col("w")).as("deg"))
-    val nDf = nodes.agg(count(lit(1)).as("__n"))
-    var ranks = nodes.crossJoin(broadcast(nDf))
+      .localCheckpoint(eager = false)
+    val nDf = nodesCp.agg(count(lit(1)).as("__n"))
+    var ranks = nodesCp.crossJoin(broadcast(nDf))
       .selectExpr("node", s"${Scale}L div __n as rank", "__n")
     for (i <- 1 to iterations) {
       val share = ranks.select("node", "rank")
-        .join(deg, col("node") === col("src"))
+        .join(degCp, col("node") === col("src"))
         .selectExpr("src as u", "rank div deg as share")
       val contrib = e.join(share, col("src") === col("u"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share") * col("w")).as("contrib"))
       val dang = ranks.select("node", "rank")
-        .join(deg, col("node") === col("src"), "left_anti")
+        .join(degCp, col("node") === col("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0L)).as("__mass"))
       ranks = ranks.select("node", "__n").crossJoin(broadcast(dang))
         .join(contrib, Seq("node"), "left")
@@ -141,7 +154,7 @@ object Graphs {
             s" + (${dampingPct}L * (coalesce(contrib, 0L) + __mass div __n))" +
             " div 100L as rank",
           "__n")
-      if (i % 4 == 0 && i < iterations)
+      if (i < iterations)
         ranks = ranks.localCheckpoint(eager = false)
     }
     ranks.select(col("node"), col("rank").as("rank_fp"),
@@ -185,7 +198,11 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(sd.select(col("node"))).distinct()
+    // per-iteration lazy checkpoints, the [[pageRankWeighted]] r19
+    // rationale: ranks is consumed 3× per iteration, deg 2× — the
+    // inline form compounded to a 692-operator plan at 3 iterations
     val deg = e.groupBy("src").agg(sum(col("w")).as("deg"))
+      .localCheckpoint(eager = false)
     var ranks = nodes
       .join(sd.withColumn("__s", lit(true)), Seq("node"), "left")
       .selectExpr("node", "coalesce(__s, false) as __seed",
@@ -210,7 +227,7 @@ object Graphs {
             s" + __mass div ${nSeeds}L)) div 100L" +
             s" else (${dampingPct}L * coalesce(contrib, 0L)) div 100L" +
             " end as rank")
-      if (i % 4 == 0 && i < iterations)
+      if (i < iterations)
         ranks = ranks.localCheckpoint(eager = false)
     }
     ranks.select(col("node"), col("rank").as("rank_fp"),
@@ -388,8 +405,15 @@ object Graphs {
               + " in long range, got "), col("w").cast("string"))))
           .otherwise(col("w")).as("w"))
     val e = e0.localCheckpoint(eager = true)
+    // nodes feeds three consumers (the count, the init, the final
+    // re-attach) and each round's raw-sum table feeds two (its own
+    // normalization total + the normalized scores) — lazy localCheck-
+    // points make each a plan leaf computed once (r19, guide §2.4):
+    // the inline form compounded to a 1123-operator / 284-RDD-scan
+    // plan at 2 rounds (plans/r19/q_hits_before.txt)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     val nDf = nodes.agg(count(lit(1)).as("__n"))
     val radix = 1073741824L // 2³⁰ limb radix (see weightedPercentiles)
     val radixW = 4294967296L // 2³² product-limb radix (weighted path)
@@ -447,12 +471,14 @@ object Graphs {
       val araw = sumSide(
         e.join(hub.select(col("node").as("src"), col("h")), "src"),
         "h", "dst", "src", "auth", "ar")
+        .localCheckpoint(eager = false)
       val atot = araw.agg(sum(col("ar")).as("__ta"))
       auth = araw.crossJoin(broadcast(atot))
         .selectExpr("node", s"(ar * ${Scale}L) div __ta as a")
       val hraw = sumSide(
         e.join(auth.select(col("node").as("dst"), col("a")), "dst"),
         "a", "src", "dst", "hub", "hr")
+        .localCheckpoint(eager = false)
       val htot = hraw.agg(sum(col("hr")).as("__th"))
       hub = hraw.crossJoin(broadcast(htot))
         .selectExpr("node", s"(hr * ${Scale}L) div __th as h")
@@ -504,8 +530,16 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist())
+    // deg feeds three consumers (both orientation joins + the final
+    // node list), dir three (adjacency build + both sides of the
+    // pairing join), adj two — without materialization the orientation
+    // join re-executed per consumer (the before-plan repeats the
+    // deg/dir subtree; plans/r19/q_triangles_before.txt). Lazy local-
+    // checkpoints make each a computed-once leaf (r19, guide §2.4);
+    // blocks are ids/arrays already bounded by the arboricity argument.
     val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(eager = false)
     val dir = e
       .join(deg.select(col("node").as("u"), col("__deg").as("__du")), "u")
       .join(deg.select(col("node").as("v"), col("__deg").as("__dv")), "v")
@@ -515,8 +549,10 @@ object Graphs {
         .otherwise(struct(col("v").as("a"), col("u").as("b")))
         .as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
+      .localCheckpoint(eager = false)
     val adj = dir.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("__nb"))
+      .localCheckpoint(eager = false)
     val paired = dir
       .join(adj.select(col("a"), col("__nb").as("__na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("__nb")), Seq("b"), "left")
@@ -689,7 +725,11 @@ object Graphs {
         .select(col("__d").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
-      visited = visited.unionByName(next).localCheckpoint(true)
+      // lazy, not eager (r19): visited is consumed three times per hop
+      // (frontier filter, anti-join, union) — the lazy checkpoint
+      // dedupes those identically while letting ONE final action drive
+      // all hops instead of paying a blocking driver job per hop
+      visited = visited.unionByName(next).localCheckpoint(eager = false)
       frontier = visited.filter(col("dist") === h)
     }
     visited
