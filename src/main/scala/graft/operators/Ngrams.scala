@@ -705,7 +705,11 @@ object Ngrams {
     OpCaches.register(
       docs.select(explode(toks(col(textCol))).as("w"))
         .filter(length(col("w")) >= 1)
-        .groupBy("w").agg(count(lit(1)).as("c")))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        // r19: the .persist() this doc block always claimed was
+        // missing — without it every EM round's E-step (and the seed's
+        // substring explode) re-ran the corpus tokenize+count
+        .persist())
 
   /** Seed vocabulary: every single character (never pruned — they keep
     * all words segmentable, SentencePiece's coverage set) plus the
@@ -907,7 +911,13 @@ object Ngrams {
                                 seedSize: Int,
                                 textCol: String): DataFrame = {
     val wc = unigramWordCounts(docs, textCol)
-    var vocab = OpCaches.register(unigramSeedFrom(wc, maxPieceLen, seedSize))
+    // each round's vocabulary feeds three consumers (the logp total,
+    // the score map, the surviving-singles join) — a lazy local
+    // checkpoint makes it a plan leaf computed once (r19): the inline
+    // form compounded to ~1700–2000-operator physical plans across the
+    // family (plans/r19/q_unigram_*_before.txt)
+    var vocab = unigramSeedFrom(wc, maxPieceLen, seedSize)
+      .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
       val seg = unigramViterbi(wc, unigramWithLogp(vocab), maxPieceLen)
       val usage = seg.filter(col("pieces").isNotNull)
@@ -924,7 +934,7 @@ object Ngrams {
         .orderBy(col("u").desc, col("piece"))
         .limit(vocabSize)
         .select(col("piece"), col("u").as("cnt"))
-      vocab = OpCaches.register(singles.unionByName(multis))
+      vocab = singles.unionByName(multis).localCheckpoint(eager = false)
     }
     unigramWithLogp(vocab)
   }
