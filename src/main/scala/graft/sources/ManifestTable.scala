@@ -441,8 +441,15 @@ object ManifestTable {
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
+    // materialize the bucketed batch ONCE (r19, guide §2.4): it feeds
+    // two actions — the affected-bucket collect below and the merged
+    // write — and without a checkpoint the caller's whole batch
+    // derivation (often a real pipeline stage: a signature index, a
+    // dedup pass) executed twice per commit. Blocks are batch-sized by
+    // the ingest contract, the same bound as the write itself.
     val fresh = align(fresh0)
       .withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      .localCheckpoint(eager = false)
     // the affected-bucket set is tiny by construction (≤ nBuckets longs)
     val affected = fresh.select(BucketCol).distinct()
       .collect().map(_.getLong(0)).toSet
