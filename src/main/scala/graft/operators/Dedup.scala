@@ -928,10 +928,14 @@ object Dedup {
     // aggregation: comp = min(id, min direct neighbor). Near-dup clusters
     // are mostly cliques/stars, so this alone converges most components
     // and the loop typically exits after a single verification round.
+    // lazy checkpoints throughout the loop (r19): each round's labels
+    // feed 2-3 consumers, and the changed-count action materializes
+    // the round anyway — eager checkpoints only added one extra
+    // blocking driver job per round on top of that materialization
     var labels = edges
       .groupBy(col("src").as("id")).agg(min(col("dst")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -945,7 +949,7 @@ object Dedup {
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp1"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       changed = prop.filter(col("comp1") < col("comp")).count()
       if (changed > 0) {
         // (b) path-halve: adopt the propagated label's own propagated
@@ -957,7 +961,7 @@ object Dedup {
           .select(col("id"),
             least(col("comp1"), coalesce(col("__jc"), col("comp1")))
               .as("comp"))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = false)
       } else {
         labels = prop.select(col("id"), col("comp1").as("comp"))
       }
