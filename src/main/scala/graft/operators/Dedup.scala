@@ -822,8 +822,10 @@ object Dedup {
           greatest(col(c(0)), col(c(1))).as("b"))
         .filter(col("a") =!= col("b")).distinct()
     }
-    val t = canon(truthPairs)
-    val c = canon(candPairs)
+    // each side feeds its count and the hit semi-join: checkpoint so
+    // truth and candidate derivations run once (r19, guide §2.4)
+    val t = canon(truthPairs).localCheckpoint(eager = false)
+    val c = canon(candPairs).localCheckpoint(eager = false)
     val hits = c.join(t, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
     // Double, not Long: n·(n−1)/2 overflows a long at n ≈ 4.3e9 —
@@ -1029,6 +1031,9 @@ object Dedup {
     val exact = allPairsJaccard(truthDocs, idCol, textCol, threshold,
         shingleN)
       .select(col("doc_a"), col("doc_b"))
+      // truth count + hit semi-join both read it: checkpoint so the
+      // exact PPJoin truth runs once (r19, guide §2.4)
+      .localCheckpoint(eager = false)
     val truth = exact.agg(count(lit(1)).as("truth"))
     val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("__hits"))
@@ -1067,9 +1072,13 @@ object Dedup {
                          maxHamming: Int = 3): DataFrame = {
     val found = simhashNearDups(df, idCol, textCol, maxHamming)
       .select(col("doc_a"), col("doc_b"))
+    // keyed feeds both self-join sides and truthPairs feeds both the
+    // truth count and the hit semi-join — lazy checkpoints compute the
+    // tokenize+sort pass and the truth join once each (r19, guide §2.4)
     val keyed = Ops.spread(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("id"),
         sort_array(array_distinct(split(col(textCol), " "))).as("key"))
+      .localCheckpoint(eager = false)
     val a = keyed.select(col("id").as("doc_a"), col("key").as("ka"),
       xxhash64(col("key")).as("kh"))
     val b = keyed.select(col("id").as("doc_b"), col("key").as("kb"),
@@ -1077,6 +1086,7 @@ object Dedup {
     val truthPairs = a.join(b, Seq("kh"))
       .filter(col("ka") === col("kb") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
     val truth = truthPairs.agg(count(lit(1)).as("truth"))
     val hits = truthPairs.join(found, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("__hits"))

@@ -382,8 +382,12 @@ object Similarity {
                   approx: DataFrame, floor: Double,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
+    // the brute-force truth feeds both the hit semi-join and the truth
+    // count — a lazy checkpoint computes the corpus truth scan once
+    // (r19, guide §2.4); every ANN audit row paid it twice before
     val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
     val hits = approx.select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
     hits.agg(count(lit(1)).as("__hits"))
@@ -575,9 +579,12 @@ object Similarity {
     val v = Ops.spread(corpus.select(col(idCol), col(vecCol)), col(idCol))
     val a = v.select(col(idCol).as("__ia"), col(vecCol).as("__va"))
     val b = v.select(col(idCol).as("__ib"), col(vecCol).as("__vb"))
+    // consumed by the truth count AND the hit semi-join: checkpoint so
+    // the deliberately-quadratic audit cosine join runs once (r19)
     val truthIds = a.join(b, col("__ib") < col("__ia") &&
         cosine(col("__va"), col("__vb")) >= threshold)
       .select(col("__ia").as(idCol)).distinct()
+      .localCheckpoint(eager = false)
     val truth = truthIds.agg(count(lit(1)).as("truth"))
     val hits = truthIds.join(flagged, Seq(idCol), "left_semi")
       .agg(count(lit(1)).as("__hits"))
