@@ -1408,6 +1408,9 @@ object Dedup {
         col("doc_id"))
       .select(col("doc_id"), explode(grams).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // tf feeds the norm aggregate AND the weight join — checkpoint so
+      // the shingle explode+count runs once (r19, guide §2.4)
+      .localCheckpoint(eager = false)
     val nrm = tf.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
     val wts = OpCaches.register(tf.join(nrm, "doc_id")
